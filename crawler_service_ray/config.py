@@ -1,0 +1,76 @@
+"""Crawl configuration.
+
+Replaces the reference's scattered constants — 8 crawl threads
+(`/root/reference/crawlers/globus_base_preserved.py:23`), sleep-based pacing
+(`:70,301,248`), per-crawl skip lists (`application.py:114-124`) — with one
+explicit, serializable config shared verbatim by the Ray engine and the
+pure-Python oracle so equivalence tests feed both the same budget
+(FIXTURES.md F5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from typing import Mapping, Sequence
+
+
+@dataclass(frozen=True)
+class PolitenessConfig:
+    """Per-host politeness budget.
+
+    The reference has no rate limiting beyond sleeps
+    (`crawlers/globus_base_preserved.py:301`); the north rule requires
+    per-host token buckets. Semantics (identical in oracle and engine):
+    each epoch a host's bucket refills to ``max_per_epoch(host)`` tokens =
+    ``epoch_ms // min_gap_ms`` (overridable per host); at most that many of
+    the host's frontier URLs are admitted per epoch, best-(priority, url)
+    first; the rest are deferred to the next epoch. Virtual fetch
+    timestamps within an epoch are spaced ``min_gap_ms`` apart per host,
+    which is the recorded delay-compliance metric.
+    """
+
+    min_gap_ms: int = 200
+    epoch_ms: int = 4_000
+    per_host_overrides: Mapping[str, int] = field(default_factory=dict)
+
+    def max_per_epoch(self, host: str) -> int:
+        ov = self.per_host_overrides.get(host)
+        if ov is not None:
+            return int(ov)
+        return max(1, self.epoch_ms // self.min_gap_ms)
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    corpus_dir: str
+    run_dir: str
+    seeds: Sequence[str] = ()
+    politeness: PolitenessConfig = PolitenessConfig()
+    skip_substrings: Sequence[str] = ()  # URL substring skip list (M7)
+    max_epochs: int = 64
+    num_seen_shards: int = 8
+    # physical knobs (engine only; no semantic effect)
+    fetch_concurrency: int = 4
+    fetch_batch_size: int = 4096
+    admit_batch_size: int = 65536
+    # epochs with fewer frontier rows than this run as driver-local Arrow
+    # kernels (identical code path minus Ray Data orchestration overhead);
+    # larger epochs run as Dataset pipelines. force_mode: "local"/"dataset"
+    # pins one path (tests exercise both).
+    local_epoch_threshold: int = 20000
+    force_mode: str | None = None
+
+    def to_json_dict(self) -> dict:
+        d = asdict(self)
+        d["seeds"] = list(self.seeds)
+        d["skip_substrings"] = list(self.skip_substrings)
+        d["politeness"]["per_host_overrides"] = dict(
+            self.politeness.per_host_overrides
+        )
+        return d
+
+    @staticmethod
+    def from_json_dict(d: dict) -> "CrawlConfig":
+        pol = PolitenessConfig(**d["politeness"])
+        rest = {k: v for k, v in d.items() if k != "politeness"}
+        return CrawlConfig(politeness=pol, **rest)

@@ -1,0 +1,141 @@
+"""Pure-Python single-threaded reference crawler (the semantic oracle).
+
+A faithful restatement of the BFS semantics of the reference's cleanest
+crawler (`/root/reference/legacy/globus/globus_crawler.py:105-150`: FIFO
+frontier queue, visit-once, per-entry expand), extended with the
+north-rule semantics the Ray engine must also implement:
+
+  * canonicalized URLs key the seen set (discovery-time dedup);
+  * per-host politeness budget: at most ``max_per_epoch(host)`` fetches
+    per host per epoch, best (priority desc, url asc) first; the rest are
+    deferred to the next epoch with state intact;
+  * robots disallow-prefix filtering and a substring skip list on
+    outlinks (`application.py:114-124` analog);
+  * epoch = BFS superstep; crawl order within an epoch is the global
+    (priority desc, url asc) order over admitted URLs;
+  * priority is a pure function of the URL (seeds: 1.0) so the order is
+    independent of which parent discovers a URL first (SURVEY.md §7.5).
+
+The engine's equivalence contract vs this oracle (tests):
+  (a) identical visited-URL multiset per epoch (⇒ identical crawl order,
+      which is sort-defined), (b) row-for-row span-sequence equality
+      (kind, text, media_ref, order), (c) identical final seen set.
+
+~150 LoC, no Ray, no numpy in the hot loop — deliberately simple.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .config import CrawlConfig
+from .sources.corpus import corpus_to_dict, load_robots
+from .urls import canonicalize_url, host_of, priority_of
+
+
+@dataclass
+class OracleResult:
+    # one record per fetched URL, in crawl order:
+    # (url, epoch, order_in_epoch, status, spans, priority)
+    records: list[tuple] = field(default_factory=list)
+    seen: set[str] = field(default_factory=set)
+    per_epoch_counts: list[dict] = field(default_factory=list)
+
+    def fetch_order(self) -> list[str]:
+        return [r[0] for r in self.records]
+
+
+def _deny_reason(
+    url: str, host: str, robots: dict, skip: tuple[str, ...]
+) -> str | None:
+    """None = allowed; else 'skip' | 'robots' (separate counters)."""
+    for s in skip:
+        if s in url:
+            return "skip"
+    rules = robots.get(host)
+    if rules:
+        path = url.partition("://")[2]
+        path = path[len(host):]  # '/p/3' or ''
+        for prefix in rules:
+            if path.startswith(prefix):
+                return "robots"
+    return None
+
+
+def oracle_crawl(config: CrawlConfig) -> OracleResult:
+    corpus = corpus_to_dict(config.corpus_dir)
+    robots = load_robots(config.corpus_dir)
+    skip = tuple(config.skip_substrings)
+    pol = config.politeness
+
+    res = OracleResult()
+    # frontier entries: (url, priority); seen-at-discovery
+    frontier: list[tuple[str, float]] = []
+    for s in config.seeds:
+        u = canonicalize_url(s)
+        h = host_of(u)
+        if u not in res.seen and _deny_reason(u, h, robots, skip) is None:
+            res.seen.add(u)
+            frontier.append((u, 1.0))
+
+    for epoch in range(config.max_epochs):
+        if not frontier:
+            break
+        # politeness admission: per host, top max_per_epoch by (prio desc, url)
+        by_host: dict[str, list[tuple[str, float]]] = {}
+        for u, p in frontier:
+            by_host.setdefault(host_of(u), []).append((u, p))
+        admitted: list[tuple[str, float]] = []
+        deferred: list[tuple[str, float]] = []
+        politeness_wait_ms = 0
+        for h, entries in by_host.items():
+            entries.sort(key=lambda e: (-e[1], e[0]))
+            k = pol.max_per_epoch(h)
+            admitted.extend(entries[:k])
+            deferred.extend(entries[k:])
+            politeness_wait_ms += max(0, len(entries[:k]) - 1) * pol.min_gap_ms
+        # crawl order: global (priority desc, url asc) over admitted
+        admitted.sort(key=lambda e: (-e[1], e[0]))
+
+        next_frontier: list[tuple[str, float]] = []
+        n_dedup_hits = 0
+        n_robots_denied = 0
+        n_skip_filtered = 0
+        for order, (u, p) in enumerate(admitted):
+            spans = corpus.get(u)
+            status = 200 if spans is not None else 404
+            res.records.append((u, epoch, order, status, spans or [], p))
+            if spans is None:
+                continue
+            for kind, _text, media_ref, _off in spans:
+                if kind != "link":
+                    continue
+                link = canonicalize_url(media_ref)
+                lh = host_of(link)
+                reason = _deny_reason(link, lh, robots, skip)
+                if reason == "skip":
+                    n_skip_filtered += 1
+                    continue
+                if reason == "robots":
+                    n_robots_denied += 1
+                    continue
+                if link in res.seen:
+                    n_dedup_hits += 1
+                    continue
+                res.seen.add(link)
+                next_frontier.append((link, float(priority_of(link))))
+
+        res.per_epoch_counts.append(
+            {
+                "epoch": epoch,
+                "urls_fetched": len(admitted),
+                "dedup_hits": n_dedup_hits,
+                "robots_denied": n_robots_denied,
+                "skip_filtered": n_skip_filtered,
+                "deferred": len(deferred),
+                "discovered": len(next_frontier),
+                "politeness_wait_ms": politeness_wait_ms,
+            }
+        )
+        frontier = deferred + next_frontier
+    return res

@@ -1,0 +1,183 @@
+"""Outlink extraction → canonicalize → robots/skip filter → seen probe.
+
+The expand half of the reference's entry-type dispatch
+(`/root/reference/crawlers/globus_base_preserved.py:308-352`: dir entries →
+frontier) re-expressed as vectorized Arrow kernels over the ``spans``
+column: link spans are flattened with ``pc.list_parent_indices`` (no Python
+per-row loop), canonicalized with the pandas-vectorized canonicalizer
+(urls.py), filtered by robots disallow-prefixes + the substring skip list
+(`application.py:114-124` analog), then probed against the sharded seen
+filter (state/seen.py) — survivors become next-epoch frontier rows.
+
+Each kernel is a pure ``pa.Table -> pa.Table`` function so the epoch driver
+can run it inside ``map_batches`` (large frontiers) or directly on the
+driver (tail epochs) with identical semantics (pipelines/crawl.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..urls import canonicalize_many, hash_urls, hosts_of, priorities_of
+
+LINKS_SCHEMA = pa.schema(
+    [
+        ("raw_link", pa.string()),
+        ("parent_url", pa.string()),
+        ("parent_depth", pa.int32()),
+    ]
+)
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("priority", pa.float32()),
+        ("discovered_epoch", pa.int32()),
+        ("parent_url", pa.string()),
+        ("salt", pa.int16()),
+    ]
+)
+
+
+def extract_links(t: pa.Table) -> pa.Table:
+    """(url, depth, spans) rows → one row per link span."""
+    spans = t["spans"].combine_chunks()
+    flat = spans.flatten()
+    parents = pc.list_parent_indices(spans)
+    is_link = pc.equal(flat.field("kind"), "link")
+    link_parents = parents.filter(is_link)
+    raw = flat.field("media_ref").filter(is_link)
+    return pa.Table.from_arrays(
+        [
+            raw,
+            t["url"].combine_chunks().take(link_parents),
+            t["depth"].combine_chunks().take(link_parents),
+        ],
+        schema=LINKS_SCHEMA,
+    )
+
+
+def canon_and_filter(
+    t: pa.Table,
+    robots: dict[str, tuple[str, ...]],
+    skip_substrings: tuple[str, ...],
+    metrics_cb=None,
+) -> pa.Table:
+    """Canonicalize raw links; drop robots-denied and skip-listed ones.
+
+    ``robots`` is the broadcast small side (``ray.put`` once, read in every
+    task — SURVEY.md §2.4 J4): host → disallow path prefixes. The prefix
+    check is vectorized per DISTINCT prefix (a handful), not per row.
+    """
+    if t.num_rows == 0:
+        return t.append_column("url", pa.array([], type=pa.string())).append_column(
+            "host", pa.array([], type=pa.string())
+        )
+    urls = canonicalize_many(t["raw_link"].to_numpy(zero_copy_only=False))
+    hosts = hosts_of(urls)
+    su = pd.Series(urls)
+    sh = pd.Series(hosts)
+    keep = np.ones(len(su), dtype=bool)
+    for s in skip_substrings:
+        keep &= ~su.str.contains(s, regex=False).to_numpy()
+    n_skip = int((~keep).sum())
+    # robots: paths = url minus 'scheme://host'
+    paths = su.str.partition("://")[2].str.partition("/")
+    path = ("/" + paths[2]).where(paths[1].eq("/"), "")
+    robots_block = np.zeros(len(su), dtype=bool)
+    if robots:
+        by_prefix: dict[str, set] = {}
+        for h, prefixes in robots.items():
+            for p in prefixes:
+                by_prefix.setdefault(p, set()).add(h)
+        for p, hs in by_prefix.items():
+            robots_block |= (
+                sh.isin(hs) & path.str.startswith(p)
+            ).to_numpy()
+    robots_block &= keep
+    if metrics_cb is not None:
+        metrics_cb("robots_denied", int(robots_block.sum()))
+        metrics_cb("skip_filtered", n_skip)
+    keep &= ~robots_block
+    out = (
+        t.append_column("url", pa.array(urls, type=pa.string()))
+        .append_column("host", pa.array(hosts, type=pa.string()))
+    )
+    return out.filter(pa.array(keep))
+
+
+def probe_new(
+    t: pa.Table,
+    shards: list,
+    epoch: int,
+    metrics_cb=None,
+) -> pa.Table:
+    """Seen-filter anti-join (SURVEY.md §2.4 J3): keep first-seen links,
+    emit them as next-epoch frontier rows."""
+    from ..state.seen import probe_shards  # late import: ray only here
+
+    if t.num_rows == 0:
+        return pa.Table.from_pylist([], schema=FRONTIER_SCHEMA)
+    urls = t["url"].to_numpy(zero_copy_only=False)
+    h = hash_urls(urls)
+    is_new = probe_shards(shards, h)
+    if metrics_cb is not None:
+        metrics_cb("dedup_hits", int((~is_new).sum()))
+        metrics_cb("candidates", len(urls))
+    sel = pa.array(is_new)
+    kept = t.filter(sel)
+    kept_urls = kept["url"].to_numpy(zero_copy_only=False)
+    kh = h[is_new]
+    return pa.Table.from_arrays(
+        [
+            kept["url"].combine_chunks(),
+            kept["host"].combine_chunks(),
+            pc.add(kept["parent_depth"].combine_chunks(), pa.scalar(1, pa.int32())).cast(pa.int32()),
+            pa.array(priorities_of(kept_urls), type=pa.float32()),
+            pa.array(np.full(len(kept_urls), epoch + 1, dtype=np.int32)),
+            kept["parent_url"].combine_chunks(),
+            pa.array((kh >> np.uint64(32) & np.uint64(63)).astype(np.int16)),
+        ],
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+def seed_frontier(
+    seeds,
+    robots: dict[str, tuple[str, ...]],
+    skip_substrings: tuple[str, ...],
+    shards: list,
+) -> pa.Table:
+    """Epoch-0 frontier from the seed list (priority 1.0, depth 0)."""
+    t = pa.Table.from_arrays(
+        [
+            pa.array(list(seeds), type=pa.string()),
+            pa.array([""] * len(seeds), type=pa.string()),
+            pa.array([0] * len(seeds), type=pa.int32()),
+        ],
+        schema=pa.schema(
+            [("raw_link", pa.string()), ("parent_url", pa.string()),
+             ("parent_depth", pa.int32())]
+        ),
+    )
+    filt = canon_and_filter(t, robots, tuple(skip_substrings))
+    fr = probe_new(filt, shards, epoch=-1)
+    # seeds: depth 0, priority 1.0, discovered_epoch 0
+    n = fr.num_rows
+    return pa.Table.from_arrays(
+        [
+            fr["url"].combine_chunks(),
+            fr["host"].combine_chunks(),
+            pa.array(np.zeros(n, dtype=np.int32)),
+            pa.array(np.ones(n, dtype=np.float32)),
+            pa.array(np.zeros(n, dtype=np.int32)),
+            fr["parent_url"].combine_chunks(),
+            fr["salt"].combine_chunks(),
+        ],
+        schema=FRONTIER_SCHEMA,
+    )

@@ -1,0 +1,74 @@
+"""Checkpoint/resume: kill after epoch k, resume, outputs byte-identical
+(SURVEY.md §5.3; replaces the reference's restart-from-zero heartbeat
+retry, /root/reference/application.py:25-58)."""
+
+import json
+import os
+import shutil
+
+from crawler_service_ray.config import CrawlConfig, PolitenessConfig
+from crawler_service_ray.pipelines.crawl import CrawlRun, fetched_table
+from crawler_service_ray.sources.corpus import default_seeds
+
+
+def _cfg(corpus, run_dir, max_epochs=60):
+    return CrawlConfig(
+        corpus_dir=corpus,
+        run_dir=run_dir,
+        seeds=default_seeds(3),
+        politeness=PolitenessConfig(min_gap_ms=200, epoch_ms=4000),
+        max_epochs=max_epochs,
+        num_seen_shards=4,
+        force_mode="local",
+    )
+
+
+def test_resume_matches_uninterrupted(ray_session, tiny_corpus, tmp_path):
+    full = _cfg(tiny_corpus, str(tmp_path / "full"))
+    CrawlRun(full).run(resume=False)
+
+    # "crash" after 3 epochs: run with max_epochs=3, then resume with full
+    part = _cfg(tiny_corpus, str(tmp_path / "part"), max_epochs=3)
+    CrawlRun(part).run(resume=False)
+    assert not os.path.exists(os.path.join(part.run_dir, "run_summary.json"))
+    resumed = _cfg(tiny_corpus, str(tmp_path / "part"))
+    summary = CrawlRun(resumed).run(resume=True)
+    assert os.path.exists(os.path.join(part.run_dir, "run_summary.json"))
+
+    a = fetched_table(full.run_dir).sort_by("url").to_pylist()
+    b = fetched_table(part.run_dir).sort_by("url").to_pylist()
+    assert a == b
+    assert summary["urls_fetched"] == len(a)
+
+
+def test_incomplete_epoch_dir_is_discarded(ray_session, tiny_corpus, tmp_path):
+    cfg = _cfg(tiny_corpus, str(tmp_path / "run"), max_epochs=2)
+    CrawlRun(cfg).run(resume=False)
+    # simulate a crash mid-epoch: a temp dir with partial junk
+    tmp_epoch = os.path.join(cfg.run_dir, "epochs", ".tmp_epoch_00002")
+    os.makedirs(os.path.join(tmp_epoch, "fetched"))
+    with open(os.path.join(tmp_epoch, "fetched", "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    summary = CrawlRun(_cfg(tiny_corpus, cfg.run_dir)).run(resume=True)
+    assert not os.path.exists(tmp_epoch)
+    assert summary["urls_fetched"] > 0
+
+
+def test_manifest_lineage(ray_session, tiny_corpus, tmp_path):
+    cfg = _cfg(tiny_corpus, str(tmp_path / "run"))
+    CrawlRun(cfg).run(resume=False)
+    ep0 = os.path.join(cfg.run_dir, "epochs", "epoch=00000")
+    with open(os.path.join(ep0, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["epoch"] == 0
+    assert m["input_frontier_rows"] == len(cfg.seeds)
+    assert all(
+        os.path.exists(os.path.join(ep0, p)) for p in m["outputs"]["fetched"]
+    )
+    assert all(
+        os.path.exists(os.path.join(ep0, p))
+        for p in m["outputs"]["frontier_next"]
+    )
+    assert m["stats"]["urls_fetched"] == len(cfg.seeds)
+    # seen snapshots exist per epoch
+    assert os.path.exists(os.path.join(ep0, "seen", "shard_0000.npz"))
