@@ -1,0 +1,329 @@
+"""Generic relational operators, Ray-Data-first.
+
+The engine's query surface (SURVEY.md §2 / §7.2 step 9): filter, project,
+hash-aggregate with partial pre-aggregation, broadcast + partitioned hash
+joins, sort/top-k, distinct, per-group top-k and time-window aggregates.
+Each is expressed over ``ray.data.Dataset`` with vectorized Arrow/pandas
+kernels inside ``map_batches`` — never per-row Python in the hot path.
+
+Scale notes are inline per operator: what shuffles, what broadcasts, and
+why; at 100 TB these are the only all-to-all exchanges a pipeline pays.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def read_table(sf_dir: str, name: str, columns: Sequence[str] | None = None,
+               **kw) -> rd.Dataset:
+    """Column-pruned parquet read (prune at the read — never load columns a
+    2-column transform doesn't need)."""
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"),
+        columns=list(columns) if columns else None,
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation with partial pre-aggregation (SURVEY.md §2.5 A1 pattern)
+# ---------------------------------------------------------------------------
+
+_AGG_FNS = {"sum", "count", "min", "max", "mean"}
+
+
+def _partial_agg(
+    df: pd.DataFrame, keys: list[str], aggs: dict[str, tuple[str, str]]
+) -> pd.DataFrame:
+    """Per-batch combiner: one output row per key per batch."""
+    plan: dict[str, list] = {}
+    for out, (col, fn) in aggs.items():
+        if fn == "mean":
+            plan.setdefault(col, []).extend(["sum", "count"])
+        elif fn == "count":
+            plan.setdefault(keys[0], []).append("count")
+        else:
+            plan.setdefault(col, []).append(fn)
+    g = df.groupby(keys, sort=False, observed=True)
+    pieces = {}
+    for col, fns in plan.items():
+        for fn in set(fns):
+            pieces[f"__p_{fn}_{col}"] = g[col].agg("size" if fn == "count" else fn)
+    out = pd.DataFrame(pieces).reset_index()
+    return out
+
+
+def grouped_agg(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    batch_size: int = 131072,
+) -> rd.Dataset:
+    """groupby-aggregate = vectorized per-batch partials (map_batches) →
+    small shuffle over one row per key per batch → merge.
+
+    ``aggs``: out_name -> (column, fn) with fn ∈ sum/count/min/max/mean.
+    The pre-aggregation bounds the all-to-all exchange to
+    O(distinct keys × blocks) rows regardless of input size.
+    """
+    keys = list(keys)
+    aggs = dict(aggs)
+    part = ds.map_batches(
+        partial(_partial_agg, keys=keys, aggs=aggs),
+        batch_format="pandas",
+        batch_size=batch_size,
+    )
+    # merge partials: sums/counts add, min/max re-reduce
+    merge_aggs = {}
+    for out, (col, fn) in aggs.items():
+        fns = ["sum", "count"] if fn == "mean" else [fn]
+        for f in fns:
+            src = f"__p_{f}_{keys[0] if fn == 'count' else col}"
+            if src in merge_aggs:
+                continue
+            if f in ("sum", "count"):
+                merge_aggs[src] = Sum(src, alias_name=src)
+            elif f == "min":
+                merge_aggs[src] = Min(src, alias_name=src)
+            else:
+                merge_aggs[src] = Max(src, alias_name=src)
+    merged = part.groupby(keys).aggregate(*merge_aggs.values())
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {k: df[k] for k in keys}
+        for out, (col, fn) in aggs.items():
+            if fn == "mean":
+                cols[out] = df[f"__p_sum_{col}"] / df[f"__p_count_{col}"]
+            elif fn == "count":
+                cols[out] = df[f"__p_count_{keys[0]}"].astype("int64")
+            else:
+                cols[out] = df[f"__p_{fn}_{col}"]
+        return pd.DataFrame(cols)
+
+    return merged.map_batches(finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# joins (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small: pa.Table | pd.DataFrame,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    columns: Sequence[str] | None = None,
+) -> rd.Dataset:
+    """Broadcast hash join: the small side is ``ray.put`` once and read by
+    every task; the big side streams — NO shuffle (J1/J4 analog,
+    `/root/reference/application.py:228-237` builds the same small-side map
+    per message).
+    """
+    if isinstance(small, pa.Table):
+        small = small.to_pandas()
+    if columns:
+        small = small[list(columns)]
+    ref = ray.put(small)
+    on = [on] if isinstance(on, str) else list(on)
+
+    class _BJoin:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(_BJoin, batch_format="pandas", concurrency=(1, 8))
+
+
+def bucketed_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: Sequence[str] | str,
+    num_buckets: int = 32,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Explicit partitioned hash join, portable across Ray versions: tag
+    each side, bucket rows by key hash, co-locate buckets with one
+    ``groupby("__bucket")`` shuffle, and pandas-merge the two sides inside
+    each bucket. Skewed keys: a hot key lands in one bucket; callers salt
+    the key before joining if a single key exceeds a worker's memory.
+
+    Ray ≥2.47 also ships a native hash ``Dataset.join`` (used by
+    ``native_join``); this explicit form documents the partitioning and
+    stays available if the API shifts.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+
+    def tag(df: pd.DataFrame, side: str) -> pd.DataFrame:
+        df = df.copy()
+        key = df[on[0]].astype("string")
+        for c in on[1:]:
+            key = key + "\x00" + df[c].astype("string")
+        df["__bucket"] = pd.util.hash_array(
+            key.to_numpy(dtype=object)
+        ) % num_buckets
+        df["__side"] = side
+        return df
+
+    lt = left.map_batches(partial(tag, side="l"), batch_format="pandas")
+    rt = right.map_batches(partial(tag, side="r"), batch_format="pandas")
+    # union pads each side's missing columns with nulls; the bucket fn
+    # re-projects each side to its own columns before the local merge
+    both = lt.union(rt)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == "l", left_cols]
+        r = g.loc[g["__side"] == "r", right_cols]
+        for c in on:  # union may have widened key dtypes via null padding
+            r[c] = r[c].astype(l[c].dtype)
+        return l.merge(r, on=on, how=how)
+
+    return both.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+
+def native_join(
+    left: rd.Dataset, right: rd.Dataset, on: Sequence[str] | str,
+    right_on: Sequence[str] | str | None = None,
+    num_partitions: int = 16, join_type: str = "inner",
+) -> rd.Dataset:
+    on = (on,) if isinstance(on, str) else tuple(on)
+    if right_on is not None:
+        right_on = (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    return left.join(
+        right, join_type=join_type, num_partitions=num_partitions, on=on,
+        right_on=right_on,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / top-k / distinct / per-group top-k / windows
+# ---------------------------------------------------------------------------
+
+def topk(
+    ds: rd.Dataset,
+    by: str | Sequence[str],
+    k: int,
+    descending: bool | Sequence[bool] = True,
+) -> rd.Dataset:
+    """Global top-k: per-block truncation inside map_batches first, then
+    one small sort over ≤ k×blocks rows — the full-sort shuffle is avoided
+    (SURVEY.md §2.6). Multi-key ``by`` gives deterministic tie-breaks."""
+    by = [by] if isinstance(by, str) else list(by)
+    desc = [descending] * len(by) if isinstance(descending, bool) else list(descending)
+    asc = [not d for d in desc]
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    pruned = ds.map_batches(local_top, batch_format="pandas")
+    return pruned.sort(by, descending=desc).limit(k)
+
+
+def topk_per_group(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    by: str | Sequence[str],
+    k: int,
+    descending: bool | Sequence[bool] = True,
+) -> rd.Dataset:
+    """Per-group top-k: per-batch pre-truncation (≤k rows per group per
+    block survive) then groupby.map_groups for the exact answer."""
+    keys = list(keys)
+    by = [by] if isinstance(by, str) else list(by)
+    desc = [descending] * len(by) if isinstance(descending, bool) else list(descending)
+    asc = [not d for d in desc]
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(by, ascending=asc, kind="mergesort")
+        return g.groupby(keys, sort=False, observed=True).head(k)
+
+    def exact(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    return (
+        ds.map_batches(local_top, batch_format="pandas")
+        .groupby(keys)
+        .map_groups(exact, batch_format="pandas")
+    )
+
+
+def distinct(ds: rd.Dataset, columns: Sequence[str]) -> rd.Dataset:
+    """Distinct rows over ``columns``: per-batch dedup first (bounds the
+    shuffle to distinct-per-block), then global groupby-first."""
+    columns = list(columns)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df[columns].drop_duplicates()
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby(columns)
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+def tumbling_window_agg(
+    ds: rd.Dataset,
+    ts_col: str,
+    window: str,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+) -> rd.Dataset:
+    """Event-time tumbling window (SURVEY.md §2.9): assign each row its
+    window start inside map_batches (vectorized floor), then a grouped
+    aggregate — Ray Data has no watermarks; batch semantics over the full
+    table match the SQL ``date_trunc`` oracle."""
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df[ts_col].dt.floor(window)
+        return df
+
+    return grouped_agg(
+        ds.map_batches(assign, batch_format="pandas"),
+        list(keys) + ["window_start"],
+        aggs,
+    )
+
+
+def sessionize(
+    ds: rd.Dataset, key: str, ts_col: str, gap_seconds: float
+) -> rd.Dataset:
+    """Session windows per key with an inactivity gap: partition by key,
+    sort within group by ts, new session where the gap exceeds the
+    threshold. One groupby shuffle; group fn is vectorized pandas."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        gaps = g[ts_col].diff().dt.total_seconds()
+        n_sessions = int((gaps > gap_seconds).sum()) + 1
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "n_sessions": np.array([n_sessions], dtype="int64"),
+                "n_events": np.array([len(g)], dtype="int64"),
+            }
+        )
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

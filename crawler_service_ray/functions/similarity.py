@@ -1,0 +1,169 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k is the exact baseline: the query matrix is
+normalized once, ``ray.put`` once, and every batch of the corpus does one
+numpy matmul against it — the corpus streams, only (query, candidate,
+score) triples shuffle for the final top-k reduce. The IVF variant is the
+scale path: k-means-lite centroids assign each vector to a cell; queries
+probe only the nearest cells, so the matmul touches a fraction of the
+corpus. Both are deterministic (fixed seed for centroid init).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+
+def _stack_normalized(series: pd.Series) -> np.ndarray:
+    M = np.stack(series.to_numpy()).astype(np.float32)
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """Exact cosine top-k of each query against the whole dataset.
+
+    Per corpus batch: matmul queries×batch, keep each query's local top-k
+    (small rows out); final exact top-k per query via groupby. Output:
+    (query_id, neighbor_id, cosine, rank) with rank 1..k.
+    """
+    Q = queries.astype(np.float32)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qref = ray.put((Q, np.asarray(query_ids)))
+
+    class _Score:
+        def __init__(self):
+            self.Q, self.qids = ray.get(qref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            M = _stack_normalized(df[vec_col])
+            sims = self.Q @ M.T  # (nq, nb)
+            ids = df[id_col].to_numpy()
+            nq, nb = sims.shape
+            if exclude_self:
+                mask = self.qids[:, None] == ids[None, :]
+                sims = np.where(mask, -np.inf, sims)
+            kk = min(k, nb)
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(self.qids, kk)
+            rows_n = ids[top.ravel()]
+            rows_s = np.take_along_axis(sims, top, axis=1).ravel()
+            keep = np.isfinite(rows_s)
+            return pd.DataFrame(
+                {
+                    "query_id": rows_q[keep],
+                    "neighbor_id": rows_n[keep],
+                    "cosine": rows_s[keep].astype("float64"),
+                }
+            )
+
+    partials = ds.map_batches(_Score, batch_format="pandas",
+                              concurrency=(1, 8))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype="int64"))
+        return g
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas"
+    )
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> rd.Dataset:
+    """Approximate top-k via IVF cells: centroids from a deterministic
+    sample (k-means-lite: one Lloyd iteration over the sample), each
+    vector assigned to its nearest centroid inside ``map_batches``; each
+    query scores only its ``nprobe`` nearest cells. The cell assignment
+    is the partitioning a 100-TB corpus would be written with, making
+    search reads proportional to nprobe/num_cells of the data."""
+    sample = ds.limit(sample_size).to_pandas()
+    S = _stack_normalized(sample[vec_col])
+    rng = np.random.default_rng(seed)
+    C = S[rng.choice(len(S), size=min(num_cells, len(S)), replace=False)]
+    # one Lloyd refinement over the sample
+    assign = np.argmax(S @ C.T, axis=1)
+    for c in range(C.shape[0]):
+        members = S[assign == c]
+        if len(members):
+            C[c] = members.mean(axis=0)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    Q = queries.astype(np.float32)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    probe_cells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    wanted = [set(row) for row in probe_cells]
+    cref = ray.put((C, Q, np.asarray(query_ids), wanted))
+
+    class _CellScore:
+        def __init__(self):
+            self.C, self.Q, self.qids, self.wanted = ray.get(cref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            M = _stack_normalized(df[vec_col])
+            cells = np.argmax(M @ self.C.T, axis=1)
+            ids = df[id_col].to_numpy()
+            out = []
+            for qi, cellset in enumerate(self.wanted):
+                sel = np.isin(cells, list(cellset))
+                if not sel.any():
+                    continue
+                sims = self.Q[qi] @ M[sel].T
+                cand_ids = ids[sel]
+                notself = cand_ids != self.qids[qi]
+                kk = min(k, int(notself.sum()))
+                if kk == 0:
+                    continue
+                simn = sims[notself]
+                top = np.argpartition(-simn, kk - 1)[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(self.qids[qi], kk),
+                            "neighbor_id": cand_ids[notself][top],
+                            "cosine": simn[top].astype("float64"),
+                        }
+                    )
+                )
+            if not out:
+                return pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "cosine": []}
+                )
+            return pd.concat(out, ignore_index=True)
+
+    partials = ds.map_batches(_CellScore, batch_format="pandas",
+                              concurrency=(1, 8))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return g.assign(rank=np.arange(1, len(g) + 1, dtype="int64"))
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas"
+    )

@@ -1,0 +1,578 @@
+"""The driver-contract query registry (SURVEY.md §7.2 step 9).
+
+``QUERIES``: name → callable(sf_dir) → Dataset / DataFrame / Table, one
+entry per operator pipeline from SURVEY.md §2 plus the training-data ops.
+``ORACLE_SQL``: matching ANSI SQL for DuckDB over the same parquet tables
+(views pre-registered by the driver). Column names and aggregate aliases
+match EXACTLY between the Ray pipeline and the SQL — the driver's compare
+sorts columns by name and hashes values.
+
+Float aggregates are rounded (2–3 dp) IDENTICALLY on both sides so that
+summation-order differences between the distributed partial aggregation
+and DuckDB cannot flip the value hash.
+
+Entries without SQL (minhash/simhash/embedding dedup, langid, fingerprints,
+IVF ANN, the crawl pipelines) get the driver's rows-only check; their
+determinism is pinned by the pytest suite instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import CrawlConfig, PolitenessConfig
+from ..functions import dedup, multimodal, similarity, text
+from ..functions.relational import (
+    bucketed_hash_join,
+    broadcast_join,
+    distinct,
+    grouped_agg,
+    native_join,
+    read_table,
+    sessionize,
+    topk,
+    topk_per_group,
+    tumbling_window_agg,
+)
+
+
+# ---------------------------------------------------------------------------
+# relational queries (SQL-checked)
+# ---------------------------------------------------------------------------
+
+def q_filter_project(sf_dir: str):
+    """M2/M7 analog: predicate filter + computed projection, arrow-native."""
+    import pyarrow.compute as pc
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.greater(t["l_discount"], pa.scalar(0.05)),
+        )
+        t = t.filter(mask)
+        rev = pc.round(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            ndigits=2,
+            round_mode="half_towards_infinity",  # DuckDB's rounding (half away from zero), not banker's
+        )
+        return pa.Table.from_arrays(
+            [t["l_orderkey"].combine_chunks(),
+             t["l_quantity"].combine_chunks(),
+             rev.combine_chunks() if isinstance(rev, pa.ChunkedArray) else rev],
+            names=["l_orderkey", "l_quantity", "revenue"],
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_quantity,
+       round(l_extendedprice * (1 - l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
+"""
+
+
+def q_agg_pricing(sf_dir: str):
+    """A1/A3 analog (TPC-H Q1 shape): grouped aggregate with partial
+    pre-aggregation; all float sums rounded on both sides."""
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def add_disc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df
+
+    out = grouped_agg(
+        ds.map_batches(add_disc, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "avg_qty": ("l_quantity", "mean"),
+            "n_rows": ("l_quantity", "count"),
+        },
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_base_price", "sum_disc_price"):
+            df[c] = df[c].round(2)
+        df["avg_qty"] = df["avg_qty"].round(3)
+        return df
+
+    return out.map_batches(final, batch_format="pandas")
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 3) AS avg_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_groupby_count(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out = grouped_agg(
+        ds, ["event_type"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+    )
+    return out.map_batches(
+        lambda df: df.assign(sum_value=df["sum_value"].round(2)),
+        batch_format="pandas",
+    )
+
+
+SQL_GROUPBY_COUNT = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_join_broadcast(sf_dir: str):
+    """J1/J4 analog: small side (customer) broadcast via ray.put."""
+    import pyarrow.parquet as pq
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).rename_columns(["o_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust, on="o_custkey")
+    out = grouped_agg(
+        joined, ["c_mktsegment"],
+        {"n_orders": ("o_totalprice", "count"),
+         "revenue": ("o_totalprice", "sum")},
+    )
+    return out.map_batches(
+        lambda df: df.assign(revenue=df["revenue"].round(2)),
+        batch_format="pandas",
+    )
+
+
+SQL_JOIN_BROADCAST = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_join_partitioned(sf_dir: str):
+    """J1-at-scale analog: explicit bucketed hash join lineitem ⋈ orders."""
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+    )
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"])
+    joined = bucketed_hash_join(li, orders, on="o_orderkey", num_buckets=16)
+    out = grouped_agg(
+        joined, ["o_orderpriority"],
+        {"n_items": ("l_quantity", "count"), "sum_qty": ("l_quantity", "sum")},
+    )
+    return out
+
+
+SQL_JOIN_PARTITIONED = """
+SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_join_native(sf_dir: str):
+    """Multi-way join on Ray's native hash join (customer⋈nation⋈region)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_regionkey", "n_name"])
+    region = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    cn = native_join(cust, nation, on="c_nationkey", right_on="n_nationkey",
+                     num_partitions=4)
+    cnr = native_join(cn, region, on="n_regionkey", right_on="r_regionkey",
+                      num_partitions=4)
+    return grouped_agg(cnr, ["r_name"], {"n_customers": ("c_custkey", "count")})
+
+
+SQL_JOIN_NATIVE = """
+SELECT r_name, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_sort_topk(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return topk(ds, by=["o_totalprice", "o_orderkey"], k=10,
+                descending=[True, False])
+
+
+SQL_SORT_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_topk_per_group(sf_dir: str):
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_orderkey", "l_linenumber",
+                 "l_extendedprice"],
+    )
+    return topk_per_group(
+        ds, keys=["l_returnflag"],
+        by=["l_extendedprice", "l_orderkey", "l_linenumber"], k=2,
+        descending=[True, False, False],
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY l_returnflag
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+  FROM lineitem) WHERE rn <= 2
+"""
+
+
+def q_distinct(sf_dir: str):
+    return distinct(
+        read_table(sf_dir, "customer", columns=["c_mktsegment"]),
+        ["c_mktsegment"],
+    )
+
+
+SQL_DISTINCT = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_doc_category(sf_dir: str):
+    """M4 analog: classify + tally (extension→category becomes
+    lang→script-family)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["category"] = np.where(
+            df["lang"].isin(["en", "es", "fr", "de"]), "latin", "cjk"
+        )
+        return df
+
+    return grouped_agg(
+        ds.map_batches(classify, batch_format="pandas"),
+        ["category"],
+        {"n_docs": ("n_chars", "count"), "sum_chars": ("n_chars", "sum")},
+    )
+
+
+SQL_DOC_CATEGORY = """
+SELECT CASE WHEN lang IN ('en','es','fr','de') THEN 'latin' ELSE 'cjk' END
+         AS category,
+       count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_window_hourly(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = tumbling_window_agg(
+        ds, "ts", "h", ["event_type"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+    )
+    return out.map_batches(
+        lambda df: df.assign(sum_value=df["sum_value"].round(2)),
+        batch_format="pandas",
+    )
+
+
+SQL_WINDOW_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return sessionize(ds, key="user_id", ts_col="ts", gap_seconds=1800.0)
+
+
+SQL_SESSIONIZE = """
+SELECT user_id,
+       (sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) + 1)::BIGINT
+         AS n_sessions,
+       count(*) AS n_events
+FROM (SELECT user_id,
+             epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+               AS gap
+      FROM events)
+GROUP BY user_id
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    return dedup.exact_dedup(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+
+def q_text_stats(sf_dir: str):
+    """SQL-checkable slice of the quality features (split-on-single-space
+    to match DuckDB string_split exactly)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars_actual": s.str.len().astype("int64"),
+                "n_words": s.str.split(" ").str.len().astype("int64"),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id, length(text) AS n_chars_actual,
+       len(string_split(text, ' ')) AS n_words
+FROM documents
+"""
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-5 for query vectors vec_id < 10 (exact —
+    SQL-checkable); float64 matmul so ranking matches DuckDB's doubles."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    qmask = np.asarray(emb["vec_id"].to_numpy(zero_copy_only=False)) < 10
+    qt = emb.filter(pa.array(qmask))
+    queries = np.stack(qt["embedding"].to_pylist()).astype(np.float64)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = similarity.brute_force_topk(ds, queries, qids, k=5)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < 10),
+s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qe, e.embedding) AS c
+      FROM q, embeddings e WHERE e.vec_id <> q.qid)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rank
+  FROM s) WHERE rank <= 5
+"""
+
+
+def q_count_lineitem(sf_dir: str):
+    n = read_table(sf_dir, "lineitem", columns=["l_orderkey"]).count()
+    return pa.Table.from_pydict({"n": pa.array([n], type=pa.int64())})
+
+
+SQL_COUNT_LINEITEM = "SELECT count(*) AS n FROM lineitem"
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible; determinism pinned by pytest)
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash(sf_dir: str):
+    return dedup.minhash_lsh_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.5,
+    )
+
+
+def q_dedup_simhash(sf_dir: str):
+    return dedup.simhash_dedup(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        max_hamming=3,
+    )
+
+
+def q_dedup_embedding(sf_dir: str):
+    return dedup.embedding_near_dup(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=0.9,
+    )
+
+
+def q_ann_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    qmask = np.asarray(emb["vec_id"].to_numpy(zero_copy_only=False)) < 10
+    qt = emb.filter(pa.array(qmask))
+    queries = np.stack(qt["embedding"].to_pylist()).astype(np.float64)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.ivf_topk(ds, queries, qids, k=5)
+
+
+def q_langid(sf_dir: str):
+    return text.langid_stage(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def q_quality(sf_dir: str):
+    return read_table(
+        sf_dir, "documents", columns=["doc_id", "text"]
+    ).map_batches(text.quality_features, batch_format="pandas")
+
+
+def q_tokens(sf_dir: str):
+    return text.token_stage(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    return read_table(
+        sf_dir, "documents", columns=["doc_id", "text"]
+    ).map_batches(text.fingerprint_batch, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# crawl pipelines as queries (rows-only; corpus synthesized per sf)
+# ---------------------------------------------------------------------------
+
+_SF_CORPUS = {  # sf name → (hosts, pages/host)
+    "sf0.001": (6, 80),
+    "sf0.01": (10, 480),
+    "sf0.1": (24, 2000),
+}
+
+
+def _crawl_run_dir(sf_dir: str) -> str:
+    from ..pipelines.crawl import CrawlRun
+    from ..sources.corpus import default_seeds, generate_corpus
+
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    hosts, pages = _SF_CORPUS.get(sf, (10, 480))
+    base = os.environ.get("CSR_SCRATCH", "/tmp/csr_cache")
+    corpus_dir = os.path.join(base, f"corpus_{hosts}x{pages}")
+    run_dir = os.path.join(base, f"run_{hosts}x{pages}")
+    generate_corpus(corpus_dir, num_hosts=hosts, pages_per_host=pages,
+                    fanout=3, cross=2, num_buckets=16)
+    cfg = CrawlConfig(
+        corpus_dir=corpus_dir,
+        run_dir=run_dir,
+        seeds=default_seeds(hosts),
+        politeness=PolitenessConfig(min_gap_ms=10, epoch_ms=4000),
+        max_epochs=40,
+        num_seen_shards=8,
+    )
+    CrawlRun(cfg).run(resume=True)  # completed runs return instantly
+    return run_dir
+
+
+def q_crawl_fetched(sf_dir: str):
+    """The flagship frontier crawl; returns fetched docs (spans dropped
+    for the driver's hasher — span equality is pinned by pytest)."""
+    from ..pipelines.crawl import fetched_dataset
+
+    run_dir = _crawl_run_dir(sf_dir)
+    return fetched_dataset(run_dir).drop_columns(["spans"])
+
+
+def q_crawl_stats(sf_dir: str):
+    from ..pipelines.crawl import crawl_stats_table
+
+    return crawl_stats_table(_crawl_run_dir(sf_dir))
+
+
+def q_crawl_media_features(sf_dir: str):
+    from ..pipelines.crawl import fetched_dataset
+
+    run_dir = _crawl_run_dir(sf_dir)
+    return multimodal.media_features(fetched_dataset(run_dir))
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "filter_project": q_filter_project,
+    "agg_pricing": q_agg_pricing,
+    "groupby_count": q_groupby_count,
+    "join_broadcast": q_join_broadcast,
+    "join_partitioned": q_join_partitioned,
+    "join_native": q_join_native,
+    "sort_topk": q_sort_topk,
+    "topk_per_group": q_topk_per_group,
+    "distinct": q_distinct,
+    "doc_category": q_doc_category,
+    "window_hourly": q_window_hourly,
+    "sessionize": q_sessionize,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "ann_topk": q_ann_topk,
+    "count_lineitem": q_count_lineitem,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_ivf": q_ann_ivf,
+    "langid": q_langid,
+    "quality": q_quality,
+    "tokens": q_tokens,
+    "fingerprint": q_fingerprint,
+    "crawl_fetched": q_crawl_fetched,
+    "crawl_stats": q_crawl_stats,
+    "crawl_media_features": q_crawl_media_features,
+}
+
+ORACLE_SQL = {
+    "filter_project": SQL_FILTER_PROJECT,
+    "agg_pricing": SQL_AGG_PRICING,
+    "groupby_count": SQL_GROUPBY_COUNT,
+    "join_broadcast": SQL_JOIN_BROADCAST,
+    "join_partitioned": SQL_JOIN_PARTITIONED,
+    "join_native": SQL_JOIN_NATIVE,
+    "sort_topk": SQL_SORT_TOPK,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "distinct": SQL_DISTINCT,
+    "doc_category": SQL_DOC_CATEGORY,
+    "window_hourly": SQL_WINDOW_HOURLY,
+    "sessionize": SQL_SESSIONIZE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "text_stats": SQL_TEXT_STATS,
+    "ann_topk": SQL_ANN_TOPK,
+    "count_lineitem": SQL_COUNT_LINEITEM,
+}

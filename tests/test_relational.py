@@ -1,0 +1,90 @@
+"""Operator surface vs DuckDB oracles at sf0.001 (the driver repeats this
+at sf0.01 via __ray_entry__)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+SQL_CHECKED = [
+    "filter_project",
+    "agg_pricing",
+    "groupby_count",
+    "join_broadcast",
+    "join_partitioned",
+    "join_native",
+    "sort_topk",
+    "topk_per_group",
+    "distinct",
+    "doc_category",
+    "window_hourly",
+    "sessionize",
+    "dedup_exact",
+    "text_stats",
+    "ann_topk",
+    "count_lineitem",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(ray_session, con, name):
+    import __ray_entry__ as e
+
+    mine = _norm(_to_pandas(e.queries()[name](SF)))
+    oracle = _norm(con.execute(e.oracle_sql()[name]).df())
+    assert sorted(mine.columns) == sorted(oracle.columns)
+    assert len(mine) == len(oracle)
+    pd.testing.assert_frame_equal(
+        mine, oracle[mine.columns.tolist()], check_dtype=False,
+        check_exact=False, rtol=1e-9, atol=1e-9,
+    )
+
+
+def test_rows_only_queries_run(ray_session):
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    for name in ("langid", "quality", "tokens", "fingerprint", "ann_ivf",
+                 "dedup_simhash", "dedup_embedding"):
+        df = _to_pandas(qs[name](SF))
+        # empty results lose their schema through Ray's empty-block drop
+        assert len(df) == 0 or len(df.columns) >= 2, name
+
+
+def test_every_sql_entry_has_query(ray_session):
+    import __ray_entry__ as e
+
+    assert set(e.oracle_sql()) <= set(e.queries())
