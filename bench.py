@@ -1,0 +1,205 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "crawl": {...}, "urls_per_sec": ...}
+
+Headline = wall time of the flagship frontier crawl (fresh run, corpus
+generation and page-cache warm excluded) over a corpus scaled to the sf
+under bench, plus per-query timings for a representative operator subset
+over $GRAFT_SF_DIR.
+
+  python bench.py                 # env: GRAFT_SF_DIR, RAY_GRAFT_CPUS
+  python bench.py --crawl-only    # just the crawl headline
+  python bench.py --scaling       # two fresh processes (8 vs 32 cpus) on
+                                  # the SAME crawl input → throughput at
+                                  # both + scaling efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+# crawl corpus per sf tag: (hosts, pages/host, min_gap_ms)
+CRAWL_SCALE = {
+    "sf0.001": (6, 80, 10),
+    "sf0.01": (10, 480, 5),
+    "sf0.1": (24, 2600, 1),
+}
+
+BENCH_QUERIES = [
+    "filter_project",
+    "agg_pricing",
+    "join_broadcast",
+    "join_partitioned",
+    "sort_topk",
+    "window_hourly",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_topk",
+    "langid",
+    "tokens",
+]
+
+
+def _consume(res) -> int:
+    """Force full streaming execution; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return sum(
+            b.num_rows
+            for b in res.iter_batches(batch_format="pyarrow", batch_size=65536)
+        )
+    if isinstance(res, (pa.Table, pd.DataFrame)):
+        return len(res)
+    return 0
+
+
+def run_crawl(sf_tag: str, num_cpus: int) -> dict:
+    from crawler_service_ray.config import CrawlConfig, PolitenessConfig
+    from crawler_service_ray.pipelines.crawl import CrawlRun, warm_corpus
+    from crawler_service_ray.sources.corpus import (
+        default_seeds,
+        generate_corpus,
+    )
+
+    hosts, pages, gap = CRAWL_SCALE.get(sf_tag, CRAWL_SCALE["sf0.1"])
+    hosts = int(os.environ.get("CSR_BENCH_HOSTS", hosts))
+    pages = int(os.environ.get("CSR_BENCH_PAGES", pages))
+    gap = int(os.environ.get("CSR_BENCH_GAP", gap))
+    epoch_ms = int(os.environ.get("CSR_BENCH_EPOCH_MS", 4000))
+    base = os.environ.get("CSR_SCRATCH", "/tmp/csr_bench")
+    corpus_dir = os.path.join(base, f"corpus_{hosts}x{pages}")
+    run_dir = os.path.join(base, f"bench_run_{hosts}x{pages}_{num_cpus}")
+    generate_corpus(corpus_dir, num_hosts=hosts, pages_per_host=pages,
+                    fanout=3, cross=2, num_buckets=32)
+    # warm the OS page cache + object-store corpus residency (untimed —
+    # environment setup, not crawl work)
+    for root, _d, files in os.walk(corpus_dir):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                fh.read()
+    warm_corpus(corpus_dir)
+    shutil.rmtree(run_dir, ignore_errors=True)
+    cfg = CrawlConfig(
+        corpus_dir=corpus_dir,
+        run_dir=run_dir,
+        seeds=default_seeds(hosts, n=hosts),  # seed every host: wide BFS
+        politeness=PolitenessConfig(min_gap_ms=gap, epoch_ms=epoch_ms),
+        max_epochs=64,
+        num_seen_shards=8,
+        num_host_partitions=int(os.environ.get("CSR_BENCH_PARTS", "64")),
+        fetch_concurrency=max(2, num_cpus // 4),
+    )
+    t0 = time.time()
+    summary = CrawlRun(cfg).run(resume=False)
+    wall = time.time() - t0
+    processed = summary["urls_fetched"] + summary["dedup_hits"]
+    return {
+        "sec": round(wall, 3),
+        "urls_fetched": summary["urls_fetched"],
+        "dedup_hits": summary["dedup_hits"],
+        "epochs": summary["epochs"],
+        "urls_per_sec": round(summary["urls_fetched"] / wall, 1),
+        "processed_per_sec": round(processed / wall, 1),
+    }
+
+
+def main() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    crawl_only = "--crawl-only" in sys.argv
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    crawl = run_crawl(sf_tag, num_cpus)
+    qtimes = {}
+    if not crawl_only:
+        import __ray_entry__ as e
+
+        qs = e.queries()
+        # untimed warmup: spin up Ray Data workers + page-cache the input
+        _consume(qs["count_lineitem"](sf_dir))
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            _consume(qs[name](sf_dir))
+            qtimes[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "crawl_wall_sec (URLs fetched+deduped/sec in crawl.processed_per_sec)",
+        "value": crawl["sec"],
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_tag,
+        "num_cpus": num_cpus,
+        "crawl": crawl,
+        "urls_per_sec": crawl["urls_per_sec"],
+        "processed_per_sec": crawl["processed_per_sec"],
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+    return out
+
+
+def scaling() -> None:
+    """Two fresh processes at 8 and 32 CPUs on the same input (the
+    sandbox evidence for the two-cluster-size criterion, BASELINE.md)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            # the scaling workload is a larger corpus than the quick bench:
+            # epochs must carry enough parallel work (≥10^5 URLs each) that
+            # compute, not per-epoch orchestration, dominates wall time
+            CSR_BENCH_HOSTS=os.environ.get("CSR_SCALING_HOSTS", "256"),
+            CSR_BENCH_PAGES=os.environ.get("CSR_SCALING_PAGES", "16000"),
+            CSR_BENCH_GAP="1",
+            CSR_BENCH_EPOCH_MS="8000",
+            CSR_BENCH_PARTS="128",
+        )
+        out = subprocess.run(
+            [sys.executable, "bench.py", "--crawl-only"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "processed_per_sec_8": r_lo["processed_per_sec"],
+        "processed_per_sec_32": r_hi["processed_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_lo["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

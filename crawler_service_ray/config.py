@@ -49,6 +49,10 @@ class CrawlConfig:
     skip_substrings: Sequence[str] = ()  # URL substring skip list (M7)
     max_epochs: int = 64
     num_seen_shards: int = 8
+    # the ONE partitioning key reused across all epochs: frontier rows are
+    # written split by hash(host) % num_host_partitions, so admission reads
+    # arrive host-complete with NO shuffle (pipelines/crawl.py)
+    num_host_partitions: int = 64
     # physical knobs (engine only; no semantic effect)
     fetch_concurrency: int = 4
     fetch_batch_size: int = 4096

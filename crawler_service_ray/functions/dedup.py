@@ -178,17 +178,29 @@ def minhash_lsh_pairs(
         concurrency=(1, 8),
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique().tolist())
+    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        """All candidate pairs within this hash partition of band buckets.
+
+        The Python loop runs only over buckets holding ≥2 docs (true LSH
+        collisions — rare); singleton buckets are filtered vectorized.
+        """
+        sizes = part.groupby(["band_id", "band_hash"], sort=False)[
+            id_col
+        ].transform("nunique")
+        hot = part[sizes >= 2]
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
+        for _key, g in hot.groupby(["band_id", "band_hash"], sort=False):
+            ids = sorted(g[id_col].unique().tolist())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
         return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
-    cand = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    from .relational import grouped_apply
+
+    cand = grouped_apply(
+        bands_ds, ["band_id", "band_hash"], partition_pairs, num_partitions=32
     )
 
     class _Verify:
@@ -207,9 +219,17 @@ def minhash_lsh_pairs(
 
     verified = cand.map_batches(_Verify, batch_format="pandas",
                                 concurrency=(1, 8))
-    # same pair can surface from many bands → dedup
-    return verified.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    # same pair can surface from many bands → dedup (values identical, so
+    # local + coalesced drop_duplicates suffices; pair volume is tiny
+    # relative to the corpus)
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"])
+
+    return (
+        verified.map_batches(dd, batch_format="pandas")
+        .repartition(1)
+        .map_batches(dd, batch_format="pandas", batch_size=None)
     )
 
 
@@ -270,30 +290,44 @@ def simhash_dedup(
             )
         return pd.concat(rows, ignore_index=True)
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        f = g["__fp"].to_numpy(dtype=np.uint64)
+    def partition_buckets(part: pd.DataFrame) -> pd.DataFrame:
+        """Hamming-verify candidates inside each (q, qh) bucket of this
+        hash partition; loops only over buckets with ≥2 distinct docs."""
+        sizes = part.groupby(["q", "qh"], sort=False)[id_col].transform(
+            "nunique"
+        )
+        hot = part[sizes >= 2]
         out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            x = f[i] ^ f[i + 1 :]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(ham <= max_hamming)[0]:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + j])
-                out_h.append(int(ham[j]))
+        for _key, g in hot.groupby(["q", "qh"], sort=False):
+            g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            f = g["__fp"].to_numpy(dtype=np.uint64)
+            for i in range(len(ids)):
+                x = f[i] ^ f[i + 1 :]
+                ham = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.nonzero(ham <= max_hamming)[0]:
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + j])
+                    out_h.append(int(ham[j]))
         return pd.DataFrame(
             {"id_a": out_a, "id_b": out_b,
              "hamming": np.array(out_h, dtype="int64")}
         )
 
-    pairs = (
-        fps.map_batches(quarters, batch_format="pandas")
-        .groupby(["q", "qh"])
-        .map_groups(bucket, batch_format="pandas")
+    from .relational import grouped_apply
+
+    pairs = grouped_apply(
+        fps.map_batches(quarters, batch_format="pandas"),
+        ["q", "qh"], partition_buckets, num_partitions=32,
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"])
+
+    return (
+        pairs.map_batches(dd, batch_format="pandas")
+        .repartition(1)
+        .map_batches(dd, batch_format="pandas", batch_size=None)
     )
 
 

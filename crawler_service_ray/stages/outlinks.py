@@ -133,11 +133,16 @@ def probe_new(
     kept = t.filter(sel)
     kept_urls = kept["url"].to_numpy(zero_copy_only=False)
     kh = h[is_new]
+    # depth := discovery epoch + 1, NOT parent_depth + 1: with deferrals a
+    # URL can be discovered by parents of different depths in the same
+    # epoch, and which parent wins the seen-shard race is nondeterministic —
+    # epoch-derived depth keeps every output column race-free (parent_url
+    # below remains "some valid parent", excluded from equivalence)
     return pa.Table.from_arrays(
         [
             kept["url"].combine_chunks(),
             kept["host"].combine_chunks(),
-            pc.add(kept["parent_depth"].combine_chunks(), pa.scalar(1, pa.int32())).cast(pa.int32()),
+            pa.array(np.full(len(kept_urls), epoch + 1, dtype=np.int32)),
             pa.array(priorities_of(kept_urls), type=pa.float32()),
             pa.array(np.full(len(kept_urls), epoch + 1, dtype=np.int32)),
             kept["parent_url"].combine_chunks(),

@@ -29,7 +29,7 @@ import ray
 from .cuckoo import CuckooFilter
 
 
-@ray.remote(num_cpus=0.5)
+@ray.remote(num_cpus=0.25)
 class SeenShard:
     """One shard of the seen set. State survives across epochs."""
 
@@ -67,9 +67,11 @@ class SeenShard:
                 self.false_positives += 1
                 batch_seen.add(hi)
                 out[i] = True
-        for hi in batch_seen:
-            self.filter.insert(hi)
-            self.exact.add(hi)
+        if batch_seen:
+            self.filter.insert_many(
+                np.fromiter(batch_seen, dtype=np.uint64, count=len(batch_seen))
+            )
+            self.exact.update(batch_seen)
         return out
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:

@@ -136,6 +136,22 @@ def test_dataset_mode_equivalence(ray_session, tiny_corpus, tmp_path):
     assert {u: r["epoch"] for u, r in eng.items()} == ora_by_url
 
 
+def test_dataset_and_local_modes_byte_identical(ray_session, tiny_corpus,
+                                                tmp_path):
+    """The two execution paths must produce byte-identical fetched tables
+    (every column is race-free by design — depth is epoch-derived, not
+    winning-parent-derived)."""
+    cfg_l = _cfg(tiny_corpus, str(tmp_path / "l"), force_mode="local",
+                 max_epochs=6)
+    cfg_d = _cfg(tiny_corpus, str(tmp_path / "d"), force_mode="dataset",
+                 max_epochs=6)
+    CrawlRun(cfg_l).run(resume=False)
+    CrawlRun(cfg_d).run(resume=False)
+    a = fetched_table(cfg_l.run_dir).sort_by("url")
+    b = fetched_table(cfg_d.run_dir).sort_by("url")
+    assert a.equals(b)
+
+
 def test_politeness_deferral_and_skiplist(ray_session, tiny_corpus, tmp_path):
     # tight budget → deferrals must occur and totals still match oracle
     cfg = _cfg(
