@@ -1,0 +1,112 @@
+"""CLI entry point — the replacement for the reference's Flask control
+plane (`/root/reference/application.py:101-296`: POST /crawl,
+/get_crawl_status, /fetch_crawl_mdata) per SURVEY.md §2.10: crawls are
+launched with ``ray job submit -- python -m crawler_service_ray ...`` (or
+directly); status and results live in the run directory (manifests,
+run_summary.json, fetched parquet) instead of Postgres rows and SQS
+queues.
+
+  python -m crawler_service_ray crawl --corpus DIR --run DIR \
+      [--seeds URL ...] [--max-epochs N] [--min-gap-ms MS] [--resume]
+  python -m crawler_service_ray status --run DIR
+  python -m crawler_service_ray gen-corpus --corpus DIR --hosts H --pages P
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="crawler_service_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run a frontier crawl")
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--run", required=True)
+    c.add_argument("--seeds", nargs="*", default=None)
+    c.add_argument("--max-epochs", type=int, default=64)
+    c.add_argument("--min-gap-ms", type=int, default=200)
+    c.add_argument("--epoch-ms", type=int, default=4000)
+    c.add_argument("--seen-shards", type=int, default=8)
+    c.add_argument("--skip", nargs="*", default=[])
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--num-cpus", type=int, default=None)
+
+    s = sub.add_parser("status", help="show run status from manifests")
+    s.add_argument("--run", required=True)
+
+    g = sub.add_parser("gen-corpus", help="synthesize a corpus")
+    g.add_argument("--corpus", required=True)
+    g.add_argument("--hosts", type=int, default=8)
+    g.add_argument("--pages", type=int, default=200)
+    g.add_argument("--fanout", type=int, default=3)
+    g.add_argument("--cross", type=int, default=2)
+    g.add_argument("--buckets", type=int, default=16)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "gen-corpus":
+        from .sources.corpus import generate_corpus
+
+        meta = generate_corpus(
+            args.corpus, num_hosts=args.hosts, pages_per_host=args.pages,
+            fanout=args.fanout, cross=args.cross, num_buckets=args.buckets,
+        )
+        print(json.dumps(meta))
+        return 0
+
+    if args.cmd == "status":
+        import os
+
+        from .pipelines.crawl import crawl_stats_table
+
+        summary = os.path.join(args.run, "run_summary.json")
+        if os.path.exists(summary):
+            with open(summary) as f:
+                print(json.dumps({"state": "complete", **json.load(f)}))
+        elif os.path.isdir(os.path.join(args.run, "epochs")):
+            t = crawl_stats_table(args.run).to_pylist()
+            print(json.dumps({
+                "state": "in-progress",
+                "epochs_complete": len(t),
+                "urls_fetched": sum(r["urls_fetched"] for r in t),
+            }))
+        else:
+            print(json.dumps({"state": "not-started"}))
+        return 0
+
+    # crawl
+    import ray
+
+    if not ray.is_initialized():  # the driver contract owns init elsewhere
+        kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR", **kw)
+    from .config import CrawlConfig, PolitenessConfig
+    from .pipelines.crawl import CrawlRun
+    from .sources.corpus import corpus_meta, default_seeds
+
+    seeds = args.seeds
+    if not seeds:
+        seeds = default_seeds(corpus_meta(args.corpus)["num_hosts"])
+    cfg = CrawlConfig(
+        corpus_dir=args.corpus,
+        run_dir=args.run,
+        seeds=seeds,
+        politeness=PolitenessConfig(min_gap_ms=args.min_gap_ms,
+                                    epoch_ms=args.epoch_ms),
+        max_epochs=args.max_epochs,
+        num_seen_shards=args.seen_shards,
+        skip_substrings=tuple(args.skip),
+    )
+    summary = CrawlRun(cfg).run(resume=args.resume)
+    print(json.dumps({k: v for k, v in summary.items() if k != "config"}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -53,6 +53,9 @@ class CrawlConfig:
     # written split by hash(host) % num_host_partitions, so admission reads
     # arrive host-complete with NO shuffle (pipelines/crawl.py)
     num_host_partitions: int = 64
+    # inline per-doc text enrichment (tokens/quality/langid) on fetch —
+    # the "crawl + analyze" flagship semantics (stages/enrich.py)
+    enrich_text: bool = True
     # physical knobs (engine only; no semantic effect)
     fetch_concurrency: int = 4
     fetch_batch_size: int = 4096

@@ -66,6 +66,7 @@ import pyarrow.parquet as pq
 from ..config import CrawlConfig
 from ..sources.corpus import load_robots
 from ..stages.admit import admit_per_host
+from ..stages.enrich import enrich_fetched
 from ..stages.fetch import (
     FETCHED_SCHEMA,
     CorpusFetcher,
@@ -152,7 +153,11 @@ class CrawlRun:
 
         self.shards = make_shards(self.cfg.num_seen_shards)
         from ..state.metrics import MetricsActor
+        from ..state.writers import make_writers
 
+        self.writers = make_writers(
+            max(4, self.cfg.num_host_partitions // 4)
+        )
         self.metrics = LocalMetrics(MetricsActor.remote())
         self._robots_ref = ray.put(self.robots)
         # corpus buckets: loaded+indexed once, object-store-shared zero-copy
@@ -295,6 +300,8 @@ class CrawlRun:
             )
         self._local_fetcher.set_epoch(k)
         fetched = self._local_fetcher(admitted)
+        if self.cfg.enrich_text:
+            fetched = enrich_fetched(fetched)
         _write_table(fetched, fetched_dir, "part-0.parquet")
         links = extract_links(fetched.select(["url", "depth", "spans"]))
         cb = lambda name, v: self.metrics.add(k, name, v)  # noqa: E731
@@ -317,55 +324,100 @@ class CrawlRun:
         """One shuffle-free streaming execution per epoch.
 
         The frontier arrives pre-partitioned by ``hash(host) % P`` (every
-        writer splits by that key), so the epoch is a single
-        ``from_items(partitions).map_batches(_partition_epoch_fn)``: each
-        task owns one host partition end-to-end — read its frontier files,
-        per-host politeness admission, corpus fetch/expand in chunks,
-        seen-shard probe — and side-writes fetched rows, deferrals and
-        (re-partitioned by target host) discoveries. Side-written files
-        are content-named, so a retried task overwrites its own output
-        instead of duplicating rows; everything lands in the epoch temp
-        dir, renamed into place only after the manifest is written.
+        sink splits by that key), so the epoch pipeline is
 
-        History (measured at a 1.4M-row frontier epoch, 8 vs 32 CPUs): a
-        6-execution pipeline cost 2-4 s orchestration per epoch; a fused
-        pipeline with groupby("host") paid >10 s per epoch of sort-shuffle
-        overhead (hash shuffle: worse) that no CPU count could amortize.
-        Pre-partitioned frontier files make the exchange free — it rides
-        on the checkpoint writes the north rule requires anyway.
+          from_items(partitions)
+          -> map_batches(admission): read the partition's frontier files
+             (host-complete by construction), per-host politeness top-K,
+             side-write deferrals (partition-pure) -- emits admitted rows
+          -> map_batches(expand): chunked corpus fetch against the shared
+             zero-copy buckets, side-write fetched rows, outlink extract /
+             canonicalize / robots / skip, seen-shard probe; discoveries
+             are routed to the PartitionWriter actors (state/writers.py)
+             that flush one file per partition at epoch end.
+
+        ``target_max_block_size`` is dropped to a few MB for this
+        execution so each partition's admitted rows split into several
+        blocks -- expand parallelism is chunk-level, decoupled from the
+        partition count.
+
+        Side-written files are content-named -> a retried task overwrites
+        its own output; everything lands in the epoch temp dir, renamed
+        into place only after the manifest is written.
+
+        History (measured on 0.4-4M-URL frontiers at 8 vs 32 CPUs): a
+        6-execution pipeline cost 2-4 s orchestration per epoch; a
+        groupby("host") shuffle cost >10 s per epoch of sort overhead
+        (hash shuffle: worse); direct per-task partitioned writes created
+        tasks x partitions ~ 16k files per epoch whose open cost alone
+        was ~100 CPU-seconds. Partitioned frontier files + writer-actor
+        fan-in keep the exchange free and the file count at
+        O(partitions) per epoch.
         """
+        import ray
         import ray.data as rd
+        from ray.data import DataContext
 
         cfg = self.cfg
         by_part = _partition_files(frontier_files)
         items = [
             {"part": int(p), "files": fs} for p, fs in sorted(by_part.items())
         ]
-        ds = rd.from_items(items, override_num_blocks=len(items))
-        out_ds = ds.map_batches(
-            partial(
-                _partition_epoch_fn,
-                pol=cfg.politeness,
-                epoch=k,
-                fetched_dir=fetched_dir,
-                next_dir=next_dir,
-                num_parts=cfg.num_host_partitions,
-                chunk_rows=cfg.fetch_batch_size,
-                corpus_dir=cfg.corpus_dir,
-                corpus_refs=self._corpus_refs,
-                corpus_nb=self._corpus_nb,
-                robots_ref=self._robots_ref,
-                skip=tuple(cfg.skip_substrings),
-                shards=self.shards,
-                metrics_actor=self.metrics.actor,
-            ),
-            batch_format="pyarrow",
-            batch_size=None,  # one partition item per task
-            zero_copy_batch=True,
-        )
-        # drive the streaming execution; output is one tiny row/partition
-        for _ in out_ds.iter_batches(batch_format="pyarrow"):
-            pass
+        ray.get([
+            w.begin_epoch.remote(next_dir, "discovered") for w in self.writers
+        ])
+        ctx = DataContext.get_current()
+        prev_block_size = ctx.target_max_block_size
+        # small target blocks: admission's output (admitted rows) splits
+        # into ~2MB blocks, so expand parallelism is block-level, decoupled
+        # from the partition count — without any repartition/AllToAll
+        # operator (measured: Repartition burned ~18 s of wall per epoch
+        # with <50 ms of actual task time)
+        ctx.target_max_block_size = 2 * 1024 * 1024
+        try:
+            ds = rd.from_items(items, override_num_blocks=len(items))
+            adm = ds.map_batches(
+                partial(
+                    _admit_partition_fn,
+                    pol=cfg.politeness,
+                    epoch=k,
+                    next_dir=next_dir,
+                    num_parts=cfg.num_host_partitions,
+                ),
+                batch_format="pyarrow",
+                batch_size=None,  # one partition item per task
+                zero_copy_batch=True,
+                # differing resource spec prevents Ray from FUSING
+                # admission+expand into one operator (a fused operator ran
+                # the whole epoch as a single task — measured)
+                num_cpus=0.9,
+            )
+            out_ds = adm.map_batches(
+                partial(
+                    _expand_fn,
+                    epoch=k,
+                    fetched_dir=fetched_dir,
+                    num_parts=cfg.num_host_partitions,
+                    corpus_dir=cfg.corpus_dir,
+                    corpus_refs=self._corpus_refs,
+                    corpus_nb=self._corpus_nb,
+                    robots_ref=self._robots_ref,
+                    skip=tuple(cfg.skip_substrings),
+                    shards=self.shards,
+                    metrics_actor=self.metrics.actor,
+                    writers=self.writers,
+                    enrich=cfg.enrich_text,
+                ),
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+                zero_copy_batch=True,
+            )
+            # drive the streaming execution; output rows are tiny counts
+            for _ in out_ds.iter_batches(batch_format="pyarrow"):
+                pass
+        finally:
+            ctx.target_max_block_size = prev_block_size
+        ray.get([w.flush.remote() for w in self.writers])
         if os.environ.get("CSR_EPOCH_STATS"):
             print(f"==== epoch {k} stats ====\n{out_ds.stats()}", flush=True)
         return {
@@ -420,6 +472,12 @@ class CrawlRun:
             "discovered": int(discovered),
             "politeness_wait_ms": wait_ms,
             "num_hosts": int(len(per_host)),
+            "t_fetch_ms": int(mcounters.get("t_fetch_ms", 0)),
+            "t_enrich_ms": int(mcounters.get("t_enrich_ms", 0)),
+            "t_write_ms": int(mcounters.get("t_write_ms", 0)),
+            "t_canon_ms": int(mcounters.get("t_canon_ms", 0)),
+            "t_probe_ms": int(mcounters.get("t_probe_ms", 0)),
+            "t_send_ms": int(mcounters.get("t_send_ms", 0)),
         }
 
 
@@ -499,15 +557,36 @@ def warm_corpus(corpus_dir: str) -> None:
         _CORPUS_REFS[key] = put_corpus(corpus_dir)
 
 
-def _partition_epoch_fn(
+def _admit_partition_fn(
     batch: pa.Table,
     *,
     pol,
     epoch: int,
-    fetched_dir: str,
     next_dir: str,
     num_parts: int,
-    chunk_rows: int,
+) -> pa.Table:
+    """Admission for one host partition (host-complete by construction):
+    read the partition's frontier files, per-host politeness top-K,
+    side-write deferrals (partition-pure, one file), emit admitted rows."""
+    out = []
+    for item in batch.to_pylist():
+        frontier = pa.concat_tables(
+            [pq.read_table(f) for f in item["files"]]
+        ).combine_chunks()
+        adm = admit_per_host(frontier, pol, epoch)
+        mask = adm["admitted"].combine_chunks()
+        deferred = adm.filter(pc.invert(mask)).select(FRONTIER_COLS)
+        _sidewrite_partitioned(deferred, next_dir, "deferred", num_parts)
+        out.append(adm.filter(mask).drop_columns(["admitted"]))
+    return pa.concat_tables(out) if len(out) > 1 else out[0]
+
+
+def _expand_fn(
+    t: pa.Table,
+    *,
+    epoch: int,
+    fetched_dir: str,
+    num_parts: int,
     corpus_dir: str,
     corpus_refs: list,
     corpus_nb: int,
@@ -515,19 +594,17 @@ def _partition_epoch_fn(
     skip: tuple,
     shards: list,
     metrics_actor,
+    writers: list,
+    enrich: bool = True,
 ) -> pa.Table:
-    """One host partition, end-to-end (the epoch's unit of parallelism).
-
-    Reads the partition's frontier files (host-complete by construction),
-    runs per-host politeness admission, side-writes deferrals, then fetches
-    admitted URLs in ``chunk_rows`` chunks against the shared corpus
-    buckets — side-writing fetched rows (spans included), extracting and
-    canonicalizing outlinks, filtering robots/skip, probing the seen
-    shards — and finally side-writes the surviving discoveries split by
-    their TARGET host partition (keeping the frontier partitioned for the
-    next epoch). Returns one summary row.
-    """
+    """Fetch/expand one chunk of admitted rows: corpus lookup against the
+    shared zero-copy buckets, side-write fetched rows (spans included),
+    extract/canonicalize/filter outlinks, probe the seen shards, route the
+    surviving discoveries to their partition's writer actor. Returns one
+    tiny count row (the pipeline's driver-visible output)."""
     import ray
+
+    from ..state.writers import send_partitioned
 
     fetcher = _PROC_CACHE.get(("fetcher", corpus_dir))
     if fetcher is None:
@@ -547,35 +624,40 @@ def _partition_epoch_fn(
     def cb(name, v):
         counters[name] = counters.get(name, 0) + int(v)
 
-    out_rows = []
-    for item in batch.to_pylist():
-        files = list(item["files"])
-        frontier = pa.concat_tables(
-            [pq.read_table(f) for f in files]
-        ).combine_chunks()
-        adm = admit_per_host(frontier, pol, epoch)
-        mask = adm["admitted"].combine_chunks()
-        deferred = adm.filter(pc.invert(mask)).select(FRONTIER_COLS)
-        _sidewrite_partitioned(deferred, next_dir, "deferred", num_parts)
-        admitted = adm.filter(mask)
-        discovered: list[pa.Table] = []
-        for start in range(0, admitted.num_rows, chunk_rows):
-            sub = admitted.slice(start, chunk_rows)
-            fetched = fetcher(sub)
-            _sidewrite(fetched, fetched_dir, f"fetched-x{int(item['part']):04d}")
-            links = extract_links(fetched.select(["url", "depth", "spans"]))
-            filt = canon_and_filter(links, robots, skip, cb)
-            discovered.append(probe_new(filt, shards, epoch, cb))
-        if discovered:
-            disc = pa.concat_tables(discovered).combine_chunks()
-            _sidewrite_partitioned(disc, next_dir, "discovered", num_parts)
-        out_rows.append(
-            {"part": int(item["part"]), "n_admitted": admitted.num_rows,
-             "n_deferred": deferred.num_rows}
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    fetched = fetcher(t)
+    _t1 = _time.perf_counter()
+    if enrich:
+        fetched = enrich_fetched(fetched)
+    _t2 = _time.perf_counter()
+    _sidewrite(fetched, fetched_dir, "fetched")
+    _t3 = _time.perf_counter()
+    links = extract_links(fetched.select(["url", "depth", "spans"]))
+    filt = canon_and_filter(links, robots, skip, cb)
+    _t4 = _time.perf_counter()
+    disc = probe_new(filt, shards, epoch, cb)
+    _t5 = _time.perf_counter()
+    if disc.num_rows:
+        parts = _host_partitions_of(
+            disc["host"].to_numpy(zero_copy_only=False), num_parts
         )
+        send_partitioned(writers, num_parts, disc, parts)
+    _t6 = _time.perf_counter()
+    # per-stage telemetry (ms, summed per epoch) — reads back in stats
+    cb("t_fetch_ms", (_t1 - _t0) * 1000)
+    cb("t_enrich_ms", (_t2 - _t1) * 1000)
+    cb("t_write_ms", (_t3 - _t2) * 1000)
+    cb("t_canon_ms", (_t4 - _t3) * 1000)
+    cb("t_probe_ms", (_t5 - _t4) * 1000)
+    cb("t_send_ms", (_t6 - _t5) * 1000)
     if counters and metrics_actor is not None:
         ray.get(metrics_actor.add_many.remote(epoch, counters))
-    return pa.Table.from_pylist(out_rows)
+    return pa.Table.from_pydict(
+        {"n_fetched": pa.array([t.num_rows], type=pa.int64()),
+         "n_discovered": pa.array([disc.num_rows], type=pa.int64())}
+    )
 
 
 def fetched_dataset(run_dir: str):
@@ -606,5 +688,5 @@ def fetched_table(run_dir: str) -> pa.Table:
     for d in sorted(os.listdir(ep_root)):
         if d.startswith("epoch="):
             files.extend(_parquet_files(os.path.join(ep_root, d, "fetched")))
-    tables = [pq.read_table(f, schema=FETCHED_SCHEMA) for f in files]
+    tables = [pq.read_table(f) for f in files]
     return pa.concat_tables(tables).combine_chunks()

@@ -73,40 +73,52 @@ def canon_and_filter(
     ``robots`` is the broadcast small side (``ray.put`` once, read in every
     task — SURVEY.md §2.4 J4): host → disallow path prefixes. The prefix
     check is vectorized per DISTINCT prefix (a handful), not per row.
+    Entirely Arrow compute kernels — this stage processes ~3× the crawl's
+    URL volume, and pandas object strings both cost more and contend
+    across workers (measured).
     """
+    import pyarrow.compute as pc
+
+    from ..urls import canonicalize_arrow
+
     if t.num_rows == 0:
         return t.append_column("url", pa.array([], type=pa.string())).append_column(
             "host", pa.array([], type=pa.string())
         )
-    urls = canonicalize_many(t["raw_link"].to_numpy(zero_copy_only=False))
-    hosts = hosts_of(urls)
-    su = pd.Series(urls)
-    sh = pd.Series(hosts)
-    keep = np.ones(len(su), dtype=bool)
+    urls = canonicalize_arrow(t["raw_link"])
+    # host = after scheme://, up to the first '/'
+    rest = pc.replace_substring_regex(
+        urls, r"^[a-z][a-z0-9+.-]*://", "", max_replacements=1
+    )
+    hosts = pc.list_element(pc.split_pattern(rest, "/", max_splits=1), 0)
+    path = pc.replace_substring_regex(rest, r"(?s)^[^/]*", "",
+                                      max_replacements=1)
+    keep = np.ones(t.num_rows, dtype=bool)
     for s in skip_substrings:
-        keep &= ~su.str.contains(s, regex=False).to_numpy()
+        keep &= np.invert(
+            pc.match_substring(urls, s).to_numpy(zero_copy_only=False)
+        )
     n_skip = int((~keep).sum())
-    # robots: paths = url minus 'scheme://host'
-    paths = su.str.partition("://")[2].str.partition("/")
-    path = ("/" + paths[2]).where(paths[1].eq("/"), "")
-    robots_block = np.zeros(len(su), dtype=bool)
+    robots_block = np.zeros(t.num_rows, dtype=bool)
     if robots:
         by_prefix: dict[str, set] = {}
         for h, prefixes in robots.items():
             for p in prefixes:
                 by_prefix.setdefault(p, set()).add(h)
         for p, hs in by_prefix.items():
-            robots_block |= (
-                sh.isin(hs) & path.str.startswith(p)
-            ).to_numpy()
+            hit = pc.and_(
+                pc.is_in(hosts, value_set=pa.array(sorted(hs))),
+                pc.starts_with(path, p),
+            )
+            robots_block |= hit.to_numpy(zero_copy_only=False)
     robots_block &= keep
     if metrics_cb is not None:
         metrics_cb("robots_denied", int(robots_block.sum()))
         metrics_cb("skip_filtered", n_skip)
     keep &= ~robots_block
     out = (
-        t.append_column("url", pa.array(urls, type=pa.string()))
-        .append_column("host", pa.array(hosts, type=pa.string()))
+        t.append_column("url", urls)
+        .append_column("host", hosts)
     )
     return out.filter(pa.array(keep))
 

@@ -31,58 +31,82 @@ from .cuckoo import CuckooFilter
 
 @ray.remote(num_cpus=0.25)
 class SeenShard:
-    """One shard of the seen set. State survives across epochs."""
+    """One shard of the seen set. State survives across epochs.
+
+    Fully vectorized service path (the shard pool is a FIXED-size resource
+    at every cluster size, so any per-occurrence Python work here becomes
+    a serial term that caps scaling — measured ~2.6M loop iterations per
+    epoch before this rewrite): the exact backing is a sorted uint64 array
+    probed with ``np.searchsorted`` plus a small unsorted append buffer
+    merged in periodically (the in-memory miniature of a per-shard
+    LSM/sorted-run layout at 10^10 scale).
+    """
+
+    _MERGE_AT = 65536
 
     def __init__(self, shard_id: int, capacity: int = 1 << 20):
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity)
-        self.exact: set[int] = set()
+        self.sorted = np.empty(0, dtype=np.uint64)
+        self.buffer = np.empty(0, dtype=np.uint64)
         self.dedup_hits = 0
         self.false_positives = 0
+
+    # -- exact-backing helpers (all vectorized) ---------------------------
+    def _member(self, uh: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(uh), dtype=bool)
+        if self.sorted.size:
+            pos = np.searchsorted(self.sorted, uh)
+            pos_c = np.minimum(pos, self.sorted.size - 1)
+            out |= (pos < self.sorted.size) & (self.sorted[pos_c] == uh)
+        if self.buffer.size:
+            out |= np.isin(uh, self.buffer)
+        return out
+
+    def _add(self, uh: np.ndarray) -> None:
+        self.buffer = np.concatenate([self.buffer, uh])
+        if self.buffer.size >= self._MERGE_AT:
+            self.sorted = np.union1d(self.sorted, self.buffer)
+            self.buffer = np.empty(0, dtype=np.uint64)
+
+    def _n_seen(self) -> int:
+        return int(self.sorted.size + self.buffer.size)
 
     def probe_and_insert(self, hashes: np.ndarray) -> np.ndarray:
         """Return bool mask: True = new (admitted, now inserted).
 
         ``hashes`` may contain duplicates (multiple parents discovered the
-        same URL in one batch); the FIRST occurrence wins, later ones count
-        as dedup hits — matching the oracle's per-occurrence accounting.
+        same URL in one batch); the FIRST occurrence wins, later ones
+        count as dedup hits — matching the oracle's per-occurrence
+        accounting. The cuckoo filter answers the common definitely-new
+        case; its positives are verified against the exact backing so a
+        false positive can never drop a URL.
         """
         h = hashes.astype(np.uint64)
-        out = np.zeros(len(h), dtype=bool)
-        maybe = self.filter.maybe_contains_many(h)
-        batch_seen: set[int] = set()
-        for i in np.nonzero(~maybe)[0]:
-            hi = int(h[i])
-            if hi in batch_seen:  # dup within this batch
-                self.dedup_hits += 1
-                continue
-            batch_seen.add(hi)
-            out[i] = True
-        # filter-positives: verify against the exact backing
-        for i in np.nonzero(maybe)[0]:
-            hi = int(h[i])
-            if hi in self.exact or hi in batch_seen:
-                self.dedup_hits += 1
-            else:
-                self.false_positives += 1
-                batch_seen.add(hi)
-                out[i] = True
-        if batch_seen:
-            self.filter.insert_many(
-                np.fromiter(batch_seen, dtype=np.uint64, count=len(batch_seen))
-            )
-            self.exact.update(batch_seen)
+        n = len(h)
+        uh, first_idx = np.unique(h, return_index=True)
+        maybe = self.filter.maybe_contains_many(uh)
+        known = np.zeros(len(uh), dtype=bool)
+        if maybe.any():
+            known[maybe] = self._member(uh[maybe])
+        new_mask = ~known
+        self.false_positives += int((maybe & new_mask).sum())
+        self.dedup_hits += int(n - new_mask.sum())
+        out = np.zeros(n, dtype=bool)
+        out[first_idx[new_mask]] = True
+        new_h = uh[new_mask]
+        if new_h.size:
+            self.filter.insert_many(new_h)
+            self._add(new_h)
         return out
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
-        h = hashes.astype(np.uint64)
-        return np.fromiter((int(x) in self.exact for x in h), dtype=bool,
-                           count=len(h))
+        return self._member(hashes.astype(np.uint64))
 
     def stats(self) -> dict:
         return {
             "shard_id": self.shard_id,
-            "n_seen": len(self.exact),
+            "n_seen": self._n_seen(),
             "n_cuckoo": self.filter.n_items,
             "n_bloom_overflow": self.filter.n_bloom,
             "dedup_hits": self.dedup_hits,
@@ -93,7 +117,7 @@ class SeenShard:
         tmp = path + ".tmp.npz"  # ends in .npz so numpy won't rename it
         np.savez_compressed(
             tmp,
-            exact=np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)),
+            exact=np.union1d(self.sorted, self.buffer),
             dedup_hits=np.int64(self.dedup_hits),
             false_positives=np.int64(self.false_positives),
             **self.filter.state_dict(),
@@ -106,10 +130,11 @@ class SeenShard:
         self.filter = CuckooFilter.from_state(
             {k: d[k] for k in ("table", "bloom", "n_items", "n_bloom")}
         )
-        self.exact = set(int(x) for x in d["exact"])
+        self.sorted = np.sort(d["exact"].astype(np.uint64))
+        self.buffer = np.empty(0, dtype=np.uint64)
         self.dedup_hits = int(d["dedup_hits"])
         self.false_positives = int(d["false_positives"])
-        return len(self.exact)
+        return self._n_seen()
 
 
 def make_shards(num_shards: int, capacity_per_shard: int = 1 << 20) -> list:

@@ -1,0 +1,84 @@
+"""Partitioned frontier sink: per-partition write-buffer actors.
+
+The Y-problem: N expand tasks each discovering rows for any of P host
+partitions would write N×P tiny files per epoch (measured: ~16k files and
+50-160 CPU-seconds of per-file open cost at a 1.6M-URL epoch). The
+reference solves the same fan-in with its 10 SQS commit threads batching
+messages (`/root/reference/crawlers/globus_base_preserved.py:100-107,
+116-155`); here the analog is a small pool of zero-CPU writer actors, each
+owning a slice of the host partitions: expand tasks send each discovered
+chunk to the owning writer (one actor call per writer touched per chunk),
+writers buffer per partition, and the epoch driver flushes them once —
+one file per non-empty partition per epoch.
+
+Delivery guarantee: expand tasks ``ray.get`` their append calls, so a task
+only succeeds after its rows are buffered; a crashed epoch is wiped whole
+(temp dir + ``reset``) and rerun, so buffered-but-unflushed rows can never
+leak into a committed epoch. At true scale writers would flush at a size
+threshold instead of epoch end; buffer peak here is the epoch's discovery
+volume (~100s of MB), far under worker heap.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+
+@ray.remote(num_cpus=0)
+class PartitionWriter:
+    def __init__(self, writer_id: int):
+        self.writer_id = writer_id
+        self.out_dir: str | None = None
+        self.prefix = "discovered"
+        self.buffers: dict[int, list[pa.Table]] = {}
+
+    def begin_epoch(self, out_dir: str, prefix: str = "discovered") -> None:
+        self.out_dir = out_dir
+        self.prefix = prefix
+        self.buffers = {}
+
+    def append(self, part_id: int, t: pa.Table) -> int:
+        self.buffers.setdefault(part_id, []).append(t)
+        return t.num_rows
+
+    def flush(self) -> list[str]:
+        assert self.out_dir is not None
+        os.makedirs(self.out_dir, exist_ok=True)
+        out = []
+        for p, tables in sorted(self.buffers.items()):
+            t = pa.concat_tables(tables).combine_chunks()
+            if t.num_rows == 0:
+                continue
+            path = os.path.join(
+                self.out_dir,
+                f"{self.prefix}-p{p:04d}-w{self.writer_id:02d}.parquet",
+            )
+            pq.write_table(t, path + ".tmp")
+            os.replace(path + ".tmp", path)
+            out.append(path)
+        self.buffers = {}
+        return out
+
+
+def make_writers(num_writers: int) -> list:
+    return [PartitionWriter.remote(i) for i in range(num_writers)]
+
+
+def send_partitioned(writers: list, parts, table: pa.Table,
+                     part_col_values) -> None:
+    """Route a table's rows to their partition owners; blocks until
+    buffered (per-task delivery guarantee)."""
+    import numpy as np
+
+    refs = []
+    arr = np.asarray(part_col_values)
+    for p in np.unique(arr):
+        sub = table.filter(pa.array(arr == p))
+        w = writers[int(p) % len(writers)]
+        refs.append(w.append.remote(int(p), sub))
+    ray.get(refs)

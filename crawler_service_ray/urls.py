@@ -86,55 +86,83 @@ def canonicalize_url(url: str) -> str:
     return f"{scheme}://{host}{_canon_path_query(pathq)}"
 
 
-def canonicalize_many(urls) -> np.ndarray:
-    """Vectorized canonicalizer over an array/list of URL strings.
-
-    pandas ``.str`` kernels only — no Python-level per-row loop; used in
-    ``map_batches`` stages (SURVEY.md §2.2 M1/M3).
+def canonicalize_arrow(arr) -> "pa.Array":
+    """Vectorized canonicalizer on Arrow compute kernels (C, RE2) —
+    allocation-light and contention-free compared to pandas object
+    strings (measured: canonicalization was 1/3 of crawl CPU and scaled
+    badly past 16 workers on object churn). Input: pa.Array/ChunkedArray
+    of strings (or anything pa.array accepts); output: pa.StringArray.
+    Property-tested equal to ``canonicalize_url`` (tests/test_urls.py).
     """
-    s = pd.Series(np.asarray(urls, dtype=object)).astype(str).str.strip()
-    s = s.str.split("#", n=1).str[0]
-    has_scheme = s.str.contains("://", regex=False)
-    scheme = (
-        s.str.partition("://")[0].str.lower().where(has_scheme, "http")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(np.asarray(arr, dtype=object), type=pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    s = pc.utf8_trim_whitespace(arr)
+    # drop fragment
+    s = pc.list_element(pc.split_pattern(s, "#", max_splits=1), 0)
+    # scheme
+    parts = pc.split_pattern(s, "://", max_splits=1)
+    has_scheme = pc.equal(pc.list_value_length(parts), 2)
+    first = pc.list_element(parts, 0)
+    scheme = pc.if_else(has_scheme, pc.utf8_lower(first), "http")
+    # rest = after ://, else whole
+    rest = pc.if_else(
+        has_scheme,
+        pc.replace_substring_regex(s, r"^[^#]*?://", "", max_replacements=1),
+        s,
     )
-    rest = s.str.partition("://")[2].where(has_scheme, s)
-    slash = rest.str.find("/")
-    hostport = rest.where(slash.lt(0), rest.str.split("/", n=1).str[0])
-    pathq = pd.Series(
-        np.where(slash.lt(0), "", ("/" + rest.str.split("/", n=1).str[1].fillna(""))),
-        index=s.index,
-    )
-    host = hostport.str.lower()
+    # hostport = up to the first '/', pathq = the rest (regex removal is
+    # total — no per-row branching needed; (?s) so '.' spans anything)
+    hostport = pc.list_element(pc.split_pattern(rest, "/", max_splits=1), 0)
+    pathq = pc.replace_substring_regex(rest, r"(?s)^[^/]*", "",
+                                       max_replacements=1)
+    host = pc.utf8_lower(hostport)
     # strip default port for the matching scheme
-    for sch, port in _DEFAULT_PORT.items():
-        mask = scheme.eq(sch) & host.str.endswith(port)
-        if mask.any():
-            host = host.where(~mask, host.str[: -len(port)])
-    # path / query
-    split_q = pathq.str.partition("?")
-    path, query = split_q[0], split_q[2]
-    # collapse duplicate slashes until fixed point (vectorized replace)
-    while path.str.contains("//", regex=False).any():
-        path = path.str.replace("//", "/", regex=False)
-    path = path.str.rstrip("/")
-    needs_slash = path.ne("") & ~path.str.startswith("/")
-    path = path.where(~needs_slash, "/" + path)
-    # drop utm_* params
-    has_q = query.ne("")
-    if has_q.any():
-        cleaned = (
-            query[has_q]
-            .str.split("&")
-            .map(lambda ps: "&".join(p for p in ps if p and not p.startswith("utm_")))
-        )
-        query = query.copy()
-        query[has_q] = cleaned
-    out = scheme + "://" + host + path + np.where(query.ne(""), "?" + query, "")
-    return out.to_numpy(dtype=object)
+    h80 = pc.replace_substring_regex(host, r":80$", "")
+    h443 = pc.replace_substring_regex(host, r":443$", "")
+    host = pc.if_else(
+        pc.equal(scheme, "http"), h80,
+        pc.if_else(pc.equal(scheme, "https"), h443, host),
+    )
+    # split query off the path
+    path = pc.replace_substring_regex(pathq, r"(?s)\?.*$", "",
+                                      max_replacements=1)
+    qs = pc.extract_regex(pathq, r"(?s)\?(?P<q>.*)$")
+    query = pc.fill_null(pc.struct_field(qs, "q"), "")
+    # collapse duplicate slashes, strip trailing slash
+    path = pc.replace_substring_regex(path, r"/{2,}", "/")
+    path = pc.replace_substring_regex(path, r"/+$", "")
+    # drop utm_* params; tidy separators
+    query = pc.replace_substring_regex(query, r"(^|&)utm_[^&]*", "")
+    query = pc.replace_substring_regex(query, r"^&+", "")
+    out = pc.binary_join_element_wise(
+        scheme, "://", host, path,
+        pc.if_else(
+            pc.not_equal(query, ""),
+            pc.binary_join_element_wise("?", query, ""),
+            "",
+        ),
+        "",
+    )
+    return out
+
+
+def canonicalize_many(urls) -> np.ndarray:
+    """Vectorized canonicalizer over an array/list of URL strings; thin
+    object-array wrapper over ``canonicalize_arrow`` (SURVEY.md §2.2
+    M1/M3)."""
+    arr = np.asarray(urls, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=object)
+    return canonicalize_arrow(arr).to_numpy(zero_copy_only=False)
 
 
 _HASH_KEY = "cs-ray-url-hash-"  # 16 bytes, fixed -> deterministic across runs
+_HASH_KEY2 = "cs-ray-url-hashB"  # independent key for collision guarding
 
 
 def hash_urls(urls) -> np.ndarray:
@@ -143,6 +171,15 @@ def hash_urls(urls) -> np.ndarray:
     if arr.size == 0:
         return np.empty(0, dtype=np.uint64)
     return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
+
+
+def hash_urls2(urls) -> np.ndarray:
+    """Second independent uint64 hash (fetch-index collision guard: a
+    false hit needs a simultaneous 128-bit collision)."""
+    arr = np.asarray(urls, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY2, categorize=False)
 
 
 def hash_url(url: str) -> int:
