@@ -178,33 +178,33 @@ def exact_dedup(
 
 
 class _MinhashBands:
-    """Actor-pool stage: minhash params built once per actor; emits
+    """Stage: batch-vectorized minhash banding; emits
     (band_id, band_hash, doc_id) rows per document."""
 
     def __init__(self, text_col: str, id_col: str, num_perm: int, bands: int):
         self.text_col, self.id_col = text_col, id_col
-        self.a, self.b = _minhash_params(num_perm)
+        self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hashes = [], [], []
-        for did, text in zip(df[self.id_col], df[self.text_col]):
-            sig = minhash_signature(str(text), self.a, self.b)
-            for bi in range(self.bands):
-                chunk = sig[bi * self.rows_per_band : (bi + 1) * self.rows_per_band]
-                ids.append(did)
-                band_ids.append(bi)
-                band_hashes.append(
-                    int(pd.util.hash_array(
-                        np.array([chunk.tobytes()], dtype=object)
-                    )[0])
-                )
+        n = len(df)
+        sig = minhash_batch_signatures(df[self.text_col],
+                                       num_perm=self.num_perm)
+        band_hash = np.empty((self.bands, n), dtype=np.uint64)
+        for bi in range(self.bands):
+            chunk = sig[bi * self.rows_per_band:(bi + 1) * self.rows_per_band]
+            acc = _mix64(chunk[0] ^ np.uint64(0x9E3779B97F4A7C15 + bi))
+            for p in range(1, chunk.shape[0]):
+                acc = _mix64(acc ^ chunk[p])
+            band_hash[bi] = acc
         return pd.DataFrame(
             {
-                "band_id": np.array(band_ids, dtype="int32"),
-                "band_hash": np.array(band_hashes, dtype="uint64"),
-                self.id_col: ids,
+                "band_id": np.repeat(
+                    np.arange(self.bands, dtype="int32"), n
+                ),
+                "band_hash": band_hash.reshape(-1),
+                self.id_col: np.tile(df[self.id_col].to_numpy(), self.bands),
             }
         )
 
