@@ -56,6 +56,13 @@ class CrawlConfig:
     # inline per-doc text enrichment (tokens/quality/langid) on fetch —
     # the "crawl + analyze" flagship semantics (stages/enrich.py)
     enrich_text: bool = True
+    # deterministic transient fetch failures: a URL whose mixed hash ≡ 0
+    # (mod flaky_every) fails its first attempt with 503 and is re-enqueued
+    # with retries+1 up to max_retries, then lands in the failed table
+    # (the reference's retry loop + failed_dirs.json,
+    # crawlers/globus_base_preserved.py:283-301,473-477). 0 disables.
+    flaky_every: int = 0
+    max_retries: int = 2
     # physical knobs (engine only; no semantic effect)
     fetch_concurrency: int = 4
     fetch_batch_size: int = 4096

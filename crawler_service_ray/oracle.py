@@ -30,16 +30,17 @@ from dataclasses import dataclass, field
 
 from .config import CrawlConfig
 from .sources.corpus import corpus_to_dict, load_robots
-from .urls import canonicalize_url, host_of, priority_of
+from .urls import canonicalize_url, host_of, is_flaky, priority_of
 
 
 @dataclass
 class OracleResult:
-    # one record per fetched URL, in crawl order:
+    # one record per fetch ATTEMPT, in crawl order:
     # (url, epoch, order_in_epoch, status, spans, priority)
     records: list[tuple] = field(default_factory=list)
     seen: set[str] = field(default_factory=set)
     per_epoch_counts: list[dict] = field(default_factory=list)
+    failed: list[tuple] = field(default_factory=list)  # (url, epoch, retries)
 
     def fetch_order(self) -> list[str]:
         return [r[0] for r in self.records]
@@ -69,24 +70,24 @@ def oracle_crawl(config: CrawlConfig) -> OracleResult:
     pol = config.politeness
 
     res = OracleResult()
-    # frontier entries: (url, priority); seen-at-discovery
-    frontier: list[tuple[str, float]] = []
+    # frontier entries: (url, priority, retries); seen-at-discovery
+    frontier: list[tuple[str, float, int]] = []
     for s in config.seeds:
         u = canonicalize_url(s)
         h = host_of(u)
         if u not in res.seen and _deny_reason(u, h, robots, skip) is None:
             res.seen.add(u)
-            frontier.append((u, 1.0))
+            frontier.append((u, 1.0, 0))
 
     for epoch in range(config.max_epochs):
         if not frontier:
             break
         # politeness admission: per host, top max_per_epoch by (prio desc, url)
-        by_host: dict[str, list[tuple[str, float]]] = {}
-        for u, p in frontier:
-            by_host.setdefault(host_of(u), []).append((u, p))
-        admitted: list[tuple[str, float]] = []
-        deferred: list[tuple[str, float]] = []
+        by_host: dict[str, list[tuple[str, float, int]]] = {}
+        for u, p, r in frontier:
+            by_host.setdefault(host_of(u), []).append((u, p, r))
+        admitted: list[tuple[str, float, int]] = []
+        deferred: list[tuple[str, float, int]] = []
         politeness_wait_ms = 0
         for h, entries in by_host.items():
             entries.sort(key=lambda e: (-e[1], e[0]))
@@ -97,12 +98,21 @@ def oracle_crawl(config: CrawlConfig) -> OracleResult:
         # crawl order: global (priority desc, url asc) over admitted
         admitted.sort(key=lambda e: (-e[1], e[0]))
 
-        next_frontier: list[tuple[str, float]] = []
+        next_frontier: list[tuple[str, float, int]] = []
         n_dedup_hits = 0
         n_robots_denied = 0
         n_skip_filtered = 0
-        for order, (u, p) in enumerate(admitted):
+        for order, (u, p, r) in enumerate(admitted):
             spans = corpus.get(u)
+            # deterministic transient failure: first attempt on a flaky URL
+            if (spans is not None and config.flaky_every
+                    and r == 0 and is_flaky(u, config.flaky_every)):
+                res.records.append((u, epoch, order, 503, [], p))
+                if r < config.max_retries:
+                    next_frontier.append((u, p, r + 1))
+                else:
+                    res.failed.append((u, epoch, r))
+                continue
             status = 200 if spans is not None else 404
             res.records.append((u, epoch, order, status, spans or [], p))
             if spans is None:
@@ -123,7 +133,7 @@ def oracle_crawl(config: CrawlConfig) -> OracleResult:
                     n_dedup_hits += 1
                     continue
                 res.seen.add(link)
-                next_frontier.append((link, float(priority_of(link))))
+                next_frontier.append((link, float(priority_of(link)), 0))
 
         res.per_epoch_counts.append(
             {

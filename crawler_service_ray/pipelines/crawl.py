@@ -296,13 +296,24 @@ class CrawlRun:
         admitted = admitted.take(idx)
         if self._local_fetcher is None:
             self._local_fetcher = CorpusFetcher(
-                SharedBucketProvider(self._corpus_refs, self._corpus_nb), k
+                SharedBucketProvider(self._corpus_refs, self._corpus_nb), k,
+                flaky_every=self.cfg.flaky_every,
             )
         self._local_fetcher.set_epoch(k)
         fetched = self._local_fetcher(admitted)
         if self.cfg.enrich_text:
             fetched = enrich_fetched(fetched)
         _write_table(fetched, fetched_dir, "part-0.parquet")
+        retry_rows, failed_rows = split_fetch_failures(
+            fetched.select([f.name for f in FETCHED_SCHEMA]), k,
+            self.cfg.max_retries,
+        )
+        _sidewrite_partitioned(
+            retry_rows, next_dir, "retry", self.cfg.num_host_partitions
+        )
+        _sidewrite(failed_rows,
+                   os.path.join(os.path.dirname(next_dir), "failed"),
+                   "failed")
         links = extract_links(fetched.select(["url", "depth", "spans"]))
         cb = lambda name, v: self.metrics.add(k, name, v)  # noqa: E731
         filt = canon_and_filter(
@@ -407,6 +418,8 @@ class CrawlRun:
                     metrics_actor=self.metrics.actor,
                     writers=self.writers,
                     enrich=cfg.enrich_text,
+                    flaky_every=cfg.flaky_every,
+                    max_retries=cfg.max_retries,
                 ),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
@@ -460,6 +473,12 @@ class CrawlRun:
             "urls_fetched": int(cols.num_rows),
             "urls_200": int((status == 200).sum()),
             "urls_404": int((status == 404).sum()),
+            "urls_503": int((status == 503).sum()),
+            "failed": _count_rows(
+                _parquet_files(
+                    os.path.join(os.path.dirname(next_dir), "failed")
+                )
+            ),
             "bytes": int(
                 pc.sum(cols["bytes"]).as_py() or 0
             ),
@@ -498,6 +517,67 @@ def _sidewrite(t: pa.Table, directory: str, prefix: str) -> None:
     path = os.path.join(directory, _batch_file_name(t, prefix))
     pq.write_table(t, path + ".tmp")
     os.replace(path + ".tmp", path)
+
+
+FAILED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("epoch", pa.int32()),
+        ("retries", pa.int16()),
+        ("error", pa.string()),
+    ]
+)
+
+
+def split_fetch_failures(
+    fetched: pa.Table, epoch: int, max_retries: int
+) -> tuple[pa.Table, pa.Table]:
+    """(retry frontier rows, failed-table rows) from a fetched batch.
+
+    A 503 attempt with retries < max_retries re-enters the frontier (same
+    priority — admission re-ranks it next epoch); beyond max_retries it
+    becomes a failed-table row — the first-class replacement for the
+    reference's exit-time ``failed_dirs.json``
+    (`/root/reference/crawlers/globus_base_preserved.py:473-477`).
+    """
+    from ..urls import hash_urls
+
+    status = fetched["status"].to_numpy(zero_copy_only=False)
+    retries = fetched["retries"].to_numpy(zero_copy_only=False)
+    is_503 = status == 503
+    retry_mask = is_503 & (retries < max_retries)
+    failed_mask = is_503 & ~retry_mask
+    rt = fetched.filter(pa.array(retry_mask))
+    nr = rt.num_rows
+    urls = rt["url"].to_numpy(zero_copy_only=False)
+    kh = hash_urls(urls) if nr else np.empty(0, dtype=np.uint64)
+    retry_rows = pa.Table.from_arrays(
+        [
+            rt["url"].combine_chunks(),
+            rt["host"].combine_chunks(),
+            rt["depth"].combine_chunks(),
+            rt["priority"].combine_chunks(),
+            pa.array(np.full(nr, epoch + 1, dtype=np.int32)),
+            pa.array([""] * nr, type=pa.string()),
+            pa.array((kh >> np.uint64(32) & np.uint64(63)).astype(np.int16)),
+            pc.add(rt["retries"].combine_chunks(),
+                   pa.scalar(1, pa.int16())).cast(pa.int16()),
+        ],
+        schema=FRONTIER_SCHEMA,
+    )
+    ft = fetched.filter(pa.array(failed_mask))
+    failed_rows = pa.Table.from_arrays(
+        [
+            ft["url"].combine_chunks(),
+            ft["host"].combine_chunks(),
+            pa.array(np.full(ft.num_rows, epoch, dtype=np.int32)),
+            ft["retries"].combine_chunks(),
+            pa.array(["fetch_failed_503"] * ft.num_rows, type=pa.string()),
+        ],
+        schema=FAILED_SCHEMA,
+    )
+    return retry_rows, failed_rows
 
 
 _PART_RE = re.compile(r"-p(\d+)-")
@@ -596,6 +676,8 @@ def _expand_fn(
     metrics_actor,
     writers: list,
     enrich: bool = True,
+    flaky_every: int = 0,
+    max_retries: int = 2,
 ) -> pa.Table:
     """Fetch/expand one chunk of admitted rows: corpus lookup against the
     shared zero-copy buckets, side-write fetched rows (spans included),
@@ -606,12 +688,13 @@ def _expand_fn(
 
     from ..state.writers import send_partitioned
 
-    fetcher = _PROC_CACHE.get(("fetcher", corpus_dir))
+    fetcher = _PROC_CACHE.get(("fetcher", corpus_dir, flaky_every))
     if fetcher is None:
         fetcher = CorpusFetcher(
-            SharedBucketProvider(corpus_refs, corpus_nb), epoch
+            SharedBucketProvider(corpus_refs, corpus_nb), epoch,
+            flaky_every=flaky_every,
         )
-        _PROC_CACHE[("fetcher", corpus_dir)] = fetcher
+        _PROC_CACHE[("fetcher", corpus_dir, flaky_every)] = fetcher
     fetcher.set_epoch(epoch)
     rkey = ("robots", robots_ref.hex() if hasattr(robots_ref, "hex") else id(robots_ref))
     robots = _PROC_CACHE.get(rkey)
@@ -638,6 +721,17 @@ def _expand_fn(
     filt = canon_and_filter(links, robots, skip, cb)
     _t4 = _time.perf_counter()
     disc = probe_new(filt, shards, epoch, cb)
+    retry_rows, failed_rows = split_fetch_failures(
+        fetched.select([f.name for f in FETCHED_SCHEMA]), epoch, max_retries
+    )
+    if failed_rows.num_rows:
+        _sidewrite(
+            failed_rows,
+            os.path.join(os.path.dirname(fetched_dir), "failed"),
+            "failed",
+        )
+    if retry_rows.num_rows:
+        disc = pa.concat_tables([disc, retry_rows]).combine_chunks()
     _t5 = _time.perf_counter()
     if disc.num_rows:
         parts = _host_partitions_of(

@@ -400,6 +400,138 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def q_minmax_agg(sf_dir: str):
+    """Min/Max grouped aggregates (partial pre-aggregation path)."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_totalprice"])
+    out = grouped_agg(
+        ds, ["o_orderpriority"],
+        {
+            "min_price": ("o_totalprice", "min"),
+            "max_price": ("o_totalprice", "max"),
+            "n_orders": ("o_totalprice", "count"),
+        },
+    )
+    return out.map_batches(
+        lambda df: df.assign(min_price=df["min_price"].round(2),
+                             max_price=df["max_price"].round(2)),
+        batch_format="pandas",
+    )
+
+
+SQL_MINMAX_AGG = """
+SELECT o_orderpriority, round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price, count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_json_extract(sf_dir: str):
+    """M-json analog: extract a field from the events.props JSON blob
+    (vectorized regex on both sides for parity) and aggregate."""
+    ds = read_table(sf_dir, "events", columns=["props"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k": (\d+)', expand=False).astype(
+            "int64"
+        )
+        return pd.DataFrame({"k_bucket": (k % 10).astype("int64")})
+
+    return grouped_agg(
+        ds.map_batches(f, batch_format="pandas"),
+        ["k_bucket"],
+        {"n_events": ("k_bucket", "count")},
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT (regexp_extract(props, '"k": (\\d+)', 1)::BIGINT % 10) AS k_bucket,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_top_revenue_orders(sf_dir: str):
+    """TPC-H Q3 shape: 3-way join + grouped revenue + deterministic
+    top-10 (broadcast customer filter, partitioned lineitem⋈orders)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).to_pandas()
+    building = cust[cust.c_mktsegment == "BUILDING"][["c_custkey"]].rename(
+        columns={"c_custkey": "o_custkey"}
+    )
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+    o_f = broadcast_join(orders, building, on="o_custkey")
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+    )
+    joined = bucketed_hash_join(li, o_f, on="o_orderkey", num_buckets=16)
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df
+
+    agg = grouped_agg(
+        joined.map_batches(rev, batch_format="pandas"),
+        ["o_orderkey"], {"revenue": ("rev", "sum")},
+    ).map_batches(
+        lambda df: df.assign(revenue=df["revenue"].round(2)),
+        batch_format="pandas",
+    )
+    return topk(agg, by=["revenue", "o_orderkey"], k=10,
+                descending=[True, False])
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_union_distinct(sf_dir: str):
+    """Set op: union of two filtered projections + distinct (D2 analog)."""
+    import pyarrow.compute as pc
+
+    hi = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(
+            pc.greater(t["o_totalprice"], 150000.0)
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    urgent = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT")
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return distinct(hi.union(urgent), ["o_custkey"])
+
+
+SQL_UNION_DISTINCT = """
+SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+UNION
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 def q_count_lineitem(sf_dir: str):
     n = read_table(sf_dir, "lineitem", columns=["l_orderkey"]).count()
     return pa.Table.from_pydict({"n": pa.array([n], type=pa.int64())})
@@ -545,6 +677,10 @@ QUERIES = {
     "text_stats": q_text_stats,
     "ann_topk": q_ann_topk,
     "count_lineitem": q_count_lineitem,
+    "minmax_agg": q_minmax_agg,
+    "json_extract": q_json_extract,
+    "top_revenue_orders": q_top_revenue_orders,
+    "union_distinct": q_union_distinct,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -575,4 +711,8 @@ ORACLE_SQL = {
     "text_stats": SQL_TEXT_STATS,
     "ann_topk": SQL_ANN_TOPK,
     "count_lineitem": SQL_COUNT_LINEITEM,
+    "minmax_agg": SQL_MINMAX_AGG,
+    "json_extract": SQL_JSON_EXTRACT,
+    "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
+    "union_distinct": SQL_UNION_DISTINCT,
 }

@@ -44,6 +44,7 @@ FETCHED_SCHEMA = pa.schema(
         ("fetch_epoch", pa.int32()),
         ("host_rank", pa.int32()),
         ("virtual_ts_ms", pa.int64()),
+        ("retries", pa.int16()),
         ("status", pa.int16()),
         ("spans", SPANS_TYPE),
         ("n_text_spans", pa.int32()),
@@ -121,11 +122,21 @@ def put_corpus(corpus_dir: str) -> tuple[list, int]:
 
 
 class CorpusFetcher:
-    """Batch fetch: vectorized hash-index lookup against provider buckets."""
+    """Batch fetch: vectorized hash-index lookup against provider buckets.
 
-    def __init__(self, provider, epoch: int):
+    ``flaky_every`` > 0 simulates deterministic transient fetch failures:
+    a flaky URL's FIRST attempt returns status 503 with no spans (no
+    expansion); the epoch driver re-enqueues it with retries+1 (the
+    reference retries failed listings in place,
+    `/root/reference/crawlers/globus_base_preserved.py:283-301`; here the
+    retry is a frontier re-entry so it stays deterministic and
+    politeness-accounted).
+    """
+
+    def __init__(self, provider, epoch: int, flaky_every: int = 0):
         self.provider = provider
         self.epoch = epoch
+        self.flaky_every = flaky_every
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -163,6 +174,24 @@ class CorpusFetcher:
                 order.append(hit_sel)
                 found[hit_sel] = True
         status = np.where(found, 200, 404).astype(np.int16)
+        retries = (
+            t["retries"].to_numpy(zero_copy_only=False)
+            if "retries" in t.schema.names
+            else np.zeros(n, dtype=np.int16)
+        )
+        if self.flaky_every:
+            from ..urls import flaky_mask
+
+            transient = flaky_mask(h, self.flaky_every) & (retries == 0) & found
+            if transient.any():
+                status = np.where(transient, 503, status).astype(np.int16)
+                # a failed attempt yields no spans (no expansion this epoch)
+                new_chunks, new_order = [], []
+                for c, o in zip(spans_chunks, order):
+                    keep = ~transient[o]
+                    new_chunks.append(c.filter(pa.array(keep)))
+                    new_order.append(o[keep])
+                spans_chunks, order = new_chunks, new_order
         spans = _assemble_spans(n, order, spans_chunks)
         flat = spans.flatten()
         parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
@@ -185,6 +214,7 @@ class CorpusFetcher:
                 pa.array(np.full(n, self.epoch, dtype=np.int32)),
                 t["host_rank"].combine_chunks(),
                 t["virtual_ts_ms"].combine_chunks(),
+                pa.array(retries.astype(np.int16)),
                 pa.array(status, type=pa.int16()),
                 spans,
                 pa.array(n_text.astype(np.int32)),

@@ -40,6 +40,7 @@ FRONTIER_SCHEMA = pa.schema(
         ("discovered_epoch", pa.int32()),
         ("parent_url", pa.string()),
         ("salt", pa.int16()),
+        ("retries", pa.int16()),
     ]
 )
 
@@ -159,6 +160,7 @@ def probe_new(
             pa.array(np.full(len(kept_urls), epoch + 1, dtype=np.int32)),
             kept["parent_url"].combine_chunks(),
             pa.array((kh >> np.uint64(32) & np.uint64(63)).astype(np.int16)),
+            pa.array(np.zeros(len(kept_urls), dtype=np.int16)),
         ],
         schema=FRONTIER_SCHEMA,
     )
@@ -195,6 +197,7 @@ def seed_frontier(
             pa.array(np.zeros(n, dtype=np.int32)),
             fr["parent_url"].combine_chunks(),
             fr["salt"].combine_chunks(),
+            pa.array(np.zeros(n, dtype=np.int16)),
         ],
         schema=FRONTIER_SCHEMA,
     )

@@ -198,6 +198,21 @@ def hosts_of(urls) -> np.ndarray:
     return rest.str.split("/", n=1).str[0].to_numpy(dtype=object)
 
 
+def flaky_mask(hashes: np.ndarray, every: int) -> np.ndarray:
+    """Deterministic transient-failure mask: a URL is flaky iff a mix of
+    its hash ≡ 0 (mod every). Models the reference's fetch failures
+    (`/root/reference/crawlers/globus_base_preserved.py:283-301` retries a
+    failed listing) without any nondeterminism; 0 disables."""
+    if every <= 0:
+        return np.zeros(len(hashes), dtype=bool)
+    mixed = (hashes.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    return (mixed % np.uint64(every)) == 0
+
+
+def is_flaky(url: str, every: int) -> bool:
+    return bool(flaky_mask(hash_urls(np.array([url], dtype=object)), every)[0])
+
+
 def priority_of(url: str) -> np.float32:
     """Frontier priority — a pure function of the canonical URL.
 

@@ -24,6 +24,10 @@ SQL_CHECKED = [
     "text_stats",
     "ann_topk",
     "count_lineitem",
+    "minmax_agg",
+    "json_extract",
+    "top_revenue_orders",
+    "union_distinct",
 ]
 
 
