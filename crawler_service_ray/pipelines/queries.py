@@ -544,6 +544,47 @@ SQL_COUNT_LINEITEM = "SELECT count(*) AS n FROM lineitem"
 # rows-only queries (non-SQL-expressible; determinism pinned by pytest)
 # ---------------------------------------------------------------------------
 
+def q_embedding_stats(sf_dir: str):
+    """Vector-column aggregate: per-label count + mean of the first
+    embedding component (list indexing parity with DuckDB)."""
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "label": df["label"].astype("int64"),
+                "e0": df["embedding"].map(lambda v: float(v[0])),
+            }
+        )
+
+    out = grouped_agg(
+        ds.map_batches(f, batch_format="pandas"),
+        ["label"],
+        {"n_vecs": ("e0", "count"), "mean_e0": ("e0", "mean")},
+    )
+    return out.map_batches(
+        lambda df: df.assign(mean_e0=df["mean_e0"].round(6)),
+        batch_format="pandas",
+    )
+
+
+SQL_EMBEDDING_STATS = """
+SELECT label::BIGINT AS label, count(*) AS n_vecs,
+       round(avg(embedding[1]), 6) AS mean_e0
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Standalone n-gram Jaccard: exact 5-gram similarity for the LSH
+    candidate pairs (the verification kernel exposed as its own op)."""
+    pairs = dedup.minhash_lsh_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.0,  # keep every candidate with its exact jaccard
+    )
+    return pairs
+
+
 def q_dedup_minhash(sf_dir: str):
     return dedup.minhash_lsh_pairs(
         read_table(sf_dir, "documents", columns=["doc_id", "text"]),
@@ -681,6 +722,8 @@ QUERIES = {
     "json_extract": q_json_extract,
     "top_revenue_orders": q_top_revenue_orders,
     "union_distinct": q_union_distinct,
+    "embedding_stats": q_embedding_stats,
+    "ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -715,4 +758,5 @@ ORACLE_SQL = {
     "json_extract": SQL_JSON_EXTRACT,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "union_distinct": SQL_UNION_DISTINCT,
+    "embedding_stats": SQL_EMBEDDING_STATS,
 }

@@ -28,6 +28,7 @@ SQL_CHECKED = [
     "json_extract",
     "top_revenue_orders",
     "union_distinct",
+    "embedding_stats",
 ]
 
 
