@@ -340,6 +340,54 @@ def tumbling_window_agg(
     )
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    ts_col: str,
+    num_partitions: int = 32,
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """As-of join (backward): for each left row, the latest right row with
+    ``right.ts <= left.ts`` for the same key (SURVEY.md §2 custom-operator
+    case (a): sort within key-hash partitions + ``pd.merge_asof``).
+
+    Both sides are tagged and co-located by ``hash(key) % num_partitions``
+    (one shuffle of the two event streams); within a partition one
+    ``merge_asof(by=key)`` call handles every key. Inner semantics: left
+    rows with no prior right row are dropped (matches DuckDB ASOF JOIN).
+    """
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+
+    def tag(df: pd.DataFrame, side: str) -> pd.DataFrame:
+        return df.assign(__side=side)
+
+    both = left.map_batches(partial(tag, side="l"),
+                            batch_format="pandas").union(
+        right.map_batches(partial(tag, side="r"), batch_format="pandas")
+    )
+
+    out_cols = lcols + [c + suffix for c in rcols if c != key]
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == "l", lcols].sort_values(ts_col,
+                                                         kind="mergesort")
+        r = g.loc[g["__side"] == "r", rcols].sort_values(ts_col,
+                                                         kind="mergesort")
+        if l.empty or r.empty:
+            return pd.DataFrame(columns=out_cols)
+        r = r.rename(columns={c: c + suffix for c in rcols if c != key})
+        out = pd.merge_asof(
+            l, r, left_on=ts_col, right_on=ts_col + suffix, by=key,
+            direction="backward",
+        )
+        return out.dropna(subset=[ts_col + suffix])[out_cols]
+
+    return grouped_apply(both, [key], per_partition,
+                         num_partitions=num_partitions)
+
+
 def sessionize(
     ds: rd.Dataset, key: str, ts_col: str, gap_seconds: float
 ) -> rd.Dataset:

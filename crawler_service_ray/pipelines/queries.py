@@ -27,6 +27,7 @@ import pyarrow as pa
 from ..config import CrawlConfig, PolitenessConfig
 from ..functions import dedup, multimodal, similarity, text
 from ..functions.relational import (
+    asof_join,
     bucketed_hash_join,
     broadcast_join,
     distinct,
@@ -544,6 +545,53 @@ SQL_COUNT_LINEITEM = "SELECT count(*) AS n FROM lineitem"
 # rows-only queries (non-SQL-expressible; determinism pinned by pytest)
 # ---------------------------------------------------------------------------
 
+def q_asof_join(sf_dir: str):
+    """As-of join: each error event matched to the user's latest prior
+    click; returns (event_id, user_id, gap_s rounded)."""
+    import pyarrow.compute as pc
+
+    errors = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    clicks = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(errors, clicks, key="user_id", ts_col="ts",
+                       num_partitions=16)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        secs = (df["ts"] - df["ts_r"]).dt.total_seconds()
+        # DuckDB rounds half away from zero; pandas .round is banker's
+        gap = np.floor(secs * 1000 + 0.5) / 1000
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "gap_s": gap.astype("float64"),
+            }
+        )
+
+    return joined.map_batches(final, batch_format="pandas")
+
+
+SQL_ASOF_JOIN = """
+SELECT e.event_id, e.user_id, round(epoch(e.ts - c.ts), 3) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
 def q_embedding_stats(sf_dir: str):
     """Vector-column aggregate: per-label count + mean of the first
     embedding component (list indexing parity with DuckDB)."""
@@ -725,6 +773,7 @@ QUERIES = {
     "top_revenue_orders": q_top_revenue_orders,
     "union_distinct": q_union_distinct,
     "embedding_stats": q_embedding_stats,
+    "asof_join": q_asof_join,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -761,4 +810,5 @@ ORACLE_SQL = {
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "union_distinct": SQL_UNION_DISTINCT,
     "embedding_stats": SQL_EMBEDDING_STATS,
+    "asof_join": SQL_ASOF_JOIN,
 }

@@ -29,6 +29,7 @@ SQL_CHECKED = [
     "top_revenue_orders",
     "union_distinct",
     "embedding_stats",
+    "asof_join",
 ]
 
 
