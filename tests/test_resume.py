@@ -41,6 +41,29 @@ def test_resume_matches_uninterrupted(ray_session, tiny_corpus, tmp_path):
     assert summary["urls_fetched"] == len(a)
 
 
+def test_resume_dataset_mode(ray_session, tiny_corpus, tmp_path):
+    """Interrupt/resume through the Dataset execution path too."""
+    full = _cfg(tiny_corpus, str(tmp_path / "full"))
+    CrawlRun(full).run(resume=False)
+    part_cfg = CrawlConfig(
+        corpus_dir=tiny_corpus, run_dir=str(tmp_path / "p"),
+        seeds=default_seeds(3),
+        politeness=PolitenessConfig(min_gap_ms=200, epoch_ms=4000),
+        max_epochs=3, num_seen_shards=4, force_mode="dataset",
+    )
+    CrawlRun(part_cfg).run(resume=False)
+    resumed = CrawlConfig(
+        corpus_dir=tiny_corpus, run_dir=str(tmp_path / "p"),
+        seeds=default_seeds(3),
+        politeness=PolitenessConfig(min_gap_ms=200, epoch_ms=4000),
+        max_epochs=60, num_seen_shards=4, force_mode="dataset",
+    )
+    CrawlRun(resumed).run(resume=True)
+    a = fetched_table(full.run_dir).sort_by("url").to_pylist()
+    b = fetched_table(str(tmp_path / "p")).sort_by("url").to_pylist()
+    assert a == b
+
+
 def test_incomplete_epoch_dir_is_discarded(ray_session, tiny_corpus, tmp_path):
     cfg = _cfg(tiny_corpus, str(tmp_path / "run"), max_epochs=2)
     CrawlRun(cfg).run(resume=False)
