@@ -5,17 +5,21 @@ The reference only gestures at dedup (`dup_check` stubs
 `legacy/posix_crawler.py:71-91`); here the full family is first-class,
 each built Ray-Data-first:
 
-  exact         content-hash per batch → hash-partitioned first-wins
-  minhash-LSH   shingle → minhash sig → band rows → groupby(band) buckets
-                → verified candidate pairs (true Jaccard)
-  simhash       64-bit simhash per doc, hamming-bucketed candidates
-  ngram-jaccard the verification kernel, exposed standalone
-  embedding     cosine near-dup over an embedding column
+  exact           content-hash per batch → hash-partitioned first-wins
+  minhash-LSH     shingle → minhash sig → band rows → groupby(band) buckets
+                  → candidate pairs → STREAMED text-join verification
+                  (true Jaccard) — nothing materializes on the driver
+  simhash         64-bit simhash per doc, hamming-bucketed candidates,
+                  vectorized SWAR popcount verify
+  ngram-jaccard   EXACT all-pairs n-gram Jaccard via a distributed
+                  inverted shingle index (SQL-oracle-checkable)
+  embedding       cosine near-dup: exact block-pair all-pairs (no driver
+                  matrix) + IVF-cell-bucketed approximate scale path
 
 All signatures/hashes are deterministic (fixed seeds); every per-batch
-kernel is numpy-vectorized over the batch (the only Python-level loop is
-over documents inside a batch for shingling, which is string work numpy
-cannot express).
+kernel is numpy-vectorized over the batch (the only Python-level loops
+are over documents inside a batch for shingling and over candidate
+PAIRS for string-set Jaccard — both string work numpy cannot express).
 """
 
 from __future__ import annotations
@@ -55,6 +59,20 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     x = x * np.uint64(0xC4CEB9FE1A85EC53)
     x ^= x >> np.uint64(33)
     return x
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over a uint64 array (no per-element
+    Python ``bin()`` calls)."""
+    x = x.astype(np.uint64, copy=True)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64
+    )
 
 
 def minhash_batch_signatures(
@@ -216,6 +234,107 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+def verify_pairs_with_texts(
+    pairs: rd.Dataset,
+    docs: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Attach both texts to candidate (id_a, id_b) pairs and verify true
+    Jaccard — fully streamed, nothing materializes on the driver.
+
+    Co-partition scheme (2 shuffles, document text moves exactly ONCE):
+      1. explode each pair into two half-rows (join_id=id_a or id_b,
+         carrying both pair ids); union with (id, text) doc rows; one
+         ``grouped_apply`` by hash(join_id) merges each half with its
+         text — only texts of candidate ids survive this stage.
+      2. ``grouped_apply`` by hash(id_a, id_b) reassembles the two
+         halves, dedups multi-band duplicates, computes exact Jaccard,
+         filters by ``threshold``.
+
+    This replaces the round-1 driver-side ``{id: text}`` broadcast
+    (driver OOM at 100 TB); outputs are byte-identical (pinned by
+    tests/test_dedup.py goldens).
+    """
+    from .relational import grouped_apply
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "__jid": np.concatenate(
+                    [df["id_a"].to_numpy(), df["id_b"].to_numpy()]
+                ),
+                "id_a": np.tile(df["id_a"].to_numpy(), 2),
+                "id_b": np.tile(df["id_b"].to_numpy(), 2),
+                "__slot": np.repeat(np.array([0, 1], dtype="int8"), n),
+                "__text": np.full(2 * n, None, dtype=object),
+            }
+        )
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "__jid": df[id_col].to_numpy(),
+                "id_a": np.full(n, None, dtype=object),
+                "id_b": np.full(n, None, dtype=object),
+                "__slot": np.full(n, -1, dtype="int8"),
+                "__text": df[text_col].to_numpy(dtype=object),
+            }
+        )
+
+    both = pairs.map_batches(explode, batch_format="pandas").union(
+        docs.select_columns([id_col, text_col]).map_batches(
+            doc_rows, batch_format="pandas"
+        )
+    )
+
+    def attach(part: pd.DataFrame) -> pd.DataFrame:
+        texts = part.loc[part["__slot"] == -1, ["__jid", "__text"]]
+        texts = texts.drop_duplicates(subset="__jid").rename(
+            columns={"__text": "__t"}
+        )
+        halves = part.loc[part["__slot"] >= 0,
+                          ["__jid", "id_a", "id_b", "__slot"]]
+        if halves.empty:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "__slot": [], "__t": []}
+            )
+        out = halves.merge(texts, on="__jid", how="left")
+        return out[["id_a", "id_b", "__slot", "__t"]]
+
+    attached = grouped_apply(both, ["__jid"], attach,
+                             num_partitions=num_partitions)
+
+    def reassemble(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates(subset=["id_a", "id_b", "__slot"])
+        a = part[part["__slot"] == 0][["id_a", "id_b", "__t"]].rename(
+            columns={"__t": "__ta"}
+        )
+        b = part[part["__slot"] == 1][["id_a", "id_b", "__t"]].rename(
+            columns={"__t": "__tb"}
+        )
+        m = a.merge(b, on=["id_a", "id_b"], how="inner")
+        if m.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        jac = np.fromiter(
+            (jaccard(str(ta), str(tb))
+             for ta, tb in zip(m["__ta"], m["__tb"])),
+            dtype="float64", count=len(m),
+        )
+        m = m.assign(jaccard=jac)
+        m = m[m["jaccard"] >= threshold]
+        # ids travelled through None-padded object columns — restore the
+        # concrete dtype (int64 for int ids, object for strings)
+        return m[["id_a", "id_b", "jaccard"]].infer_objects()
+
+    return grouped_apply(attached, ["id_a", "id_b"], reassemble,
+                         num_partitions=num_partitions)
+
+
 def minhash_lsh_pairs(
     ds: rd.Dataset,
     text_col: str = "text",
@@ -227,29 +346,19 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-duplicate pairs, verified by true Jaccard.
 
     Pipeline: signature+banding (actor pool, params cached per actor) →
-    ``groupby(band_id, band_hash)`` buckets (the shuffle moves small
-    (int32, uint64, id) rows) → candidate pairs within buckets → exact
-    Jaccard verification against the broadcast id→text lookup → global
-    pair dedup. Returns (id_a, id_b, jaccard) with id_a < id_b.
-
-    The text lookup is broadcast via ``ray.put`` — valid while the corpus
-    fits the object store; at 100 TB verification joins text back by id
-    (bucketed_hash_join) instead.
+    band-hash partitioned candidate pairs (the shuffle moves small
+    (int32, uint64, id) rows) → streamed text-join verification
+    (``verify_pairs_with_texts`` — document text shuffles once; NOTHING
+    is materialized on the driver) → exact Jaccard filter, with pair
+    dedup inside the reassembly partition. Returns (id_a, id_b, jaccard)
+    with id_a < id_b.
     """
-    import ray
-
-    texts = {}
-    for b in ds.select_columns([id_col, text_col]).iter_batches(
-        batch_format="pandas", batch_size=8192
-    ):
-        texts.update(zip(b[id_col], b[text_col]))
-    text_ref = ray.put(texts)
-
     bands_ds = ds.map_batches(
         _MinhashBands,
         fn_constructor_args=(text_col, id_col, num_perm, bands),
         batch_format="pandas",
         concurrency=(1, 8),
+        max_restarts=0,
     )
 
     def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
@@ -276,35 +385,98 @@ def minhash_lsh_pairs(
     cand = grouped_apply(
         bands_ds, ["band_id", "band_hash"], partition_pairs, num_partitions=32
     )
-
-    class _Verify:
-        def __init__(self):
-            self.texts = ray.get(text_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if df.empty:
-                return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-            jac = [
-                jaccard(str(self.texts[a]), str(self.texts[b]))
-                for a, b in zip(df["id_a"], df["id_b"])
-            ]
-            df = df.assign(jaccard=np.array(jac))
-            return df[df["jaccard"] >= threshold]
-
-    verified = cand.map_batches(_Verify, batch_format="pandas",
-                                concurrency=(1, 8))
-
-    # same pair can surface from many bands → dedup (values identical, so
-    # local + coalesced drop_duplicates suffices; pair volume is tiny
-    # relative to the corpus)
-    def dd(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["id_a", "id_b"])
-
-    return (
-        verified.map_batches(dd, batch_format="pandas")
-        .repartition(1)
-        .map_batches(dd, batch_format="pandas", batch_size=None)
+    return verify_pairs_with_texts(
+        cand, ds, text_col=text_col, id_col=id_col, threshold=threshold
     )
+
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """EXACT all-pairs word-k-gram Jaccard via a distributed inverted
+    shingle index (no LSH approximation — SQL-oracle-checkable).
+
+    Shingle tokenization splits on single spaces (DuckDB
+    ``string_split(text, ' ')`` parity); docs with < k words contribute
+    one whole-text shingle (list-slice clamp parity).
+
+    Stages: per-batch distinct-shingle explode carrying the per-doc
+    shingle count → ``grouped_apply`` by shingle string (co-locates all
+    holders of a shingle; emits per-partition partial pair intersection
+    counts) → ``grouped_apply`` by (id_a, id_b) sums partials and
+    computes jaccard = |∩| / (n_a + n_b − |∩|).
+
+    Skew note: a shingle shared by m docs emits O(m²) pair rows — at
+    corpus scale run this only downstream of exact dedup (identical
+    texts share every shingle) or cap per-shingle fanout; near-dup
+    discovery at scale is ``minhash_lsh_pairs``, this operator is the
+    exact oracle-grade kernel.
+    """
+    from .relational import grouped_apply
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids_out, sh_out, n_out = [], [], []
+        for i, t in zip(df[id_col], df[text_col].astype(str)):
+            words = t.split(" ")
+            if len(words) < k:
+                grams = [" ".join(words)]
+            else:
+                grams = [" ".join(words[j:j + k])
+                         for j in range(len(words) - k + 1)]
+            uniq = np.unique(np.array(grams, dtype=object))
+            ids_out.append(np.full(len(uniq), i, dtype=object))
+            sh_out.append(uniq)
+            n_out.append(np.full(len(uniq), len(uniq), dtype=np.int64))
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate(ids_out) if ids_out else [],
+                "__sh": np.concatenate(sh_out) if sh_out else [],
+                "__n": np.concatenate(n_out) if n_out else [],
+            }
+        )
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pandas"
+    )
+
+    def pair_partials(part: pd.DataFrame) -> pd.DataFrame:
+        """Self-merge per shingle → partial pair intersection counts
+        (carrying each side's total shingle count)."""
+        m = part.merge(part, on="__sh", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "__inter": pd.Series([], dtype="int64"),
+                 "__na": pd.Series([], dtype="int64"),
+                 "__nb": pd.Series([], dtype="int64")}
+            )
+        g = m.groupby([f"{id_col}_a", f"{id_col}_b"], sort=False).agg(
+            __inter=("__sh", "size"), __na=("__n_a", "first"),
+            __nb=("__n_b", "first"),
+        ).reset_index()
+        return g.rename(columns={f"{id_col}_a": "id_a",
+                                 f"{id_col}_b": "id_b"})
+
+    partials = grouped_apply(exploded, ["__sh"], pair_partials,
+                             num_partitions=num_partitions)
+
+    def merge_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["id_a", "id_b"], sort=False).agg(
+            __inter=("__inter", "sum"), __na=("__na", "first"),
+            __nb=("__nb", "first"),
+        ).reset_index()
+        jac = g["__inter"] / (g["__na"] + g["__nb"] - g["__inter"])
+        g = g.assign(jaccard=jac.astype("float64"))
+        g = g[g["jaccard"] >= threshold]
+        return g[["id_a", "id_b", "jaccard"]]
+
+    return grouped_apply(partials, ["id_a", "id_b"], merge_pairs,
+                         num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -338,7 +510,8 @@ def simhash_dedup(
     """SimHash near-dup pairs: fingerprint per batch, then bucket by the 4
     16-bit quarters of the fingerprint (two fingerprints within hamming
     distance 3 share at least one identical quarter — pigeonhole), verify
-    hamming distance within buckets. Returns (id_a, id_b, hamming)."""
+    hamming distance within buckets (SWAR popcount, no per-pair Python).
+    Returns (id_a, id_b, hamming)."""
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -377,8 +550,7 @@ def simhash_dedup(
             ids = g[id_col].to_numpy()
             f = g["__fp"].to_numpy(dtype=np.uint64)
             for i in range(len(ids)):
-                x = f[i] ^ f[i + 1 :]
-                ham = np.array([bin(int(v)).count("1") for v in x])
+                ham = popcount64(f[i] ^ f[i + 1 :])
                 for j in np.nonzero(ham <= max_hamming)[0]:
                     out_a.append(ids[i])
                     out_b.append(ids[i + 1 + j])
@@ -395,13 +567,21 @@ def simhash_dedup(
         ["q", "qh"], partition_buckets, num_partitions=32,
     )
 
-    def dd(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["id_a", "id_b"])
+    def dd(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(subset=["id_a", "id_b"])
 
-    return (
-        pairs.map_batches(dd, batch_format="pandas")
-        .repartition(1)
-        .map_batches(dd, batch_format="pandas", batch_size=None)
+    # same pair can surface from up to 4 quarters → distributed dedup
+    # (co-locate by pair key; no coalesce-to-one)
+    return grouped_apply(pairs, ["id_a", "id_b"], dd, num_partitions=16)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _block_of(ids: np.ndarray, num_blocks: int) -> np.ndarray:
+    return (pd.util.hash_array(np.asarray(ids)) % num_blocks).astype(
+        np.int64
     )
 
 
@@ -410,44 +590,166 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    num_blocks: int = 8,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
-    """Embedding-cosine near-dup pairs via the brute-force path: the full
-    (normalized) matrix is broadcast once; each batch matmuls against it.
-    O(n²) compute but O(n·d) memory per task — the sandbox-scale baseline;
-    the LSH-bucketed variant in similarity.py is the 100-TB path."""
+    """EXACT embedding-cosine near-dup pairs via block-pair partitioning
+    — nothing materializes on the driver (replaces the round-1 full-
+    matrix ``ray.put`` broadcast, a driver OOM at scale).
+
+    Each vector is assigned block b = hash(id) % B and replicated to the
+    B block-pair partitions {(min(b,x), max(b,x)) : x < B}; one
+    ``grouped_apply`` co-locates every unordered block pair, and each
+    partition does one float64 matmul between its two (or one, diagonal)
+    blocks. Replication factor is B (choose B so a block fits a worker);
+    compute is the inherent O(n²) of EXACT all-pairs — the approximate
+    scale path is ``embedding_near_dup_ivf``. Each qualifying pair is
+    emitted exactly once (its blocks meet in exactly one partition).
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine in float64.
+    """
+    from .relational import grouped_apply
+
+    B = num_blocks
+    if num_partitions is None:
+        num_partitions = B * (B + 1) // 2
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        blk = _block_of(df[id_col].to_numpy(), B)
+        rep = np.repeat(np.arange(n), B)
+        partner = np.tile(np.arange(B, dtype=np.int64), n)
+        b = blk[rep]
+        i = np.minimum(b, partner)
+        j = np.maximum(b, partner)
+        out = df.iloc[rep][[id_col, vec_col]].reset_index(drop=True)
+        out["__blk"] = b
+        out["__pk"] = i * B + j
+        # diagonal (b == partner) appears once per row by construction
+        return out.drop_duplicates(subset=[id_col, "__pk"])
+
+    replicated = ds.select_columns([id_col, vec_col]).map_batches(
+        replicate, batch_format="pandas"
+    )
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for pk, sub in part.groupby("__pk", sort=False):
+            i, j = divmod(int(pk), B)
+            sub = sub.drop_duplicates(subset=[id_col, "__blk"])
+            left = sub[sub["__blk"] == i]
+            right = sub[sub["__blk"] == j]
+            if left.empty or right.empty:
+                continue
+            L = np.stack(left[vec_col].to_numpy()).astype(np.float64)
+            L /= np.maximum(np.linalg.norm(L, axis=1, keepdims=True), 1e-12)
+            lids = left[id_col].to_numpy()
+            if i == j:
+                sims = L @ L.T
+                ai, bi = np.nonzero(sims >= threshold)
+                keep = lids[ai] < lids[bi]
+                outs.append(pd.DataFrame(
+                    {"id_a": lids[ai][keep], "id_b": lids[bi][keep],
+                     "cosine": sims[ai, bi][keep].astype("float64")}
+                ))
+            else:
+                R = np.stack(right[vec_col].to_numpy()).astype(np.float64)
+                R /= np.maximum(
+                    np.linalg.norm(R, axis=1, keepdims=True), 1e-12
+                )
+                rids = right[id_col].to_numpy()
+                sims = L @ R.T
+                ai, bi = np.nonzero(sims >= threshold)
+                a, b = lids[ai], rids[bi]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                outs.append(pd.DataFrame(
+                    {"id_a": lo, "id_b": hi,
+                     "cosine": sims[ai, bi].astype("float64")}
+                ))
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [],
+                                 "cosine": pd.Series([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_apply(replicated, ["__pk"], per_partition,
+                         num_partitions=num_partitions)
+
+
+def embedding_near_dup_ivf(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_cells: int = 16,
+    assign_top: int = 2,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> rd.Dataset:
+    """Approximate embedding near-dup: bucket by IVF cell and compare
+    only within cells — the 100-TB path (compute ∝ n²/cells instead of
+    n²). Each vector is assigned its ``assign_top`` nearest cells
+    (primary + neighbor, catching boundary pairs); within-cell pairs are
+    found by one matmul per cell; pair duplicates (pairs sharing >1
+    cell) are deduped by a pair-keyed ``grouped_apply``. Centroids come
+    from a deterministic driver-side sample (tiny — same pattern as
+    ``similarity.ivf_topk``). Recall vs the exact path is pinned by
+    tests/test_dedup.py."""
     import ray
 
-    mats, ids = [], []
-    for b in ds.select_columns([id_col, vec_col]).iter_batches(
-        batch_format="pandas", batch_size=8192
-    ):
-        mats.append(np.stack(b[vec_col].to_numpy()))
-        ids.append(b[id_col].to_numpy())
-    M = np.concatenate(mats).astype(np.float32)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    all_ids = np.concatenate(ids)
-    ref = ray.put((M, all_ids))
+    from .relational import grouped_apply
+    from .similarity import train_centroids
 
-    class _NearDup:
-        def __init__(self):
-            self.M, self.ids = ray.get(ref)
-            self.order = np.argsort(self.ids)
+    C = train_centroids(ds, vec_col=vec_col, num_cells=num_cells,
+                        sample_size=sample_size, seed=seed)
+    cref = ray.put(C)
+
+    class _Assign:
+        def __init__(self, refs):
+            self._refs = refs
+            self.C = None
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            Q = np.stack(df[vec_col].to_numpy()).astype(np.float32)
-            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-            sims = Q @ self.M.T
-            qi, mi = np.nonzero(sims >= threshold)
-            qa = df[id_col].to_numpy()[qi]
-            mb = self.ids[mi]
-            keep = qa < mb  # each pair once, no self-pairs
-            return pd.DataFrame(
-                {
-                    "id_a": qa[keep],
-                    "id_b": mb[keep],
-                    "cosine": sims[qi, mi][keep].astype("float64"),
-                }
-            )
+            if self.C is None:
+                self.C = ray.get(self._refs[0])
+            M = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            t = min(assign_top, self.C.shape[0])
+            cells = np.argsort(-(M @ self.C.T), axis=1, kind="stable")[:, :t]
+            n = len(df)
+            rep = np.repeat(np.arange(n), t)
+            out = df.iloc[rep][[id_col, vec_col]].reset_index(drop=True)
+            out["__cell"] = cells.reshape(-1)
+            return out
 
-    return ds.map_batches(_NearDup, batch_format="pandas",
-                          concurrency=(1, 8))
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(
+        _Assign, fn_constructor_args=([cref],), batch_format="pandas",
+        concurrency=(1, 8), max_restarts=0,
+    )
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _cell, sub in part.groupby("__cell", sort=False):
+            sub = sub.drop_duplicates(subset=[id_col])
+            if len(sub) < 2:
+                continue
+            M = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            ids = sub[id_col].to_numpy()
+            sims = M @ M.T
+            ai, bi = np.nonzero(sims >= threshold)
+            keep = ids[ai] < ids[bi]
+            outs.append(pd.DataFrame(
+                {"id_a": ids[ai][keep], "id_b": ids[bi][keep],
+                 "cosine": sims[ai, bi][keep].astype("float64")}
+            ))
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [],
+                                 "cosine": pd.Series([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = grouped_apply(assigned, ["__cell"], per_partition,
+                          num_partitions=min(num_cells, 32))
+
+    def dd(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(subset=["id_a", "id_b"])
+
+    return grouped_apply(pairs, ["id_a", "id_b"], dd, num_partitions=16)

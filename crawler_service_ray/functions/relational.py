@@ -73,18 +73,25 @@ def grouped_agg(
     keys: Sequence[str],
     aggs: Mapping[str, tuple[str, str]],
     batch_size: int = 131072,
+    merge_partitions: int | None = None,
 ) -> rd.Dataset:
     """groupby-aggregate = vectorized per-batch partials (map_batches) →
-    coalesced vectorized merge of the partials.
+    vectorized merge of the partials.
 
     ``aggs``: out_name -> (column, fn) with fn ∈ sum/count/min/max/mean.
     The pre-aggregation bounds what leaves the map side to O(distinct keys
-    × blocks) rows regardless of input size; the merge is a single pandas
-    groupby over those partial rows (coalesced to one task). That holds to
-    ~10^7 key-rows; beyond it, re-point the merge at a hash-partitioned
-    groupby — measured here, Ray 2.49's sort-based ``Aggregate`` costs
-    ~2 ms/row on multi-column keys, 100× this merge, so the coalesced
-    merge is the right default at any key cardinality one node can hold.
+    × blocks) rows regardless of input size. The merge has two shapes:
+
+    * ``merge_partitions=None`` (default): one pandas groupby over the
+      partial rows coalesced to one task. Right for low/medium key
+      cardinality (≲10^6 distinct keys) — measured here, Ray 2.49's
+      sort-based ``Aggregate`` costs ~2 ms/row on multi-column keys,
+      100× this merge.
+    * ``merge_partitions=P`` (≥2): hash-partitioned merge via
+      ``grouped_apply`` — the partials shuffle by key hash and P
+      parallel tasks each merge their key range. Use when distinct-key
+      count scales with the fact table (e.g. grouping by order key),
+      where a single-task merge becomes the bottleneck at cluster scale.
     """
     keys = list(keys)
     aggs = dict(aggs)
@@ -112,6 +119,9 @@ def grouped_agg(
                 cols[out] = g[f"__p_{fn}_{col}"]
         return pd.DataFrame(cols)
 
+    if merge_partitions and merge_partitions > 1:
+        return grouped_apply(part, keys, merge,
+                             num_partitions=merge_partitions)
     return part.repartition(1).map_batches(
         merge, batch_format="pandas", batch_size=None
     )
@@ -132,6 +142,12 @@ def broadcast_join(
     every task; the big side streams — NO shuffle (J1/J4 analog,
     `/root/reference/application.py:228-237` builds the same small-side map
     per message).
+
+    The broadcast ref is resolved lazily in ``__call__`` (not the actor
+    constructor) and the pool sets ``max_restarts=0``, so no actor
+    restart can depend on constructor args living in the object store
+    (ray-project/ray#53727); a lost actor is replaced by the pool and
+    its tasks re-run.
     """
     if isinstance(small, pa.Table):
         small = small.to_pandas()
@@ -141,13 +157,19 @@ def broadcast_join(
     on = [on] if isinstance(on, str) else list(on)
 
     class _BJoin:
-        def __init__(self):
-            self.small = ray.get(ref)
+        def __init__(self, refs):
+            self._refs = refs
+            self.small = None
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self.small is None:
+                self.small = ray.get(self._refs[0])
             return df.merge(self.small, on=on, how=how)
 
-    return ds.map_batches(_BJoin, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(
+        _BJoin, fn_constructor_args=([ref],), batch_format="pandas",
+        concurrency=(1, 8), max_restarts=0,
+    )
 
 
 def bucketed_hash_join(
@@ -266,19 +288,28 @@ def topk_per_group(
     )
 
 
-def distinct(ds: rd.Dataset, columns: Sequence[str]) -> rd.Dataset:
+def distinct(
+    ds: rd.Dataset,
+    columns: Sequence[str],
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
     """Distinct rows over ``columns``: per-batch dedup first (bounds what
-    leaves the map side to distinct-per-block), then a coalesced final
-    dedup — same scale reasoning as ``grouped_agg``'s merge."""
+    leaves the map side to distinct-per-block), then either a coalesced
+    final dedup (default — right while the distinct set fits one task)
+    or, with ``merge_partitions=P``, a hash-partitioned final dedup for
+    key sets that scale with the fact table — same reasoning as
+    ``grouped_agg``'s merge."""
     columns = list(columns)
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         return df[columns].drop_duplicates()
 
-    return (
-        ds.map_batches(local, batch_format="pandas")
-        .repartition(1)
-        .map_batches(local, batch_format="pandas", batch_size=None)
+    pruned = ds.map_batches(local, batch_format="pandas")
+    if merge_partitions and merge_partitions > 1:
+        return grouped_apply(pruned, columns, local,
+                             num_partitions=merge_partitions)
+    return pruned.repartition(1).map_batches(
+        local, batch_format="pandas", batch_size=None
     )
 
 
@@ -389,22 +420,30 @@ def asof_join(
 
 
 def sessionize(
-    ds: rd.Dataset, key: str, ts_col: str, gap_seconds: float
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    gap_seconds: float,
+    num_partitions: int = 32,
 ) -> rd.Dataset:
-    """Session windows per key with an inactivity gap: partition by key,
-    sort within group by ts, new session where the gap exceeds the
-    threshold. One groupby shuffle; group fn is vectorized pandas."""
+    """Session windows per key with an inactivity gap: hash-partition by
+    key (``grouped_apply`` — one shuffle, NOT a Python call per key,
+    which is ruinous at 10^5+ users), then ONE vectorized sort + diff +
+    groupby.agg per partition: new session where the within-key gap
+    exceeds the threshold."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        gaps = g[ts_col].diff().dt.total_seconds()
-        n_sessions = int((gaps > gap_seconds).sum()) + 1
-        return pd.DataFrame(
-            {
-                key: [g[key].iloc[0]],
-                "n_sessions": np.array([n_sessions], dtype="int64"),
-                "n_events": np.array([len(g)], dtype="int64"),
-            }
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort")
+        gaps = g.groupby(key, sort=False)[ts_col].diff().dt.total_seconds()
+        agg = (
+            g.assign(__new=(gaps > gap_seconds))
+            .groupby(key, sort=False)
+            .agg(n_sessions=("__new", "sum"), n_events=("__new", "size"))
+            .reset_index()
         )
+        agg["n_sessions"] = (agg["n_sessions"] + 1).astype("int64")
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return grouped_apply(ds, [key], per_partition,
+                         num_partitions=num_partitions)

@@ -7,6 +7,12 @@ score) triples shuffle for the final top-k reduce. The IVF variant is the
 scale path: k-means-lite centroids assign each vector to a cell; queries
 probe only the nearest cells, so the matmul touches a fraction of the
 corpus. Both are deterministic (fixed seed for centroid init).
+
+All ranking math is float64 so near-tie orderings match DuckDB's
+double-precision ``list_cosine_similarity`` oracle at any scale factor.
+Broadcast object refs are resolved lazily in ``__call__`` (not in the
+actor constructor) so actor restarts never depend on constructor args
+living in the object store (ray-project/ray#53727).
 """
 
 from __future__ import annotations
@@ -19,8 +25,31 @@ import ray.data as rd
 
 
 def _stack_normalized(series: pd.Series) -> np.ndarray:
-    M = np.stack(series.to_numpy()).astype(np.float32)
+    M = np.stack(series.to_numpy()).astype(np.float64)
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def train_centroids(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic k-means-lite centroids from a bounded sample: random
+    init from the sample (fixed seed), one Lloyd refinement, normalized.
+    The sample is the only driver-side materialization (≤ sample_size
+    rows)."""
+    sample = ds.limit(sample_size).to_pandas()
+    S = _stack_normalized(sample[vec_col])
+    rng = np.random.default_rng(seed)
+    C = S[rng.choice(len(S), size=min(num_cells, len(S)), replace=False)]
+    assign = np.argmax(S @ C.T, axis=1)
+    for c in range(C.shape[0]):
+        members = S[assign == c]
+        if len(members):
+            C[c] = members.mean(axis=0)
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
 
 def brute_force_topk(
@@ -34,19 +63,22 @@ def brute_force_topk(
 ) -> rd.Dataset:
     """Exact cosine top-k of each query against the whole dataset.
 
-    Per corpus batch: matmul queries×batch, keep each query's local top-k
-    (small rows out); final exact top-k per query via groupby. Output:
-    (query_id, neighbor_id, cosine, rank) with rank 1..k.
+    Per corpus batch: float64 matmul queries×batch, keep each query's
+    local top-k (small rows out); final exact top-k per query via
+    groupby. Output: (query_id, neighbor_id, cosine, rank), rank 1..k.
     """
-    Q = queries.astype(np.float32)
+    Q = queries.astype(np.float64)
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     qref = ray.put((Q, np.asarray(query_ids)))
 
     class _Score:
-        def __init__(self):
-            self.Q, self.qids = ray.get(qref)
+        def __init__(self, refs):
+            self._refs = refs
+            self.Q = None
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self.Q is None:
+                self.Q, self.qids = ray.get(self._refs[0])
             M = _stack_normalized(df[vec_col])
             sims = self.Q @ M.T  # (nq, nb)
             ids = df[id_col].to_numpy()
@@ -68,8 +100,10 @@ def brute_force_topk(
                 }
             )
 
-    partials = ds.map_batches(_Score, batch_format="pandas",
-                              concurrency=(1, 8))
+    partials = ds.map_batches(
+        _Score, fn_constructor_args=([qref],), batch_format="pandas",
+        concurrency=(1, 8), max_restarts=0,
+    )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
@@ -96,34 +130,29 @@ def ivf_topk(
     seed: int = 42,
 ) -> rd.Dataset:
     """Approximate top-k via IVF cells: centroids from a deterministic
-    sample (k-means-lite: one Lloyd iteration over the sample), each
-    vector assigned to its nearest centroid inside ``map_batches``; each
-    query scores only its ``nprobe`` nearest cells. The cell assignment
-    is the partitioning a 100-TB corpus would be written with, making
-    search reads proportional to nprobe/num_cells of the data."""
-    sample = ds.limit(sample_size).to_pandas()
-    S = _stack_normalized(sample[vec_col])
-    rng = np.random.default_rng(seed)
-    C = S[rng.choice(len(S), size=min(num_cells, len(S)), replace=False)]
-    # one Lloyd refinement over the sample
-    assign = np.argmax(S @ C.T, axis=1)
-    for c in range(C.shape[0]):
-        members = S[assign == c]
-        if len(members):
-            C[c] = members.mean(axis=0)
-    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-
-    Q = queries.astype(np.float32)
+    sample (``train_centroids``), each vector assigned to its nearest
+    centroid inside ``map_batches``; each query scores only its
+    ``nprobe`` nearest cells. The cell assignment is the partitioning a
+    100-TB corpus would be written with, making search reads
+    proportional to nprobe/num_cells of the data."""
+    C = train_centroids(ds, vec_col=vec_col, num_cells=num_cells,
+                        sample_size=sample_size, seed=seed)
+    Q = queries.astype(np.float64)
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     probe_cells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
     wanted = [set(row) for row in probe_cells]
     cref = ray.put((C, Q, np.asarray(query_ids), wanted))
 
     class _CellScore:
-        def __init__(self):
-            self.C, self.Q, self.qids, self.wanted = ray.get(cref)
+        def __init__(self, refs):
+            self._refs = refs
+            self.C = None
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self.C is None:
+                self.C, self.Q, self.qids, self.wanted = ray.get(
+                    self._refs[0]
+                )
             M = _stack_normalized(df[vec_col])
             cells = np.argmax(M @ self.C.T, axis=1)
             ids = df[id_col].to_numpy()
@@ -155,8 +184,10 @@ def ivf_topk(
                 )
             return pd.concat(out, ignore_index=True)
 
-    partials = ds.map_batches(_CellScore, batch_format="pandas",
-                              concurrency=(1, 8))
+    partials = ds.map_batches(
+        _CellScore, fn_constructor_args=([cref],), batch_format="pandas",
+        concurrency=(1, 8), max_restarts=0,
+    )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(

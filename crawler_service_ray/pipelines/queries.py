@@ -481,9 +481,10 @@ def q_top_revenue_orders(sf_dir: str):
         df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
         return df
 
+    # o_orderkey cardinality scales with the fact table → partitioned merge
     agg = grouped_agg(
         joined.map_batches(rev, batch_format="pandas"),
-        ["o_orderkey"], {"revenue": ("rev", "sum")},
+        ["o_orderkey"], {"revenue": ("rev", "sum")}, merge_partitions=16,
     ).map_batches(
         lambda df: df.assign(revenue=df["revenue"].round(2)),
         batch_format="pandas",
@@ -523,7 +524,8 @@ def q_union_distinct(sf_dir: str):
         ).select(["o_custkey"]),
         batch_format="pyarrow",
     )
-    return distinct(hi.union(urgent), ["o_custkey"])
+    # o_custkey cardinality scales with the table → partitioned final dedup
+    return distinct(hi.union(urgent), ["o_custkey"], merge_partitions=16)
 
 
 SQL_UNION_DISTINCT = """
@@ -594,19 +596,23 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 
 def q_embedding_stats(sf_dir: str):
     """Vector-column aggregate: per-label count + mean of the first
-    embedding component (list indexing parity with DuckDB)."""
+    embedding component (zero-copy ``pc.list_element``, no per-row
+    lambda)."""
+    import pyarrow.compute as pc
+
     ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "label": df["label"].astype("int64"),
-                "e0": df["embedding"].map(lambda v: float(v[0])),
+                "label": pc.cast(t["label"], pa.int64()),
+                "e0": pc.cast(pc.list_element(t["embedding"], 0),
+                              pa.float64()),
             }
         )
 
     out = grouped_agg(
-        ds.map_batches(f, batch_format="pandas"),
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
         ["label"],
         {"n_vecs": ("e0", "count"), "mean_e0": ("e0", "mean")},
     )
@@ -624,13 +630,36 @@ FROM embeddings GROUP BY 1
 
 
 def q_ngram_jaccard(sf_dir: str):
-    """Standalone n-gram Jaccard: exact 5-gram similarity for the LSH
-    candidate pairs (the verification kernel exposed as its own op)."""
-    pairs = dedup.minhash_lsh_pairs(
+    """EXACT all-pairs word-5-gram Jaccard ≥ 0.5 via the distributed
+    inverted shingle index — no LSH approximation, so it carries a full
+    DuckDB oracle (the round-1 version was LSH-candidate-limited and
+    unverifiable)."""
+    return dedup.ngram_jaccard_pairs(
         read_table(sf_dir, "documents", columns=["doc_id", "text"]),
-        threshold=0.0,  # keep every candidate with its exact jaccard
+        k=5, threshold=0.5,
     )
-    return pairs
+
+
+SQL_NGRAM_JACCARD = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS i
+        FROM w),
+sh AS (SELECT DISTINCT doc_id,
+              CASE WHEN len(ws) < 5 THEN array_to_string(ws, ' ')
+                   ELSE array_to_string(list_slice(ws, i, i + 4), ' ')
+              END AS s
+       FROM idx),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, c / (na.n + nb.n - c) AS jaccard
+FROM inter
+JOIN sizes na ON inter.id_a = na.doc_id
+JOIN sizes nb ON inter.id_b = nb.doc_id
+WHERE c / (na.n + nb.n - c) >= 0.5
+"""
 
 
 def q_dedup_minhash(sf_dir: str):
@@ -647,10 +676,76 @@ def q_dedup_simhash(sf_dir: str):
     )
 
 
+_PLANT_MAX_ID = 100
+_PLANT_OFFSET = 1_000_000
+_PLANT_DELTA = 0.05
+_EMB_NEARDUP_T = 0.8
+
+
+def _planted_embeddings(sf_dir: str):
+    """The embeddings table plus deterministic planted near-dups: for
+    vec_id < 100, a copy with +0.05 added to every component and id
+    offset by 10^6. The synthetic table has NO natural near-dup pairs
+    (max pairwise cosine ≈ 0.51 at sf0.01), so the planted pairs make
+    the operator's output non-trivially checkable — and the planting is
+    SQL-expressible, so the query carries a full DuckDB oracle."""
+    base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["vec_id"] < _PLANT_MAX_ID]
+        if sub.empty:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "embedding": pd.Series([], dtype=object)})
+        M = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+        M = M + _PLANT_DELTA
+        return pd.DataFrame(
+            {
+                "vec_id": (sub["vec_id"] + _PLANT_OFFSET).to_numpy(),
+                "embedding": list(M),
+            }
+        )
+
+    return base.union(base.map_batches(plant, batch_format="pandas"))
+
+
 def q_dedup_embedding(sf_dir: str):
-    return dedup.embedding_near_dup(
-        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
-        threshold=0.9,
+    """EXACT cosine near-dup pairs over the planted-augmented embeddings
+    via block-pair partitioning (no driver-side matrix). Cosine rounded
+    to 6dp on both sides."""
+    pairs = dedup.embedding_near_dup(
+        _planted_embeddings(sf_dir), threshold=_EMB_NEARDUP_T, num_blocks=4,
+    )
+    return pairs.map_batches(
+        lambda df: df.assign(vec_id_a=df["id_a"].astype("int64"),
+                             vec_id_b=df["id_b"].astype("int64"),
+                             cosine=df["cosine"].round(6))
+        [["vec_id_a", "vec_id_b", "cosine"]],
+        batch_format="pandas",
+    )
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH aug AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.05) AS e
+  FROM embeddings WHERE vec_id < 100
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.8
+"""
+
+
+def q_dedup_embedding_ivf(sf_dir: str):
+    """Approximate (IVF-cell-bucketed) variant of the same near-dup op —
+    the 100-TB path; recall vs the exact path is pinned by pytest."""
+    return dedup.embedding_near_dup_ivf(
+        _planted_embeddings(sf_dir), threshold=_EMB_NEARDUP_T,
+        num_cells=8, assign_top=2,
     )
 
 
@@ -673,16 +768,85 @@ def q_langid(sf_dir: str):
     )
 
 
+def _sql_marker_count(col: str, marker: str) -> str:
+    return f"len(regexp_extract_all({col}, '{marker}'))"
+
+
+def _sql_lang_score(lang: str) -> str:
+    from ..functions.text import _LANG_MARKERS
+
+    return " + ".join(_sql_marker_count("s", m) for m in _LANG_MARKERS[lang])
+
+
+SQL_LANGID = f"""
+WITH p AS (SELECT doc_id, ' ' || text || ' ' AS s FROM documents),
+sc AS (SELECT doc_id,
+  CAST({_sql_lang_score('en')} AS DOUBLE) AS s_en,
+  CAST({_sql_lang_score('es')} AS DOUBLE) AS s_es,
+  CAST({_sql_lang_score('fr')} AS DOUBLE) AS s_fr,
+  CAST({_sql_lang_score('de')} AS DOUBLE) AS s_de,
+  CAST({_sql_lang_score('zh')} AS DOUBLE)
+    + 10.0 * len(regexp_extract_all(s, '[一-鿿]'))
+      / greatest(length(s), 1) * 5 AS s_zh
+FROM p)
+SELECT doc_id,
+  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh
+         THEN 'en'
+       WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+       WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+       WHEN s_de >= s_zh THEN 'de'
+       ELSE 'zh' END AS lang_pred,
+  greatest(s_en, s_es, s_fr, s_de, s_zh) AS lang_score
+FROM sc
+"""
+
+
 def q_quality(sf_dir: str):
     return read_table(
         sf_dir, "documents", columns=["doc_id", "text"]
     ).map_batches(text.quality_features, batch_format="pandas")
 
 
+_SQL_STOPWORDS = ", ".join(f"'{w}'" for w in sorted(text._STOPWORDS))
+
+SQL_QUALITY = f"""
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\\S+')) AS n_words,
+         length(replace(text, ' ', '')) AS n_nospace,
+         len(regexp_extract_all(text, '[^0-9A-Za-z_\\t\\n\\f\\r ]'))
+           AS n_punct,
+         len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ({_SQL_STOPWORDS}))) AS n_stop
+  FROM documents)
+SELECT doc_id,
+  n_chars AS n_chars_actual,
+  n_words,
+  CASE WHEN n_words > 0 THEN n_nospace / greatest(n_words, 1)
+       ELSE 0.0 END AS mean_word_len,
+  n_punct / greatest(n_chars, 1) AS punct_ratio,
+  n_stop / greatest(n_words, 1) AS stopword_ratio,
+  least(n_words / 100.0, 1.0) * 0.4
+    + least(greatest(1 - (n_punct / greatest(n_chars, 1)) * 5, 0), 1) * 0.3
+    + least((n_stop / greatest(n_words, 1)) * 4, 1) * 0.3 AS quality_score
+FROM b
+"""
+
+
 def q_tokens(sf_dir: str):
     return text.token_stage(
         read_table(sf_dir, "documents", columns=["doc_id", "text"])
     )
+
+
+SQL_TOKENS = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{text.TokenCounter.BPE_PATTERN}'))
+         AS n_bpe_tokens
+FROM documents
+"""
 
 
 def q_fingerprint(sf_dir: str):
@@ -778,6 +942,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "ann_ivf": q_ann_ivf,
     "langid": q_langid,
     "quality": q_quality,
@@ -811,4 +976,9 @@ ORACLE_SQL = {
     "union_distinct": SQL_UNION_DISTINCT,
     "embedding_stats": SQL_EMBEDDING_STATS,
     "asof_join": SQL_ASOF_JOIN,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "langid": SQL_LANGID,
+    "quality": SQL_QUALITY,
+    "tokens": SQL_TOKENS,
 }

@@ -30,6 +30,11 @@ SQL_CHECKED = [
     "union_distinct",
     "embedding_stats",
     "asof_join",
+    "ngram_jaccard",
+    "dedup_embedding",
+    "langid",
+    "quality",
+    "tokens",
 ]
 
 
@@ -83,8 +88,8 @@ def test_rows_only_queries_run(ray_session):
     import __ray_entry__ as e
 
     qs = e.queries()
-    for name in ("langid", "quality", "tokens", "fingerprint", "ann_ivf",
-                 "dedup_simhash", "dedup_embedding"):
+    for name in ("fingerprint", "ann_ivf", "dedup_simhash", "dedup_minhash",
+                 "dedup_embedding_ivf"):
         df = _to_pandas(qs[name](SF))
         # empty results lose their schema through Ray's empty-block drop
         assert len(df) == 0 or len(df.columns) >= 2, name
@@ -94,3 +99,31 @@ def test_every_sql_entry_has_query(ray_session):
     import __ray_entry__ as e
 
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_grouped_agg_partitioned_merge_matches_coalesced(ray_session):
+    """The hash-partitioned merge branch (high-cardinality keys) must
+    produce exactly the coalesced merge's result."""
+    from crawler_service_ray.functions.relational import (
+        grouped_agg,
+        read_table,
+    )
+
+    ds = read_table(SF, "orders", columns=["o_custkey", "o_totalprice"])
+    aggs = {"n": ("o_totalprice", "count"),
+            "rev": ("o_totalprice", "sum"),
+            "mx": ("o_totalprice", "max")}
+    a = grouped_agg(ds, ["o_custkey"], aggs).to_pandas()
+    b = grouped_agg(ds, ["o_custkey"], aggs, merge_partitions=8).to_pandas()
+    a = a.sort_values("o_custkey").reset_index(drop=True)
+    b = b.sort_values("o_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+
+def test_distinct_partitioned_merge_matches_coalesced(ray_session):
+    from crawler_service_ray.functions.relational import distinct, read_table
+
+    ds = read_table(SF, "orders", columns=["o_custkey"])
+    a = distinct(ds, ["o_custkey"]).to_pandas()
+    b = distinct(ds, ["o_custkey"], merge_partitions=8).to_pandas()
+    assert sorted(a["o_custkey"]) == sorted(b["o_custkey"])
