@@ -26,6 +26,7 @@ The engine's equivalence contract vs this oracle (tests):
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 
 from .config import CrawlConfig
@@ -41,6 +42,12 @@ class OracleResult:
     seen: set[str] = field(default_factory=set)
     per_epoch_counts: list[dict] = field(default_factory=list)
     failed: list[tuple] = field(default_factory=list)  # (url, epoch, retries)
+    # nested-content expansion (the decompressor analog,
+    # `/root/reference/legacy/posix_crawler.py:114-147,150-185`):
+    # extracted archive refs (the already-extracted set, `:131-134`) and
+    # one record per member doc: (member_url, epoch, spans)
+    extracted: set[str] = field(default_factory=set)
+    member_records: list[tuple] = field(default_factory=list)
 
     def fetch_order(self) -> list[str]:
         return [r[0] for r in self.records]
@@ -102,6 +109,48 @@ def oracle_crawl(config: CrawlConfig) -> OracleResult:
         n_dedup_hits = 0
         n_robots_denied = 0
         n_skip_filtered = 0
+        n_archives = 0
+        n_archives_dup = 0
+        n_members = 0
+
+        def process_spans(spans):
+            """Links feed the frontier; compressed spans expand in-epoch
+            into member records whose spans are processed recursively
+            (the decompressor fixed point)."""
+            nonlocal n_dedup_hits, n_robots_denied, n_skip_filtered
+            nonlocal n_archives, n_archives_dup, n_members
+            for kind, text, media_ref, _off in spans:
+                if kind == "link":
+                    link = canonicalize_url(media_ref)
+                    lh = host_of(link)
+                    reason = _deny_reason(link, lh, robots, skip)
+                    if reason == "skip":
+                        n_skip_filtered += 1
+                        continue
+                    if reason == "robots":
+                        n_robots_denied += 1
+                        continue
+                    if link in res.seen:
+                        n_dedup_hits += 1
+                        continue
+                    res.seen.add(link)
+                    next_frontier.append((link, float(priority_of(link)), 0))
+                elif kind == "compressed":
+                    if media_ref in res.extracted:
+                        n_archives_dup += 1
+                        continue
+                    res.extracted.add(media_ref)
+                    n_archives += 1
+                    for mem in json.loads(text)["members"]:
+                        murl = f"{media_ref}#{mem['name']}"
+                        mspans = [
+                            (s["kind"], s["text"], s["media_ref"], s["offset"])
+                            for s in mem["spans"]
+                        ]
+                        res.member_records.append((murl, epoch, mspans))
+                        n_members += 1
+                        process_spans(mspans)
+
         for order, (u, p, r) in enumerate(admitted):
             spans = corpus.get(u)
             # deterministic transient failure: first attempt on a flaky URL
@@ -117,23 +166,7 @@ def oracle_crawl(config: CrawlConfig) -> OracleResult:
             res.records.append((u, epoch, order, status, spans or [], p))
             if spans is None:
                 continue
-            for kind, _text, media_ref, _off in spans:
-                if kind != "link":
-                    continue
-                link = canonicalize_url(media_ref)
-                lh = host_of(link)
-                reason = _deny_reason(link, lh, robots, skip)
-                if reason == "skip":
-                    n_skip_filtered += 1
-                    continue
-                if reason == "robots":
-                    n_robots_denied += 1
-                    continue
-                if link in res.seen:
-                    n_dedup_hits += 1
-                    continue
-                res.seen.add(link)
-                next_frontier.append((link, float(priority_of(link)), 0))
+            process_spans(spans)
 
         res.per_epoch_counts.append(
             {
@@ -144,6 +177,9 @@ def oracle_crawl(config: CrawlConfig) -> OracleResult:
                 "skip_filtered": n_skip_filtered,
                 "deferred": len(deferred),
                 "discovered": len(next_frontier),
+                "archives_expanded": n_archives,
+                "archives_dup": n_archives_dup,
+                "members_extracted": n_members,
                 "politeness_wait_ms": politeness_wait_ms,
             }
         )

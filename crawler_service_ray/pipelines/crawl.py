@@ -66,6 +66,7 @@ import pyarrow.parquet as pq
 from ..config import CrawlConfig
 from ..sources.corpus import load_robots
 from ..stages.admit import admit_per_host
+from ..stages.archives import expand_archives
 from ..stages.enrich import enrich_fetched
 from ..stages.fetch import (
     FETCHED_SCHEMA,
@@ -78,6 +79,8 @@ from ..stages.outlinks import (
     canon_and_filter,
     extract_links,
     probe_new,
+    probe_new_finish,
+    probe_new_start,
     seed_frontier,
 )
 from ..state.metrics import LocalMetrics
@@ -161,11 +164,12 @@ class CrawlRun:
         self.metrics = LocalMetrics(MetricsActor.remote())
         self._robots_ref = ray.put(self.robots)
         # corpus buckets: loaded+indexed once, object-store-shared zero-copy
-        # (cached per driver process across CrawlRuns on the same corpus)
+        # (cached per driver process across CrawlRuns; keyed by the corpus
+        # META SIGNATURE, not just the path, so a corpus regenerated in
+        # place with different params never serves stale buckets)
+        self._corpus_sig = _corpus_signature(self.cfg.corpus_dir)
         warm_corpus(self.cfg.corpus_dir)
-        self._corpus_refs, self._corpus_nb = _CORPUS_REFS[
-            os.path.abspath(self.cfg.corpus_dir)
-        ]
+        self._corpus_refs, self._corpus_nb = _CORPUS_REFS[self._corpus_sig]
 
         if not resume:
             if os.path.isdir(self.epochs_dir):
@@ -213,6 +217,12 @@ class CrawlRun:
         summary = {
             "epochs": len(prior),
             "urls_fetched": int(sum(s["urls_fetched"] for s in prior)),
+            "archives_expanded": int(
+                sum(s.get("archives_expanded", 0) for s in prior)
+            ),
+            "members_extracted": int(
+                sum(s.get("members_extracted", 0) for s in prior)
+            ),
             "bytes": int(sum(s["bytes"] for s in prior)),
             "dedup_hits": int(sum(s["dedup_hits"] for s in prior)),
             "robots_denied": int(sum(s["robots_denied"] for s in prior)),
@@ -300,7 +310,9 @@ class CrawlRun:
                 flaky_every=self.cfg.flaky_every,
             )
         self._local_fetcher.set_epoch(k)
+        cb = lambda name, v: self.metrics.add(k, name, v)  # noqa: E731
         fetched = self._local_fetcher(admitted)
+        fetched = expand_archives(fetched, self.shards, k, cb)
         if self.cfg.enrich_text:
             fetched = enrich_fetched(fetched)
         _write_table(fetched, fetched_dir, "part-0.parquet")
@@ -308,18 +320,20 @@ class CrawlRun:
             fetched.select([f.name for f in FETCHED_SCHEMA]), k,
             self.cfg.max_retries,
         )
-        _sidewrite_partitioned(
-            retry_rows, next_dir, "retry", self.cfg.num_host_partitions
-        )
         _sidewrite(failed_rows,
                    os.path.join(os.path.dirname(next_dir), "failed"),
                    "failed")
         links = extract_links(fetched.select(["url", "depth", "spans"]))
-        cb = lambda name, v: self.metrics.add(k, name, v)  # noqa: E731
         filt = canon_and_filter(
             links, self.robots, tuple(self.cfg.skip_substrings), cb
         )
         newfr = probe_new(filt, self.shards, k, cb)
+        # retry re-entries count as next-epoch frontier under the same
+        # "discovered" prefix in BOTH execution modes (matching the
+        # oracle's per-epoch accounting, which includes retries in
+        # `discovered`)
+        if retry_rows.num_rows:
+            newfr = pa.concat_tables([newfr, retry_rows]).combine_chunks()
         _sidewrite_partitioned(
             newfr, next_dir, "discovered", self.cfg.num_host_partitions
         )
@@ -410,6 +424,7 @@ class CrawlRun:
                     fetched_dir=fetched_dir,
                     num_parts=cfg.num_host_partitions,
                     corpus_dir=cfg.corpus_dir,
+                    corpus_sig=self._corpus_sig,
                     corpus_refs=self._corpus_refs,
                     corpus_nb=self._corpus_nb,
                     robots_ref=self._robots_ref,
@@ -424,6 +439,14 @@ class CrawlRun:
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
                 zero_copy_batch=True,
+                # NO task retries: expand mutates durable state (seen-shard
+                # inserts, metrics, writer buffers) before its side-writes
+                # land, so a mid-task retry would silently drop the rerun's
+                # "already seen" URLs and double-count metrics. A failed
+                # task fails the epoch; the epoch temp dir is wiped whole
+                # and the epoch rerun from its checkpointed frontier.
+                max_retries=0,
+                retry_exceptions=False,
             )
             # drive the streaming execution; output rows are tiny counts
             for _ in out_ds.iter_batches(batch_format="pyarrow"):
@@ -444,12 +467,19 @@ class CrawlRun:
     ) -> dict:
         pol = self.cfg.politeness
         cols = pads.dataset(_parquet_files(fetched_dir)).to_table(
-            columns=["host", "status", "bytes", "n_links"]
+            columns=["host", "status", "bytes", "n_links", "src"]
         )
-        hosts = pd.Series(cols["host"].to_numpy(zero_copy_only=False))
+        # politeness/status accounting covers only real fetches; extracted
+        # archive members (src="archive") are separate counters below
+        fmask = np.asarray(
+            cols["src"].to_numpy(zero_copy_only=False)
+        ) == "fetch"
+        hosts = pd.Series(
+            cols["host"].to_numpy(zero_copy_only=False)[fmask]
+        )
         per_host = hosts.value_counts()
         wait_ms = int(((per_host - 1).clip(lower=0) * pol.min_gap_ms).sum())
-        status = cols["status"].to_numpy(zero_copy_only=False)
+        status = cols["status"].to_numpy(zero_copy_only=False)[fmask]
         mcounters = self.metrics.epoch_counters(k)
         deferred = _count_rows(
             [
@@ -470,7 +500,7 @@ class CrawlRun:
         return {
             "epoch": k,
             "mode": mode,
-            "urls_fetched": int(cols.num_rows),
+            "urls_fetched": int(fmask.sum()),
             "urls_200": int((status == 200).sum()),
             "urls_404": int((status == 404).sum()),
             "urls_503": int((status == 503).sum()),
@@ -489,6 +519,9 @@ class CrawlRun:
             "candidates": int(mcounters.get("candidates", 0)),
             "deferred": int(deferred),
             "discovered": int(discovered),
+            "archives_expanded": int(mcounters.get("archives_expanded", 0)),
+            "archives_dup": int(mcounters.get("archives_dup", 0)),
+            "members_extracted": int(mcounters.get("members_extracted", 0)),
             "politeness_wait_ms": wait_ms,
             "num_hosts": int(len(per_host)),
             "t_fetch_ms": int(mcounters.get("t_fetch_ms", 0)),
@@ -622,8 +655,20 @@ def _partition_files(files: list[str]) -> dict[int, list[str]]:
 # `/root/reference/crawlers/globus_base_preserved.py:192-207`). Everything
 # cached is read-only; the heavy bytes live ONCE in the object store.
 _PROC_CACHE: dict = {}
-# Driver-side cache: corpus_dir -> (bucket refs, num_buckets).
+# Driver-side cache: corpus signature -> (bucket refs, num_buckets).
 _CORPUS_REFS: dict = {}
+
+
+def _corpus_signature(corpus_dir: str) -> str:
+    """(path, meta) content signature: regenerating a corpus at the same
+    path with different params yields a different signature, so neither
+    the driver bucket-ref cache nor the per-worker fetcher cache can ever
+    resume against stale content."""
+    from ..sources.corpus import corpus_meta
+
+    return os.path.abspath(corpus_dir) + "|" + json.dumps(
+        corpus_meta(corpus_dir), sort_keys=True
+    )
 
 
 def warm_corpus(corpus_dir: str) -> None:
@@ -632,7 +677,7 @@ def warm_corpus(corpus_dir: str) -> None:
     Benchmarks call this before the timed section: corpus residency is
     environment setup (the page-cache-warm analog), not crawl work.
     """
-    key = os.path.abspath(corpus_dir)
+    key = _corpus_signature(corpus_dir)
     if key not in _CORPUS_REFS:
         _CORPUS_REFS[key] = put_corpus(corpus_dir)
 
@@ -668,6 +713,7 @@ def _expand_fn(
     fetched_dir: str,
     num_parts: int,
     corpus_dir: str,
+    corpus_sig: str,
     corpus_refs: list,
     corpus_nb: int,
     robots_ref,
@@ -680,21 +726,25 @@ def _expand_fn(
     max_retries: int = 2,
 ) -> pa.Table:
     """Fetch/expand one chunk of admitted rows: corpus lookup against the
-    shared zero-copy buckets, side-write fetched rows (spans included),
-    extract/canonicalize/filter outlinks, probe the seen shards, route the
-    surviving discoveries to their partition's writer actor. Returns one
-    tiny count row (the pipeline's driver-visible output)."""
+    shared zero-copy buckets, archive-member expansion, side-write fetched
+    rows (spans included), extract/canonicalize/filter outlinks, probe the
+    seen shards (launched async, gathered after enrich+write so the RPC
+    round-trip overlaps compute), route the surviving discoveries to their
+    partition's writer actor. Returns one tiny count row (the pipeline's
+    driver-visible output). NOT retry-safe (seen-shard/metrics/writer side
+    effects) — the stage runs with max_retries=0 and a failure fails the
+    epoch, which resume reruns whole."""
     import ray
 
     from ..state.writers import send_partitioned
 
-    fetcher = _PROC_CACHE.get(("fetcher", corpus_dir, flaky_every))
+    fetcher = _PROC_CACHE.get(("fetcher", corpus_sig, flaky_every))
     if fetcher is None:
         fetcher = CorpusFetcher(
             SharedBucketProvider(corpus_refs, corpus_nb), epoch,
             flaky_every=flaky_every,
         )
-        _PROC_CACHE[("fetcher", corpus_dir, flaky_every)] = fetcher
+        _PROC_CACHE[("fetcher", corpus_sig, flaky_every)] = fetcher
     fetcher.set_epoch(epoch)
     rkey = ("robots", robots_ref.hex() if hasattr(robots_ref, "hex") else id(robots_ref))
     robots = _PROC_CACHE.get(rkey)
@@ -711,16 +761,19 @@ def _expand_fn(
 
     _t0 = _time.perf_counter()
     fetched = fetcher(t)
+    fetched = expand_archives(fetched, shards, epoch, cb)
     _t1 = _time.perf_counter()
+    links = extract_links(fetched.select(["url", "depth", "spans"]))
+    filt = canon_and_filter(links, robots, skip, cb)
+    probe_state = probe_new_start(filt, shards)  # RPCs now in flight
+    _t15 = _time.perf_counter()
     if enrich:
         fetched = enrich_fetched(fetched)
     _t2 = _time.perf_counter()
     _sidewrite(fetched, fetched_dir, "fetched")
     _t3 = _time.perf_counter()
-    links = extract_links(fetched.select(["url", "depth", "spans"]))
-    filt = canon_and_filter(links, robots, skip, cb)
     _t4 = _time.perf_counter()
-    disc = probe_new(filt, shards, epoch, cb)
+    disc = probe_new_finish(probe_state, epoch, cb)
     retry_rows, failed_rows = split_fetch_failures(
         fetched.select([f.name for f in FETCHED_SCHEMA]), epoch, max_retries
     )
@@ -741,10 +794,10 @@ def _expand_fn(
     _t6 = _time.perf_counter()
     # per-stage telemetry (ms, summed per epoch) — reads back in stats
     cb("t_fetch_ms", (_t1 - _t0) * 1000)
-    cb("t_enrich_ms", (_t2 - _t1) * 1000)
+    cb("t_canon_ms", (_t15 - _t1) * 1000)
+    cb("t_enrich_ms", (_t2 - _t15) * 1000)
     cb("t_write_ms", (_t3 - _t2) * 1000)
-    cb("t_canon_ms", (_t4 - _t3) * 1000)
-    cb("t_probe_ms", (_t5 - _t4) * 1000)
+    cb("t_probe_ms", (_t5 - _t4) * 1000)  # gather only; RPCs overlapped
     cb("t_send_ms", (_t6 - _t5) * 1000)
     if counters and metrics_actor is not None:
         ray.get(metrics_actor.add_many.remote(epoch, counters))

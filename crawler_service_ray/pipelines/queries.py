@@ -873,8 +873,8 @@ def _crawl_run_dir(sf_dir: str) -> str:
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
     hosts, pages = _SF_CORPUS.get(sf, (10, 480))
     # versioned cache dir: bump when run-dir schemas change so stale runs
-    # from an older build are never resumed
-    base = os.environ.get("CSR_SCRATCH", "/tmp/csr_cache_v2")
+    # from an older build are never resumed (v3: src column + archives)
+    base = os.environ.get("CSR_SCRATCH", "/tmp/csr_cache_v3")
     corpus_dir = os.path.join(base, f"corpus_{hosts}x{pages}")
     run_dir = os.path.join(base, f"run_{hosts}x{pages}")
     generate_corpus(corpus_dir, num_hosts=hosts, pages_per_host=pages,

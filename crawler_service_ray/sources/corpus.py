@@ -77,6 +77,73 @@ def _noisy(url: str, variant: int) -> str:
     return url
 
 
+def _fix_offsets(spans: list[dict]) -> list[dict]:
+    for idx, s in enumerate(spans):
+        s["offset"] = idx
+    return spans
+
+
+def _archive_payload_json(j: int, i: int, h: int, *, num_hosts: int,
+                          pages_per_host: int, nested: bool) -> str:
+    """Deterministic JSON payload of a page-specific archive: 1-2 member
+    docs, each with its own spans; member 0 carries a link (extracted
+    content feeds the frontier, like the reference's second metadata pass
+    over decompressed files,
+    `/root/reference/legacy/posix_crawler.py:150-185,232`); ``nested``
+    archives contain a second-level compressed span (the recursive
+    fixed-point of `legacy/posix_crawler.py:114-147`)."""
+    members = []
+    n_members = 1 + (h >> 9) % 2
+    for k in range(n_members):
+        spans: list[dict] = [
+            {"kind": "text",
+             "text": f"member {k} of archive {j}/{i} tok{(h >> (3 * k)) % 7919}",
+             "media_ref": "", "offset": 0}
+        ]
+        if k == 0:
+            spans.append(
+                {"kind": "link", "text": "from-archive",
+                 "media_ref": page_url((j + 3) % num_hosts,
+                                       (i * 5 + 1) % pages_per_host),
+                 "offset": 0}
+            )
+        if nested and k == 0:
+            inner = {
+                "members": [
+                    {"name": "n0",
+                     "spans": [{"kind": "text",
+                                "text": f"nested member of {j}/{i}",
+                                "media_ref": "", "offset": 0}]}
+                ]
+            }
+            spans.append(
+                {"kind": "compressed", "text": json.dumps(inner, sort_keys=True),
+                 "media_ref": f"http://h{j}.test/arch/{i}.zip!inner",
+                 "offset": 0}
+            )
+        members.append({"name": f"m{k}", "spans": _fix_offsets(spans)})
+    return json.dumps({"members": members}, sort_keys=True)
+
+
+def _shared_payload_json(j: int, *, num_hosts: int,
+                         pages_per_host: int) -> str:
+    """Payload of the per-host SHARED archive — a pure function of the
+    host so every referencing page carries an identical copy; the engine
+    must extract it exactly once (the already-extracted set, SURVEY.md
+    §2.7 D3, `/root/reference/legacy/posix_crawler.py:131-134`)."""
+    members = [
+        {"name": "s0",
+         "spans": _fix_offsets([
+             {"kind": "text", "text": f"shared archive of host {j} tok{j * 37}",
+              "media_ref": "", "offset": 0},
+             {"kind": "link", "text": "from-shared-archive",
+              "media_ref": page_url(j, min(3, pages_per_host - 1)),
+              "offset": 0},
+         ])}
+    ]
+    return json.dumps({"members": members}, sort_keys=True)
+
+
 def _page_spans(j: int, i: int, h: int, *, num_hosts: int,
                 pages_per_host: int, fanout: int, cross: int) -> list[dict]:
     """Spans of page (host j, page i); ``h`` is the page's uint64 hash."""
@@ -115,6 +182,23 @@ def _page_spans(j: int, i: int, h: int, *, num_hosts: int,
         add("link", text="hot", media_ref=page_url(0, (i * 31 + 7) % pages_per_host))
     if i % 17 == 5:  # robots-blocked target (all hosts disallow /private)
         add("link", text="priv", media_ref=f"http://h{j}.test/private/{i}")
+    # compressed-content spans (the decompressor analog,
+    # `/root/reference/legacy/decompressor.py:13-75`): ~1/7 of pages carry
+    # a page-specific archive (some 2-level nested); ~1/11 carry their
+    # host's SHARED archive (identical payload from every referencing page)
+    if h % 7 == 3:
+        add("compressed",
+            text=_archive_payload_json(
+                j, i, h, num_hosts=num_hosts, pages_per_host=pages_per_host,
+                nested=(h % 14 == 3),
+            ),
+            media_ref=f"http://h{j}.test/arch/{i}.zip")
+    elif h % 11 == 5:
+        add("compressed",
+            text=_shared_payload_json(
+                j, num_hosts=num_hosts, pages_per_host=pages_per_host
+            ),
+            media_ref=f"http://h{j}.test/arch/shared.zip")
     return spans
 
 
@@ -157,7 +241,7 @@ def generate_corpus(
         "cross": cross,
         "num_buckets": num_buckets,
         "seed": seed,
-        "format": "parquet-bucketed-v1",
+        "format": "parquet-bucketed-v2",  # v2: compressed-content spans
     }
     meta_path = os.path.join(corpus_dir, "meta.json")
     if os.path.exists(meta_path) and not overwrite:

@@ -46,6 +46,9 @@ FETCHED_SCHEMA = pa.schema(
         ("virtual_ts_ms", pa.int64()),
         ("retries", pa.int16()),
         ("status", pa.int16()),
+        # "fetch" = admitted frontier URL; "archive" = member doc extracted
+        # from a compressed span (stages/archives.py)
+        ("src", pa.string()),
         ("spans", SPANS_TYPE),
         ("n_text_spans", pa.int32()),
         ("n_media_spans", pa.int32()),
@@ -53,6 +56,23 @@ FETCHED_SCHEMA = pa.schema(
         ("bytes", pa.int64()),
     ]
 )
+
+
+def span_stat_columns(spans: pa.ListArray, n: int):
+    """(n_text, n_media, n_links, bytes) numpy columns for a spans array
+    — flatten + bincount, no per-row Python."""
+    flat = spans.flatten()
+    parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+    tlen = pc.utf8_length(flat.field("text")).to_numpy(zero_copy_only=False)
+    mlen = pc.utf8_length(flat.field("media_ref")).to_numpy(
+        zero_copy_only=False
+    )
+    n_text = np.bincount(parents[kinds == "text"], minlength=n)
+    n_media = np.bincount(parents[kinds == "media"], minlength=n)
+    n_links = np.bincount(parents[kinds == "link"], minlength=n)
+    nbytes = np.bincount(parents, weights=(tlen + mlen), minlength=n)
+    return n_text, n_media, n_links, nbytes
 
 
 def _index_bucket(tbl: pa.Table):
@@ -193,17 +213,7 @@ class CorpusFetcher:
                     new_order.append(o[keep])
                 spans_chunks, order = new_chunks, new_order
         spans = _assemble_spans(n, order, spans_chunks)
-        flat = spans.flatten()
-        parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
-        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
-        tlen = pc.utf8_length(flat.field("text")).to_numpy(zero_copy_only=False)
-        mlen = pc.utf8_length(flat.field("media_ref")).to_numpy(
-            zero_copy_only=False
-        )
-        n_text = np.bincount(parents[kinds == "text"], minlength=n)
-        n_media = np.bincount(parents[kinds == "media"], minlength=n)
-        n_links = np.bincount(parents[kinds == "link"], minlength=n)
-        nbytes = np.bincount(parents, weights=(tlen + mlen), minlength=n)
+        n_text, n_media, n_links, nbytes = span_stat_columns(spans, n)
         return pa.Table.from_arrays(
             [
                 t["url"].combine_chunks(),
@@ -216,6 +226,7 @@ class CorpusFetcher:
                 t["virtual_ts_ms"].combine_chunks(),
                 pa.array(retries.astype(np.int16)),
                 pa.array(status, type=pa.int16()),
+                pa.array(np.full(n, "fetch", dtype=object), type=pa.string()),
                 spans,
                 pa.array(n_text.astype(np.int32)),
                 pa.array(n_media.astype(np.int32)),

@@ -124,21 +124,27 @@ def canon_and_filter(
     return out.filter(pa.array(keep))
 
 
-def probe_new(
-    t: pa.Table,
-    shards: list,
-    epoch: int,
-    metrics_cb=None,
-) -> pa.Table:
-    """Seen-filter anti-join (SURVEY.md §2.4 J3): keep first-seen links,
-    emit them as next-epoch frontier rows."""
-    from ..state.seen import probe_shards  # late import: ray only here
+def probe_new_start(t: pa.Table, shards: list):
+    """Launch the seen-shard probe RPCs for a filtered link batch and
+    return an opaque handle; finish with ``probe_new_finish``. Lets the
+    caller overlap the probe round-trip with other batch work."""
+    from ..state.seen import AsyncProbe  # late import: ray only here
 
     if t.num_rows == 0:
-        return pa.Table.from_pylist([], schema=FRONTIER_SCHEMA)
+        return (t, None, None)
     urls = t["url"].to_numpy(zero_copy_only=False)
     h = hash_urls(urls)
-    is_new = probe_shards(shards, h)
+    return (t, h, AsyncProbe(shards, h))
+
+
+def probe_new_finish(state, epoch: int, metrics_cb=None) -> pa.Table:
+    """Gather the probe started by ``probe_new_start`` and emit the
+    surviving links as next-epoch frontier rows."""
+    t, h, probe = state
+    if probe is None:
+        return pa.Table.from_pylist([], schema=FRONTIER_SCHEMA)
+    urls = t["url"].to_numpy(zero_copy_only=False)
+    is_new = probe.result()
     if metrics_cb is not None:
         metrics_cb("dedup_hits", int((~is_new).sum()))
         metrics_cb("candidates", len(urls))
@@ -164,6 +170,17 @@ def probe_new(
         ],
         schema=FRONTIER_SCHEMA,
     )
+
+
+def probe_new(
+    t: pa.Table,
+    shards: list,
+    epoch: int,
+    metrics_cb=None,
+) -> pa.Table:
+    """Seen-filter anti-join (SURVEY.md §2.4 J3): keep first-seen links,
+    emit them as next-epoch frontier rows (synchronous form)."""
+    return probe_new_finish(probe_new_start(t, shards), epoch, metrics_cb)
 
 
 def seed_frontier(

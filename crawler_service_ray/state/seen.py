@@ -143,6 +143,33 @@ def make_shards(num_shards: int, capacity_per_shard: int = 1 << 20) -> list:
     ]
 
 
+class AsyncProbe:
+    """In-flight probe of a hash batch against the seen shards: the shard
+    RPCs launch at construction and the caller gathers the mask later, so
+    the probe round-trips overlap with other per-batch compute (enrich,
+    side-writes) instead of serializing behind them."""
+
+    def __init__(self, shards: list, hashes: np.ndarray):
+        self.n = len(hashes)
+        self.refs: list = []
+        self.idxs: list[np.ndarray] = []
+        if self.n == 0:
+            return
+        h = hashes.astype(np.uint64)
+        sid = (h % np.uint64(len(shards))).astype(np.int64)
+        for s in np.unique(sid):
+            idx = np.nonzero(sid == s)[0]
+            self.refs.append(shards[int(s)].probe_and_insert.remote(h[idx]))
+            self.idxs.append(idx)
+
+    def result(self) -> np.ndarray:
+        out = np.zeros(self.n, dtype=bool)
+        if self.refs:
+            for idx, mask in zip(self.idxs, ray.get(self.refs)):
+                out[idx] = mask
+        return out
+
+
 def probe_shards(shards: list, hashes: np.ndarray) -> np.ndarray:
     """Route a batch of url hashes to shards, probe+insert, gather mask.
 
@@ -150,20 +177,7 @@ def probe_shards(shards: list, hashes: np.ndarray) -> np.ndarray:
     batch, all in flight concurrently. Returns the is-new bool mask aligned
     with ``hashes``.
     """
-    n = len(hashes)
-    if n == 0:
-        return np.zeros(0, dtype=bool)
-    h = hashes.astype(np.uint64)
-    sid = (h % np.uint64(len(shards))).astype(np.int64)
-    out = np.zeros(n, dtype=bool)
-    refs, idxs = [], []
-    for s in np.unique(sid):
-        idx = np.nonzero(sid == s)[0]
-        refs.append(shards[int(s)].probe_and_insert.remote(h[idx]))
-        idxs.append(idx)
-    for idx, mask in zip(idxs, ray.get(refs)):
-        out[idx] = mask
-    return out
+    return AsyncProbe(shards, hashes).result()
 
 
 def collect_stats(shards: list) -> list[dict]:

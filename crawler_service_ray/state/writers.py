@@ -13,10 +13,12 @@ one file per non-empty partition per epoch.
 
 Delivery guarantee: expand tasks ``ray.get`` their append calls, so a task
 only succeeds after its rows are buffered; a crashed epoch is wiped whole
-(temp dir + ``reset``) and rerun, so buffered-but-unflushed rows can never
-leak into a committed epoch. At true scale writers would flush at a size
-threshold instead of epoch end; buffer peak here is the epoch's discovery
-volume (~100s of MB), far under worker heap.
+(temp dir + ``begin_epoch`` reset) and rerun, so buffered-but-unflushed
+rows can never leak into a committed epoch. Memory bound: a writer spills
+its buffers to sequenced files whenever buffered bytes exceed
+``flush_bytes`` (64 MiB default), so actor memory is O(flush_bytes)
+regardless of epoch discovery volume; the final ``flush`` writes the
+remainder. File count stays O(partitions x spills).
 """
 
 from __future__ import annotations
@@ -28,25 +30,35 @@ import pyarrow.parquet as pq
 
 import ray
 
+DEFAULT_FLUSH_BYTES = 64 * 1024 * 1024
+
 
 @ray.remote(num_cpus=0)
 class PartitionWriter:
-    def __init__(self, writer_id: int):
+    def __init__(self, writer_id: int, flush_bytes: int = DEFAULT_FLUSH_BYTES):
         self.writer_id = writer_id
+        self.flush_bytes = flush_bytes
         self.out_dir: str | None = None
         self.prefix = "discovered"
         self.buffers: dict[int, list[pa.Table]] = {}
+        self.buffered_bytes = 0
+        self.seq = 0
 
     def begin_epoch(self, out_dir: str, prefix: str = "discovered") -> None:
         self.out_dir = out_dir
         self.prefix = prefix
         self.buffers = {}
+        self.buffered_bytes = 0
+        self.seq = 0
 
     def append(self, part_id: int, t: pa.Table) -> int:
         self.buffers.setdefault(part_id, []).append(t)
+        self.buffered_bytes += t.nbytes
+        if self.buffered_bytes >= self.flush_bytes:
+            self._spill()
         return t.num_rows
 
-    def flush(self) -> list[str]:
+    def _spill(self) -> list[str]:
         assert self.out_dir is not None
         os.makedirs(self.out_dir, exist_ok=True)
         out = []
@@ -56,13 +68,19 @@ class PartitionWriter:
                 continue
             path = os.path.join(
                 self.out_dir,
-                f"{self.prefix}-p{p:04d}-w{self.writer_id:02d}.parquet",
+                f"{self.prefix}-p{p:04d}-w{self.writer_id:02d}"
+                f"-f{self.seq:04d}.parquet",
             )
             pq.write_table(t, path + ".tmp")
             os.replace(path + ".tmp", path)
             out.append(path)
         self.buffers = {}
+        self.buffered_bytes = 0
+        self.seq += 1
         return out
+
+    def flush(self) -> list[str]:
+        return self._spill()
 
 
 def make_writers(num_writers: int) -> list:

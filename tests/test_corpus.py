@@ -44,9 +44,19 @@ def test_span_invariants(tmp_path):
         offsets = [o for (_k, _t, _m, o) in spans]
         assert offsets == list(range(len(spans))), url
         for kind, text, media_ref, _o in spans:
-            assert kind in ("text", "media", "link")
+            assert kind in ("text", "media", "link", "compressed")
             if kind == "text":
                 assert text and media_ref == ""
+            elif kind == "compressed":
+                # archive span: media_ref is the archive ref, text the
+                # deterministic JSON payload of member docs
+                assert media_ref and text
+                import json
+
+                doc = json.loads(text)
+                assert doc["members"], media_ref
+                for mem in doc["members"]:
+                    assert mem["name"] and mem["spans"]
             else:
                 assert media_ref
     # link targets mostly canonicalize to in-corpus pages (graph is connected)

@@ -38,10 +38,12 @@ def _cfg(corpus, run_dir, **kw):
     return CrawlConfig(**defaults)
 
 
-def _engine_records(run_dir):
+def _engine_records(run_dir, src="fetch"):
     t = fetched_table(run_dir)
     recs = {}
     for r in t.to_pylist():
+        if r["src"] != src:
+            continue
         recs[r["url"]] = {
             "epoch": r["fetch_epoch"],
             "status": r["status"],
@@ -105,7 +107,7 @@ def _check_equivalence(cfg, run_dir):
         assert s["politeness_wait_ms"] == o["politeness_wait_ms"], s["epoch"]
 
     # politeness compliance: per (host, epoch) virtual timestamps spaced
-    # >= min_gap_ms
+    # >= min_gap_ms (fetch rows only — archive extraction is local compute)
     per = {}
     for u, rec in eng.items():
         per.setdefault((rec["host"], rec["epoch"]), []).append(
@@ -114,6 +116,22 @@ def _check_equivalence(cfg, run_dir):
     for (_h, _e), ts in per.items():
         ts = sorted(ts)
         assert all(b - a >= cfg.politeness.min_gap_ms for a, b in zip(ts, ts[1:]))
+
+    # nested-content expansion parity: identical member-doc set, spans,
+    # and extraction epochs; archive counters match per epoch
+    mem = _engine_records(run_dir, src="archive")
+    ora_members = {u: (ep, sp) for (u, ep, sp) in ora.member_records}
+    assert set(mem) == set(ora_members)
+    for u, rec in mem.items():
+        assert rec["epoch"] == ora_members[u][0], u
+        assert rec["spans"] == ora_members[u][1], u
+        assert rec["status"] == 200
+    for s in stats:
+        o = ora_stats[s["epoch"]]
+        assert s["archives_expanded"] == o["archives_expanded"], s["epoch"]
+        assert s["archives_dup"] == o["archives_dup"], s["epoch"]
+        assert s["members_extracted"] == o["members_extracted"], s["epoch"]
+    assert sum(s["archives_expanded"] for s in stats) == len(ora.extracted)
 
 
 def test_local_mode_equivalence(ray_session, tiny_corpus, tmp_path):

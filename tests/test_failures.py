@@ -29,8 +29,9 @@ def _attempts(run_dir):
     return sorted(
         (r["url"], r["fetch_epoch"], r["status"], r["retries"])
         for r in t.select(
-            ["url", "fetch_epoch", "status", "retries"]
+            ["url", "fetch_epoch", "status", "retries", "src"]
         ).to_pylist()
+        if r["src"] == "fetch"  # fetch attempts only, not archive members
     )
 
 
@@ -42,6 +43,17 @@ def test_flaky_retry_matches_oracle(ray_session, tiny_corpus, tmp_path):
     # per-attempt multiset equality on (url, epoch, status)
     ora_attempts = sorted((u, ep, st) for (u, ep, _o, st, _s, _p) in ora.records)
     assert [(u, e, s) for (u, e, s, _r) in eng] == ora_attempts
+    # stats parity under flakiness: retry re-entries count as `discovered`
+    # in both execution modes, matching the oracle's accounting
+    from crawler_service_ray.pipelines.crawl import crawl_stats_table
+
+    stats = crawl_stats_table(cfg.run_dir).to_pylist()
+    ora_stats = {s["epoch"]: s for s in ora.per_epoch_counts}
+    for s in stats:
+        o = ora_stats[s["epoch"]]
+        assert s["discovered"] == o["discovered"], s["epoch"]
+        assert s["deferred"] == o["deferred"], s["epoch"]
+        assert s["urls_fetched"] == o["urls_fetched"], s["epoch"]
     # there were real 503s and each flaky URL eventually succeeded
     n503 = sum(1 for (_u, _e, s, _r) in eng if s == 503)
     assert n503 > 0
@@ -92,3 +104,14 @@ def test_flaky_dataset_mode_matches_local(ray_session, tiny_corpus, tmp_path):
     CrawlRun(a6).run(resume=False)
     CrawlRun(b).run(resume=False)
     assert _attempts(a6.run_dir) == _attempts(b.run_dir)
+    # per-epoch stats identical across modes even with flakiness (retry
+    # rows land under `discovered` in BOTH modes)
+    from crawler_service_ray.pipelines.crawl import crawl_stats_table
+
+    keys = ("urls_fetched", "urls_503", "discovered", "deferred",
+            "dedup_hits", "archives_expanded", "members_extracted")
+    sa = crawl_stats_table(a6.run_dir).to_pylist()
+    sb = crawl_stats_table(b.run_dir).to_pylist()
+    assert [{k: s[k] for k in keys} for s in sa] == [
+        {k: s[k] for k in keys} for s in sb
+    ]

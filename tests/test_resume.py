@@ -38,7 +38,9 @@ def test_resume_matches_uninterrupted(ray_session, tiny_corpus, tmp_path):
     a = fetched_table(full.run_dir).sort_by("url").to_pylist()
     b = fetched_table(part.run_dir).sort_by("url").to_pylist()
     assert a == b
-    assert summary["urls_fetched"] == len(a)
+    n_fetch = sum(1 for r in a if r["src"] == "fetch")
+    assert summary["urls_fetched"] == n_fetch
+    assert summary["members_extracted"] == len(a) - n_fetch
 
 
 def test_resume_dataset_mode(ray_session, tiny_corpus, tmp_path):
