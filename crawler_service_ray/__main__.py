@@ -24,7 +24,11 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("crawl", help="run a frontier crawl")
-    c.add_argument("--corpus", required=True)
+    c.add_argument("--corpus", required=True,
+                   help="corpus dir, or a real directory tree with "
+                        "--source posix")
+    c.add_argument("--source", choices=["corpus", "posix"],
+                   default="corpus")
     c.add_argument("--run", required=True)
     c.add_argument("--seeds", nargs="*", default=None)
     c.add_argument("--max-epochs", type=int, default=64)
@@ -91,10 +95,12 @@ def main(argv=None) -> int:
 
     seeds = args.seeds
     if not seeds:
-        seeds = default_seeds(corpus_meta(args.corpus)["num_hosts"])
+        seeds = (["posix://data"] if args.source == "posix"
+                 else default_seeds(corpus_meta(args.corpus)["num_hosts"]))
     cfg = CrawlConfig(
         corpus_dir=args.corpus,
         run_dir=args.run,
+        source_kind=args.source,
         seeds=seeds,
         politeness=PolitenessConfig(min_gap_ms=args.min_gap_ms,
                                     epoch_ms=args.epoch_ms),

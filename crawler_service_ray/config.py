@@ -42,8 +42,12 @@ class PolitenessConfig:
 
 @dataclass(frozen=True)
 class CrawlConfig:
+    # source root: the bucketed synthetic corpus ("corpus" kind) or a real
+    # local directory tree ("posix" kind — stages/posix.py, the Source-seam
+    # proof; URLs are posix://data/<relpath>)
     corpus_dir: str
     run_dir: str
+    source_kind: str = "corpus"
     seeds: Sequence[str] = ()
     politeness: PolitenessConfig = PolitenessConfig()
     skip_substrings: Sequence[str] = ()  # URL substring skip list (M7)

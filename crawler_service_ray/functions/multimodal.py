@@ -1,16 +1,23 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Images/audio/video are carried as ``binary`` columns with metadata; the
-decode / feature-extract / resize / frame-sample steps run as actor-pool
-``map_batches`` stages. The actual codec libraries are NOT in this
-container (environment constraint), so the codec call is stubbed behind a
-deterministic fake (``FakeCodec``) while everything Ray-side — schema,
-batch sizing for large binary rows, actor signature, output layout — is
-real and tested. Swap ``FakeCodec`` for PIL/ffmpeg bindings in a real
-deployment; the stage contract does not change.
+decode / feature-extract steps run as actor-pool ``map_batches`` stages.
+
+MIME types are SNIFFED from payload magic bytes — the analog of the
+reference's ``magic.Magic(mime=True).from_file(path)``
+(`/root/reference/crawlers/local_funcx.py:128,163-166`) — never derived
+from the ref string. The synthetic payload generator emits WELL-FORMED
+minimal headers (PNG signature + IHDR, GIF89a logical screen descriptor,
+JPEG SOI + SOF0 frame, RIFF/WAVE fmt chunk), and ``HeaderCodec`` parses
+real dimensions / sample rates out of those headers, so sniff + decode
+exercise genuine byte-level parsing end-to-end. Full-frame decoding
+(pixel data) would need PIL/libav, absent in this container — unknown
+magic raises ``NotImplementedError`` exactly like a codec error would.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pandas as pd
@@ -24,15 +31,118 @@ MEDIA_SCHEMA = pa.schema(
         ("media_ref", pa.string()),
         ("doc_id", pa.string()),
         ("payload", pa.binary()),
-        ("media_type", pa.string()),
     ]
 )
 
 
+# -- synthetic payload generation (deterministic, well-formed headers) ------
+
+def _png_payload(h: int) -> bytes:
+    w, ht = 64 + h % 1920, 64 + (h >> 16) % 1080
+    ihdr = struct.pack(">II5B", w, ht, 8, 2, 0, 0, 0)
+    body = ((h % 251 + 1).to_bytes(1, "little")) * (h % 2048 + 32)
+    return (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4 + body)
+
+
+def _gif_payload(h: int) -> bytes:
+    w, ht = 16 + h % 1024, 16 + (h >> 16) % 768
+    body = ((h % 249 + 1).to_bytes(1, "little")) * (h % 1024 + 16)
+    return b"GIF89a" + struct.pack("<HH", w, ht) + b"\x00" * 3 + body
+
+
+def _jpeg_payload(h: int) -> bytes:
+    w, ht = 32 + h % 4096, 32 + (h >> 16) % 2160
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, ht, w, 3)
+    body = ((h % 253 + 1).to_bytes(1, "little")) * (h % 1536 + 16)
+    return b"\xff\xd8" + app0 + sof0 + body + b"\xff\xd9"
+
+
+def _wav_payload(h: int) -> bytes:
+    rate = (8000, 16000, 22050, 44100)[h % 4]
+    channels = 1 + (h >> 8) % 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    data = ((h % 251).to_bytes(1, "little")) * (h % 4096 + 64)
+    riff = b"WAVEfmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack(
+        "<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+_PAYLOAD_BUILDERS = (_png_payload, _gif_payload, _jpeg_payload, _wav_payload)
+
+
+def synth_payload(ref_hash: int) -> bytes:
+    """Deterministic well-formed payload for a media ref: one of the four
+    real formats, or a headerless blob (1 in 5) exercising the
+    unknown-type path."""
+    k = ref_hash % 5
+    if k == 4:
+        return ((ref_hash % 251 + 1).to_bytes(1, "little")) * (
+            ref_hash % 1024 + 64
+        )
+    return _PAYLOAD_BUILDERS[k](ref_hash >> 3)
+
+
+# -- sniffing + header parsing (the real codec surface) ---------------------
+
+def sniff_mime(payload: bytes) -> str:
+    """MIME from magic bytes (M5 analog — the reference shells out to
+    libmagic; this is the same dispatch for the formats the corpus
+    carries)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio/wav"
+    return "application/octet-stream"
+
+
+class HeaderCodec:
+    """Parses real features out of format headers: PNG IHDR / GIF screen
+    descriptor / JPEG SOF0 / WAV fmt chunk. Raises ``NotImplementedError``
+    for unknown magic — the same failure surface a real codec (PIL/libav,
+    not installed here) presents for an undecodable payload."""
+
+    def decode(self, payload: bytes) -> dict:
+        mime = sniff_mime(payload)
+        if mime == "image/png":
+            w, h = struct.unpack(">II", payload[16:24])
+            return {"media_type": mime, "width": w, "height": h,
+                    "sample_rate": 0, "channels": 0}
+        if mime == "image/gif":
+            w, h = struct.unpack("<HH", payload[6:10])
+            return {"media_type": mime, "width": w, "height": h,
+                    "sample_rate": 0, "channels": 0}
+        if mime == "image/jpeg":
+            # scan markers for SOF0..SOF3 (baseline frame headers)
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                seglen = struct.unpack(">H", payload[i + 2:i + 4])[0]
+                if 0xC0 <= marker <= 0xC3:
+                    h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                    return {"media_type": mime, "width": w, "height": h,
+                            "sample_rate": 0, "channels": 0}
+                i += 2 + seglen
+            raise NotImplementedError("jpeg without SOF frame header")
+        if mime == "audio/wav":
+            channels, rate = struct.unpack("<HI", payload[22:28])
+            return {"media_type": mime, "width": 0, "height": 0,
+                    "sample_rate": rate, "channels": channels}
+        raise NotImplementedError(f"no codec for magic {payload[:4]!r}")
+
+
 def media_table_from_fetched(t: pa.Table) -> pa.Table:
     """Extract media spans from fetched docs into a media table with a
-    synthetic binary payload (deterministic bytes derived from the ref —
-    stands in for the fetched object)."""
+    synthetic well-formed binary payload (deterministic bytes derived
+    from the ref — stands in for the fetched object)."""
     spans = t["spans"].combine_chunks()
     flat = spans.flatten()
     parents = pc.list_parent_indices(spans)
@@ -41,83 +151,57 @@ def media_table_from_fetched(t: pa.Table) -> pa.Table:
     owners = t["doc_id"].combine_chunks().take(parents.filter(is_media))
     refs_np = refs.to_numpy(zero_copy_only=False)
     h = pd.util.hash_array(np.asarray(refs_np, dtype=object))
-    payloads = [
-        (int(x) % 251 + 1).to_bytes(1, "little") * (int(x) % 4096 + 64)
-        for x in h
-    ]
-    mtype = np.where(
-        pd.Series(refs_np).str.endswith(".bin").to_numpy(), "image/fake",
-        "application/octet-stream",
-    )
+    payloads = [synth_payload(int(x)) for x in h]
     return pa.Table.from_arrays(
-        [
-            refs,
-            owners,
-            pa.array(payloads, type=pa.binary()),
-            pa.array(mtype, type=pa.string()),
-        ],
+        [refs, owners, pa.array(payloads, type=pa.binary())],
         schema=MEDIA_SCHEMA,
     )
 
 
-class FakeCodec:
-    """Deterministic stand-in for an image/audio decoder.
-
-    A real deployment replaces ``decode`` with PIL/libav calls; raising
-    ``NotImplementedError`` for types the fake does not model keeps the
-    failure surface identical to a codec error.
-    """
-
-    def decode(self, payload: bytes, media_type: str) -> dict:
-        if media_type == "image/fake":
-            h = int(pd.util.hash_array(np.array([payload], dtype=object))[0])
-            return {
-                "width": 64 + h % 1920,
-                "height": 64 + (h >> 16) % 1080,
-                "n_frames": 1 + (h >> 32) % 4,
-            }
-        raise NotImplementedError(f"no codec for {media_type}")
-
-
 class MediaFeatures:
-    """Actor-pool stage: codec loaded once per actor (ST3 analog,
+    """Actor-pool stage: codec constructed once per actor (ST3 analog,
     `/root/reference/crawlers/local_funcx.py:128` loads `magic` once);
-    per batch decodes payloads and emits typed feature columns. Batches
-    must stay SMALL for large binary rows — callers pass batch_size
-    sized by bytes, not rows."""
+    per batch sniffs MIME from magic bytes and parses header features.
+    Batches must stay SMALL for large binary rows — callers pass
+    batch_size sized by bytes, not rows."""
 
     def __init__(self):
-        self.codec = FakeCodec()
+        self.codec = HeaderCodec()
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
-        mtypes = t["media_type"].to_pylist()
-        width = np.zeros(len(payloads), dtype=np.int32)
-        height = np.zeros(len(payloads), dtype=np.int32)
-        frames = np.zeros(len(payloads), dtype=np.int32)
-        ok = np.zeros(len(payloads), dtype=bool)
-        for i, (p, m) in enumerate(zip(payloads, mtypes)):
+        n = len(payloads)
+        mtypes = np.empty(n, dtype=object)
+        width = np.zeros(n, dtype=np.int32)
+        height = np.zeros(n, dtype=np.int32)
+        rate = np.zeros(n, dtype=np.int32)
+        channels = np.zeros(n, dtype=np.int32)
+        ok = np.zeros(n, dtype=bool)
+        for i, p in enumerate(payloads):
             try:
-                f = self.codec.decode(p, m)
-                width[i], height[i], frames[i] = (
-                    f["width"], f["height"], f["n_frames"],
-                )
+                f = self.codec.decode(p)
+                mtypes[i] = f["media_type"]
+                width[i], height[i] = f["width"], f["height"]
+                rate[i], channels[i] = f["sample_rate"], f["channels"]
                 ok[i] = True
             except NotImplementedError:
+                mtypes[i] = sniff_mime(p)
                 ok[i] = False
         return pa.Table.from_arrays(
             [
                 t["media_ref"].combine_chunks(),
                 t["doc_id"].combine_chunks(),
                 pa.array([len(p) for p in payloads], type=pa.int64()),
+                pa.array(mtypes, type=pa.string()),
                 pa.array(width),
                 pa.array(height),
-                pa.array(frames),
+                pa.array(rate),
+                pa.array(channels),
                 pa.array(ok),
             ],
             names=[
-                "media_ref", "doc_id", "payload_bytes", "width", "height",
-                "n_frames", "decoded",
+                "media_ref", "doc_id", "payload_bytes", "media_type",
+                "width", "height", "sample_rate", "channels", "decoded",
             ],
         )
 

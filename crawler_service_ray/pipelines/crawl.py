@@ -119,10 +119,14 @@ class CrawlRun:
         self.cfg = config
         self.run_dir = config.run_dir
         self.epochs_dir = os.path.join(self.run_dir, "epochs")
-        self.robots = load_robots(config.corpus_dir)
+        # posix source trees have no robots sidecar (everything allowed)
+        self.robots = (
+            load_robots(config.corpus_dir)
+            if config.source_kind == "corpus" else {}
+        )
         self.shards: list = []
         self.metrics: LocalMetrics | None = None
-        self._local_fetcher: CorpusFetcher | None = None
+        self._local_fetcher = None
 
     # -- layout helpers ---------------------------------------------------
     def _epoch_dir(self, k: int) -> str:
@@ -163,13 +167,20 @@ class CrawlRun:
         )
         self.metrics = LocalMetrics(MetricsActor.remote())
         self._robots_ref = ray.put(self.robots)
-        # corpus buckets: loaded+indexed once, object-store-shared zero-copy
-        # (cached per driver process across CrawlRuns; keyed by the corpus
-        # META SIGNATURE, not just the path, so a corpus regenerated in
-        # place with different params never serves stale buckets)
-        self._corpus_sig = _corpus_signature(self.cfg.corpus_dir)
-        warm_corpus(self.cfg.corpus_dir)
-        self._corpus_refs, self._corpus_nb = _CORPUS_REFS[self._corpus_sig]
+        if self.cfg.source_kind == "corpus":
+            # corpus buckets: loaded+indexed once, object-store-shared
+            # zero-copy (cached per driver process across CrawlRuns; keyed
+            # by the corpus META SIGNATURE, not just the path, so a corpus
+            # regenerated in place with different params never serves
+            # stale buckets)
+            self._corpus_sig = _corpus_signature(self.cfg.corpus_dir)
+            warm_corpus(self.cfg.corpus_dir)
+            self._corpus_refs, self._corpus_nb = _CORPUS_REFS[
+                self._corpus_sig
+            ]
+        else:  # posix: the tree is read directly by each fetch task
+            self._corpus_sig = f"posix|{os.path.abspath(self.cfg.corpus_dir)}"
+            self._corpus_refs, self._corpus_nb = None, 0
 
         if not resume:
             if os.path.isdir(self.epochs_dir):
@@ -305,9 +316,10 @@ class CrawlRun:
         )
         admitted = admitted.take(idx)
         if self._local_fetcher is None:
-            self._local_fetcher = CorpusFetcher(
-                SharedBucketProvider(self._corpus_refs, self._corpus_nb), k,
-                flaky_every=self.cfg.flaky_every,
+            self._local_fetcher = _make_fetcher(
+                self.cfg.source_kind, self.cfg.corpus_dir,
+                self._corpus_refs, self._corpus_nb, k,
+                self.cfg.flaky_every,
             )
         self._local_fetcher.set_epoch(k)
         cb = lambda name, v: self.metrics.add(k, name, v)  # noqa: E731
@@ -423,6 +435,7 @@ class CrawlRun:
                     epoch=k,
                     fetched_dir=fetched_dir,
                     num_parts=cfg.num_host_partitions,
+                    source_kind=cfg.source_kind,
                     corpus_dir=cfg.corpus_dir,
                     corpus_sig=self._corpus_sig,
                     corpus_refs=self._corpus_refs,
@@ -706,6 +719,21 @@ def _admit_partition_fn(
     return pa.concat_tables(out) if len(out) > 1 else out[0]
 
 
+def _make_fetcher(source_kind: str, corpus_dir: str, corpus_refs,
+                  corpus_nb: int, epoch: int, flaky_every: int):
+    """Source seam (SURVEY.md §2.10): every fetcher implements the same
+    ``__call__(frontier batch) -> FETCHED_SCHEMA`` + ``set_epoch``
+    contract; the epoch driver is source-agnostic."""
+    if source_kind == "posix":
+        from ..stages.posix import PosixFetcher
+
+        return PosixFetcher(corpus_dir, epoch)
+    return CorpusFetcher(
+        SharedBucketProvider(corpus_refs, corpus_nb), epoch,
+        flaky_every=flaky_every,
+    )
+
+
 def _expand_fn(
     t: pa.Table,
     *,
@@ -721,6 +749,7 @@ def _expand_fn(
     shards: list,
     metrics_actor,
     writers: list,
+    source_kind: str = "corpus",
     enrich: bool = True,
     flaky_every: int = 0,
     max_retries: int = 2,
@@ -740,10 +769,8 @@ def _expand_fn(
 
     fetcher = _PROC_CACHE.get(("fetcher", corpus_sig, flaky_every))
     if fetcher is None:
-        fetcher = CorpusFetcher(
-            SharedBucketProvider(corpus_refs, corpus_nb), epoch,
-            flaky_every=flaky_every,
-        )
+        fetcher = _make_fetcher(source_kind, corpus_dir, corpus_refs,
+                                corpus_nb, epoch, flaky_every)
         _PROC_CACHE[("fetcher", corpus_sig, flaky_every)] = fetcher
     fetcher.set_epoch(epoch)
     rkey = ("robots", robots_ref.hex() if hasattr(robots_ref, "hex") else id(robots_ref))
@@ -817,6 +844,67 @@ def fetched_dataset(run_dir: str):
         if d.startswith("epoch="):
             files.extend(_parquet_files(os.path.join(ep_root, d, "fetched")))
     return rd.read_parquet(files)
+
+
+def drain_fetched(
+    run_dir: str,
+    n: int,
+    cursor: tuple[int, str] | None = None,
+    columns: list[str] | None = None,
+) -> tuple[pa.Table, tuple[int, str] | None]:
+    """Resumable paginated drain of the fetched table — the consumer-side
+    analog of the reference's ``fetch_mdata(n)`` poll loop
+    (`/root/reference/application.py:255-274` plucks ≤n files per call
+    from the drained SQS queue; here pagination is deterministic and
+    restartable instead of destructive).
+
+    Rows are delivered in total order (fetch_epoch, url). ``cursor`` is
+    the (epoch, url) of the last delivered row (opaque to callers);
+    passing the returned cursor back continues exactly after it — across
+    process restarts too, since the cursor carries no in-memory state.
+    Reads one epoch's fetched files at a time, so driver memory is
+    bounded by one epoch + the page, not the run.
+
+    Returns (page table, next cursor); next cursor is None when the run
+    is exhausted.
+    """
+    ep_root = os.path.join(run_dir, "epochs")
+    epochs = sorted(
+        int(d.split("=")[1]) for d in os.listdir(ep_root)
+        if d.startswith("epoch=")
+    )
+    start_epoch, after_url = cursor if cursor else (epochs[0] if epochs else 0,
+                                                   "")
+    pages: list[pa.Table] = []
+    got = 0
+    for k in epochs:
+        if k < start_epoch:
+            continue
+        files = _parquet_files(
+            os.path.join(ep_root, f"epoch={k:05d}", "fetched")
+        )
+        if not files:
+            continue
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        t = t.sort_by("url")
+        if k == start_epoch and after_url:
+            mask = pc.greater(t["url"], pa.scalar(after_url))
+            t = t.filter(mask)
+        if columns:
+            t = t.select(columns + (["url"] if "url" not in columns else []))
+        if t.num_rows > n - got:
+            t = t.slice(0, n - got)
+        if t.num_rows:
+            pages.append(t)
+            got += t.num_rows
+            cursor = (k, t["url"][-1].as_py())
+        if got >= n:
+            return pa.concat_tables(pages), cursor
+    page = (
+        pa.concat_tables(pages) if pages
+        else pa.Table.from_pylist([], schema=FETCHED_SCHEMA)
+    )
+    return page, None  # exhausted
 
 
 def crawl_stats_table(run_dir: str) -> pa.Table:

@@ -913,6 +913,19 @@ def q_crawl_media_features(sf_dir: str):
     return multimodal.media_features(fetched_dataset(run_dir))
 
 
+def q_crawl_page(sf_dir: str):
+    """Paginated consumer drain (the reference's ``fetch_mdata(n)``,
+    `/root/reference/application.py:255-274`): deliver the SECOND page of
+    500 fetched rows by passing the first page's cursor back — exercises
+    restartable pagination end to end."""
+    from ..pipelines.crawl import drain_fetched
+
+    run_dir = _crawl_run_dir(sf_dir)
+    _page1, cursor = drain_fetched(run_dir, 500)
+    page2, _ = drain_fetched(run_dir, 500, cursor)
+    return page2.drop_columns(["spans"])
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -951,6 +964,7 @@ QUERIES = {
     "crawl_fetched": q_crawl_fetched,
     "crawl_stats": q_crawl_stats,
     "crawl_media_features": q_crawl_media_features,
+    "crawl_page": q_crawl_page,
 }
 
 ORACLE_SQL = {

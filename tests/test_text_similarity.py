@@ -120,11 +120,49 @@ def test_media_features_pipeline(ray_session, tiny_corpus, tmp_path):
     CrawlRun(cfg).run(resume=False)
     out = media_features(fetched_dataset(cfg.run_dir)).to_pandas()
     assert len(out) > 0
-    assert out["decoded"].all()
-    assert (out["width"] >= 64).all() and (out["payload_bytes"] > 0).all()
+    # known-magic payloads decode with real header-parsed features;
+    # headerless blobs sniff as octet-stream and fail decode honestly
+    dec = out[out["decoded"]]
+    assert len(dec) > 0
+    assert set(dec["media_type"]) <= {"image/png", "image/gif",
+                                      "image/jpeg", "audio/wav"}
+    img = dec[dec["media_type"].str.startswith("image/")]
+    assert (img["width"] >= 16).all() and (img["height"] >= 16).all()
+    wav = dec[dec["media_type"] == "audio/wav"]
+    assert (wav["sample_rate"] >= 8000).all() if len(wav) else True
+    und = out[~out["decoded"]]
+    assert (und["media_type"] == "application/octet-stream").all()
+    assert (out["payload_bytes"] > 0).all()
     # determinism: same refs → same features
     out2 = media_features(fetched_dataset(cfg.run_dir)).to_pandas()
     pd.testing.assert_frame_equal(
         out.sort_values("media_ref").reset_index(drop=True),
         out2.sort_values("media_ref").reset_index(drop=True),
     )
+
+
+def test_header_codec_sniff_and_parse():
+    """Magic-byte sniffing + header parsing round-trips the generator's
+    encoded dimensions for every format."""
+    from crawler_service_ray.functions import multimodal as mm
+
+    codec = mm.HeaderCodec()
+    h = 123456789
+    f = codec.decode(mm._png_payload(h))
+    assert f["media_type"] == "image/png"
+    assert (f["width"], f["height"]) == (64 + h % 1920, 64 + (h >> 16) % 1080)
+    f = codec.decode(mm._gif_payload(h))
+    assert f["media_type"] == "image/gif"
+    assert (f["width"], f["height"]) == (16 + h % 1024, 16 + (h >> 16) % 768)
+    f = codec.decode(mm._jpeg_payload(h))
+    assert f["media_type"] == "image/jpeg"
+    assert (f["width"], f["height"]) == (32 + h % 4096, 32 + (h >> 16) % 2160)
+    f = codec.decode(mm._wav_payload(h))
+    assert f["media_type"] == "audio/wav"
+    assert f["sample_rate"] in (8000, 16000, 22050, 44100)
+    assert f["channels"] in (1, 2)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        codec.decode(b"\x00\x01\x02\x03 headerless blob")
+    assert mm.sniff_mime(b"\x00\x01\x02") == "application/octet-stream"
