@@ -162,12 +162,18 @@ def minhash_signature(
 # ---------------------------------------------------------------------------
 
 def exact_dedup(
-    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
 ) -> rd.Dataset:
     """Exact duplicate groups: content-hash each batch (vectorized), then
-    hash-grouped first-wins. Returns one row per distinct content:
+    hash-partitioned first-wins — ONE vectorized pandas groupby per
+    partition, never a Python call per distinct content (group count
+    scales with the corpus). Returns one row per distinct content:
     (doc_id = min id, dup_count). The shuffle moves (hash, id) pairs, not
     document text (SURVEY.md §2.7 D1)."""
+    from .relational import grouped_apply
 
     def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -179,19 +185,17 @@ def exact_dedup(
             }
         )
 
-    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+    def first_wins(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("__h", sort=False)[id_col].agg(
+            ["min", "size"]
+        ).reset_index()
         return pd.DataFrame(
-            {
-                id_col: [g[id_col].min()],
-                "dup_count": np.array([len(g)], dtype="int64"),
-            }
+            {id_col: g["min"], "dup_count": g["size"].astype("int64")}
         )
 
-    return (
-        ds.map_batches(hash_batch, batch_format="pandas")
-        .groupby("__h")
-        .map_groups(first_wins, batch_format="pandas")
-        .select_columns([id_col, "dup_count"])
+    return grouped_apply(
+        ds.map_batches(hash_batch, batch_format="pandas"),
+        ["__h"], first_wins, num_partitions=num_partitions,
     )
 
 

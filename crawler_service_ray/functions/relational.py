@@ -419,6 +419,125 @@ def asof_join(
                          num_partitions=num_partitions)
 
 
+def sliding_window_agg(
+    ds: rd.Dataset,
+    ts_col: str,
+    window: str,
+    slide: str,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """Sliding event-time windows (SURVEY.md §2.9 extension): each event
+    belongs to ``window/slide`` overlapping windows; the replication is
+    vectorized inside ``map_batches`` (np.repeat + per-copy window-start
+    offsets), then the grouped aggregate runs once over the replicated
+    stream. ``window`` must be a multiple of ``slide``. Data volume is
+    amplified exactly ``window/slide``× — the inherent cost of sliding
+    windows; at scale pick slide accordingly."""
+    window_ns = pd.Timedelta(window).value
+    slide_ns = pd.Timedelta(slide).value
+    if window_ns % slide_ns:
+        raise ValueError("window must be a multiple of slide")
+    n_per = window_ns // slide_ns
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[ts_col].dt.floor(slide)
+        rep = np.repeat(np.arange(len(df)), n_per)
+        out = df.iloc[rep].reset_index(drop=True)
+        k = np.tile(np.arange(n_per), len(df))
+        out["window_start"] = base.iloc[rep].reset_index(drop=True) - (
+            pd.to_timedelta(k * slide_ns, unit="ns")
+        )
+        return out
+
+    return grouped_agg(
+        ds.map_batches(assign, batch_format="pandas"),
+        list(keys) + ["window_start"],
+        aggs,
+        merge_partitions=merge_partitions,
+    )
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    col: str,
+    quantiles: Sequence[float],
+    out_names: Sequence[str] | None = None,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Exact grouped quantiles (linear interpolation — the
+    ``percentile_cont`` definition, matching DuckDB ``quantile_cont``):
+    hash-partition by key, one vectorized numpy quantile per group. The
+    group's values co-locate in one partition — exactness requires it; at
+    100 TB swap in a mergeable sketch (t-digest) for bounded-memory
+    approximation, keeping this as the small-group/oracle path."""
+    keys = list(keys)
+    qs = list(quantiles)
+    names = list(out_names) if out_names else [f"q{int(q * 100)}" for q in qs]
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in part.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            vals = np.quantile(
+                g[col].to_numpy(dtype=np.float64), qs, method="linear"
+            )
+            rows.append(kv + tuple(vals))
+        return pd.DataFrame(rows, columns=keys + names)
+
+    return grouped_apply(
+        ds.map_batches(
+            lambda df: df[keys + [col]], batch_format="pandas"
+        ),
+        keys, per_partition, num_partitions=num_partitions,
+    )
+
+
+def grouped_corr(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    x: str,
+    y: str,
+    out_name: str = "corr",
+) -> rd.Dataset:
+    """Grouped Pearson correlation via the partial-sums pattern: each
+    batch emits (n, Σx, Σy, Σx², Σy², Σxy) per key — six numbers per key
+    per block, regardless of input size — merged in one coalesced reduce
+    (the sums are associative; the formula is applied once at the end).
+    Numerics: use small-magnitude columns (or pre-center) — the naive
+    sums cancel badly when |x| is large."""
+    keys = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xv = df[x].astype("float64")
+        yv = df[y].astype("float64")
+        t = pd.DataFrame({
+            **{k: df[k] for k in keys},
+            "__n": np.ones(len(df)),
+            "__sx": xv, "__sy": yv,
+            "__sxx": xv * xv, "__syy": yv * yv, "__sxy": xv * yv,
+        })
+        return t.groupby(keys, sort=False, observed=True).sum().reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, observed=True).sum().reset_index()
+        n = g["__n"]
+        cov = g["__sxy"] - g["__sx"] * g["__sy"] / n
+        vx = g["__sxx"] - g["__sx"] ** 2 / n
+        vy = g["__syy"] - g["__sy"] ** 2 / n
+        out = g[keys].copy()
+        out[out_name] = (cov / np.sqrt(vx * vy)).astype("float64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )
+
+
 def sessionize(
     ds: rd.Dataset,
     key: str,

@@ -316,6 +316,77 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_window_sliding(sf_dir: str):
+    """Sliding windows (1h window, 15min slide): each event lands in 4
+    overlapping windows; replication is vectorized in map_batches."""
+    from ..functions.relational import sliding_window_agg
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = sliding_window_agg(
+        ds, "ts", "1h", "15min", ["event_type"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+    )
+    return out.map_batches(
+        lambda df: df.assign(sum_value=df["sum_value"].round(2)),
+        batch_format="pandas",
+    )
+
+
+SQL_WINDOW_SLIDING = """
+SELECT event_type,
+       time_bucket(INTERVAL '15 minutes', ts)
+         - k * INTERVAL '15 minutes' AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events, range(0, 4) t(k)
+GROUP BY 1, 2
+"""
+
+
+def q_quantiles(sf_dir: str):
+    """Exact grouped quantiles (percentile_cont semantics)."""
+    from ..functions.relational import grouped_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out = grouped_quantiles(
+        ds, ["event_type"], "value", [0.5, 0.95], ["p50", "p95"],
+    )
+    return out.map_batches(
+        lambda df: df.assign(p50=df["p50"].round(6), p95=df["p95"].round(6)),
+        batch_format="pandas",
+    )
+
+
+SQL_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY 1
+"""
+
+
+def q_corr(sf_dir: str):
+    """Grouped Pearson correlation via partial sums (six numbers per key
+    per block leave the map side)."""
+    from ..functions.relational import grouped_corr
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    out = grouped_corr(ds, ["l_returnflag"], "l_quantity", "l_discount",
+                       out_name="qd_corr")
+    return out.map_batches(
+        lambda df: df.assign(qd_corr=df["qd_corr"].round(6)),
+        batch_format="pandas",
+    )
+
+
+SQL_CORR = """
+SELECT l_returnflag, round(corr(l_quantity, l_discount), 6) AS qd_corr
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_sessionize(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
     return sessionize(ds, key="user_id", ts_col="ts", gap_seconds=1800.0)
@@ -940,6 +1011,9 @@ QUERIES = {
     "distinct": q_distinct,
     "doc_category": q_doc_category,
     "window_hourly": q_window_hourly,
+    "window_sliding": q_window_sliding,
+    "quantiles": q_quantiles,
+    "corr": q_corr,
     "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -979,6 +1053,9 @@ ORACLE_SQL = {
     "distinct": SQL_DISTINCT,
     "doc_category": SQL_DOC_CATEGORY,
     "window_hourly": SQL_WINDOW_HOURLY,
+    "window_sliding": SQL_WINDOW_SLIDING,
+    "quantiles": SQL_QUANTILES,
+    "corr": SQL_CORR,
     "sessionize": SQL_SESSIONIZE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,

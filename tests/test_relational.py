@@ -19,6 +19,9 @@ SQL_CHECKED = [
     "distinct",
     "doc_category",
     "window_hourly",
+    "window_sliding",
+    "quantiles",
+    "corr",
     "sessionize",
     "dedup_exact",
     "text_stats",
