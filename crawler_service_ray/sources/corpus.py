@@ -183,14 +183,18 @@ def _page_spans(j: int, i: int, h: int, *, num_hosts: int,
     if i % 17 == 5:  # robots-blocked target (all hosts disallow /private)
         add("link", text="priv", media_ref=f"http://h{j}.test/private/{i}")
     # compressed-content spans (the decompressor analog,
-    # `/root/reference/legacy/decompressor.py:13-75`): ~1/7 of pages carry
-    # a page-specific archive (some 2-level nested); ~1/11 carry their
-    # host's SHARED archive (identical payload from every referencing page)
-    if h % 7 == 3:
+    # `/root/reference/legacy/decompressor.py:13-75`): ~1/29 of pages carry
+    # a page-specific archive (half 2-level nested); ~1/11 carry their
+    # host's SHARED archive (identical payload from every referencing
+    # page — extracted once per host, so its density is nearly free).
+    # Page-archive density is kept low deliberately: each one amplifies
+    # the fetched-doc volume with member docs (full enrichment cost), and
+    # archives are a structural feature to exercise, not the bulk load.
+    if h % 29 == 3:
         add("compressed",
             text=_archive_payload_json(
                 j, i, h, num_hosts=num_hosts, pages_per_host=pages_per_host,
-                nested=(h % 14 == 3),
+                nested=(h % 58 == 3),
             ),
             media_ref=f"http://h{j}.test/arch/{i}.zip")
     elif h % 11 == 5:
@@ -241,7 +245,8 @@ def generate_corpus(
         "cross": cross,
         "num_buckets": num_buckets,
         "seed": seed,
-        "format": "parquet-bucketed-v2",  # v2: compressed-content spans
+        # v2: compressed-content spans; v3: page-archive density 1/29
+        "format": "parquet-bucketed-v3",
     }
     meta_path = os.path.join(corpus_dir, "meta.json")
     if os.path.exists(meta_path) and not overwrite:

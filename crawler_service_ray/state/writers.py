@@ -58,6 +58,20 @@ class PartitionWriter:
             self._spill()
         return t.num_rows
 
+    def append_parts(self, parts: list) -> int:
+        """One RPC carrying every (part_id, table) pair this writer owns
+        from one sender chunk. The split stays on the SENDER (an
+        on-budget map task) — writer actors are zero-CPU buffers and
+        must not absorb compute the scheduler can't account for."""
+        n = 0
+        for part_id, t in parts:
+            self.buffers.setdefault(int(part_id), []).append(t)
+            self.buffered_bytes += t.nbytes
+            n += t.num_rows
+        if self.buffered_bytes >= self.flush_bytes:
+            self._spill()
+        return n
+
     def _spill(self) -> list[str]:
         assert self.out_dir is not None
         os.makedirs(self.out_dir, exist_ok=True)
@@ -83,20 +97,29 @@ class PartitionWriter:
         return self._spill()
 
 
-def make_writers(num_writers: int) -> list:
-    return [PartitionWriter.remote(i) for i in range(num_writers)]
+def make_writers(num_writers: int,
+                 flush_bytes: int = DEFAULT_FLUSH_BYTES) -> list:
+    return [
+        PartitionWriter.remote(i, flush_bytes) for i in range(num_writers)
+    ]
 
 
 def send_partitioned(writers: list, parts, table: pa.Table,
                      part_col_values) -> None:
     """Route a table's rows to their partition owners; blocks until
-    buffered (per-task delivery guarantee)."""
+    buffered (per-task delivery guarantee). ONE RPC per writer touched
+    per chunk (not per partition — a chunk's discoveries scatter across
+    ~all partitions, and per-partition RPCs were measured as the
+    dominant term of the send stage)."""
     import numpy as np
 
-    refs = []
     arr = np.asarray(part_col_values)
-    for p in np.unique(arr):
-        sub = table.filter(pa.array(arr == p))
-        w = writers[int(p) % len(writers)]
-        refs.append(w.append.remote(int(p), sub))
+    owner = arr % len(writers)
+    refs = []
+    for w in np.unique(owner):
+        parts = [
+            (int(p), table.filter(pa.array(arr == p)))
+            for p in np.unique(arr[owner == w])
+        ]
+        refs.append(writers[int(w)].append_parts.remote(parts))
     ray.get(refs)

@@ -97,3 +97,35 @@ def test_manifest_lineage(ray_session, tiny_corpus, tmp_path):
     assert m["stats"]["urls_fetched"] == len(cfg.seeds)
     # seen snapshots exist per epoch
     assert os.path.exists(os.path.join(ep0, "seen", "shard_0000.npz"))
+
+
+def test_partition_writer_spills_at_threshold(ray_session, tmp_path):
+    """A writer over its byte threshold spills mid-epoch (bounded actor
+    memory); the union of spilled + final files equals everything sent."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from crawler_service_ray.state.writers import make_writers, send_partitioned
+
+    out = str(tmp_path / "spill")
+    writers = make_writers(2, flush_bytes=128)  # spill on nearly every append
+    ray.get([w.begin_epoch.remote(out, "discovered") for w in writers])
+    sent = []
+    for batch in range(5):
+        t = pa.table({"url": [f"u{batch}-{i}" for i in range(50)],
+                      "host": [f"h{i % 8}" for i in range(50)]})
+        parts = np.array([i % 8 for i in range(50)])
+        send_partitioned(writers, 8, t, parts)
+        sent.extend(t["url"].to_pylist())
+    ray.get([w.flush.remote() for w in writers])
+    import glob
+
+    files = sorted(glob.glob(out + "/*.parquet"))
+    # mid-epoch spills → more than one file sequence per (part, writer)
+    assert any("-f0001" in f or "-f0002" in f for f in files)
+    got = []
+    for f in files:
+        got.extend(pq.read_table(f)["url"].to_pylist())
+    assert sorted(got) == sorted(sent)
