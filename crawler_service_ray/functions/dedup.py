@@ -120,12 +120,59 @@ def minhash_batch_signatures(
     return sig
 
 
+def minhash_batch_signatures_fast(
+    texts, num_perm: int = 64, k: int = 5, seed: int = 42
+) -> np.ndarray:
+    """MinHash signatures with NUMERIC shingle hashing: words are hashed
+    once, and each k-shingle's hash is a rolling uint64 mix of its k word
+    hashes — no object-string concatenation (the string-concat shingle
+    build in ``minhash_batch_signatures`` was measured as an allocator
+    storm that contends across workers; this variant is pure numpy after
+    one word-level hash pass). Signature VALUES differ from the
+    string-shingle variant (different hash of the same shingle) but the
+    estimator is the same; used for crawl-time enrichment keys where the
+    signature is an internal fingerprint. Deterministic."""
+    a, _b = _minhash_params(num_perm, seed)
+    words = pd.Series(texts).astype(str).str.split()
+    n = len(words)
+    lens = words.str.len().fillna(0).to_numpy().astype(np.int64)
+    if lens.sum() == 0:
+        return np.zeros((num_perm, n), dtype=np.uint64)
+    flat = np.concatenate(
+        [w for w in words.to_numpy() if isinstance(w, list) and w]
+    ).astype(object)
+    wh = pd.util.hash_array(flat)  # ONE string-hash pass, word level
+    nsh = np.where(lens == 0, 0, np.maximum(lens - k + 1, 1))
+    W0 = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=W0[1:])
+    S0 = np.zeros(n + 1, np.int64)
+    np.cumsum(nsh, out=S0[1:])
+    total = int(S0[-1])
+    gs = np.arange(total) - np.repeat(S0[:-1], nsh) + np.repeat(W0[:-1], nsh)
+    ends = np.repeat(W0[1:], nsh)
+    sh_h = wh[gs].astype(np.uint64)
+    for j in range(1, k):
+        idx = np.minimum(gs + j, ends - 1)
+        sh_h = _mix64(sh_h ^ wh[idx].astype(np.uint64))
+    sig = np.zeros((num_perm, n), dtype=np.uint64)
+    nonempty = nsh > 0
+    starts = S0[:-1][nonempty]
+    for p in range(num_perm):
+        mixed = _mix64(sh_h ^ a[p])
+        sig[p, nonempty] = np.minimum.reduceat(mixed, starts)
+    return sig
+
+
 def minhash_fp_and_bands(
-    texts, num_perm: int = 64, num_bands: int = 4, seed: int = 42
+    texts, num_perm: int = 64, num_bands: int = 4, seed: int = 42,
+    fast: bool = False,
 ):
     """(fingerprint, band hashes) per doc from batch signatures — the
-    whole-signature and per-band uint64 fold of the signature matrix."""
-    sig = minhash_batch_signatures(texts, num_perm=num_perm, seed=seed)
+    whole-signature and per-band uint64 fold of the signature matrix.
+    ``fast=True`` uses the numeric-shingle signature kernel (crawl-time
+    enrichment path)."""
+    sig_fn = minhash_batch_signatures_fast if fast else minhash_batch_signatures
+    sig = sig_fn(texts, num_perm=num_perm, seed=seed)
     rows = num_perm // num_bands
 
     def fold(mat: np.ndarray) -> np.ndarray:

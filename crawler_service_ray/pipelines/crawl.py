@@ -60,7 +60,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
@@ -323,8 +322,11 @@ class CrawlRun:
             )
         self._local_fetcher.set_epoch(k)
         cb = lambda name, v: self.metrics.add(k, name, v)  # noqa: E731
+        _politeness_partials(admitted, self.cfg.politeness.min_gap_ms, cb)
         fetched = self._local_fetcher(admitted)
+        _fetch_counters(fetched, cb)
         fetched = expand_archives(fetched, self.shards, k, cb)
+        _volume_counters(fetched, cb)
         if self.cfg.enrich_text:
             fetched = enrich_fetched(fetched)
         _write_table(fetched, fetched_dir, "part-0.parquet")
@@ -420,6 +422,7 @@ class CrawlRun:
                     epoch=k,
                     next_dir=next_dir,
                     num_parts=cfg.num_host_partitions,
+                    metrics_actor=self.metrics.actor,
                 ),
                 batch_format="pyarrow",
                 batch_size=None,  # one partition item per task
@@ -428,6 +431,10 @@ class CrawlRun:
                 # admission+expand into one operator (a fused operator ran
                 # the whole epoch as a single task — measured)
                 num_cpus=0.9,
+                # metrics partials are not idempotent under task retry —
+                # fail the epoch instead (resume reruns it whole)
+                max_retries=0,
+                retry_exceptions=False,
             )
             out_ds = adm.map_batches(
                 partial(
@@ -478,21 +485,12 @@ class CrawlRun:
     def _epoch_stats(
         self, k: int, fetched_dir: str, next_dir: str, mode: str
     ) -> dict:
-        pol = self.cfg.politeness
-        cols = pads.dataset(_parquet_files(fetched_dir)).to_table(
-            columns=["host", "status", "bytes", "n_links", "src"]
-        )
-        # politeness/status accounting covers only real fetches; extracted
-        # archive members (src="archive") are separate counters below
-        fmask = np.asarray(
-            cols["src"].to_numpy(zero_copy_only=False)
-        ) == "fetch"
-        hosts = pd.Series(
-            cols["host"].to_numpy(zero_copy_only=False)[fmask]
-        )
-        per_host = hosts.value_counts()
-        wait_ms = int(((per_host - 1).clip(lower=0) * pol.min_gap_ms).sum())
-        status = cols["status"].to_numpy(zero_copy_only=False)[fmask]
+        """All row-derived stats come from counters the tasks accumulated
+        (admission partitions are host-complete, so per-host politeness
+        partials are exact) — the driver never re-reads the epoch's
+        fetched rows (measured: the full-epoch parquet re-read was a
+        multi-second serial term per epoch at bench scale). File counts
+        below touch only parquet footers."""
         mcounters = self.metrics.epoch_counters(k)
         deferred = _count_rows(
             [
@@ -513,19 +511,17 @@ class CrawlRun:
         return {
             "epoch": k,
             "mode": mode,
-            "urls_fetched": int(fmask.sum()),
-            "urls_200": int((status == 200).sum()),
-            "urls_404": int((status == 404).sum()),
-            "urls_503": int((status == 503).sum()),
+            "urls_fetched": int(mcounters.get("urls_fetched", 0)),
+            "urls_200": int(mcounters.get("urls_200", 0)),
+            "urls_404": int(mcounters.get("urls_404", 0)),
+            "urls_503": int(mcounters.get("urls_503", 0)),
             "failed": _count_rows(
                 _parquet_files(
                     os.path.join(os.path.dirname(next_dir), "failed")
                 )
             ),
-            "bytes": int(
-                pc.sum(cols["bytes"]).as_py() or 0
-            ),
-            "links_total": int(pc.sum(cols["n_links"]).as_py() or 0),
+            "bytes": int(mcounters.get("bytes", 0)),
+            "links_total": int(mcounters.get("links_total", 0)),
             "dedup_hits": int(mcounters.get("dedup_hits", 0)),
             "robots_denied": int(mcounters.get("robots_denied", 0)),
             "skip_filtered": int(mcounters.get("skip_filtered", 0)),
@@ -535,8 +531,10 @@ class CrawlRun:
             "archives_expanded": int(mcounters.get("archives_expanded", 0)),
             "archives_dup": int(mcounters.get("archives_dup", 0)),
             "members_extracted": int(mcounters.get("members_extracted", 0)),
-            "politeness_wait_ms": wait_ms,
-            "num_hosts": int(len(per_host)),
+            "politeness_wait_ms": int(
+                mcounters.get("politeness_wait_ms", 0)
+            ),
+            "num_hosts": int(mcounters.get("n_hosts", 0)),
             "t_fetch_ms": int(mcounters.get("t_fetch_ms", 0)),
             "t_enrich_ms": int(mcounters.get("t_enrich_ms", 0)),
             "t_write_ms": int(mcounters.get("t_write_ms", 0)),
@@ -629,6 +627,34 @@ def split_fetch_failures(
 _PART_RE = re.compile(r"-p(\d+)-")
 
 
+def _politeness_partials(admitted: pa.Table, min_gap_ms: int, cb) -> None:
+    """Exact per-host politeness partials from an admitted batch: the
+    batch is host-complete (admission partitions own whole hosts), so
+    per-host counts — and therefore wait = (count-1)×gap and the distinct
+    host count — are exact, not approximations."""
+    hosts = pd.Series(admitted["host"].to_numpy(zero_copy_only=False))
+    per_host = hosts.value_counts()
+    cb("politeness_wait_ms",
+       int(((per_host - 1).clip(lower=0) * min_gap_ms).sum()))
+    cb("n_hosts", int(len(per_host)))
+
+
+def _fetch_counters(fetched: pa.Table, cb) -> None:
+    """Status tallies of a fetch batch (before member expansion — every
+    fetcher row is src='fetch')."""
+    st = fetched["status"].to_numpy(zero_copy_only=False)
+    cb("urls_fetched", len(st))
+    cb("urls_200", int((st == 200).sum()))
+    cb("urls_404", int((st == 404).sum()))
+    cb("urls_503", int((st == 503).sum()))
+
+
+def _volume_counters(fetched: pa.Table, cb) -> None:
+    """Bytes/link totals over the full batch (fetches + members)."""
+    cb("bytes", int(pc.sum(fetched["bytes"]).as_py() or 0))
+    cb("links_total", int(pc.sum(fetched["n_links"]).as_py() or 0))
+
+
 def _host_partitions_of(hosts: np.ndarray, num_parts: int) -> np.ndarray:
     from ..urls import hash_urls
 
@@ -702,11 +728,19 @@ def _admit_partition_fn(
     epoch: int,
     next_dir: str,
     num_parts: int,
+    metrics_actor=None,
 ) -> pa.Table:
     """Admission for one host partition (host-complete by construction):
     read the partition's frontier files, per-host politeness top-K,
-    side-write deferrals (partition-pure, one file), emit admitted rows."""
+    side-write deferrals (partition-pure, one file), emit admitted rows;
+    exact per-host politeness partials go to the metrics actor (this
+    partition owns its hosts whole)."""
     out = []
+    counters: dict[str, int] = {}
+
+    def cb(name, v):
+        counters[name] = counters.get(name, 0) + int(v)
+
     for item in batch.to_pylist():
         frontier = pa.concat_tables(
             [pq.read_table(f) for f in item["files"]]
@@ -715,7 +749,13 @@ def _admit_partition_fn(
         mask = adm["admitted"].combine_chunks()
         deferred = adm.filter(pc.invert(mask)).select(FRONTIER_COLS)
         _sidewrite_partitioned(deferred, next_dir, "deferred", num_parts)
-        out.append(adm.filter(mask).drop_columns(["admitted"]))
+        admitted = adm.filter(mask).drop_columns(["admitted"])
+        _politeness_partials(admitted, pol.min_gap_ms, cb)
+        out.append(admitted)
+    if counters and metrics_actor is not None:
+        import ray
+
+        ray.get(metrics_actor.add_many.remote(epoch, counters))
     return pa.concat_tables(out) if len(out) > 1 else out[0]
 
 
@@ -788,7 +828,9 @@ def _expand_fn(
 
     _t0 = _time.perf_counter()
     fetched = fetcher(t)
+    _fetch_counters(fetched, cb)
     fetched = expand_archives(fetched, shards, epoch, cb)
+    _volume_counters(fetched, cb)
     _t1 = _time.perf_counter()
     links = extract_links(fetched.select(["url", "depth", "spans"]))
     filt = canon_and_filter(links, robots, skip, cb)

@@ -127,7 +127,7 @@ def enrich_fetched(t: pa.Table) -> pa.Table:
     from ..functions.dedup import minhash_fp_and_bands
 
     fps, bands = minhash_fp_and_bands(
-        s, num_perm=_MINHASH_PERMS, num_bands=_MINHASH_BANDS
+        s, num_perm=_MINHASH_PERMS, num_bands=_MINHASH_BANDS, fast=True
     )
     cols = {
         "text_chars": pa.array(chars.astype(np.int64)),
