@@ -240,6 +240,71 @@ def native_join(
 # sort / top-k / distinct / per-group top-k / windows
 # ---------------------------------------------------------------------------
 
+def semi_anti_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: Sequence[str] | str,
+    anti: bool = False,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Distributed semi/anti join (SURVEY.md §2.4 J3 relational form —
+    the crawl's seen anti-join generalized): both sides co-partition by
+    key hash (right side ships only its DISTINCT key columns, pre-deduped
+    per batch), and each partition keeps the left rows with (semi) or
+    without (anti) a right match via one vectorized merge."""
+    on = [on] if isinstance(on, str) else list(on)
+    lcols = list(left.schema().names)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__side="l")
+
+    def keys_right(df: pd.DataFrame) -> pd.DataFrame:
+        return df[on].drop_duplicates().assign(__side="r")
+
+    both = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(keys_right, batch_format="pandas")
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == "l", lcols]
+        rk = g.loc[g["__side"] == "r", on].drop_duplicates()
+        if l.empty:
+            return l
+        for c in on:  # union may widen key dtypes via null padding
+            rk[c] = rk[c].astype(l[c].dtype)
+        m = l.merge(rk, on=on, how="left", indicator=True)
+        keep = m["_merge"] == ("left_only" if anti else "both")
+        return m.loc[keep, lcols]
+
+    return grouped_apply(both, on, per_partition,
+                         num_partitions=num_partitions)
+
+
+def windowed_cumsum(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak: str,
+    out_name: str = "cum",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Cumulative sum per key in (ts, tiebreak) order — the ``sum() OVER
+    (PARTITION BY key ORDER BY ts, tiebreak ROWS UNBOUNDED PRECEDING)``
+    window function. Hash-partition by key, ONE vectorized sort + groupby
+    cumsum per partition; the explicit tiebreak column makes the running
+    order (and therefore every float sum) deterministic."""
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, tiebreak], kind="mergesort")
+        return g.assign(
+            **{out_name: g.groupby(key, sort=False)[val_col].cumsum()}
+        )
+
+    return grouped_apply(ds, [key], per_partition,
+                         num_partitions=num_partitions)
+
+
 def topk(
     ds: rd.Dataset,
     by: str | Sequence[str],

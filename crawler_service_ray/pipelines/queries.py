@@ -270,6 +270,90 @@ def q_distinct(sf_dir: str):
 SQL_DISTINCT = "SELECT DISTINCT c_mktsegment FROM customer"
 
 
+def q_anti_join(sf_dir: str):
+    """Anti join: customers with no big-ticket order (distributed
+    co-partitioned not-exists; the crawl's seen anti-join in relational
+    form)."""
+    import pyarrow.compute as pc
+
+    from ..functions.relational import semi_anti_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)).select(
+            ["o_custkey"]
+        ).rename_columns(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    return semi_anti_join(cust, orders, on="c_custkey", anti=True)
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+def q_semi_join(sf_dir: str):
+    """Semi join: suppliers that supply at least one ordered part."""
+    from ..functions.relational import semi_anti_join
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey"]).map_batches(
+        lambda df: df.rename(columns={"l_suppkey": "s_suppkey"}),
+        batch_format="pandas",
+    )
+    return semi_anti_join(supp, li, on="s_suppkey", anti=False)
+
+
+SQL_SEMI_JOIN = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+"""
+
+
+def q_cumsum(sf_dir: str):
+    """Window function: running sum of value per user in (ts, event_id)
+    order — deterministic float order on both sides."""
+    from ..functions.relational import windowed_cumsum
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    out = windowed_cumsum(ds, "user_id", "ts", "value", tiebreak="event_id",
+                          out_name="cum_value")
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id"]].assign(
+            cum_value=df["cum_value"].round(2)
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_CUMSUM = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING), 2) AS cum_value
+FROM events
+"""
+
+
+def q_count_distinct(sf_dir: str):
+    """Distributed COUNT(DISTINCT): per-batch dedup → partitioned final
+    dedup → count."""
+    n = distinct(
+        read_table(sf_dir, "lineitem", columns=["l_orderkey"]),
+        ["l_orderkey"], merge_partitions=8,
+    ).count()
+    return pa.Table.from_pydict({"n": pa.array([n], type=pa.int64())})
+
+
+SQL_COUNT_DISTINCT = "SELECT count(DISTINCT l_orderkey) AS n FROM lineitem"
+
+
 def q_doc_category(sf_dir: str):
     """M4 analog: classify + tally (extension→category becomes
     lang→script-family)."""
@@ -1009,6 +1093,10 @@ QUERIES = {
     "sort_topk": q_sort_topk,
     "topk_per_group": q_topk_per_group,
     "distinct": q_distinct,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "cumsum": q_cumsum,
+    "count_distinct": q_count_distinct,
     "doc_category": q_doc_category,
     "window_hourly": q_window_hourly,
     "window_sliding": q_window_sliding,
@@ -1051,6 +1139,10 @@ ORACLE_SQL = {
     "sort_topk": SQL_SORT_TOPK,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "distinct": SQL_DISTINCT,
+    "anti_join": SQL_ANTI_JOIN,
+    "semi_join": SQL_SEMI_JOIN,
+    "cumsum": SQL_CUMSUM,
+    "count_distinct": SQL_COUNT_DISTINCT,
     "doc_category": SQL_DOC_CATEGORY,
     "window_hourly": SQL_WINDOW_HOURLY,
     "window_sliding": SQL_WINDOW_SLIDING,

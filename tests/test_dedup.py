@@ -90,21 +90,22 @@ def test_embedding_near_dup(ray_session):
     assert out["cosine"].iloc[0] > 0.999
 
 
-def test_minhash_golden_pairs_sf0001(ray_session):
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_minhash_golden_pairs(ray_session, sf):
     """The streamed text-join verification (round 2) must produce
     byte-identical pairs to the round-1 driver-broadcast path — pinned
-    by a golden captured before the refactor."""
+    by goldens captured before the refactor."""
     import json
     import os
 
     import ray.data as rd
 
     golden_path = os.path.join(
-        os.path.dirname(__file__), "data", "golden_dedup_minhash_sf0.001.json"
+        os.path.dirname(__file__), "data", f"golden_dedup_minhash_{sf}.json"
     )
     with open(golden_path) as f:
         golden = pd.DataFrame(json.load(f))
-    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+    ds = rd.read_parquet(f"/root/testdata/{sf}/documents.parquet",
                          columns=["doc_id", "text"])
     got = dedup.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
     got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)

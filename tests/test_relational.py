@@ -17,6 +17,10 @@ SQL_CHECKED = [
     "sort_topk",
     "topk_per_group",
     "distinct",
+    "anti_join",
+    "semi_join",
+    "cumsum",
+    "count_distinct",
     "doc_category",
     "window_hourly",
     "window_sliding",
