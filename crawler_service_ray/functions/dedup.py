@@ -404,12 +404,12 @@ def minhash_lsh_pairs(
     dedup inside the reassembly partition. Returns (id_a, id_b, jaccard)
     with id_a < id_b.
     """
+    # plain tasks: banding state is a handful of ints/strings (the
+    # minhash salts regenerate per batch from the fixed seed), so tasks
+    # skip actor-pool spin-up with nothing to amortize
     bands_ds = ds.map_batches(
-        _MinhashBands,
-        fn_constructor_args=(text_col, id_col, num_perm, bands),
+        _MinhashBands(text_col, id_col, num_perm, bands),
         batch_format="pandas",
-        concurrency=(1, 8),
-        max_restarts=0,
     )
 
     def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:

@@ -143,11 +143,12 @@ def broadcast_join(
     `/root/reference/application.py:228-237` builds the same small-side map
     per message).
 
-    The broadcast ref is resolved lazily in ``__call__`` (not the actor
-    constructor) and the pool sets ``max_restarts=0``, so no actor
-    restart can depend on constructor args living in the object store
-    (ray-project/ray#53727); a lost actor is replaced by the pool and
-    its tasks re-run.
+    Runs as plain TASKS, not an actor pool: the stage has no real
+    per-worker state to amortize (the broadcast table is plasma-backed
+    and zero-copy), tasks skip the pool's spin-up latency (measured ~2 s
+    on small inputs), and there is no actor restart to worry about. A
+    per-worker-process cache keyed by the ref keeps the resolved table
+    warm across batches on the same worker.
     """
     if isinstance(small, pa.Table):
         small = small.to_pandas()
@@ -155,21 +156,23 @@ def broadcast_join(
         small = small[list(columns)]
     ref = ray.put(small)
     on = [on] if isinstance(on, str) else list(on)
+    refs = [ref]  # nested so Ray ships the ref, not the resolved value
 
-    class _BJoin:
-        def __init__(self, refs):
-            self._refs = refs
-            self.small = None
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        r = refs[0]
+        key = ("bcast", r.hex())
+        small_df = _PROC_BCAST.get(key)
+        if small_df is None:
+            small_df = ray.get(r)
+            _PROC_BCAST[key] = small_df
+        return df.merge(small_df, on=on, how=how)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if self.small is None:
-                self.small = ray.get(self._refs[0])
-            return df.merge(self.small, on=on, how=how)
+    return ds.map_batches(join_batch, batch_format="pandas")
 
-    return ds.map_batches(
-        _BJoin, fn_constructor_args=([ref],), batch_format="pandas",
-        concurrency=(1, 8), max_restarts=0,
-    )
+
+# per-worker-process cache of resolved broadcast tables (zero-copy views
+# of plasma objects; values are read-only by convention)
+_PROC_BCAST: dict = {}
 
 
 def bucketed_hash_join(

@@ -10,9 +10,9 @@ corpus. Both are deterministic (fixed seed for centroid init).
 
 All ranking math is float64 so near-tie orderings match DuckDB's
 double-precision ``list_cosine_similarity`` oracle at any scale factor.
-Broadcast object refs are resolved lazily in ``__call__`` (not in the
-actor constructor) so actor restarts never depend on constructor args
-living in the object store (ray-project/ray#53727).
+Scorer stages run as plain tasks — their only state is the broadcast
+query/centroid pack, plasma-backed and cached per worker process — so
+they pay no actor-pool spin-up and have no restart hazards.
 """
 
 from __future__ import annotations
@@ -27,6 +27,21 @@ import ray.data as rd
 def _stack_normalized(series: pd.Series) -> np.ndarray:
     M = np.stack(series.to_numpy()).astype(np.float64)
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+# per-worker-process cache of resolved broadcast objects (zero-copy
+# plasma views; scorer stages run as plain tasks — no real per-worker
+# state beyond these, and task stages skip actor-pool spin-up)
+_PROC_BCAST: dict = {}
+
+
+def _bcast(ref):
+    key = ref.hex()
+    v = _PROC_BCAST.get(key)
+    if v is None:
+        v = ray.get(ref)
+        _PROC_BCAST[key] = v
+    return v
 
 
 def train_centroids(
@@ -67,43 +82,35 @@ def brute_force_topk(
     local top-k (small rows out); final exact top-k per query via
     groupby. Output: (query_id, neighbor_id, cosine, rank), rank 1..k.
     """
-    Q = queries.astype(np.float64)
-    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    qref = ray.put((Q, np.asarray(query_ids)))
+    Qn = queries.astype(np.float64)
+    Qn = Qn / np.maximum(np.linalg.norm(Qn, axis=1, keepdims=True), 1e-12)
+    qref = ray.put((Qn, np.asarray(query_ids)))
+    refs = [qref]
 
-    class _Score:
-        def __init__(self, refs):
-            self._refs = refs
-            self.Q = None
+    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+        Q, qids = _bcast(refs[0])
+        M = _stack_normalized(df[vec_col])
+        sims = Q @ M.T  # (nq, nb)
+        ids = df[id_col].to_numpy()
+        nq, nb = sims.shape
+        if exclude_self:
+            mask = qids[:, None] == ids[None, :]
+            sims = np.where(mask, -np.inf, sims)
+        kk = min(k, nb)
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(qids, kk)
+        rows_n = ids[top.ravel()]
+        rows_s = np.take_along_axis(sims, top, axis=1).ravel()
+        keep = np.isfinite(rows_s)
+        return pd.DataFrame(
+            {
+                "query_id": rows_q[keep],
+                "neighbor_id": rows_n[keep],
+                "cosine": rows_s[keep].astype("float64"),
+            }
+        )
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if self.Q is None:
-                self.Q, self.qids = ray.get(self._refs[0])
-            M = _stack_normalized(df[vec_col])
-            sims = self.Q @ M.T  # (nq, nb)
-            ids = df[id_col].to_numpy()
-            nq, nb = sims.shape
-            if exclude_self:
-                mask = self.qids[:, None] == ids[None, :]
-                sims = np.where(mask, -np.inf, sims)
-            kk = min(k, nb)
-            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows_q = np.repeat(self.qids, kk)
-            rows_n = ids[top.ravel()]
-            rows_s = np.take_along_axis(sims, top, axis=1).ravel()
-            keep = np.isfinite(rows_s)
-            return pd.DataFrame(
-                {
-                    "query_id": rows_q[keep],
-                    "neighbor_id": rows_n[keep],
-                    "cosine": rows_s[keep].astype("float64"),
-                }
-            )
-
-    partials = ds.map_batches(
-        _Score, fn_constructor_args=([qref],), batch_format="pandas",
-        concurrency=(1, 8), max_restarts=0,
-    )
+    partials = ds.map_batches(score_batch, batch_format="pandas")
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
@@ -142,52 +149,42 @@ def ivf_topk(
     probe_cells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
     wanted = [set(row) for row in probe_cells]
     cref = ray.put((C, Q, np.asarray(query_ids), wanted))
+    refs = [cref]
 
-    class _CellScore:
-        def __init__(self, refs):
-            self._refs = refs
-            self.C = None
+    def cell_score_batch(df: pd.DataFrame) -> pd.DataFrame:
+        C_, Q_, qids, wanted_ = _bcast(refs[0])
+        M = _stack_normalized(df[vec_col])
+        cells = np.argmax(M @ C_.T, axis=1)
+        ids = df[id_col].to_numpy()
+        out = []
+        for qi, cellset in enumerate(wanted_):
+            sel = np.isin(cells, list(cellset))
+            if not sel.any():
+                continue
+            sims = Q_[qi] @ M[sel].T
+            cand_ids = ids[sel]
+            notself = cand_ids != qids[qi]
+            kk = min(k, int(notself.sum()))
+            if kk == 0:
+                continue
+            simn = sims[notself]
+            top = np.argpartition(-simn, kk - 1)[:kk]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids[qi], kk),
+                        "neighbor_id": cand_ids[notself][top],
+                        "cosine": simn[top].astype("float64"),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            )
+        return pd.concat(out, ignore_index=True)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if self.C is None:
-                self.C, self.Q, self.qids, self.wanted = ray.get(
-                    self._refs[0]
-                )
-            M = _stack_normalized(df[vec_col])
-            cells = np.argmax(M @ self.C.T, axis=1)
-            ids = df[id_col].to_numpy()
-            out = []
-            for qi, cellset in enumerate(self.wanted):
-                sel = np.isin(cells, list(cellset))
-                if not sel.any():
-                    continue
-                sims = self.Q[qi] @ M[sel].T
-                cand_ids = ids[sel]
-                notself = cand_ids != self.qids[qi]
-                kk = min(k, int(notself.sum()))
-                if kk == 0:
-                    continue
-                simn = sims[notself]
-                top = np.argpartition(-simn, kk - 1)[:kk]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.repeat(self.qids[qi], kk),
-                            "neighbor_id": cand_ids[notself][top],
-                            "cosine": simn[top].astype("float64"),
-                        }
-                    )
-                )
-            if not out:
-                return pd.DataFrame(
-                    {"query_id": [], "neighbor_id": [], "cosine": []}
-                )
-            return pd.concat(out, ignore_index=True)
-
-    partials = ds.map_batches(
-        _CellScore, fn_constructor_args=([cref],), batch_format="pandas",
-        concurrency=(1, 8), max_restarts=0,
-    )
+    partials = ds.map_batches(cell_score_batch, batch_format="pandas")
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
