@@ -530,6 +530,99 @@ def ngram_jaccard_pairs(
                          num_partitions=num_partitions)
 
 
+def connected_components(
+    pairs: rd.Dataset,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    num_partitions: int = 16,
+    max_iters: int = 25,
+) -> rd.Dataset:
+    """Duplicate-cluster resolution: connected components over a
+    near-dup pair list via distributed min-label propagation (iterative
+    dataset-native algorithm — SURVEY.md §2 custom-operator case (a)).
+
+    Each iteration co-partitions labels with edges by node (one
+    shuffle), pushes every node's current label to its neighbors, and
+    takes the per-node min (second shuffle); a per-node ``changed`` flag
+    is reduced to one scalar for the convergence check, so the driver
+    loop terminates after O(component diameter) rounds without ever
+    materializing the label table. Returns (node, label) with label =
+    min id of the node's component. Pair lists are output-scale (dup
+    pairs, not the corpus), and every step is hash-partitioned — the
+    100-TB path needs no driver-side union-find.
+    """
+    from .relational import grouped_apply
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([df[id_a], df[id_b]], ignore_index=True),
+                "peer": pd.concat([df[id_b], df[id_a]], ignore_index=True),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+
+    def init_labels(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("node", sort=False)["peer"].min().reset_index()
+        return pd.DataFrame(
+            {
+                "node": g["node"],
+                "label": np.where(g["peer"] < g["node"], g["peer"],
+                                  g["node"]),
+            }
+        )
+
+    labels = grouped_apply(edges, ["node"], init_labels,
+                           num_partitions=num_partitions)
+
+    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"], "peer": None,
+                             "label": df["label"], "__k": "l"})
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"], "peer": df["peer"],
+                             "label": None, "__k": "e"})
+
+    def propagate(part: pd.DataFrame) -> pd.DataFrame:
+        lab = part.loc[part["__k"] == "l", ["node", "label"]]
+        ed = part.loc[part["__k"] == "e", ["node", "peer"]]
+        m = ed.merge(lab, on="node", how="inner")
+        return pd.DataFrame(
+            {
+                "node": pd.concat([m["peer"], lab["node"]],
+                                  ignore_index=True),
+                "label": pd.concat([m["label"], lab["label"]],
+                                   ignore_index=True),
+                "__self": np.concatenate(
+                    [np.zeros(len(m), bool), np.ones(len(lab), bool)]
+                ),
+            }
+        )
+
+    def reduce_min(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("node", sort=False)["label"].min().reset_index()
+        old = part.loc[part["__self"]].set_index("node")["label"]
+        changed = (
+            g["label"] < old.reindex(g["node"]).to_numpy()
+        )
+        return g.assign(changed=changed.astype("int64"))
+
+    for _ in range(max_iters):
+        both = labels.map_batches(tag_labels, batch_format="pandas").union(
+            edges.map_batches(tag_edges, batch_format="pandas")
+        )
+        proposed = grouped_apply(both, ["node"], propagate,
+                                 num_partitions=num_partitions)
+        new_labels = grouped_apply(proposed, ["node"], reduce_min,
+                                   num_partitions=num_partitions).materialize()
+        n_changed = new_labels.sum("changed")
+        labels = new_labels.drop_columns(["changed"])
+        if not n_changed:
+            break
+    return labels
+
+
 # ---------------------------------------------------------------------------
 
 _SIMHASH_NBITS = 64

@@ -824,6 +824,38 @@ def q_dedup_minhash(sf_dir: str):
     )
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Duplicate-cluster resolution: connected components (distributed
+    min-label propagation) over the exact n-gram-Jaccard ≥ 0.5 pair set;
+    cluster id = min doc_id of the component. Oracle: the same pairs via
+    SQL + a recursive-CTE reachability closure."""
+    pairs = dedup.ngram_jaccard_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=5, threshold=0.5,
+    )
+    out = dedup.connected_components(pairs)
+    return out.map_batches(
+        lambda df: df.rename(columns={"node": "doc_id",
+                                      "label": "cluster_id"}),
+        batch_format="pandas",
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+p AS ({SQL_NGRAM_JACCARD}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src
+)
+SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+"""
+
+
 def q_dedup_simhash(sf_dir: str):
     return dedup.simhash_dedup(
         read_table(sf_dir, "documents", columns=["doc_id", "text"]),
@@ -1115,6 +1147,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
@@ -1160,6 +1193,7 @@ ORACLE_SQL = {
     "embedding_stats": SQL_EMBEDDING_STATS,
     "asof_join": SQL_ASOF_JOIN,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "langid": SQL_LANGID,
     "quality": SQL_QUALITY,

@@ -195,6 +195,26 @@ def test_embedding_near_dup_ivf_recall(ray_session):
     assert dup == 0  # multi-cell pairs deduped
 
 
+def test_connected_components(ray_session):
+    """Min-label propagation: a 4-node path (needs >1 iteration for the
+    min to reach the far end) plus a separate pair and a triangle."""
+    import ray.data as rd
+
+    pairs = pd.DataFrame(
+        {
+            "id_a": ["a", "b", "c", "x", "p", "q", "p"],
+            "id_b": ["b", "c", "d", "y", "q", "r", "r"],
+        }
+    )
+    out = dedup.connected_components(rd.from_pandas(pairs)).to_pandas()
+    got = dict(zip(out["node"], out["label"]))
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "x": "x", "y": "x",
+        "p": "p", "q": "p", "r": "p",
+    }
+
+
 def test_minhash_signature_deterministic():
     a, b = dedup._minhash_params(32)
     s1 = dedup.minhash_signature(BASE, a, b)

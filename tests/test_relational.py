@@ -38,6 +38,7 @@ SQL_CHECKED = [
     "embedding_stats",
     "asof_join",
     "ngram_jaccard",
+    "dedup_clusters",
     "dedup_embedding",
     "langid",
     "quality",
