@@ -197,15 +197,8 @@ def bucketed_hash_join(
     right_cols = list(right.schema().names)
 
     def tag(df: pd.DataFrame, side: str) -> pd.DataFrame:
-        df = df.copy()
-        key = df[on[0]].astype("string")
-        for c in on[1:]:
-            key = key + "\x00" + df[c].astype("string")
-        df["__bucket"] = pd.util.hash_array(
-            key.to_numpy(dtype=object)
-        ) % num_buckets
-        df["__side"] = side
-        return df
+        return df.assign(__bucket=_key_hash(df, on) % num_buckets,
+                         __side=side)
 
     lt = left.map_batches(partial(tag, side="l"), batch_format="pandas")
     rt = right.map_batches(partial(tag, side="r"), batch_format="pandas")
@@ -381,6 +374,18 @@ def distinct(
     )
 
 
+def _key_hash(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
+    """Vectorized uint64 hash of key columns: single keys hash their
+    native values directly (no per-row string conversion); composite
+    keys fall back to a NUL-joined string render."""
+    if len(keys) == 1:
+        return pd.util.hash_array(df[keys[0]].to_numpy())
+    key = df[keys[0]].astype("string")
+    for c in keys[1:]:
+        key = key + "\x00" + df[c].astype("string")
+    return pd.util.hash_array(key.to_numpy(dtype=object))
+
+
 def grouped_apply(
     ds: rd.Dataset,
     keys: Sequence[str],
@@ -398,12 +403,7 @@ def grouped_apply(
     keys = list(keys)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
-        key = df[keys[0]].astype("string")
-        for c in keys[1:]:
-            key = key + "\x00" + df[c].astype("string")
-        return df.assign(
-            __gp=pd.util.hash_array(key.to_numpy(dtype=object)) % num_partitions
-        )
+        return df.assign(__gp=_key_hash(df, keys) % num_partitions)
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns="__gp"))
