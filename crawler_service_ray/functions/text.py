@@ -33,6 +33,11 @@ _STOPWORDS = {
     "with", "as", "was", "at", "by", "an", "be", "this", "are", "from",
 }
 
+# fingerprint of an empty document (its single "" gram), precomputed
+_EMPTY_FP = np.uint64(
+    pd.util.hash_array(np.array([""], dtype=object))[0]
+)
+
 
 class LangId:
     """Heuristic language ID: count marker-substring hits per language
@@ -147,36 +152,88 @@ def fingerprint_batch(
     id_col: str = "doc_id",
     window: int = 8,
 ) -> pd.DataFrame:
-    """Winnowing-style document fingerprint: rolling hash over word
-    4-grams, keep the min hash per window of ``window`` consecutive
-    grams; fingerprint = hash of the selected set. Deterministic; near-
-    identical docs share most selected hashes."""
-    fps = np.empty(len(df), dtype=np.uint64)
-    n_sel = np.empty(len(df), dtype=np.int64)
-    for i, t in enumerate(df[text_col].astype(str)):
-        words = t.split()
-        if len(words) < 4:
-            grams = [" ".join(words)] if words else [""]
-        else:
-            grams = [" ".join(words[j : j + 4]) for j in range(len(words) - 3)]
-        h = pd.util.hash_array(np.array(grams, dtype=object))
-        if len(h) <= window:
-            sel = np.unique(h.min(keepdims=True))
-        else:
-            idx = np.lib.stride_tricks.sliding_window_view(h, window).argmin(
-                axis=1
-            ) + np.arange(len(h) - window + 1)
-            sel = np.unique(h[np.unique(idx)])
-        fps[i] = pd.util.hash_array(
-            np.array([sel.tobytes()], dtype=object)
-        )[0]
-        n_sel[i] = len(sel)
+    """Winnowing-style document fingerprint, batch-vectorized: ONE
+    word-level hash pass, numeric rolling 4-gram hashes (no string
+    concatenation), a single global sliding-window argmin over the flat
+    gram array (per-doc segments select only their in-bounds windows),
+    and a per-doc XOR fold of the unique selected hashes (XOR is
+    order-free, so the fold needs no per-doc loop — one
+    ``bitwise_xor.reduceat``). Deterministic; near-identical docs share
+    most selected hashes so their fingerprints differ, but their
+    ``n_anchors``/anchor overlap exposes the similarity."""
+    from .dedup import _mix64
+
+    k = 4
+    n = len(df)
+    words = df[text_col].astype(str).str.split()
+    lens = words.str.len().fillna(0).to_numpy().astype(np.int64)
+    fps = np.full(n, _EMPTY_FP, dtype=np.uint64)
+    n_sel = np.ones(n, dtype=np.int64)  # empty docs: the single "" gram
+    if lens.sum() == 0:
+        return pd.DataFrame(
+            {id_col: df[id_col], "fingerprint": fps, "n_anchors": n_sel}
+        )
+    flat = np.concatenate(
+        [w for w in words.to_numpy() if isinstance(w, list) and w]
+    ).astype(object)
+    wh = pd.util.hash_array(flat)
+    ngr = np.where(lens == 0, 0, np.maximum(lens - k + 1, 1))
+    G0 = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=G0[1:])
+    S0 = np.zeros(n + 1, np.int64)
+    np.cumsum(ngr, out=S0[1:])
+    total = int(S0[-1])
+    gs = np.arange(total) - np.repeat(S0[:-1], ngr) + np.repeat(G0[:-1], ngr)
+    ends = np.repeat(G0[1:], ngr)
+    h = wh[gs].astype(np.uint64)
+    for j in range(1, k):
+        idx = np.minimum(gs + j, ends - 1)
+        h = _mix64(h ^ wh[idx].astype(np.uint64))
+    doc_of = np.repeat(np.arange(n), ngr)
+    sel_mask = np.zeros(total, dtype=bool)
+    nonempty = ngr > 0
+    # small segments (≤ window grams): the selected set is {segment min} —
+    # mark every position holding the doc min (duplicates collapse later)
+    small = nonempty & (ngr <= window)
+    if small.any():
+        starts = S0[:-1][nonempty]
+        seg_min = np.minimum.reduceat(h, starts)
+        doc_min = np.zeros(n, dtype=np.uint64)
+        doc_min[nonempty] = seg_min
+        is_small_pos = small[doc_of]
+        sel_mask |= is_small_pos & (h == doc_min[doc_of])
+    # large segments: one global stride view; each doc keeps only its
+    # in-bounds window starts
+    big = ngr > window
+    if big.any() and total >= window:
+        sw = np.lib.stride_tricks.sliding_window_view(h, window)
+        am = sw.argmin(axis=1) + np.arange(total - window + 1)
+        n_win = ngr[big] - window + 1
+        win_starts = (
+            np.arange(int(n_win.sum()))
+            - np.repeat(np.concatenate(([0], np.cumsum(n_win)[:-1])), n_win)
+            + np.repeat(S0[:-1][big], n_win)
+        )
+        sel_mask[am[win_starts]] = True
+    sel_doc = doc_of[sel_mask]
+    sel_h = h[sel_mask]
+    order = np.lexsort((sel_h, sel_doc))
+    sd, sh = sel_doc[order], sel_h[order]
+    first = np.ones(len(sd), dtype=bool)
+    first[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+    sd, sh = sd[first], sh[first]
+    seg_starts = np.nonzero(
+        np.concatenate(([True], sd[1:] != sd[:-1]))
+    )[0]
+    folded = _mix64(
+        np.bitwise_xor.reduceat(_mix64(sh), seg_starts)
+    )
+    present = sd[seg_starts]
+    fps[present] = folded
+    counts = np.bincount(sd, minlength=n)
+    n_sel[present] = counts[present]
     return pd.DataFrame(
-        {
-            id_col: df[id_col],
-            "fingerprint": fps,
-            "n_anchors": n_sel,
-        }
+        {id_col: df[id_col], "fingerprint": fps, "n_anchors": n_sel}
     )
 
 

@@ -129,3 +129,47 @@ def test_partition_writer_spills_at_threshold(ray_session, tmp_path):
     for f in files:
         got.extend(pq.read_table(f)["url"].to_pylist())
     assert sorted(got) == sorted(sent)
+
+
+def test_mid_epoch_crash_leaves_no_partial_commit(ray_session, tiny_corpus,
+                                                  tmp_path):
+    """A failure mid-epoch (after fetch side-writes, before the manifest)
+    must leave NO committed epoch dir; resume wipes the temp dir, reruns
+    the epoch from the checkpointed frontier, and the final outputs are
+    byte-identical to an uninterrupted run — the contract that lets the
+    expand/admission stages run with max_retries=0."""
+    import pytest
+
+    from crawler_service_ray.pipelines import crawl as crawl_mod
+
+    full = _cfg(tiny_corpus, str(tmp_path / "full"))
+    CrawlRun(full).run(resume=False)
+
+    cfg = _cfg(tiny_corpus, str(tmp_path / "crash"))
+    orig = crawl_mod.extract_links
+    state = {"calls": 0}
+
+    def exploding_extract(t):
+        state["calls"] += 1
+        if state["calls"] == 4:  # fail inside epoch 3, after the fetch
+            raise RuntimeError("injected mid-epoch crash")
+        return orig(t)
+
+    crawl_mod.extract_links = exploding_extract
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            CrawlRun(cfg).run(resume=False)
+    finally:
+        crawl_mod.extract_links = orig
+
+    epochs_dir = os.path.join(cfg.run_dir, "epochs")
+    committed = [d for d in os.listdir(epochs_dir) if d.startswith("epoch=")]
+    tmp_dirs = [d for d in os.listdir(epochs_dir) if d.startswith(".tmp_")]
+    assert len(committed) == 3  # epochs 0-2 committed, epoch 3 not
+    assert tmp_dirs  # the crashed epoch's temp dir remains for the wipe
+    assert not os.path.exists(os.path.join(cfg.run_dir, "run_summary.json"))
+
+    CrawlRun(cfg).run(resume=True)
+    a = fetched_table(full.run_dir).sort_by("url")
+    b = fetched_table(cfg.run_dir).sort_by("url")
+    assert a.equals(b)
