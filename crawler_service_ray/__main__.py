@@ -42,6 +42,15 @@ def main(argv=None) -> int:
     s = sub.add_parser("status", help="show run status from manifests")
     s.add_argument("--run", required=True)
 
+    dr = sub.add_parser(
+        "drain",
+        help="paginated consumer: print n fetched rows (JSONL) + cursor",
+    )
+    dr.add_argument("--run", required=True)
+    dr.add_argument("-n", type=int, default=10)
+    dr.add_argument("--cursor", default=None,
+                    help="'epoch:url' from a previous drain")
+
     g = sub.add_parser("gen-corpus", help="synthesize a corpus")
     g.add_argument("--corpus", required=True)
     g.add_argument("--hosts", type=int, default=8)
@@ -60,6 +69,22 @@ def main(argv=None) -> int:
             fanout=args.fanout, cross=args.cross, num_buckets=args.buckets,
         )
         print(json.dumps(meta))
+        return 0
+
+    if args.cmd == "drain":
+        from .pipelines.crawl import drain_fetched
+
+        cursor = None
+        if args.cursor:
+            ep, _, url = args.cursor.partition(":")
+            cursor = (int(ep), url)
+        page, nxt = drain_fetched(args.run, args.n, cursor)
+        for row in page.drop_columns(["spans"]).to_pylist():
+            print(json.dumps(row))
+        print(json.dumps(
+            {"cursor": f"{nxt[0]}:{nxt[1]}" if nxt else None,
+             "rows": page.num_rows}
+        ))
         return 0
 
     if args.cmd == "status":

@@ -74,6 +74,12 @@ def canon_and_filter(
     ``robots`` is the broadcast small side (``ray.put`` once, read in every
     task — SURVEY.md §2.4 J4): host → disallow path prefixes. The prefix
     check is vectorized per DISTINCT prefix (a handful), not per row.
+    Scale note: the broadcast is O(total hosts with rules); at 10^9-host
+    scale robots filtering moves to ADMISSION time, where every frontier
+    partition is host-complete and needs only its own hosts' rules
+    (host-hash-partitioned rule files) — link targets here span arbitrary
+    hosts, so discovery-time filtering inherently needs either the
+    broadcast or a per-link rules join.
     Entirely Arrow compute kernels — this stage processes ~3× the crawl's
     URL volume, and pandas object strings both cost more and contend
     across workers (measured).
