@@ -1036,6 +1036,82 @@ FROM documents
 """
 
 
+def q_curate(sf_dir: str):
+    """The training-data export composition: quality-score + language
+    filter → exact-dedup first-wins → per-language token accounting.
+    Every stage is a reused oracle-checked kernel, so the whole chain
+    carries a DuckDB oracle — the end-to-end 'curate a corpus' pipeline
+    a 100-TB run would execute (filters prune BEFORE the dedup shuffle;
+    only (hash, id) pairs shuffle)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        q = text.quality_features(df)
+        lang = text.LangId()(df)
+        out = df[["doc_id", "text"]].copy()
+        out["quality_score"] = q["quality_score"]
+        out["n_words"] = q["n_words"]
+        out["lang_pred"] = lang["lang_pred"].to_numpy()
+        return out[(out["quality_score"] >= 0.5)
+                   & (out["lang_pred"] == "en")]
+
+    kept = docs.map_batches(score, batch_format="pandas")
+    survivors = dedup.exact_dedup(kept, text_col="text", id_col="doc_id")
+    out = bucketed_hash_join(
+        survivors,
+        kept.map_batches(
+            lambda df: df[["doc_id", "n_words", "quality_score"]],
+            batch_format="pandas",
+        ),
+        on="doc_id", num_buckets=8,
+    )
+    return out.map_batches(
+        lambda df: df.assign(
+            quality_score=df["quality_score"].round(6),
+            dup_count=df["dup_count"].astype("int64"),
+            n_words=df["n_words"].astype("int64"),
+        )[["doc_id", "dup_count", "n_words", "quality_score"]],
+        batch_format="pandas",
+    )
+
+
+SQL_CURATE = f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '\\S+')) AS n_words,
+         least(len(regexp_extract_all(text, '\\S+')) / 100.0, 1.0) * 0.4
+           + least(greatest(1 - (len(regexp_extract_all(text,
+               '[^0-9A-Za-z_\\t\\n\\f\\r ]'))
+               / greatest(length(text), 1)) * 5, 0), 1) * 0.3
+           + least((len(list_filter(string_split(lower(text), ' '),
+               w -> w IN ({_SQL_STOPWORDS})))
+               / greatest(len(regexp_extract_all(text, '\\S+')), 1)) * 4,
+               1) * 0.3 AS quality_score,
+         ' ' || text || ' ' AS s
+  FROM documents),
+lang AS (
+  SELECT doc_id, n_words, quality_score, text,
+         CAST({_sql_lang_score('en')} AS DOUBLE) AS s_en,
+         CAST({_sql_lang_score('es')} AS DOUBLE) AS s_es,
+         CAST({_sql_lang_score('fr')} AS DOUBLE) AS s_fr,
+         CAST({_sql_lang_score('de')} AS DOUBLE) AS s_de,
+         CAST({_sql_lang_score('zh')} AS DOUBLE)
+           + 10.0 * len(regexp_extract_all(s, '[一-鿿]'))
+             / greatest(length(s), 1) * 5 AS s_zh
+  FROM scored),
+kept AS (
+  SELECT doc_id, text, n_words, quality_score FROM lang
+  WHERE quality_score >= 0.5
+    AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh),
+survivors AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+  FROM kept GROUP BY text)
+SELECT s.doc_id, s.dup_count, k.n_words,
+       round(k.quality_score, 6) AS quality_score
+FROM survivors s JOIN kept k ON s.doc_id = k.doc_id
+"""
+
+
 def q_fingerprint(sf_dir: str):
     return read_table(
         sf_dir, "documents", columns=["doc_id", "text"]
@@ -1155,6 +1231,7 @@ QUERIES = {
     "langid": q_langid,
     "quality": q_quality,
     "tokens": q_tokens,
+    "curate": q_curate,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
     "crawl_stats": q_crawl_stats,
@@ -1198,4 +1275,5 @@ ORACLE_SQL = {
     "langid": SQL_LANGID,
     "quality": SQL_QUALITY,
     "tokens": SQL_TOKENS,
+    "curate": SQL_CURATE,
 }

@@ -43,6 +43,7 @@ SQL_CHECKED = [
     "langid",
     "quality",
     "tokens",
+    "curate",
 ]
 
 
