@@ -619,8 +619,14 @@ def connected_components(
         n_changed = new_labels.sum("changed")
         labels = new_labels.drop_columns(["changed"])
         if not n_changed:
-            break
-    return labels
+            return labels
+    # labels are still moving: returning them silently would split true
+    # components. Min-label propagation needs O(component diameter)
+    # rounds — raise rather than emit wrong clusters.
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations "
+        "(a component's diameter exceeds max_iters); raise max_iters"
+    )
 
 
 # ---------------------------------------------------------------------------

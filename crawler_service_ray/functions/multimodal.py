@@ -184,7 +184,10 @@ class MediaFeatures:
                 width[i], height[i] = f["width"], f["height"]
                 rate[i], channels[i] = f["sample_rate"], f["channels"]
                 ok[i] = True
-            except NotImplementedError:
+            except (NotImplementedError, struct.error):
+                # unknown magic OR a truncated/corrupt header that passed
+                # the sniff — both surface as an undecodable row, never a
+                # stage crash
                 mtypes[i] = sniff_mime(p)
                 ok[i] = False
         return pa.Table.from_arrays(

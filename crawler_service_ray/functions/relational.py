@@ -159,20 +159,31 @@ def broadcast_join(
     refs = [ref]  # nested so Ray ships the ref, not the resolved value
 
     def join_batch(df: pd.DataFrame) -> pd.DataFrame:
-        r = refs[0]
-        key = ("bcast", r.hex())
-        small_df = _PROC_BCAST.get(key)
-        if small_df is None:
-            small_df = ray.get(r)
-            _PROC_BCAST[key] = small_df
-        return df.merge(small_df, on=on, how=how)
+        return df.merge(resolve_broadcast(refs[0]), on=on, how=how)
 
     return ds.map_batches(join_batch, batch_format="pandas")
 
 
-# per-worker-process cache of resolved broadcast tables (zero-copy views
-# of plasma objects; values are read-only by convention)
-_PROC_BCAST: dict = {}
+# Per-worker-process LRU of resolved broadcast objects. Bounded: every
+# broadcast op ray.puts a fresh object, so an unbounded cache would
+# retain one deserialized copy per past execution in every worker of a
+# long-lived session. Eight entries covers the live pipelines of a run;
+# older entries drop and would simply re-resolve.
+_PROC_BCAST: "dict[str, object]" = {}
+_PROC_BCAST_MAX = 8
+
+
+def resolve_broadcast(ref):
+    """ray.get a broadcast ref with a small per-worker LRU (shared by
+    every task-based broadcast stage — joins, ANN scorers)."""
+    key = ref.hex()
+    v = _PROC_BCAST.pop(key, None)
+    if v is None:
+        v = ray.get(ref)
+    _PROC_BCAST[key] = v  # re-insert = move to MRU position
+    while len(_PROC_BCAST) > _PROC_BCAST_MAX:
+        _PROC_BCAST.pop(next(iter(_PROC_BCAST)))
+    return v
 
 
 def bucketed_hash_join(
@@ -377,12 +388,28 @@ def distinct(
 def _key_hash(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
     """Vectorized uint64 hash of key columns: single keys hash their
     native values directly (no per-row string conversion); composite
-    keys fall back to a NUL-joined string render."""
+    keys fall back to a NUL-joined string render.
+
+    Numeric/datetime keys are canonicalized to float64 first so the SAME
+    logical key always lands in the same partition even when the two
+    sides of a co-partitioned op carry different physical dtypes (e.g.
+    one side's int64 widened to float64 by a null-padding union —
+    hash_array hashes raw bits, so 5 and 5.0 would otherwise diverge)."""
+
+    def canon(col: pd.Series):
+        arr = col.to_numpy()
+        if arr.dtype.kind in "iuf":
+            return arr.astype(np.float64)
+        if arr.dtype.kind in "mM":
+            return arr.view("int64").astype(np.float64)
+        return arr
+
     if len(keys) == 1:
-        return pd.util.hash_array(df[keys[0]].to_numpy())
-    key = df[keys[0]].astype("string")
-    for c in keys[1:]:
-        key = key + "\x00" + df[c].astype("string")
+        return pd.util.hash_array(canon(df[keys[0]]))
+    parts = [pd.Series(canon(df[c])).astype("string") for c in keys]
+    key = parts[0]
+    for p in parts[1:]:
+        key = key + "\x00" + p
     return pd.util.hash_array(key.to_numpy(dtype=object))
 
 

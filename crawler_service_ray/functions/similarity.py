@@ -29,19 +29,12 @@ def _stack_normalized(series: pd.Series) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
-# per-worker-process cache of resolved broadcast objects (zero-copy
-# plasma views; scorer stages run as plain tasks — no real per-worker
-# state beyond these, and task stages skip actor-pool spin-up)
-_PROC_BCAST: dict = {}
-
-
 def _bcast(ref):
-    key = ref.hex()
-    v = _PROC_BCAST.get(key)
-    if v is None:
-        v = ray.get(ref)
-        _PROC_BCAST[key] = v
-    return v
+    """Resolve a broadcast ref via the shared per-worker LRU (scorer
+    stages run as plain tasks — no per-worker state beyond this)."""
+    from .relational import resolve_broadcast
+
+    return resolve_broadcast(ref)
 
 
 def train_centroids(

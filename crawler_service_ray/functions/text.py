@@ -78,17 +78,26 @@ def quality_features(
     """Vectorized quality metrics: n_chars, n_words, mean_word_len,
     punct_ratio, stopword_ratio, quality_score ∈ [0,1].
 
-    Character classes are explicit ASCII (RE2-safe) and tokenization is
-    single-space split, so every column matches the DuckDB oracle
-    (SQL_QUALITY) bit-for-bit in float64."""
+    Counting runs on Arrow's RE2 kernels — the SAME regex engine DuckDB
+    uses — so every column matches the oracle (SQL_QUALITY) bit-for-bit
+    in float64 even on Unicode edge cases (python-re's \\S is
+    Unicode-aware while RE2's is ASCII; mixing engines diverges on
+    NBSP/ideographic spaces)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     s = df[text_col].astype(str)
-    n_chars = s.str.len().to_numpy()
-    n_words = s.str.count(r"\S+").to_numpy().astype("int64")
+    arr = pa.array(s)
+    n_chars = pc.utf8_length(arr).to_numpy().astype("int64")
+    n_words = pc.count_substring_regex(arr, pattern=r"\S+").to_numpy().astype(
+        "int64"
+    )
     mean_wl = np.where(
         n_words > 0, (s.str.replace(" ", "", regex=False).str.len()) / np.maximum(n_words, 1), 0.0
     )
-    # explicit ASCII punct class (identical semantics in python re / RE2)
-    punct = s.str.count(r"[^0-9A-Za-z_\t\n\f\r ]").to_numpy()
+    punct = pc.count_substring_regex(
+        arr, pattern=r"[^0-9A-Za-z_\t\n\f\r ]"
+    ).to_numpy()
     punct_ratio = punct / np.maximum(n_chars, 1)
     # stopword count: explode single-space tokens, vectorized membership
     toks = s.str.lower().str.split(" ").explode()

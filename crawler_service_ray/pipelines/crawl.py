@@ -888,6 +888,11 @@ def fetched_dataset(run_dir: str):
     return rd.read_parquet(files)
 
 
+# one-entry per-process cache for drain_fetched: the last epoch's sorted
+# fetched table (epochs are immutable once committed)
+_DRAIN_CACHE: dict = {}
+
+
 def drain_fetched(
     run_dir: str,
     n: int,
@@ -905,7 +910,11 @@ def drain_fetched(
     passing the returned cursor back continues exactly after it — across
     process restarts too, since the cursor carries no in-memory state.
     Reads one epoch's fetched files at a time, so driver memory is
-    bounded by one epoch + the page, not the run.
+    bounded by one epoch + the page; a one-entry per-process cache keeps
+    the LAST epoch's sorted table, so sequentially draining an epoch in
+    small pages is O(page) per call instead of re-reading and re-sorting
+    the epoch every page (committed epochs are immutable, so the cache
+    can never go stale within a run dir).
 
     Returns (page table, next cursor); next cursor is None when the run
     is exhausted.
@@ -927,8 +936,15 @@ def drain_fetched(
         )
         if not files:
             continue
-        t = pa.concat_tables([pq.read_table(f) for f in files])
-        t = t.sort_by("url")
+        cache_key = (os.path.abspath(run_dir), k, tuple(files))
+        if _DRAIN_CACHE.get("key") == cache_key:
+            t = _DRAIN_CACHE["table"]
+        else:
+            t = pa.concat_tables(
+                [pq.read_table(f) for f in files]
+            ).sort_by("url")
+            _DRAIN_CACHE["key"] = cache_key
+            _DRAIN_CACHE["table"] = t
         if k == start_epoch and after_url:
             mask = pc.greater(t["url"], pa.scalar(after_url))
             t = t.filter(mask)

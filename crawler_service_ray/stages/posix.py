@@ -48,7 +48,9 @@ class PosixFetcher:
 
     def _path_of(self, url: str) -> str | None:
         prefix = f"posix://{self.alias}"
-        if not url.startswith(prefix):
+        # exact host match only: posix://database/... must NOT prefix-match
+        # the "data" alias into the tree
+        if url != prefix and not url.startswith(prefix + "/"):
             return None
         rel = url[len(prefix):].lstrip("/")
         p = os.path.normpath(os.path.join(self.root, rel))
