@@ -221,3 +221,16 @@ def test_minhash_signature_deterministic():
     s2 = dedup.minhash_signature(BASE, a, b)
     assert (s1 == s2).all()
     assert s1.dtype == np.uint64
+
+
+def test_connected_components_raises_on_nonconvergence(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    # a 6-node path needs >2 rounds for the min to reach the far end
+    chain = pd.DataFrame(
+        {"id_a": ["a", "b", "c", "d", "e"],
+         "id_b": ["b", "c", "d", "e", "f"]}
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(rd.from_pandas(chain), max_iters=1)

@@ -80,19 +80,21 @@ def test_posix_fetcher_404_and_traversal_guard(tmp_path):
     t = pa.table(
         {
             "url": ["posix://data/missing", "posix://data/../escape",
-                    "posix://data/readme.txt"],
-            "host": ["data"] * 3,
-            "priority": pa.array([0.0] * 3, type=pa.float32()),
-            "depth": pa.array([0] * 3, type=pa.int32()),
-            "host_rank": pa.array([0] * 3, type=pa.int32()),
-            "virtual_ts_ms": pa.array([0] * 3, type=pa.int64()),
-            "retries": pa.array([0] * 3, type=pa.int16()),
+                    "posix://database/readme.txt", "posix://data/readme.txt"],
+            "host": ["data"] * 4,
+            "priority": pa.array([0.0] * 4, type=pa.float32()),
+            "depth": pa.array([0] * 4, type=pa.int32()),
+            "host_rank": pa.array([0] * 4, type=pa.int32()),
+            "virtual_ts_ms": pa.array([0] * 4, type=pa.int64()),
+            "retries": pa.array([0] * 4, type=pa.int16()),
         }
     )
     out = f(t)
     st = dict(zip(out["url"].to_pylist(), out["status"].to_pylist()))
     assert st["posix://data/missing"] == 404
     assert st["posix://data/../escape"] == 404  # cannot escape the root
+    # a LONGER host sharing the alias prefix must not map into the tree
+    assert st["posix://database/readme.txt"] == 404
     assert st["posix://data/readme.txt"] == 200
 
 

@@ -136,3 +136,23 @@ def test_distinct_partitioned_merge_matches_coalesced(ray_session):
     a = distinct(ds, ["o_custkey"]).to_pandas()
     b = distinct(ds, ["o_custkey"], merge_partitions=8).to_pandas()
     assert sorted(a["o_custkey"]) == sorted(b["o_custkey"])
+
+
+def test_semi_anti_join_survives_dtype_widening(ray_session):
+    """Equal keys must co-locate even when one side's int key column is
+    physically float (null-padding/widening) — the partition hash
+    canonicalizes numerics."""
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import semi_anti_join
+
+    left = pd.DataFrame({"k": np.arange(20, dtype="int64"),
+                         "v": list("abcdefghijklmnopqrst")})
+    right = pd.DataFrame({"k": np.arange(0, 20, 2).astype("float64")})
+    semi = semi_anti_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on="k", anti=False).to_pandas()
+    anti = semi_anti_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on="k", anti=True).to_pandas()
+    assert sorted(semi["k"]) == list(range(0, 20, 2))
+    assert sorted(anti["k"]) == list(range(1, 20, 2))

@@ -166,3 +166,23 @@ def test_header_codec_sniff_and_parse():
     with _pytest.raises(NotImplementedError):
         codec.decode(b"\x00\x01\x02\x03 headerless blob")
     assert mm.sniff_mime(b"\x00\x01\x02") == "application/octet-stream"
+
+
+def test_header_codec_truncated_payloads_do_not_crash(ray_session):
+    """Payloads with valid magic but truncated headers surface as
+    undecodable rows, not a stage crash."""
+    import pyarrow as pa
+
+    from crawler_service_ray.functions import multimodal as mm
+
+    t = pa.table(
+        {
+            "media_ref": ["a", "b", "c"],
+            "doc_id": ["d1", "d2", "d3"],
+            "payload": [b"\x89PNG\r\n\x1a\n", b"RIFF\x00\x00\x00\x00WAVE",
+                        mm._png_payload(12345)],
+        }
+    )
+    out = mm.MediaFeatures()(t)
+    dec = dict(zip(out["media_ref"].to_pylist(), out["decoded"].to_pylist()))
+    assert dec == {"a": False, "b": False, "c": True}
