@@ -848,31 +848,27 @@ def embedding_near_dup_ivf(
     from .relational import grouped_apply
     from .similarity import train_centroids
 
+    from .relational import resolve_broadcast
+
     C = train_centroids(ds, vec_col=vec_col, num_cells=num_cells,
                         sample_size=sample_size, seed=seed)
     cref = ray.put(C)
+    refs = [cref]  # nested so Ray ships the ref, not the resolved value
 
-    class _Assign:
-        def __init__(self, refs):
-            self._refs = refs
-            self.C = None
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if self.C is None:
-                self.C = ray.get(self._refs[0])
-            M = np.stack(df[vec_col].to_numpy()).astype(np.float64)
-            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-            t = min(assign_top, self.C.shape[0])
-            cells = np.argsort(-(M @ self.C.T), axis=1, kind="stable")[:, :t]
-            n = len(df)
-            rep = np.repeat(np.arange(n), t)
-            out = df.iloc[rep][[id_col, vec_col]].reset_index(drop=True)
-            out["__cell"] = cells.reshape(-1)
-            return out
+    def assign_batch(df: pd.DataFrame) -> pd.DataFrame:
+        C_ = resolve_broadcast(refs[0])
+        M = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        t = min(assign_top, C_.shape[0])
+        cells = np.argsort(-(M @ C_.T), axis=1, kind="stable")[:, :t]
+        n = len(df)
+        rep = np.repeat(np.arange(n), t)
+        out = df.iloc[rep][[id_col, vec_col]].reset_index(drop=True)
+        out["__cell"] = cells.reshape(-1)
+        return out
 
     assigned = ds.select_columns([id_col, vec_col]).map_batches(
-        _Assign, fn_constructor_args=([cref],), batch_format="pandas",
-        concurrency=(1, 8), max_restarts=0,
+        assign_batch, batch_format="pandas"
     )
 
     def per_partition(part: pd.DataFrame) -> pd.DataFrame:
