@@ -590,6 +590,90 @@ def grouped_quantiles(
     )
 
 
+def grouped_quantiles_sketch(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    col: str,
+    quantiles: Sequence[float],
+    out_names: Sequence[str] | None = None,
+    bins: int = 2048,
+) -> rd.Dataset:
+    """Approximate grouped quantiles via a mergeable fixed-width
+    histogram sketch — the bounded-memory 100-TB path behind
+    ``grouped_quantiles`` (which must co-locate every group's raw
+    values).
+
+    Two passes, both O(keys × bins) state regardless of input size:
+    (1) per-key min/max (tiny grouped aggregate, broadcast);
+    (2) per-batch per-key bin counts — pure additive partials, merged by
+    summation like any ``grouped_agg``. Quantiles are estimated by
+    linear interpolation of the cumulative histogram inside the target
+    bin, so value error is bounded by one bin width (range/bins) and the
+    result is DETERMINISTIC and partitioning-independent — unlike
+    merge-order-sensitive sketches (t-digest), identical at every
+    parallelism. Accuracy vs the exact path is pinned by pytest."""
+    keys = list(keys)
+    qs = list(quantiles)
+    names = list(out_names) if out_names else [f"q{int(q * 100)}" for q in qs]
+
+    rng_tbl = grouped_agg(
+        ds, keys, {"__lo": (col, "min"), "__hi": (col, "max")}
+    ).to_pandas()
+    ranges = {
+        tuple(row[k] for k in keys): (float(row["__lo"]), float(row["__hi"]))
+        for _, row in rng_tbl.iterrows()
+    }
+    ref = ray.put(ranges)
+    refs = [ref]
+
+    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        rngs = resolve_broadcast(refs[0])
+        out = []
+        for kv, g in df.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            lo, hi = rngs[kv]
+            width = (hi - lo) or 1.0
+            v = g[col].to_numpy(dtype=np.float64)
+            b = np.clip(((v - lo) / width * bins).astype(np.int64), 0,
+                        bins - 1)
+            counts = np.bincount(b, minlength=bins)
+            nz = np.nonzero(counts)[0]
+            out.append(pd.DataFrame({
+                **{k: np.repeat(c, len(nz)) for k, c in zip(keys, kv)},
+                "__bin": nz,
+                "__n": counts[nz],
+            }))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {**{k: [] for k in keys}, "__bin": [], "__n": []}
+        )
+
+    partials = ds.map_batches(partial_hist, batch_format="pandas")
+
+    def estimate(part: pd.DataFrame) -> pd.DataFrame:
+        rngs = resolve_broadcast(refs[0])
+        rows = []
+        for kv, g in part.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            lo, hi = rngs[kv]
+            width = (hi - lo) or 1.0
+            h = np.zeros(bins, dtype=np.int64)
+            np.add.at(h, g["__bin"].to_numpy(), g["__n"].to_numpy())
+            cum = np.cumsum(h)
+            n = cum[-1]
+            ests = []
+            for q in qs:
+                target = q * (n - 1) + 1  # rank (1-based, continuous)
+                bi = int(np.searchsorted(cum, target))
+                prev = cum[bi - 1] if bi > 0 else 0
+                inbin = h[bi] or 1
+                frac = (target - prev) / inbin
+                ests.append(lo + (bi + frac) * width / bins)
+            rows.append(kv + tuple(ests))
+        return pd.DataFrame(rows, columns=keys + names)
+
+    return grouped_apply(partials, keys, estimate, num_partitions=16)
+
+
 def grouped_corr(
     ds: rd.Dataset,
     keys: Sequence[str],

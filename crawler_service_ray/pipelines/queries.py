@@ -448,6 +448,18 @@ FROM events GROUP BY 1
 """
 
 
+def q_quantiles_sketch(sf_dir: str):
+    """Approximate grouped quantiles via the mergeable histogram sketch
+    (bounded memory at any scale; value error ≤ range/bins). Rows-only —
+    approximation can't hash-match SQL; accuracy is pinned by pytest."""
+    from ..functions.relational import grouped_quantiles_sketch
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantiles_sketch(
+        ds, ["event_type"], "value", [0.5, 0.95], ["p50", "p95"],
+    )
+
+
 def q_corr(sf_dir: str):
     """Grouped Pearson correlation via partial sums (six numbers per key
     per block leave the map side)."""
@@ -1209,6 +1221,7 @@ QUERIES = {
     "window_hourly": q_window_hourly,
     "window_sliding": q_window_sliding,
     "quantiles": q_quantiles,
+    "quantiles_sketch": q_quantiles_sketch,
     "corr": q_corr,
     "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,

@@ -156,3 +156,45 @@ def test_semi_anti_join_survives_dtype_widening(ray_session):
                           on="k", anti=True).to_pandas()
     assert sorted(semi["k"]) == list(range(0, 20, 2))
     assert sorted(anti["k"]) == list(range(1, 20, 2))
+
+
+def test_quantiles_sketch_accuracy(ray_session):
+    """The histogram sketch must land within one bin width of the exact
+    quantile, and be identical across partitioning choices."""
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        grouped_quantiles,
+        grouped_quantiles_sketch,
+    )
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b"], 20000),
+            "v": np.concatenate(
+                [rng.normal(100, 15, 20000), rng.exponential(50, 20000)]
+            ),
+        }
+    )
+    ds = rd.from_pandas(df)
+    exact = grouped_quantiles(ds, ["g"], "v", [0.5, 0.95]).to_pandas()
+    approx = grouped_quantiles_sketch(
+        ds, ["g"], "v", [0.5, 0.95], bins=2048
+    ).to_pandas()
+    e = exact.set_index("g")
+    a = approx.set_index("g")
+    for g in ("a", "b"):
+        rng_width = (df[df.g == g]["v"].max() - df[df.g == g]["v"].min())
+        tol = rng_width / 2048 + 1e-9
+        assert abs(a.loc[g, "q50"] - e.loc[g, "q50"]) <= tol
+        assert abs(a.loc[g, "q95"] - e.loc[g, "q95"]) <= tol
+    # determinism across block layouts
+    approx2 = grouped_quantiles_sketch(
+        rd.from_pandas(df).repartition(13), ["g"], "v", [0.5, 0.95],
+        bins=2048,
+    ).to_pandas().set_index("g")
+    for g in ("a", "b"):
+        assert approx2.loc[g, "q50"] == a.loc[g, "q50"]
+        assert approx2.loc[g, "q95"] == a.loc[g, "q95"]
