@@ -448,9 +448,11 @@ def ngram_jaccard_pairs(
     k: int = 5,
     threshold: float = 0.5,
     num_partitions: int = 32,
+    max_shingle_df: int | None = 256,
 ) -> rd.Dataset:
     """EXACT all-pairs word-k-gram Jaccard via a distributed inverted
-    shingle index (no LSH approximation — SQL-oracle-checkable).
+    shingle index (no LSH approximation — SQL-oracle-checkable below the
+    stop-shingle cutoff, see skew note).
 
     Shingle tokenization splits on single spaces (DuckDB
     ``string_split(text, ' ')`` parity); docs with < k words contribute
@@ -462,11 +464,20 @@ def ngram_jaccard_pairs(
     counts) → ``grouped_apply`` by (id_a, id_b) sums partials and
     computes jaccard = |∩| / (n_a + n_b − |∩|).
 
-    Skew note: a shingle shared by m docs emits O(m²) pair rows — at
-    corpus scale run this only downstream of exact dedup (identical
-    texts share every shingle) or cap per-shingle fanout; near-dup
-    discovery at scale is ``minhash_lsh_pairs``, this operator is the
-    exact oracle-grade kernel.
+    Skew note: a shingle shared by m docs would emit O(m²) pair rows in
+    the self-merge — a single boilerplate shingle at corpus scale is a
+    job-killer. ``max_shingle_df`` is the standard stop-shingle cutoff:
+    shingles whose document frequency exceeds it are dropped BEFORE the
+    self-merge (exact decision — all holders of a shingle are co-located
+    by construction, so the df is the true global count, not a sample),
+    bounding per-shingle fanout at max_shingle_df². Effect on results: a
+    dropped shingle no longer contributes to any pair's intersection
+    count while each doc's denominator still counts it, so reported
+    jaccard is a LOWER BOUND and recall can drop for pairs whose overlap
+    rides on boilerplate — exactly the pairs near-dup pipelines want to
+    discount. Per-partition dropped-shingle counts are logged. With
+    ``max_shingle_df=None`` (or a cutoff no shingle reaches — sf0.01's
+    max df is 3) the result is exactly the SQL oracle's.
     """
     from .relational import grouped_apply
 
@@ -498,6 +509,18 @@ def ngram_jaccard_pairs(
     def pair_partials(part: pd.DataFrame) -> pd.DataFrame:
         """Self-merge per shingle → partial pair intersection counts
         (carrying each side's total shingle count)."""
+        if max_shingle_df is not None and len(part):
+            df_counts = part["__sh"].value_counts()
+            hot = df_counts.index[df_counts > max_shingle_df]
+            if len(hot):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard_pairs: dropped %d stop-shingles with "
+                    "df > %d (max df seen: %d)",
+                    len(hot), max_shingle_df, int(df_counts.iloc[0]),
+                )
+                part = part[~part["__sh"].isin(hot)]
         m = part.merge(part, on="__sh", suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         if m.empty:

@@ -168,21 +168,27 @@ def broadcast_join(
 # broadcast op ray.puts a fresh object, so an unbounded cache would
 # retain one deserialized copy per past execution in every worker of a
 # long-lived session. Eight entries covers the live pipelines of a run;
-# older entries drop and would simply re-resolve.
+# older entries drop and would simply re-resolve. Mutations hold a lock:
+# map tasks are single-threaded per worker today, but the helper is
+# shared by every broadcast stage and threaded actors would otherwise
+# race the pop/re-insert/evict sequence.
 _PROC_BCAST: "dict[str, object]" = {}
 _PROC_BCAST_MAX = 8
+_PROC_BCAST_LOCK = __import__("threading").Lock()
 
 
 def resolve_broadcast(ref):
     """ray.get a broadcast ref with a small per-worker LRU (shared by
     every task-based broadcast stage — joins, ANN scorers)."""
     key = ref.hex()
-    v = _PROC_BCAST.pop(key, None)
+    with _PROC_BCAST_LOCK:
+        v = _PROC_BCAST.pop(key, None)
     if v is None:
         v = ray.get(ref)
-    _PROC_BCAST[key] = v  # re-insert = move to MRU position
-    while len(_PROC_BCAST) > _PROC_BCAST_MAX:
-        _PROC_BCAST.pop(next(iter(_PROC_BCAST)))
+    with _PROC_BCAST_LOCK:
+        _PROC_BCAST[key] = v  # re-insert = move to MRU position
+        while len(_PROC_BCAST) > _PROC_BCAST_MAX:
+            _PROC_BCAST.pop(next(iter(_PROC_BCAST)))
     return v
 
 
@@ -192,27 +198,57 @@ def bucketed_hash_join(
     on: Sequence[str] | str,
     num_buckets: int = 32,
     how: str = "inner",
+    salt: int | None = None,
 ) -> rd.Dataset:
     """Explicit partitioned hash join, portable across Ray versions: tag
     each side, bucket rows by key hash, co-locate buckets with one
     ``groupby("__bucket")`` shuffle, and pandas-merge the two sides inside
-    each bucket. Skewed keys: a hot key lands in one bucket; callers salt
-    the key before joining if a single key exceeds a worker's memory.
+    each bucket.
+
+    Skew: with ``salt=k`` each LEFT row additionally gets a deterministic
+    salt in [0, k) and the RIGHT side is replicated k× (once per salt
+    value); bucketing then hashes (key, salt), so a hot key's left rows
+    spread over up to k buckets instead of pinning one worker, at the
+    cost of shipping the right side k× — use when one key's left rows
+    exceed a worker's memory and the right side is the smaller input.
+    Each left row meets exactly one copy of its key's right rows, so
+    inner/left results are identical to the unsalted join; ``salt``
+    requires ``how`` ∈ {inner, left} (right/outer would duplicate
+    unmatched right rows across salt copies).
 
     Ray ≥2.47 also ships a native hash ``Dataset.join`` (used by
     ``native_join``); this explicit form documents the partitioning and
     stays available if the API shifts.
     """
     on = [on] if isinstance(on, str) else list(on)
+    if salt is not None and how not in ("inner", "left"):
+        raise ValueError("salt requires how='inner' or 'left'")
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
 
-    def tag(df: pd.DataFrame, side: str) -> pd.DataFrame:
-        return df.assign(__bucket=_key_hash(df, on) % num_buckets,
-                         __side=side)
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        h = _key_hash(df, on)
+        if salt:
+            # spread a hot key's rows across salt sub-buckets; the spread
+            # must be deterministic (content-derived, not positional) so
+            # retried tasks bucket identically
+            s = pd.util.hash_array(np.arange(len(df), dtype=np.uint64))
+            s = (s ^ h) % np.uint64(salt)
+            h = h ^ (s * np.uint64(0x9E3779B97F4A7C15))
+        return df.assign(__bucket=h % num_buckets, __side="l")
 
-    lt = left.map_batches(partial(tag, side="l"), batch_format="pandas")
-    rt = right.map_batches(partial(tag, side="r"), batch_format="pandas")
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        h = _key_hash(df, on)
+        if salt:
+            # replicate each right row once per salt value
+            rep = np.repeat(np.arange(len(df)), salt)
+            df = df.iloc[rep].reset_index(drop=True)
+            s = np.tile(np.arange(salt, dtype=np.uint64), len(h))
+            h = np.repeat(h, salt) ^ (s * np.uint64(0x9E3779B97F4A7C15))
+        return df.assign(__bucket=h % num_buckets, __side="r")
+
+    lt = left.map_batches(tag_left, batch_format="pandas")
+    rt = right.map_batches(tag_right, batch_format="pandas")
     # union pads each side's missing columns with nulls; the bucket fn
     # re-projects each side to its own columns before the local merge
     both = lt.union(rt)
@@ -220,8 +256,16 @@ def bucketed_hash_join(
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g.loc[g["__side"] == "l", left_cols]
         r = g.loc[g["__side"] == "r", right_cols]
+        if how in ("inner", "left"):
+            # null right keys never match under SQL equality — drop before
+            # the dtype cast (a null widened to float64 NaN can't cast back
+            # to int64); keep them for right/outer where they must surface
+            r = r.dropna(subset=on)
         for c in on:  # union may have widened key dtypes via null padding
-            r[c] = r[c].astype(l[c].dtype)
+            if r[c].notna().all():
+                r[c] = r[c].astype(l[c].dtype)
+            else:  # right/outer with null keys: widen left instead
+                l = l.assign(**{c: l[c].astype(r[c].dtype)})
         return l.merge(r, on=on, how=how)
 
     return both.groupby("__bucket").map_groups(
@@ -274,7 +318,11 @@ def semi_anti_join(
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         l = g.loc[g["__side"] == "l", lcols]
-        rk = g.loc[g["__side"] == "r", on].drop_duplicates()
+        # Null right-side keys never match (SQL IN/NOT-IN semantics) —
+        # drop them BEFORE the dtype cast: a null widened to float64 NaN
+        # cannot cast back to the left side's int64 and would crash the
+        # partition task instead of simply not matching.
+        rk = g.loc[g["__side"] == "r", on].dropna(subset=on).drop_duplicates()
         if l.empty:
             return l
         for c in on:  # union may widen key dtypes via null padding
@@ -597,6 +645,8 @@ def grouped_quantiles_sketch(
     quantiles: Sequence[float],
     out_names: Sequence[str] | None = None,
     bins: int = 2048,
+    range_merge_partitions: int | None = None,
+    max_keys: int = 2_000_000,
 ) -> rd.Dataset:
     """Approximate grouped quantiles via a mergeable fixed-width
     histogram sketch — the bounded-memory 100-TB path behind
@@ -604,25 +654,43 @@ def grouped_quantiles_sketch(
     values).
 
     Two passes, both O(keys × bins) state regardless of input size:
-    (1) per-key min/max (tiny grouped aggregate, broadcast);
+    (1) per-key min/max (tiny grouped aggregate; pass
+    ``range_merge_partitions`` to hash-partition its merge when the key
+    count scales with the fact table);
     (2) per-batch per-key bin counts — pure additive partials, merged by
     summation like any ``grouped_agg``. Quantiles are estimated by
     linear interpolation of the cumulative histogram inside the target
     bin, so value error is bounded by one bin width (range/bins) and the
     result is DETERMINISTIC and partitioning-independent — unlike
     merge-order-sensitive sketches (t-digest), identical at every
-    parallelism. Accuracy vs the exact path is pinned by pytest."""
+    parallelism. Accuracy vs the exact path is pinned by pytest.
+
+    Memory bound: the per-key (lo, hi) range map is broadcast whole —
+    O(distinct keys) on the driver and once per worker (~50 B/key, so
+    the default ``max_keys`` ≈ 100 MB); beyond that the ranges should be
+    co-partitioned with the partials instead of broadcast, and this
+    raises rather than silently degrading."""
     keys = list(keys)
     qs = list(quantiles)
     names = list(out_names) if out_names else [f"q{int(q * 100)}" for q in qs]
 
     rng_tbl = grouped_agg(
-        ds, keys, {"__lo": (col, "min"), "__hi": (col, "max")}
+        ds, keys, {"__lo": (col, "min"), "__hi": (col, "max")},
+        merge_partitions=range_merge_partitions,
     ).to_pandas()
-    ranges = {
-        tuple(row[k] for k in keys): (float(row["__lo"]), float(row["__hi"]))
-        for _, row in rng_tbl.iterrows()
-    }
+    if len(rng_tbl) > max_keys:
+        raise ValueError(
+            f"{len(rng_tbl)} distinct keys exceeds the broadcast bound "
+            f"max_keys={max_keys}; raise the bound knowingly or reduce "
+            "key cardinality"
+        )
+    # vectorized dict build: zip over column arrays, no per-row iterrows
+    key_cols = [rng_tbl[k].to_numpy() for k in keys]
+    ranges = dict(zip(
+        zip(*key_cols),
+        zip(rng_tbl["__lo"].astype(float).to_numpy(),
+            rng_tbl["__hi"].astype(float).to_numpy()),
+    ))
     ref = ray.put(ranges)
     refs = [ref]
 
@@ -680,13 +748,17 @@ def grouped_corr(
     x: str,
     y: str,
     out_name: str = "corr",
+    merge_partitions: int | None = None,
 ) -> rd.Dataset:
     """Grouped Pearson correlation via the partial-sums pattern: each
     batch emits (n, Σx, Σy, Σx², Σy², Σxy) per key — six numbers per key
     per block, regardless of input size — merged in one coalesced reduce
-    (the sums are associative; the formula is applied once at the end).
-    Numerics: use small-magnitude columns (or pre-center) — the naive
-    sums cancel badly when |x| is large."""
+    by default (partials are six floats per key, so the single-task
+    threshold is high), or a hash-partitioned merge with
+    ``merge_partitions=P`` for key counts that scale with the fact table
+    (same contract as ``grouped_agg``). Numerics: use small-magnitude
+    columns (or pre-center) — the naive sums cancel badly when |x| is
+    large."""
     keys = list(keys)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -710,10 +782,12 @@ def grouped_corr(
         out[out_name] = (cov / np.sqrt(vx * vy)).astype("float64")
         return out
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .repartition(1)
-        .map_batches(merge, batch_format="pandas", batch_size=None)
+    parts = ds.map_batches(partial, batch_format="pandas")
+    if merge_partitions and merge_partitions > 1:
+        return grouped_apply(parts, keys, merge,
+                             num_partitions=merge_partitions)
+    return parts.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
     )
 
 

@@ -234,3 +234,58 @@ def test_connected_components_raises_on_nonconvergence(ray_session):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(rd.from_pandas(chain), max_iters=1)
+
+
+def test_ngram_stop_shingle_cap_bounds_fanout(ray_session):
+    """VERDICT r2 #1: a boilerplate shingle shared by 10^3 docs must NOT
+    explode into ~500k pair rows when the document-frequency cutoff is
+    set; with the cutoff disabled the same corpus does produce the full
+    quadratic pair set (checked on a small slice)."""
+    import ray.data as rd
+
+    n = 1000
+    boiler = "common boiler plate words here"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype="int64"),
+        # one shared 5-gram; every other 5-gram is unique per doc
+        "text": [f"u{i}a u{i}b u{i}c u{i}d {boiler} v{i}a v{i}b v{i}c v{i}d"
+                 for i in range(n)],
+    })
+    ds = rd.from_pandas(docs)
+    capped = dedup.ngram_jaccard_pairs(
+        ds, threshold=0.0, max_shingle_df=50
+    ).to_pandas()
+    # the only cross-doc shingle is dropped -> no pairs at all
+    assert len(capped) == 0
+
+    small = rd.from_pandas(docs.head(40))
+    uncapped = dedup.ngram_jaccard_pairs(
+        small, threshold=0.0, max_shingle_df=None
+    ).to_pandas()
+    assert len(uncapped) == 40 * 39 // 2  # full quadratic set
+
+
+def test_ngram_cap_keeps_cold_shingles_exact(ray_session):
+    """Pairs riding on below-cutoff shingles keep their exact
+    (lower-bound) jaccard when a hot shingle is dropped."""
+    import ray.data as rd
+
+    boiler = "common boiler plate words here"
+    near_a = f"x1 x2 x3 x4 x5 x6 {boiler}"
+    near_b = f"x1 x2 x3 x4 x5 x7 {boiler}"
+    docs = [{"doc_id": 0, "text": near_a}, {"doc_id": 1, "text": near_b}]
+    docs += [{"doc_id": 2 + i,
+              "text": f"w{i}a w{i}b w{i}c w{i}d {boiler}"}
+             for i in range(20)]
+    ds = rd.from_pandas(pd.DataFrame(docs))
+    out = dedup.ngram_jaccard_pairs(
+        ds, threshold=0.05, max_shingle_df=10
+    ).to_pandas()
+    got = {(a, b): j for a, b, j in
+           out[["id_a", "id_b", "jaccard"]].to_numpy()}
+    assert set(got) == {(0, 1)}
+    # intersection loses the boilerplate 5-grams, denominators keep them:
+    # exact sets share |∩|=2 cold shingles ("x1..x5","x2..x6"/7 variants)
+    full = _py_ngram_jaccard(near_a, near_b)
+    assert got[(0, 1)] <= full  # lower bound, as documented
+    assert got[(0, 1)] > 0

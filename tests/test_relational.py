@@ -198,3 +198,116 @@ def test_quantiles_sketch_accuracy(ray_session):
     for g in ("a", "b"):
         assert approx2.loc[g, "q50"] == a.loc[g, "q50"]
         assert approx2.loc[g, "q95"] == a.loc[g, "q95"]
+
+
+def test_bucketed_join_salt_matches_unsalted(ray_session):
+    """Salted join (hot-key spreading) must equal the unsalted result,
+    and the hot key's left rows must actually spread across buckets."""
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        _key_hash,
+        bucketed_hash_join,
+    )
+
+    rng = np.random.default_rng(4)
+    # 90% of left rows share one hot key
+    k = np.where(rng.random(5000) < 0.9, 7, rng.integers(0, 50, 5000))
+    left = pd.DataFrame({"k": k.astype("int64"),
+                         "lv": np.arange(5000, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(50, dtype="int64"),
+                          "rv": np.arange(50, dtype="int64") * 10})
+    plain = bucketed_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k",
+        num_buckets=16,
+    ).to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    salted = bucketed_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k",
+        num_buckets=16, salt=8,
+    ).to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(salted[plain.columns], plain)
+
+    # bucket balance: replicate the tag math for the hot key's rows
+    hot = left[left.k == 7]
+    h = _key_hash(hot, ["k"])
+    s = (pd.util.hash_array(np.arange(len(hot), dtype=np.uint64)) ^ h) % np.uint64(8)
+    buckets = (h ^ (s * np.uint64(0x9E3779B97F4A7C15))) % 16
+    assert len(np.unique(buckets)) >= 6  # spread, not pinned to one
+
+    with pytest.raises(ValueError):
+        bucketed_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                           on="k", salt=4, how="outer")
+
+
+def test_joins_tolerate_null_right_keys(ray_session):
+    """ADVICE r2: null right-side keys must behave as non-matching (SQL
+    IN semantics), not crash the partition task on an int cast."""
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        bucketed_hash_join,
+        semi_anti_join,
+    )
+
+    left = pd.DataFrame({"k": np.arange(10, dtype="int64"),
+                         "v": np.arange(10)})
+    right = pd.DataFrame({"k": [0.0, 2.0, np.nan, np.nan],
+                          "w": [10, 20, 30, 40]})
+    semi = semi_anti_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on="k", anti=False).to_pandas()
+    assert sorted(semi["k"]) == [0, 2]
+    anti = semi_anti_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on="k", anti=True).to_pandas()
+    assert sorted(anti["k"]) == [1, 3, 4, 5, 6, 7, 8, 9]
+    joined = bucketed_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k"
+    ).to_pandas()
+    assert sorted(joined["k"]) == [0, 2]
+
+
+def test_corr_partitioned_merge_matches_coalesced(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import grouped_corr
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 40, 20000),
+        "x": rng.normal(size=20000),
+    })
+    df["y"] = df["x"] * 0.5 + rng.normal(size=20000)
+    a = grouped_corr(rd.from_pandas(df), ["g"], "x", "y").to_pandas()
+    b = grouped_corr(rd.from_pandas(df), ["g"], "x", "y",
+                     merge_partitions=8).to_pandas()
+    a = a.sort_values("g").reset_index(drop=True)
+    b = b.sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+
+def test_quantiles_sketch_key_bound(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        grouped_quantiles_sketch,
+    )
+
+    df = pd.DataFrame({"g": np.arange(100), "v": np.arange(100.0)})
+    with pytest.raises(ValueError, match="distinct keys"):
+        grouped_quantiles_sketch(
+            rd.from_pandas(df), ["g"], "v", [0.5], max_keys=10
+        )
+    # partitioned range merge matches the default path
+    out = grouped_quantiles_sketch(
+        rd.from_pandas(df), ["g"], "v", [0.5], range_merge_partitions=4
+    ).to_pandas()
+    base = grouped_quantiles_sketch(
+        rd.from_pandas(df), ["g"], "v", [0.5]
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("g").reset_index(drop=True),
+        base.sort_values("g").reset_index(drop=True),
+    )
