@@ -44,7 +44,10 @@ def main(argv=None) -> int:
 
     dr = sub.add_parser(
         "drain",
-        help="paginated consumer: print n fetched rows (JSONL) + cursor",
+        help="paginated consumer: print n fetched rows (JSONL) + cursor "
+             "(memory: holds one epoch's fetched rows sorted; for runs "
+             "whose largest epoch exceeds driver memory read the epoch "
+             "parquet dirs as a Dataset instead)",
     )
     dr.add_argument("--run", required=True)
     dr.add_argument("-n", type=int, default=10)

@@ -660,10 +660,18 @@ def grouped_quantiles_sketch(
     (2) per-batch per-key bin counts — pure additive partials, merged by
     summation like any ``grouped_agg``. Quantiles are estimated by
     linear interpolation of the cumulative histogram inside the target
-    bin, so value error is bounded by one bin width (range/bins) and the
+    bin. Guarantee: the estimate lies within one bin width (range/bins)
+    of the order statistic at the target's CEILING rank
+    (⌈q·(n−1)+1⌉-th smallest) — the estimate's bin provably contains
+    that order statistic. Where data is dense (adjacent order statistics
+    within a bin) this implies the usual |est − quantile| ≤ range/bins;
+    in sparse tail regions the distance to the INTERPOLATED exact
+    quantile additionally pays the gap between the two bracketing order
+    statistics (an information-theoretic limit of any histogram). The
     result is DETERMINISTIC and partitioning-independent — unlike
     merge-order-sensitive sketches (t-digest), identical at every
-    parallelism. Accuracy vs the exact path is pinned by pytest.
+    parallelism. Accuracy vs the exact path is pinned by pytest and the
+    ``quantiles_sketch_err`` invariant oracle.
 
     Memory bound: the per-key (lo, hi) range map is broadcast whole —
     O(distinct keys) on the driver and once per worker (~50 B/key, so

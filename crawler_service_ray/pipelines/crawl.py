@@ -910,11 +910,20 @@ def drain_fetched(
     passing the returned cursor back continues exactly after it — across
     process restarts too, since the cursor carries no in-memory state.
     Reads one epoch's fetched files at a time, so driver memory is
-    bounded by one epoch + the page; a one-entry per-process cache keeps
-    the LAST epoch's sorted table, so sequentially draining an epoch in
-    small pages is O(page) per call instead of re-reading and re-sorting
-    the epoch every page (committed epochs are immutable, so the cache
-    can never go stale within a run dir).
+    bounded by ONE EPOCH's fetched rows + the page (the epoch is
+    sorted in memory on first touch — a consumer draining a run whose
+    single largest epoch exceeds driver memory should read the epoch
+    parquet dirs directly as a Dataset instead); a one-entry per-process
+    cache keeps the LAST epoch's sorted table, so sequentially draining
+    an epoch in small pages is O(page) per call instead of re-reading
+    and re-sorting the epoch every page (committed epochs are immutable,
+    so the cache can never go stale within a run dir).
+
+    Cursor correctness rests on per-epoch url uniqueness (the seen
+    filter admits each url once, archive members are namespaced) — the
+    strict ``url > after_url`` resume would silently skip rows if an
+    epoch ever held duplicates, so the sort ASSERTS the invariant and a
+    future break surfaces loudly here rather than as dropped rows.
 
     Returns (page table, next cursor); next cursor is None when the run
     is exhausted.
@@ -943,6 +952,12 @@ def drain_fetched(
             t = pa.concat_tables(
                 [pq.read_table(f) for f in files]
             ).sort_by("url")
+            n_uniq = pc.count_distinct(t["url"]).as_py()
+            if n_uniq != t.num_rows:
+                raise AssertionError(
+                    f"epoch {k}: {t.num_rows - n_uniq} duplicate fetched "
+                    "urls — the (epoch, url) drain cursor would skip rows"
+                )
             _DRAIN_CACHE["key"] = cache_key
             _DRAIN_CACHE["table"] = t
         if k == start_epoch and after_url:

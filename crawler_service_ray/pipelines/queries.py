@@ -538,17 +538,27 @@ FROM documents
 """
 
 
+def _query_vectors(sf_dir: str, n: int = 10):
+    """The n query vectors, selected with the predicate PUSHED INTO the
+    parquet read — row groups outside vec_id < n never reach the driver
+    (at 100 TB a full-table driver read here would be the bottleneck;
+    with the filter only the matching row groups are decoded)."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
+    )
+    queries = np.stack(qt["embedding"].to_pylist()).astype(np.float64)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    return queries, qids
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-5 for query vectors vec_id < 10 (exact —
     SQL-checkable); float64 matmul so ranking matches DuckDB's doubles."""
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    qmask = np.asarray(emb["vec_id"].to_numpy(zero_copy_only=False)) < 10
-    qt = emb.filter(pa.array(qmask))
-    queries = np.stack(qt["embedding"].to_pylist()).astype(np.float64)
-    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    queries, qids = _query_vectors(sf_dir)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = similarity.brute_force_topk(ds, queries, qids, k=5)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
@@ -836,6 +846,105 @@ def q_dedup_minhash(sf_dir: str):
     )
 
 
+def q_dedup_minhash_subset(sf_dir: str):
+    """SUBSET-INVARIANT oracle for the approximate LSH pipeline
+    (VERDICT r2 #3): every verified MinHash-LSH pair at threshold t must
+    be a member of the EXACT n-gram-Jaccard pair set at t (verification
+    computes true Jaccard, so a violation means a broken kernel), and the
+    exact pair count itself is recomputed here and checked against the
+    DuckDB oracle. Returns one row: (n_exact_pairs, n_lsh_violations);
+    SQL asserts n_lsh_violations = 0 and supplies the independent exact
+    count. LSH recall (which pairs the bands surface) stays approximate —
+    that is the point of the containment form: it is checkable without
+    being SQL-reproducible."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
+    exact = dedup.ngram_jaccard_pairs(docs, k=5, threshold=0.5).to_pandas()
+    m = lsh[["id_a", "id_b"]].merge(
+        exact[["id_a", "id_b"]], on=["id_a", "id_b"],
+        how="left", indicator=True,
+    )
+    return pd.DataFrame({
+        "n_exact_pairs": np.array([len(exact)], dtype="int64"),
+        "n_lsh_violations": np.array(
+            [int((m["_merge"] == "left_only").sum())], dtype="int64"
+        ),
+    })
+
+
+SQL_DEDUP_MINHASH_SUBSET = f"""
+WITH p AS ({SQL_NGRAM_JACCARD})
+SELECT count(*)::BIGINT AS n_exact_pairs,
+       0::BIGINT AS n_lsh_violations
+FROM p
+"""
+
+
+def q_quantiles_sketch_err(sf_dir: str):
+    """ERROR-BOUND invariant oracle for the histogram quantile sketch
+    (VERDICT r2 #3): per key, the sketch estimate must land within one
+    bin width (range/bins) of the order statistic at the target's
+    ceiling rank — the sketch's provable guarantee (the estimate's bin
+    contains that order statistic; see ``grouped_quantiles_sketch``).
+    Returns one row per event_type with integer 0/1 bound flags; SQL
+    independently enumerates the keys and asserts all-within-bound, so
+    a missing key or an out-of-bound estimate both hash-mismatch."""
+    from ..functions.relational import (
+        grouped_agg,
+        grouped_apply,
+        grouped_quantiles_sketch,
+    )
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    bins = 2048
+    qs = [(0.5, "p50"), (0.95, "p95")]
+
+    def ceil_rank_stats(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in part.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy(np.float64))
+            n = len(v)
+            vals = []
+            for q, _ in qs:
+                k = int(np.ceil(q * (n - 1) + 1))  # 1-based target rank
+                vals.append(v[min(k, n) - 1])
+            rows.append((kv, *vals))
+        return pd.DataFrame(rows,
+                            columns=["event_type"] + [nm for _, nm in qs])
+
+    exact = grouped_apply(ds, ["event_type"], ceil_rank_stats,
+                          num_partitions=8).to_pandas()
+    approx = grouped_quantiles_sketch(
+        ds, ["event_type"], "value", [q for q, _ in qs],
+        [nm for _, nm in qs], bins=bins,
+    ).to_pandas()
+    rng = grouped_agg(
+        ds, ["event_type"],
+        {"lo": ("value", "min"), "hi": ("value", "max")},
+    ).to_pandas()
+    m = exact.merge(approx, on="event_type", suffixes=("_x", "_s")).merge(
+        rng, on="event_type"
+    )
+    tol = (m["hi"] - m["lo"]) / bins + 1e-9
+    return pd.DataFrame({
+        "event_type": m["event_type"],
+        "p50_within_bound": (
+            (m["p50_s"] - m["p50_x"]).abs() <= tol
+        ).astype("int64"),
+        "p95_within_bound": (
+            (m["p95_s"] - m["p95_x"]).abs() <= tol
+        ).astype("int64"),
+    })
+
+
+SQL_QUANTILES_SKETCH_ERR = """
+SELECT DISTINCT event_type,
+       1::BIGINT AS p50_within_bound,
+       1::BIGINT AS p95_within_bound
+FROM events
+"""
+
+
 def q_dedup_clusters(sf_dir: str):
     """Duplicate-cluster resolution: connected components (distributed
     min-label propagation) over the exact n-gram-Jaccard ≥ 0.5 pair set;
@@ -949,14 +1058,7 @@ def q_dedup_embedding_ivf(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    qmask = np.asarray(emb["vec_id"].to_numpy(zero_copy_only=False)) < 10
-    qt = emb.filter(pa.array(qmask))
-    queries = np.stack(qt["embedding"].to_pylist()).astype(np.float64)
-    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    queries, qids = _query_vectors(sf_dir)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return similarity.ivf_topk(ds, queries, qids, k=5)
 
@@ -1236,6 +1338,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_subset": q_dedup_minhash_subset,
+    "quantiles_sketch_err": q_quantiles_sketch_err,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -1283,6 +1387,8 @@ ORACLE_SQL = {
     "embedding_stats": SQL_EMBEDDING_STATS,
     "asof_join": SQL_ASOF_JOIN,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_minhash_subset": SQL_DEDUP_MINHASH_SUBSET,
+    "quantiles_sketch_err": SQL_QUANTILES_SKETCH_ERR,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "langid": SQL_LANGID,
