@@ -77,6 +77,25 @@ class CrawlConfig:
     # pins one path (tests exercise both).
     local_epoch_threshold: int = 20000
     force_mode: str | None = None
+    # priority-cutoff frontier spilling (state/spill.py): when one host
+    # partition's accumulated pending frontier exceeds this many rows,
+    # hosts holding more than frontier_keep_per_host rows keep their
+    # top-priority slice and spill the tail to per-host parquet chunks,
+    # refilled best-first as the live slice drains. None disables (the
+    # sandbox default); at 10^10-URL scale set it to what one admission
+    # task's heap can hold. Requires dataset mode (force_mode="local"
+    # rejects it). frontier_keep_per_host=None derives 4x the default
+    # politeness cap; it must stay >= 2x every per-host cap so refill
+    # triggers before a host's live slice can run dry mid-epoch.
+    frontier_spill_rows: int | None = None
+    frontier_keep_per_host: int | None = None
+
+    def spill_keep_per_host(self) -> int:
+        default_cap = max(1, self.politeness.epoch_ms
+                          // self.politeness.min_gap_ms)
+        keep = self.frontier_keep_per_host or 4 * default_cap
+        caps = [default_cap, *self.politeness.per_host_overrides.values()]
+        return max(keep, 2 * max(caps))
 
     def to_json_dict(self) -> dict:
         d = asdict(self)

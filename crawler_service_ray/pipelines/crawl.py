@@ -31,10 +31,14 @@ with NO exchange at all: the "shuffle" happens as a side effect of writing
 the checkpoint files the north rule requires anyway. Measured against both
 Ray shuffle strategies on a 1.4M-row frontier, the sort shuffle cost >10 s
 of non-task overhead per epoch and hash shuffle more; this path costs zero.
-Skew note: a single host's pending frontier is bounded by its politeness
-budget × epochs it can absorb; a pathological host that outgrows one
-partition task's memory would need frontier spilling by priority cutoff —
-documented, not needed at sandbox scale.
+Skew note: a pathological host whose pending frontier outgrows one
+partition task's memory is handled by priority-cutoff frontier SPILLING
+(state/spill.py, ``frontier_spill_rows``): the host keeps its
+top-priority slice live, the tail spills to immutable sorted chunks
+refilled best-first as the slice drains — admission order and the final
+fetched set are identical to the unbounded run (tests/test_spill.py
+asserts byte-identical output). The reference simply drops oversized
+directories (`/root/reference/crawlers/globus_base_preserved.py:293-297`).
 
 Checkpoint/resume (north rule): every epoch writes, inside a temp dir that
 is atomically renamed to ``epochs/epoch=K`` only after success:
@@ -118,6 +122,12 @@ class CrawlRun:
         self.cfg = config
         self.run_dir = config.run_dir
         self.epochs_dir = os.path.join(self.run_dir, "epochs")
+        self.spill_dir = os.path.join(self.run_dir, "spill")
+        if config.frontier_spill_rows and config.force_mode == "local":
+            raise ValueError(
+                "frontier_spill_rows requires dataset mode (spill state "
+                "is per host partition)"
+            )
         # posix source trees have no robots sidecar (everything allowed)
         self.robots = (
             load_robots(config.corpus_dir)
@@ -188,12 +198,14 @@ class CrawlRun:
             if os.path.exists(summary_path):
                 os.remove(summary_path)
         done = self._complete_epochs() if resume else []
+        spill_manifests: dict[int, str] = {}
         if done:
             last = done[-1]
             restore_shards(self.shards, os.path.join(self._epoch_dir(last), "seen"))
             frontier_files = _parquet_files(
                 os.path.join(self._epoch_dir(last), "frontier_next")
             )
+            spill_manifests = _spill_manifest_files(self._epoch_dir(last))
             start = last + 1
         else:
             seeds_dir = os.path.join(self.run_dir, "seed_frontier")
@@ -209,16 +221,28 @@ class CrawlRun:
             frontier_files = _parquet_files(seeds_dir)
             start = 0
 
+        from ..state import spill as spill_mod
+
         epoch_stats: list[dict] = []
         for k in range(start, self.cfg.max_epochs):
             n_frontier = _count_rows(frontier_files)
-            if n_frontier == 0:
+            n_spilled = sum(
+                spill_mod.manifest_pending(spill_mod.load_manifest(m))
+                for m in spill_manifests.values()
+            )
+            if n_frontier == 0 and n_spilled == 0:
                 break
-            stats = self._run_epoch(k, frontier_files, n_frontier)
+            stats = self._run_epoch(
+                k, frontier_files, n_frontier, spill_manifests
+            )
             epoch_stats.append(stats)
             frontier_files = _parquet_files(
                 os.path.join(self._epoch_dir(k), "frontier_next")
             )
+            spill_manifests = _spill_manifest_files(self._epoch_dir(k))
+            # committed manifests are the only live references — drop
+            # chunks that refill rewrites / drains left behind
+            spill_mod.gc_chunks(self.spill_dir, spill_manifests)
 
         prior = []
         for k in self._complete_epochs():
@@ -236,12 +260,20 @@ class CrawlRun:
             "bytes": int(sum(s["bytes"] for s in prior)),
             "dedup_hits": int(sum(s["dedup_hits"] for s in prior)),
             "robots_denied": int(sum(s["robots_denied"] for s in prior)),
+            "spilled_rows": int(sum(s.get("spilled_rows", 0) for s in prior)),
+            "refilled_rows": int(
+                sum(s.get("refilled_rows", 0) for s in prior)
+            ),
             "seen_size": int(
                 sum(s["n_seen"] for s in collect_stats(self.shards))
             ),
             "config": self.cfg.to_json_dict(),
         }
-        if _count_rows(frontier_files) == 0:
+        n_spill_left = sum(
+            spill_mod.manifest_pending(spill_mod.load_manifest(m))
+            for m in spill_manifests.values()
+        )
+        if _count_rows(frontier_files) == 0 and n_spill_left == 0:
             with open(summary_path + ".tmp", "w") as f:
                 json.dump(summary, f, indent=1)
             os.replace(summary_path + ".tmp", summary_path)
@@ -249,14 +281,23 @@ class CrawlRun:
 
     # -- one epoch --------------------------------------------------------
     def _run_epoch(
-        self, k: int, frontier_files: list[str], n_frontier: int
+        self,
+        k: int,
+        frontier_files: list[str],
+        n_frontier: int,
+        spill_manifests: dict[int, str] | None = None,
     ) -> dict:
         import time
 
         t_epoch0 = time.time()
-        mode = self.cfg.force_mode or (
-            "local" if n_frontier < self.cfg.local_epoch_threshold else "dataset"
-        )
+        if self.cfg.frontier_spill_rows:
+            # spill state is per host partition — always dataset mode
+            mode = "dataset"
+        else:
+            mode = self.cfg.force_mode or (
+                "local" if n_frontier < self.cfg.local_epoch_threshold
+                else "dataset"
+            )
         tmp = os.path.join(self.epochs_dir, f".tmp_epoch_{k:05d}")
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
@@ -269,7 +310,10 @@ class CrawlRun:
         if mode == "local":
             lineage = self._epoch_local(k, frontier_files, fetched_dir, next_dir)
         else:
-            lineage = self._epoch_dataset(k, frontier_files, fetched_dir, next_dir)
+            lineage = self._epoch_dataset(
+                k, frontier_files, fetched_dir, next_dir,
+                spill_manifests or {},
+            )
 
         stats = self._epoch_stats(k, fetched_dir, next_dir, mode)
         stats["wall_s"] = round(time.time() - t_epoch0, 3)
@@ -358,7 +402,12 @@ class CrawlRun:
 
     # -- dataset (large-epoch) path --------------------------------------
     def _epoch_dataset(
-        self, k: int, frontier_files: list[str], fetched_dir: str, next_dir: str
+        self,
+        k: int,
+        frontier_files: list[str],
+        fetched_dir: str,
+        next_dir: str,
+        spill_manifests: dict[int, str] | None = None,
     ) -> dict:
         """One shuffle-free streaming execution per epoch.
 
@@ -399,8 +448,13 @@ class CrawlRun:
 
         cfg = self.cfg
         by_part = _partition_files(frontier_files)
+        spill_manifests = spill_manifests or {}
+        for p in spill_manifests:  # partitions with only spilled rows
+            by_part.setdefault(int(p), [])
         items = [
-            {"part": int(p), "files": fs} for p, fs in sorted(by_part.items())
+            {"part": int(p), "files": fs,
+             "manifest": spill_manifests.get(int(p), "")}
+            for p, fs in sorted(by_part.items())
         ]
         ray.get([
             w.begin_epoch.remote(next_dir, "discovered") for w in self.writers
@@ -423,6 +477,12 @@ class CrawlRun:
                     next_dir=next_dir,
                     num_parts=cfg.num_host_partitions,
                     metrics_actor=self.metrics.actor,
+                    spill_dir=self.spill_dir,
+                    spill_rows=cfg.frontier_spill_rows,
+                    keep_per_host=cfg.spill_keep_per_host(),
+                    manifest_out_dir=os.path.join(
+                        os.path.dirname(next_dir), "spill"
+                    ),
                 ),
                 batch_format="pyarrow",
                 batch_size=None,  # one partition item per task
@@ -531,6 +591,8 @@ class CrawlRun:
             "archives_expanded": int(mcounters.get("archives_expanded", 0)),
             "archives_dup": int(mcounters.get("archives_dup", 0)),
             "members_extracted": int(mcounters.get("members_extracted", 0)),
+            "spilled_rows": int(mcounters.get("spilled_rows", 0)),
+            "refilled_rows": int(mcounters.get("refilled_rows", 0)),
             "politeness_wait_ms": int(
                 mcounters.get("politeness_wait_ms", 0)
             ),
@@ -677,6 +739,19 @@ def _sidewrite_partitioned(
         _sidewrite(sub, directory, f"{prefix}-p{int(p):04d}")
 
 
+def _spill_manifest_files(epoch_dir: str) -> dict[int, str]:
+    """Per-partition spill manifests committed with an epoch."""
+    d = os.path.join(epoch_dir, "spill")
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for name in sorted(os.listdir(d)):
+        m = re.match(r"manifest-p(\d+)\.json$", name)
+        if m:
+            out[int(m.group(1))] = os.path.join(d, name)
+    return out
+
+
 def _partition_files(files: list[str]) -> dict[int, list[str]]:
     out: dict[int, list[str]] = {}
     for f in files:
@@ -729,12 +804,27 @@ def _admit_partition_fn(
     next_dir: str,
     num_parts: int,
     metrics_actor=None,
+    spill_dir: str | None = None,
+    spill_rows: int | None = None,
+    keep_per_host: int = 0,
+    manifest_out_dir: str | None = None,
 ) -> pa.Table:
     """Admission for one host partition (host-complete by construction):
     read the partition's frontier files, per-host politeness top-K,
     side-write deferrals (partition-pure, one file), emit admitted rows;
     exact per-host politeness partials go to the metrics actor (this
-    partition owns its hosts whole)."""
+    partition owns its hosts whole).
+
+    Spilling (``spill_rows`` set — state/spill.py): frontier files are
+    accumulated one at a time; rows worse than a spilled host's boundary
+    divert to spill on read, and whenever the accumulation exceeds
+    ``spill_rows`` the mega-host tails are compacted out — task memory
+    stays bounded by spill_rows + one frontier file, not by the host's
+    true pending size. Before admission, drained hosts refill their live
+    slice from spill (best-first), so admission order per host matches
+    the unbounded run wherever the live slice is non-empty."""
+    from ..state import spill as spill_mod
+
     out = []
     counters: dict[str, int] = {}
 
@@ -742,9 +832,42 @@ def _admit_partition_fn(
         counters[name] = counters.get(name, 0) + int(v)
 
     for item in batch.to_pylist():
-        frontier = pa.concat_tables(
-            [pq.read_table(f) for f in item["files"]]
-        ).combine_chunks()
+        p = int(item["part"])
+        manifest = spill_mod.load_manifest(item.get("manifest") or "")
+        parts: list[pa.Table] = []
+        acc_rows = 0
+        for f in item["files"]:
+            t = pq.read_table(f)
+            if manifest:
+                t, ns = spill_mod.enforce_boundary(
+                    t, manifest, spill_dir, p
+                )
+                cb("spilled_rows", ns)
+            parts.append(t)
+            acc_rows += t.num_rows
+            if spill_rows and acc_rows > spill_rows:
+                merged = pa.concat_tables(parts).combine_chunks()
+                merged, ns = spill_mod.compact(
+                    merged, manifest, spill_dir, p, keep_per_host
+                )
+                cb("spilled_rows", ns)
+                parts, acc_rows = [merged], merged.num_rows
+        frontier = (
+            pa.concat_tables(parts).combine_chunks()
+            if parts else pa.Table.from_pylist([], schema=FRONTIER_SCHEMA)
+        )
+        if manifest:
+            refilled, nref = spill_mod.refill(
+                frontier, manifest, spill_dir, p, keep_per_host,
+                trigger_for=lambda h: 2 * pol.max_per_epoch(h),
+            )
+            if refilled is not None:
+                frontier = pa.concat_tables(
+                    [frontier, refilled.select(frontier.column_names)]
+                ).combine_chunks()
+                cb("refilled_rows", nref)
+            if manifest_out_dir:
+                spill_mod.write_manifest(manifest, manifest_out_dir, p)
         adm = admit_per_host(frontier, pol, epoch)
         mask = adm["admitted"].combine_chunks()
         deferred = adm.filter(pc.invert(mask)).select(FRONTIER_COLS)
