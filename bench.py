@@ -118,6 +118,19 @@ def run_crawl(sf_tag: str, num_cpus: int) -> dict:
     }
 
 
+def _quiet_schema_warnings():
+    """The testdata parquet carries pandas metadata, which makes pyarrow
+    Schemas unhashable; Ray Data's schema-dedup early-exit then logs one
+    WARNING per worker. Point Ray Data's logging config at a YAML that
+    keeps that module file-only — set BEFORE ray.init so the raylet (and
+    therefore every worker) inherits the env var."""
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scripts", "ray_data_logging.yaml"),
+    )
+
+
 def main() -> dict:
     import ray
 
@@ -126,6 +139,7 @@ def main() -> dict:
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     crawl_only = "--crawl-only" in sys.argv
 
+    _quiet_schema_warnings()
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, logging_level="ERROR")

@@ -122,12 +122,12 @@ def enrich_fetched(t: pa.Table) -> pa.Table:
                 zero_copy_only=False
             )
     lang_pred = np.array(langs, dtype=object)[scores.argmax(axis=0)]
-    s = pd.Series(joined.to_numpy(zero_copy_only=False))
-    # MinHash fingerprint + LSH band hashes, batch-vectorized
+    # MinHash fingerprint + LSH band hashes, batch-vectorized (OPH
+    # kernel — consumes the Arrow array directly, no object round-trip)
     from ..functions.dedup import minhash_fp_and_bands
 
     fps, bands = minhash_fp_and_bands(
-        s, num_perm=_MINHASH_PERMS, num_bands=_MINHASH_BANDS, fast=True
+        joined, num_perm=_MINHASH_PERMS, num_bands=_MINHASH_BANDS, fast=True
     )
     cols = {
         "text_chars": pa.array(chars.astype(np.int64)),

@@ -289,3 +289,37 @@ def test_ngram_cap_keeps_cold_shingles_exact(ray_session):
     full = _py_ngram_jaccard(near_a, near_b)
     assert got[(0, 1)] <= full  # lower bound, as documented
     assert got[(0, 1)] > 0
+
+
+def test_oph_signatures_estimate_jaccard():
+    """OPH + rotation densification must (a) be deterministic, (b) track
+    true shingle Jaccard, (c) give wordless docs all-zero signatures
+    (kernel parity), (d) match python-split tokenization via Arrow."""
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"w{i}" for i in range(2000)], dtype=object)
+    base_words = list(rng.choice(vocab, size=200))
+    variants = [" ".join(base_words)]
+    for frac in (0.05, 0.3):
+        w = base_words.copy()
+        for i in rng.choice(len(w), int(len(w) * frac), replace=False):
+            w[i] = "zz" + w[i]
+        variants.append(" ".join(w))
+    sig = dedup.minhash_batch_signatures_oph(pd.Series(variants))
+    assert (dedup.minhash_batch_signatures_oph(pd.Series(variants))
+            == sig).all()
+    for i in (1, 2):
+        est = (sig[:, 0] == sig[:, i]).mean()
+        sa = set(dedup._shingle_hashes(variants[0]))
+        sb = set(dedup._shingle_hashes(variants[i]))
+        true = len(sa & sb) / len(sa | sb)
+        assert abs(est - true) < 0.15, (i, est, true)
+    e = dedup.minhash_batch_signatures_oph(
+        pd.Series(["", "   ", "one two three four five six"])
+    )
+    assert (e[:, 0] == 0).all() and (e[:, 1] == 0).all()
+    assert (e[:, 2] != 0).any()
+    # messy whitespace tokenizes like python str.split()
+    messy = dedup.minhash_batch_signatures_oph(
+        pd.Series(["  a b   c d e f  ", "a b c d e f"])
+    )
+    assert (messy[:, 0] == messy[:, 1]).all()
