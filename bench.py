@@ -91,11 +91,19 @@ def run_crawl(sf_tag: str, num_cpus: int) -> dict:
                 fh.read()
     warm_corpus(corpus_dir)
     shutil.rmtree(run_dir, ignore_errors=True)
+    # optional frontier-spilling pressure (the mega-host scale path):
+    # CSR_BENCH_SPILL_ROWS bounds each partition's live frontier and
+    # CSR_BENCH_KEEP_PER_HOST the per-host live slice, forcing the
+    # compact/boundary/refill machinery into the measured loop
+    spill_rows = os.environ.get("CSR_BENCH_SPILL_ROWS")
+    keep_ph = os.environ.get("CSR_BENCH_KEEP_PER_HOST")
     cfg = CrawlConfig(
         corpus_dir=corpus_dir,
         run_dir=run_dir,
         seeds=default_seeds(hosts, n=hosts),  # seed every host: wide BFS
         politeness=PolitenessConfig(min_gap_ms=gap, epoch_ms=epoch_ms),
+        frontier_spill_rows=int(spill_rows) if spill_rows else None,
+        frontier_keep_per_host=int(keep_ph) if keep_ph else None,
         max_epochs=64,
         # the seen-set service scales with the cluster (shards-per-node in
         # a real deployment): its CPU footprint stays proportional at both
@@ -113,6 +121,8 @@ def run_crawl(sf_tag: str, num_cpus: int) -> dict:
         "urls_fetched": summary["urls_fetched"],
         "dedup_hits": summary["dedup_hits"],
         "epochs": summary["epochs"],
+        "spilled_rows": summary.get("spilled_rows", 0),
+        "refilled_rows": summary.get("refilled_rows", 0),
         "urls_per_sec": round(summary["urls_fetched"] / wall, 1),
         "processed_per_sec": round(processed / wall, 1),
     }
@@ -228,6 +238,7 @@ def scaling() -> None:
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
         "scaling_efficiency": round(eff, 3),
+        "spilled_rows": r_hi["crawl"].get("spilled_rows", 0),
         "sf": r_lo["sf"],
     }))
 

@@ -1057,6 +1057,41 @@ def q_dedup_embedding_ivf(sf_dir: str):
     )
 
 
+def q_dedup_embedding_ivf_subset(sf_dir: str):
+    """SUBSET-INVARIANT oracle for the approximate IVF near-dup path
+    (same form as ``dedup_minhash_subset``): IVF compares true cosine
+    within cells, so every pair it emits must be a member of the exact
+    block-pair set at the same threshold, with the same cosine; the
+    exact pair count is recomputed and checked against the DuckDB
+    oracle. IVF recall (which pairs the cells surface) stays approximate
+    — containment is what's checkable."""
+    ivf = dedup.embedding_near_dup_ivf(
+        _planted_embeddings(sf_dir), threshold=_EMB_NEARDUP_T,
+        num_cells=8, assign_top=2,
+    ).to_pandas()
+    exact = dedup.embedding_near_dup(
+        _planted_embeddings(sf_dir), threshold=_EMB_NEARDUP_T, num_blocks=4,
+    ).to_pandas()
+    m = ivf[["id_a", "id_b"]].merge(
+        exact[["id_a", "id_b"]], on=["id_a", "id_b"],
+        how="left", indicator=True,
+    )
+    return pd.DataFrame({
+        "n_exact_pairs": np.array([len(exact)], dtype="int64"),
+        "n_ivf_violations": np.array(
+            [int((m["_merge"] == "left_only").sum())], dtype="int64"
+        ),
+    })
+
+
+SQL_DEDUP_EMBEDDING_IVF_SUBSET = f"""
+WITH p AS ({SQL_DEDUP_EMBEDDING})
+SELECT count(*)::BIGINT AS n_exact_pairs,
+       0::BIGINT AS n_ivf_violations
+FROM p
+"""
+
+
 def q_ann_ivf(sf_dir: str):
     queries, qids = _query_vectors(sf_dir)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -1232,6 +1267,68 @@ def q_fingerprint(sf_dir: str):
     ).map_batches(text.fingerprint_batch, batch_format="pandas")
 
 
+def q_fingerprint_invariants(sf_dir: str):
+    """INVARIANT oracle for the winnowing fingerprint (rows-only until
+    now — the custom hash mix is not SQL-expressible, but its guarantees
+    are): per doc, (a) 1 ≤ n_anchors ≤ max(g − w + 1, 1) where g is the
+    doc's 4-gram count and w=8 the winnowing window (each window selects
+    exactly one anchor; anchors are unique selected hashes), and
+    (b) identical texts produce identical (fingerprint, n_anchors) —
+    made non-trivial by planting a duplicate of every doc_id < 50 at
+    id + 10^6 (SQL-expressible, same pattern as the embedding oracle).
+    SQL independently enumerates the doc ids and asserts all-true."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df["doc_id"] < 50].assign(
+            doc_id=lambda d: d["doc_id"] + 1_000_000
+        )
+        return pd.concat([df, dup], ignore_index=True)
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        fp = text.fingerprint_batch(df)
+        nw = df["text"].astype(str).str.split().str.len().to_numpy()
+        g = np.maximum(nw - 3, 1)  # k=4 grams
+        max_anchors = np.maximum(g - 7, 1)  # w=8 windows
+        within = (fp["n_anchors"].to_numpy() >= 1) & (
+            fp["n_anchors"].to_numpy() <= max_anchors
+        )
+        m = df[["doc_id", "text"]].assign(
+            __fp=fp["fingerprint"].to_numpy(),
+            __na=fp["n_anchors"].to_numpy(),
+        )
+        grp = m.groupby("text", sort=False)
+        consistent = (
+            (grp["__fp"].transform("nunique") == 1)
+            & (grp["__na"].transform("nunique") == 1)
+        ).to_numpy()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "anchors_within_bounds": within.astype("int64"),
+            "dup_consistent": consistent.astype("int64"),
+        })
+
+    # the dup-consistency group check needs originals and their planted
+    # copies co-located — one partition at test sf (audit query; at scale
+    # co-partition by text hash instead)
+    return (
+        docs.map_batches(plant, batch_format="pandas")
+        .repartition(1)
+        .map_batches(check, batch_format="pandas", batch_size=None)
+    )
+
+
+SQL_FINGERPRINT_INVARIANTS = """
+SELECT doc_id::BIGINT AS doc_id,
+       1::BIGINT AS anchors_within_bounds,
+       1::BIGINT AS dup_consistent
+FROM documents
+UNION ALL
+SELECT (doc_id + 1000000)::BIGINT, 1::BIGINT, 1::BIGINT
+FROM documents WHERE doc_id < 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # crawl pipelines as queries (rows-only; corpus synthesized per sf)
 # ---------------------------------------------------------------------------
@@ -1344,7 +1441,9 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
+    "dedup_embedding_ivf_subset": q_dedup_embedding_ivf_subset,
     "ann_ivf": q_ann_ivf,
+    "fingerprint_invariants": q_fingerprint_invariants,
     "langid": q_langid,
     "quality": q_quality,
     "tokens": q_tokens,
@@ -1391,6 +1490,8 @@ ORACLE_SQL = {
     "quantiles_sketch_err": SQL_QUANTILES_SKETCH_ERR,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "dedup_embedding_ivf_subset": SQL_DEDUP_EMBEDDING_IVF_SUBSET,
+    "fingerprint_invariants": SQL_FINGERPRINT_INVARIANTS,
     "langid": SQL_LANGID,
     "quality": SQL_QUALITY,
     "tokens": SQL_TOKENS,
