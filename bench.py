@@ -212,12 +212,15 @@ def scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             # the scaling workload is a larger corpus than the quick bench:
             # epochs must carry enough parallel work (≥10^5 URLs each) that
-            # compute, not per-epoch orchestration, dominates wall time
+            # compute, not per-epoch orchestration, dominates wall time.
+            # CSR_BENCH_* already in the environment pass through, so a
+            # spill-exercising variant (CSR_BENCH_SPILL_ROWS + tighter
+            # politeness) runs the same two-leg protocol
             CSR_BENCH_HOSTS=os.environ.get("CSR_SCALING_HOSTS", "256"),
             CSR_BENCH_PAGES=os.environ.get("CSR_SCALING_PAGES", "16000"),
-            CSR_BENCH_GAP="1",
-            CSR_BENCH_EPOCH_MS="8000",
-            CSR_BENCH_PARTS="128",
+            CSR_BENCH_GAP=os.environ.get("CSR_BENCH_GAP", "1"),
+            CSR_BENCH_EPOCH_MS=os.environ.get("CSR_BENCH_EPOCH_MS", "8000"),
+            CSR_BENCH_PARTS=os.environ.get("CSR_BENCH_PARTS", "128"),
         )
         out = subprocess.run(
             [sys.executable, "bench.py", "--crawl-only"],
