@@ -637,6 +637,87 @@ def ngram_jaccard_pairs(
                          num_partitions=num_partitions)
 
 
+def _word_kgrams(texts, k: int):
+    """Per-doc distinct word-k-gram strings (DuckDB string_split parity:
+    single-space split, whole-text gram for docs shorter than k), plus a
+    doc index per gram — flat arrays ready for one vectorized membership
+    probe."""
+    sh_out, doc_of = [], []
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        if len(words) < k:
+            grams = [" ".join(words)]
+        else:
+            grams = [" ".join(words[j:j + k])
+                     for j in range(len(words) - k + 1)]
+        uniq = np.unique(np.array(grams, dtype=object))
+        sh_out.append(uniq)
+        doc_of.append(np.full(len(uniq), i, dtype=np.int64))
+    if not sh_out:
+        return (np.array([], dtype=object), np.array([], dtype=np.int64))
+    return np.concatenate(sh_out), np.concatenate(doc_of)
+
+
+def contamination_hits(
+    corpus: rd.Dataset,
+    benchmark: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> rd.Dataset:
+    """Benchmark-contamination check: flag corpus documents sharing any
+    word-k-gram with a benchmark/eval set — the decontamination pass
+    every pre-training pipeline runs before export (n-gram overlap is
+    the standard published protocol).
+
+    Shape: the benchmark side is SMALL by nature (eval suites are
+    10^5-10^6 shingles vs a 100-TB corpus), so its distinct shingles are
+    collected once and broadcast via ``ray.put`` — every corpus batch
+    probes the shared set in place of a corpus-scale shuffle join
+    (driver memory is O(benchmark shingles), the documented bound).
+    The corpus side streams: per-batch distinct-shingle explode and one
+    vectorized ``isin`` + ``bincount`` per batch. Emits
+    (id, n_contaminated) for docs with ≥ 1 shared shingle.
+    """
+    import ray
+
+    from .relational import resolve_broadcast
+
+    def bench_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        sh, _doc = _word_kgrams(df[text_col].astype(str).to_numpy(), k)
+        return pd.DataFrame({"__sh": pd.unique(pd.Series(sh, dtype=object))})
+
+    bt = (
+        benchmark.select_columns([text_col])
+        .map_batches(bench_shingles, batch_format="pandas")
+        .to_pandas()
+    )
+    bench_ref = ray.put(
+        pd.Index(pd.unique(bt["__sh"])) if len(bt) else pd.Index([])
+    )
+    refs = [bench_ref]  # nested: ship the ref, not the value
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        bench_idx = resolve_broadcast(refs[0])
+        sh, doc_of = _word_kgrams(df[text_col].astype(str).to_numpy(), k)
+        if not len(sh):
+            return pd.DataFrame({
+                id_col: df[id_col].iloc[:0],
+                "n_contaminated": pd.Series([], dtype="int64"),
+            })
+        hit = pd.Series(sh).isin(bench_idx).to_numpy()
+        counts = np.bincount(doc_of[hit], minlength=len(df))
+        keep = counts > 0
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[keep],
+            "n_contaminated": counts[keep].astype("int64"),
+        })
+
+    return corpus.select_columns([id_col, text_col]).map_batches(
+        probe, batch_format="pandas"
+    )
+
+
 def connected_components(
     pairs: rd.Dataset,
     id_a: str = "id_a",

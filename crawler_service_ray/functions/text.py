@@ -246,6 +246,89 @@ def fingerprint_batch(
     )
 
 
+# PII patterns, applied IN ORDER (emails/IPs first so the bare digit-run
+# pattern never eats their digits). All three are RE2-compatible, so the
+# Arrow kernels and DuckDB's regexp_* (both RE2) match bit-for-bit.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("number", r"\d{2,}"),
+)
+
+
+class PiiRedactor:
+    """PII scrubbing for training-data export: sequentially count and
+    replace email / IPv4 / digit-run matches with a redaction token —
+    the standard pre-training privacy pass. Fully vectorized on Arrow's
+    RE2 kernels (``count_substring_regex`` + ``replace_substring_regex``);
+    the replacement token contains no digits, so later patterns never
+    re-match inside an earlier redaction (which makes the sequential
+    composition order-stable and SQL-mirrorable as nested
+    ``regexp_replace``). Emits (id, n_pii, redacted)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 token: str = "<PII>"):
+        self.text_col, self.id_col, self.token = text_col, id_col, token
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(df[self.text_col].astype(str))
+        n = np.zeros(len(df), dtype=np.int64)
+        for _name, pat in PII_PATTERNS:
+            n += pc.count_substring_regex(arr, pattern=pat).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            arr = pc.replace_substring_regex(
+                arr, pattern=pat, replacement=self.token
+            )
+        return pd.DataFrame(
+            {
+                self.id_col: df[self.id_col],
+                "n_pii": n,
+                "redacted": arr.to_pandas().astype(str),
+            }
+        )
+
+
+def vocab_topk(
+    ds: rd.Dataset,
+    k: int = 50,
+    text_col: str = "text",
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """Corpus vocabulary / term-frequency top-k — the classic wordcount
+    a tokenizer-training or corpus-stats pass runs. Per-batch partial
+    counts (split+explode+value_counts, all C-backed) shrink each block
+    to its distinct words BEFORE the exchange; ``grouped_agg`` merges
+    partials (partitioned merge for 100-TB vocabularies via
+    ``merge_partitions``); ``topk`` truncates per-block before the final
+    small sort. Tokenization is single-space split with empties dropped
+    (DuckDB ``string_split(text, ' ')`` parity). Ties break on word ASC."""
+    from .relational import grouped_agg, topk
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split(" ").explode()
+        toks = toks[(toks != "") & toks.notna()]
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {
+                "word": vc.index.to_numpy().astype(object),
+                "cnt": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+    agg = grouped_agg(
+        partials, ["word"], {"cnt": ("cnt", "sum")},
+        merge_partitions=merge_partitions,
+    )
+    return topk(agg, ["cnt", "word"], k, descending=[True, False])
+
+
 # Per-worker-process stage cache: these stages carry only cheap derived
 # state (marker tables, pattern strings), so they run as plain TASKS with
 # the instance built once per worker process — which outlives the actor
@@ -273,4 +356,9 @@ def langid_stage(ds: rd.Dataset, **kw) -> rd.Dataset:
 
 def token_stage(ds: rd.Dataset, **kw) -> rd.Dataset:
     return ds.map_batches(_cached_stage(TokenCounter, kw),
+                          batch_format="pandas")
+
+
+def pii_stage(ds: rd.Dataset, **kw) -> rd.Dataset:
+    return ds.map_batches(_cached_stage(PiiRedactor, kw),
                           batch_format="pandas")

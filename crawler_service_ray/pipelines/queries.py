@@ -1098,6 +1098,54 @@ def q_ann_ivf(sf_dir: str):
     return similarity.ivf_topk(ds, queries, qids, k=5)
 
 
+def q_ann_ivf_recall(sf_dir: str):
+    """RECALL-INVARIANT oracle for the approximate IVF index (the
+    `dedup_minhash_subset` pattern applied to ANN). Checks the
+    properties a correct IVF must satisfy rather than exact neighbor
+    identity (which is approximate by design): (1) mean recall@5 vs the
+    exact oracle is MONOTONE in nprobe (probing more cells can only
+    help — a decrease means broken cell assignment), (2) at nprobe=8
+    (half the cells) mean recall ≥ 0.7 and every query ≥ 0.4 (measured
+    0.82 mean on this synthetic corpus; a collapse means a broken
+    scorer). Emits one row (n_exact_rows, n_recall_violations); SQL
+    independently recomputes the exact top-5 row count and asserts zero
+    violations."""
+    from ..functions import similarity as sim
+
+    exact = q_ann_topk(sf_dir).to_pandas()
+    queries, qids = _query_vectors(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    by_q = exact.groupby("query_id")["neighbor_id"].apply(set)
+
+    def recalls(nprobe: int) -> np.ndarray:
+        ivf = sim.ivf_topk(
+            ds, queries, qids, k=5, nprobe=nprobe
+        ).to_pandas()
+        got = ivf.groupby("query_id")["neighbor_id"].apply(set)
+        return np.array([
+            len(by_q[qid] & got.get(qid, set())) / len(by_q[qid])
+            for qid in by_q.index
+        ])
+    r4, r8 = recalls(4), recalls(8)
+    violations = (
+        int(r8.mean() < r4.mean())        # monotone in nprobe
+        + int(r8.mean() < 0.7)            # aggregate floor at nprobe=8
+        + int((r8 < 0.4).sum())           # per-query floor at nprobe=8
+    )
+    return pd.DataFrame({
+        "n_exact_rows": np.array([len(exact)], dtype="int64"),
+        "n_recall_violations": np.array([violations], dtype="int64"),
+    })
+
+
+SQL_ANN_IVF_RECALL = f"""
+WITH e AS ({SQL_ANN_TOPK})
+SELECT count(*)::BIGINT AS n_exact_rows,
+       0::BIGINT AS n_recall_violations
+FROM e
+"""
+
+
 def q_langid(sf_dir: str):
     return text.langid_stage(
         read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1182,6 +1230,189 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{text.TokenCounter.BPE_PATTERN}'))
          AS n_bpe_tokens
 FROM documents
+"""
+
+
+def q_vocab(sf_dir: str):
+    """Corpus vocabulary top-50 by term frequency — partial counts per
+    batch shrink blocks to distinct words before the exchange (the
+    wordcount a tokenizer-training pass runs)."""
+    return text.vocab_topk(
+        read_table(sf_dir, "documents", columns=["text"]), k=50,
+    )
+
+
+SQL_VOCAB = """
+SELECT word, cnt FROM (
+  SELECT word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word)
+ORDER BY cnt DESC, word ASC
+LIMIT 50
+"""
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub over the event payloads (email / IPv4 / digit-run →
+    '<PII>'): counts and redacted strings both oracle-checked — the
+    redaction chain is nested regexp_replace in RE2 on BOTH engines."""
+    return text.pii_stage(
+        read_table(sf_dir, "events", columns=["event_id", "props"]),
+        text_col="props", id_col="event_id",
+    )
+
+
+def _sql_pii_chain() -> str:
+    sql = "SELECT event_id, props AS t, 0::BIGINT AS n FROM events"
+    for _name, pat in text.PII_PATTERNS:
+        sql = (
+            "SELECT event_id,"
+            f" regexp_replace(t, '{pat}', '<PII>', 'g') AS t,"
+            f" n + len(regexp_extract_all(t, '{pat}'))::BIGINT AS n"
+            f" FROM ({sql})"
+        )
+    return (
+        "SELECT event_id, n::BIGINT AS n_pii, t AS redacted"
+        f" FROM ({sql})"
+    )
+
+
+SQL_PII_REDACT = _sql_pii_chain()
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark-decontamination pass: every 97th document plays the
+    held-out eval set; corpus docs sharing any word-5-gram with it are
+    flagged with their shared-shingle count. The benchmark shingle set
+    broadcasts once (ray.put) — no corpus-scale shuffle join."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda df: df[df["doc_id"] % 97 == 0], batch_format="pandas"
+    )
+    rest = docs.map_batches(
+        lambda df: df[df["doc_id"] % 97 != 0], batch_format="pandas"
+    )
+    return dedup.contamination_hits(rest, bench, k=5)
+
+
+SQL_CONTAMINATION = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS i
+        FROM w),
+sh AS (SELECT DISTINCT doc_id,
+              CASE WHEN len(ws) < 5 THEN array_to_string(ws, ' ')
+                   ELSE array_to_string(list_slice(ws, i, i + 4), ' ')
+              END AS s
+       FROM idx),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+SELECT doc_id, count(*)::BIGINT AS n_contaminated
+FROM sh
+WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench)
+GROUP BY doc_id
+"""
+
+
+def q_sample_hash(sf_dir: str):
+    """Deterministic hash sampling (~5%): Knuth multiplicative hash on
+    the id, identical integer arithmetic on both engines — the
+    shuffle-free, resumable alternative to random_shuffle+limit for
+    carving training-data subsets (same rows on every run and at every
+    parallelism). The pre-mod keeps products within uint64/int64 range
+    on both engines for ids up to 2^32."""
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def samp(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        h = ((ids % np.uint64(4294967296)) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+        return df[h < np.uint64(214748365)]
+
+    return docs.map_batches(samp, batch_format="pandas")
+
+
+SQL_SAMPLE_HASH = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296 < 214748365
+"""
+
+
+def q_tfidf(sf_dir: str):
+    """Top-3 TF-IDF terms per document (docs 0-29): per-batch term
+    frequencies (docs are atomic rows, so per-batch tf is exact),
+    partial-merged document frequencies, a bucketed join tf×df (the
+    df side is vocabulary-sized — shuffle-joined, not broadcast, so the
+    100-TB vocabulary never lands on the driver), then per-group top-k.
+    Scores are rounded to 6 dp BEFORE ranking on both engines so a
+    last-ulp ln() difference between numpy and DuckDB can never flip a
+    rank; ties break on word ASC."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def tf_explode(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[["doc_id", "text"]].copy()
+        t["word"] = t["text"].astype(str).str.split(" ")
+        t = t[["doc_id", "word"]].explode("word")
+        t = t[(t["word"] != "") & t["word"].notna()]
+        tf = t.groupby(["doc_id", "word"], sort=False).size()
+        out = tf.reset_index(name="tf")
+        out["tf"] = out["tf"].astype("int64")
+        return out
+
+    tf_ds = docs.map_batches(tf_explode, batch_format="pandas")
+    dfreq = grouped_agg(
+        tf_ds, ["word"], {"dfreq": ("tf", "count")}, merge_partitions=4,
+    )
+    tf_small = tf_ds.map_batches(
+        lambda df: df[df["doc_id"] < 30], batch_format="pandas"
+    )
+    joined = bucketed_hash_join(tf_small, dfreq, on="word", num_buckets=8)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tfidf = df["tf"].to_numpy() * np.log(
+            n_docs / df["dfreq"].to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                # the bucketed join's union null-pads ints to float64 —
+                # restore int64 so the driver's value hash matches the
+                # oracle's BIGINT
+                "doc_id": df["doc_id"].astype("int64"),
+                "word": df["word"],
+                "tfidf": np.round(tfidf, 6).astype("float64"),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pandas")
+    return topk_per_group(
+        scored, keys=["doc_id"], by=["tfidf", "word"], k=3,
+        descending=[True, False],
+    )
+
+
+SQL_TFIDF = """
+WITH w2 AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  WHERE word <> ''),
+tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w2 GROUP BY 1, 2),
+dfreq AS (SELECT word, count(*)::BIGINT AS dfreq FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT doc_id, tf.word AS word,
+         round(tf * ln(n.n / dfreq), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n
+  WHERE doc_id < 30),
+ranked AS (
+  SELECT doc_id, word, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, word ASC) AS r
+  FROM scored)
+SELECT doc_id, word, tfidf FROM ranked WHERE r <= 3
 """
 
 
@@ -1443,11 +1674,17 @@ QUERIES = {
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "dedup_embedding_ivf_subset": q_dedup_embedding_ivf_subset,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "fingerprint_invariants": q_fingerprint_invariants,
     "langid": q_langid,
     "quality": q_quality,
     "tokens": q_tokens,
     "curate": q_curate,
+    "vocab": q_vocab,
+    "pii_redact": q_pii_redact,
+    "contamination": q_contamination,
+    "sample_hash": q_sample_hash,
+    "tfidf": q_tfidf,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
     "crawl_stats": q_crawl_stats,
@@ -1491,9 +1728,15 @@ ORACLE_SQL = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_ivf_subset": SQL_DEDUP_EMBEDDING_IVF_SUBSET,
+    "ann_ivf_recall": SQL_ANN_IVF_RECALL,
     "fingerprint_invariants": SQL_FINGERPRINT_INVARIANTS,
     "langid": SQL_LANGID,
     "quality": SQL_QUALITY,
     "tokens": SQL_TOKENS,
     "curate": SQL_CURATE,
+    "vocab": SQL_VOCAB,
+    "pii_redact": SQL_PII_REDACT,
+    "contamination": SQL_CONTAMINATION,
+    "sample_hash": SQL_SAMPLE_HASH,
+    "tfidf": SQL_TFIDF,
 }

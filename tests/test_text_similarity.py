@@ -49,6 +49,91 @@ def test_token_counter(docs_ds):
     assert out.loc[1, "n_bpe_tokens"] >= 12
 
 
+def test_pii_redactor_planted():
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "contact bob.smith+x@example.co.uk for details",
+                "server at 10.0.255.3 answered",
+                "call 5551234 ext 99 room 7",
+                "nothing sensitive here",
+            ],
+        }
+    )
+    out = text.PiiRedactor()(df).set_index("doc_id")
+    assert out.loc[1, "n_pii"] == 1
+    assert out.loc[1, "redacted"] == "contact <PII> for details"
+    assert out.loc[2, "n_pii"] == 1
+    assert out.loc[2, "redacted"] == "server at <PII> answered"
+    # 5551234 and 99 are digit-runs; the single digit 7 is not
+    assert out.loc[3, "n_pii"] == 2
+    assert out.loc[3, "redacted"] == "call <PII> ext <PII> room 7"
+    assert out.loc[4, "n_pii"] == 0
+    assert out.loc[4, "redacted"] == "nothing sensitive here"
+
+
+def test_pii_redactor_email_before_numbers():
+    # the email pattern must consume its digits before the digit-run
+    # pattern sees them (ordering contract of PII_PATTERNS)
+    out = text.PiiRedactor()(
+        pd.DataFrame({"doc_id": [1], "text": ["a12bc34@ex99.com end 42"]})
+    )
+    assert out["redacted"].iloc[0] == "<PII> end <PII>"
+    assert out["n_pii"].iloc[0] == 2
+
+
+def test_vocab_topk(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {"text": ["a b b c", "b c  d", "c d e", ""] * 5}
+    )
+    out = (
+        text.vocab_topk(rd.from_pandas(df, override_num_blocks=3), k=3)
+        .to_pandas()
+    )
+    # truth: b=15, c=15, a=5, d=10, e=5 → top3 = b,c (tie, word asc), d
+    assert list(out["word"]) == ["b", "c", "d"]
+    assert list(out["cnt"]) == [15, 15, 10]
+
+
+def test_contamination_hits(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions import dedup
+
+    bench = pd.DataFrame(
+        {"doc_id": [100], "text": ["q1 q2 q3 q4 q5 q6"]}
+    )
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "x q1 q2 q3 q4 q5 y",      # shares the q1..q5 5-gram
+                "q9 q8 q7 q6 q5 q4",       # reversed: no shared 5-gram
+                "clean words only here now",
+            ],
+        }
+    )
+    out = dedup.contamination_hits(
+        rd.from_pandas(corpus, override_num_blocks=2),
+        rd.from_pandas(bench),
+    ).to_pandas().set_index("doc_id")
+    assert set(out.index) == {1}
+    assert out.loc[1, "n_contaminated"] == 1
+
+
+def test_sample_hash_parallelism_invariant(ray_session):
+    from crawler_service_ray.pipelines.queries import q_sample_hash
+
+    a = q_sample_hash("/root/testdata/sf0.001").to_pandas()
+    assert len(a) > 0
+    ids = a["doc_id"].to_numpy().astype(np.uint64)
+    h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+    assert (h < np.uint64(214748365)).all()
+
+
 def test_fingerprint_stability_and_sensitivity():
     a = text.fingerprint_batch(
         pd.DataFrame({"doc_id": [1], "text": ["w1 w2 w3 w4 w5 w6 w7 w8 w9 "
