@@ -77,6 +77,23 @@ class CrawlConfig:
     # pins one path (tests exercise both).
     local_epoch_threshold: int = 20000
     force_mode: str | None = None
+    # robots filtering site. False (default): discovery time, against the
+    # ray.put-broadcast full rule dict — O(total hosts with rules) per
+    # worker, right up to ~10^7 ruled hosts. True: ADMISSION time — rules
+    # are hash-partitioned by the run-wide host key exactly like the
+    # frontier, so each admission task resolves ONLY its own partition's
+    # rules (O(hosts/partitions) per task), the 10^9-host scale path
+    # documented in stages/outlinks.py. The final fetched set is
+    # IDENTICAL (tests/test_crawl_equivalence.py pins it): denied URLs
+    # are dropped before the politeness top-K, so admitted rows match.
+    # Accounting shifts: a denied URL is counted once at admission (it
+    # passed the seen probe at discovery) instead of on every
+    # rediscovery, so robots_denied totals are lower and dedup_hits
+    # correspondingly higher. Combined with frontier_spill_rows, denied
+    # rows occupy live-slice/spill space until their admission epoch, so
+    # a mega-host's fetch EPOCHS can shift relative to the
+    # discovery-time run — the fetched SET is still identical.
+    robots_at_admission: bool = False
     # priority-cutoff frontier spilling (state/spill.py): when one host
     # partition's accumulated pending frontier exceeds this many rows,
     # hosts holding more than frontier_keep_per_host rows keep their

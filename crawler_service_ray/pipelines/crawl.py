@@ -136,6 +136,7 @@ class CrawlRun:
         self.shards: list = []
         self.metrics: LocalMetrics | None = None
         self._local_fetcher = None
+        self._robots_part_refs: list | None = None
 
     # -- layout helpers ---------------------------------------------------
     def _epoch_dir(self, k: int) -> str:
@@ -175,7 +176,24 @@ class CrawlRun:
             max(4, self.cfg.num_host_partitions // 4)
         )
         self.metrics = LocalMetrics(MetricsActor.remote())
-        self._robots_ref = ray.put(self.robots)
+        if self.cfg.robots_at_admission:
+            # the 10^9-host scale path (config.py): rules split by the
+            # SAME run-wide host partition key as the frontier, one
+            # object-store entry per partition — each admission task
+            # resolves only its own hosts' rules; discovery-time
+            # filtering is disabled (empty broadcast dict)
+            P = self.cfg.num_host_partitions
+            per_part: list[dict] = [{} for _ in range(P)]
+            if self.robots:
+                hosts_arr = np.array(list(self.robots), dtype=object)
+                parts = _host_partitions_of(hosts_arr, P)
+                for (h, rules), p in zip(self.robots.items(), parts):
+                    per_part[int(p)][h] = rules
+            self._robots_part_refs = [ray.put(d) for d in per_part]
+            self._robots_ref = ray.put({})
+        else:
+            self._robots_part_refs = None
+            self._robots_ref = ray.put(self.robots)
         if self.cfg.source_kind == "corpus":
             # corpus buckets: loaded+indexed once, object-store-shared
             # zero-copy (cached per driver process across CrawlRuns; keyed
@@ -345,6 +363,14 @@ class CrawlRun:
         t = pa.concat_tables(
             [pq.read_table(f) for f in frontier_files]
         ).combine_chunks()
+        if self.cfg.robots_at_admission and t.num_rows and self.robots:
+            from ..stages.outlinks import robots_mask_urls
+
+            blocked = robots_mask_urls(t["url"], t["host"], self.robots)
+            nb = int(blocked.sum())
+            if nb:
+                self.metrics.add(k, "robots_denied", nb)
+                t = t.filter(pa.array(~blocked))
         adm = admit_per_host(t, self.cfg.politeness, k)
         admitted = adm.filter(adm["admitted"])
         deferred = adm.filter(pc.invert(adm["admitted"])).select(FRONTIER_COLS)
@@ -383,7 +409,9 @@ class CrawlRun:
                    "failed")
         links = extract_links(fetched.select(["url", "depth", "spans"]))
         filt = canon_and_filter(
-            links, self.robots, tuple(self.cfg.skip_substrings), cb
+            links,
+            {} if self.cfg.robots_at_admission else self.robots,
+            tuple(self.cfg.skip_substrings), cb,
         )
         newfr = probe_new(filt, self.shards, k, cb)
         # retry re-entries count as next-epoch frontier under the same
@@ -483,6 +511,7 @@ class CrawlRun:
                     manifest_out_dir=os.path.join(
                         os.path.dirname(next_dir), "spill"
                     ),
+                    robots_parts=self._robots_part_refs,
                 ),
                 batch_format="pyarrow",
                 batch_size=None,  # one partition item per task
@@ -808,6 +837,7 @@ def _admit_partition_fn(
     spill_rows: int | None = None,
     keep_per_host: int = 0,
     manifest_out_dir: str | None = None,
+    robots_parts: list | None = None,
 ) -> pa.Table:
     """Admission for one host partition (host-complete by construction):
     read the partition's frontier files, per-host politeness top-K,
@@ -868,6 +898,23 @@ def _admit_partition_fn(
                 cb("refilled_rows", nref)
             if manifest_out_dir:
                 spill_mod.write_manifest(manifest, manifest_out_dir, p)
+        if robots_parts is not None and frontier.num_rows:
+            # admission-time robots (config.robots_at_admission): this
+            # partition's OWN rules only — resolved once per worker via
+            # the shared broadcast LRU. Filtering precedes the top-K so
+            # admitted rows match the discovery-time-filtered run.
+            from ..functions.relational import resolve_broadcast
+            from ..stages.outlinks import robots_mask_urls
+
+            rules = resolve_broadcast(robots_parts[p])
+            if rules:
+                blocked = robots_mask_urls(
+                    frontier["url"], frontier["host"], rules
+                )
+                nb = int(blocked.sum())
+                if nb:
+                    cb("robots_denied", nb)
+                    frontier = frontier.filter(pa.array(~blocked))
         adm = admit_per_host(frontier, pol, epoch)
         mask = adm["admitted"].combine_chunks()
         deferred = adm.filter(pc.invert(mask)).select(FRONTIER_COLS)

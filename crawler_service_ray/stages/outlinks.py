@@ -76,10 +76,12 @@ def canon_and_filter(
     check is vectorized per DISTINCT prefix (a handful), not per row.
     Scale note: the broadcast is O(total hosts with rules); at 10^9-host
     scale robots filtering moves to ADMISSION time, where every frontier
-    partition is host-complete and needs only its own hosts' rules
-    (host-hash-partitioned rule files) — link targets here span arbitrary
-    hosts, so discovery-time filtering inherently needs either the
-    broadcast or a per-link rules join.
+    partition is host-complete and needs only its own hosts' rules —
+    IMPLEMENTED as ``config.robots_at_admission`` (pipelines/crawl.py
+    hash-partitions the rules by the run-wide host key; same fetched
+    set, pinned by tests/test_crawl_equivalence.py). Link targets here
+    span arbitrary hosts, so discovery-time filtering inherently needs
+    either the broadcast or a per-link rules join.
     Entirely Arrow compute kernels — this stage processes ~3× the crawl's
     URL volume, and pandas object strings both cost more and contend
     across workers (measured).
@@ -106,18 +108,7 @@ def canon_and_filter(
             pc.match_substring(urls, s).to_numpy(zero_copy_only=False)
         )
     n_skip = int((~keep).sum())
-    robots_block = np.zeros(t.num_rows, dtype=bool)
-    if robots:
-        by_prefix: dict[str, set] = {}
-        for h, prefixes in robots.items():
-            for p in prefixes:
-                by_prefix.setdefault(p, set()).add(h)
-        for p, hs in by_prefix.items():
-            hit = pc.and_(
-                pc.is_in(hosts, value_set=pa.array(sorted(hs))),
-                pc.starts_with(path, p),
-            )
-            robots_block |= hit.to_numpy(zero_copy_only=False)
+    robots_block = robots_mask(hosts, path, robots)
     robots_block &= keep
     if metrics_cb is not None:
         metrics_cb("robots_denied", int(robots_block.sum()))
@@ -128,6 +119,46 @@ def canon_and_filter(
         .append_column("host", hosts)
     )
     return out.filter(pa.array(keep))
+
+
+def robots_mask(hosts, path, robots: dict) -> np.ndarray:
+    """Vectorized robots disallow check: True where (host, path) hits a
+    rule. Runs per DISTINCT prefix (a handful), not per row — shared by
+    discovery-time filtering (`canon_and_filter`) and admission-time
+    filtering (`robots_at_admission`, pipelines/crawl.py), so both modes
+    deny exactly the same URLs."""
+    import pyarrow.compute as pc
+
+    n = len(hosts)
+    block = np.zeros(n, dtype=bool)
+    if robots and n:
+        by_prefix: dict[str, set] = {}
+        for h, prefixes in robots.items():
+            for p in prefixes:
+                by_prefix.setdefault(p, set()).add(h)
+        for p, hs in by_prefix.items():
+            hit = pc.and_(
+                pc.is_in(hosts, value_set=pa.array(sorted(hs))),
+                pc.starts_with(path, p),
+            )
+            block |= hit.to_numpy(zero_copy_only=False)
+    return block
+
+
+def robots_mask_urls(urls, hosts, robots: dict) -> np.ndarray:
+    """`robots_mask` over already-canonical frontier rows (url + host
+    columns): derives the path suffix from the url, then applies the
+    same prefix check."""
+    import pyarrow.compute as pc
+
+    urls = pa.array(urls) if not isinstance(urls, (pa.Array, pa.ChunkedArray)) else urls
+    hosts = pa.array(hosts) if not isinstance(hosts, (pa.Array, pa.ChunkedArray)) else hosts
+    rest = pc.replace_substring_regex(
+        urls, r"^[a-z][a-z0-9+.-]*://", "", max_replacements=1
+    )
+    path = pc.replace_substring_regex(rest, r"(?s)^[^/]*", "",
+                                      max_replacements=1)
+    return robots_mask(hosts, path, robots)
 
 
 def probe_new_start(t: pa.Table, shards: list):

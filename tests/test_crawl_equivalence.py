@@ -186,6 +186,37 @@ def test_politeness_deferral_and_skiplist(ray_session, tiny_corpus, tmp_path):
     _check_equivalence(cfg, cfg.run_dir)
 
 
+def test_robots_at_admission_same_fetched_set(ray_session, tiny_corpus,
+                                              tmp_path):
+    """The admission-time robots scale path must fetch EXACTLY the same
+    URLs as discovery-time filtering (both modes deny before the
+    politeness top-K), in both execution modes; only the denial
+    accounting differs (once at admission vs per rediscovery)."""
+    import json
+    import os
+
+    cfg_a = _cfg(tiny_corpus, str(tmp_path / "disc"), force_mode="dataset")
+    cfg_b = _cfg(tiny_corpus, str(tmp_path / "admit"), force_mode="dataset",
+                 robots_at_admission=True)
+    cfg_c = _cfg(tiny_corpus, str(tmp_path / "admitl"), force_mode="local",
+                 robots_at_admission=True)
+    sa = CrawlRun(cfg_a).run(resume=False)
+    sb = CrawlRun(cfg_b).run(resume=False)
+    sc = CrawlRun(cfg_c).run(resume=False)
+    ta = fetched_table(cfg_a.run_dir).sort_by("url")
+    tb = fetched_table(cfg_b.run_dir).sort_by("url")
+    tc = fetched_table(cfg_c.run_dir).sort_by("url")
+    assert ta.column("url").to_pylist() == tb.column("url").to_pylist()
+    assert ta.column("url").to_pylist() == tc.column("url").to_pylist()
+    # same fetch epochs too: denial precedes the top-K in both modes
+    assert ta.column("fetch_epoch").to_pylist() == \
+        tb.column("fetch_epoch").to_pylist()
+    # denial still happens (corpus has robots rules) and at most the
+    # discovery-time count (once per URL, not per rediscovery)
+    assert 0 < sb["robots_denied"] <= sa["robots_denied"]
+    assert sb["robots_denied"] == sc["robots_denied"]
+
+
 def test_crawl_twice_is_idempotent(ray_session, tiny_corpus, tmp_path):
     # dedup idempotence: a completed run re-invoked returns the summary
     # without recomputation, and a fresh run over the same corpus produces
