@@ -408,6 +408,78 @@ def topk_per_group(
     )
 
 
+def grouped_rank(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    by: str | Sequence[str],
+    out_name: str = "rank",
+    descending: bool | Sequence[bool] = True,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-group row_number() — the full-output window-rank operator
+    (``topk_per_group`` truncates; this ranks EVERY row). One
+    hash-partition shuffle by the group keys, then a vectorized
+    sort + ``groupby.cumcount`` per partition — no per-group Python
+    call. ``by`` should include a tiebreaker column for determinism
+    (SQL ``row_number() OVER (PARTITION BY keys ORDER BY by)``
+    parity)."""
+    keys = list(keys)
+    by = [by] if isinstance(by, str) else list(by)
+    desc = ([descending] * len(by) if isinstance(descending, bool)
+            else list(descending))
+    asc = [not d for d in desc]
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(by, ascending=asc, kind="mergesort")
+        g[out_name] = (
+            g.groupby(keys, sort=False, observed=True).cumcount() + 1
+        ).astype("int64")
+        return g
+
+    return grouped_apply(ds, keys, rank_part,
+                         num_partitions=num_partitions)
+
+
+def moving_avg(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    order_by: str | Sequence[str],
+    col: str,
+    window: int,
+    out_name: str = "moving_avg",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-key trailing moving average over the last ``window`` rows in
+    ``order_by`` order — the ROWS-frame windowed aggregate (SQL
+    ``AVG(col) OVER (PARTITION BY keys ORDER BY order_by ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)``). Same shape as
+    ``windowed_cumsum``: one hash-partition shuffle co-locates each
+    key's rows, then a vectorized sort + ``groupby.rolling`` per
+    partition. ``order_by`` should be unique per key for deterministic
+    frames."""
+    keys = list(keys)
+    order_by = ([order_by] if isinstance(order_by, str)
+                else list(order_by))
+
+    def roll_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_by, kind="mergesort")
+        r = (
+            g.groupby(keys, sort=False, observed=True)[col]
+            .rolling(window, min_periods=1)
+            .mean()
+        )
+        # rolling returns (key..., original_index)-indexed rows in GROUP
+        # order — drop the key levels and let pandas align the assignment
+        # on the surviving original index
+        g[out_name] = r.droplevel(
+            list(range(len(keys)))
+        ).astype("float64")
+        return g
+
+    return grouped_apply(ds, keys, roll_part,
+                         num_partitions=num_partitions)
+
+
 def distinct(
     ds: rd.Dataset,
     columns: Sequence[str],

@@ -292,6 +292,39 @@ class PiiRedactor:
         )
 
 
+class TextNormalizer:
+    """Canonical text-normalization pass for training-data export:
+    lowercase, strip characters outside [a-z0-9 ], collapse whitespace
+    runs, trim. All four steps are Arrow RE2/utf8 kernels with exact
+    DuckDB ``lower``/``regexp_replace``/``trim`` equivalents, so the
+    normalized string itself is oracle-checkable. Emits
+    (id, norm_text, norm_len)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(df[self.text_col].astype(str))
+        arr = pc.utf8_lower(arr)
+        arr = pc.replace_substring_regex(arr, pattern=r"[^a-z0-9 ]",
+                                         replacement=" ")
+        arr = pc.replace_substring_regex(arr, pattern=r" +",
+                                         replacement=" ")
+        arr = pc.utf8_trim(arr, characters=" ")
+        return pd.DataFrame(
+            {
+                self.id_col: df[self.id_col],
+                "norm_text": arr.to_pandas().astype(str),
+                "norm_len": pc.utf8_length(arr).to_numpy(
+                    zero_copy_only=False
+                ).astype("int64"),
+            }
+        )
+
+
 def vocab_topk(
     ds: rd.Dataset,
     k: int = 50,
@@ -361,4 +394,9 @@ def token_stage(ds: rd.Dataset, **kw) -> rd.Dataset:
 
 def pii_stage(ds: rd.Dataset, **kw) -> rd.Dataset:
     return ds.map_batches(_cached_stage(PiiRedactor, kw),
+                          batch_format="pandas")
+
+
+def normalize_stage(ds: rd.Dataset, **kw) -> rd.Dataset:
+    return ds.map_batches(_cached_stage(TextNormalizer, kw),
                           batch_format="pandas")

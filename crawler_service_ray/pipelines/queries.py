@@ -1340,6 +1340,89 @@ WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296 < 214748365
 """
 
 
+def q_rank_in_group(sf_dir: str):
+    """Full-output window rank: suppliers ranked by account balance
+    within nation (row_number parity — `grouped_rank`, one key-hash
+    shuffle, vectorized cumcount, no per-group Python)."""
+    from ..functions.relational import grouped_rank
+
+    ds = read_table(
+        sf_dir, "supplier",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    )
+    out = grouped_rank(
+        ds, keys=["s_nationkey"], by=["s_acctbal", "s_suppkey"],
+        descending=[True, False], num_partitions=8,
+    )
+    return out.map_batches(
+        lambda df: df.assign(s_acctbal=df["s_acctbal"].round(2)),
+        batch_format="pandas",
+    )
+
+
+SQL_RANK_IN_GROUP = """
+SELECT s_suppkey, s_nationkey, round(s_acctbal, 2) AS s_acctbal,
+       row_number() OVER (PARTITION BY s_nationkey
+                          ORDER BY s_acctbal DESC, s_suppkey ASC) AS rank
+FROM supplier
+"""
+
+
+def q_moving_avg(sf_dir: str):
+    """ROWS-frame windowed aggregate: per-user trailing 5-event mean of
+    `value` in (ts, event_id) order — `moving_avg`, the sliding-frame
+    sibling of `windowed_cumsum` (one key-hash shuffle + vectorized
+    groupby.rolling)."""
+    from ..functions.relational import moving_avg
+
+    ds = read_table(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    out = moving_avg(
+        ds, keys=["user_id"], order_by=["ts", "event_id"], col="value",
+        window=5, out_name="mov_avg", num_partitions=16,
+    )
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "mov_avg"]].assign(
+            mov_avg=df["mov_avg"].round(6)
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_MOVING_AVG = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             6) AS mov_avg
+FROM events
+"""
+
+
+def q_normalize(sf_dir: str):
+    """Text-normalization export pass (lower → strip non-[a-z0-9 ] →
+    collapse spaces → trim): the normalized string itself is
+    oracle-checked, all steps Arrow RE2/utf8 kernels with exact DuckDB
+    equivalents."""
+    return text.normalize_stage(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+SQL_NORMALIZE = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+                                          ' ', 'g'),
+                           ' +', ' ', 'g')) AS norm_text,
+       length(trim(regexp_replace(regexp_replace(lower(text),
+                                                 '[^a-z0-9 ]', ' ', 'g'),
+                                  ' +', ' ', 'g')))::BIGINT AS norm_len
+FROM documents
+"""
+
+
 def q_tfidf(sf_dir: str):
     """Top-3 TF-IDF terms per document (docs 0-29): per-batch term
     frequencies (docs are atomic rows, so per-batch tf is exact),
@@ -1685,6 +1768,9 @@ QUERIES = {
     "contamination": q_contamination,
     "sample_hash": q_sample_hash,
     "tfidf": q_tfidf,
+    "rank_in_group": q_rank_in_group,
+    "moving_avg": q_moving_avg,
+    "normalize": q_normalize,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
     "crawl_stats": q_crawl_stats,
@@ -1739,4 +1825,7 @@ ORACLE_SQL = {
     "contamination": SQL_CONTAMINATION,
     "sample_hash": SQL_SAMPLE_HASH,
     "tfidf": SQL_TFIDF,
+    "rank_in_group": SQL_RANK_IN_GROUP,
+    "moving_avg": SQL_MOVING_AVG,
+    "normalize": SQL_NORMALIZE,
 }

@@ -311,3 +311,64 @@ def test_quantiles_sketch_key_bound(ray_session):
         out.sort_values("g").reset_index(drop=True),
         base.sort_values("g").reset_index(drop=True),
     )
+
+
+def test_grouped_rank_matches_pandas(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import grouped_rank
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 7, 200),
+        "id": np.arange(200, dtype="int64"),
+        "v": rng.normal(size=200).round(3),
+    })
+    out = grouped_rank(
+        rd.from_pandas(df, override_num_blocks=4), ["g"], ["v", "id"],
+        descending=[True, False], num_partitions=4,
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    truth = df.sort_values(["v", "id"], ascending=[False, True])
+    truth["rank"] = truth.groupby("g").cumcount() + 1
+    truth = truth.sort_values("id").reset_index(drop=True)
+    assert (out["rank"].to_numpy()
+            == truth["rank"].to_numpy()).all()
+
+
+def test_moving_avg_matches_pandas(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import moving_avg
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, 300),
+        "t": np.arange(300, dtype="int64"),
+        "v": rng.normal(size=300),
+    })
+    out = moving_avg(
+        rd.from_pandas(df, override_num_blocks=4), ["g"], ["t"], "v",
+        window=4, num_partitions=4,
+    ).to_pandas().sort_values("t").reset_index(drop=True)
+    truth = df.sort_values("t").copy()
+    truth["moving_avg"] = (
+        truth.groupby("g")["v"]
+        .rolling(4, min_periods=1).mean()
+        .droplevel(0)
+    )
+    truth = truth.sort_values("t").reset_index(drop=True)
+    assert np.allclose(out["moving_avg"], truth["moving_avg"])
+
+
+def test_text_normalizer():
+    from crawler_service_ray.functions.text import TextNormalizer
+
+    out = TextNormalizer()(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["  Hello, WORLD!!  42 ", "\tall clean here\n"],
+    })).set_index("doc_id")
+    assert out.loc[1, "norm_text"] == "hello world 42"
+    assert out.loc[1, "norm_len"] == len("hello world 42")
+    assert out.loc[2, "norm_text"] == "all clean here"
