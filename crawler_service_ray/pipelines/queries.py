@@ -41,6 +41,14 @@ from ..functions.relational import (
 )
 
 
+# Shuffle-heavy document pipelines size read blocks by bytes, not cpu
+# fan-out (see read_table.bytes_per_block): Ray's default split of the
+# small documents file into ~2x-cpu tiny blocks made every downstream
+# groupby sort pay per-block overhead (measured 4-5x wall on
+# dedup_minhash at sf0.1).
+_DOC_BPB = 128 * 1024
+
+
 # ---------------------------------------------------------------------------
 # relational queries (SQL-checked)
 # ---------------------------------------------------------------------------
@@ -503,7 +511,8 @@ GROUP BY user_id
 
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(
-        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                   bytes_per_block=_DOC_BPB)
     )
 
 
@@ -812,7 +821,8 @@ def q_ngram_jaccard(sf_dir: str):
     DuckDB oracle (the round-1 version was LSH-candidate-limited and
     unverifiable)."""
     return dedup.ngram_jaccard_pairs(
-        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                   bytes_per_block=_DOC_BPB),
         k=5, threshold=0.5,
     )
 
@@ -841,7 +851,8 @@ WHERE c / (na.n + nb.n - c) >= 0.5
 
 def q_dedup_minhash(sf_dir: str):
     return dedup.minhash_lsh_pairs(
-        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                   bytes_per_block=_DOC_BPB),
         threshold=0.5,
     )
 
@@ -857,7 +868,8 @@ def q_dedup_minhash_subset(sf_dir: str):
     count. LSH recall (which pairs the bands surface) stays approximate —
     that is the point of the containment form: it is checkable without
     being SQL-reproducible."""
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
     lsh = dedup.minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
     exact = dedup.ngram_jaccard_pairs(docs, k=5, threshold=0.5).to_pandas()
     m = lsh[["id_a", "id_b"]].merge(
@@ -951,7 +963,8 @@ def q_dedup_clusters(sf_dir: str):
     cluster id = min doc_id of the component. Oracle: the same pairs via
     SQL + a recursive-CTE reachability closure."""
     pairs = dedup.ngram_jaccard_pairs(
-        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                   bytes_per_block=_DOC_BPB),
         k=5, threshold=0.5,
     )
     out = dedup.connected_components(pairs)
@@ -979,7 +992,8 @@ SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
 
 def q_dedup_simhash(sf_dir: str):
     return dedup.simhash_dedup(
-        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                   bytes_per_block=_DOC_BPB),
         max_hamming=3,
     )
 
@@ -1432,7 +1446,8 @@ def q_tfidf(sf_dir: str):
     Scores are rounded to 6 dp BEFORE ranking on both engines so a
     last-ulp ln() difference between numpy and DuckDB can never flip a
     rank; ties break on word ASC."""
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
     n_docs = docs.count()
 
     def tf_explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -1506,7 +1521,8 @@ def q_curate(sf_dir: str):
     carries a DuckDB oracle — the end-to-end 'curate a corpus' pipeline
     a 100-TB run would execute (filters prune BEFORE the dedup shuffle;
     only (hash, id) pairs shuffle)."""
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         q = text.quality_features(df)
