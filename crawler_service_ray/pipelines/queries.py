@@ -47,6 +47,9 @@ from ..functions.relational import (
 # groupby sort pay per-block overhead (measured 4-5x wall on
 # dedup_minhash at sf0.1).
 _DOC_BPB = 128 * 1024
+# fact-table (lineitem/orders/events) shuffle pipelines: ~1 MB read
+# blocks measured best (joins 2.4-4.6s -> 0.74s at sf0.1)
+_FACT_BPB = 1024 * 1024
 
 
 # ---------------------------------------------------------------------------
@@ -188,14 +191,13 @@ GROUP BY c_mktsegment
 
 def q_join_partitioned(sf_dir: str):
     """J1-at-scale analog: explicit bucketed hash join lineitem ⋈ orders."""
-    li = read_table(
-        sf_dir, "lineitem",
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
         columns=["l_orderkey", "l_quantity", "l_extendedprice"],
     ).map_batches(
         lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
         batch_format="pandas",
     )
-    orders = read_table(sf_dir, "orders",
+    orders = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
                         columns=["o_orderkey", "o_orderpriority"])
     joined = bucketed_hash_join(li, orders, on="o_orderkey", num_buckets=16)
     out = grouped_agg(
@@ -214,7 +216,7 @@ GROUP BY o_orderpriority
 
 def q_join_native(sf_dir: str):
     """Multi-way join on Ray's native hash join (customer⋈nation⋈region)."""
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = read_table(sf_dir, "customer", bytes_per_block=_FACT_BPB, columns=["c_custkey", "c_nationkey"])
     nation = read_table(sf_dir, "nation",
                         columns=["n_nationkey", "n_regionkey", "n_name"])
     region = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
@@ -247,8 +249,7 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 
 def q_topk_per_group(sf_dir: str):
-    ds = read_table(
-        sf_dir, "lineitem",
+    ds = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
         columns=["l_returnflag", "l_orderkey", "l_linenumber",
                  "l_extendedprice"],
     )
@@ -270,7 +271,7 @@ SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
 
 def q_distinct(sf_dir: str):
     return distinct(
-        read_table(sf_dir, "customer", columns=["c_mktsegment"]),
+        read_table(sf_dir, "customer", bytes_per_block=_FACT_BPB, columns=["c_mktsegment"]),
         ["c_mktsegment"],
     )
 
@@ -286,9 +287,8 @@ def q_anti_join(sf_dir: str):
 
     from ..functions.relational import semi_anti_join
 
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    orders = read_table(
-        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    cust = read_table(sf_dir, "customer", bytes_per_block=_FACT_BPB, columns=["c_custkey", "c_name"])
+    orders = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB, columns=["o_custkey", "o_totalprice"]
     ).map_batches(
         lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)).select(
             ["o_custkey"]
@@ -309,8 +309,8 @@ def q_semi_join(sf_dir: str):
     """Semi join: suppliers that supply at least one ordered part."""
     from ..functions.relational import semi_anti_join
 
-    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
-    li = read_table(sf_dir, "lineitem", columns=["l_suppkey"]).map_batches(
+    supp = read_table(sf_dir, "supplier", bytes_per_block=_FACT_BPB, columns=["s_suppkey", "s_name"])
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB, columns=["l_suppkey"]).map_batches(
         lambda df: df.rename(columns={"l_suppkey": "s_suppkey"}),
         batch_format="pandas",
     )
@@ -328,7 +328,7 @@ def q_cumsum(sf_dir: str):
     order — deterministic float order on both sides."""
     from ..functions.relational import windowed_cumsum
 
-    ds = read_table(sf_dir, "events",
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
                     columns=["event_id", "user_id", "ts", "value"])
     out = windowed_cumsum(ds, "user_id", "ts", "value", tiebreak="event_id",
                           out_name="cum_value")
@@ -353,7 +353,7 @@ def q_count_distinct(sf_dir: str):
     """Distributed COUNT(DISTINCT): per-batch dedup → partitioned final
     dedup → count."""
     n = distinct(
-        read_table(sf_dir, "lineitem", columns=["l_orderkey"]),
+        read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB, columns=["l_orderkey"]),
         ["l_orderkey"], merge_partitions=8,
     ).count()
     return pa.Table.from_pydict({"n": pa.array([n], type=pa.int64())})
@@ -438,7 +438,7 @@ def q_quantiles(sf_dir: str):
     """Exact grouped quantiles (percentile_cont semantics)."""
     from ..functions.relational import grouped_quantiles
 
-    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB, columns=["event_type", "value"])
     out = grouped_quantiles(
         ds, ["event_type"], "value", [0.5, 0.95], ["p50", "p95"],
     )
@@ -473,8 +473,7 @@ def q_corr(sf_dir: str):
     per block leave the map side)."""
     from ..functions.relational import grouped_corr
 
-    ds = read_table(
-        sf_dir, "lineitem",
+    ds = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
         columns=["l_returnflag", "l_quantity", "l_discount"],
     )
     out = grouped_corr(ds, ["l_returnflag"], "l_quantity", "l_discount",
@@ -492,7 +491,7 @@ FROM lineitem GROUP BY 1
 
 
 def q_sessionize(sf_dir: str):
-    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB, columns=["user_id", "ts"])
     return sessionize(ds, key="user_id", ts_col="ts", gap_seconds=1800.0)
 
 
@@ -650,11 +649,10 @@ def q_top_revenue_orders(sf_dir: str):
     building = cust[cust.c_mktsegment == "BUILDING"][["c_custkey"]].rename(
         columns={"c_custkey": "o_custkey"}
     )
-    orders = read_table(sf_dir, "orders",
+    orders = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
                         columns=["o_orderkey", "o_custkey"])
     o_f = broadcast_join(orders, building, on="o_custkey")
-    li = read_table(
-        sf_dir, "lineitem",
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     ).map_batches(
         lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
@@ -695,15 +693,14 @@ def q_union_distinct(sf_dir: str):
     """Set op: union of two filtered projections + distinct (D2 analog)."""
     import pyarrow.compute as pc
 
-    hi = read_table(sf_dir, "orders",
+    hi = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
                     columns=["o_custkey", "o_totalprice"]).map_batches(
         lambda t: t.filter(
             pc.greater(t["o_totalprice"], 150000.0)
         ).select(["o_custkey"]),
         batch_format="pyarrow",
     )
-    urgent = read_table(
-        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    urgent = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB, columns=["o_custkey", "o_orderpriority"]
     ).map_batches(
         lambda t: t.filter(
             pc.equal(t["o_orderpriority"], "1-URGENT")
@@ -738,16 +735,14 @@ def q_asof_join(sf_dir: str):
     click; returns (event_id, user_id, gap_s rounded)."""
     import pyarrow.compute as pc
 
-    errors = read_table(
-        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    errors = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB, columns=["event_id", "user_id", "ts", "event_type"]
     ).map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "error")).select(
             ["event_id", "user_id", "ts"]
         ),
         batch_format="pyarrow",
     )
-    clicks = read_table(
-        sf_dir, "events", columns=["user_id", "ts", "event_type"]
+    clicks = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB, columns=["user_id", "ts", "event_type"]
     ).map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
             ["user_id", "ts"]
@@ -1389,8 +1384,7 @@ def q_moving_avg(sf_dir: str):
     groupby.rolling)."""
     from ..functions.relational import moving_avg
 
-    ds = read_table(
-        sf_dir, "events",
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
         columns=["event_id", "user_id", "ts", "value"],
     )
     out = moving_avg(
