@@ -384,8 +384,12 @@ def topk(
     descending: bool | Sequence[bool] = True,
 ) -> rd.Dataset:
     """Global top-k: per-block truncation inside map_batches first, then
-    one small sort over ≤ k×blocks rows — the full-sort shuffle is avoided
-    (SURVEY.md §2.6). Multi-key ``by`` gives deterministic tie-breaks."""
+    one coalesced local sort over the surviving ≤ k×blocks rows — the
+    full-sort shuffle is avoided (SURVEY.md §2.6), and so is Ray's Sort
+    operator for the tiny tail (its AllToAll setup cost ~3 s at 64 input
+    blocks dwarfed the 640-row sort it performed — measured; a
+    repartition(1) of the truncated rows is 3-4× cheaper). Multi-key
+    ``by`` gives deterministic tie-breaks."""
     by = [by] if isinstance(by, str) else list(by)
     desc = [descending] * len(by) if isinstance(descending, bool) else list(descending)
     asc = [not d for d in desc]
@@ -394,7 +398,9 @@ def topk(
         return df.sort_values(by, ascending=asc, kind="mergesort").head(k)
 
     pruned = ds.map_batches(local_top, batch_format="pandas")
-    return pruned.sort(by, descending=desc).limit(k)
+    return pruned.repartition(1).map_batches(
+        local_top, batch_format="pandas", batch_size=None
+    )
 
 
 def topk_per_group(
