@@ -763,9 +763,18 @@ def _sidewrite_partitioned(
     parts = _host_partitions_of(
         t["host"].to_numpy(zero_copy_only=False), num_parts
     )
-    for p in np.unique(parts):
-        sub = t.filter(pa.array(parts == p))
-        _sidewrite(sub, directory, f"{prefix}-p{int(p):04d}")
+    # one stable sort + take, zero-copy slices per partition (same split
+    # strategy as state/writers.send_partitioned; row order within a
+    # partition is preserved)
+    order = np.argsort(parts, kind="stable")
+    st = t.take(pa.array(order))
+    sparts = parts[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(sparts)) + 1))
+    lens = np.diff(np.concatenate((starts, [len(sparts)])))
+    for s, ln in zip(starts, lens):
+        p = int(sparts[s])
+        _sidewrite(st.slice(int(s), int(ln)), directory,
+                   f"{prefix}-p{p:04d}")
 
 
 def _spill_manifest_files(epoch_dir: str) -> dict[int, str]:
