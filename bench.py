@@ -46,6 +46,14 @@ BENCH_QUERIES = [
     "ann_topk",
     "langid",
     "tokens",
+    # round-3 curation additions (keys append to the historical set so
+    # BENCH_r{N} files stay comparable)
+    "curate",
+    "vocab",
+    "tfidf",
+    "pii_redact",
+    "contamination",
+    "moving_avg",
 ]
 
 
