@@ -567,7 +567,7 @@ def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-5 for query vectors vec_id < 10 (exact —
     SQL-checkable); float64 matmul so ranking matches DuckDB's doubles."""
     queries, qids = _query_vectors(sf_dir)
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", bytes_per_block=_DOC_BPB, columns=["vec_id", "embedding"])
     out = similarity.brute_force_topk(ds, queries, qids, k=5)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
@@ -781,7 +781,7 @@ def q_embedding_stats(sf_dir: str):
     lambda)."""
     import pyarrow.compute as pc
 
-    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+    ds = read_table(sf_dir, "embeddings", bytes_per_block=_DOC_BPB, columns=["label", "embedding"])
 
     def f(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1006,7 +1006,7 @@ def _planted_embeddings(sf_dir: str):
     (max pairwise cosine ≈ 0.51 at sf0.01), so the planted pairs make
     the operator's output non-trivially checkable — and the planting is
     SQL-expressible, so the query carries a full DuckDB oracle."""
-    base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    base = read_table(sf_dir, "embeddings", bytes_per_block=_DOC_BPB, columns=["vec_id", "embedding"])
 
     def plant(df: pd.DataFrame) -> pd.DataFrame:
         sub = df[df["vec_id"] < _PLANT_MAX_ID]
@@ -1103,7 +1103,7 @@ FROM p
 
 def q_ann_ivf(sf_dir: str):
     queries, qids = _query_vectors(sf_dir)
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", bytes_per_block=_DOC_BPB, columns=["vec_id", "embedding"])
     return similarity.ivf_topk(ds, queries, qids, k=5)
 
 
@@ -1123,7 +1123,7 @@ def q_ann_ivf_recall(sf_dir: str):
 
     exact = q_ann_topk(sf_dir).to_pandas()
     queries, qids = _query_vectors(sf_dir)
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", bytes_per_block=_DOC_BPB, columns=["vec_id", "embedding"])
     by_q = exact.groupby("query_id")["neighbor_id"].apply(set)
 
     def recalls(nprobe: int) -> np.ndarray:
