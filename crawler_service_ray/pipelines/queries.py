@@ -1248,6 +1248,7 @@ def q_vocab(sf_dir: str):
     wordcount a tokenizer-training pass runs)."""
     return text.vocab_topk(
         read_table(sf_dir, "documents", columns=["text"]), k=50,
+        merge_partitions=8,  # a 100-TB vocabulary never coalesces to one task
     )
 
 

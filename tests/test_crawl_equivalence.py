@@ -217,6 +217,24 @@ def test_robots_at_admission_same_fetched_set(ray_session, tiny_corpus,
     assert sb["robots_denied"] == sc["robots_denied"]
 
 
+def test_robots_at_admission_with_spilling_same_set(ray_session,
+                                                    tiny_corpus, tmp_path):
+    """The documented caveat (config.py): combining admission-robots
+    with frontier spilling may shift a mega-host's fetch EPOCHS, but
+    the fetched SET must still be identical to the unbounded
+    discovery-time run."""
+    cfg_a = _cfg(tiny_corpus, str(tmp_path / "base"), force_mode="dataset")
+    cfg_b = _cfg(tiny_corpus, str(tmp_path / "combo"), force_mode="dataset",
+                 robots_at_admission=True, frontier_spill_rows=40,
+                 frontier_keep_per_host=8)
+    CrawlRun(cfg_a).run(resume=False)
+    sb = CrawlRun(cfg_b).run(resume=False)
+    a = fetched_table(cfg_a.run_dir).sort_by("url").column("url").to_pylist()
+    b = fetched_table(cfg_b.run_dir).sort_by("url").column("url").to_pylist()
+    assert a == b
+    assert sb["robots_denied"] > 0
+
+
 def test_crawl_twice_is_idempotent(ray_session, tiny_corpus, tmp_path):
     # dedup idempotence: a completed run re-invoked returns the summary
     # without recomputation, and a fresh run over the same corpus produces
