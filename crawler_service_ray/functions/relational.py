@@ -697,6 +697,71 @@ def sliding_window_agg(
     )
 
 
+def approx_count_distinct(
+    ds: rd.Dataset,
+    col: str,
+    p: int = 14,
+    out_name: str = "approx_distinct",
+) -> rd.Dataset:
+    """HyperLogLog approximate distinct count (Flajolet et al. 2007) —
+    the mergeable bounded-memory sibling of ``count_distinct`` for
+    100-TB cardinalities. Per batch: hash the (dtype-canonicalized)
+    column, register index = top ``p`` hash bits, register value =
+    leading-zero rank of the rest; only NONZERO (idx, rho) pairs leave
+    the batch (≤ 2^p rows however large the input). A ``grouped_agg``
+    max-merge combines registers exactly like any additive partial, and
+    one final task applies the estimator — linear counting below 2.5m
+    (the regime where HLL's raw estimator biases), the bias-corrected
+    harmonic mean above. Relative error ≈ 1.04/√m (~0.8% at p=14).
+    Emits one row (``out_name``, int64)."""
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _key_hash(df[[col]], [col]).astype(np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        # rho = leading zeros of rest + 1, via float64 exponent trick-free
+        # vectorized loop over the 64-p possible values
+        rho = np.ones(len(h), dtype=np.int64)
+        mask = np.uint64(1) << np.uint64(63)
+        cur = rest
+        for _ in range(64 - p):
+            zero_top = (cur & mask) == 0
+            if not zero_top.any():
+                break
+            rho[zero_top] += 1
+            cur = cur << np.uint64(1)
+            cur[~zero_top] = mask  # stop further counting for done rows
+        reg = np.zeros(m, dtype=np.int64)
+        np.maximum.at(reg, idx, rho)
+        nz = np.flatnonzero(reg)
+        return pd.DataFrame({
+            "__reg": nz.astype("int64"),
+            "__rho": reg[nz].astype("int64"),
+        })
+
+    merged = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["__reg"], {"__rho": ("__rho", "max")},
+    )
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        reg = np.zeros(m, dtype=np.float64)
+        reg[df["__reg"].to_numpy()] = df["__rho"].to_numpy()
+        n_zero = int((reg == 0).sum())
+        alpha = 0.7213 / (1 + 1.079 / m)
+        raw = alpha * m * m / np.power(2.0, -reg).sum()
+        if raw <= 2.5 * m and n_zero:
+            est = m * np.log(m / n_zero)  # linear counting
+        else:
+            est = raw
+        return pd.DataFrame({out_name: np.array([round(est)], dtype="int64")})
+
+    return merged.repartition(1).map_batches(
+        estimate, batch_format="pandas", batch_size=None
+    )
+
+
 def grouped_quantiles(
     ds: rd.Dataset,
     keys: Sequence[str],

@@ -362,6 +362,37 @@ def q_count_distinct(sf_dir: str):
 SQL_COUNT_DISTINCT = "SELECT count(DISTINCT l_orderkey) AS n FROM lineitem"
 
 
+def q_approx_distinct(sf_dir: str):
+    """ERROR-BOUND-INVARIANT oracle for the HyperLogLog sketch (the
+    `quantiles_sketch_err` pattern): the approximate distinct count of
+    l_orderkey must land within 3% of the exact count (HLL stdev at
+    p=14 is ~0.8%, linear-counting regime tighter still). Emits one
+    row (n_exact, n_violations); SQL independently recomputes the
+    exact count and asserts zero violations."""
+    from ..functions.relational import approx_count_distinct
+
+    est = int(
+        approx_count_distinct(
+            read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                       columns=["l_orderkey"]),
+            "l_orderkey",
+        ).to_pandas()["approx_distinct"].iloc[0]
+    )
+    exact = int(q_count_distinct(sf_dir)["n"][0].as_py())
+    viol = int(abs(est - exact) / max(exact, 1) > 0.03)
+    return pd.DataFrame({
+        "n_exact": np.array([exact], dtype="int64"),
+        "n_violations": np.array([viol], dtype="int64"),
+    })
+
+
+SQL_APPROX_DISTINCT = """
+SELECT count(DISTINCT l_orderkey)::BIGINT AS n_exact,
+       0::BIGINT AS n_violations
+FROM lineitem
+"""
+
+
 def q_doc_category(sf_dir: str):
     """M4 analog: classify + tally (extension→category becomes
     lang→script-family)."""
@@ -1741,6 +1772,7 @@ QUERIES = {
     "semi_join": q_semi_join,
     "cumsum": q_cumsum,
     "count_distinct": q_count_distinct,
+    "approx_distinct": q_approx_distinct,
     "doc_category": q_doc_category,
     "window_hourly": q_window_hourly,
     "window_sliding": q_window_sliding,
@@ -1803,6 +1835,7 @@ ORACLE_SQL = {
     "semi_join": SQL_SEMI_JOIN,
     "cumsum": SQL_CUMSUM,
     "count_distinct": SQL_COUNT_DISTINCT,
+    "approx_distinct": SQL_APPROX_DISTINCT,
     "doc_category": SQL_DOC_CATEGORY,
     "window_hourly": SQL_WINDOW_HOURLY,
     "window_sliding": SQL_WINDOW_SLIDING,

@@ -372,3 +372,24 @@ def test_text_normalizer():
     assert out.loc[1, "norm_text"] == "hello world 42"
     assert out.loc[1, "norm_len"] == len("hello world 42")
     assert out.loc[2, "norm_text"] == "all clean here"
+
+
+def test_approx_count_distinct_accuracy(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        approx_count_distinct,
+    )
+
+    rng = np.random.default_rng(11)
+    for true_n in (50, 5_000, 120_000):
+        vals = rng.choice(true_n * 10, size=true_n, replace=False)
+        rows = np.concatenate([vals, rng.choice(vals, size=true_n // 2)])
+        ds = rd.from_pandas(
+            pd.DataFrame({"k": rows.astype("int64")}),
+            override_num_blocks=4,
+        )
+        est = approx_count_distinct(ds, "k").to_pandas()
+        got = int(est["approx_distinct"].iloc[0])
+        assert abs(got - true_n) / true_n < 0.03, (true_n, got)
