@@ -12,7 +12,7 @@ over $GRAFT_SF_DIR.
 
   python bench.py                 # env: GRAFT_SF_DIR, RAY_GRAFT_CPUS
   python bench.py --crawl-only    # just the crawl headline
-  python bench.py --scaling       # two fresh processes (8 vs 32 cpus) on
+  python bench.py --scaling       # two fresh processes (2 vs 8 cpus) on
                                   # the SAME crawl input → throughput at
                                   # both + scaling efficiency
 """
