@@ -1463,6 +1463,48 @@ FROM documents
 """
 
 
+_STRATA_FRACS = {"en": 0.10, "es": 0.25, "fr": 0.25, "de": 0.25,
+                 "zh": 0.60}
+
+
+def q_sample_stratified(sf_dir: str):
+    """Per-stratum deterministic hash sampling — the training-data MIX
+    primitive (downsample dominant languages, upsample rare ones).
+    Same multiplicative hash as `sample_hash`, but the acceptance
+    threshold varies per stratum; still shuffle-free, resumable and
+    parallelism-invariant (membership is a pure function of the row)."""
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]
+    )
+    thresholds = {
+        lang: np.uint64(int(frac * 4294967296))
+        for lang, frac in _STRATA_FRACS.items()
+    }
+
+    def samp(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        h = ((ids % np.uint64(4294967296)) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+        thr = df["lang"].map(
+            {k: int(v) for k, v in thresholds.items()}
+        ).fillna(0).to_numpy().astype(np.uint64)
+        return df[h < thr]
+
+    return docs.map_batches(samp, batch_format="pandas")
+
+
+_SQL_STRATA_CASE = " ".join(
+    f"WHEN '{lang}' THEN {int(frac * 4294967296)}"
+    for lang, frac in _STRATA_FRACS.items()
+)
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296
+      < (CASE lang {_SQL_STRATA_CASE} ELSE 0 END)
+"""
+
+
 def q_tfidf(sf_dir: str):
     """Top-3 TF-IDF terms per document (docs 0-29): per-batch term
     frequencies (docs are atomic rows, so per-batch tf is exact),
@@ -1810,6 +1852,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "contamination": q_contamination,
     "sample_hash": q_sample_hash,
+    "sample_stratified": q_sample_stratified,
     "tfidf": q_tfidf,
     "rank_in_group": q_rank_in_group,
     "moving_avg": q_moving_avg,
@@ -1868,6 +1911,7 @@ ORACLE_SQL = {
     "pii_redact": SQL_PII_REDACT,
     "contamination": SQL_CONTAMINATION,
     "sample_hash": SQL_SAMPLE_HASH,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "tfidf": SQL_TFIDF,
     "rank_in_group": SQL_RANK_IN_GROUP,
     "moving_avg": SQL_MOVING_AVG,
