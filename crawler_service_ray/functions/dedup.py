@@ -1039,7 +1039,7 @@ def embedding_near_dup_ivf(
     from .relational import resolve_broadcast
 
     C = train_centroids(ds, vec_col=vec_col, num_cells=num_cells,
-                        sample_size=sample_size, seed=seed)
+                        sample_size=sample_size, seed=seed, id_col=id_col)
     cref = ray.put(C)
     refs = [cref]  # nested so Ray ships the ref, not the resolved value
 

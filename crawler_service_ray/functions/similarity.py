@@ -43,12 +43,38 @@ def train_centroids(
     num_cells: int = 16,
     sample_size: int = 2048,
     seed: int = 42,
+    id_col: str | None = None,
 ) -> np.ndarray:
     """Deterministic k-means-lite centroids from a bounded sample: random
     init from the sample (fixed seed), one Lloyd refinement, normalized.
     The sample is the only driver-side materialization (≤ sample_size
-    rows)."""
-    sample = ds.limit(sample_size).to_pandas()
+    rows).
+
+    With ``id_col`` the sample is bottom-k BY HASH of the id — a uniform
+    sample that is a pure function of row CONTENT, so centroids (and
+    every IVF cell assignment downstream) are identical under any block
+    layout / read parallelism. Without it, ``limit()`` takes the first
+    rows in block order (layout-dependent — legacy path)."""
+    if id_col is not None:
+        def local(df: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_array(
+                df[id_col].to_numpy().astype(np.uint64)
+            )
+            return df[[id_col, vec_col]].assign(__h=h).nsmallest(
+                sample_size, "__h"
+            )
+
+        sample = (
+            ds.map_batches(local, batch_format="pandas")
+            .repartition(1)
+            .map_batches(
+                lambda df: df.nsmallest(sample_size, "__h"),
+                batch_format="pandas", batch_size=None,
+            )
+            .to_pandas()
+        )
+    else:
+        sample = ds.limit(sample_size).to_pandas()
     S = _stack_normalized(sample[vec_col])
     rng = np.random.default_rng(seed)
     C = S[rng.choice(len(S), size=min(num_cells, len(S)), replace=False)]
@@ -136,7 +162,7 @@ def ivf_topk(
     100-TB corpus would be written with, making search reads
     proportional to nprobe/num_cells of the data."""
     C = train_centroids(ds, vec_col=vec_col, num_cells=num_cells,
-                        sample_size=sample_size, seed=seed)
+                        sample_size=sample_size, seed=seed, id_col=id_col)
     Q = queries.astype(np.float64)
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     probe_cells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
