@@ -463,6 +463,40 @@ def grouped_rank(
                          num_partitions=num_partitions)
 
 
+def grouped_mode(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    col: str,
+    out_name: str = "mode",
+    merge_partitions: int | None = None,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Per-group mode (most frequent value; ties break on the SMALLEST
+    value for determinism). Shape: per-batch (keys, col) partial counts
+    shrink blocks before any exchange (the wordcount pattern), a
+    ``grouped_agg`` sum-merge, then one key-hash partition pass picks
+    each group's (max count, min value) — never a Python call per
+    group."""
+    keys = list(keys)
+
+    def pick(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(
+            ["__cnt", col], ascending=[False, True], kind="mergesort"
+        ).groupby(keys, sort=False, observed=True).head(1)
+        return g.rename(columns={col: out_name}).drop(columns="__cnt")
+
+    counts = grouped_agg(
+        ds.map_batches(
+            lambda df: df.groupby(keys + [col], sort=False, observed=True)
+            .size().reset_index(name="__cnt"),
+            batch_format="pandas",
+        ),
+        keys + [col], {"__cnt": ("__cnt", "sum")},
+        merge_partitions=merge_partitions,
+    )
+    return grouped_apply(counts, keys, pick, num_partitions=num_partitions)
+
+
 def moving_avg(
     ds: rd.Dataset,
     keys: Sequence[str],

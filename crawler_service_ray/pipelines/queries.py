@@ -1381,6 +1381,31 @@ WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296 < 214748365
 """
 
 
+def q_mode_per_group(sf_dir: str):
+    """Per-user most-frequent event type (deterministic ties: smallest
+    value) — `grouped_mode`: partial counts before the exchange, one
+    key-hash pick pass."""
+    from ..functions.relational import grouped_mode
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["user_id", "event_type"])
+    return grouped_mode(
+        ds, keys=["user_id"], col="event_type", out_name="top_event",
+        merge_partitions=4,
+    )
+
+
+SQL_MODE_PER_GROUP = """
+SELECT user_id, event_type AS top_event FROM (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, event_type ASC) AS r
+  FROM (SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2))
+WHERE r = 1
+"""
+
+
 def q_rank_in_group(sf_dir: str):
     """Full-output window rank: suppliers ranked by account balance
     within nation (row_number parity — `grouped_rank`, one key-hash
@@ -1855,6 +1880,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "tfidf": q_tfidf,
     "rank_in_group": q_rank_in_group,
+    "mode_per_group": q_mode_per_group,
     "moving_avg": q_moving_avg,
     "normalize": q_normalize,
     "fingerprint": q_fingerprint,
@@ -1914,6 +1940,7 @@ ORACLE_SQL = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "tfidf": SQL_TFIDF,
     "rank_in_group": SQL_RANK_IN_GROUP,
+    "mode_per_group": SQL_MODE_PER_GROUP,
     "moving_avg": SQL_MOVING_AVG,
     "normalize": SQL_NORMALIZE,
 }

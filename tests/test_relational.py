@@ -393,3 +393,28 @@ def test_approx_count_distinct_accuracy(ray_session):
         est = approx_count_distinct(ds, "k").to_pandas()
         got = int(est["approx_distinct"].iloc[0])
         assert abs(got - true_n) / true_n < 0.03, (true_n, got)
+
+
+def test_grouped_mode_matches_pandas(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import grouped_mode
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 9, 400),
+        "v": rng.choice(list("abcd"), 400),
+    })
+    out = grouped_mode(
+        rd.from_pandas(df, override_num_blocks=4), ["g"], "v",
+        merge_partitions=2, num_partitions=4,
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    counts = df.groupby(["g", "v"]).size().reset_index(name="c")
+    truth = (
+        counts.sort_values(["c", "v"], ascending=[False, True])
+        .groupby("g").head(1)
+        .sort_values("g").reset_index(drop=True)
+    )
+    assert list(out["g"]) == list(truth["g"])
+    assert list(out["mode"]) == list(truth["v"])
