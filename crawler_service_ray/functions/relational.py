@@ -463,6 +463,56 @@ def grouped_rank(
                          num_partitions=num_partitions)
 
 
+def range_join_broadcast(
+    ds: rd.Dataset,
+    intervals: pd.DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+) -> rd.Dataset:
+    """Non-equi RANGE join: attach interval-table attributes to every
+    row whose ``value_col`` falls in [lo, hi) — the banding/bucketing
+    join (price bands, latency SLAs, date windows). The interval table
+    is the classic SMALL side (human-defined bands), so it broadcasts
+    once (``ray.put`` + per-worker LRU) and each batch resolves
+    membership with ONE ``np.searchsorted`` against the sorted lower
+    bounds — no per-row predicate evaluation, no shuffle. Intervals
+    must be non-overlapping (validated); gaps are allowed (rows in a
+    gap drop under ``how='inner'``, keep null attributes under
+    ``'left'``).
+
+    Scale path for LARGE×LARGE range joins (both sides too big to
+    broadcast): replicate each interval to every coarse value bucket it
+    overlaps, hash-partition both sides by bucket, and run this same
+    searchsorted merge per partition — the bin-replication factor is
+    interval_span/bucket_width, chosen so partitions fit a task.
+    """
+    iv = intervals.sort_values(lo_col).reset_index(drop=True)
+    lo = iv[lo_col].to_numpy()
+    hi = iv[hi_col].to_numpy()
+    if (hi[:-1] > lo[1:]).any() or (hi <= lo).any():
+        raise ValueError("intervals must be non-overlapping with lo < hi")
+    payload = iv.drop(columns=[lo_col, hi_col])
+    ref = ray.put((lo, hi, payload))
+    refs = [ref]
+
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        lo_, hi_, pay = resolve_broadcast(refs[0])
+        v = df[value_col].to_numpy()
+        idx = np.searchsorted(lo_, v, side="right") - 1
+        ok = (idx >= 0) & (v < hi_[np.maximum(idx, 0)])
+        if how == "inner":
+            out = df[ok].reset_index(drop=True)
+            attach = pay.iloc[idx[ok]].reset_index(drop=True)
+            return pd.concat([out, attach], axis=1)
+        attach = pay.iloc[np.maximum(idx, 0)].reset_index(drop=True)
+        attach = attach.where(pd.Series(ok, index=attach.index), other=pd.NA)
+        return pd.concat([df.reset_index(drop=True), attach], axis=1)
+
+    return ds.map_batches(join_batch, batch_format="pandas")
+
+
 def grouped_mode(
     ds: rd.Dataset,
     keys: Sequence[str],

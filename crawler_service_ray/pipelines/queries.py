@@ -1381,6 +1381,40 @@ WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296 < 214748365
 """
 
 
+_PRICE_BANDS = pd.DataFrame({
+    "lo": [0.0, 50_000.0, 150_000.0, 300_000.0],
+    "hi": [50_000.0, 150_000.0, 300_000.0, 10_000_000.0],
+    "band": ["small", "mid", "large", "jumbo"],
+})
+
+
+def q_range_join(sf_dir: str):
+    """Non-equi banding join: every order tagged with its price band —
+    `range_join_broadcast` (bands broadcast once, one searchsorted per
+    batch; no shuffle, no per-row predicate)."""
+    from ..functions.relational import range_join_broadcast
+
+    ds = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
+                    columns=["o_orderkey", "o_totalprice"])
+    out = range_join_broadcast(ds, _PRICE_BANDS, value_col="o_totalprice")
+    return out.map_batches(
+        lambda df: df.assign(o_totalprice=df["o_totalprice"].round(2)),
+        batch_format="pandas",
+    )
+
+
+_SQL_BANDS_VALUES = ", ".join(
+    f"({r.lo}, {r.hi}, '{r.band}')" for r in _PRICE_BANDS.itertuples()
+)
+
+SQL_RANGE_JOIN = f"""
+WITH bands(lo, hi, band) AS (VALUES {_SQL_BANDS_VALUES})
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, band
+FROM orders JOIN bands
+  ON o_totalprice >= lo AND o_totalprice < hi
+"""
+
+
 def q_mode_per_group(sf_dir: str):
     """Per-user most-frequent event type (deterministic ties: smallest
     value) — `grouped_mode`: partial counts before the exchange, one
@@ -1881,6 +1915,7 @@ QUERIES = {
     "tfidf": q_tfidf,
     "rank_in_group": q_rank_in_group,
     "mode_per_group": q_mode_per_group,
+    "range_join": q_range_join,
     "moving_avg": q_moving_avg,
     "normalize": q_normalize,
     "fingerprint": q_fingerprint,
@@ -1941,6 +1976,7 @@ ORACLE_SQL = {
     "tfidf": SQL_TFIDF,
     "rank_in_group": SQL_RANK_IN_GROUP,
     "mode_per_group": SQL_MODE_PER_GROUP,
+    "range_join": SQL_RANGE_JOIN,
     "moving_avg": SQL_MOVING_AVG,
     "normalize": SQL_NORMALIZE,
 }

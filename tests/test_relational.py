@@ -418,3 +418,30 @@ def test_grouped_mode_matches_pandas(ray_session):
     )
     assert list(out["g"]) == list(truth["g"])
     assert list(out["mode"]) == list(truth["v"])
+
+
+def test_range_join_broadcast(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        range_join_broadcast,
+    )
+
+    iv = pd.DataFrame({"lo": [0.0, 10.0, 30.0], "hi": [10.0, 20.0, 40.0],
+                       "tag": ["a", "b", "c"]})
+    df = pd.DataFrame({"id": range(6),
+                       "v": [5.0, 10.0, 19.9, 25.0, 30.0, 45.0]})
+    ds = rd.from_pandas(df, override_num_blocks=2)
+    inner = range_join_broadcast(ds, iv, "v").to_pandas().sort_values(
+        "id").reset_index(drop=True)
+    # 25.0 (gap) and 45.0 (beyond) drop; boundaries: lo inclusive, hi excl
+    assert list(inner["id"]) == [0, 1, 2, 4]
+    assert list(inner["tag"]) == ["a", "b", "b", "c"]
+    left = range_join_broadcast(ds, iv, "v", how="left").to_pandas()
+    assert len(left) == 6
+    assert left.sort_values("id")["tag"].isna().sum() == 2
+    with pytest.raises(ValueError, match="non-overlapping"):
+        range_join_broadcast(
+            ds, pd.DataFrame({"lo": [0.0, 5.0], "hi": [6.0, 9.0],
+                              "tag": ["x", "y"]}), "v")
