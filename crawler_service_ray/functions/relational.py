@@ -463,6 +463,39 @@ def grouped_rank(
                          num_partitions=num_partitions)
 
 
+def pivot_count(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    pivot_col: str,
+    categories: Sequence[str],
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """PIVOT (long → wide counts): one output column per category of
+    ``pivot_col``, counting rows per key. The category set must be
+    EXPLICIT and bounded — that is what makes pivot scale-safe (the
+    output schema is fixed up front; a data-derived column set would be
+    a two-pass schema negotiation). Per-batch conditional-count
+    partials shrink every block to one row per key before the exchange;
+    the merge is a plain ``grouped_agg`` sum per category column."""
+    keys = list(keys)
+    cats = list(categories)
+    names = [f"n_{c}" for c in cats]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keys].copy()
+        pv = df[pivot_col].to_numpy()
+        for c, name in zip(cats, names):
+            out[name] = (pv == c).astype("int64")
+        return out.groupby(keys, sort=False, observed=True).sum(
+        ).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return grouped_agg(
+        partials, keys, {n: (n, "sum") for n in names},
+        merge_partitions=merge_partitions,
+    )
+
+
 def range_join_broadcast(
     ds: rd.Dataset,
     intervals: pd.DataFrame,

@@ -1440,6 +1440,32 @@ WHERE r = 1
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(sf_dir: str):
+    """Long→wide PIVOT: one count column per event type, per user —
+    `pivot_count` over a FIXED category list (scale-safe: the output
+    schema is declared up front; per-batch conditional-count partials
+    shrink every block to one row per user before the exchange)."""
+    from ..functions.relational import pivot_count
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["user_id", "event_type"])
+    return pivot_count(ds, keys=["user_id"], pivot_col="event_type",
+                       categories=_EVENT_TYPES, merge_partitions=4)
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       {cols}
+FROM events GROUP BY user_id
+""".format(cols=",\n       ".join(
+    f"count(*) FILTER (event_type = '{c}') AS n_{c}"
+    for c in _EVENT_TYPES
+))
+
+
 def q_rank_in_group(sf_dir: str):
     """Full-output window rank: suppliers ranked by account balance
     within nation (row_number parity — `grouped_rank`, one key-hash
@@ -1915,6 +1941,7 @@ QUERIES = {
     "tfidf": q_tfidf,
     "rank_in_group": q_rank_in_group,
     "mode_per_group": q_mode_per_group,
+    "pivot_events": q_pivot_events,
     "range_join": q_range_join,
     "moving_avg": q_moving_avg,
     "normalize": q_normalize,
@@ -1976,6 +2003,7 @@ ORACLE_SQL = {
     "tfidf": SQL_TFIDF,
     "rank_in_group": SQL_RANK_IN_GROUP,
     "mode_per_group": SQL_MODE_PER_GROUP,
+    "pivot_events": SQL_PIVOT_EVENTS,
     "range_join": SQL_RANGE_JOIN,
     "moving_avg": SQL_MOVING_AVG,
     "normalize": SQL_NORMALIZE,

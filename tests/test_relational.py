@@ -420,6 +420,38 @@ def test_grouped_mode_matches_pandas(ray_session):
     assert list(out["mode"]) == list(truth["v"])
 
 
+def test_pivot_count_matches_pandas(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import pivot_count
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 7, 300),
+        "v": rng.choice(list("xyz"), 300),
+    })
+    out = pivot_count(
+        rd.from_pandas(df, override_num_blocks=4), ["g"], "v",
+        categories=["x", "y", "z"], merge_partitions=2,
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    truth = (
+        df.assign(one=1)
+        .pivot_table(index="g", columns="v", values="one",
+                     aggfunc="sum", fill_value=0)
+        .reset_index()
+    )
+    for c in "xyz":
+        assert list(out[f"n_{c}"]) == list(truth[c]), c
+    # a category absent from the data still yields an all-zero column
+    out2 = pivot_count(
+        rd.from_pandas(df, override_num_blocks=2), ["g"], "v",
+        categories=["x", "missing"],
+    ).to_pandas()
+    assert out2["n_missing"].sum() == 0
+    assert out2["n_missing"].dtype == "int64"
+
+
 def test_range_join_broadcast(ray_session):
     import numpy as np
     import ray.data as rd
