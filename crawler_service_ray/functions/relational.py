@@ -463,6 +463,148 @@ def grouped_rank(
                          num_partitions=num_partitions)
 
 
+def grouped_shift(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    order_by: str | Sequence[str],
+    col: str,
+    periods: int = 1,
+    out_name: str = "lag",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """LAG (``periods``>0) / LEAD (<0) window function: per-key shift of
+    ``col`` in ``order_by`` order. Same shape as every window op here —
+    ONE key-hash shuffle co-locates each key's rows, then a vectorized
+    sort + ``groupby.shift`` per partition (no per-group Python).
+    ``order_by`` should be unique per key for deterministic frames.
+    Missing frame edges become NaN/NaT (SQL NULL)."""
+    keys = list(keys)
+    order_by = ([order_by] if isinstance(order_by, str)
+                else list(order_by))
+
+    def shift_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_by, kind="mergesort")
+        g[out_name] = g.groupby(keys, sort=False, observed=True)[
+            col].shift(periods)
+        return g
+
+    return grouped_apply(ds, keys, shift_part,
+                         num_partitions=num_partitions)
+
+
+def ntile_in_group(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    by: str | Sequence[str],
+    n: int,
+    out_name: str = "tile",
+    descending: bool | Sequence[bool] = False,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """SQL ``ntile(n) OVER (PARTITION BY keys ORDER BY by)``: rows of
+    each key split into n maximally-even buckets, earlier buckets taking
+    the remainder rows. One key-hash shuffle, then a vectorized
+    cumcount + closed-form bucket assignment per partition (standard
+    SQL ntile: with c rows, the first c % n tiles hold c//n + 1 rows)."""
+    keys = list(keys)
+    by = [by] if isinstance(by, str) else list(by)
+    desc = ([descending] * len(by) if isinstance(descending, bool)
+            else list(descending))
+    asc = [not d for d in desc]
+
+    def tile_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(by, ascending=asc, kind="mergesort")
+        grp = g.groupby(keys, sort=False, observed=True)
+        rn = grp.cumcount().to_numpy()
+        cnt = grp[by[0]].transform("size").to_numpy()
+        base, rem = cnt // n, cnt % n
+        big = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+        in_big = rn < big
+        tile = np.where(
+            in_big,
+            rn // np.maximum(base + 1, 1),
+            rem + (rn - big) // np.maximum(base, 1),
+        )
+        g[out_name] = (tile + 1).astype("int64")
+        return g
+
+    return grouped_apply(ds, keys, tile_part,
+                         num_partitions=num_partitions)
+
+
+def string_agg_per_group(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    col: str,
+    sep: str = ",",
+    out_name: str = "agg",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """SQL ``string_agg(col, sep ORDER BY col)`` per key: one key-hash
+    shuffle, then ONE vectorized sort + ``groupby.agg(join)`` per
+    partition. Ordering by the aggregated value itself makes the result
+    deterministic regardless of block layout. The concatenated string is
+    O(group size) — callers cap group width, not this operator."""
+    keys = list(keys)
+
+    def concat_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col, kind="mergesort")
+        out = (
+            g.groupby(keys, sort=False, observed=True)[col]
+            .agg(sep.join)
+            .reset_index(name=out_name)
+        )
+        return out
+
+    return grouped_apply(ds, keys, concat_part,
+                         num_partitions=num_partitions)
+
+
+def grouped_zscore(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    col: str,
+    out_name: str = "zscore",
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """Per-key standardization ``(x - mean) / stddev_pop`` WITHOUT
+    shuffling the fact rows: the per-key (sum, sum-of-squares, count)
+    stats reduce through ``grouped_agg`` partials to one tiny table,
+    which broadcasts once (``ray.put``) and every batch maps against it
+    — the window-function answer at aggregation cost. Driver/broadcast
+    state is O(distinct keys); for key sets that scale with the fact
+    table use ``grouped_rank``-style full shuffles instead. Zero
+    variance yields NaN (SQL NULL via stddev_pop=0 division)."""
+    import ray
+
+    keys = list(keys)
+
+    sq = ds.map_batches(
+        lambda df: df.assign(__sq=df[col].to_numpy() ** 2),
+        batch_format="pandas",
+    )
+    stats = grouped_agg(
+        sq, keys,
+        {"__s": (col, "sum"), "__ss": ("__sq", "sum"),
+         "__n": (col, "count")},
+        merge_partitions=merge_partitions,
+    ).to_pandas()
+    mean = stats["__s"] / stats["__n"]
+    var = stats["__ss"] / stats["__n"] - mean ** 2
+    sd = np.sqrt(np.maximum(var, 0.0))
+    lookup = stats[keys].assign(__mean=mean,
+                                __sd=np.where(sd > 0, sd, np.nan))
+    ref = ray.put(lookup)
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        lk = resolve_broadcast(ref)
+        m = df.merge(lk, on=keys, how="left")
+        m[out_name] = (m[col] - m["__mean"]) / m["__sd"]
+        return m.drop(columns=["__mean", "__sd"])
+
+    return ds.map_batches(apply, batch_format="pandas")
+
+
 def pivot_count(
     ds: rd.Dataset,
     keys: Sequence[str],

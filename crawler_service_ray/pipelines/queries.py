@@ -1440,6 +1440,110 @@ WHERE r = 1
 """
 
 
+def q_lag_value(sf_dir: str):
+    """LAG window function: per-user previous event value in
+    (ts, event_id) order — `grouped_shift` (one key-hash shuffle,
+    vectorized groupby.shift; frame edges are NULL)."""
+    from ..functions.relational import grouped_shift
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "user_id", "ts", "value"])
+    out = grouped_shift(
+        ds, keys=["user_id"], order_by=["ts", "event_id"], col="value",
+        periods=1, out_name="prev_value", num_partitions=16,
+    )
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "prev_value"]].assign(
+            prev_value=df["prev_value"].round(6)
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_LAG_VALUE = """
+SELECT event_id, user_id,
+       round(lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id), 6) AS prev_value
+FROM events
+"""
+
+
+def q_ntile_orders(sf_dir: str):
+    """NTILE(4) quartile assignment of order price within each order
+    priority — `ntile_in_group` (one key-hash shuffle, closed-form
+    bucket math; (price, orderkey) ordering for determinism)."""
+    from ..functions.relational import ntile_in_group
+
+    ds = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
+                    columns=["o_orderkey", "o_orderpriority",
+                             "o_totalprice"])
+    out = ntile_in_group(
+        ds, keys=["o_orderpriority"], by=["o_totalprice", "o_orderkey"],
+        n=4, out_name="quartile", num_partitions=8,
+    )
+    return out.select_columns(["o_orderkey", "o_orderpriority",
+                               "quartile"])
+
+
+SQL_NTILE_ORDERS = """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey) AS quartile
+FROM orders
+"""
+
+
+def q_string_agg_names(sf_dir: str):
+    """Ordered string aggregation: '|'-joined customer names per nation
+    — `string_agg_per_group` (one key-hash shuffle, vectorized
+    sort + join per partition; value-ordered so block layout can't
+    change the output)."""
+    from ..functions.relational import string_agg_per_group
+
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_nationkey", "c_name"])
+    return string_agg_per_group(
+        ds, keys=["c_nationkey"], col="c_name", sep="|",
+        out_name="names", num_partitions=8,
+    )
+
+
+SQL_STRING_AGG_NAMES = """
+SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name) AS names
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def q_zscore_orders(sf_dir: str):
+    """Per-priority standardization of order price — `grouped_zscore`:
+    the window-function answer WITHOUT shuffling fact rows (per-key
+    sum/sumsq/count partials reduce to a tiny stats table broadcast
+    once; every batch maps against it)."""
+    from ..functions.relational import grouped_zscore
+
+    ds = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
+                    columns=["o_orderkey", "o_orderpriority",
+                             "o_totalprice"])
+    out = grouped_zscore(ds, keys=["o_orderpriority"],
+                         col="o_totalprice", out_name="z")
+    return out.map_batches(
+        lambda df: df[["o_orderkey", "o_orderpriority", "z"]].assign(
+            z=df["z"].round(6)
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_ZSCORE_ORDERS = """
+SELECT o_orderkey, o_orderpriority,
+       round((o_totalprice
+              - avg(o_totalprice) OVER (PARTITION BY o_orderpriority))
+             / stddev_pop(o_totalprice)
+               OVER (PARTITION BY o_orderpriority), 6) AS z
+FROM orders
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1942,6 +2046,10 @@ QUERIES = {
     "rank_in_group": q_rank_in_group,
     "mode_per_group": q_mode_per_group,
     "pivot_events": q_pivot_events,
+    "lag_value": q_lag_value,
+    "ntile_orders": q_ntile_orders,
+    "string_agg_names": q_string_agg_names,
+    "zscore_orders": q_zscore_orders,
     "range_join": q_range_join,
     "moving_avg": q_moving_avg,
     "normalize": q_normalize,
@@ -2004,6 +2112,10 @@ ORACLE_SQL = {
     "rank_in_group": SQL_RANK_IN_GROUP,
     "mode_per_group": SQL_MODE_PER_GROUP,
     "pivot_events": SQL_PIVOT_EVENTS,
+    "lag_value": SQL_LAG_VALUE,
+    "ntile_orders": SQL_NTILE_ORDERS,
+    "string_agg_names": SQL_STRING_AGG_NAMES,
+    "zscore_orders": SQL_ZSCORE_ORDERS,
     "range_join": SQL_RANGE_JOIN,
     "moving_avg": SQL_MOVING_AVG,
     "normalize": SQL_NORMALIZE,

@@ -420,6 +420,89 @@ def test_grouped_mode_matches_pandas(ray_session):
     assert list(out["mode"]) == list(truth["v"])
 
 
+def test_grouped_shift_lag_and_lead(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import grouped_shift
+
+    df = pd.DataFrame({
+        "g": [0, 0, 0, 1, 1],
+        "o": [2, 1, 3, 1, 2],
+        "v": [20.0, 10.0, 30.0, 1.0, 2.0],
+    })
+    ds = rd.from_pandas(df, override_num_blocks=2)
+    lag = grouped_shift(ds, ["g"], "o", "v", periods=1,
+                        out_name="prev").to_pandas().sort_values(
+        ["g", "o"]).reset_index(drop=True)
+    assert np.isnan(lag["prev"][0]) and lag["prev"][1] == 10.0
+    assert lag["prev"][2] == 20.0 and np.isnan(lag["prev"][3])
+    lead = grouped_shift(ds, ["g"], "o", "v", periods=-1,
+                         out_name="nxt").to_pandas().sort_values(
+        ["g", "o"]).reset_index(drop=True)
+    assert lead["nxt"][0] == 20.0 and np.isnan(lead["nxt"][2])
+
+
+def test_ntile_matches_sql_semantics(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import ntile_in_group
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 6, 200),
+        "v": rng.normal(size=200),
+        "id": np.arange(200),
+    })
+    for n in (1, 3, 4, 7, 250):  # 250 > any group size: one row per tile
+        out = ntile_in_group(
+            rd.from_pandas(df, override_num_blocks=3), ["g"],
+            ["v", "id"], n=n, num_partitions=4,
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        truth = duckdb.sql(
+            f"SELECT id, ntile({n}) OVER (PARTITION BY g ORDER BY v, id)"
+            " AS t FROM df ORDER BY id"
+        ).df()
+        assert out["tile"].tolist() == truth["t"].tolist(), n
+
+
+def test_string_agg_per_group(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        string_agg_per_group,
+    )
+
+    df = pd.DataFrame({"g": [1, 1, 1, 2], "s": ["b", "a", "c", "z"]})
+    out = string_agg_per_group(
+        rd.from_pandas(df, override_num_blocks=3), ["g"], "s",
+        sep=",", out_name="j", num_partitions=2,
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    assert out["j"].tolist() == ["a,b,c", "z"]
+
+
+def test_grouped_zscore(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import grouped_zscore
+
+    df = pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 3,
+        "x": [1.0, 2.0, 3.0, 4.0, 5.0, 5.0, 5.0],
+    })
+    out = grouped_zscore(
+        rd.from_pandas(df, override_num_blocks=2), ["g"], "x",
+    ).to_pandas()
+    a = out[out["g"] == "a"].sort_values("x")["zscore"].to_numpy()
+    mu, sd = 2.5, np.sqrt(np.mean((np.arange(1, 5) - 2.5) ** 2))
+    assert np.allclose(a, (np.arange(1.0, 5.0) - mu) / sd)
+    # zero-variance group -> NaN (SQL NULL), not inf
+    assert out[out["g"] == "b"]["zscore"].isna().all()
+
+
 def test_pivot_count_matches_pandas(ray_session):
     import numpy as np
     import ray.data as rd
