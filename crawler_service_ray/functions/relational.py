@@ -787,6 +787,131 @@ def distinct(
     )
 
 
+def set_op_distinct(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    columns: Sequence[str],
+    op: str = "intersect",
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """SQL ``INTERSECT`` / ``EXCEPT`` (set semantics — distinct rows).
+    Per-batch dedup + a 0/1 side flag bounds what leaves the map side to
+    distinct-per-block; ONE ``grouped_agg`` max-merge per side flag
+    decides membership — no pairwise join, no driver set. Column dtypes
+    must already agree across the two inputs (a null-padding union
+    would widen ints — align upstream)."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be intersect|except, got {op!r}")
+    columns = list(columns)
+
+    def tag(side: int):
+        def t(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[columns].drop_duplicates()
+            return d.assign(
+                __a=np.int64(1 - side), __b=np.int64(side)
+            )
+        return t
+
+    u = a.map_batches(tag(0), batch_format="pandas").union(
+        b.map_batches(tag(1), batch_format="pandas")
+    )
+    flags = grouped_agg(
+        u, columns, {"__ia": ("__a", "max"), "__ib": ("__b", "max")},
+        merge_partitions=merge_partitions,
+    )
+    keep = ((lambda df: df[(df["__ia"] == 1) & (df["__ib"] == 1)])
+            if op == "intersect"
+            else (lambda df: df[(df["__ia"] == 1) & (df["__ib"] == 0)]))
+    return flags.map_batches(
+        lambda df: keep(df)[columns], batch_format="pandas"
+    )
+
+
+def histogram(
+    ds: rd.Dataset,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """Fixed-width histogram of a numeric column: bin index =
+    ``floor((x - lo) / width)`` clamped into [0, nbins) so no row is
+    dropped. Pure partial-aggregation shape — each block reduces to at
+    most nbins rows before the merge; the bin boundary column is
+    recomputed from the index (both sides of an oracle do the same IEEE
+    double ops, so boundaries compare exactly)."""
+    width = (hi - lo) / nbins
+
+    def binb(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[col].to_numpy()
+        b = np.clip(np.floor((x - lo) / width), 0, nbins - 1)
+        return pd.DataFrame({"bin": b.astype(np.int64)})
+
+    binned = ds.map_batches(binb, batch_format="pandas")
+    counts = grouped_agg(binned, ["bin"], {"n": ("bin", "count")},
+                         merge_partitions=merge_partitions)
+    return counts.map_batches(
+        lambda df: df.assign(bin_lo=(lo + df["bin"] * width).round(6)),
+        batch_format="pandas",
+    )
+
+
+_ROLLUP_REAGG = {"sum": "sum", "count": "sum", "min": "min",
+                 "max": "max"}
+
+
+def rollup_agg(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    total_label: str = "ALL",
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """SQL ``GROUP BY ROLLUP(keys)``: the finest aggregate plus every
+    prefix level up to the grand total. The fact table is read ONCE —
+    the finest ``grouped_agg`` result (small: one row per key combo) is
+    materialized and each coarser level re-aggregates it (count→sum,
+    sum/min/max associative), so adding levels costs nothing at scale.
+    Rolled-up key slots carry ``total_label`` (callers' keys must be
+    strings); fns limited to the re-aggregatable set sum/count/min/max."""
+    keys = list(keys)
+    aggs = dict(aggs)
+    for out, (_, fn) in aggs.items():
+        if fn not in _ROLLUP_REAGG:
+            raise ValueError(
+                f"rollup_agg needs re-aggregatable fns, got {fn!r}"
+            )
+    finest = grouped_agg(ds, keys, aggs,
+                         merge_partitions=merge_partitions).materialize()
+    reagg = {out: (out, _ROLLUP_REAGG[fn])
+             for out, (_, fn) in aggs.items()}
+    levels = [finest]
+    for i in range(len(keys) - 1, -1, -1):
+        if i == 0:
+            lvl = finest.repartition(1).map_batches(
+                lambda df: pd.DataFrame(
+                    {out: [df[out].agg(_ROLLUP_REAGG[fn])]
+                     for out, (_, fn) in aggs.items()}
+                ),
+                batch_format="pandas", batch_size=None,
+            )
+        else:
+            lvl = grouped_agg(finest, keys[:i], reagg)
+        pad = keys[i:]
+        lvl = lvl.map_batches(
+            lambda df, pad=pad, order=keys + list(aggs): df.assign(
+                **{c: total_label for c in pad}
+            )[order],
+            batch_format="pandas",
+        )
+        levels.append(lvl)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
 def _key_hash(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
     """Vectorized uint64 hash of key columns: single keys hash their
     native values directly (no per-row string conversion); composite

@@ -1544,6 +1544,110 @@ FROM orders
 """
 
 
+def q_intersect_keys(sf_dir: str):
+    """SQL INTERSECT: customer keys that also place orders —
+    `set_op_distinct` (per-batch dedup + side flags, one max-merge; no
+    pairwise join)."""
+    from ..functions.relational import set_op_distinct
+
+    o = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
+                   columns=["o_custkey"]).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "custkey"}),
+        batch_format="pandas",
+    )
+    c = read_table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda df: df.rename(columns={"c_custkey": "custkey"}),
+        batch_format="pandas",
+    )
+    return set_op_distinct(o, c, ["custkey"], op="intersect",
+                           merge_partitions=4)
+
+
+SQL_INTERSECT_KEYS = """
+SELECT o_custkey AS custkey FROM orders
+INTERSECT
+SELECT c_custkey AS custkey FROM customer
+"""
+
+
+def q_except_keys(sf_dir: str):
+    """SQL EXCEPT: customer keys with no order after mid-2000 — same
+    operator, other filter arm (unfiltered EXCEPT is empty here: every
+    customer orders at least once)."""
+    from ..functions.relational import set_op_distinct
+
+    c = read_table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda df: df.rename(columns={"c_custkey": "custkey"}),
+        batch_format="pandas",
+    )
+    o = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
+                   columns=["o_custkey", "o_orderdate"]).map_batches(
+        lambda df: df.loc[df["o_orderdate"] >= pd.Timestamp("2000-07-01"),
+                          ["o_custkey"]].rename(
+            columns={"o_custkey": "custkey"}),
+        batch_format="pandas",
+    )
+    return set_op_distinct(c, o, ["custkey"], op="except",
+                           merge_partitions=4)
+
+
+SQL_EXCEPT_KEYS = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= DATE '2000-07-01'
+"""
+
+
+def q_histogram_price(sf_dir: str):
+    """Fixed-width histogram of order price (24 × 25k bins, clamped
+    edges) — `histogram`: pure partial-agg, ≤ nbins rows leave each
+    block."""
+    from ..functions.relational import histogram
+
+    ds = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
+                    columns=["o_totalprice"])
+    return histogram(ds, "o_totalprice", lo=0.0, hi=600_000.0, nbins=24)
+
+
+SQL_HISTOGRAM_PRICE = """
+SELECT bin, count(*) AS n, round(bin * 25000.0, 6) AS bin_lo
+FROM (SELECT least(greatest(CAST(floor(o_totalprice / 25000.0) AS BIGINT),
+                            0), 23) AS bin
+      FROM orders)
+GROUP BY bin
+"""
+
+
+def q_rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP(returnflag, linestatus): finest level plus every
+    prefix subtotal and the grand total — `rollup_agg` reads the fact
+    table once and re-aggregates the finest result per level."""
+    from ..functions.relational import rollup_agg
+
+    ds = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_returnflag", "l_linestatus",
+                             "l_quantity"])
+    out = rollup_agg(
+        ds, keys=["l_returnflag", "l_linestatus"],
+        aggs={"sum_qty": ("l_quantity", "sum"),
+              "n": ("l_quantity", "count")},
+    )
+    return out.map_batches(
+        lambda df: df.assign(sum_qty=df["sum_qty"].round(4)),
+        batch_format="pandas",
+    )
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2050,6 +2154,10 @@ QUERIES = {
     "ntile_orders": q_ntile_orders,
     "string_agg_names": q_string_agg_names,
     "zscore_orders": q_zscore_orders,
+    "intersect_keys": q_intersect_keys,
+    "except_keys": q_except_keys,
+    "histogram_price": q_histogram_price,
+    "rollup_lineitem": q_rollup_lineitem,
     "range_join": q_range_join,
     "moving_avg": q_moving_avg,
     "normalize": q_normalize,
@@ -2116,6 +2224,10 @@ ORACLE_SQL = {
     "ntile_orders": SQL_NTILE_ORDERS,
     "string_agg_names": SQL_STRING_AGG_NAMES,
     "zscore_orders": SQL_ZSCORE_ORDERS,
+    "intersect_keys": SQL_INTERSECT_KEYS,
+    "except_keys": SQL_EXCEPT_KEYS,
+    "histogram_price": SQL_HISTOGRAM_PRICE,
+    "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "range_join": SQL_RANGE_JOIN,
     "moving_avg": SQL_MOVING_AVG,
     "normalize": SQL_NORMALIZE,

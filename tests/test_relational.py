@@ -44,6 +44,10 @@ SQL_CHECKED = [
     "quality",
     "tokens",
     "curate",
+    "intersect_keys",
+    "except_keys",
+    "histogram_price",
+    "rollup_lineitem",
 ]
 
 
@@ -560,3 +564,59 @@ def test_range_join_broadcast(ray_session):
         range_join_broadcast(
             ds, pd.DataFrame({"lo": [0.0, 5.0], "hi": [6.0, 9.0],
                               "tag": ["x", "y"]}), "v")
+
+
+def test_set_op_distinct_small(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import set_op_distinct
+
+    a = rd.from_pandas(
+        pd.DataFrame({"k": [1, 1, 2, 3, 5]}), override_num_blocks=2)
+    b = rd.from_pandas(
+        pd.DataFrame({"k": [2, 3, 3, 4]}), override_num_blocks=2)
+    inter = set_op_distinct(a, b, ["k"], op="intersect").to_pandas()
+    assert sorted(inter["k"]) == [2, 3]
+    exc = set_op_distinct(a, b, ["k"], op="except").to_pandas()
+    assert sorted(exc["k"]) == [1, 5]
+    with pytest.raises(ValueError, match="intersect"):
+        set_op_distinct(a, b, ["k"], op="union")
+
+
+def test_histogram_clamps_out_of_range(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import histogram
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"x": [-5.0, 0.0, 2.5, 9.9, 10.0, 99.0]}),
+        override_num_blocks=3)
+    out = histogram(ds, "x", lo=0.0, hi=10.0, nbins=4).to_pandas()
+    got = dict(zip(out["bin"], out["n"]))
+    # -5 clamps into bin 0; 10.0 and 99.0 clamp into the last bin
+    assert got == {0: 2, 1: 1, 3: 3}
+    assert dict(zip(out["bin"], out["bin_lo"]))[3] == 7.5
+
+
+def test_rollup_agg_levels(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import rollup_agg
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "y", "y"],
+        "b": ["p", "q", "p", "p"],
+        "v": [1.0, 2.0, 3.0, 4.0],
+    })
+    ds = rd.from_pandas(df, override_num_blocks=2)
+    out = rollup_agg(
+        ds, ["a", "b"], {"s": ("v", "sum"), "n": ("v", "count")}
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    # 3 finest rows + 2 per-a subtotals + 1 grand total
+    assert len(out) == 6
+    grand = out[(out["a"] == "ALL") & (out["b"] == "ALL")]
+    assert grand["s"].iloc[0] == 10.0 and grand["n"].iloc[0] == 4
+    suby = out[(out["a"] == "y") & (out["b"] == "ALL")]
+    assert suby["s"].iloc[0] == 7.0 and suby["n"].iloc[0] == 2
+    with pytest.raises(ValueError, match="re-aggregatable"):
+        rollup_agg(ds, ["a"], {"m": ("v", "mean")})
