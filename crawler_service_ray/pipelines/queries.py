@@ -61,7 +61,7 @@ def q_filter_project(sf_dir: str):
     import pyarrow.compute as pc
 
     ds = read_table(
-        sf_dir, "lineitem",
+        sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
         columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
                  "l_shipdate"],
     )
@@ -100,7 +100,7 @@ def q_agg_pricing(sf_dir: str):
     """A1/A3 analog (TPC-H Q1 shape): grouped aggregate with partial
     pre-aggregation; all float sums rounded on both sides."""
     ds = read_table(
-        sf_dir, "lineitem",
+        sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
     )
@@ -164,7 +164,8 @@ def q_join_broadcast(sf_dir: str):
     """J1/J4 analog: small side (customer) broadcast via ray.put."""
     import pyarrow.parquet as pq
 
-    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    orders = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
+                        columns=["o_custkey", "o_totalprice"])
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_mktsegment"],
@@ -237,7 +238,8 @@ GROUP BY r_name
 
 
 def q_sort_topk(sf_dir: str):
-    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ds = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
+                    columns=["o_orderkey", "o_totalprice"])
     return topk(ds, by=["o_totalprice", "o_orderkey"], k=10,
                 descending=[True, False])
 
@@ -421,7 +423,8 @@ FROM documents GROUP BY 1
 
 
 def q_window_hourly(sf_dir: str):
-    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_type", "ts", "value"])
     out = tumbling_window_agg(
         ds, "ts", "h", ["event_type"],
         {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
