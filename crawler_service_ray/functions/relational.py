@@ -827,6 +827,76 @@ def set_op_distinct(
     )
 
 
+def set_op_bag(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    columns: Sequence[str],
+    op: str = "intersect_all",
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """SQL ``INTERSECT ALL`` / ``EXCEPT ALL`` (bag semantics — row
+    multiplicities min(ca,cb) / max(ca-cb,0)). Per-batch value_counts
+    shrink each block to its distinct rows before ONE sum-merge per
+    side; the multiplicity arithmetic runs on the merged counts and
+    rows re-expand by ``np.repeat`` — no pairwise join, nothing on the
+    driver. Same dtype-alignment contract as ``set_op_distinct``."""
+    if op not in ("intersect_all", "except_all"):
+        raise ValueError(f"op must be intersect_all|except_all, got {op!r}")
+    columns = list(columns)
+
+    def tag(side: str):
+        def t(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(columns, sort=False, dropna=False).size()
+            d = g.index.to_frame(index=False)
+            other = "__cb" if side == "__ca" else "__ca"
+            d[side] = g.to_numpy().astype(np.int64)
+            d[other] = np.int64(0)
+            return d[columns + ["__ca", "__cb"]]
+        return t
+
+    u = a.map_batches(tag("__ca"), batch_format="pandas").union(
+        b.map_batches(tag("__cb"), batch_format="pandas")
+    )
+    counts = grouped_agg(
+        u, columns, {"__ca": ("__ca", "sum"), "__cb": ("__cb", "sum")},
+        merge_partitions=merge_partitions,
+    )
+    if op == "intersect_all":
+        mult = lambda df: np.minimum(df["__ca"], df["__cb"])  # noqa: E731
+    else:
+        mult = lambda df: np.maximum(df["__ca"] - df["__cb"], 0)  # noqa: E731
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        m = mult(df).to_numpy()
+        return df.loc[df.index.repeat(m), columns].reset_index(drop=True)
+
+    return counts.map_batches(expand, batch_format="pandas")
+
+
+def melt(
+    ds: rd.Dataset,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "var",
+    value_name: str = "val",
+) -> rd.Dataset:
+    """Wide-to-long unpivot (inverse of ``pivot_count``): each input row
+    emits one output row per value column, tagged with that column's
+    name. Embarrassingly parallel — a pure per-block ``pd.melt``, no
+    exchange; output is len(value_cols)× the input rows, so downstream
+    stages should re-batch by bytes. Value columns must share (or be
+    castable to) one dtype, as in SQL UNPIVOT."""
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def m(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.melt(df, id_vars=id_cols, value_vars=value_cols,
+                       var_name=var_name, value_name=value_name)
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        m, batch_format="pandas"
+    )
+
+
 def histogram(
     ds: rd.Dataset,
     col: str,

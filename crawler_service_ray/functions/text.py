@@ -362,6 +362,77 @@ def vocab_topk(
     return topk(agg, ["cnt", "word"], k, descending=[True, False])
 
 
+def heavy_hitters(
+    ds: rd.Dataset,
+    k: int = 30,
+    text_col: str = "text",
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """EXACT frequent words (count·k > total words) without the
+    full-vocabulary shuffle — the Misra-Gries candidate argument over
+    blocks: a word with global count > n/k must have block count
+    > n_b/k in at least one block (pigeonhole over Σn_b = n), so the
+    union of per-block local heavy hitters is a complete candidate set.
+    Pass 1 emits ≤ k candidate rows + one total-row per block (the only
+    driver materialization — O(k·blocks), documented bound; at larger
+    candidate sets route the filter through a hash semi-join instead of
+    the broadcast set). Pass 2 re-reads the corpus, counts ONLY
+    candidate words (broadcast frozenset) and keeps count·k > n — an
+    exact, SQL-matchable result with per-block memory O(distinct words
+    per block) instead of a global vocab exchange. Tokenization matches
+    ``vocab_topk`` (single-space split, empties dropped)."""
+    import ray
+
+    from .relational import grouped_agg
+
+    def local_hh(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split(" ").explode()
+        toks = toks[(toks != "") & toks.notna()]
+        vc = toks.value_counts()
+        nb = int(vc.sum())
+        cand = vc[vc.to_numpy() * k > nb]
+        return pd.DataFrame({
+            "word": np.concatenate(
+                [cand.index.to_numpy().astype(object), np.array([""],
+                                                                dtype=object)]
+            ),
+            "nb": np.concatenate(
+                [np.zeros(len(cand), dtype=np.int64), np.array([nb])]
+            ),
+        })
+
+    small = ds.select_columns([text_col]).map_batches(
+        local_hh, batch_format="pandas"
+    ).to_pandas()
+    n_total = int(small.loc[small["word"] == "", "nb"].sum())
+    cand_ref = ray.put(frozenset(
+        small.loc[small["word"] != "", "word"].tolist()
+    ))
+
+    def count_cands(df: pd.DataFrame) -> pd.DataFrame:
+        from .relational import resolve_broadcast
+
+        cands = resolve_broadcast(cand_ref)
+        toks = df[text_col].astype(str).str.split(" ").explode()
+        toks = toks[toks.isin(cands)]
+        vc = toks.value_counts()
+        return pd.DataFrame({
+            "word": vc.index.to_numpy().astype(object),
+            "cnt": vc.to_numpy().astype("int64"),
+        })
+
+    counts = grouped_agg(
+        ds.select_columns([text_col]).map_batches(
+            count_cands, batch_format="pandas"
+        ),
+        ["word"], {"cnt": ("cnt", "sum")},
+        merge_partitions=merge_partitions,
+    )
+    return counts.map_batches(
+        lambda df: df[df["cnt"] * k > n_total], batch_format="pandas"
+    )
+
+
 # Per-worker-process stage cache: these stages carry only cheap derived
 # state (marker tables, pattern strings), so they run as plain TASKS with
 # the instance built once per worker process — which outlives the actor

@@ -1651,6 +1651,110 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_intersect_all_users(sf_dir: str):
+    """SQL INTERSECT ALL (bag semantics): per user, min(#clicks,
+    #views) rows — `set_op_bag` (per-block value_counts + one
+    sum-merge + np.repeat re-expansion; no pairwise join)."""
+    from ..functions.relational import set_op_bag
+
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["user_id", "event_type"])
+
+    def side(kind):
+        return ev.map_batches(
+            lambda df, k=kind: df.loc[df["event_type"] == k, ["user_id"]],
+            batch_format="pandas",
+        )
+
+    return set_op_bag(side("click"), side("view"), ["user_id"],
+                      op="intersect_all", merge_partitions=4)
+
+
+SQL_INTERSECT_ALL_USERS = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT ALL
+SELECT user_id FROM events WHERE event_type = 'view'
+"""
+
+
+def q_except_all_orderkeys(sf_dir: str):
+    """SQL EXCEPT ALL: lineitem orderkeys minus the (unique) orders
+    multiset — every key keeps (lines − 1) copies."""
+    from ..functions.relational import set_op_bag
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_orderkey"]).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "orderkey"}),
+        batch_format="pandas",
+    )
+    o = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
+                   columns=["o_orderkey"]).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "orderkey"}),
+        batch_format="pandas",
+    )
+    return set_op_bag(li, o, ["orderkey"], op="except_all",
+                      merge_partitions=4)
+
+
+SQL_EXCEPT_ALL_ORDERKEYS = """
+SELECT l_orderkey AS orderkey FROM lineitem
+EXCEPT ALL
+SELECT o_orderkey AS orderkey FROM orders
+"""
+
+
+def q_melt_lineitem(sf_dir: str):
+    """Wide-to-long unpivot of three lineitem measures — `melt`: pure
+    per-block pd.melt, no exchange, 3× row fan-out."""
+    from ..functions.relational import melt
+
+    ds = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_orderkey", "l_linenumber", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+    out = melt(ds, ["l_orderkey", "l_linenumber"],
+               ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.map_batches(
+        lambda df: df.assign(val=df["val"].astype("float64").round(6)),
+        batch_format="pandas",
+    )
+
+
+SQL_MELT_LINEITEM = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS var,
+       round(l_quantity::DOUBLE, 6) AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       round(l_extendedprice::DOUBLE, 6) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       round(l_discount::DOUBLE, 6) FROM lineitem
+"""
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact frequent words (count·30 > corpus words) WITHOUT the full
+    vocabulary shuffle — Misra-Gries candidate union per block + an
+    exact counting pass restricted to candidates."""
+    from ..functions.text import heavy_hitters
+
+    return heavy_hitters(
+        read_table(sf_dir, "documents", columns=["text"]), k=30,
+        merge_partitions=4,
+    )
+
+
+SQL_HEAVY_HITTERS = """
+WITH f AS (
+  SELECT word
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+)
+SELECT word, count(*)::BIGINT AS cnt
+FROM f GROUP BY word
+HAVING count(*) * 30 > (SELECT count(*) FROM f)
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2164,6 +2268,10 @@ QUERIES = {
     "range_join": q_range_join,
     "moving_avg": q_moving_avg,
     "normalize": q_normalize,
+    "intersect_all_users": q_intersect_all_users,
+    "except_all_orderkeys": q_except_all_orderkeys,
+    "melt_lineitem": q_melt_lineitem,
+    "heavy_hitters": q_heavy_hitters,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
     "crawl_stats": q_crawl_stats,
@@ -2234,4 +2342,8 @@ ORACLE_SQL = {
     "range_join": SQL_RANGE_JOIN,
     "moving_avg": SQL_MOVING_AVG,
     "normalize": SQL_NORMALIZE,
+    "intersect_all_users": SQL_INTERSECT_ALL_USERS,
+    "except_all_orderkeys": SQL_EXCEPT_ALL_ORDERKEYS,
+    "melt_lineitem": SQL_MELT_LINEITEM,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
 }

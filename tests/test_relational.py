@@ -48,6 +48,10 @@ SQL_CHECKED = [
     "except_keys",
     "histogram_price",
     "rollup_lineitem",
+    "intersect_all_users",
+    "except_all_orderkeys",
+    "melt_lineitem",
+    "heavy_hitters",
 ]
 
 
