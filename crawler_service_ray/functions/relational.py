@@ -463,6 +463,55 @@ def grouped_rank(
                          num_partitions=num_partitions)
 
 
+def window_ranks(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    order_by: str | Sequence[str],
+    tiebreak: str | Sequence[str] = (),
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """The full SQL rank family in one pass: appends ``rn``
+    (row_number over order_by+tiebreak), ``rnk`` (rank), ``drnk``
+    (dense_rank), ``prnk`` (percent_rank) and ``cume`` (cume_dist),
+    the latter four computed over ``order_by`` ONLY so ties share a
+    rank exactly as SQL does. One hash-partition shuffle by the group
+    keys (same plan as ``grouped_rank``); within a partition
+    everything is a sort plus run-length arithmetic on tie runs —
+    ffill/bfill of run-boundary row numbers, no per-group Python."""
+    keys = list(keys)
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    tiebreak = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + order_by + tiebreak, kind="mergesort")
+        rn = g.groupby(keys, sort=False, observed=True).cumcount().to_numpy()
+        tie_cols = g[keys + order_by]
+        run_start = (tie_cols != tie_cols.shift()).any(axis=1).to_numpy()
+        run_start[0] = True
+        run_end = np.roll(run_start, -1)
+        run_end[-1] = True
+        # rank = rn at the run's first row + 1; cume numerator = rn at
+        # the run's last row + 1 (rows ≤ current in the order).
+        start_rn = pd.Series(np.where(run_start, rn, np.nan)).ffill()
+        end_rn = pd.Series(np.where(run_end, rn, np.nan)).bfill()
+        n = g.groupby(keys, sort=False, observed=True)[keys[0]].transform(
+            "size"
+        ).to_numpy()
+        g["rn"] = (rn + 1).astype("int64")
+        g["rnk"] = (start_rn.to_numpy() + 1).astype("int64")
+        g["drnk"] = (
+            pd.Series(run_start, index=g.index).groupby(
+                [g[k] for k in keys], sort=False, observed=True
+            ).cumsum().to_numpy().astype("int64")
+        )
+        g["prnk"] = np.where(n > 1, start_rn.to_numpy() / (n - 1), 0.0)
+        g["cume"] = (end_rn.to_numpy() + 1) / n
+        return g
+
+    return grouped_apply(ds, keys, rank_part,
+                         num_partitions=num_partitions)
+
+
 def grouped_shift(
     ds: rd.Dataset,
     keys: Sequence[str],

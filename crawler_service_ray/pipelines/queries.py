@@ -1755,6 +1755,168 @@ HAVING count(*) * 30 > (SELECT count(*) FROM f)
 """
 
 
+def q_rank_modes(sf_dir: str):
+    """The full SQL rank family (row_number / rank / dense_rank /
+    percent_rank / cume_dist) per order over line quantities — ties are
+    common in integer quantities, so rank≠row_number is exercised for
+    real. One shuffle via `window_ranks`."""
+    from ..functions.relational import window_ranks
+
+    ds = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    out = window_ranks(ds, ["l_orderkey"], ["l_quantity"],
+                       tiebreak=["l_linenumber"], num_partitions=16)
+    return out.map_batches(
+        lambda df: df.assign(prnk=df["prnk"].round(6),
+                             cume=df["cume"].round(6)),
+        batch_format="pandas",
+    )
+
+
+SQL_RANK_MODES = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       row_number() OVER (PARTITION BY l_orderkey
+                          ORDER BY l_quantity, l_linenumber) AS rn,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk,
+       round(cume_dist()    OVER w, 6) AS cume
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity)
+"""
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Perplexity-style curation scoring with the model this
+    environment can train: corpus-fit unigram LM, per-doc mean
+    -ln p(w). Two streaming passes + an O(vocab) broadcast."""
+    from ..functions.text import unigram_logprob
+
+    return unigram_logprob(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        merge_partitions=4,
+    )
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), f AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+tot AS (SELECT count(*)::DOUBLE AS n FROM f),
+cnts AS (SELECT w, count(*)::DOUBLE AS c FROM f GROUP BY w)
+SELECT f.doc_id, round(avg(-ln(c / n)), 6) AS nll
+FROM f, tot, cnts WHERE f.w = cnts.w GROUP BY f.doc_id
+"""
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition feature: top-bigram fraction per doc —
+    shuffle-free per-block explode + groupby."""
+    from ..functions.text import repetition_stats
+
+    return repetition_stats(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+SQL_REPETITION = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS bg
+  FROM d WHERE len(l) >= 2
+), c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg)
+SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+FROM c GROUP BY doc_id
+"""
+
+
+def q_boilerplate(sf_dir: str):
+    """C4-style boilerplate: fraction of each doc's 5-gram slots whose
+    gram appears in ≥2 distinct documents (distinct doc-gram pass →
+    partitioned df merge → broadcast common set → scoring pass)."""
+    from ..functions.text import boilerplate_fraction
+
+    return boilerplate_fraction(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=5, min_df=2, merge_partitions=4,
+    )
+
+
+SQL_BOILERPLATE = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest([array_to_string(l[i:i+4], ' ')
+                 for i in range(1, len(l) - 3)]) AS g
+  FROM d WHERE len(l) >= 5
+), dfreq AS (
+  SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g
+)
+SELECT g.doc_id,
+       round(avg(CASE WHEN dfreq.df >= 2 THEN 1.0 ELSE 0.0 END), 6)
+         AS boiler_frac
+FROM g JOIN dfreq USING (g) GROUP BY g.doc_id
+"""
+
+
+def q_join_outer(sf_dir: str):
+    """FULL OUTER join of two pre-aggregated sides with forced
+    non-overlap (each side filtered so some nations exist only in the
+    other) — exercises `bucketed_hash_join(how='outer')`; counts are
+    COALESCEd to 0 so the null-padding path is covered while the
+    driver's value-hash stays dtype-stable."""
+    from ..functions.relational import bucketed_hash_join, grouped_agg
+
+    cust = grouped_agg(
+        read_table(sf_dir, "customer",
+                   columns=["c_nationkey", "c_acctbal"]).map_batches(
+            lambda df: df[df["c_acctbal"] > 9000.0], batch_format="pandas"),
+        ["c_nationkey"], {"cust_cnt": ("c_nationkey", "count")},
+    ).map_batches(
+        lambda df: df.rename(columns={"c_nationkey": "nationkey"}),
+        batch_format="pandas",
+    )
+    supp = grouped_agg(
+        read_table(sf_dir, "supplier",
+                   columns=["s_nationkey", "s_acctbal"]).map_batches(
+            lambda df: df[df["s_acctbal"] < 4000.0], batch_format="pandas"),
+        ["s_nationkey"], {"supp_cnt": ("s_nationkey", "count")},
+    ).map_batches(
+        lambda df: df.rename(columns={"s_nationkey": "nationkey"}),
+        batch_format="pandas",
+    )
+    out = bucketed_hash_join(cust, supp, on=["nationkey"], how="outer",
+                             num_buckets=4)
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "nationkey": df["nationkey"].astype("int64"),
+            "cust_cnt": df["cust_cnt"].fillna(0).astype("int64"),
+            "supp_cnt": df["supp_cnt"].fillna(0).astype("int64"),
+        })
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+SQL_JOIN_OUTER = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS cust_cnt
+  FROM customer WHERE c_acctbal > 9000.0 GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS supp_cnt
+  FROM supplier WHERE s_acctbal < 4000.0 GROUP BY s_nationkey
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(cust_cnt, 0) AS cust_cnt,
+       coalesce(supp_cnt, 0) AS supp_cnt
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2272,6 +2434,11 @@ QUERIES = {
     "except_all_orderkeys": q_except_all_orderkeys,
     "melt_lineitem": q_melt_lineitem,
     "heavy_hitters": q_heavy_hitters,
+    "rank_modes": q_rank_modes,
+    "unigram_logprob": q_unigram_logprob,
+    "repetition": q_repetition,
+    "boilerplate": q_boilerplate,
+    "join_outer": q_join_outer,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
     "crawl_stats": q_crawl_stats,
@@ -2346,4 +2513,9 @@ ORACLE_SQL = {
     "except_all_orderkeys": SQL_EXCEPT_ALL_ORDERKEYS,
     "melt_lineitem": SQL_MELT_LINEITEM,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "rank_modes": SQL_RANK_MODES,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "repetition": SQL_REPETITION,
+    "boilerplate": SQL_BOILERPLATE,
+    "join_outer": SQL_JOIN_OUTER,
 }

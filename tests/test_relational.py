@@ -52,6 +52,11 @@ SQL_CHECKED = [
     "except_all_orderkeys",
     "melt_lineitem",
     "heavy_hitters",
+    "rank_modes",
+    "unigram_logprob",
+    "repetition",
+    "boilerplate",
+    "join_outer",
 ]
 
 
