@@ -1018,35 +1018,42 @@ def _expand_fn(
     if enrich:
         fetched = enrich_fetched(fetched)
     _t2 = _time.perf_counter()
-    _sidewrite(fetched, fetched_dir, "fetched")
-    _t3 = _time.perf_counter()
-    _t4 = _time.perf_counter()
     disc = probe_new_finish(probe_state, epoch, cb)
     retry_rows, failed_rows = split_fetch_failures(
         fetched.select([f.name for f in FETCHED_SCHEMA]), epoch, max_retries
     )
+    if retry_rows.num_rows:
+        disc = pa.concat_tables([disc, retry_rows]).combine_chunks()
+    _t5 = _time.perf_counter()
+    # fire the frontier sends FIRST and ack them LAST: writer-side
+    # buffering (and any background spill) overlaps this task's own
+    # parquet sidewrites instead of serializing after them
+    send_refs = []
+    if disc.num_rows:
+        parts = _host_partitions_of(
+            disc["host"].to_numpy(zero_copy_only=False), num_parts
+        )
+        send_refs = send_partitioned(writers, num_parts, disc, parts,
+                                     block=False)
+    _t55 = _time.perf_counter()
+    _sidewrite(fetched, fetched_dir, "fetched")
     if failed_rows.num_rows:
         _sidewrite(
             failed_rows,
             os.path.join(os.path.dirname(fetched_dir), "failed"),
             "failed",
         )
-    if retry_rows.num_rows:
-        disc = pa.concat_tables([disc, retry_rows]).combine_chunks()
-    _t5 = _time.perf_counter()
-    if disc.num_rows:
-        parts = _host_partitions_of(
-            disc["host"].to_numpy(zero_copy_only=False), num_parts
-        )
-        send_partitioned(writers, num_parts, disc, parts)
+    _t3 = _time.perf_counter()
+    if send_refs:
+        ray.get(send_refs)  # delivery guarantee: buffered before success
     _t6 = _time.perf_counter()
     # per-stage telemetry (ms, summed per epoch) — reads back in stats
     cb("t_fetch_ms", (_t1 - _t0) * 1000)
     cb("t_canon_ms", (_t15 - _t1) * 1000)
     cb("t_enrich_ms", (_t2 - _t15) * 1000)
-    cb("t_write_ms", (_t3 - _t2) * 1000)
-    cb("t_probe_ms", (_t5 - _t4) * 1000)  # gather only; RPCs overlapped
-    cb("t_send_ms", (_t6 - _t5) * 1000)
+    cb("t_write_ms", (_t3 - _t55) * 1000)
+    cb("t_probe_ms", (_t5 - _t2) * 1000)  # gather only; RPCs overlapped
+    cb("t_send_ms", ((_t55 - _t5) + (_t6 - _t3)) * 1000)
     if counters and metrics_actor is not None:
         ray.get(metrics_actor.add_many.remote(epoch, counters))
     return pa.Table.from_pydict(

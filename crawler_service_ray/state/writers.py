@@ -16,9 +16,11 @@ only succeeds after its rows are buffered; a crashed epoch is wiped whole
 (temp dir + ``begin_epoch`` reset) and rerun, so buffered-but-unflushed
 rows can never leak into a committed epoch. Memory bound: a writer spills
 its buffers to sequenced files whenever buffered bytes exceed
-``flush_bytes`` (64 MiB default), so actor memory is O(flush_bytes)
-regardless of epoch discovery volume; the final ``flush`` writes the
-remainder. File count stays O(partitions x spills).
+``flush_bytes`` (64 MiB default) — on a background thread so the file IO
+never blocks append acks, with at most one spill in flight — so actor
+memory is ~2×flush_bytes regardless of epoch discovery volume; the final
+``flush`` joins the thread and writes the remainder. File count stays
+O(partitions x spills).
 """
 
 from __future__ import annotations
@@ -43,8 +45,10 @@ class PartitionWriter:
         self.buffers: dict[int, list[pa.Table]] = {}
         self.buffered_bytes = 0
         self.seq = 0
+        self._spill_thread = None
 
     def begin_epoch(self, out_dir: str, prefix: str = "discovered") -> None:
+        self._join_spill()
         self.out_dir = out_dir
         self.prefix = prefix
         self.buffers = {}
@@ -68,32 +72,61 @@ class PartitionWriter:
             n += ln
         self.buffered_bytes += t.nbytes
         if self.buffered_bytes >= self.flush_bytes:
-            self._spill()
+            self._spill_async()
         return n
 
-    def _spill(self) -> list[str]:
+    def _join_spill(self) -> None:
+        if self._spill_thread is not None:
+            self._spill_thread.join()
+            self._spill_thread = None
+
+    def _spill_async(self) -> None:
+        """Hand the full buffers to a background writer thread so the
+        parquet IO leaves the actor's message loop — a synchronous spill
+        blocked every in-flight ``append_run`` ack (and therefore its
+        sender's ``ray.get``) for the whole file write. At most one
+        spill is in flight (the next one joins it first), bounding actor
+        memory at ~2×flush_bytes. Durability is unchanged: rows are in
+        actor memory when the ack fires, and both ``flush`` and
+        ``begin_epoch`` join the thread, so an epoch commit never runs
+        ahead of its own spills."""
+        self._join_spill()
+        bufs, seq = self.buffers, self.seq
+        self.buffers = {}
+        self.buffered_bytes = 0
+        self.seq += 1
+        import threading
+
+        self._spill_thread = threading.Thread(
+            target=self._write_bufs, args=(bufs, seq), daemon=True
+        )
+        self._spill_thread.start()
+
+    def _write_bufs(self, bufs: dict, seq: int) -> list[str]:
         assert self.out_dir is not None
         os.makedirs(self.out_dir, exist_ok=True)
         out = []
-        for p, tables in sorted(self.buffers.items()):
+        for p, tables in sorted(bufs.items()):
             t = pa.concat_tables(tables).combine_chunks()
             if t.num_rows == 0:
                 continue
             path = os.path.join(
                 self.out_dir,
                 f"{self.prefix}-p{p:04d}-w{self.writer_id:02d}"
-                f"-f{self.seq:04d}.parquet",
+                f"-f{seq:04d}.parquet",
             )
             pq.write_table(t, path + ".tmp")
             os.replace(path + ".tmp", path)
             out.append(path)
-        self.buffers = {}
-        self.buffered_bytes = 0
-        self.seq += 1
         return out
 
     def flush(self) -> list[str]:
-        return self._spill()
+        self._join_spill()
+        bufs, seq = self.buffers, self.seq
+        self.buffers = {}
+        self.buffered_bytes = 0
+        self.seq += 1
+        return self._write_bufs(bufs, seq)
 
 
 def make_writers(num_writers: int,
@@ -104,9 +137,12 @@ def make_writers(num_writers: int,
 
 
 def send_partitioned(writers: list, num_parts: int, table: pa.Table,
-                     part_col_values) -> None:
+                     part_col_values, block: bool = True) -> list:
     """Route a table's rows to their partition owners; blocks until
-    buffered (per-task delivery guarantee). ONE RPC and ONE table slice
+    buffered (per-task delivery guarantee) unless ``block=False``, in
+    which case the caller holds the returned refs and must ``ray.get``
+    them before succeeding — letting writer-side buffering/spill overlap
+    the caller's remaining work. ONE RPC and ONE table slice
     per writer touched per chunk: rows sort owner-major (then by
     partition, stably — row order within a partition is unchanged), so
     each writer's rows form one contiguous run shipped with relative
@@ -144,4 +180,6 @@ def send_partitioned(writers: list, num_parts: int, table: pa.Table,
             )
         )
         i = j
-    ray.get(refs)
+    if block:
+        ray.get(refs)
+    return refs
