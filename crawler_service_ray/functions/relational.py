@@ -308,6 +308,92 @@ def native_join(
 # sort / top-k / distinct / per-group top-k / windows
 # ---------------------------------------------------------------------------
 
+def bloom_semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: Sequence[str] | str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Semi join with a Bloom prefilter — the 100-TB shape for "big
+    probe side, medium build side": per-block partial bitmaps over the
+    right keys OR-merge on the driver (O(blocks × num_bits/8) — one
+    128 KiB array per block at the default size, independent of key
+    count) and broadcast once; the left side then drops every row the
+    filter rejects BEFORE the co-partition shuffle, so only candidate
+    rows (true matches + the ~(1-e^{-kn/m})^k false-positive sliver)
+    pay exchange cost. An exact `semi_anti_join` on the survivors
+    removes false positives, so the result is exactly SQL
+    ``IN``-semantics. Key hashing reuses `_key_hash`'s dtype
+    canonicalization, so int64-vs-float64 sides agree."""
+    on = [on] if isinstance(on, str) else list(on)
+    words = num_bits // 64
+    mults = np.array(
+        [(0x9E3779B97F4A7C15 * (i + 1)) % (1 << 64) | 1
+         for i in range(num_hashes)],
+        dtype=np.uint64,
+    )
+
+    def bit_positions(df: pd.DataFrame) -> np.ndarray:
+        h = _key_hash(df, on)
+        # k derived hashes per key via odd-multiplier mixing
+        return (h[:, None] * mults[None, :]) % np.uint64(num_bits)
+
+    def partial_bitmap(df: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(words, dtype=np.uint64)
+        pos = bit_positions(df[on].drop_duplicates()).ravel()
+        np.bitwise_or.at(bm, (pos // 64).astype(np.int64),
+                         np.uint64(1) << (pos % np.uint64(64)))
+        return pd.DataFrame({"bm": [bm.tobytes()]})
+
+    import ray
+
+    parts = right.map_batches(
+        partial_bitmap, batch_format="pandas"
+    ).to_pandas()
+    merged = np.zeros(words, dtype=np.uint64)
+    for b in parts["bm"]:
+        merged |= np.frombuffer(b, dtype=np.uint64)
+    bm_ref = ray.put(merged)
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        bm = resolve_broadcast(bm_ref)
+        pos = bit_positions(df)
+        hit = (
+            bm[(pos // 64).astype(np.int64)]
+            >> (pos % np.uint64(64)) & np.uint64(1)
+        ).astype(bool).all(axis=1)
+        return df[hit]
+
+    return semi_anti_join(
+        left.map_batches(prefilter, batch_format="pandas"), right, on,
+        anti=False, num_partitions=num_partitions,
+    )
+
+
+def topk_per_group_ties(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    order_by: str | Sequence[str],
+    k: int,
+    descending: bool | Sequence[bool] = True,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """SQL ``FETCH FIRST k ROWS WITH TIES`` per group: keep every row
+    whose RANK (ties share a rank) over ``order_by`` is ≤ k, so a group
+    may return more than k rows when the k-th value repeats —
+    `topk_per_group` truncates by row_number instead. Composed from
+    `window_ranks` + a filter; one key-hash shuffle."""
+    out = window_ranks(ds, keys, order_by, descending=descending,
+                       num_partitions=num_partitions)
+    drop = ["rn", "rnk", "drnk", "prnk", "cume"]
+    return out.map_batches(
+        lambda df: df[df["rnk"] <= k].drop(columns=drop),
+        batch_format="pandas",
+    )
+
+
 def semi_anti_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -468,6 +554,7 @@ def window_ranks(
     keys: Sequence[str],
     order_by: str | Sequence[str],
     tiebreak: str | Sequence[str] = (),
+    descending: bool | Sequence[bool] = False,
     num_partitions: int = 32,
 ) -> rd.Dataset:
     """The full SQL rank family in one pass: appends ``rn``
@@ -481,9 +568,14 @@ def window_ranks(
     keys = list(keys)
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
     tiebreak = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
+    desc = ([descending] * len(order_by) if isinstance(descending, bool)
+            else list(descending))
+    asc = ([True] * len(keys) + [not d for d in desc]
+           + [True] * len(tiebreak))
 
     def rank_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(keys + order_by + tiebreak, kind="mergesort")
+        g = g.sort_values(keys + order_by + tiebreak, ascending=asc,
+                          kind="mergesort")
         rn = g.groupby(keys, sort=False, observed=True).cumcount().to_numpy()
         tie_cols = g[keys + order_by]
         run_start = (tie_cols != tie_cols.shift()).any(axis=1).to_numpy()

@@ -1917,6 +1917,105 @@ FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
 """
 
 
+def q_topk_ties(sf_dir: str):
+    """SQL FETCH FIRST .. WITH TIES per group: every lineitem tied for
+    its supplier's max quantity (rank ≤ 1, ties kept — integer
+    quantities tie constantly, so groups return >1 row for real)."""
+    from ..functions.relational import topk_per_group_ties
+
+    ds = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_suppkey", "l_orderkey", "l_linenumber",
+                             "l_quantity"])
+    return topk_per_group_ties(ds, ["l_suppkey"], ["l_quantity"], k=1,
+                               descending=True, num_partitions=16)
+
+
+SQL_TOPK_TIES = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+         rank() OVER (PARTITION BY l_suppkey
+                      ORDER BY l_quantity DESC) AS rnk
+  FROM lineitem) WHERE rnk <= 1
+"""
+
+
+def q_above_avg(sf_dir: str):
+    """Correlated scalar subquery decorrelated the distributed way:
+    orders above their customer's average order value = grouped avg
+    (partitioned merge) bucket-joined back to the fact rows + filter —
+    no per-row subquery, one key shuffle each way."""
+    from ..functions.relational import bucketed_hash_join, grouped_agg
+
+    orders = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    avgs = grouped_agg(orders, ["o_custkey"],
+                       {"avg_price": ("o_totalprice", "mean")},
+                       merge_partitions=4)
+    j = bucketed_hash_join(orders, avgs, on=["o_custkey"], num_buckets=8)
+    return j.map_batches(
+        lambda df: df.loc[df["o_totalprice"] > df["avg_price"],
+                          ["o_orderkey", "o_custkey", "o_totalprice"]],
+        batch_format="pandas",
+    )
+
+
+SQL_ABOVE_AVG = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment (80/10/10 by Knuth-hash
+    bucket) — the resumable, shuffle-free split a training-data export
+    needs: same rows land in the same split at every parallelism and on
+    every rerun; integer arithmetic matches the SQL oracle exactly."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        h = ((ids % np.uint64(4294967296)) * np.uint64(2654435761)) \
+            % np.uint64(4294967296) % np.uint64(10)
+        split = np.where(h < 8, "train", np.where(h < 9, "val", "test"))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "split": split.astype(object)})
+
+    return docs.map_batches(assign, batch_format="pandas")
+
+
+SQL_SPLIT_ASSIGN = """
+SELECT doc_id,
+       CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ((doc_id % 4294967296) * 2654435761) % 4294967296 % 10 AS b
+      FROM documents)
+"""
+
+
+def q_bloom_semi(sf_dir: str):
+    """Semi join with a Bloom prefilter: parts that were ever ordered —
+    the probe side drops non-candidates before the shuffle, an exact
+    semi join scrubs false positives (result = plain SQL IN)."""
+    from ..functions.relational import bloom_semi_join
+
+    part = read_table(sf_dir, "part", bytes_per_block=_FACT_BPB,
+                      columns=["p_partkey", "p_name"])
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_partkey"]).map_batches(
+        lambda df: df.rename(columns={"l_partkey": "p_partkey"}),
+        batch_format="pandas",
+    )
+    return bloom_semi_join(part, li, on="p_partkey", num_partitions=16)
+
+
+SQL_BLOOM_SEMI = """
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2439,6 +2538,10 @@ QUERIES = {
     "repetition": q_repetition,
     "boilerplate": q_boilerplate,
     "join_outer": q_join_outer,
+    "topk_ties": q_topk_ties,
+    "above_avg": q_above_avg,
+    "split_assign": q_split_assign,
+    "bloom_semi": q_bloom_semi,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
     "crawl_stats": q_crawl_stats,
@@ -2518,4 +2621,8 @@ ORACLE_SQL = {
     "repetition": SQL_REPETITION,
     "boilerplate": SQL_BOILERPLATE,
     "join_outer": SQL_JOIN_OUTER,
+    "topk_ties": SQL_TOPK_TIES,
+    "above_avg": SQL_ABOVE_AVG,
+    "split_assign": SQL_SPLIT_ASSIGN,
+    "bloom_semi": SQL_BLOOM_SEMI,
 }

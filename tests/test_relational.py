@@ -57,6 +57,10 @@ SQL_CHECKED = [
     "repetition",
     "boilerplate",
     "join_outer",
+    "topk_ties",
+    "above_avg",
+    "split_assign",
+    "bloom_semi",
 ]
 
 
