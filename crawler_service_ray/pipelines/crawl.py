@@ -219,7 +219,12 @@ class CrawlRun:
         spill_manifests: dict[int, str] = {}
         if done:
             last = done[-1]
-            restore_shards(self.shards, os.path.join(self._epoch_dir(last), "seen"))
+            # snapshot chain: each epoch checkpoints only its new hashes
+            # (delta) with periodic fulls — restore replays the whole chain
+            restore_shards(
+                self.shards,
+                [os.path.join(self._epoch_dir(k), "seen") for k in done],
+            )
             frontier_files = _parquet_files(
                 os.path.join(self._epoch_dir(last), "frontier_next")
             )

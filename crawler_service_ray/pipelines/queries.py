@@ -1093,10 +1093,13 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.8
 
 def q_dedup_embedding_ivf(sf_dir: str):
     """Approximate (IVF-cell-bucketed) variant of the same near-dup op —
-    the 100-TB path; recall vs the exact path is pinned by pytest."""
+    the 100-TB path; recall vs the exact path is pinned by pytest.
+    assign_top=3 (primary + two neighbor cells) recovers 99/100 of the
+    exact pair set at sf0.01 vs 94-97 at 2, at no measurable cost with
+    8 cells."""
     return dedup.embedding_near_dup_ivf(
         _planted_embeddings(sf_dir), threshold=_EMB_NEARDUP_T,
-        num_cells=8, assign_top=2,
+        num_cells=8, assign_top=3,
     )
 
 
@@ -1110,7 +1113,7 @@ def q_dedup_embedding_ivf_subset(sf_dir: str):
     — containment is what's checkable."""
     ivf = dedup.embedding_near_dup_ivf(
         _planted_embeddings(sf_dir), threshold=_EMB_NEARDUP_T,
-        num_cells=8, assign_top=2,
+        num_cells=8, assign_top=3,
     ).to_pandas()
     exact = dedup.embedding_near_dup(
         _planted_embeddings(sf_dir), threshold=_EMB_NEARDUP_T, num_blocks=4,

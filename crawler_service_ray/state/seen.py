@@ -43,14 +43,21 @@ class SeenShard:
     """
 
     _MERGE_AT = 65536
+    _CHAIN_MAX = 64  # force a full snapshot after this many deltas
 
     def __init__(self, shard_id: int, capacity: int = 1 << 20):
         self.shard_id = shard_id
+        self.capacity = capacity
         self.filter = CuckooFilter(capacity)
         self.sorted = np.empty(0, dtype=np.uint64)
         self.buffer = np.empty(0, dtype=np.uint64)
         self.dedup_hits = 0
         self.false_positives = 0
+        # incremental-snapshot state: hashes inserted since the last
+        # snapshot, and where we are in the full→delta→delta… chain
+        self._delta: list[np.ndarray] = []
+        self._chain_len = -1  # -1 = no base yet → first snapshot is full
+        self._rows_since_full = 0
 
     # -- exact-backing helpers (all vectorized) ---------------------------
     def _member(self, uh: np.ndarray) -> np.ndarray:
@@ -65,6 +72,7 @@ class SeenShard:
 
     def _add(self, uh: np.ndarray) -> None:
         self.buffer = np.concatenate([self.buffer, uh])
+        self._delta.append(uh)
         if self.buffer.size >= self._MERGE_AT:
             self.sorted = np.union1d(self.sorted, self.buffer)
             self.buffer = np.empty(0, dtype=np.uint64)
@@ -114,26 +122,86 @@ class SeenShard:
         }
 
     def snapshot(self, path: str) -> str:
-        tmp = path + ".tmp.npz"  # ends in .npz so numpy won't rename it
-        np.savez_compressed(
-            tmp,
-            exact=np.union1d(self.sorted, self.buffer),
-            dedup_hits=np.int64(self.dedup_hits),
-            false_positives=np.int64(self.false_positives),
-            **self.filter.state_dict(),
+        """Incremental checkpoint: write only the hashes inserted since
+        the last snapshot (a DELTA) unless the accumulated deltas reach
+        half the shard's size or the chain gets long, in which case write
+        the FULL set and restart the chain. Per-epoch checkpoint cost is
+        therefore O(new URLs this epoch), not O(all URLs ever seen) — at
+        10^10-URL scale a full rewrite per epoch would dominate the run.
+        Files are uncompressed ``npz``: the payload is uniform random
+        64-bit hashes, which do not compress, and ``savez_compressed``
+        burned measurable CPU per epoch for ~0% ratio. The cuckoo filter
+        is NOT persisted — restore rebuilds it from the exact set (one
+        O(seen) pass at resume time, amortized across the run)."""
+        delta = (np.concatenate(self._delta) if self._delta
+                 else np.empty(0, dtype=np.uint64))
+        total = self._n_seen()
+        full = (
+            self._chain_len < 0
+            or self._chain_len >= self._CHAIN_MAX
+            or (self._rows_since_full + delta.size) * 2 >= total
         )
+        tmp = path + ".tmp.npz"  # ends in .npz so numpy won't rename it
+        if full:
+            np.savez(
+                tmp,
+                kind=np.array("full"),
+                exact=np.union1d(self.sorted, self.buffer),
+                dedup_hits=np.int64(self.dedup_hits),
+                false_positives=np.int64(self.false_positives),
+            )
+            self._chain_len = 0
+            self._rows_since_full = 0
+        else:
+            np.savez(
+                tmp,
+                kind=np.array("delta"),
+                delta=delta,
+                dedup_hits=np.int64(self.dedup_hits),
+                false_positives=np.int64(self.false_positives),
+            )
+            self._chain_len += 1
+            self._rows_since_full += int(delta.size)
         os.replace(tmp, path)
+        self._delta = []
         return path
 
-    def restore(self, path: str) -> int:
-        d = np.load(path)
-        self.filter = CuckooFilter.from_state(
-            {k: d[k] for k in ("table", "bloom", "n_items", "n_bloom")}
-        )
-        self.sorted = np.sort(d["exact"].astype(np.uint64))
+    def restore(self, paths: list[str] | str) -> int:
+        """Restore from a snapshot chain: ``paths`` is the ordered list of
+        this shard's snapshot files, one per committed epoch. Walk
+        backward to the most recent FULL snapshot, replay the deltas
+        after it, rebuild the cuckoo filter by re-inserting the exact set
+        (membership semantics are insertion-order independent; only the
+        incidental bucket layout differs from the pre-crash filter)."""
+        if isinstance(paths, str):
+            paths = [paths]
+        chain = []
+        for p in reversed(paths):
+            d = np.load(p)
+            chain.append(d)
+            if str(d["kind"]) == "full":
+                break
+        else:
+            raise ValueError(
+                f"shard {self.shard_id}: no full snapshot in chain "
+                f"({len(paths)} files)"
+            )
+        chain.reverse()
+        parts = [chain[0]["exact"].astype(np.uint64)]
+        parts += [c["delta"].astype(np.uint64) for c in chain[1:]]
+        self.sorted = np.sort(np.concatenate(parts))
         self.buffer = np.empty(0, dtype=np.uint64)
-        self.dedup_hits = int(d["dedup_hits"])
-        self.false_positives = int(d["false_positives"])
+        self.filter = CuckooFilter(self.capacity)
+        if self.sorted.size:
+            self.filter.insert_many(self.sorted)
+        last = chain[-1]
+        self.dedup_hits = int(last["dedup_hits"])
+        self.false_positives = int(last["false_positives"])
+        self._chain_len = len(chain) - 1
+        self._rows_since_full = int(
+            sum(int(c["delta"].size) for c in chain[1:])
+        )
+        self._delta = []
         return self._n_seen()
 
 
@@ -194,10 +262,18 @@ def snapshot_shards(shards: list, directory: str) -> list[str]:
     )
 
 
-def restore_shards(shards: list, directory: str) -> int:
+def restore_shards(shards: list, directories: list[str] | str) -> int:
+    """Restore every shard from its snapshot chain. ``directories`` is the
+    ordered list of committed epochs' ``seen/`` dirs (oldest first); a
+    single directory is accepted for a chain of length one (e.g. tests
+    snapshotting once)."""
+    if isinstance(directories, str):
+        directories = [directories]
     counts = ray.get(
         [
-            s.restore.remote(os.path.join(directory, f"shard_{i:04d}.npz"))
+            s.restore.remote(
+                [os.path.join(d, f"shard_{i:04d}.npz") for d in directories]
+            )
             for i, s in enumerate(shards)
         ]
     )
