@@ -33,7 +33,7 @@ from ..functions.relational import (
     distinct,
     grouped_agg,
     native_join,
-    read_table,
+    read_table as _read_table_raw,
     sessionize,
     topk,
     topk_per_group,
@@ -50,6 +50,25 @@ _DOC_BPB = 128 * 1024
 # fact-table (lineitem/orders/events) shuffle pipelines: ~1 MB read
 # blocks measured best (joins 2.4-4.6s -> 0.74s at sf0.1)
 _FACT_BPB = 1024 * 1024
+
+# Per-table default block sizing for every query in this module: any read
+# that doesn't pick its own bytes_per_block gets the table's measured
+# default (langid's 5000-doc read split into 64 blocks of 78 rows cost
+# 0.56 s of task dispatch for 0.33 s of compute; 5 byte-sized blocks run
+# the same UDF in ~0.15 s). Explicit per-query values still win.
+_DEFAULT_BPB = {
+    "documents": _DOC_BPB,
+    "events": _FACT_BPB,
+    "lineitem": _FACT_BPB,
+    "orders": _FACT_BPB,
+}
+
+
+def read_table(sf_dir, name, columns=None, bytes_per_block=None, **kw):
+    if bytes_per_block is None:
+        bytes_per_block = _DEFAULT_BPB.get(name)
+    return _read_table_raw(sf_dir, name, columns=columns,
+                           bytes_per_block=bytes_per_block, **kw)
 
 
 # ---------------------------------------------------------------------------
