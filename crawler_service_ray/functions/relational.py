@@ -1505,6 +1505,84 @@ def grouped_quantiles_sketch(
     return grouped_apply(partials, keys, estimate, num_partitions=16)
 
 
+def grouped_first_last(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    order_by: str | Sequence[str],
+    val_col: str,
+    tiebreak: str | Sequence[str] = (),
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """SQL ``first_value``/``last_value`` over the whole partition frame
+    (PARTITION BY keys ORDER BY order_by, tiebreak) collapsed to one row
+    per group, plus the group row count. Hash-partition by key, one
+    vectorized sort + groupby head/tail per partition — the per-group
+    endpoints are exact because each partition holds its keys whole."""
+    keys = list(keys)
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    tiebreak = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + order_by + tiebreak, kind="mergesort")
+        gb = g.groupby(keys, sort=False, observed=True)
+        f = gb[val_col].first()
+        out = f.index.to_frame(index=False)
+        out["first_val"] = f.to_numpy()
+        out["last_val"] = gb[val_col].last().to_numpy()
+        out["n_rows"] = gb.size().to_numpy().astype("int64")
+        return out
+
+    return grouped_apply(ds, keys, per_partition,
+                         num_partitions=num_partitions)
+
+
+def grouped_linreg(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    x: str,
+    y: str,
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """Grouped least-squares regression of y on x — SQL ``regr_slope``/
+    ``regr_intercept``/``covar_samp`` in one pass via the same
+    partial-sums pattern as ``grouped_corr``: each batch emits
+    (n, Σx, Σy, Σx², Σxy) per key, merged coalesced or hash-partitioned.
+    Same numerics caveat: pre-center very-large-magnitude columns."""
+    keys = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xv = df[x].astype("float64")
+        yv = df[y].astype("float64")
+        t = pd.DataFrame({
+            **{k: df[k] for k in keys},
+            "__n": np.ones(len(df)),
+            "__sx": xv, "__sy": yv,
+            "__sxx": xv * xv, "__sxy": xv * yv,
+        })
+        return t.groupby(keys, sort=False, observed=True).sum().reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, observed=True).sum().reset_index()
+        n = g["__n"]
+        cov = g["__sxy"] - g["__sx"] * g["__sy"] / n
+        vx = g["__sxx"] - g["__sx"] ** 2 / n
+        out = g[keys].copy()
+        out["covar_samp"] = (cov / (n - 1)).astype("float64")
+        out["slope"] = (cov / vx).astype("float64")
+        out["intercept"] = (
+            g["__sy"] / n - (cov / vx) * g["__sx"] / n
+        ).astype("float64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    if merge_partitions and merge_partitions > 1:
+        return grouped_apply(parts, keys, merge,
+                             num_partitions=merge_partitions)
+    return parts.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
+
+
 def grouped_corr(
     ds: rd.Dataset,
     keys: Sequence[str],

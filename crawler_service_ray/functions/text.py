@@ -504,6 +504,53 @@ def _flat_tokens(df: pd.DataFrame, text_col: str, id_col: str):
     return ids, flat
 
 
+def gopher_stats(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 120,
+    min_wlen: float = 3.0,
+    max_wlen: float = 8.0,
+    max_top_frac: float = 0.15,
+) -> rd.Dataset:
+    """Gopher-rule composite quality filter (Rae et al. 2021 §A1.1
+    re-expressed over this corpus's signals): per document — word count
+    bounds, mean word length bounds, top-word fraction cap — plus the
+    combined ``keep`` verdict a curation export would filter on.
+    Embarrassingly parallel: docs are atomic rows, one explode+groupby
+    per block, NO exchange. All ratio features round to 6 dp BEFORE the
+    keep comparison on both engines so a last-ulp difference can never
+    flip the verdict."""
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        ids, flat = _flat_tokens(df, text_col, id_col)
+        lens = pd.Series(flat, dtype=object).str.len().to_numpy()
+        t = pd.DataFrame({id_col: ids, "len": lens, "w": flat})
+        gb = t.groupby(id_col, sort=False)
+        n = gb.size()
+        mean_wlen = (gb["len"].sum() / n).round(6)
+        wc = t.groupby([id_col, "w"], sort=False).size()
+        mx = wc.groupby(level=0, sort=False).max().reindex(n.index)
+        top = (mx / n).round(6)
+        keep = (
+            (n >= min_words) & (n <= max_words)
+            & (mean_wlen >= min_wlen) & (mean_wlen <= max_wlen)
+            & (top <= max_top_frac)
+        )
+        return pd.DataFrame({
+            id_col: n.index.to_numpy(),
+            "n_words": n.to_numpy().astype("int64"),
+            "mean_wlen": mean_wlen.to_numpy(),
+            "top_word_frac": top.to_numpy(),
+            "keep": keep.to_numpy(),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pandas"
+    )
+
+
 def repetition_stats(
     ds: rd.Dataset,
     text_col: str = "text",

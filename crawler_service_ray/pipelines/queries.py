@@ -2038,6 +2038,96 @@ WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
 """
 
 
+def q_gopher_filter(sf_dir: str):
+    """Gopher-rule composite quality filter: word-count bounds, mean
+    word length bounds, top-word-fraction cap, and the combined keep
+    verdict — the whole rule set one export pass applies, shuffle-free."""
+    return text.gopher_stats(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+SQL_GOPHER_FILTER = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
+  FROM documents
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         round(avg(length(word)), 6) AS mean_wlen
+  FROM w GROUP BY doc_id
+), tw AS (
+  SELECT doc_id, max(c) AS mx FROM (
+    SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word
+  ) GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_words, a.mean_wlen,
+       round(tw.mx * 1.0 / a.n_words, 6) AS top_word_frac,
+       (a.n_words BETWEEN 20 AND 120
+        AND a.mean_wlen BETWEEN 3.0 AND 8.0
+        AND round(tw.mx * 1.0 / a.n_words, 6) <= 0.15) AS keep
+FROM agg a JOIN tw USING (doc_id)
+"""
+
+
+def q_first_last(sf_dir: str):
+    """first_value/last_value window endpoints per group, collapsed to
+    one row per key: per event type, the value of the chronologically
+    first and last event plus the group size — one key-hash shuffle,
+    one vectorized sort per partition."""
+    from ..functions.relational import grouped_first_last
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "event_id", "value"])
+    out = grouped_first_last(ds, ["event_type"], ["ts"], "value",
+                             tiebreak="event_id", num_partitions=8)
+    return out.map_batches(
+        lambda df: df.assign(first_val=df["first_val"].round(6),
+                             last_val=df["last_val"].round(6)),
+        batch_format="pandas",
+    )
+
+
+SQL_FIRST_LAST = """
+SELECT DISTINCT event_type,
+  round(first_value(value) OVER w, 6) AS first_val,
+  round(last_value(value) OVER (
+     PARTITION BY event_type ORDER BY ts, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6)
+   AS last_val,
+  count(*) OVER (PARTITION BY event_type) AS n_rows
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+"""
+
+
+def q_linreg(sf_dir: str):
+    """Grouped least-squares regression (slope/intercept/sample
+    covariance of extended price on quantity per return flag) via
+    partial sums — five numbers per key per block leave the map side."""
+    from ..functions.relational import grouped_linreg
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+    out = grouped_linreg(ds, ["l_returnflag"], "l_quantity",
+                         "l_extendedprice")
+    return out.map_batches(
+        lambda df: df.assign(covar_samp=df["covar_samp"].round(2),
+                             slope=df["slope"].round(4),
+                             intercept=df["intercept"].round(2)),
+        batch_format="pandas",
+    )
+
+
+SQL_LINREG = """
+SELECT l_returnflag,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_samp,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+FROM lineitem GROUP BY 1
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2564,6 +2654,9 @@ QUERIES = {
     "above_avg": q_above_avg,
     "split_assign": q_split_assign,
     "bloom_semi": q_bloom_semi,
+    "gopher_filter": q_gopher_filter,
+    "first_last": q_first_last,
+    "linreg": q_linreg,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
     "crawl_stats": q_crawl_stats,
@@ -2647,4 +2740,7 @@ ORACLE_SQL = {
     "above_avg": SQL_ABOVE_AVG,
     "split_assign": SQL_SPLIT_ASSIGN,
     "bloom_semi": SQL_BLOOM_SEMI,
+    "gopher_filter": SQL_GOPHER_FILTER,
+    "first_last": SQL_FIRST_LAST,
+    "linreg": SQL_LINREG,
 }

@@ -61,6 +61,9 @@ SQL_CHECKED = [
     "above_avg",
     "split_assign",
     "bloom_semi",
+    "gopher_filter",
+    "first_last",
+    "linreg",
 ]
 
 
