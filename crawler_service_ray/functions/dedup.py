@@ -1087,3 +1087,114 @@ def embedding_near_dup_ivf(
         return part.drop_duplicates(subset=["id_a", "id_b"])
 
     return grouped_apply(pairs, ["id_a", "id_b"], dd, num_partitions=16)
+
+
+def frequent_lines(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 30,
+    sep: str = "\n",
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """Lines whose DOCUMENT frequency (distinct docs containing the line)
+    is >= ``min_doc_freq``. CCNet-style boilerplate discovery: the shuffle
+    carries only (line_hash, partial_count) pairs — document text never
+    moves. Returns (line_hash:uint64 as int64, df_docs:int64).
+
+    Scale: the result is bounded by total_lines / min_doc_freq (each
+    frequent line needs >= min_doc_freq distinct docs), so it is safe to
+    collect and broadcast."""
+    from .relational import grouped_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (
+            df[[id_col]]
+            .assign(__line=df[text_col].str.split(sep))
+            .explode("__line")
+        )
+        h = pd.util.hash_array(
+            ex["__line"].to_numpy(dtype=object)
+        ).astype("uint64")
+        # distinct (doc, line) inside the batch: a doc never spans two
+        # batches, so summing partials == distinct-doc counts globally
+        u = pd.DataFrame(
+            {id_col: ex[id_col].to_numpy(), "__lh": h}
+        ).drop_duplicates()
+        g = u.groupby("__lh", sort=False).size()
+        return pd.DataFrame(
+            {
+                "line_hash": g.index.to_numpy().astype("int64"),
+                "n": g.to_numpy().astype("int64"),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = grouped_agg(
+        partials,
+        ["line_hash"],
+        {"df_docs": ("n", "sum")},
+        merge_partitions=merge_partitions,
+    )
+    return agg.filter(expr=f"df_docs >= {int(min_doc_freq)}")
+
+
+def line_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 30,
+    sep: str = "\n",
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """Frequent-line removal (CCNet line-level dedup): drop every line
+    that appears in >= ``min_doc_freq`` distinct documents, reassemble
+    the remaining lines in order. The reference has no equivalent — its
+    dedup stops at whole-file md5 (`/root/reference/legacy/
+    posix_crawler.py:71-91`); this is the standard first pass of a
+    web-corpus curation pipeline (boilerplate headers/footers/nav).
+
+    Two passes, neither shuffles text:
+      1. ``frequent_lines`` — (hash, partial-count) groupby; the
+         frequent set (bounded by total_lines/min_doc_freq) is collected
+         once and broadcast via ``ray.put``.
+      2. map-only clean: explode lines per batch, ``np.isin`` against
+         the broadcast hash set (sorted-array binary search), groupby-
+         rejoin in original order (pandas groupby preserves row order).
+
+    Returns (doc_id, text_clean, n_lines:int64, n_lines_kept:int64);
+    a doc whose every line is frequent keeps text_clean = ''."""
+    import ray
+
+    from .relational import resolve_broadcast
+
+    freq = frequent_lines(
+        ds, text_col, id_col, min_doc_freq, sep, merge_partitions
+    ).to_pandas()
+    fl = np.sort(freq["line_hash"].to_numpy().astype("uint64"))
+    ref = ray.put(fl)
+
+    def clean(df: pd.DataFrame, *, refs=(ref,)) -> pd.DataFrame:
+        bad = resolve_broadcast(refs[0])
+        splits = df[text_col].str.split(sep)
+        ex = df[[id_col]].assign(__line=splits).explode("__line")
+        h = pd.util.hash_array(
+            ex["__line"].to_numpy(dtype=object)
+        ).astype("uint64")
+        kept = ex[~np.isin(h, bad)]
+        joined = kept.groupby(id_col, sort=False)["__line"].agg(
+            [(("text_clean"), sep.join), (("n_lines_kept"), "size")]
+        )
+        out = pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "n_lines": splits.str.len().to_numpy().astype("int64"),
+            }
+        ).join(joined, on=id_col)
+        out["text_clean"] = out["text_clean"].fillna("")
+        out["n_lines_kept"] = (
+            out["n_lines_kept"].fillna(0).astype("int64")
+        )
+        return out[[id_col, "text_clean", "n_lines", "n_lines_kept"]]
+
+    return ds.map_batches(clean, batch_format="pandas")

@@ -2500,6 +2500,117 @@ FROM documents WHERE doc_id < 50
 """
 
 
+_BL_HEADER = "common header boilerplate line"
+_BL_FOOTER = "subscribe to our newsletter footer"
+
+
+def q_line_dedup(sf_dir: str):
+    """CCNet-style line-level dedup with a FULL DuckDB oracle: the
+    synthetic documents are single-line, so the query plants two
+    SQL-expressible boilerplate lines (header on doc_id%5==0, footer on
+    doc_id%3==0; 100 and 167 docs at sf0.01), then removes every line
+    whose document frequency >= 50. Both planting and removal replicate
+    exactly in SQL, so text_clean itself is value-hashed — the operator's
+    explode/count/broadcast/reassemble path is fully oracle-checked."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].astype(str)
+        head = np.where(df["doc_id"] % 5 == 0, _BL_HEADER + "\n", "")
+        foot = np.where(df["doc_id"] % 3 == 0, "\n" + _BL_FOOTER, "")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "text": head + t + foot}
+        )
+
+    planted = docs.map_batches(plant, batch_format="pandas")
+    out = dedup.line_dedup(planted, min_doc_freq=50)
+    return out.sort("doc_id")
+
+
+SQL_LINE_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN '{_BL_HEADER}' || chr(10) || text
+              ELSE text END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || '{_BL_FOOTER}'
+                 ELSE '' END AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+         generate_subscripts(string_split(t, chr(10)), 1) AS ord
+  FROM d
+),
+freq AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT doc_id) >= 50
+),
+kept AS (
+  SELECT l.doc_id, l.line, l.ord FROM lines l
+  WHERE l.line NOT IN (SELECT line FROM freq)
+)
+SELECT d.doc_id,
+       coalesce(string_agg(k.line, chr(10) ORDER BY k.ord), '') AS text_clean,
+       (SELECT count(*) FROM lines l2
+        WHERE l2.doc_id = d.doc_id)::BIGINT AS n_lines,
+       count(k.line)::BIGINT AS n_lines_kept
+FROM d LEFT JOIN kept k ON k.doc_id = d.doc_id
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_dedup_simhash_subset(sf_dir: str):
+    """CONTAINMENT-INVARIANT oracle for SimHash (VERDICT r2 #3 pattern,
+    closing the last un-oracled dedup operator): plant an exact copy of
+    every doc with doc_id < 100 (id + 10^6, identical text — identical
+    64-bit fingerprint, so the quarter-pigeonhole GUARANTEES the pair
+    surfaces with hamming 0). Returns one row (n_planted_pairs,
+    n_missing, n_bad_hamming); SQL independently counts the planted
+    docs and asserts both violation counters are zero. SimHash recall on
+    non-identical near-dups stays approximate — that is the point of the
+    containment form."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"] < _PLANT_MAX_ID]
+        return pd.DataFrame(
+            {"doc_id": (sub["doc_id"] + _PLANT_OFFSET).to_numpy(),
+             "text": sub["text"].to_numpy()}
+        )
+
+    planted = docs.union(docs.map_batches(plant, batch_format="pandas"))
+    pairs = dedup.simhash_dedup(planted, max_hamming=3).to_pandas()
+    want = docs.select_columns(["doc_id"]).to_pandas()
+    want = want[want["doc_id"] < _PLANT_MAX_ID]
+    exp = pd.DataFrame(
+        {"id_a": want["doc_id"].to_numpy(),
+         "id_b": (want["doc_id"] + _PLANT_OFFSET).to_numpy()}
+    )
+    m = exp.merge(pairs, on=["id_a", "id_b"], how="left")
+    return pd.DataFrame(
+        {
+            "n_planted_pairs": np.array([len(exp)], dtype="int64"),
+            "n_missing": np.array(
+                [int(m["hamming"].isna().sum())], dtype="int64"),
+            "n_bad_hamming": np.array(
+                [int((m["hamming"].fillna(0) != 0).sum())], dtype="int64"),
+        }
+    )
+
+
+SQL_DEDUP_SIMHASH_SUBSET = f"""
+SELECT count(*)::BIGINT AS n_planted_pairs,
+       0::BIGINT AS n_missing,
+       0::BIGINT AS n_bad_hamming
+FROM documents WHERE doc_id < {_PLANT_MAX_ID}
+"""
+
+
 # ---------------------------------------------------------------------------
 # crawl pipelines as queries (rows-only; corpus synthesized per sf)
 # ---------------------------------------------------------------------------
@@ -2611,6 +2722,8 @@ QUERIES = {
     "quantiles_sketch_err": q_quantiles_sketch_err,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_subset": q_dedup_simhash_subset,
+    "line_dedup": q_line_dedup,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "dedup_embedding_ivf_subset": q_dedup_embedding_ivf_subset,
@@ -2699,6 +2812,8 @@ ORACLE_SQL = {
     "dedup_minhash_subset": SQL_DEDUP_MINHASH_SUBSET,
     "quantiles_sketch_err": SQL_QUANTILES_SKETCH_ERR,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_simhash_subset": SQL_DEDUP_SIMHASH_SUBSET,
+    "line_dedup": SQL_LINE_DEDUP,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_ivf_subset": SQL_DEDUP_EMBEDDING_IVF_SUBSET,
     "ann_ivf_recall": SQL_ANN_IVF_RECALL,

@@ -323,3 +323,55 @@ def test_oph_signatures_estimate_jaccard():
         pd.Series(["  a b   c d e f  ", "a b c d e f"])
     )
     assert (messy[:, 0] == messy[:, 1]).all()
+
+
+def test_line_dedup_removes_frequent_lines(ray_session):
+    """Frequent-line removal: a boilerplate line present in 60/100 docs
+    is dropped from every doc; unique body lines survive in order; a doc
+    that is ALL boilerplate collapses to ''. Oracle: plain python."""
+    import ray.data as rd
+
+    bl = "copyright footer line"
+    rows = []
+    for i in range(100):
+        body = f"unique body {i}\nsecond line {i}"
+        if i < 60:
+            rows.append({"doc_id": i, "text": f"{bl}\n{body}"})
+        elif i == 99:
+            rows.append({"doc_id": i, "text": bl})  # all-boilerplate
+        else:
+            rows.append({"doc_id": i, "text": body})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = (
+        dedup.line_dedup(ds, min_doc_freq=50)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 100
+    for _, r in out.iterrows():
+        i = r["doc_id"]
+        if i == 99:
+            assert r["text_clean"] == ""
+            assert r["n_lines"] == 1 and r["n_lines_kept"] == 0
+        else:
+            assert r["text_clean"] == f"unique body {i}\nsecond line {i}"
+            assert bl not in r["text_clean"]
+    assert out.loc[0, "n_lines"] == 3 and out.loc[0, "n_lines_kept"] == 2
+
+
+def test_frequent_lines_bounded_result(ray_session):
+    """The frequent set is bounded by total_lines/min_doc_freq: with
+    1000 docs x 2 lines all distinct, NO line is frequent."""
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000),
+            "text": [f"a{i}\nb{i}" for i in range(1000)],
+        }
+    )
+    out = dedup.frequent_lines(
+        rd.from_pandas(df), min_doc_freq=2
+    ).to_pandas()
+    assert len(out) == 0
