@@ -1965,7 +1965,14 @@ def q_above_avg(sf_dir: str):
     """Correlated scalar subquery decorrelated the distributed way:
     orders above their customer's average order value = grouped avg
     (partitioned merge) bucket-joined back to the fact rows + filter —
-    no per-row subquery, one key shuffle each way."""
+    no per-row subquery, one key shuffle each way.
+
+    The comparison threshold is the avg ROUNDED TO 2 DP on both sides:
+    the distributed mean's summation order varies run-to-run with batch
+    boundaries, so comparing raw floats lets rows within ~1 ulp of their
+    customer's avg flip in and out of the result (observed as a flaky
+    value-hash). Money has 2 dp; a 2 dp threshold is stable under
+    reassociation."""
     from ..functions.relational import bucketed_hash_join, grouped_agg
 
     orders = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
@@ -1974,17 +1981,21 @@ def q_above_avg(sf_dir: str):
                        {"avg_price": ("o_totalprice", "mean")},
                        merge_partitions=4)
     j = bucketed_hash_join(orders, avgs, on=["o_custkey"], num_buckets=8)
-    return j.map_batches(
-        lambda df: df.loc[df["o_totalprice"] > df["avg_price"],
-                          ["o_orderkey", "o_custkey", "o_totalprice"]],
-        batch_format="pandas",
-    )
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.loc[df["o_totalprice"] > df["avg_price"].round(2),
+                     ["o_orderkey", "o_custkey", "o_totalprice"]]
+        # the join's tagged-row union NaN-pads o_orderkey → float64;
+        # restore int64 so the value hash matches the oracle dtype
+        return out.assign(o_orderkey=out["o_orderkey"].astype("int64"))
+
+    return j.map_batches(flt, batch_format="pandas")
 
 
 SQL_ABOVE_AVG = """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
-WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
-                      WHERE o2.o_custkey = o.o_custkey)
+WHERE o_totalprice > round((SELECT avg(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey), 2)
 """
 
 
