@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "pii_redact",
     "contamination",
     "moving_avg",
+    "pack_sequences",
+    "dup_spans",
 ]
 
 

@@ -1198,3 +1198,87 @@ def line_dedup(
         return out[[id_col, "text_clean", "n_lines", "n_lines_kept"]]
 
     return ds.map_batches(clean, batch_format="pandas")
+
+
+def dup_span_occurrences(
+    ds: rd.Dataset,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Passage-level exact duplicate detection (the span analog of
+    training-data substring dedup): emit every occurrence ``(doc_id,
+    start_word, n_docs)`` of a word-k-gram that appears in >= 2 DISTINCT
+    documents. Downstream curation can blank or down-weight exactly the
+    duplicated spans instead of dropping whole near-dup docs.
+
+    Tokenization is single-space split with empties kept (DuckDB
+    ``string_split(text, ' ')`` parity); ``start_word`` is 1-based.
+    Docs with < k tokens emit nothing.
+
+    Fully vectorized: one flat token array per batch with doc-boundary
+    masks, per-token 64-bit hashes (``pd.util.hash_array``), and a
+    k-step polynomial rolling combine over the flat array — no per-row
+    Python, no k-gram strings materialized. Grouping is by the 64-bit
+    window hash rather than the string (the scale path: fixed-width
+    keys shuffle instead of text); a collision would conflate two
+    distinct k-grams with probability ~n²/2^64 — negligible, and the
+    SQL oracle (grouping by the actual string) pins it at test scale.
+    Occurrence emission is linear in corpus size — there is no per-group
+    pair fanout, so unlike all-pairs kernels this needs no stop-gram cap.
+    """
+    from .relational import grouped_apply
+
+    P = np.uint64(0x9E3779B97F4A7C15)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "start_word": pd.Series([], dtype="int64"),
+            "__h": pd.Series([], dtype="uint64"),
+        })
+        if not len(df):
+            return empty
+        splits = df[text_col].astype(str).str.split(" ")
+        counts = splits.str.len().to_numpy().astype(np.int64)
+        flat = splits.explode()
+        toks = flat.to_numpy(dtype=object)
+        if not len(toks):
+            return empty
+        th = pd.util.hash_array(toks).astype(np.uint64)
+        nw = len(th) - k + 1
+        if nw <= 0:
+            return empty
+        # doc index per flat token + 1-based position within its doc
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), counts)
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        pos = np.arange(len(th), dtype=np.int64) - starts + 1
+        h = np.zeros(nw, dtype=np.uint64)
+        for j in range(k):
+            h = h * P + th[j:j + nw]
+        valid = doc_idx[:nw] == doc_idx[k - 1:]
+        ids = df[id_col].to_numpy()[doc_idx[:nw][valid]]
+        return pd.DataFrame({
+            id_col: ids,
+            "start_word": pos[:nw][valid],
+            "__h": _mix64(h[valid]),
+        })
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pandas")
+
+    def keep_dups(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "start_word": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+            })
+        nd = part.groupby("__h", sort=False)[id_col].transform("nunique")
+        out = part[nd >= 2].copy()
+        out["n_docs"] = nd[nd >= 2].astype("int64")
+        return out[[id_col, "start_word", "n_docs"]]
+
+    return grouped_apply(exploded, ["__h"], keep_dups,
+                         num_partitions=num_partitions)

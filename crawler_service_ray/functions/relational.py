@@ -72,15 +72,25 @@ def _partial_agg(
     for out, (col, fn) in aggs.items():
         if fn == "mean":
             plan.setdefault(col, []).extend(["sum", "count"])
+        elif fn in ("var", "std"):
+            plan.setdefault(col, []).extend(["sum", "sumsq", "count"])
         elif fn == "count":
             plan.setdefault(keys[0], []).append("count")
         else:
             plan.setdefault(col, []).append(fn)
+    sq_cols = [c for c, fns in plan.items() if "sumsq" in fns]
+    if sq_cols:
+        df = df.assign(**{f"__sq_{c}": df[c].astype("float64") ** 2
+                          for c in sq_cols})
     g = df.groupby(keys, sort=False, observed=True)
     pieces = {}
     for col, fns in plan.items():
         for fn in set(fns):
-            pieces[f"__p_{fn}_{col}"] = g[col].agg("size" if fn == "count" else fn)
+            if fn == "sumsq":
+                pieces[f"__p_sumsq_{col}"] = g[f"__sq_{col}"].agg("sum")
+            else:
+                pieces[f"__p_{fn}_{col}"] = g[col].agg(
+                    "size" if fn == "count" else fn)
     out = pd.DataFrame(pieces).reset_index()
     return out
 
@@ -95,8 +105,13 @@ def grouped_agg(
     """groupby-aggregate = vectorized per-batch partials (map_batches) →
     vectorized merge of the partials.
 
-    ``aggs``: out_name -> (column, fn) with fn ∈ sum/count/min/max/mean.
-    The pre-aggregation bounds what leaves the map side to O(distinct keys
+    ``aggs``: out_name -> (column, fn) with fn ∈
+    sum/count/min/max/mean/var/std (var/std are SAMPLE semantics,
+    ddof=1, via mergeable sum/sumsq/count partials — the textbook
+    one-pass form; fine for money/metric magnitudes, but subject to
+    cancellation when |mean| >> std, so round results before comparing
+    engines). The pre-aggregation bounds what leaves the map side to
+    O(distinct keys
     × blocks) rows regardless of input size. The merge has two shapes:
 
     * ``merge_partitions=None`` (default): one pandas groupby over the
@@ -124,12 +139,17 @@ def grouped_agg(
         for c in df.columns:
             if c.startswith("__p_"):
                 fn = c.split("_")[3]
-                plan[c] = "sum" if fn in ("sum", "count") else fn
+                plan[c] = "sum" if fn in ("sum", "count", "sumsq") else fn
         g = df.groupby(keys, sort=False, observed=True).agg(plan).reset_index()
         cols = {k: g[k] for k in keys}
         for out, (col, fn) in aggs.items():
             if fn == "mean":
                 cols[out] = g[f"__p_sum_{col}"] / g[f"__p_count_{col}"]
+            elif fn in ("var", "std"):
+                n = g[f"__p_count_{col}"]
+                s, ss = g[f"__p_sum_{col}"], g[f"__p_sumsq_{col}"]
+                v = (ss - s * s / n) / (n - 1)
+                cols[out] = np.sqrt(v) if fn == "std" else v
             elif fn == "count":
                 cols[out] = g[f"__p_count_{keys[0]}"].astype("int64")
             else:
@@ -392,6 +412,32 @@ def topk_per_group_ties(
         lambda df: df[df["rnk"] <= k].drop(columns=drop),
         batch_format="pandas",
     )
+
+
+def cap_per_group(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    id_col: str,
+    n: int,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-group retention cap (the web-curation "at most N docs per
+    domain" pass): keep the n rows of each group ranked first by a
+    deterministic Knuth multiplicative hash of ``id_col`` (ties broken
+    by id) — a parallelism-invariant pseudo-random cap, unlike
+    `topk_per_group`'s value ordering. One key-hash shuffle; within a
+    partition one stable sort + cumcount, no per-group Python."""
+    keys = list(keys)
+
+    def cap(part: pd.DataFrame) -> pd.DataFrame:
+        ids = part[id_col].to_numpy().astype(np.uint64)
+        h = (ids % np.uint64(2**32)) * np.uint64(2654435761) % np.uint64(2**32)
+        part = part.assign(__hk=h.astype(np.int64))
+        part = part.sort_values(keys + ["__hk", id_col], kind="mergesort")
+        keep = part.groupby(keys, sort=False).cumcount() < n
+        return part[keep].drop(columns="__hk")
+
+    return grouped_apply(ds, keys, cap, num_partitions=num_partitions)
 
 
 def semi_anti_join(

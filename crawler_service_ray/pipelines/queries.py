@@ -665,6 +665,36 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_stddev_agg(sf_dir: str):
+    """Sample stddev/variance via mergeable sum/sumsq/count partials —
+    the dispersion slot of the agg family. Results rounded 2 dp on both
+    engines (reassociation + one-pass cancellation both land far below
+    a cent at these magnitudes)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice",
+                             "l_quantity"])
+    out = grouped_agg(
+        ds, ["l_returnflag"],
+        {
+            "std_price": ("l_extendedprice", "std"),
+            "var_qty": ("l_quantity", "var"),
+            "n_rows": ("l_extendedprice", "count"),
+        },
+    )
+    return out.map_batches(
+        lambda df: df.assign(std_price=df["std_price"].round(2),
+                             var_qty=df["var_qty"].round(2)),
+        batch_format="pandas",
+    )
+
+
+SQL_STDDEV_AGG = """
+SELECT l_returnflag, round(stddev_samp(l_extendedprice), 2) AS std_price,
+       round(var_samp(l_quantity), 2) AS var_qty, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_json_extract(sf_dir: str):
     """M-json analog: extract a field from the events.props JSON blob
     (vectorized regex on both sides for parity) and aggregate."""
@@ -2027,6 +2057,30 @@ FROM (SELECT doc_id,
 """
 
 
+_CAP_PER_SOURCE = 10
+
+
+def q_cap_per_group(sf_dir: str):
+    """Per-domain retention cap (curation: at most N docs per source,
+    chosen by deterministic hash rank so the kept subset is
+    parallelism- and rerun-invariant)."""
+    from ..functions.relational import cap_per_group
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "source"])
+    return cap_per_group(docs, ["source"], "doc_id", _CAP_PER_SOURCE)
+
+
+SQL_CAP_PER_GROUP = f"""
+SELECT doc_id, lang, source
+FROM (SELECT doc_id, lang, source,
+             ((doc_id % 4294967296) * 2654435761) % 4294967296 AS hk
+      FROM documents)
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY hk, doc_id)
+        <= {_CAP_PER_SOURCE}
+"""
+
+
 def q_bloom_semi(sf_dir: str):
     """Semi join with a Bloom prefilter: parts that were ever ordered —
     the probe side drops non-candidates before the shuffle, an exact
@@ -2622,6 +2676,85 @@ FROM documents WHERE doc_id < {_PLANT_MAX_ID}
 """
 
 
+_PACK_CAPACITY = 512
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing for training exports: greedy in-order token-bin
+    packing per language (capacity 512 whitespace tokens), full SQL
+    oracle via a recursive CTE replaying the identical fill/reset
+    recurrence. Per-doc assignment rows hash-check the whole packing."""
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "text"],
+                      bytes_per_block=_DOC_BPB)
+    return text.pack_sequences(docs, capacity=_PACK_CAPACITY)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents
+),
+ord AS (
+  SELECT lang, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM toks
+),
+walk AS (
+  SELECT lang, doc_id, n_tokens, rn,
+         0::BIGINT AS seq_id, n_tokens AS fill
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN w.fill + o.n_tokens > {_PACK_CAPACITY}
+              THEN w.seq_id + 1 ELSE w.seq_id END,
+         CASE WHEN w.fill + o.n_tokens > {_PACK_CAPACITY}
+              THEN o.n_tokens ELSE w.fill + o.n_tokens END
+  FROM walk w JOIN ord o ON o.lang = w.lang AND o.rn = w.rn + 1
+)
+SELECT lang, doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens,
+       seq_id::BIGINT AS seq_id
+FROM walk
+"""
+
+
+def q_dup_spans(sf_dir: str):
+    """Passage-level exact dedup: every (doc_id, start_word) occurrence
+    of a word-8-gram shared by >= 2 distinct docs, with the sharing-doc
+    count. The Ray side groups 64-bit rolling hashes (scale path); the
+    oracle groups the actual k-gram strings — equal unless a 64-bit
+    collision conflates distinct grams (~1e-9 at sf0.01)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
+    return dedup.dup_span_occurrences(docs, k=8)
+
+
+SQL_DUP_SPANS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(generate_series(1, len(w) - 7)) AS start_word, w
+  FROM toks WHERE len(w) >= 8
+),
+g2 AS (
+  SELECT doc_id, start_word,
+         array_to_string(w[start_word:start_word + 7], ' ') AS g
+  FROM grams
+),
+dup AS (
+  SELECT g, count(DISTINCT doc_id) AS n_docs
+  FROM g2 GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT g2.doc_id::BIGINT AS doc_id, g2.start_word::BIGINT AS start_word,
+       d.n_docs::BIGINT AS n_docs
+FROM g2 JOIN dup d USING (g)
+"""
+
+
 # ---------------------------------------------------------------------------
 # crawl pipelines as queries (rows-only; corpus synthesized per sf)
 # ---------------------------------------------------------------------------
@@ -2722,6 +2855,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "count_lineitem": q_count_lineitem,
     "minmax_agg": q_minmax_agg,
+    "stddev_agg": q_stddev_agg,
     "json_extract": q_json_extract,
     "top_revenue_orders": q_top_revenue_orders,
     "union_distinct": q_union_distinct,
@@ -2735,6 +2869,8 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_subset": q_dedup_simhash_subset,
     "line_dedup": q_line_dedup,
+    "pack_sequences": q_pack_sequences,
+    "dup_spans": q_dup_spans,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "dedup_embedding_ivf_subset": q_dedup_embedding_ivf_subset,
@@ -2777,6 +2913,7 @@ QUERIES = {
     "topk_ties": q_topk_ties,
     "above_avg": q_above_avg,
     "split_assign": q_split_assign,
+    "cap_per_group": q_cap_per_group,
     "bloom_semi": q_bloom_semi,
     "gopher_filter": q_gopher_filter,
     "first_last": q_first_last,
@@ -2814,6 +2951,7 @@ ORACLE_SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "count_lineitem": SQL_COUNT_LINEITEM,
     "minmax_agg": SQL_MINMAX_AGG,
+    "stddev_agg": SQL_STDDEV_AGG,
     "json_extract": SQL_JSON_EXTRACT,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "union_distinct": SQL_UNION_DISTINCT,
@@ -2825,6 +2963,8 @@ ORACLE_SQL = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash_subset": SQL_DEDUP_SIMHASH_SUBSET,
     "line_dedup": SQL_LINE_DEDUP,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "dup_spans": SQL_DUP_SPANS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_ivf_subset": SQL_DEDUP_EMBEDDING_IVF_SUBSET,
     "ann_ivf_recall": SQL_ANN_IVF_RECALL,
@@ -2865,6 +3005,7 @@ ORACLE_SQL = {
     "topk_ties": SQL_TOPK_TIES,
     "above_avg": SQL_ABOVE_AVG,
     "split_assign": SQL_SPLIT_ASSIGN,
+    "cap_per_group": SQL_CAP_PER_GROUP,
     "bloom_semi": SQL_BLOOM_SEMI,
     "gopher_filter": SQL_GOPHER_FILTER,
     "first_last": SQL_FIRST_LAST,

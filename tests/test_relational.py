@@ -2,6 +2,7 @@
 at sf0.01 via __ray_entry__)."""
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -636,3 +637,46 @@ def test_rollup_agg_levels(ray_session):
     assert suby["s"].iloc[0] == 7.0 and suby["n"].iloc[0] == 2
     with pytest.raises(ValueError, match="re-aggregatable"):
         rollup_agg(ds, ["a"], {"m": ("v", "mean")})
+
+
+def test_grouped_agg_var_std_match_pandas(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import grouped_agg
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 500),
+        "v": rng.normal(1000.0, 37.0, 500),
+    })
+    ds = rd.from_pandas(df, override_num_blocks=7)
+    out = (grouped_agg(ds, ["k"], {"sd": ("v", "std"), "vr": ("v", "var")})
+           .to_pandas().set_index("k").sort_index())
+    want_sd = df.groupby("k")["v"].std()
+    want_vr = df.groupby("k")["v"].var()
+    assert np.allclose(out["sd"], want_sd, rtol=1e-9)
+    assert np.allclose(out["vr"], want_vr, rtol=1e-9)
+
+
+def test_cap_per_group_deterministic_and_bounded(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import cap_per_group
+
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b", "c"], 40),
+        "doc_id": np.arange(120, dtype=np.int64),
+    })
+    runs = []
+    for blocks in (2, 9):
+        ds = rd.from_pandas(df, override_num_blocks=blocks)
+        out = (cap_per_group(ds, ["g"], "doc_id", 7)
+               .to_pandas().sort_values(["g", "doc_id"])
+               .reset_index(drop=True))
+        assert (out.groupby("g").size() == 7).all()
+        runs.append(out)
+    # parallelism-invariant: identical kept subset at any block count
+    pd.testing.assert_frame_equal(runs[0], runs[1])
+    # groups smaller than the cap are kept whole
+    small = rd.from_pandas(df.head(3))
+    assert len(cap_per_group(small, ["g"], "doc_id", 7).to_pandas()) == 3
