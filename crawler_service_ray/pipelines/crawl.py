@@ -180,6 +180,31 @@ class CrawlRun:
         return out
 
     # -- public API -------------------------------------------------------
+    def close(self) -> None:
+        """Kill this run's service actors (seen shards, writers, metrics).
+
+        Actor handles are only reference-counted — dropping a CrawlRun
+        does NOT promptly stop its actors, and each seen shard reserves
+        0.25 CPU. A second run in the same driver session then schedules
+        against the leak: measured 12 s → 67 s on the sf0.1 bench corpus
+        until the explicit kills below were added. run() always tears
+        down in a finally; every durable artifact (epoch parquet, seen
+        snapshots, manifests) is on disk, so resume never needs a live
+        actor."""
+        import ray
+
+        for a in list(self.shards) + list(getattr(self, "writers", [])):
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
+        if self.metrics is not None:
+            try:
+                ray.kill(self.metrics.actor)
+            except Exception:
+                pass
+        self.shards, self.writers, self.metrics = [], [], None
+
     def run(self, resume: bool = True) -> dict:
         import ray
 
@@ -193,6 +218,14 @@ class CrawlRun:
         for name in os.listdir(self.epochs_dir):
             if name.startswith(".tmp_"):
                 shutil.rmtree(os.path.join(self.epochs_dir, name))
+
+        try:
+            return self._run_body(resume, summary_path)
+        finally:
+            self.close()
+
+    def _run_body(self, resume: bool, summary_path: str) -> dict:
+        import ray
 
         self.shards = make_shards(self.cfg.num_seen_shards)
         from ..state.metrics import MetricsActor
