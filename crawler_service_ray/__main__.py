@@ -54,6 +54,21 @@ def main(argv=None) -> int:
     dr.add_argument("--cursor", default=None,
                     help="'epoch:url' from a previous drain")
 
+    ex = sub.add_parser(
+        "export",
+        help="curate documents (quality/lang filter + exact dedup + "
+             "split assignment) into hive-partitioned parquet "
+             "(split=…/lang_pred=…); atomic commit + manifest — rerun "
+             "with the manifest present is a no-op (at scale: one "
+             "export per input shard, skip shards with manifests)",
+    )
+    ex.add_argument("--sf-dir", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--min-quality", type=float, default=0.5)
+    ex.add_argument("--langs", nargs="*", default=None)
+    ex.add_argument("--no-resume", action="store_true")
+    ex.add_argument("--num-cpus", type=int, default=None)
+
     g = sub.add_parser("gen-corpus", help="synthesize a corpus")
     g.add_argument("--corpus", required=True)
     g.add_argument("--hosts", type=int, default=8)
@@ -88,6 +103,22 @@ def main(argv=None) -> int:
             {"cursor": f"{nxt[0]}:{nxt[1]}" if nxt else None,
              "rows": page.num_rows}
         ))
+        return 0
+
+    if args.cmd == "export":
+        import ray
+
+        if not ray.is_initialized():
+            kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR", **kw)
+        from .pipelines.export import export_corpus
+
+        manifest = export_corpus(
+            args.sf_dir, args.out, min_quality=args.min_quality,
+            langs=args.langs, resume=not args.no_resume,
+        )
+        print(json.dumps(manifest))
         return 0
 
     if args.cmd == "status":

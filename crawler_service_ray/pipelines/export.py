@@ -1,0 +1,127 @@
+"""Training-data export: the end-to-end "curate a corpus to disk" pass.
+
+Composes the oracle-checked curation kernels — quality/language scoring,
+exact first-wins dedup, deterministic train/val/test assignment — and
+writes hive-partitioned parquet (``split=…/lang_pred=…``) with an atomic
+rename + manifest so reruns skip finished work. This is the consumer-side
+analog of the reference's drain-to-JSONL endpoint
+(`/root/reference/application.py:198-296`) reshaped for training
+pipelines: partitioned columnar output instead of a paginated queue.
+
+Resumability model: the whole export commits atomically (tmp dir →
+rename, manifest last), matching the crawl's tmp-epoch pattern; a rerun
+with a complete manifest returns it without touching Ray. At 100 TB the
+unit of atomicity is one input shard — run one export per shard
+directory and skip shards whose manifest exists (the CLI takes the shard
+as ``--sf-dir``); within a shard Ray Data streams, so worker failures
+retry per-task, and only a driver loss re-runs the shard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+
+from ..functions import dedup, text
+
+
+def _assign_split(df: pd.DataFrame) -> pd.DataFrame:
+    ids = df["doc_id"].to_numpy().astype(np.uint64)
+    h = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) \
+        % np.uint64(2**32) % np.uint64(10)
+    df = df.copy()
+    df["split"] = np.where(h < 8, "train",
+                           np.where(h < 9, "val", "test")).astype(object)
+    return df
+
+
+def export_corpus(
+    sf_dir: str,
+    out_dir: str,
+    min_quality: float = 0.5,
+    langs: list[str] | None = None,
+    resume: bool = True,
+) -> dict:
+    """Filter → dedup → split → write hive-partitioned parquet.
+
+    Returns the manifest: input/kept/written row counts and per
+    (split, lang) partition sizes. With ``resume=True`` a complete
+    manifest short-circuits the whole export.
+    """
+    manifest_path = os.path.join(out_dir, "export_manifest.json")
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+
+    from .queries import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_in = docs.count()
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        q = text.quality_features(df)
+        lang = text.LangId()(df)
+        out = df[["doc_id", "text"]].copy()
+        out["quality_score"] = q["quality_score"]
+        out["n_words"] = q["n_words"].astype("int64")
+        out["lang_pred"] = lang["lang_pred"].to_numpy()
+        keep = out["quality_score"] >= min_quality
+        if langs is not None:
+            keep &= out["lang_pred"].isin(langs)
+        return out[keep]
+
+    # one scoring pass: materialize the (shard-sized) filtered rows so
+    # the emptiness probe and the dedup+join reuse the same blocks
+    kept = docs.map_batches(score, batch_format="pandas").materialize()
+    if kept.count() == 0:
+        manifest = {
+            "sf_dir": os.path.abspath(sf_dir), "rows_in": int(n_in),
+            "rows_written": 0, "min_quality": min_quality,
+            "langs": langs, "partitions": {},
+        }
+        os.makedirs(out_dir, exist_ok=True)
+        with open(manifest_path + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(manifest_path + ".tmp", manifest_path)
+        return manifest
+    # exact_dedup returns (winner id, dup_count); join the winners back
+    # to their full rows (only ids shuffle in the dedup itself)
+    from ..functions.relational import bucketed_hash_join
+
+    winners = dedup.exact_dedup(kept, text_col="text", id_col="doc_id")
+    survivors = bucketed_hash_join(kept, winners, on=["doc_id"],
+                                   num_buckets=8)
+    final = survivors.map_batches(_assign_split, batch_format="pandas")
+
+    data_dir = os.path.join(out_dir, "data")
+    tmp_dir = os.path.join(out_dir, ".tmp_data")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(data_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    final.write_parquet(tmp_dir, partition_cols=["split", "lang_pred"])
+    os.replace(tmp_dir, data_dir)
+
+    # partition sizes from the written files (what a consumer will see)
+    import pyarrow.dataset as pads
+
+    written = pads.dataset(data_dir, partitioning="hive")
+    tbl = written.to_table(columns=["split", "lang_pred"])
+    sizes = (
+        tbl.to_pandas().groupby(["split", "lang_pred"]).size().sort_index()
+    )
+    manifest = {
+        "sf_dir": os.path.abspath(sf_dir),
+        "rows_in": int(n_in),
+        "rows_written": int(sizes.sum()),
+        "min_quality": min_quality,
+        "langs": langs,
+        "partitions": {f"{s}/{lg}": int(n) for (s, lg), n in sizes.items()},
+    }
+    with open(manifest_path + ".tmp", "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(manifest_path + ".tmp", manifest_path)
+    return manifest
