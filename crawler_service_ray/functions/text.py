@@ -771,3 +771,57 @@ def pack_sequences(
 
     return grouped_apply(tok, [group_col], pack_part,
                          num_partitions=num_partitions)
+
+
+def pack_payloads(
+    ds: rd.Dataset,
+    capacity: int = 512,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Materialize the packed training sequences: the same greedy
+    per-group packing as :func:`pack_sequences`, but emitting one row
+    per bin — ``(group, seq_id, n_docs, seq_tokens, text)`` with the
+    member documents' texts joined by ``sep`` in ``id_col`` order.
+    Same partitioning contract as pack_sequences (a group packs inside
+    one task; shard + namespace at scale)."""
+    from .relational import grouped_apply
+
+    def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].astype(str)
+        nt = t.str.strip().str.split().str.len().astype("int64")
+        return pd.DataFrame({group_col: df[group_col], id_col: df[id_col],
+                             "n_tokens": nt, text_col: t})
+
+    tok = ds.map_batches(count_tokens, batch_format="pandas")
+
+    def pack_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([group_col, id_col], kind="mergesort")
+        out = []
+        for g, grp in part.groupby(group_col, sort=False):
+            bins = greedy_pack_bins(grp["n_tokens"].to_numpy(), capacity)
+            grp = grp.assign(seq_id=bins)
+            agg = grp.groupby("seq_id", sort=False).agg(
+                n_docs=(id_col, "size"),
+                seq_tokens=("n_tokens", "sum"),
+                **{text_col: (text_col, sep.join)},
+            ).reset_index()
+            agg.insert(0, group_col, g)
+            out.append(agg)
+        if not out:
+            return pd.DataFrame({
+                group_col: [], "seq_id": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "seq_tokens": pd.Series([], dtype="int64"),
+                text_col: pd.Series([], dtype=object),
+            })
+        o = pd.concat(out, ignore_index=True)
+        o["n_docs"] = o["n_docs"].astype("int64")
+        o["seq_tokens"] = o["seq_tokens"].astype("int64")
+        return o[[group_col, "seq_id", "n_docs", "seq_tokens", text_col]]
+
+    return grouped_apply(tok, [group_col], pack_part,
+                         num_partitions=num_partitions)

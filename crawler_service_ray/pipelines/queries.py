@@ -2721,6 +2721,50 @@ FROM walk
 """
 
 
+def q_pack_payloads(sf_dir: str):
+    """Materialized packed sequences: one row per token bin with the
+    member texts newline-joined in doc order — the concatenated text
+    itself is value-hashed against the oracle's ordered string_agg."""
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "text"],
+                      bytes_per_block=_DOC_BPB)
+    return text.pack_payloads(docs, capacity=_PACK_CAPACITY)
+
+
+SQL_PACK_PAYLOADS = f"""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents
+),
+ord AS (
+  SELECT lang, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM toks
+),
+walk AS (
+  SELECT lang, doc_id, n_tokens, rn,
+         0::BIGINT AS seq_id, n_tokens AS fill
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN w.fill + o.n_tokens > {_PACK_CAPACITY}
+              THEN w.seq_id + 1 ELSE w.seq_id END,
+         CASE WHEN w.fill + o.n_tokens > {_PACK_CAPACITY}
+              THEN o.n_tokens ELSE w.fill + o.n_tokens END
+  FROM walk w JOIN ord o ON o.lang = w.lang AND o.rn = w.rn + 1
+)
+SELECT w.lang, w.seq_id,
+       count(*)::BIGINT AS n_docs,
+       sum(w.n_tokens)::BIGINT AS seq_tokens,
+       string_agg(d.text, chr(10) ORDER BY w.doc_id) AS text
+FROM walk w JOIN documents d ON d.doc_id = w.doc_id
+GROUP BY w.lang, w.seq_id
+"""
+
+
 def q_dup_spans(sf_dir: str):
     """Passage-level exact dedup: every (doc_id, start_word) occurrence
     of a word-8-gram shared by >= 2 distinct docs, with the sharing-doc
@@ -2870,6 +2914,7 @@ QUERIES = {
     "dedup_simhash_subset": q_dedup_simhash_subset,
     "line_dedup": q_line_dedup,
     "pack_sequences": q_pack_sequences,
+    "pack_payloads": q_pack_payloads,
     "dup_spans": q_dup_spans,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
@@ -2964,6 +3009,7 @@ ORACLE_SQL = {
     "dedup_simhash_subset": SQL_DEDUP_SIMHASH_SUBSET,
     "line_dedup": SQL_LINE_DEDUP,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "pack_payloads": SQL_PACK_PAYLOADS,
     "dup_spans": SQL_DUP_SPANS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_ivf_subset": SQL_DEDUP_EMBEDDING_IVF_SUBSET,

@@ -116,3 +116,34 @@ def test_dup_spans_within_doc_repeat_not_emitted(ray_session):
     })
     out = dup_span_occurrences(rd.from_pandas(docs), k=8).to_pandas()
     assert len(out) == 0
+
+
+def test_pack_payloads_matches_assignments(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.text import (
+        pack_payloads,
+        pack_sequences,
+    )
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "doc_id": np.arange(80, dtype=np.int64),
+        "lang": np.array(["en", "de"])[rng.integers(0, 2, 80)],
+        "text": [" ".join([f"t{i}"] * int(n))
+                 for i, n in enumerate(rng.integers(1, 30, 80))],
+    })
+    ds = rd.from_pandas(df, override_num_blocks=5)
+    assign = pack_sequences(ds, capacity=48).to_pandas()
+    pay = pack_payloads(ds, capacity=48).to_pandas()
+    # bin-level rollups agree with the per-doc assignment
+    want = assign.groupby(["lang", "seq_id"]).agg(
+        n_docs=("doc_id", "size"), seq_tokens=("n_tokens", "sum"))
+    got = pay.set_index(["lang", "seq_id"])[["n_docs", "seq_tokens"]]
+    pd.testing.assert_frame_equal(
+        got.sort_index(), want.sort_index(), check_dtype=False)
+    # payload text is the member docs joined in doc order
+    m = df.merge(assign[["doc_id", "seq_id"]], on="doc_id")
+    one = m[(m["lang"] == "en") & (m["seq_id"] == 0)].sort_values("doc_id")
+    row = pay[(pay["lang"] == "en") & (pay["seq_id"] == 0)].iloc[0]
+    assert row["text"] == "\n".join(one["text"])
