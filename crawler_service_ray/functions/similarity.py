@@ -214,3 +214,82 @@ def ivf_topk(
     return partials.groupby("query_id").map_groups(
         final_topk, batch_format="pandas"
     )
+
+
+def kmeans(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    seed: int = 42,
+) -> tuple[np.ndarray, rd.Dataset]:
+    """Distributed spherical k-means (Lloyd): semantic clustering for
+    mixing/curation over the embedding column.
+
+    Init comes from :func:`train_centroids`'s content-hash sample (block-
+    layout-invariant). Each Lloyd iteration broadcasts the k×d centroid
+    matrix and runs ONE map_batches pass: per batch, one argmax matmul
+    assigns vectors, then per-centroid partial (sum, count) rows leave
+    the block — k×(d+1) floats per block, never the vectors. The partial
+    merge is a driver-side reduce over O(k·d·blocks) numbers (documented
+    bound — k and d are model constants; at 100 TB blocks is the only
+    growing factor and the partials still fit in MBs). Empty clusters
+    keep their previous centroid. Returns (centroids, assignment Dataset
+    of (id, cluster, sim)) — assignment is one further streaming pass.
+
+    Determinism: fixed seed + content-hash sample init + float64 matmuls
+    → identical centroids/assignments at any parallelism (pinned by
+    tests/test_text_similarity.py against a single-node numpy Lloyd).
+    """
+    # iterative passes: pin the (id, vector) working set in the object
+    # store once — otherwise every Lloyd iteration re-executes the read
+    # chain. Plasma spills to disk if the table outgrows memory, which
+    # is still far cheaper than iters× re-reads from source.
+    ds = ds.materialize()
+    C = train_centroids(ds, vec_col=vec_col, num_cells=k,
+                        seed=seed, id_col=id_col)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(max(0, iters)):
+        ref = ray.put(C)
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            Cw = _bcast(ref)
+            X = _stack_normalized(df[vec_col])
+            a = np.argmax(X @ Cw.T, axis=1)
+            kk, d = Cw.shape
+            sums = np.zeros((kk, d)); counts = np.zeros(kk, dtype=np.int64)
+            np.add.at(sums, a, X)
+            np.add.at(counts, a, 1)
+            nz = counts > 0
+            return pd.DataFrame({
+                "c": np.arange(kk)[nz],
+                "n": counts[nz],
+                "s": list(sums[nz]),
+            })
+
+        p = ds.map_batches(partials, batch_format="pandas").to_pandas()
+        sums = np.zeros_like(C); counts = np.zeros(len(C), dtype=np.int64)
+        for c, n, s in zip(p["c"], p["n"], p["s"]):
+            sums[int(c)] += np.asarray(s); counts[int(c)] += int(n)
+        newC = C.copy()
+        nz = counts > 0
+        newC[nz] = sums[nz] / counts[nz, None]
+        C = newC / np.maximum(
+            np.linalg.norm(newC, axis=1, keepdims=True), 1e-12)
+
+    ref = ray.put(C)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        Cw = _bcast(ref)
+        X = _stack_normalized(df[vec_col])
+        S = X @ Cw.T
+        a = np.argmax(S, axis=1)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": a.astype("int64"),
+            "sim": S[np.arange(len(a)), a],
+        })
+
+    return C, ds.map_batches(assign, batch_format="pandas")

@@ -2765,6 +2765,61 @@ GROUP BY w.lang, w.seq_id
 """
 
 
+def q_kmeans_audit(sf_dir: str):
+    """Distributed spherical k-means self-audit (the
+    fingerprint_invariants pattern): run the distributed Lloyd, then
+    recompute the same fixed-seed Lloyd single-node on the driver and
+    count assignment mismatches — expected exactly 0 (float64 ties
+    resolve identically). Audit-scale only: the driver recompute reads
+    the whole table; at 100 TB you run the distributed path alone (its
+    determinism is what this query certifies at test scale)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.similarity import (
+        _stack_normalized,
+        kmeans,
+        train_centroids,
+    )
+
+    K, ITERS = 8, 5
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _C, assign = kmeans(ds, k=K, iters=ITERS)
+    got = assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    # single-node reference with the same init (content-hash sample)
+    C0 = train_centroids(ds, num_cells=K, id_col="vec_id")
+    C0 = C0 / np.maximum(np.linalg.norm(C0, axis=1, keepdims=True), 1e-12)
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    X = _stack_normalized(t["embedding"])
+    Cr = C0
+    for _ in range(ITERS):
+        a = np.argmax(X @ Cr.T, axis=1)
+        newC = Cr.copy()
+        for c in range(K):
+            m = X[a == c]
+            if len(m):
+                newC[c] = m.mean(axis=0)
+        Cr = newC / np.maximum(
+            np.linalg.norm(newC, axis=1, keepdims=True), 1e-12)
+    want = np.argmax(X @ Cr.T, axis=1)
+    mism = int((got["cluster"].to_numpy() != want).sum())
+    return pd.DataFrame({
+        "n_points": np.array([len(t)], dtype="int64"),
+        "k": np.array([K], dtype="int64"),
+        "n_mismatch": np.array([mism], dtype="int64"),
+    })
+
+
+SQL_KMEANS_AUDIT = """
+SELECT count(*)::BIGINT AS n_points, 8::BIGINT AS k,
+       0::BIGINT AS n_mismatch
+FROM embeddings
+"""
+
+
 def q_dup_spans(sf_dir: str):
     """Passage-level exact dedup: every (doc_id, start_word) occurrence
     of a word-8-gram shared by >= 2 distinct docs, with the sharing-doc
@@ -2916,6 +2971,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "pack_payloads": q_pack_payloads,
     "dup_spans": q_dup_spans,
+    "kmeans_audit": q_kmeans_audit,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "dedup_embedding_ivf_subset": q_dedup_embedding_ivf_subset,
@@ -3011,6 +3067,7 @@ ORACLE_SQL = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "pack_payloads": SQL_PACK_PAYLOADS,
     "dup_spans": SQL_DUP_SPANS,
+    "kmeans_audit": SQL_KMEANS_AUDIT,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_ivf_subset": SQL_DEDUP_EMBEDDING_IVF_SUBSET,
     "ann_ivf_recall": SQL_ANN_IVF_RECALL,

@@ -271,3 +271,36 @@ def test_header_codec_truncated_payloads_do_not_crash(ray_session):
     out = mm.MediaFeatures()(t)
     dec = dict(zip(out["media_ref"].to_pylist(), out["decoded"].to_pylist()))
     assert dec == {"a": False, "b": False, "c": True}
+
+
+def test_kmeans_parallelism_invariant_and_converging(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_service_ray.functions.similarity import kmeans
+
+    rng = np.random.default_rng(5)
+    # three well-separated direction clusters
+    centers = np.eye(3, 16) * 10
+    X = np.vstack([
+        centers[i] + rng.normal(0, 0.3, size=(40, 16)) for i in range(3)
+    ])
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(X), dtype=np.int64),
+        "embedding": list(X.astype(np.float64)),
+    })
+    outs = []
+    for blocks in (2, 8):
+        ds = rd.from_pandas(df, override_num_blocks=blocks)
+        _C, assign = kmeans(ds, k=3, iters=4)
+        outs.append(assign.to_pandas().sort_values("vec_id")
+                    .reset_index(drop=True))
+    # identical assignments at any parallelism
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    a = outs[0]["cluster"].to_numpy()
+    # well-separated clusters are recovered exactly (up to relabeling)
+    for i in range(3):
+        grp = a[i * 40:(i + 1) * 40]
+        assert (grp == grp[0]).all()
+    assert len(set(a[::40])) == 3
