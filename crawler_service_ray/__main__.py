@@ -67,6 +67,10 @@ def main(argv=None) -> int:
     ex.add_argument("--min-quality", type=float, default=0.5)
     ex.add_argument("--langs", nargs="*", default=None)
     ex.add_argument("--no-resume", action="store_true")
+    ex.add_argument("--packed", action="store_true",
+                    help="also write packed/ — greedy token-bin packed "
+                         "sequences per (split, lang), trainer-ready")
+    ex.add_argument("--pack-capacity", type=int, default=2048)
     ex.add_argument("--num-cpus", type=int, default=None)
 
     g = sub.add_parser("gen-corpus", help="synthesize a corpus")
@@ -117,6 +121,7 @@ def main(argv=None) -> int:
         manifest = export_corpus(
             args.sf_dir, args.out, min_quality=args.min_quality,
             langs=args.langs, resume=not args.no_resume,
+            packed=args.packed, pack_capacity=args.pack_capacity,
         )
         print(json.dumps(manifest))
         return 0

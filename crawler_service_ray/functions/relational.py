@@ -1410,13 +1410,17 @@ def grouped_quantiles(
     quantiles: Sequence[float],
     out_names: Sequence[str] | None = None,
     num_partitions: int = 16,
+    method: str = "linear",
 ) -> rd.Dataset:
-    """Exact grouped quantiles (linear interpolation — the
-    ``percentile_cont`` definition, matching DuckDB ``quantile_cont``):
-    hash-partition by key, one vectorized numpy quantile per group. The
-    group's values co-locate in one partition — exactness requires it; at
-    100 TB swap in a mergeable sketch (t-digest) for bounded-memory
-    approximation, keeping this as the small-group/oracle path."""
+    """Exact grouped quantiles: hash-partition by key, one vectorized
+    numpy quantile per group. ``method="linear"`` is the
+    ``percentile_cont`` definition (DuckDB ``quantile_cont``);
+    ``method="inverted_cdf"`` is ``percentile_disc`` (DuckDB
+    ``quantile_disc`` — the first actual value whose cumulative
+    distribution reaches the target). The group's values co-locate in
+    one partition — exactness requires it; at 100 TB swap in a mergeable
+    sketch (t-digest) for bounded-memory approximation, keeping this as
+    the small-group/oracle path."""
     keys = list(keys)
     qs = list(quantiles)
     names = list(out_names) if out_names else [f"q{int(q * 100)}" for q in qs]
@@ -1426,7 +1430,7 @@ def grouped_quantiles(
         for kv, g in part.groupby(keys, sort=False):
             kv = kv if isinstance(kv, tuple) else (kv,)
             vals = np.quantile(
-                g[col].to_numpy(dtype=np.float64), qs, method="linear"
+                g[col].to_numpy(dtype=np.float64), qs, method=method
             )
             rows.append(kv + tuple(vals))
         return pd.DataFrame(rows, columns=keys + names)

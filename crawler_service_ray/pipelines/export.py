@@ -45,8 +45,16 @@ def export_corpus(
     min_quality: float = 0.5,
     langs: list[str] | None = None,
     resume: bool = True,
+    packed: bool = False,
+    pack_capacity: int = 2048,
 ) -> dict:
     """Filter → dedup → split → write hive-partitioned parquet.
+
+    With ``packed=True`` a second table ``packed/`` is written: the
+    surviving documents greedily packed into ``pack_capacity``-token
+    sequences per (split, lang) group — split boundaries are never
+    crossed, so train sequences cannot leak val/test text — one row per
+    sequence (seq text + doc count + token sum), same hive partitioning.
 
     Returns the manifest: input/kept/written row counts and per
     (split, lang) partition sizes. With ``resume=True`` a complete
@@ -96,6 +104,10 @@ def export_corpus(
     survivors = bucketed_hash_join(kept, winners, on=["doc_id"],
                                    num_buckets=8)
     final = survivors.map_batches(_assign_split, batch_format="pandas")
+    if packed:
+        # both the doc table and the packed table consume `final`;
+        # materialize so the score+dedup chain executes once
+        final = final.materialize()
 
     data_dir = os.path.join(out_dir, "data")
     tmp_dir = os.path.join(out_dir, ".tmp_data")
@@ -104,6 +116,31 @@ def export_corpus(
     os.makedirs(tmp_dir, exist_ok=True)
     final.write_parquet(tmp_dir, partition_cols=["split", "lang_pred"])
     os.replace(tmp_dir, data_dir)
+
+    if packed:
+        def tag_group(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(
+                __grp=df["split"].astype(str) + "\x1f"
+                + df["lang_pred"].astype(str))
+
+        def untag(df: pd.DataFrame) -> pd.DataFrame:
+            parts = df["__grp"].str.split("\x1f")
+            df = df.drop(columns="__grp")
+            df["split"] = parts.str[0]
+            df["lang_pred"] = parts.str[1]
+            return df
+
+        seqs = text.pack_payloads(
+            final.map_batches(tag_group, batch_format="pandas"),
+            capacity=pack_capacity, group_col="__grp",
+        ).map_batches(untag, batch_format="pandas")
+        packed_dir = os.path.join(out_dir, "packed")
+        tmp_p = os.path.join(out_dir, ".tmp_packed")
+        shutil.rmtree(tmp_p, ignore_errors=True)
+        shutil.rmtree(packed_dir, ignore_errors=True)
+        os.makedirs(tmp_p, exist_ok=True)
+        seqs.write_parquet(tmp_p, partition_cols=["split", "lang_pred"])
+        os.replace(tmp_p, packed_dir)
 
     # partition sizes from the written files (what a consumer will see)
     import pyarrow.dataset as pads
@@ -121,6 +158,18 @@ def export_corpus(
         "langs": langs,
         "partitions": {f"{s}/{lg}": int(n) for (s, lg), n in sizes.items()},
     }
+    if packed:
+        pt = pads.dataset(
+            os.path.join(out_dir, "packed"), partitioning="hive"
+        ).to_table(columns=["split", "lang_pred", "n_docs", "seq_tokens"])
+        pdf = pt.to_pandas()
+        manifest["pack_capacity"] = pack_capacity
+        manifest["sequences"] = {
+            f"{s}/{lg}": int(n) for (s, lg), n in
+            pdf.groupby(["split", "lang_pred"]).size().sort_index().items()
+        }
+        manifest["packed_docs"] = int(pdf["n_docs"].sum())
+        manifest["packed_tokens"] = int(pdf["seq_tokens"].sum())
     with open(manifest_path + ".tmp", "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(manifest_path + ".tmp", manifest_path)

@@ -509,6 +509,28 @@ FROM events GROUP BY 1
 """
 
 
+def q_quantiles_disc(sf_dir: str):
+    """percentile_disc semantics (first actual value at the target
+    cumulative rank — no interpolation): numpy inverted_cdf vs DuckDB
+    quantile_disc. Exact member values, so no rounding needed."""
+    from ..functions.relational import grouped_quantiles
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_type", "value"])
+    return grouped_quantiles(
+        ds, ["event_type"], "value", [0.5, 0.95], ["p50", "p95"],
+        method="inverted_cdf",
+    )
+
+
+SQL_QUANTILES_DISC = """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.95) AS p95
+FROM events GROUP BY 1
+"""
+
+
 def q_quantiles_sketch(sf_dir: str):
     """Approximate grouped quantiles via the mergeable histogram sketch
     (bounded memory at any scale; value error ≤ range/bins). Rows-only —
@@ -2946,6 +2968,7 @@ QUERIES = {
     "window_hourly": q_window_hourly,
     "window_sliding": q_window_sliding,
     "quantiles": q_quantiles,
+    "quantiles_disc": q_quantiles_disc,
     "quantiles_sketch": q_quantiles_sketch,
     "corr": q_corr,
     "sessionize": q_sessionize,
@@ -3045,6 +3068,7 @@ ORACLE_SQL = {
     "window_hourly": SQL_WINDOW_HOURLY,
     "window_sliding": SQL_WINDOW_SLIDING,
     "quantiles": SQL_QUANTILES,
+    "quantiles_disc": SQL_QUANTILES_DISC,
     "corr": SQL_CORR,
     "sessionize": SQL_SESSIONIZE,
     "dedup_exact": SQL_DEDUP_EXACT,

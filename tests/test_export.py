@@ -57,3 +57,26 @@ def test_export_empty_result(ray_session, tmp_path):
     assert m["rows_written"] == 0 and m["partitions"] == {}
     # resume returns the empty manifest too
     assert export_corpus("/root/testdata/sf0.001", out) == m
+
+
+def test_export_packed_sequences(ray_session, tmp_path):
+    from crawler_service_ray.pipelines.export import export_corpus
+
+    out = str(tmp_path / "exp_packed")
+    m = export_corpus("/root/testdata/sf0.001", out,
+                      min_quality=0.5, packed=True, pack_capacity=256)
+    # every surviving doc lands in exactly one sequence
+    assert m["packed_docs"] == m["rows_written"]
+    assert sum(m["sequences"].values()) > 0
+    pt = pads.dataset(os.path.join(out, "packed"), partitioning="hive")
+    pdf = pt.to_table().to_pandas()
+    assert len(pdf) == sum(m["sequences"].values())
+    # no sequence mixes splits (partition column is per-row exact) and
+    # none exceeds capacity unless it is a single oversize doc
+    over = pdf[pdf["seq_tokens"] > 256]
+    assert (over["n_docs"] == 1).all()
+    # token accounting is consistent with the doc table
+    ddf = pads.dataset(os.path.join(out, "data"),
+                       partitioning="hive").to_table().to_pandas()
+    want = (ddf["text"].str.strip().str.split().str.len()).sum()
+    assert m["packed_tokens"] == want
