@@ -62,7 +62,12 @@ def main(argv=None) -> int:
              "with the manifest present is a no-op (at scale: one "
              "export per input shard, skip shards with manifests)",
     )
-    ex.add_argument("--sf-dir", required=True)
+    ex.add_argument("--sf-dir", default=None,
+                    help="documents shard to export (scores computed)")
+    ex.add_argument("--from-run", default=None,
+                    help="finished crawl run dir to export instead "
+                         "(text from spans, scores from the crawl's "
+                         "own enrichment)")
     ex.add_argument("--out", required=True)
     ex.add_argument("--min-quality", type=float, default=0.5)
     ex.add_argument("--langs", nargs="*", default=None)
@@ -116,10 +121,14 @@ def main(argv=None) -> int:
             kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
             ray.init(address="local", include_dashboard=False,
                      logging_level="ERROR", **kw)
-        from .pipelines.export import export_corpus
+        from .pipelines.export import export_corpus, export_run
 
-        manifest = export_corpus(
-            args.sf_dir, args.out, min_quality=args.min_quality,
+        if bool(args.sf_dir) == bool(args.from_run):
+            ap.error("export needs exactly one of --sf-dir / --from-run")
+        fn, src = ((export_run, args.from_run) if args.from_run
+                   else (export_corpus, args.sf_dir))
+        manifest = fn(
+            src, args.out, min_quality=args.min_quality,
             langs=args.langs, resume=not args.no_resume,
             packed=args.packed, pack_capacity=args.pack_capacity,
         )

@@ -8,13 +8,21 @@ analog of the reference's drain-to-JSONL endpoint
 (`/root/reference/application.py:198-296`) reshaped for training
 pipelines: partitioned columnar output instead of a paginated queue.
 
+Two sources:
+- :func:`export_corpus` — a documents parquet shard (scores computed
+  here with the oracle-checked kernels);
+- :func:`export_run` — a finished crawl run directory (the flagship
+  pipeline's output): text reassembled from the interleaved span lists,
+  quality/language read from the crawl's own enrichment columns — crawl
+  → curate → training data with no re-scoring pass.
+
 Resumability model: the whole export commits atomically (tmp dir →
 rename, manifest last), matching the crawl's tmp-epoch pattern; a rerun
 with a complete manifest returns it without touching Ray. At 100 TB the
 unit of atomicity is one input shard — run one export per shard
 directory and skip shards whose manifest exists (the CLI takes the shard
-as ``--sf-dir``); within a shard Ray Data streams, so worker failures
-retry per-task, and only a driver loss re-runs the shard.
+as ``--sf-dir`` / ``--from-run``); within a shard Ray Data streams, so
+worker failures retry per-task, and only a driver loss re-runs the shard.
 """
 
 from __future__ import annotations
@@ -30,83 +38,58 @@ from ..functions import dedup, text
 
 
 def _assign_split(df: pd.DataFrame) -> pd.DataFrame:
-    ids = df["doc_id"].to_numpy().astype(np.uint64)
-    h = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) \
-        % np.uint64(2**32) % np.uint64(10)
+    """Deterministic 80/10/10 split. Integer ids use the same Knuth
+    multiplicative hash as the oracle-checked ``split_assign`` query;
+    string ids (crawl URLs) use the 64-bit content hash — both are pure
+    functions of the id, invariant to parallelism and reruns."""
+    ids = df["doc_id"]
+    if pd.api.types.is_integer_dtype(ids):
+        iv = ids.to_numpy().astype(np.uint64)
+        h = ((iv % np.uint64(2**32)) * np.uint64(2654435761)) \
+            % np.uint64(2**32) % np.uint64(10)
+    else:
+        h = pd.util.hash_array(
+            ids.to_numpy(dtype=object)).astype(np.uint64) % np.uint64(10)
     df = df.copy()
     df["split"] = np.where(h < 8, "train",
                            np.where(h < 9, "val", "test")).astype(object)
     return df
 
 
-def export_corpus(
-    sf_dir: str,
+def _write_manifest(manifest: dict, manifest_path: str) -> dict:
+    os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
+    with open(manifest_path + ".tmp", "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(manifest_path + ".tmp", manifest_path)
+    return manifest
+
+
+def _dedup_split_write(
+    kept,
     out_dir: str,
-    min_quality: float = 0.5,
-    langs: list[str] | None = None,
-    resume: bool = True,
-    packed: bool = False,
-    pack_capacity: int = 2048,
+    base: dict,
+    packed: bool,
+    pack_capacity: int,
+    manifest_path: str,
 ) -> dict:
-    """Filter → dedup → split → write hive-partitioned parquet.
-
-    With ``packed=True`` a second table ``packed/`` is written: the
-    surviving documents greedily packed into ``pack_capacity``-token
-    sequences per (split, lang) group — split boundaries are never
-    crossed, so train sequences cannot leak val/test text — one row per
-    sequence (seq text + doc count + token sum), same hive partitioning.
-
-    Returns the manifest: input/kept/written row counts and per
-    (split, lang) partition sizes. With ``resume=True`` a complete
-    manifest short-circuits the whole export.
-    """
-    manifest_path = os.path.join(out_dir, "export_manifest.json")
-    if resume and os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            return json.load(f)
-
-    from .queries import read_table
-
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    n_in = docs.count()
-
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        q = text.quality_features(df)
-        lang = text.LangId()(df)
-        out = df[["doc_id", "text"]].copy()
-        out["quality_score"] = q["quality_score"]
-        out["n_words"] = q["n_words"].astype("int64")
-        out["lang_pred"] = lang["lang_pred"].to_numpy()
-        keep = out["quality_score"] >= min_quality
-        if langs is not None:
-            keep &= out["lang_pred"].isin(langs)
-        return out[keep]
-
-    # one scoring pass: materialize the (shard-sized) filtered rows so
-    # the emptiness probe and the dedup+join reuse the same blocks
-    kept = docs.map_batches(score, batch_format="pandas").materialize()
-    if kept.count() == 0:
-        manifest = {
-            "sf_dir": os.path.abspath(sf_dir), "rows_in": int(n_in),
-            "rows_written": 0, "min_quality": min_quality,
-            "langs": langs, "partitions": {},
-        }
-        os.makedirs(out_dir, exist_ok=True)
-        with open(manifest_path + ".tmp", "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(manifest_path + ".tmp", manifest_path)
-        return manifest
-    # exact_dedup returns (winner id, dup_count); join the winners back
-    # to their full rows (only ids shuffle in the dedup itself)
+    """Shared tail: exact dedup → winner join → split → partitioned
+    write (+ optional packed table) → manifest. ``kept`` is a
+    materialized Dataset with at least (doc_id, text, lang_pred)."""
     from ..functions.relational import bucketed_hash_join
 
+    if kept.count() == 0:
+        return _write_manifest(
+            {**base, "rows_written": 0, "partitions": {}}, manifest_path)
+
+    # exact_dedup returns (winner id, dup_count); join the winners back
+    # to their full rows (only ids shuffle in the dedup itself)
     winners = dedup.exact_dedup(kept, text_col="text", id_col="doc_id")
     survivors = bucketed_hash_join(kept, winners, on=["doc_id"],
                                    num_buckets=8)
     final = survivors.map_batches(_assign_split, batch_format="pandas")
     if packed:
         # both the doc table and the packed table consume `final`;
-        # materialize so the score+dedup chain executes once
+        # materialize so the dedup+join chain executes once
         final = final.materialize()
 
     data_dir = os.path.join(out_dir, "data")
@@ -151,11 +134,8 @@ def export_corpus(
         tbl.to_pandas().groupby(["split", "lang_pred"]).size().sort_index()
     )
     manifest = {
-        "sf_dir": os.path.abspath(sf_dir),
-        "rows_in": int(n_in),
+        **base,
         "rows_written": int(sizes.sum()),
-        "min_quality": min_quality,
-        "langs": langs,
         "partitions": {f"{s}/{lg}": int(n) for (s, lg), n in sizes.items()},
     }
     if packed:
@@ -170,7 +150,122 @@ def export_corpus(
         }
         manifest["packed_docs"] = int(pdf["n_docs"].sum())
         manifest["packed_tokens"] = int(pdf["seq_tokens"].sum())
-    with open(manifest_path + ".tmp", "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(manifest_path + ".tmp", manifest_path)
-    return manifest
+    return _write_manifest(manifest, manifest_path)
+
+
+def export_corpus(
+    sf_dir: str,
+    out_dir: str,
+    min_quality: float = 0.5,
+    langs: list[str] | None = None,
+    resume: bool = True,
+    packed: bool = False,
+    pack_capacity: int = 2048,
+) -> dict:
+    """Filter → dedup → split → write hive-partitioned parquet from a
+    documents shard.
+
+    With ``packed=True`` a second table ``packed/`` is written: the
+    surviving documents greedily packed into ``pack_capacity``-token
+    sequences per (split, lang) group — split boundaries are never
+    crossed, so train sequences cannot leak val/test text — one row per
+    sequence (seq text + doc count + token sum), same hive partitioning.
+
+    Returns the manifest: input/kept/written row counts and per
+    (split, lang) partition sizes. With ``resume=True`` a complete
+    manifest short-circuits the whole export.
+    """
+    manifest_path = os.path.join(out_dir, "export_manifest.json")
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+
+    from .queries import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_in = docs.count()
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        q = text.quality_features(df)
+        lang = text.LangId()(df)
+        out = df[["doc_id", "text"]].copy()
+        out["quality_score"] = q["quality_score"]
+        out["n_words"] = q["n_words"].astype("int64")
+        out["lang_pred"] = lang["lang_pred"].to_numpy()
+        keep = out["quality_score"] >= min_quality
+        if langs is not None:
+            keep &= out["lang_pred"].isin(langs)
+        return out[keep]
+
+    # one scoring pass: materialize the (shard-sized) filtered rows so
+    # the emptiness probe and the dedup+join reuse the same blocks
+    kept = docs.map_batches(score, batch_format="pandas").materialize()
+    base = {"sf_dir": os.path.abspath(sf_dir), "rows_in": int(n_in),
+            "min_quality": min_quality, "langs": langs}
+    return _dedup_split_write(kept, out_dir, base, packed, pack_capacity,
+                              manifest_path)
+
+
+def export_run(
+    run_dir: str,
+    out_dir: str,
+    min_quality: float = 0.5,
+    langs: list[str] | None = None,
+    resume: bool = True,
+    packed: bool = False,
+    pack_capacity: int = 2048,
+) -> dict:
+    """Crawl → curate → training data: export a finished crawl run.
+
+    Text is reassembled from each fetched doc's interleaved span list
+    (text spans only, already in offset order — span-sequence equality
+    vs the reference is pytest-pinned, so the concatenation is
+    deterministic); quality_score / lang_pred come from the crawl's own
+    enrichment columns, so no re-scoring pass runs. doc_id is the URL;
+    the split hash is the 64-bit string hash (same invariance
+    guarantees as the integer path).
+    """
+    manifest_path = os.path.join(out_dir, "export_manifest.json")
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+
+    from .crawl import fetched_dataset
+
+    docs = fetched_dataset(run_dir)
+    n_in = docs.count()
+
+    def reassemble(t):
+        import pyarrow.compute as pc
+
+        spans = t.column("spans")
+        flat = pc.list_flatten(spans).combine_chunks()
+        parents = pc.list_parent_indices(spans).to_numpy(
+            zero_copy_only=False)
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        texts = flat.field("text").to_numpy(zero_copy_only=False)
+        mask = kinds == "text"
+        joined = (
+            pd.Series(texts[mask])
+            .groupby(parents[mask]).agg(" ".join)
+        )
+        n = t.num_rows
+        out = pd.DataFrame({
+            "doc_id": t.column("url").to_numpy(zero_copy_only=False),
+            "text": pd.Series([""] * n, dtype=object),
+            "quality_score": t.column("quality_score").to_numpy(
+                zero_copy_only=False),
+            "lang_pred": t.column("lang_pred").to_numpy(
+                zero_copy_only=False),
+        })
+        out.loc[joined.index, "text"] = joined.to_numpy()
+        keep = out["quality_score"] >= min_quality
+        if langs is not None:
+            keep &= out["lang_pred"].isin(langs)
+        return out[keep]
+
+    kept = docs.map_batches(reassemble, batch_format="pyarrow").materialize()
+    base = {"run_dir": os.path.abspath(run_dir), "rows_in": int(n_in),
+            "min_quality": min_quality, "langs": langs}
+    return _dedup_split_write(kept, out_dir, base, packed, pack_capacity,
+                              manifest_path)

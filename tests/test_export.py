@@ -80,3 +80,36 @@ def test_export_packed_sequences(ray_session, tmp_path):
                        partitioning="hive").to_table().to_pandas()
     want = (ddf["text"].str.strip().str.split().str.len()).sum()
     assert m["packed_tokens"] == want
+
+
+def test_export_run_crawl_to_training_data(ray_session, tiny_corpus,
+                                           tmp_path):
+    from crawler_service_ray.config import CrawlConfig
+    from crawler_service_ray.pipelines.crawl import CrawlRun
+    from crawler_service_ray.pipelines.export import export_run
+
+    run = str(tmp_path / "run")
+    cfg = CrawlConfig(
+        corpus_dir=tiny_corpus, run_dir=run,
+        seeds=["http://h0.test/p/0", "http://h1.test/p/0"],
+        max_epochs=30, num_seen_shards=2)
+    s = CrawlRun(cfg).run(resume=False)
+    assert s["urls_fetched"] > 0
+
+    out = str(tmp_path / "exp")
+    m = export_run(run, out, min_quality=0.0, packed=True,
+                   pack_capacity=256)
+    # fetched docs + in-epoch archive members
+    assert m["rows_in"] == s["urls_fetched"] + s["members_extracted"]
+    assert 0 < m["rows_written"] <= m["rows_in"]
+    assert m["packed_docs"] == m["rows_written"]
+
+    df = pads.dataset(os.path.join(out, "data"),
+                      partitioning="hive").to_table().to_pandas()
+    # doc_id is the url; reassembled text is non-empty for 200s with
+    # text spans, and the crawl's own enrichment scores rode along
+    assert df["doc_id"].str.startswith("http").all()
+    assert (df["text"].str.len() > 0).any()
+    assert df["quality_score"].notna().all()
+    # resume no-op
+    assert export_run(run, out) == m
