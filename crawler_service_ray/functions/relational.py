@@ -1257,10 +1257,14 @@ def asof_join(
     ts_col: str,
     num_partitions: int = 32,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> rd.Dataset:
-    """As-of join (backward): for each left row, the latest right row with
-    ``right.ts <= left.ts`` for the same key (SURVEY.md §2 custom-operator
-    case (a): sort within key-hash partitions + ``pd.merge_asof``).
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` (``direction="backward"``, the DuckDB ASOF
+    JOIN), the earliest with ``right.ts >= left.ts`` (``"forward"``), or
+    the closest either way (``"nearest"``) for the same key (SURVEY.md
+    §2 custom-operator case (a): sort within key-hash partitions +
+    ``pd.merge_asof``).
 
     Both sides are tagged and co-located by ``hash(key) % num_partitions``
     (one shuffle of the two event streams); within a partition one
@@ -1290,7 +1294,7 @@ def asof_join(
         r = r.rename(columns={c: c + suffix for c in rcols if c != key})
         out = pd.merge_asof(
             l, r, left_on=ts_col, right_on=ts_col + suffix, by=key,
-            direction="backward",
+            direction=direction,
         )
         return out.dropna(subset=[ts_col + suffix])[out_cols]
 

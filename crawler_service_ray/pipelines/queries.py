@@ -880,6 +880,57 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_asof_forward(sf_dir: str):
+    """Forward as-of: each error matched to the user's NEXT click (the
+    direction DuckDB's ASOF JOIN doesn't provide — oracled with a
+    LATERAL first-row subquery instead). Output values are tie-safe:
+    only the matched timestamp is exposed, so equal-ts clicks cannot
+    diverge between engines."""
+    import pyarrow.compute as pc
+
+    errors = read_table(
+        sf_dir, "events", bytes_per_block=_FACT_BPB,
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error")).select(
+            ["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    clicks = read_table(
+        sf_dir, "events", bytes_per_block=_FACT_BPB,
+        columns=["user_id", "ts", "event_type"],
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(errors, clicks, key="user_id", ts_col="ts",
+                       num_partitions=16, direction="forward")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        secs = (df["ts_r"] - df["ts"]).dt.total_seconds()
+        gap = np.floor(secs * 1000 + 0.5) / 1000
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "gap_s": gap.astype("float64"),
+        })
+
+    return joined.map_batches(final, batch_format="pandas")
+
+
+SQL_ASOF_FORWARD = """
+SELECT e.event_id, e.user_id, round(epoch(c.ts - e.ts), 3) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN LATERAL (
+  SELECT ts FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = e.user_id
+    AND c.ts >= e.ts
+  ORDER BY c.ts LIMIT 1
+) c ON true
+"""
+
+
 def q_embedding_stats(sf_dir: str):
     """Vector-column aggregate: per-label count + mean of the first
     embedding component (zero-copy ``pc.list_element``, no per-row
@@ -2983,6 +3034,7 @@ QUERIES = {
     "union_distinct": q_union_distinct,
     "embedding_stats": q_embedding_stats,
     "asof_join": q_asof_join,
+    "asof_forward": q_asof_forward,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_subset": q_dedup_minhash_subset,
@@ -3082,6 +3134,7 @@ ORACLE_SQL = {
     "union_distinct": SQL_UNION_DISTINCT,
     "embedding_stats": SQL_EMBEDDING_STATS,
     "asof_join": SQL_ASOF_JOIN,
+    "asof_forward": SQL_ASOF_FORWARD,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_minhash_subset": SQL_DEDUP_MINHASH_SUBSET,
     "quantiles_sketch_err": SQL_QUANTILES_SKETCH_ERR,

@@ -680,3 +680,33 @@ def test_cap_per_group_deterministic_and_bounded(ray_session):
     # groups smaller than the cap are kept whole
     small = rd.from_pandas(df.head(3))
     assert len(cap_per_group(small, ["g"], "doc_id", 7).to_pandas()) == 3
+
+
+def test_asof_join_directions(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import asof_join
+
+    left = pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 12:00",
+                              "2024-01-01 10:00"]),
+        "ev": ["a", "b", "c"],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01 09:00", "2024-01-01 11:00",
+                              "2024-01-01 11:30"]),
+        "val": [10, 20, 30],
+    })
+    l, r = rd.from_pandas(left), rd.from_pandas(right)
+    back = asof_join(l, r, key="k", ts_col="ts", num_partitions=4) \
+        .to_pandas().sort_values("ev")
+    # k=2 row has no prior right row -> dropped (inner semantics)
+    assert list(back["ev"]) == ["a", "b"]
+    assert list(back["val_r"]) == [10, 20]
+    fwd = asof_join(l, r, key="k", ts_col="ts", num_partitions=4,
+                    direction="forward").to_pandas().sort_values("ev")
+    # 'b' (12:00) has no following right row -> dropped
+    assert list(fwd["ev"]) == ["a", "c"]
+    assert list(fwd["val_r"]) == [20, 30]
