@@ -1483,6 +1483,49 @@ GROUP BY doc_id
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark-decontamination REMOVAL pass (the action to
+    `contamination`'s detection): keep only corpus docs sharing NO
+    word-5-gram with the held-out set — contamination_hits (broadcast
+    probe, no corpus shuffle) anti-joined back onto the corpus, both
+    kernels individually oracle-checked."""
+    from ..functions.relational import semi_anti_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda df: df[df["doc_id"] % 97 == 0], batch_format="pandas"
+    )
+    rest = docs.map_batches(
+        lambda df: df[df["doc_id"] % 97 != 0], batch_format="pandas"
+    )
+    hits = dedup.contamination_hits(rest, bench, k=5).select_columns(
+        ["doc_id"])
+    clean = semi_anti_join(rest, hits, on="doc_id", anti=True,
+                           num_partitions=16)
+    return clean.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"].astype("int64")}),
+        batch_format="pandas",
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS i
+        FROM w),
+sh AS (SELECT DISTINCT doc_id,
+              CASE WHEN len(ws) < 5 THEN array_to_string(ws, ' ')
+                   ELSE array_to_string(list_slice(ws, i, i + 4), ' ')
+              END AS s
+       FROM idx),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+dirty AS (SELECT DISTINCT doc_id FROM sh
+          WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench))
+SELECT doc_id FROM documents
+WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+"""
+
+
 def q_sample_hash(sf_dir: str):
     """Deterministic hash sampling (~5%): Knuth multiplicative hash on
     the id, identical integer arithmetic on both engines — the
@@ -3060,6 +3103,7 @@ QUERIES = {
     "vocab": q_vocab,
     "pii_redact": q_pii_redact,
     "contamination": q_contamination,
+    "decontaminate": q_decontaminate,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
     "tfidf": q_tfidf,
@@ -3156,6 +3200,7 @@ ORACLE_SQL = {
     "vocab": SQL_VOCAB,
     "pii_redact": SQL_PII_REDACT,
     "contamination": SQL_CONTAMINATION,
+    "decontaminate": SQL_DECONTAMINATE,
     "sample_hash": SQL_SAMPLE_HASH,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "tfidf": SQL_TFIDF,
