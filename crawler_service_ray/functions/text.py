@@ -825,3 +825,45 @@ def pack_payloads(
 
     return grouped_apply(tok, [group_col], pack_part,
                          num_partitions=num_partitions)
+
+
+def char_entropy(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-document character-distribution Shannon entropy (bits/char) —
+    the classic gibberish/binary/encoded-blob filter signal: natural
+    language sits ~3.5-4.5 bits, base64/random bytes push toward 6,
+    single-char spam toward 0.
+
+    Fully vectorized and shuffle-free: one string join per batch encoded
+    to a UTF-32 buffer (one codepoint = one uint32 — count parity with
+    DuckDB's character-wise ``string_split(text, '')``), doc ids
+    repeated by char length, one lexsort, run-length boundaries give the
+    per-(doc, char) counts, and a scatter-add accumulates each doc's
+    -Σ p·log2 p. No per-row Python, no exchange."""
+
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].astype(str)
+        lens = texts.str.len().to_numpy().astype(np.int64)
+        blob = "".join(texts.tolist())
+        cps = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+        doc = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        H = np.zeros(len(df), dtype=np.float64)
+        if len(cps):
+            order = np.lexsort((cps, doc))
+            d, c = doc[order], cps[order]
+            bnd = np.flatnonzero(
+                np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])])
+            runs = np.diff(np.r_[bnd, len(d)])
+            rd_ = d[bnd]
+            p = runs / lens[rd_]
+            np.add.at(H, rd_, -p * np.log2(p))
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_chars": lens,
+            "entropy": np.round(H, 6),
+        })
+
+    return ds.map_batches(ent, batch_format="pandas")

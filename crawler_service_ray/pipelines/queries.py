@@ -1483,6 +1483,30 @@ GROUP BY doc_id
 """
 
 
+def q_char_entropy(sf_dir: str):
+    """Per-doc character-distribution entropy (gibberish/binary filter
+    signal) — vectorized UTF-32 run-length kernel vs DuckDB's
+    character-split aggregate, the entropy itself value-hashed at 6 dp
+    (per-doc sums have ≤ alphabet-size terms; reassociation error
+    ~1e-15, far below the rounding)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
+    return text.char_entropy(docs)
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents),
+cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY 1),
+e AS (SELECT cnt.doc_id, -sum((n / t) * log2(n / t)) AS h
+      FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+SELECT d.doc_id, len(d.text)::BIGINT AS n_chars,
+       round(coalesce(e.h, 0), 6) AS entropy
+FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark-decontamination REMOVAL pass (the action to
     `contamination`'s detection): keep only corpus docs sharing NO
@@ -3104,6 +3128,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "contamination": q_contamination,
     "decontaminate": q_decontaminate,
+    "char_entropy": q_char_entropy,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
     "tfidf": q_tfidf,
@@ -3201,6 +3226,7 @@ ORACLE_SQL = {
     "pii_redact": SQL_PII_REDACT,
     "contamination": SQL_CONTAMINATION,
     "decontaminate": SQL_DECONTAMINATE,
+    "char_entropy": SQL_CHAR_ENTROPY,
     "sample_hash": SQL_SAMPLE_HASH,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "tfidf": SQL_TFIDF,

@@ -304,3 +304,26 @@ def test_kmeans_parallelism_invariant_and_converging(ray_session):
         grp = a[i * 40:(i + 1) * 40]
         assert (grp == grp[0]).all()
     assert len(set(a[::40])) == 3
+
+
+def test_char_entropy_kernel_edges(ray_session):
+    import math
+    from collections import Counter
+
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_service_ray.functions.text import char_entropy
+
+    def ref(s):
+        if not s:
+            return 0.0
+        c, n = Counter(s), len(s)
+        return round(-sum((v / n) * math.log2(v / n) for v in c.values()), 6)
+
+    texts = ["", "aaaa", "abab", "hello world", "汉字汉字a", "x"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (char_entropy(rd.from_pandas(df, override_num_blocks=3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["entropy"]) == [ref(t) for t in texts]
+    assert list(out["n_chars"]) == [len(t) for t in texts]
