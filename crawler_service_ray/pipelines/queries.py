@@ -1386,6 +1386,62 @@ FROM b
 """
 
 
+def q_quality_above_median(sf_dir: str):
+    """Quantile-threshold curation: keep docs scoring above their
+    language group's MEDIAN quality — grouped exact quantiles broadcast
+    back onto the stream (5-row small side, no shuffle of the corpus).
+    Scores and medians round to 6 dp on BOTH engines before the
+    comparison so interpolation noise cannot flip boundary docs."""
+    from ..functions.relational import broadcast_join, grouped_quantiles
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "text"],
+                      bytes_per_block=_DOC_BPB)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        q = text.quality_features(df)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"], "lang": df["lang"],
+            "q": q["quality_score"].round(6),
+        })
+
+    scored = docs.map_batches(score, batch_format="pandas").materialize()
+    med = grouped_quantiles(scored, ["lang"], "q", [0.5], ["med"],
+                            num_partitions=4).to_pandas()
+    med["med"] = med["med"].round(6)
+    j = broadcast_join(scored, med, on=["lang"])
+    return j.map_batches(
+        lambda df: df.loc[df["q"] > df["med"], ["doc_id", "lang", "q"]],
+        batch_format="pandas",
+    )
+
+
+SQL_QUALITY_ABOVE_MEDIAN = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\\S+')) AS n_words,
+         length(replace(text, ' ', '')) AS n_nospace,
+         len(regexp_extract_all(text, '[^0-9A-Za-z_\\t\\n\\f\\r ]'))
+           AS n_punct,
+         len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ({_SQL_STOPWORDS}))) AS n_stop
+  FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         round(least(n_words / 100.0, 1.0) * 0.4
+           + least(greatest(1 - (n_punct / greatest(n_chars, 1)) * 5, 0),
+                   1) * 0.3
+           + least((n_stop / greatest(n_words, 1)) * 4, 1) * 0.3, 6) AS q
+  FROM b),
+m AS (SELECT lang, round(quantile_cont(q, 0.5), 6) AS med
+      FROM s GROUP BY lang)
+SELECT s.doc_id, s.lang, s.q
+FROM s JOIN m USING (lang)
+WHERE s.q > m.med
+"""
+
+
 def q_tokens(sf_dir: str):
     return text.token_stage(
         read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -3122,6 +3178,7 @@ QUERIES = {
     "fingerprint_invariants": q_fingerprint_invariants,
     "langid": q_langid,
     "quality": q_quality,
+    "quality_above_median": q_quality_above_median,
     "tokens": q_tokens,
     "curate": q_curate,
     "vocab": q_vocab,
@@ -3220,6 +3277,7 @@ ORACLE_SQL = {
     "fingerprint_invariants": SQL_FINGERPRINT_INVARIANTS,
     "langid": SQL_LANGID,
     "quality": SQL_QUALITY,
+    "quality_above_median": SQL_QUALITY_ABOVE_MEDIAN,
     "tokens": SQL_TOKENS,
     "curate": SQL_CURATE,
     "vocab": SQL_VOCAB,
