@@ -1282,3 +1282,90 @@ def dup_span_occurrences(
 
     return grouped_apply(exploded, ["__h"], keep_dups,
                          num_partitions=num_partitions)
+
+
+def remove_dup_spans(
+    ds: rd.Dataset,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """The removal pass over :func:`dup_span_occurrences`: delete every
+    word covered by a cross-doc duplicated k-gram and reassemble the
+    text — passage-level dedup that keeps the unique remainder of a
+    document instead of dropping it whole.
+
+    The span list (doc_id, start_word — small fixed-width rows) is
+    co-partitioned with the documents by id hash; within a partition the
+    covered-position set explodes vectorized (repeat + tile), one
+    explode/merge/groupby-join rebuilds the texts. Tokenization parity
+    with dup_span_occurrences (single-space split, empties kept).
+    Returns (doc_id, text_clean, n_words, n_words_kept) for EVERY doc.
+    """
+    from .relational import grouped_apply
+
+    spans = dup_span_occurrences(ds, k=k, text_col=text_col,
+                                 id_col=id_col,
+                                 num_partitions=num_partitions)
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col], "__t": df[text_col].astype(str),
+            "__start": np.int64(-1), "__side": "d",
+        })
+
+    def tag_spans(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col], "__t": "",
+            "__start": df["start_word"].astype("int64"), "__side": "s",
+        })
+
+    both = ds.select_columns([id_col, text_col]).map_batches(
+        tag_docs, batch_format="pandas"
+    ).union(spans.map_batches(tag_spans, batch_format="pandas"))
+
+    def rebuild(part: pd.DataFrame) -> pd.DataFrame:
+        d = part[part["__side"] == "d"]
+        s = part[part["__side"] == "s"]
+        splits = d["__t"].str.split(" ")
+        n_words = splits.str.len().to_numpy().astype(np.int64)
+        ex = splits.explode()
+        # flat (doc, pos, word): positions 1-based within each doc
+        doc_rep = np.repeat(np.arange(len(d), dtype=np.int64), n_words)
+        pos = (np.arange(len(doc_rep), dtype=np.int64)
+               - np.repeat(np.cumsum(n_words) - n_words, n_words) + 1)
+        flat = pd.DataFrame({
+            "__di": doc_rep, "__pos": pos,
+            "__w": ex.to_numpy(dtype=object),
+        })
+        # covered (doc, pos) pairs from the span starts
+        di_of_id = pd.Series(np.arange(len(d), dtype=np.int64),
+                             index=d[id_col].to_numpy())
+        if len(s):
+            s_di = di_of_id.reindex(s[id_col].to_numpy()).to_numpy()
+            cov = pd.DataFrame({
+                "__di": np.repeat(s_di.astype(np.int64), k),
+                "__pos": (np.repeat(s["__start"].to_numpy(), k)
+                          + np.tile(np.arange(k, dtype=np.int64), len(s))),
+            }).drop_duplicates()
+            m = flat.merge(cov, on=["__di", "__pos"], how="left",
+                           indicator=True)
+            kept = m[m["_merge"] == "left_only"]
+        else:
+            kept = flat
+        joined = kept.groupby("__di", sort=False)["__w"].agg(" ".join)
+        out = pd.DataFrame({
+            id_col: d[id_col].to_numpy(),
+            "text_clean": pd.Series([""] * len(d), dtype=object),
+            "n_words": n_words,
+        })
+        out.loc[joined.index, "text_clean"] = joined.to_numpy()
+        nk = kept.groupby("__di", sort=False).size()
+        kept_counts = np.zeros(len(d), dtype=np.int64)
+        kept_counts[nk.index.to_numpy()] = nk.to_numpy()
+        out["n_words_kept"] = kept_counts
+        return out[[id_col, "text_clean", "n_words", "n_words_kept"]]
+
+    return grouped_apply(both, [id_col], rebuild,
+                         num_partitions=num_partitions)

@@ -2961,6 +2961,58 @@ GROUP BY w.lang, w.seq_id
 """
 
 
+def q_dup_spans_clean(sf_dir: str):
+    """Passage-level dedup REMOVAL (the action to `dup_spans`'
+    detection): every word covered by a cross-doc duplicated 8-gram is
+    deleted and the text reassembled — the cleaned text itself is
+    value-hashed against the oracle's ordered rebuild."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
+    return dedup.remove_dup_spans(docs, k=8)
+
+
+SQL_DUP_SPANS_CLEAN = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(generate_series(1, len(w) - 7)) AS start_word, w
+  FROM toks WHERE len(w) >= 8
+),
+g2 AS (
+  SELECT doc_id, start_word,
+         array_to_string(w[start_word:start_word + 7], ' ') AS g
+  FROM grams
+),
+dup AS (
+  SELECT g FROM g2 GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+covered AS (
+  SELECT DISTINCT g2.doc_id,
+         unnest(generate_series(start_word, start_word + 7)) AS pos
+  FROM g2 JOIN dup USING (g)
+),
+words AS (
+  SELECT doc_id, unnest(w) AS word,
+         generate_subscripts(w, 1) AS pos
+  FROM toks
+),
+kept AS (
+  SELECT wd.doc_id, wd.word, wd.pos
+  FROM words wd LEFT JOIN covered c
+    ON c.doc_id = wd.doc_id AND c.pos = wd.pos
+  WHERE c.pos IS NULL
+)
+SELECT t.doc_id,
+       coalesce((SELECT string_agg(k.word, ' ' ORDER BY k.pos)
+                 FROM kept k WHERE k.doc_id = t.doc_id), '') AS text_clean,
+       len(t.w)::BIGINT AS n_words,
+       (SELECT count(*) FROM kept k2
+        WHERE k2.doc_id = t.doc_id)::BIGINT AS n_words_kept
+FROM toks t
+"""
+
+
 def q_kmeans_audit(sf_dir: str):
     """Distributed spherical k-means self-audit (the
     fingerprint_invariants pattern): run the distributed Lloyd, then
@@ -3169,6 +3221,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "pack_payloads": q_pack_payloads,
     "dup_spans": q_dup_spans,
+    "dup_spans_clean": q_dup_spans_clean,
     "kmeans_audit": q_kmeans_audit,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
@@ -3270,6 +3323,7 @@ ORACLE_SQL = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "pack_payloads": SQL_PACK_PAYLOADS,
     "dup_spans": SQL_DUP_SPANS,
+    "dup_spans_clean": SQL_DUP_SPANS_CLEAN,
     "kmeans_audit": SQL_KMEANS_AUDIT,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_ivf_subset": SQL_DEDUP_EMBEDDING_IVF_SUBSET,

@@ -147,3 +147,30 @@ def test_pack_payloads_matches_assignments(ray_session):
     one = m[(m["lang"] == "en") & (m["seq_id"] == 0)].sort_values("doc_id")
     row = pay[(pay["lang"] == "en") & (pay["seq_id"] == 0)].iloc[0]
     assert row["text"] == "\n".join(one["text"])
+
+
+def test_remove_dup_spans_crafted(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.dedup import remove_dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2], dtype=np.int64),
+        "text": [
+            "x0 x1 " + shared + " y0 y1",
+            shared,
+            "nothing shared in this document at all here",
+        ],
+    })
+    out = (remove_dup_spans(rd.from_pandas(docs), k=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 0: the 8 shared words removed, unique pads kept
+    assert out.loc[0, "text_clean"] == "x0 x1 y0 y1"
+    assert out.loc[0, "n_words"] == 12 and out.loc[0, "n_words_kept"] == 4
+    # doc 1 was entirely the duplicated gram -> empty remainder
+    assert out.loc[1, "text_clean"] == ""
+    assert out.loc[1, "n_words_kept"] == 0
+    # untouched doc comes back verbatim
+    assert out.loc[2, "text_clean"] == docs.loc[2, "text"]
+    assert out.loc[2, "n_words_kept"] == out.loc[2, "n_words"]
