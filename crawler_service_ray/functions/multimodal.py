@@ -221,4 +221,8 @@ def media_features(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, 4),
+        # max_restarts=0: actor restart would need constructor refs from
+        # the object store (which may be gone); rely on Ray Data task
+        # retry + fresh actor instead of an in-place restart.
+        max_restarts=0,
     )

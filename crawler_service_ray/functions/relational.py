@@ -146,9 +146,17 @@ def grouped_agg(
             if fn == "mean":
                 cols[out] = g[f"__p_sum_{col}"] / g[f"__p_count_{col}"]
             elif fn in ("var", "std"):
-                n = g[f"__p_count_{col}"]
-                s, ss = g[f"__p_sum_{col}"], g[f"__p_sumsq_{col}"]
-                v = (ss - s * s / n) / (n - 1)
+                n = g[f"__p_count_{col}"].to_numpy(dtype="float64")
+                s = g[f"__p_sum_{col}"].to_numpy(dtype="float64")
+                ss = g[f"__p_sumsq_{col}"].to_numpy(dtype="float64")
+                # sample variance is NULL for n<2 (SQL var_samp semantics);
+                # clip tiny negative cancellation residue before sqrt
+                v = np.where(
+                    n > 1,
+                    np.maximum(ss - s * s / np.maximum(n, 1), 0.0)
+                    / np.maximum(n - 1, 1),
+                    np.nan,
+                )
                 cols[out] = np.sqrt(v) if fn == "std" else v
             elif fn == "count":
                 cols[out] = g[f"__p_count_{keys[0]}"].astype("int64")
@@ -426,7 +434,15 @@ def cap_per_group(
     deterministic Knuth multiplicative hash of ``id_col`` (ties broken
     by id) — a parallelism-invariant pseudo-random cap, unlike
     `topk_per_group`'s value ordering. One key-hash shuffle; within a
-    partition one stable sort + cumcount, no per-group Python."""
+    partition one stable sort + cumcount, no per-group Python.
+
+    Precondition: ``id_col`` values must be nonnegative and < 2^63.
+    The SQL-oracle twin hashes with ``id % 4294967296`` whose sign
+    semantics (C-style, sign of dividend) differ from numpy's wrapping
+    uint64 cast for negative ids, and the 2654435761 multiply overflows
+    BIGINT for residues ≥ ~3.47e9 — both engines agree only on
+    nonnegative ids, which every id column in this engine satisfies
+    (synthetic TPC-H keys and URL hashes are unsigned by construction)."""
     keys = list(keys)
 
     def cap(part: pd.DataFrame) -> pd.DataFrame:
@@ -642,7 +658,10 @@ def window_ranks(
                 [g[k] for k in keys], sort=False, observed=True
             ).cumsum().to_numpy().astype("int64")
         )
-        g["prnk"] = np.where(n > 1, start_rn.to_numpy() / (n - 1), 0.0)
+        # guard the denominator: n==1 groups would spray divide-by-zero
+        # RuntimeWarnings from every partition task (value is discarded)
+        g["prnk"] = np.where(n > 1, start_rn.to_numpy() / np.maximum(n - 1, 1),
+                             0.0)
         g["cume"] = (end_rn.to_numpy() + 1) / n
         return g
 

@@ -239,8 +239,12 @@ def kmeans(
     of (id, cluster, sim)) — assignment is one further streaming pass.
 
     Determinism: fixed seed + content-hash sample init + float64 matmuls
-    → identical centroids/assignments at any parallelism (pinned by
-    tests/test_text_similarity.py against a single-node numpy Lloyd).
+    → centroids/assignments identical at any parallelism UP TO float
+    reassociation (per-centroid partial sums reduce in block order, so
+    the last ~1 ulp can differ across block counts; a point whose top-2
+    centroid sims are within that noise can flip). Pinned by
+    tests/test_text_similarity.py against a single-node numpy Lloyd
+    with a near-tie tolerance.
     """
     # iterative passes: pin the (id, vector) working set in the object
     # store once — otherwise every Lloyd iteration re-executes the read

@@ -695,6 +695,22 @@ def normalize_stage(ds: rd.Dataset, **kw) -> rd.Dataset:
                           batch_format="pandas")
 
 
+def _re2_token_count(s: pd.Series) -> pd.Series:
+    """Whitespace-token count on Arrow's RE2 kernel — the SAME engine the
+    DuckDB oracle uses, so both sides agree even on NBSP / ideographic
+    spaces where python str.split() (Unicode \\s) diverges from RE2's
+    ASCII \\s (see quality_features' note)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(s.astype(str))
+    return pd.Series(
+        pc.count_substring_regex(arr, pattern=r"\S+").to_numpy()
+        .astype("int64"),
+        index=s.index,
+    )
+
+
 def greedy_pack_bins(ntok: np.ndarray, capacity: int) -> np.ndarray:
     """Greedy in-order sequence packing: walk docs in order, start a new
     bin whenever adding the next doc would overflow ``capacity``; a doc
@@ -736,8 +752,9 @@ def pack_sequences(
     """Sequence packing for LLM training exports: concatenate documents
     in ``id_col`` order into token bins of ``capacity``, greedily and
     per ``group_col`` group, emitting ``(group, doc_id, n_tokens,
-    seq_id)``. Token count is whitespace-split (DuckDB
-    ``regexp_split_to_array(trim(text), '\\s+')`` parity; empty text = 0).
+    seq_id)``. Token count runs on Arrow's RE2 ``\\S+`` kernel (DuckDB
+    ``regexp_split_to_array(trim(text), '\\s+')`` parity on the same
+    regex engine; empty text = 0).
 
     Packing is an ordered scan, so each group packs inside one partition
     task (`grouped_apply` co-locates groups; within a partition each
@@ -750,8 +767,7 @@ def pack_sequences(
     from .relational import grouped_apply
 
     def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
-        nt = (df[text_col].astype(str).str.strip().str.split()
-              .str.len().astype("int64"))
+        nt = _re2_token_count(df[text_col])
         return pd.DataFrame({group_col: df[group_col],
                              id_col: df[id_col], "n_tokens": nt})
 
@@ -792,7 +808,7 @@ def pack_payloads(
 
     def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
         t = df[text_col].astype(str)
-        nt = t.str.strip().str.split().str.len().astype("int64")
+        nt = _re2_token_count(t)
         return pd.DataFrame({group_col: df[group_col], id_col: df[id_col],
                              "n_tokens": nt, text_col: t})
 

@@ -41,7 +41,12 @@ def _assign_split(df: pd.DataFrame) -> pd.DataFrame:
     """Deterministic 80/10/10 split. Integer ids use the same Knuth
     multiplicative hash as the oracle-checked ``split_assign`` query;
     string ids (crawl URLs) use the 64-bit content hash — both are pure
-    functions of the id, invariant to parallelism and reruns."""
+    functions of the id, invariant to parallelism and reruns.
+
+    Integer ids must be nonnegative (< 2^63): the uint64 cast wraps
+    negative values differently from the SQL oracle's signed ``%`` (see
+    ``cap_per_group``'s precondition note) — true for every id source
+    this engine produces."""
     ids = df["doc_id"]
     if pd.api.types.is_integer_dtype(ids):
         iv = ids.to_numpy().astype(np.uint64)
@@ -78,6 +83,11 @@ def _dedup_split_write(
     from ..functions.relational import bucketed_hash_join
 
     if kept.count() == 0:
+        # an earlier export into this out_dir may have left data/ and
+        # packed/ behind; a 0-row manifest must not sit next to stale
+        # partitions a hive reader would still see
+        shutil.rmtree(os.path.join(out_dir, "data"), ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, "packed"), ignore_errors=True)
         return _write_manifest(
             {**base, "rows_written": 0, "partitions": {}}, manifest_path)
 

