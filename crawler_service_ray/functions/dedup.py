@@ -25,6 +25,7 @@ PAIRS for string-set Jaccard — both string work numpy cannot express).
 from __future__ import annotations
 
 from functools import partial
+from typing import Sequence
 
 import numpy as np
 import pandas as pd
@@ -297,32 +298,51 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 32,
+    keep_cols: Sequence[str] = (),
 ) -> rd.Dataset:
     """Exact duplicate groups: content-hash each batch (vectorized), then
     hash-partitioned first-wins — ONE vectorized pandas groupby per
     partition, never a Python call per distinct content (group count
     scales with the corpus). Returns one row per distinct content:
     (doc_id = min id, dup_count). The shuffle moves (hash, id) pairs, not
-    document text (SURVEY.md §2.7 D1)."""
+    document text (SURVEY.md §2.7 D1).
+
+    ``keep_cols`` names passenger columns carried through on the WINNING
+    (min-id) row — lets a curation pipeline keep its precomputed stats
+    without a survivors⋈source re-join afterward, at the cost of those
+    columns riding the (hash, id) shuffle."""
     from .relational import grouped_apply
 
+    keep_cols = list(keep_cols)
+
     def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                id_col: df[id_col],
-                "__h": pd.util.hash_array(
-                    df[text_col].to_numpy(dtype=object)
-                ).astype("uint64"),
-            }
-        )
+        out = {
+            id_col: df[id_col],
+            "__h": pd.util.hash_array(
+                df[text_col].to_numpy(dtype=object)
+            ).astype("uint64"),
+        }
+        for c in keep_cols:
+            out[c] = df[c]
+        return pd.DataFrame(out)
 
     def first_wins(part: pd.DataFrame) -> pd.DataFrame:
-        g = part.groupby("__h", sort=False)[id_col].agg(
-            ["min", "size"]
-        ).reset_index()
-        return pd.DataFrame(
-            {id_col: g["min"], "dup_count": g["size"].astype("int64")}
-        )
+        if not keep_cols:
+            g = part.groupby("__h", sort=False)[id_col].agg(
+                ["min", "size"]
+            ).reset_index()
+            return pd.DataFrame(
+                {id_col: g["min"], "dup_count": g["size"].astype("int64")}
+            )
+        # min-id row per hash, passengers intact; sizes align because
+        # both head(1) and size() follow first-appearance group order
+        # over the contiguously sorted partition
+        part = part.sort_values(["__h", id_col], kind="mergesort")
+        gb = part.groupby("__h", sort=False)
+        head = gb.head(1)
+        out = head[[id_col] + keep_cols].reset_index(drop=True)
+        out.insert(1, "dup_count", gb.size().to_numpy().astype("int64"))
+        return out
 
     return grouped_apply(
         ds.map_batches(hash_batch, batch_format="pandas"),

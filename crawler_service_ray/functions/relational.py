@@ -894,6 +894,137 @@ def range_join_broadcast(
     return ds.map_batches(join_batch, batch_format="pandas")
 
 
+def range_join_partitioned(
+    ds: rd.Dataset,
+    intervals: rd.Dataset,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = None,
+    how: str = "inner",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """LARGE×LARGE non-equi range join — the bin-replication scale path
+    `range_join_broadcast`'s docstring describes, for when the interval
+    side is itself corpus-scale (genome windows, per-entity time bands)
+    and cannot broadcast.
+
+    Shape: each interval [lo, hi) is replicated to every coarse value
+    bucket of width ``bucket_width`` it overlaps (replication factor
+    ceil(span/width), chosen by the caller so a bucket's rows fit a
+    task); probe rows land in exactly ONE bucket (floor(value/width));
+    buckets hash to ``num_partitions`` partitions and ONE tagged-union
+    shuffle co-locates each partition's intervals with its probe rows.
+    Inside a partition a single sorted-lo ``searchsorted`` over ALL its
+    intervals resolves every probe row at once (no per-bucket Python):
+    replica duplicates are dropped first, and because intervals are
+    globally non-overlapping the rightmost lo ≤ value inside the
+    partition is exactly the candidate the global sorted set would
+    yield — a probe row's containing interval is guaranteed co-located
+    via its bucket. Nothing is held on the driver, neither side
+    broadcasts.
+
+    Intervals must be globally non-overlapping with lo < hi — validated
+    COMPLETELY despite the distribution: two overlapping intervals
+    always share at least one bucket (hence one partition), and in a
+    lo-sorted set any overlap implies an ADJACENT overlap, so the
+    per-partition adjacent check sees every violation. Gaps are allowed
+    (``how='inner'`` drops gap rows; ``'left'`` keeps them with null
+    interval attributes — sound because each probe row exists exactly
+    once, in its own bucket's partition).
+
+    Note: partitions mixing both sides null-pad each side's missing
+    columns, so integer probe columns may surface as float64 in the
+    output — cast back downstream where exact dtypes matter (same
+    caveat as ``bucketed_hash_join``).
+    """
+    if bucket_width is None or bucket_width <= 0:
+        raise ValueError("bucket_width must be a positive number")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    probe_cols = list(ds.schema().names)
+    iv_cols = list(intervals.schema().names)
+    payload_cols = [c for c in iv_cols if c not in (lo_col, hi_col)]
+    W = float(bucket_width)
+
+    def part_of(bucket: np.ndarray) -> np.ndarray:
+        # splitmix-style bucket mix so adjacent buckets spread
+        h = bucket.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return (h >> np.uint64(33)).astype(np.int64) % num_partitions
+
+    def tag_probe(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype="float64")
+        b = np.floor(v / W).astype(np.int64)
+        return df.assign(__gp=part_of(b), __side="p")
+
+    def tag_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[lo_col].to_numpy(dtype="float64")
+        hi = df[hi_col].to_numpy(dtype="float64")
+        if (hi <= lo).any():
+            raise ValueError("intervals must satisfy lo < hi")
+        b0 = np.floor(lo / W).astype(np.int64)
+        # last bucket holding values < hi: ceil(hi/W)-1 (exact-boundary
+        # his don't spill an extra empty replica)
+        b1 = (np.ceil(hi / W) - 1).astype(np.int64)
+        rep = b1 - b0 + 1
+        idx = np.repeat(np.arange(len(df)), rep)
+        out = df.iloc[idx].reset_index(drop=True)
+        offs = np.arange(int(rep.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(rep) - rep, rep)
+        gp = part_of(np.repeat(b0, rep) + offs)
+        out = out.assign(__gp=gp, __side="i")
+        # an interval whose replicas hash to the same partition needs
+        # only one copy there
+        return out.drop_duplicates(subset=[lo_col, hi_col, "__gp"])
+
+    both = ds.map_batches(tag_probe, batch_format="pandas").union(
+        intervals.map_batches(tag_intervals, batch_format="pandas"))
+
+    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # a partition holding only ONE side arrives with that side's
+        # columns alone (schema unification happens via pandas-concat
+        # padding only when a partition mixes sides) — pad the absent
+        # side explicitly so every partition takes one code path
+        for c in iv_cols + probe_cols:
+            if c not in g.columns:
+                g = g.assign(**{c: np.full(len(g), np.nan)})
+        p = g.loc[g["__side"] == "p", probe_cols].reset_index(drop=True)
+        iv = g.loc[g["__side"] == "i", iv_cols]
+        # replicas of one interval may arrive from different blocks
+        iv = iv.drop_duplicates(subset=[lo_col, hi_col])
+        iv = iv.sort_values(lo_col, kind="mergesort").reset_index(drop=True)
+        lo_ = iv[lo_col].to_numpy(dtype="float64")
+        hi_ = iv[hi_col].to_numpy(dtype="float64")
+        if len(iv) > 1 and (hi_[:-1] > lo_[1:]).any():
+            raise ValueError("intervals must be non-overlapping")
+        pay = iv[payload_cols]
+        if len(iv) == 0:
+            ok = np.zeros(len(p), dtype=bool)
+            idx = np.zeros(len(p), dtype=np.int64)
+        else:
+            v = p[value_col].to_numpy(dtype="float64")
+            idx = np.searchsorted(lo_, v, side="right") - 1
+            ok = (idx >= 0) & (v < hi_[np.maximum(idx, 0)])
+        if how == "inner":
+            out = p[ok].reset_index(drop=True)
+            attach = pay.iloc[idx[ok]].reset_index(drop=True) if len(iv) \
+                else pd.DataFrame({c: pd.Series([], dtype=g[c].dtype)
+                                   for c in payload_cols})
+            return pd.concat([out, attach], axis=1)
+        if len(iv):
+            attach = pay.iloc[np.maximum(idx, 0)].reset_index(drop=True)
+            attach = attach.where(
+                pd.Series(ok, index=attach.index), other=pd.NA)
+        else:
+            attach = pd.DataFrame(
+                {c: pd.Series([pd.NA] * len(p), dtype=g[c].dtype)
+                 for c in payload_cols})
+        return pd.concat([p, attach], axis=1)
+
+    return both.groupby("__gp").map_groups(
+        join_partition, batch_format="pandas")
+
+
 def grouped_mode(
     ds: rd.Dataset,
     keys: Sequence[str],
@@ -1466,6 +1597,26 @@ def grouped_quantiles(
     )
 
 
+def _hist_quantile_estimates(
+    h: np.ndarray, lo: float, hi: float, qs: Sequence[float], bins: int
+) -> list[float]:
+    """Linear-interpolated quantile estimates from one key's merged
+    fixed-width histogram (shared by both sketch paths so they are
+    bit-identical)."""
+    width = (hi - lo) or 1.0
+    cum = np.cumsum(h)
+    n = cum[-1]
+    ests = []
+    for q in qs:
+        target = q * (n - 1) + 1  # rank (1-based, continuous)
+        bi = int(np.searchsorted(cum, target))
+        prev = cum[bi - 1] if bi > 0 else 0
+        inbin = h[bi] or 1
+        frac = (target - prev) / inbin
+        ests.append(lo + (bi + frac) * width / bins)
+    return ests
+
+
 def grouped_quantiles_sketch(
     ds: rd.Dataset,
     keys: Sequence[str],
@@ -1474,7 +1625,8 @@ def grouped_quantiles_sketch(
     out_names: Sequence[str] | None = None,
     bins: int = 2048,
     range_merge_partitions: int | None = None,
-    max_keys: int = 2_000_000,
+    broadcast_max_keys: int = 2_000_000,
+    num_buckets: int = 32,
 ) -> rd.Dataset:
     """Approximate grouped quantiles via a mergeable fixed-width
     histogram sketch — the bounded-memory 100-TB path behind
@@ -1501,81 +1653,112 @@ def grouped_quantiles_sketch(
     parallelism. Accuracy vs the exact path is pinned by pytest and the
     ``quantiles_sketch_err`` invariant oracle.
 
-    Memory bound: the per-key (lo, hi) range map is broadcast whole —
-    O(distinct keys) on the driver and once per worker (~50 B/key, so
-    the default ``max_keys`` ≈ 100 MB); beyond that the ranges should be
-    co-partitioned with the partials instead of broadcast, and this
-    raises rather than silently degrading."""
+    Range distribution auto-switches on key cardinality — no hard bound:
+    * ≤ ``broadcast_max_keys`` distinct keys: the (lo, hi) map is
+      broadcast once (~50 B/key; the default threshold ≈ 100 MB) and the
+      fact table never shuffles — partials stream out of each batch.
+    * beyond that: NO broadcast — ranges are bucket-joined onto the fact
+      rows (one key-hash fact shuffle) and then ride every partial row
+      as (__lo, __hi) passenger columns through the SAME hash
+      partitioning as the bin counts, so the estimate stage reads them
+      in place. Driver state is O(1); both paths produce bit-identical
+      estimates (pinned by the high-cardinality pytest).
+    """
     keys = list(keys)
     qs = list(quantiles)
     names = list(out_names) if out_names else [f"q{int(q * 100)}" for q in qs]
 
-    rng_tbl = grouped_agg(
+    rng = grouped_agg(
         ds, keys, {"__lo": (col, "min"), "__hi": (col, "max")},
         merge_partitions=range_merge_partitions,
-    ).to_pandas()
-    if len(rng_tbl) > max_keys:
-        raise ValueError(
-            f"{len(rng_tbl)} distinct keys exceeds the broadcast bound "
-            f"max_keys={max_keys}; raise the bound knowingly or reduce "
-            "key cardinality"
-        )
-    # vectorized dict build: zip over column arrays, no per-row iterrows
-    key_cols = [rng_tbl[k].to_numpy() for k in keys]
-    ranges = dict(zip(
-        zip(*key_cols),
-        zip(rng_tbl["__lo"].astype(float).to_numpy(),
-            rng_tbl["__hi"].astype(float).to_numpy()),
-    ))
-    ref = ray.put(ranges)
-    refs = [ref]
+    ).materialize()
 
-    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
-        rngs = resolve_broadcast(refs[0])
-        out = []
-        for kv, g in df.groupby(keys, sort=False):
-            kv = kv if isinstance(kv, tuple) else (kv,)
-            lo, hi = rngs[kv]
-            width = (hi - lo) or 1.0
-            v = g[col].to_numpy(dtype=np.float64)
-            b = np.clip(((v - lo) / width * bins).astype(np.int64), 0,
-                        bins - 1)
-            counts = np.bincount(b, minlength=bins)
-            nz = np.nonzero(counts)[0]
-            out.append(pd.DataFrame({
-                **{k: np.repeat(c, len(nz)) for k, c in zip(keys, kv)},
-                "__bin": nz,
-                "__n": counts[nz],
-            }))
-        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-            {**{k: [] for k in keys}, "__bin": [], "__n": []}
-        )
+    if rng.count() <= broadcast_max_keys:
+        rng_tbl = rng.to_pandas()
+        # vectorized dict build: zip over column arrays, no iterrows
+        key_cols = [rng_tbl[k].to_numpy() for k in keys]
+        ranges = dict(zip(
+            zip(*key_cols),
+            zip(rng_tbl["__lo"].astype(float).to_numpy(),
+                rng_tbl["__hi"].astype(float).to_numpy()),
+        ))
+        ref = ray.put(ranges)
+        refs = [ref]
 
-    partials = ds.map_batches(partial_hist, batch_format="pandas")
+        def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+            rngs = resolve_broadcast(refs[0])
+            out = []
+            for kv, g in df.groupby(keys, sort=False):
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                lo, hi = rngs[kv]
+                width = (hi - lo) or 1.0
+                v = g[col].to_numpy(dtype=np.float64)
+                b = np.clip(((v - lo) / width * bins).astype(np.int64), 0,
+                            bins - 1)
+                counts = np.bincount(b, minlength=bins)
+                nz = np.nonzero(counts)[0]
+                out.append(pd.DataFrame({
+                    **{k: np.repeat(c, len(nz)) for k, c in zip(keys, kv)},
+                    "__bin": nz,
+                    "__n": counts[nz],
+                }))
+            return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+                {**{k: [] for k in keys}, "__bin": [], "__n": []}
+            )
 
-    def estimate(part: pd.DataFrame) -> pd.DataFrame:
-        rngs = resolve_broadcast(refs[0])
+        partials = ds.map_batches(partial_hist, batch_format="pandas")
+
+        def estimate(part: pd.DataFrame) -> pd.DataFrame:
+            rngs = resolve_broadcast(refs[0])
+            rows = []
+            for kv, g in part.groupby(keys, sort=False):
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                lo, hi = rngs[kv]
+                h = np.zeros(bins, dtype=np.int64)
+                np.add.at(h, g["__bin"].to_numpy(), g["__n"].to_numpy())
+                rows.append(kv + tuple(
+                    _hist_quantile_estimates(h, lo, hi, qs, bins)))
+            return pd.DataFrame(rows, columns=keys + names)
+
+        return grouped_apply(partials, keys, estimate, num_partitions=16)
+
+    # --- high-cardinality path: ranges co-partitioned, never broadcast ---
+    fact = ds.map_batches(lambda df: df[keys + [col]],
+                          batch_format="pandas")
+    joined = bucketed_hash_join(fact, rng, on=keys, num_buckets=num_buckets)
+
+    def partial_hist_inline(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["__lo"].to_numpy(dtype=np.float64)
+        hi = df["__hi"].to_numpy(dtype=np.float64)
+        width = np.where(hi > lo, hi - lo, 1.0)
+        v = df[col].to_numpy(dtype=np.float64)
+        b = np.clip(((v - lo) / width * bins).astype(np.int64), 0, bins - 1)
+        t = df[keys].copy()
+        t["__bin"] = b
+        t["__lo"] = lo
+        t["__hi"] = hi
+        # lo/hi are constant per key, so they pass through the groupby
+        # as extra key columns — the ranges ride WITH the partials
+        return (t.groupby(keys + ["__lo", "__hi", "__bin"], sort=False,
+                          observed=True)
+                .size().reset_index(name="__n"))
+
+    partials = joined.map_batches(partial_hist_inline, batch_format="pandas")
+
+    def estimate_inline(part: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for kv, g in part.groupby(keys, sort=False):
             kv = kv if isinstance(kv, tuple) else (kv,)
-            lo, hi = rngs[kv]
-            width = (hi - lo) or 1.0
+            lo = float(g["__lo"].iloc[0])
+            hi = float(g["__hi"].iloc[0])
             h = np.zeros(bins, dtype=np.int64)
-            np.add.at(h, g["__bin"].to_numpy(), g["__n"].to_numpy())
-            cum = np.cumsum(h)
-            n = cum[-1]
-            ests = []
-            for q in qs:
-                target = q * (n - 1) + 1  # rank (1-based, continuous)
-                bi = int(np.searchsorted(cum, target))
-                prev = cum[bi - 1] if bi > 0 else 0
-                inbin = h[bi] or 1
-                frac = (target - prev) / inbin
-                ests.append(lo + (bi + frac) * width / bins)
-            rows.append(kv + tuple(ests))
+            np.add.at(h, g["__bin"].to_numpy(),
+                      g["__n"].to_numpy())
+            rows.append(kv + tuple(
+                _hist_quantile_estimates(h, lo, hi, qs, bins)))
         return pd.DataFrame(rows, columns=keys + names)
 
-    return grouped_apply(partials, keys, estimate, num_partitions=16)
+    return grouped_apply(partials, keys, estimate_inline, num_partitions=16)
 
 
 def grouped_first_last(

@@ -77,11 +77,9 @@ def _dedup_split_write(
     pack_capacity: int,
     manifest_path: str,
 ) -> dict:
-    """Shared tail: exact dedup → winner join → split → partitioned
-    write (+ optional packed table) → manifest. ``kept`` is a
-    materialized Dataset with at least (doc_id, text, lang_pred)."""
-    from ..functions.relational import bucketed_hash_join
-
+    """Shared tail: exact dedup (columns ride as passengers) → split →
+    partitioned write (+ optional packed table) → manifest. ``kept`` is
+    a materialized Dataset with at least (doc_id, text, lang_pred)."""
     if kept.count() == 0:
         # an earlier export into this out_dir may have left data/ and
         # packed/ behind; a 0-row manifest must not sit next to stale
@@ -91,11 +89,11 @@ def _dedup_split_write(
         return _write_manifest(
             {**base, "rows_written": 0, "partitions": {}}, manifest_path)
 
-    # exact_dedup returns (winner id, dup_count); join the winners back
-    # to their full rows (only ids shuffle in the dedup itself)
-    winners = dedup.exact_dedup(kept, text_col="text", id_col="doc_id")
-    survivors = bucketed_hash_join(kept, winners, on=["doc_id"],
-                                   num_buckets=8)
+    # winners carry their full row through the dedup shuffle as
+    # passenger columns — one exchange instead of dedup + re-join
+    passengers = [c for c in kept.schema().names if c != "doc_id"]
+    survivors = dedup.exact_dedup(kept, text_col="text", id_col="doc_id",
+                                  keep_cols=passengers)
     final = survivors.map_batches(_assign_split, batch_format="pandas")
     if packed:
         # both the doc table and the packed table consume `final`;

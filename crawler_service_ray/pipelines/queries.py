@@ -1666,6 +1666,50 @@ FROM orders JOIN bands
 """
 
 
+def q_range_join_partitioned(sf_dir: str):
+    """LARGE×LARGE non-equi banding join: one variable-width interval
+    per customer (corpus-scale interval side — too big to broadcast by
+    policy), orders probed by o_totalprice —
+    `range_join_partitioned`: intervals bin-replicated to 64-unit value
+    buckets, one tagged-union bucket shuffle, per-bucket searchsorted.
+    Nothing broadcasts and the driver holds nothing."""
+    from ..functions.relational import range_join_partitioned
+
+    orders = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
+                        columns=["o_orderkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def mk_iv(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy().astype("int64")
+        lo = k * 100.0
+        return pd.DataFrame({
+            "band_id": k, "lo": lo, "hi": lo + 40.0 + (k % 50)})
+
+    iv = cust.map_batches(mk_iv, batch_format="pandas")
+    out = range_join_partitioned(
+        orders, iv, value_col="o_totalprice", bucket_width=64.0)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_totalprice": df["o_totalprice"].round(2),
+            "band_id": df["band_id"].astype("int64"),
+        })
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_RANGE_JOIN_PARTITIONED = """
+WITH iv AS (
+  SELECT c_custkey AS band_id, c_custkey * 100.0 AS lo,
+         c_custkey * 100.0 + 40.0 + (c_custkey % 50) AS hi
+  FROM customer
+)
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, band_id
+FROM orders JOIN iv ON o_totalprice >= lo AND o_totalprice < hi
+"""
+
+
 def q_mode_per_group(sf_dir: str):
     """Per-user most-frequent event type (deterministic ties: smallest
     value) — `grouped_mode`: partial counts before the exchange, one
@@ -2637,15 +2681,10 @@ def q_curate(sf_dir: str):
                    & (out["lang_pred"] == "en")]
 
     kept = docs.map_batches(score, batch_format="pandas")
-    survivors = dedup.exact_dedup(kept, text_col="text", id_col="doc_id")
-    out = bucketed_hash_join(
-        survivors,
-        kept.map_batches(
-            lambda df: df[["doc_id", "n_words", "quality_score"]],
-            batch_format="pandas",
-        ),
-        on="doc_id", num_buckets=8,
-    )
+    # n_words/quality_score ride the dedup's (hash, id) shuffle as
+    # passenger columns on the winning row — no survivors⋈kept re-join
+    out = dedup.exact_dedup(kept, text_col="text", id_col="doc_id",
+                            keep_cols=["n_words", "quality_score"])
     return out.map_batches(
         lambda df: df.assign(
             quality_score=df["quality_score"].round(6),
@@ -3279,6 +3318,7 @@ QUERIES = {
     "histogram_price": q_histogram_price,
     "rollup_lineitem": q_rollup_lineitem,
     "range_join": q_range_join,
+    "range_join_partitioned": q_range_join_partitioned,
     "moving_avg": q_moving_avg,
     "normalize": q_normalize,
     "intersect_all_users": q_intersect_all_users,
@@ -3379,6 +3419,7 @@ ORACLE_SQL = {
     "histogram_price": SQL_HISTOGRAM_PRICE,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "range_join": SQL_RANGE_JOIN,
+    "range_join_partitioned": SQL_RANGE_JOIN_PARTITIONED,
     "moving_avg": SQL_MOVING_AVG,
     "normalize": SQL_NORMALIZE,
     "intersect_all_users": SQL_INTERSECT_ALL_USERS,

@@ -308,7 +308,7 @@ def test_corr_partitioned_merge_matches_coalesced(ray_session):
     pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
 
 
-def test_quantiles_sketch_key_bound(ray_session):
+def test_quantiles_sketch_high_cardinality_copartitioned(ray_session):
     import numpy as np
     import ray.data as rd
 
@@ -316,21 +316,36 @@ def test_quantiles_sketch_key_bound(ray_session):
         grouped_quantiles_sketch,
     )
 
-    df = pd.DataFrame({"g": np.arange(100), "v": np.arange(100.0)})
-    with pytest.raises(ValueError, match="distinct keys"):
-        grouped_quantiles_sketch(
-            rd.from_pandas(df), ["g"], "v", [0.5], max_keys=10
-        )
-    # partitioned range merge matches the default path
-    out = grouped_quantiles_sketch(
-        rd.from_pandas(df), ["g"], "v", [0.5], range_merge_partitions=4
-    ).to_pandas()
+    rng = np.random.default_rng(11)
+    # 400 keys x ~25 rows, spread over several blocks
+    g = np.repeat(np.arange(400, dtype="int64"), 25)
+    df = pd.DataFrame({"g": g, "v": rng.normal(size=len(g)) * (g % 7 + 1)})
+    ds = rd.from_pandas(df, override_num_blocks=6)
     base = grouped_quantiles_sketch(
-        rd.from_pandas(df), ["g"], "v", [0.5]
+        ds, ["g"], "v", [0.25, 0.9], bins=256
+    ).to_pandas()
+    # broadcast_max_keys below the key count forces the co-partitioned
+    # (no-broadcast) path — estimates must be bit-identical
+    cop = grouped_quantiles_sketch(
+        ds, ["g"], "v", [0.25, 0.9], bins=256, broadcast_max_keys=10,
+        num_buckets=8,
+    ).to_pandas()
+    base = base.sort_values("g").reset_index(drop=True)
+    cop = cop.sort_values("g").reset_index(drop=True)
+    cop["g"] = cop["g"].astype(base["g"].dtype)
+    pd.testing.assert_frame_equal(cop[base.columns.tolist()], base)
+
+    # partitioned range merge matches the default path
+    df2 = pd.DataFrame({"g": np.arange(100), "v": np.arange(100.0)})
+    out = grouped_quantiles_sketch(
+        rd.from_pandas(df2), ["g"], "v", [0.5], range_merge_partitions=4
+    ).to_pandas()
+    base2 = grouped_quantiles_sketch(
+        rd.from_pandas(df2), ["g"], "v", [0.5]
     ).to_pandas()
     pd.testing.assert_frame_equal(
         out.sort_values("g").reset_index(drop=True),
-        base.sort_values("g").reset_index(drop=True),
+        base2.sort_values("g").reset_index(drop=True),
     )
 
 
@@ -710,3 +725,68 @@ def test_asof_join_directions(ray_session):
     # 'b' (12:00) has no following right row -> dropped
     assert list(fwd["ev"]) == ["a", "c"]
     assert list(fwd["val_r"]) == [20, 30]
+
+
+def test_range_join_partitioned_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        range_join_broadcast,
+        range_join_partitioned,
+    )
+
+    rng = np.random.default_rng(7)
+    # variable-width intervals with gaps; some spanning many buckets
+    steps = rng.integers(5, 40, size=60)
+    starts = np.cumsum(steps).astype("float64")
+    # width never reaches the next start -> guaranteed non-overlapping
+    widths = np.maximum(
+        1, np.minimum(rng.integers(1, 25, size=60),
+                      np.append(steps[1:], 25))).astype("float64")
+    iv = pd.DataFrame({
+        "lo": starts, "hi": starts + widths,
+        "band": np.arange(60, dtype="int64"),
+    })
+    probe = pd.DataFrame({
+        "id": np.arange(500, dtype="int64"),
+        "v": rng.uniform(-10, float(starts[-1]) + 50, size=500),
+    })
+    ds = rd.from_pandas(probe, override_num_blocks=4)
+    ivds = rd.from_pandas(iv, override_num_blocks=3)
+    want = range_join_broadcast(ds, iv, "v").to_pandas()
+    # bucket_width far below max interval width -> heavy replication
+    got = range_join_partitioned(
+        ds, ivds, "v", bucket_width=4.0, num_partitions=8
+    ).to_pandas()
+    key = ["id", "band"]
+    want = want[key].astype("int64").sort_values(key).reset_index(drop=True)
+    got = got[key].astype("int64").sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_range_join_partitioned_left_and_overlap(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        range_join_partitioned,
+    )
+
+    iv = pd.DataFrame({"lo": [0.0, 10.0, 30.0], "hi": [10.0, 20.0, 40.0],
+                       "tag": ["a", "b", "c"]})
+    df = pd.DataFrame({"id": np.arange(6, dtype="int64"),
+                       "v": [5.0, 10.0, 19.9, 25.0, 30.0, 45.0]})
+    ds = rd.from_pandas(df, override_num_blocks=2)
+    ivds = rd.from_pandas(iv)
+    left = range_join_partitioned(
+        ds, ivds, "v", bucket_width=8.0, how="left", num_partitions=4
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(left) == 6
+    assert left["tag"].isna().sum() == 2  # 25.0 gap + 45.0 beyond
+    assert list(left["tag"].dropna()) == ["a", "b", "b", "c"]
+    # overlapping intervals are detected even though the join distributes
+    bad = rd.from_pandas(pd.DataFrame(
+        {"lo": [0.0, 5.0], "hi": [6.0, 9.0], "tag": ["x", "y"]}))
+    with pytest.raises(Exception, match="non-overlapping"):
+        range_join_partitioned(
+            ds, bad, "v", bucket_width=8.0, num_partitions=4
+        ).materialize()
