@@ -76,6 +76,10 @@ def main(argv=None) -> int:
                     help="also write packed/ — greedy token-bin packed "
                          "sequences per (split, lang), trainer-ready")
     ex.add_argument("--pack-capacity", type=int, default=2048)
+    ex.add_argument("--text-only", action="store_true",
+                    help="--from-run only: drop media segments (default "
+                         "exports interleaved text+media with a deduped "
+                         "media/ table)")
     ex.add_argument("--num-cpus", type=int, default=None)
 
     g = sub.add_parser("gen-corpus", help="synthesize a corpus")
@@ -127,10 +131,12 @@ def main(argv=None) -> int:
             ap.error("export needs exactly one of --sf-dir / --from-run")
         fn, src = ((export_run, args.from_run) if args.from_run
                    else (export_corpus, args.sf_dir))
+        kw2 = {"multimodal": not args.text_only} if args.from_run else {}
         manifest = fn(
             src, args.out, min_quality=args.min_quality,
             langs=args.langs, resume=not args.no_resume,
             packed=args.packed, pack_capacity=args.pack_capacity,
+            **kw2,
         )
         print(json.dumps(manifest))
         return 0

@@ -226,3 +226,172 @@ def media_features(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
         # retry + fresh actor instead of an in-place restart.
         max_restarts=0,
     )
+
+
+# -- interleaved text+media documents (the north-rule corpus shape) ---------
+#
+# The training-data side of multimodality: documents as ORDERED sequences
+# of text and media segments (the `input_hint` shape; the reference's
+# family blob likewise preserves every file kind in order,
+# `/root/reference/crawlers/globus_base_preserved.py:320-346`). The
+# synthetic derivation below is a pure deterministic function of
+# (doc_id, text) computable by both engines, so segment order, media
+# identity and packing are all SQL-oracle-checkable.
+
+SEGMENT_STRUCT = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+SEGMENTS_TYPE = pa.list_(SEGMENT_STRUCT)
+
+
+def _segment_arrays(
+    df: pd.DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_chunk: int = 20,
+    ref_mod: int = 257,
+):
+    """Vectorized interleaved-segment derivation for one batch.
+
+    Splits each doc's text into ``words_per_chunk``-word chunks and
+    inserts a deterministic media segment between consecutive chunks
+    (ref = ``m{(doc_id*131 + chunk) % ref_mod}`` — refs repeat across
+    docs, so corpus-level media dedup is non-trivial). Split is on a
+    single space to match DuckDB ``string_split(text, ' ')`` exactly.
+
+    Returns (doc_idx, pos, kind, content) numpy arrays sorted by
+    (doc, pos) — content holds the chunk text for text segments and the
+    media ref for media segments — plus per-doc (n_chunks, n_media).
+    """
+    ids = df[id_col].to_numpy()
+    words = df[text_col].astype(str).str.split(" ")
+    lens = words.str.len().to_numpy().astype(np.int64)
+    nch = (lens + words_per_chunk - 1) // words_per_chunk
+    n = len(df)
+
+    # chunk join: one flat word array, chunk ids via the arange trick
+    flat = np.concatenate(
+        [w for w in words.to_numpy() if w]
+    ).astype(object) if lens.sum() else np.array([], dtype=object)
+    W0 = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=W0[1:])
+    C0 = np.zeros(n + 1, np.int64)
+    np.cumsum(nch, out=C0[1:])
+    pos_in_doc = np.arange(int(lens.sum())) - np.repeat(W0[:-1], lens)
+    chunk_global = np.repeat(C0[:-1], lens) + pos_in_doc // words_per_chunk
+    chunks = (
+        pd.Series(flat).groupby(chunk_global, sort=True).agg(" ".join)
+        .to_numpy(dtype=object)
+        if len(flat) else np.array([], dtype=object)
+    )
+
+    # text segment rows: doc d chunk c at pos 2c
+    t_doc = np.repeat(np.arange(n), nch)
+    t_c = np.arange(int(nch.sum())) - np.repeat(C0[:-1], nch)
+    # media rows: between chunks (c < nch-1) at pos 2c+1
+    nme = np.maximum(nch - 1, 0)
+    m_doc = np.repeat(np.arange(n), nme)
+    M0 = np.zeros(n + 1, np.int64)
+    np.cumsum(nme, out=M0[1:])
+    m_c = np.arange(int(nme.sum())) - np.repeat(M0[:-1], nme)
+    m_ref_num = (ids[m_doc].astype(np.int64) * 131 + m_c) % ref_mod
+    m_content = np.char.add(
+        "m", m_ref_num.astype(np.int64).astype(str)).astype(object)
+
+    doc_idx = np.concatenate([t_doc, m_doc])
+    pos = np.concatenate([2 * t_c, 2 * m_c + 1]).astype(np.int32)
+    kind = np.concatenate([
+        np.full(len(t_doc), "text", dtype=object),
+        np.full(len(m_doc), "media", dtype=object),
+    ])
+    content = np.concatenate([chunks, m_content]) if len(doc_idx) else \
+        np.array([], dtype=object)
+    order = np.lexsort((pos, doc_idx))
+    return (doc_idx[order], pos[order], kind[order], content[order],
+            nch, nme)
+
+
+def segment_rows(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_chunk: int = 20,
+    ref_mod: int = 257,
+) -> rd.Dataset:
+    """Documents → exploded interleaved segment rows
+    (doc_id, pos, kind, content) in document order — the span-order
+    parity surface (one batch pass, no shuffle)."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, pos, kind, content, _, _ = _segment_arrays(
+            df, text_col, id_col, words_per_chunk, ref_mod)
+        ids = df[id_col].to_numpy()
+        return pd.DataFrame({
+            id_col: ids[doc_idx],
+            "pos": pos.astype("int64"),
+            "kind": kind,
+            "content": content,
+        })
+
+    return ds.map_batches(explode, batch_format="pandas")
+
+
+def interleaved_docs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+    words_per_chunk: int = 20,
+    ref_mod: int = 257,
+) -> rd.Dataset:
+    """Documents → one row per doc with an Arrow ``segments``
+    list<struct<kind, text, media_ref, offset>> column (text+media in
+    document order), plus n_tokens (word count) and n_media — the
+    per-document multimodal shape the export/pack stages consume."""
+    keep_cols = list(keep_cols)
+
+    def build(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            id_col: t[id_col].to_numpy(zero_copy_only=False),
+            text_col: t[text_col].to_numpy(zero_copy_only=False),
+        })
+        doc_idx, pos, kind, content, nch, nme = _segment_arrays(
+            df, text_col, id_col, words_per_chunk, ref_mod)
+        is_text = kind == "text"
+        seg_text = np.where(is_text, content, "").astype(object)
+        seg_ref = np.where(is_text, "", content).astype(object)
+        flat = pa.StructArray.from_arrays(
+            [
+                pa.array(kind, type=pa.string()),
+                pa.array(seg_text, type=pa.string()),
+                pa.array(seg_ref, type=pa.string()),
+                pa.array(pos, type=pa.int32()),
+            ],
+            fields=list(SEGMENT_STRUCT),
+        )
+        offsets = np.zeros(len(df) + 1, np.int64)
+        np.cumsum((nch + nme), out=offsets[1:])
+        segments = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), flat)
+        lens = (
+            df[text_col].astype(str).str.split(" ").str.len()
+            .to_numpy().astype("int64")
+        )
+        cols = {
+            id_col: t[id_col],
+            text_col: t[text_col],
+            "n_tokens": pa.array(lens, type=pa.int64()),
+            "n_media": pa.array(nme.astype("int64"), type=pa.int64()),
+            "segments": segments,
+        }
+        for c in keep_cols:
+            cols[c] = t[c]
+        return pa.Table.from_arrays(
+            list(cols.values()), names=list(cols.keys()))
+
+    return ds.map_batches(build, batch_format="pyarrow")

@@ -883,3 +883,64 @@ def char_entropy(
         })
 
     return ds.map_batches(ent, batch_format="pandas")
+
+
+def pack_interleaved(
+    ds: rd.Dataset,
+    capacity: int = 512,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    segments_col: str = "segments",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Multimodal sequence packing: the same greedy per-group packing as
+    :func:`pack_payloads`, but each bin row carries the member docs'
+    INTERLEAVED segments (text+media, document order preserved within
+    and across docs) instead of joined text — the training-export shape
+    for a text+media corpus. Emits one row per bin:
+    ``(group, seq_id, n_docs, seq_tokens, n_media, segments)`` where
+    ``segments`` is the concatenated list<struct<kind, text, media_ref,
+    offset>> and ``n_media`` counts its media segments. Token budget is
+    text tokens only (``tokens_col``, precomputed by
+    ``interleaved_docs``); media segments ride free — callers charging a
+    per-media token cost should fold it into ``tokens_col`` upstream.
+    Same partitioning contract as pack_sequences (a group packs inside
+    one task; shard + namespace at scale)."""
+    from .relational import grouped_apply
+
+    def pack_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([group_col, id_col], kind="mergesort")
+        out = []
+        for g, grp in part.groupby(group_col, sort=False):
+            bins = greedy_pack_bins(grp[tokens_col].to_numpy(), capacity)
+            grp = grp.assign(seq_id=bins)
+            agg = grp.groupby("seq_id", sort=False).agg(
+                n_docs=(id_col, "size"),
+                seq_tokens=(tokens_col, "sum"),
+                **{segments_col: (
+                    segments_col,
+                    lambda s: [seg for doc in s for seg in doc],
+                )},
+            ).reset_index()
+            agg.insert(0, group_col, g)
+            out.append(agg)
+        if not out:
+            return pd.DataFrame({
+                group_col: [], "seq_id": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "seq_tokens": pd.Series([], dtype="int64"),
+                "n_media": pd.Series([], dtype="int64"),
+                segments_col: pd.Series([], dtype=object),
+            })
+        o = pd.concat(out, ignore_index=True)
+        o["n_docs"] = o["n_docs"].astype("int64")
+        o["seq_tokens"] = o["seq_tokens"].astype("int64")
+        o["n_media"] = o[segments_col].map(
+            lambda segs: sum(1 for s in segs if s["kind"] == "media")
+        ).astype("int64")
+        return o[[group_col, "seq_id", "n_docs", "seq_tokens", "n_media",
+                  segments_col]]
+
+    return grouped_apply(ds, [group_col], pack_part,
+                         num_partitions=num_partitions)

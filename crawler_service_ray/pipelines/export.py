@@ -76,16 +76,24 @@ def _dedup_split_write(
     packed: bool,
     pack_capacity: int,
     manifest_path: str,
+    multimodal: bool = False,
 ) -> dict:
     """Shared tail: exact dedup (columns ride as passengers) → split →
     partitioned write (+ optional packed table) → manifest. ``kept`` is
-    a materialized Dataset with at least (doc_id, text, lang_pred)."""
+    a materialized Dataset with at least (doc_id, text, lang_pred);
+    with ``multimodal=True`` it also carries (segments, n_media,
+    n_tokens) and the export additionally (a) keeps the interleaved
+    ``segments`` column in ``data/``, (b) writes a ``media/`` table of
+    corpus-deduped refs (media_ref, n_uses, first_doc), (c) accounts
+    media in the manifest, and (d) packs INTERLEAVED sequences (media
+    refs preserved in document order) instead of text-only payloads."""
     if kept.count() == 0:
         # an earlier export into this out_dir may have left data/ and
         # packed/ behind; a 0-row manifest must not sit next to stale
         # partitions a hive reader would still see
         shutil.rmtree(os.path.join(out_dir, "data"), ignore_errors=True)
         shutil.rmtree(os.path.join(out_dir, "packed"), ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, "media"), ignore_errors=True)
         return _write_manifest(
             {**base, "rows_written": 0, "partitions": {}}, manifest_path)
 
@@ -95,9 +103,9 @@ def _dedup_split_write(
     survivors = dedup.exact_dedup(kept, text_col="text", id_col="doc_id",
                                   keep_cols=passengers)
     final = survivors.map_batches(_assign_split, batch_format="pandas")
-    if packed:
-        # both the doc table and the packed table consume `final`;
-        # materialize so the dedup+join chain executes once
+    if packed or multimodal:
+        # the doc table, the media table and the packed table all
+        # consume `final`; materialize so the dedup chain executes once
         final = final.materialize()
 
     data_dir = os.path.join(out_dir, "data")
@@ -107,6 +115,36 @@ def _dedup_split_write(
     os.makedirs(tmp_dir, exist_ok=True)
     final.write_parquet(tmp_dir, partition_cols=["split", "lang_pred"])
     os.replace(tmp_dir, data_dir)
+
+    if multimodal:
+        # corpus-level media dedup: explode (media_ref, doc_id) pairs —
+        # only those pairs shuffle, never payloads — and aggregate to one
+        # row per distinct ref with its use count and first-owner doc
+        from ..functions.relational import grouped_agg
+
+        def media_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            segs = df["segments"]
+            counts = segs.map(
+                lambda s: sum(1 for x in s if x["kind"] == "media"))
+            refs = [x["media_ref"] for s in segs for x in s
+                    if x["kind"] == "media"]
+            ids = np.repeat(df["doc_id"].to_numpy(dtype=object),
+                            counts.to_numpy())
+            return pd.DataFrame({"media_ref": pd.Series(refs, dtype=object),
+                                 "doc_id": pd.Series(ids, dtype=object)})
+
+        media_tbl = grouped_agg(
+            final.map_batches(media_pairs, batch_format="pandas"),
+            ["media_ref"],
+            {"n_uses": ("doc_id", "count"), "first_doc": ("doc_id", "min")},
+        )
+        media_dir = os.path.join(out_dir, "media")
+        tmp_m = os.path.join(out_dir, ".tmp_media")
+        shutil.rmtree(tmp_m, ignore_errors=True)
+        shutil.rmtree(media_dir, ignore_errors=True)
+        os.makedirs(tmp_m, exist_ok=True)
+        media_tbl.write_parquet(tmp_m)
+        os.replace(tmp_m, media_dir)
 
     if packed:
         def tag_group(df: pd.DataFrame) -> pd.DataFrame:
@@ -121,10 +159,17 @@ def _dedup_split_write(
             df["lang_pred"] = parts.str[1]
             return df
 
-        seqs = text.pack_payloads(
-            final.map_batches(tag_group, batch_format="pandas"),
-            capacity=pack_capacity, group_col="__grp",
-        ).map_batches(untag, batch_format="pandas")
+        tagged = final.map_batches(tag_group, batch_format="pandas")
+        if multimodal:
+            # interleaved sequences: media refs ride in document order
+            seqs = text.pack_interleaved(
+                tagged, capacity=pack_capacity, group_col="__grp",
+                tokens_col="n_tokens",
+            ).map_batches(untag, batch_format="pandas")
+        else:
+            seqs = text.pack_payloads(
+                tagged, capacity=pack_capacity, group_col="__grp",
+            ).map_batches(untag, batch_format="pandas")
         packed_dir = os.path.join(out_dir, "packed")
         tmp_p = os.path.join(out_dir, ".tmp_packed")
         shutil.rmtree(tmp_p, ignore_errors=True)
@@ -146,10 +191,19 @@ def _dedup_split_write(
         "rows_written": int(sizes.sum()),
         "partitions": {f"{s}/{lg}": int(n) for (s, lg), n in sizes.items()},
     }
+    if multimodal:
+        mt = pads.dataset(os.path.join(out_dir, "media")).to_table(
+            columns=["media_ref", "n_uses"])
+        manifest["media_unique"] = int(mt.num_rows)
+        manifest["media_occurrences"] = int(
+            pd.Series(mt["n_uses"].to_numpy(zero_copy_only=False)).sum())
     if packed:
+        pcols = ["split", "lang_pred", "n_docs", "seq_tokens"]
+        if multimodal:
+            pcols.append("n_media")
         pt = pads.dataset(
             os.path.join(out_dir, "packed"), partitioning="hive"
-        ).to_table(columns=["split", "lang_pred", "n_docs", "seq_tokens"])
+        ).to_table(columns=pcols)
         pdf = pt.to_pandas()
         manifest["pack_capacity"] = pack_capacity
         manifest["sequences"] = {
@@ -158,6 +212,8 @@ def _dedup_split_write(
         }
         manifest["packed_docs"] = int(pdf["n_docs"].sum())
         manifest["packed_tokens"] = int(pdf["seq_tokens"].sum())
+        if multimodal:
+            manifest["packed_media"] = int(pdf["n_media"].sum())
     return _write_manifest(manifest, manifest_path)
 
 
@@ -222,28 +278,42 @@ def export_run(
     resume: bool = True,
     packed: bool = False,
     pack_capacity: int = 2048,
+    multimodal: bool = True,
 ) -> dict:
     """Crawl → curate → training data: export a finished crawl run.
 
     Text is reassembled from each fetched doc's interleaved span list
-    (text spans only, already in offset order — span-sequence equality
-    vs the reference is pytest-pinned, so the concatenation is
-    deterministic); quality_score / lang_pred come from the crawl's own
-    enrichment columns, so no re-scoring pass runs. doc_id is the URL;
-    the split hash is the 64-bit string hash (same invariance
-    guarantees as the integer path).
+    (already in offset order — span-sequence equality vs the reference
+    is pytest-pinned, so the concatenation is deterministic);
+    quality_score / lang_pred come from the crawl's own enrichment
+    columns, so no re-scoring pass runs. doc_id is the URL; the split
+    hash is the 64-bit string hash (same invariance guarantees as the
+    integer path).
+
+    With ``multimodal=True`` (default) the export PRESERVES the media
+    modality the crawl fetched: each doc keeps its interleaved
+    ``segments`` (text + media spans in document order; link spans are
+    navigation, not content, and drop), a corpus-deduped ``media/``
+    table is written, media counts land in the manifest, and
+    ``packed=True`` packs interleaved sequences — the reference's
+    family blob likewise preserves every file kind in order
+    (`/root/reference/crawlers/globus_base_preserved.py:320-346`).
+    ``multimodal=False`` restores the text-only export.
     """
     manifest_path = os.path.join(out_dir, "export_manifest.json")
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             return json.load(f)
 
+    from ..functions.multimodal import SEGMENT_STRUCT
+    from ..functions.text import _re2_token_count
     from .crawl import fetched_dataset
 
     docs = fetched_dataset(run_dir)
     n_in = docs.count()
 
     def reassemble(t):
+        import pyarrow as pa
         import pyarrow.compute as pc
 
         spans = t.column("spans")
@@ -267,6 +337,38 @@ def export_run(
                 zero_copy_only=False),
         })
         out.loc[joined.index, "text"] = joined.to_numpy()
+        if multimodal:
+            refs = flat.field("media_ref").to_numpy(zero_copy_only=False)
+            offs = flat.field("offset").to_numpy(zero_copy_only=False)
+            # content spans only, document order: links are navigation
+            # and compressed spans are archive pointers whose members
+            # already export as their own docs
+            seg = (kinds == "text") | (kinds == "media")
+            sp, sk = parents[seg], kinds[seg]
+            is_txt = sk == "text"
+            seg_flat = pa.StructArray.from_arrays(
+                [
+                    pa.array(sk, type=pa.string()),
+                    pa.array(np.where(is_txt, texts[seg], ""),
+                             type=pa.string()),
+                    pa.array(np.where(is_txt, "", refs[seg]),
+                             type=pa.string()),
+                    pa.array(offs[seg], type=pa.int32()),
+                ],
+                fields=list(SEGMENT_STRUCT),
+            )
+            # offsets: kept flat spans with parent < i (parents ascend)
+            seg_list = pa.ListArray.from_arrays(
+                pa.array(np.searchsorted(sp, np.arange(n + 1)),
+                         type=pa.int32()),
+                seg_flat,
+            )
+            # python lists (not ndarray elements): pandas->arrow block
+            # conversion re-infers list<struct> cleanly on write
+            out["segments"] = pd.Series(seg_list.to_pylist(), dtype=object)
+            out["n_media"] = np.bincount(
+                sp[sk == "media"], minlength=n).astype("int64")
+            out["n_tokens"] = _re2_token_count(out["text"]).to_numpy()
         keep = out["quality_score"] >= min_quality
         if langs is not None:
             keep &= out["lang_pred"].isin(langs)
@@ -276,4 +378,4 @@ def export_run(
     base = {"run_dir": os.path.abspath(run_dir), "rows_in": int(n_in),
             "min_quality": min_quality, "langs": langs}
     return _dedup_split_write(kept, out_dir, base, packed, pack_capacity,
-                              manifest_path)
+                              manifest_path, multimodal=multimodal)

@@ -3000,6 +3000,152 @@ GROUP BY w.lang, w.seq_id
 """
 
 
+# -- multimodal (interleaved text+media) queries ----------------------------
+
+_MM_CHUNKS_CTE = """
+toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, lang, c,
+         array_to_string(w[c*20+1 : least((c+1)*20, len(w))], ' ') AS chunk,
+         (len(w) + 19) // 20 AS nch
+  FROM toks, unnest(generate_series(0, (len(w)+19)//20 - 1)) AS t(c)
+),
+media AS (
+  SELECT doc_id, lang, c, 'm' || ((doc_id*131 + c) % 257) AS ref
+  FROM chunks WHERE c < nch - 1
+)
+"""
+
+
+def q_mm_segments(sf_dir: str):
+    """Interleaved text+media document derivation, span-order parity:
+    every document exploded to its ordered (pos, kind, content) segment
+    rows — text chunks at even positions, deterministic media refs
+    between them (`segment_rows`, one vectorized batch pass, no
+    shuffle). The exact interleaved shape `interleaved_docs` feeds the
+    multimodal export/pack path."""
+    from ..functions.multimodal import segment_rows
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
+    return segment_rows(docs)
+
+
+SQL_MM_SEGMENTS = f"""
+WITH {_MM_CHUNKS_CTE}
+SELECT doc_id, (2*c)::BIGINT AS pos, 'text' AS kind, chunk AS content
+FROM chunks
+UNION ALL
+SELECT doc_id, (2*c+1)::BIGINT, 'media', ref FROM media
+"""
+
+
+def q_mm_media_dedup(sf_dir: str):
+    """Corpus-level media dedup accounting: distinct media refs with use
+    counts and first-owner doc (refs deliberately repeat across docs).
+    Only (ref, doc_id) pairs shuffle — the multimodal analog of
+    `dedup_exact`'s (hash, id) exchange."""
+    from ..functions.multimodal import segment_rows
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
+    segs = segment_rows(docs)
+    med = segs.map_batches(
+        lambda df: df.loc[df["kind"] == "media",
+                          ["doc_id", "content"]].rename(
+                              columns={"content": "ref"}),
+        batch_format="pandas",
+    )
+    out = grouped_agg(med, ["ref"], {
+        "n_uses": ("doc_id", "count"),
+        "first_doc": ("doc_id", "min"),
+    })
+    return out.map_batches(
+        lambda df: df.assign(n_uses=df["n_uses"].astype("int64"),
+                             first_doc=df["first_doc"].astype("int64")),
+        batch_format="pandas",
+    )
+
+
+SQL_MM_MEDIA_DEDUP = f"""
+WITH {_MM_CHUNKS_CTE}
+SELECT ref, count(*)::BIGINT AS n_uses, min(doc_id)::BIGINT AS first_doc
+FROM media GROUP BY ref
+"""
+
+
+def q_mm_pack(sf_dir: str):
+    """Multimodal sequence packing: interleaved docs greedily packed
+    into token bins per language (`interleaved_docs` →
+    `pack_interleaved`); each bin's media refs, in exact segment order,
+    are string-joined and value-hashed against the oracle's ordered
+    string_agg — media survive packing in document order."""
+    from ..functions.multimodal import interleaved_docs
+    from ..functions.text import pack_interleaved
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "text"],
+                      bytes_per_block=_DOC_BPB)
+    docs = interleaved_docs(docs, keep_cols=("lang",))
+    packed = pack_interleaved(docs, capacity=_PACK_CAPACITY)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        refs = df["segments"].map(
+            lambda segs: ",".join(
+                s["media_ref"] for s in segs if s["kind"] == "media"))
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "seq_id": df["seq_id"].astype("int64"),
+            "n_docs": df["n_docs"].astype("int64"),
+            "seq_tokens": df["seq_tokens"].astype("int64"),
+            "n_media": df["n_media"].astype("int64"),
+            "refs": refs,
+        })
+
+    return packed.map_batches(fin, batch_format="pandas")
+
+
+SQL_MM_PACK = f"""
+WITH RECURSIVE {_MM_CHUNKS_CTE},
+ntok AS (
+  SELECT doc_id, lang, len(w)::BIGINT AS n_tokens FROM toks
+),
+ord AS (
+  SELECT lang, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM ntok
+),
+walk AS (
+  SELECT lang, doc_id, n_tokens, rn,
+         0::BIGINT AS seq_id, n_tokens AS fill
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN w.fill + o.n_tokens > {_PACK_CAPACITY}
+              THEN w.seq_id + 1 ELSE w.seq_id END,
+         CASE WHEN w.fill + o.n_tokens > {_PACK_CAPACITY}
+              THEN o.n_tokens ELSE w.fill + o.n_tokens END
+  FROM walk w JOIN ord o ON o.lang = w.lang AND o.rn = w.rn + 1
+),
+seqs AS (
+  SELECT lang, seq_id, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS seq_tokens
+  FROM walk GROUP BY 1, 2
+),
+med AS (
+  SELECT w.lang, w.seq_id, count(*)::BIGINT AS n_media,
+         string_agg(m.ref, ',' ORDER BY m.doc_id, m.c) AS refs
+  FROM walk w JOIN media m ON m.doc_id = w.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.lang, s.seq_id, s.n_docs, s.seq_tokens,
+       coalesce(med.n_media, 0)::BIGINT AS n_media,
+       coalesce(med.refs, '') AS refs
+FROM seqs s LEFT JOIN med ON med.lang = s.lang AND med.seq_id = s.seq_id
+"""
+
+
 def q_dup_spans_clean(sf_dir: str):
     """Passage-level dedup REMOVAL (the action to `dup_spans`'
     detection): every word covered by a cross-doc duplicated 8-gram is
@@ -3287,6 +3433,9 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "dup_spans_clean": q_dup_spans_clean,
     "kmeans_audit": q_kmeans_audit,
+    "mm_segments": q_mm_segments,
+    "mm_media_dedup": q_mm_media_dedup,
+    "mm_pack": q_mm_pack,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "dedup_embedding_ivf_subset": q_dedup_embedding_ivf_subset,
@@ -3382,6 +3531,9 @@ ORACLE_SQL = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_minhash_subset": SQL_DEDUP_MINHASH_SUBSET,
     "quantiles_sketch_err": SQL_QUANTILES_SKETCH_ERR,
+    "mm_segments": SQL_MM_SEGMENTS,
+    "mm_media_dedup": SQL_MM_MEDIA_DEDUP,
+    "mm_pack": SQL_MM_PACK,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash_subset": SQL_DEDUP_SIMHASH_SUBSET,
     "line_dedup": SQL_LINE_DEDUP,

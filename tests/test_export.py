@@ -113,3 +113,73 @@ def test_export_run_crawl_to_training_data(ray_session, tiny_corpus,
     assert df["quality_score"].notna().all()
     # resume no-op
     assert export_run(run, out) == m
+
+
+def test_export_run_multimodal_media(ray_session, tiny_corpus, tmp_path):
+    """Interleaved text+media export: segments column preserves span
+    order, media/ is corpus-deduped, manifest accounts both tables."""
+    from crawler_service_ray.config import CrawlConfig
+    from crawler_service_ray.pipelines.crawl import CrawlRun
+    from crawler_service_ray.pipelines.export import export_run
+
+    run = str(tmp_path / "run")
+    cfg = CrawlConfig(
+        corpus_dir=tiny_corpus, run_dir=run,
+        seeds=["http://h0.test/p/0", "http://h1.test/p/0"],
+        max_epochs=30, num_seen_shards=2)
+    CrawlRun(cfg).run(resume=False)
+
+    out = str(tmp_path / "exp_mm")
+    m = export_run(run, out, min_quality=0.0, packed=True,
+                   pack_capacity=256)
+
+    df = pads.dataset(os.path.join(out, "data"),
+                      partitioning="hive").to_table().to_pandas()
+    # segments: interleaved, in span (offset) order, media preserved
+    assert "segments" in df.columns
+    n_media_total = 0
+    saw_media = False
+    for _, row in df.iterrows():
+        segs = list(row["segments"])
+        offs = [s["offset"] for s in segs]
+        assert offs == sorted(offs)  # document order preserved
+        kinds = {s["kind"] for s in segs}
+        assert kinds <= {"text", "media"}  # links dropped
+        media = [s for s in segs if s["kind"] == "media"]
+        for s in media:
+            assert s["media_ref"]
+        n_media_total += len(media)
+        saw_media = saw_media or bool(media)
+        assert int(row["n_media"]) == len(media)
+    assert saw_media  # the corpus genuinely carries media spans
+
+    # media/: corpus-level dedup with use accounting
+    mt = pads.dataset(os.path.join(out, "media")).to_table().to_pandas()
+    assert not mt["media_ref"].duplicated().any()
+    assert mt["n_uses"].sum() == n_media_total
+    assert m["media_unique"] == len(mt)
+    assert m["media_occurrences"] == n_media_total
+    # occurrences can only meet or exceed distinct refs (true repeats
+    # are pinned by the oracle-checked mm_media_dedup query, whose
+    # derived refs collide across docs by construction)
+    assert m["media_occurrences"] >= m["media_unique"]
+
+    # packed/: interleaved sequences keep every media ref in doc order
+    pdf = pads.dataset(os.path.join(out, "packed"),
+                       partitioning="hive").to_table().to_pandas()
+    assert m["packed_media"] == n_media_total
+    assert pdf["n_media"].sum() == n_media_total
+    for _, row in pdf.iterrows():
+        segs = list(row["segments"])
+        assert int(row["n_media"]) == sum(
+            1 for s in segs if s["kind"] == "media")
+
+    # text-only escape hatch: no segments / media artifacts
+    out2 = str(tmp_path / "exp_txt")
+    m2 = export_run(run, out2, min_quality=0.0, multimodal=False)
+    df2 = pads.dataset(os.path.join(out2, "data"),
+                       partitioning="hive").to_table().to_pandas()
+    assert "segments" not in df2.columns
+    assert not os.path.exists(os.path.join(out2, "media"))
+    assert "media_unique" not in m2
+    assert m2["rows_written"] == m["rows_written"]
