@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "moving_avg",
     "pack_sequences",
     "dup_spans",
+    # round-4 additions: large×large non-equi join + multimodal packing
+    "range_join_partitioned",
+    "mm_pack",
 ]
 
 

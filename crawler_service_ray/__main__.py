@@ -80,6 +80,10 @@ def main(argv=None) -> int:
                     help="--from-run only: drop media segments (default "
                          "exports interleaved text+media with a deduped "
                          "media/ table)")
+    ex.add_argument("--multimodal", action="store_true",
+                    help="--sf-dir only: derive interleaved text+media "
+                         "segments per doc (the mm_* derivation) and "
+                         "export them like --from-run does by default")
     ex.add_argument("--num-cpus", type=int, default=None)
 
     g = sub.add_parser("gen-corpus", help="synthesize a corpus")
@@ -131,7 +135,8 @@ def main(argv=None) -> int:
             ap.error("export needs exactly one of --sf-dir / --from-run")
         fn, src = ((export_run, args.from_run) if args.from_run
                    else (export_corpus, args.sf_dir))
-        kw2 = {"multimodal": not args.text_only} if args.from_run else {}
+        kw2 = ({"multimodal": not args.text_only} if args.from_run
+               else {"multimodal": args.multimodal})
         manifest = fn(
             src, args.out, min_quality=args.min_quality,
             langs=args.langs, resume=not args.no_resume,

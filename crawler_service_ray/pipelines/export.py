@@ -225,6 +225,7 @@ def export_corpus(
     resume: bool = True,
     packed: bool = False,
     pack_capacity: int = 2048,
+    multimodal: bool = False,
 ) -> dict:
     """Filter → dedup → split → write hive-partitioned parquet from a
     documents shard.
@@ -234,6 +235,12 @@ def export_corpus(
     sequences per (split, lang) group — split boundaries are never
     crossed, so train sequences cannot leak val/test text — one row per
     sequence (seq text + doc count + token sum), same hive partitioning.
+
+    With ``multimodal=True`` each document is first re-derived as an
+    interleaved text+media segment sequence (`interleaved_docs` — the
+    deterministic derivation the mm_* oracle queries pin) and the
+    export carries segments / media table / media accounting exactly
+    like `export_run`'s multimodal path.
 
     Returns the manifest: input/kept/written row counts and per
     (split, lang) partition sizes. With ``resume=True`` a complete
@@ -248,6 +255,10 @@ def export_corpus(
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     n_in = docs.count()
+    if multimodal:
+        from ..functions.multimodal import interleaved_docs
+
+        docs = interleaved_docs(docs)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         q = text.quality_features(df)
@@ -256,18 +267,24 @@ def export_corpus(
         out["quality_score"] = q["quality_score"]
         out["n_words"] = q["n_words"].astype("int64")
         out["lang_pred"] = lang["lang_pred"].to_numpy()
+        if multimodal:
+            # arrow list<struct> -> python lists so downstream pandas
+            # blocks re-convert to arrow cleanly on write
+            out["segments"] = df["segments"].map(list)
+            out["n_media"] = df["n_media"].astype("int64")
+            out["n_tokens"] = df["n_tokens"].astype("int64")
         keep = out["quality_score"] >= min_quality
         if langs is not None:
             keep &= out["lang_pred"].isin(langs)
         return out[keep]
 
     # one scoring pass: materialize the (shard-sized) filtered rows so
-    # the emptiness probe and the dedup+join reuse the same blocks
+    # the emptiness probe and the dedup reuse the same blocks
     kept = docs.map_batches(score, batch_format="pandas").materialize()
     base = {"sf_dir": os.path.abspath(sf_dir), "rows_in": int(n_in),
             "min_quality": min_quality, "langs": langs}
     return _dedup_split_write(kept, out_dir, base, packed, pack_capacity,
-                              manifest_path)
+                              manifest_path, multimodal=multimodal)
 
 
 def export_run(

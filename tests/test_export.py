@@ -183,3 +183,24 @@ def test_export_run_multimodal_media(ray_session, tiny_corpus, tmp_path):
     assert not os.path.exists(os.path.join(out2, "media"))
     assert "media_unique" not in m2
     assert m2["rows_written"] == m["rows_written"]
+
+
+def test_export_corpus_multimodal(ray_session, tmp_path):
+    """--sf-dir multimodal: interleaved derivation + media dedup over a
+    plain documents shard (refs collide across docs by construction)."""
+    from crawler_service_ray.pipelines.export import export_corpus
+
+    out = str(tmp_path / "exp_mm_c")
+    m = export_corpus("/root/testdata/sf0.001", out, min_quality=0.5,
+                      packed=True, pack_capacity=256, multimodal=True)
+    assert m["media_occurrences"] > m["media_unique"]  # true dedup
+    assert m["packed_media"] == m["media_occurrences"]
+    df = pads.dataset(os.path.join(out, "data"),
+                      partitioning="hive").to_table().to_pandas()
+    assert "segments" in df.columns
+    assert (df["n_media"].to_numpy() >= 0).all()
+    # per-doc media accounting is internally consistent
+    assert df["n_media"].sum() == m["media_occurrences"]
+    mt = pads.dataset(os.path.join(out, "media")).to_table().to_pandas()
+    assert len(mt) == m["media_unique"]
+    assert not mt["media_ref"].duplicated().any()
