@@ -395,3 +395,65 @@ def interleaved_docs(
             list(cols.values()), names=list(cols.keys()))
 
     return ds.map_batches(build, batch_format="pyarrow")
+
+
+class MediaRefFeatures:
+    """Actor-pool stage over UNIQUE media refs: materialize the payload
+    (``synth_payload`` stands in for the object fetch — deterministic
+    bytes from the ref; a real deployment fetches the blob here),
+    content-hash it (md5 — the M9 analog,
+    `/root/reference/legacy/posix_crawler.py:71-91`), sniff the MIME and
+    parse header features. Runs AFTER ref-level dedup, so payload work
+    is paid once per distinct ref, never per occurrence."""
+
+    def __init__(self):
+        self.codec = HeaderCodec()
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        refs = df["media_ref"].to_numpy(dtype=object)
+        h = pd.util.hash_array(refs)
+        n = len(refs)
+        chash = np.empty(n, dtype=object)
+        nbytes = np.zeros(n, dtype=np.int64)
+        mtypes = np.empty(n, dtype=object)
+        decoded = np.zeros(n, dtype=bool)
+        for i in range(n):
+            p = synth_payload(int(h[i]))
+            chash[i] = hashlib.md5(p).hexdigest()
+            nbytes[i] = len(p)
+            try:
+                mtypes[i] = self.codec.decode(p)["media_type"]
+                decoded[i] = True
+            except (NotImplementedError, struct.error):
+                mtypes[i] = sniff_mime(p)
+        return df.assign(content_hash=chash, payload_bytes=nbytes,
+                         media_type=mtypes, decoded=decoded)
+
+
+def media_content_dedup(
+    ds: rd.Dataset,
+    ref_col: str = "media_ref",
+    hash_col: str = "content_hash",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Content-level media dedup: refs whose payloads hash identically
+    collapse to one canonical ref (the min, deterministic) — the second
+    dedup tier after ref-level (distinct URLs can serve identical
+    bytes). One (hash → partition) shuffle of the already-deduped ref
+    table; adds ``canonical_ref`` and ``content_dup_count`` columns."""
+    from .relational import grouped_apply
+
+    def canon(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([hash_col, ref_col], kind="mergesort")
+        gb = part.groupby(hash_col, sort=False)
+        part = part.assign(
+            canonical_ref=gb[ref_col].transform("first"),
+            content_dup_count=gb[ref_col].transform("size")
+            .astype("int64"),
+        )
+        return part
+
+    return grouped_apply(ds, [hash_col], canon,
+                         num_partitions=num_partitions)

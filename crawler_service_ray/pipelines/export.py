@@ -138,6 +138,19 @@ def _dedup_split_write(
             ["media_ref"],
             {"n_uses": ("doc_id", "count"), "first_doc": ("doc_id", "min")},
         )
+        # second dedup tier: payload features + content-hash
+        # canonicalization over the UNIQUE refs (payload work once per
+        # distinct ref; distinct refs serving identical bytes collapse
+        # to a canonical_ref)
+        from ..functions.multimodal import (
+            MediaRefFeatures,
+            media_content_dedup,
+        )
+
+        media_tbl = media_content_dedup(media_tbl.map_batches(
+            MediaRefFeatures, batch_format="pandas", batch_size=2048,
+            concurrency=(1, 4), max_restarts=0,
+        ))
         media_dir = os.path.join(out_dir, "media")
         tmp_m = os.path.join(out_dir, ".tmp_media")
         shutil.rmtree(tmp_m, ignore_errors=True)
@@ -193,10 +206,13 @@ def _dedup_split_write(
     }
     if multimodal:
         mt = pads.dataset(os.path.join(out_dir, "media")).to_table(
-            columns=["media_ref", "n_uses"])
+            columns=["media_ref", "n_uses", "content_hash"])
         manifest["media_unique"] = int(mt.num_rows)
         manifest["media_occurrences"] = int(
             pd.Series(mt["n_uses"].to_numpy(zero_copy_only=False)).sum())
+        manifest["media_content_unique"] = int(
+            len(pd.unique(mt["content_hash"].to_numpy(
+                zero_copy_only=False))))
     if packed:
         pcols = ["split", "lang_pred", "n_docs", "seq_tokens"]
         if multimodal:

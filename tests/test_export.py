@@ -159,6 +159,15 @@ def test_export_run_multimodal_media(ray_session, tiny_corpus, tmp_path):
     assert mt["n_uses"].sum() == n_media_total
     assert m["media_unique"] == len(mt)
     assert m["media_occurrences"] == n_media_total
+    # content tier: features decoded per unique ref, canonical refs are
+    # group minima and the manifest counts distinct payloads
+    assert mt["content_hash"].str.len().eq(32).all()
+    assert (mt["payload_bytes"] > 0).all()
+    assert set(mt.loc[mt["decoded"], "media_type"]) <= {
+        "image/png", "image/gif", "image/jpeg", "audio/wav"}
+    grp = mt.groupby("content_hash")["media_ref"]
+    assert (mt["canonical_ref"] == grp.transform("min")).all()
+    assert m["media_content_unique"] == mt["content_hash"].nunique()
     # occurrences can only meet or exceed distinct refs (true repeats
     # are pinned by the oracle-checked mm_media_dedup query, whose
     # derived refs collide across docs by construction)
@@ -204,3 +213,27 @@ def test_export_corpus_multimodal(ray_session, tmp_path):
     mt = pads.dataset(os.path.join(out, "media")).to_table().to_pandas()
     assert len(mt) == m["media_unique"]
     assert not mt["media_ref"].duplicated().any()
+    assert m["media_content_unique"] <= m["media_unique"]
+    assert (mt["canonical_ref"] ==
+            mt.groupby("content_hash")["media_ref"].transform("min")).all()
+
+
+def test_media_content_dedup_collapses_identical_payloads(ray_session):
+    """Distinct refs serving identical bytes collapse to one canonical
+    ref (content tier of the media dedup)."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.multimodal import (
+        media_content_dedup,
+    )
+
+    df = pd.DataFrame({
+        "media_ref": ["u/a", "u/b", "u/c", "u/d"],
+        "content_hash": ["h1", "h1", "h2", "h1"],
+        "n_uses": [3, 1, 2, 5],
+    })
+    out = media_content_dedup(
+        rd.from_pandas(df, override_num_blocks=2), num_partitions=4
+    ).to_pandas().sort_values("media_ref").reset_index(drop=True)
+    assert list(out["canonical_ref"]) == ["u/a", "u/a", "u/c", "u/a"]
+    assert list(out["content_dup_count"]) == [3, 3, 1, 3]
