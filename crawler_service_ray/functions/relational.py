@@ -1916,3 +1916,106 @@ def sessionize(
 
     return grouped_apply(ds, [key], per_partition,
                          num_partitions=num_partitions)
+
+
+def grouped_moments(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    col: str,
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """Grouped SKEWNESS and (excess) KURTOSIS — SQL ``skewness``/
+    ``kurtosis``, bias-corrected sample semantics — via the same
+    mergeable-partials pattern as ``grouped_corr``: each batch emits
+    (n, Σx, Σx², Σx³, Σx⁴) per key, partials sum-merge, and the finalize
+    converts raw power sums to central moments. NULL (NaN) below the
+    defining support (skew needs n≥3, kurtosis n≥4 — matching DuckDB).
+    Numerics caveat as grouped_corr: raw power sums cancel
+    catastrophically for very-large-magnitude columns; pre-center
+    upstream if |mean| ≫ stddev."""
+    keys = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[col].astype("float64")
+        t = pd.DataFrame({
+            **{k: df[k] for k in keys},
+            "__n": np.ones(len(df)),
+            "__s1": x, "__s2": x**2, "__s3": x**3, "__s4": x**4,
+        })
+        return t.groupby(keys, sort=False, observed=True).sum().reset_index()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, observed=True).sum().reset_index()
+        n = g["__n"].to_numpy()
+        s1, s2 = g["__s1"].to_numpy(), g["__s2"].to_numpy()
+        s3, s4 = g["__s3"].to_numpy(), g["__s4"].to_numpy()
+        m = s1 / n
+        m2 = np.maximum(s2 - s1 * m, 0.0)          # Σ(x-m)²
+        m3 = s3 - 3 * m * s2 + 2 * n * m**3        # Σ(x-m)³
+        m4 = s4 - 4 * m * s3 + 6 * m**2 * s2 - 3 * n * m**4
+        var = m2 / np.maximum(n - 1, 1)
+        sd3 = np.power(np.maximum(var, 1e-300), 1.5)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            skew = np.where(
+                n > 2,
+                n / np.maximum((n - 1) * (n - 2), 1) * m3 / sd3,
+                np.nan,
+            )
+            kurt = np.where(
+                n > 3,
+                n * (n + 1)
+                / np.maximum((n - 1) * (n - 2) * (n - 3), 1)
+                * m4 / np.maximum(var, 1e-300) ** 2
+                - 3 * (n - 1) ** 2 / np.maximum((n - 2) * (n - 3), 1),
+                np.nan,
+            )
+        out = g[keys].copy()
+        out["skew"] = skew.astype("float64")
+        out["kurt"] = kurt.astype("float64")
+        return out
+
+    part = ds.map_batches(partial, batch_format="pandas")
+    if merge_partitions and merge_partitions > 1:
+        return grouped_apply(part, keys, finalize,
+                             num_partitions=merge_partitions)
+    return part.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=None)
+
+
+def grouped_arg_extreme(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    val_col: str,
+    by_col: str,
+    mode: str = "max",
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """SQL ``arg_max(val, by)`` / ``arg_min`` per group, with a
+    DETERMINISTIC tiebreak (smallest ``val_col`` among tied ``by_col``
+    rows) so the result is parallelism-invariant and SQL-oracle-safe
+    (plain arg_max leaves ties unspecified — the oracle twin is a
+    row_number over (by DESC, val ASC)).
+
+    Partial-reducible, unlike a generic first/last window: each batch
+    keeps ONE candidate row per key (vectorized sort + head), so only
+    ≤|keys| rows per block reach the exchange — the wordcount pattern
+    applied to extremes."""
+    keys = list(keys)
+    asc_by = mode != "max"
+    if mode not in ("max", "min"):
+        raise ValueError("mode must be 'max' or 'min'")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[keys + [by_col, val_col]].sort_values(
+            keys + [by_col, val_col],
+            ascending=[True] * len(keys) + [asc_by, True],
+            kind="mergesort",
+        )
+        return df.groupby(keys, sort=False, observed=True).head(1)
+
+    part = ds.map_batches(pick, batch_format="pandas")
+    if merge_partitions and merge_partitions > 1:
+        return grouped_apply(part, keys, pick,
+                             num_partitions=merge_partitions)
+    return part.repartition(1).map_batches(
+        pick, batch_format="pandas", batch_size=None)

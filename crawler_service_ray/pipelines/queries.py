@@ -1710,6 +1710,68 @@ FROM orders JOIN iv ON o_totalprice >= lo AND o_totalprice < hi
 """
 
 
+def q_skew_kurt(sf_dir: str):
+    """Grouped skewness + excess kurtosis (bias-corrected sample
+    semantics) — `grouped_moments`: five mergeable power sums per key
+    per block, one small merge, no raw values past the first pass."""
+    from ..functions.relational import grouped_moments
+
+    ds = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_returnflag", "l_quantity"])
+    out = grouped_moments(ds, ["l_returnflag"], "l_quantity",
+                          merge_partitions=4)
+    return out.map_batches(
+        lambda df: df.assign(skew=df["skew"].round(6),
+                             kurt=df["kurt"].round(6)),
+        batch_format="pandas",
+    )
+
+
+SQL_SKEW_KURT = """
+SELECT l_returnflag, round(skewness(l_quantity), 6) AS skew,
+       round(kurtosis(l_quantity), 6) AS kurt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_argmax_order(sf_dir: str):
+    """Per-priority arg_max: the orderkey holding the group's maximum
+    price — `grouped_arg_extreme`: ONE candidate row per key leaves
+    each block (the wordcount pattern applied to extremes), merged by
+    the same comparison; deterministic smallest-key tiebreak keeps both
+    engines exact."""
+    from ..functions.relational import grouped_arg_extreme
+
+    ds = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
+                    columns=["o_orderpriority", "o_orderkey",
+                             "o_totalprice"])
+    out = grouped_arg_extreme(ds, ["o_orderpriority"],
+                              val_col="o_orderkey",
+                              by_col="o_totalprice", mode="max",
+                              merge_partitions=4)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "top_orderkey": df["o_orderkey"].astype("int64"),
+            "top_price": df["o_totalprice"].round(2),
+        }),
+        batch_format="pandas",
+    )
+
+
+SQL_ARGMAX_ORDER = """
+SELECT o_orderpriority, o_orderkey AS top_orderkey,
+       round(o_totalprice, 2) AS top_price
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS r
+  FROM orders
+) WHERE r = 1
+"""
+
+
 def q_mode_per_group(sf_dir: str):
     """Per-user most-frequent event type (deterministic ties: smallest
     value) — `grouped_mode`: partial counts before the exchange, one
@@ -3468,6 +3530,8 @@ QUERIES = {
     "rollup_lineitem": q_rollup_lineitem,
     "range_join": q_range_join,
     "range_join_partitioned": q_range_join_partitioned,
+    "skew_kurt": q_skew_kurt,
+    "argmax_order": q_argmax_order,
     "moving_avg": q_moving_avg,
     "normalize": q_normalize,
     "intersect_all_users": q_intersect_all_users,
@@ -3572,6 +3636,8 @@ ORACLE_SQL = {
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "range_join": SQL_RANGE_JOIN,
     "range_join_partitioned": SQL_RANGE_JOIN_PARTITIONED,
+    "skew_kurt": SQL_SKEW_KURT,
+    "argmax_order": SQL_ARGMAX_ORDER,
     "moving_avg": SQL_MOVING_AVG,
     "normalize": SQL_NORMALIZE,
     "intersect_all_users": SQL_INTERSECT_ALL_USERS,

@@ -65,6 +65,13 @@ SQL_CHECKED = [
     "gopher_filter",
     "first_last",
     "linreg",
+    # round 4
+    "range_join_partitioned",
+    "mm_segments",
+    "mm_media_dedup",
+    "mm_pack",
+    "skew_kurt",
+    "argmax_order",
 ]
 
 
@@ -790,3 +797,52 @@ def test_range_join_partitioned_left_and_overlap(ray_session):
         range_join_partitioned(
             ds, bad, "v", bucket_width=8.0, num_partitions=4
         ).materialize()
+
+
+def test_grouped_moments_support_bounds(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import grouped_moments
+
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 1, 2, 2, 2, 3, 3],
+        "x": [1.0, 2.0, 4.0, 8.0, 3.0, 3.0, 9.0, 5.0, 6.0],
+    })
+    out = grouped_moments(rd.from_pandas(df, override_num_blocks=3),
+                          ["g"], "x").to_pandas().sort_values("g")
+    # n=4: both defined (values pinned against DuckDB semantics)
+    assert abs(out.iloc[0]["skew"] - 1.1376243669576889) < 1e-9
+    assert abs(out.iloc[0]["kurt"] - 0.7576559546313808) < 1e-6
+    # n=3: skew defined, kurtosis NULL; n=2: both NULL
+    assert abs(out.iloc[1]["skew"] - 1.732050807568877) < 1e-9
+    assert np.isnan(out.iloc[1]["kurt"])
+    assert np.isnan(out.iloc[2]["skew"]) and np.isnan(out.iloc[2]["kurt"])
+    # partitioned merge matches coalesced
+    out2 = grouped_moments(rd.from_pandas(df, override_num_blocks=3),
+                           ["g"], "x", merge_partitions=4
+                           ).to_pandas().sort_values("g")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
+
+
+def test_grouped_arg_extreme_ties_and_modes(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        grouped_arg_extreme,
+    )
+
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 2, 2],
+        "v": [30, 10, 20, 7, 5],
+        "by": [9.0, 9.0, 1.0, 2.0, 8.0],
+    })
+    ds = rd.from_pandas(df, override_num_blocks=3)
+    mx = grouped_arg_extreme(ds, ["g"], "v", "by").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    # g=1 ties at by=9.0 -> smallest v wins (deterministic)
+    assert list(mx["v"]) == [10, 5]
+    mn = grouped_arg_extreme(ds, ["g"], "v", "by", mode="min",
+                             merge_partitions=2).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert list(mn["v"]) == [20, 7]
