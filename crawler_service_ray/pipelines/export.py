@@ -147,16 +147,38 @@ def _dedup_split_write(
             media_content_dedup,
         )
 
-        media_tbl = media_content_dedup(media_tbl.map_batches(
-            MediaRefFeatures, batch_format="pandas", batch_size=2048,
-            concurrency=(1, 4), max_restarts=0,
-        ))
         media_dir = os.path.join(out_dir, "media")
         tmp_m = os.path.join(out_dir, ".tmp_media")
         shutil.rmtree(tmp_m, ignore_errors=True)
         shutil.rmtree(media_dir, ignore_errors=True)
         os.makedirs(tmp_m, exist_ok=True)
-        media_tbl.write_parquet(tmp_m)
+        media_tbl = media_tbl.materialize()
+        if media_tbl.count() > 0:
+            media_tbl = media_content_dedup(media_tbl.map_batches(
+                MediaRefFeatures, batch_format="pandas", batch_size=2048,
+                concurrency=(1, 4), max_restarts=0,
+            ))
+            media_tbl.write_parquet(tmp_m)
+        else:
+            # all-text corpus: commit an empty table WITH schema so
+            # readers (and the manifest pass below) never hit a
+            # schemaless directory
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table({
+                    "media_ref": pa.array([], type=pa.string()),
+                    "n_uses": pa.array([], type=pa.int64()),
+                    "first_doc": pa.array([], type=pa.string()),
+                    "content_hash": pa.array([], type=pa.string()),
+                    "payload_bytes": pa.array([], type=pa.int64()),
+                    "media_type": pa.array([], type=pa.string()),
+                    "decoded": pa.array([], type=pa.bool_()),
+                    "canonical_ref": pa.array([], type=pa.string()),
+                }),
+                os.path.join(tmp_m, "empty.parquet"),
+            )
         os.replace(tmp_m, media_dir)
 
     if packed:

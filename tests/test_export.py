@@ -237,3 +237,35 @@ def test_media_content_dedup_collapses_identical_payloads(ray_session):
     ).to_pandas().sort_values("media_ref").reset_index(drop=True)
     assert list(out["canonical_ref"]) == ["u/a", "u/a", "u/c", "u/a"]
     assert list(out["content_dup_count"]) == [3, 3, 1, 3]
+
+
+def test_export_multimodal_all_text_corpus(ray_session, tmp_path):
+    """multimodal=True over docs that yield no media segments must still
+    commit a schema-complete empty media/ table and zeroed accounting."""
+    import ray.data as rd
+
+    import crawler_service_ray.pipelines.export as ex
+
+    # monkeypatch-free: drive _dedup_split_write through export_corpus
+    # with a doc set too short to produce chunks beyond one (no media)
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path / "sf_tiny")
+    os.makedirs(sf)
+    import pyarrow as pa
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["the and of to a in is it that for on with as",
+                          "was at by an be this are from the and of to"]),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["s", "s"]),
+        "n_chars": pa.array([40, 40], type=pa.int64()),
+    }), os.path.join(sf, "documents.parquet"))
+    out = str(tmp_path / "exp_notmedia")
+    m = ex.export_corpus(sf, out, min_quality=0.0, multimodal=True)
+    assert m["rows_written"] == 2
+    assert m["media_unique"] == 0
+    assert m["media_occurrences"] == 0
+    assert m["media_content_unique"] == 0
+    mt = pads.dataset(os.path.join(out, "media")).to_table()
+    assert mt.num_rows == 0 and "canonical_ref" in mt.schema.names
