@@ -266,7 +266,8 @@ def _segment_arrays(
 
     Returns (doc_idx, pos, kind, content) numpy arrays sorted by
     (doc, pos) — content holds the chunk text for text segments and the
-    media ref for media segments — plus per-doc (n_chunks, n_media).
+    media ref for media segments — plus per-doc (n_chunks, n_media,
+    n_words).
     """
     ids = df[id_col].to_numpy()
     words = df[text_col].astype(str).str.split(" ")
@@ -313,7 +314,7 @@ def _segment_arrays(
         np.array([], dtype=object)
     order = np.lexsort((pos, doc_idx))
     return (doc_idx[order], pos[order], kind[order], content[order],
-            nch, nme)
+            nch, nme, lens)
 
 
 def segment_rows(
@@ -328,7 +329,7 @@ def segment_rows(
     parity surface (one batch pass, no shuffle)."""
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        doc_idx, pos, kind, content, _, _ = _segment_arrays(
+        doc_idx, pos, kind, content, _, _, _ = _segment_arrays(
             df, text_col, id_col, words_per_chunk, ref_mod)
         ids = df[id_col].to_numpy()
         return pd.DataFrame({
@@ -360,7 +361,7 @@ def interleaved_docs(
             id_col: t[id_col].to_numpy(zero_copy_only=False),
             text_col: t[text_col].to_numpy(zero_copy_only=False),
         })
-        doc_idx, pos, kind, content, nch, nme = _segment_arrays(
+        doc_idx, pos, kind, content, nch, nme, lens = _segment_arrays(
             df, text_col, id_col, words_per_chunk, ref_mod)
         is_text = kind == "text"
         seg_text = np.where(is_text, content, "").astype(object)
@@ -378,10 +379,6 @@ def interleaved_docs(
         np.cumsum((nch + nme), out=offsets[1:])
         segments = pa.ListArray.from_arrays(
             pa.array(offsets, type=pa.int32()), flat)
-        lens = (
-            df[text_col].astype(str).str.split(" ").str.len()
-            .to_numpy().astype("int64")
-        )
         cols = {
             id_col: t[id_col],
             text_col: t[text_col],

@@ -1005,20 +1005,30 @@ def range_join_partitioned(
             v = p[value_col].to_numpy(dtype="float64")
             idx = np.searchsorted(lo_, v, side="right") - 1
             ok = (idx >= 0) & (v < hi_[np.maximum(idx, 0)])
+        def null_payload(nrows: int) -> pd.DataFrame:
+            # padded payload dtypes may be float64 (which rejects pd.NA)
+            # — use NaN where the dtype can hold it, object-None else
+            cols = {}
+            for c in payload_cols:
+                dt = g[c].dtype
+                try:
+                    cols[c] = pd.Series([np.nan] * nrows, dtype=dt) \
+                        if nrows else pd.Series([], dtype=dt)
+                except (TypeError, ValueError):
+                    cols[c] = pd.Series([None] * nrows, dtype="object")
+            return pd.DataFrame(cols)
+
         if how == "inner":
             out = p[ok].reset_index(drop=True)
             attach = pay.iloc[idx[ok]].reset_index(drop=True) if len(iv) \
-                else pd.DataFrame({c: pd.Series([], dtype=g[c].dtype)
-                                   for c in payload_cols})
+                else null_payload(0)
             return pd.concat([out, attach], axis=1)
         if len(iv):
             attach = pay.iloc[np.maximum(idx, 0)].reset_index(drop=True)
             attach = attach.where(
                 pd.Series(ok, index=attach.index), other=pd.NA)
         else:
-            attach = pd.DataFrame(
-                {c: pd.Series([pd.NA] * len(p), dtype=g[c].dtype)
-                 for c in payload_cols})
+            attach = null_payload(len(p))
         return pd.concat([p, attach], axis=1)
 
     return both.groupby("__gp").map_groups(
@@ -1723,9 +1733,31 @@ def grouped_quantiles_sketch(
         return grouped_apply(partials, keys, estimate, num_partitions=16)
 
     # --- high-cardinality path: ranges co-partitioned, never broadcast ---
-    fact = ds.map_batches(lambda df: df[keys + [col]],
+    # integer keys would be NaN-padded to float64 inside the tagged-union
+    # shuffle (precision loss above 2^53 — exactly the huge-key-space
+    # regime this path exists for, e.g. 64-bit URL hashes): route them
+    # as lossless strings and cast back after the estimate
+    sch = rng.schema()
+
+    def _np_dtype(t):
+        return np.dtype(
+            t.to_pandas_dtype() if isinstance(t, pa.DataType) else t)
+
+    int_keys = {
+        k: _np_dtype(t) for k, t in zip(sch.names, sch.types)
+        if k in keys and np.issubdtype(_np_dtype(t), np.integer)
+    }
+
+    def stringify(df: pd.DataFrame) -> pd.DataFrame:
+        for k, dt in int_keys.items():
+            df = df.assign(**{k: df[k].astype(dt).astype(str)})
+        return df
+
+    fact = ds.map_batches(lambda df: stringify(df[keys + [col]]),
                           batch_format="pandas")
-    joined = bucketed_hash_join(fact, rng, on=keys, num_buckets=num_buckets)
+    joined = bucketed_hash_join(
+        fact, rng.map_batches(stringify, batch_format="pandas"),
+        on=keys, num_buckets=num_buckets)
 
     def partial_hist_inline(df: pd.DataFrame) -> pd.DataFrame:
         lo = df["__lo"].to_numpy(dtype=np.float64)
@@ -1756,7 +1788,10 @@ def grouped_quantiles_sketch(
                       g["__n"].to_numpy())
             rows.append(kv + tuple(
                 _hist_quantile_estimates(h, lo, hi, qs, bins)))
-        return pd.DataFrame(rows, columns=keys + names)
+        out = pd.DataFrame(rows, columns=keys + names)
+        for k, dt in int_keys.items():  # undo the lossless string route
+            out[k] = out[k].astype(dt)
+        return out
 
     return grouped_apply(partials, keys, estimate_inline, num_partitions=16)
 
@@ -1939,7 +1974,9 @@ def grouped_moments(
         x = df[col].astype("float64")
         t = pd.DataFrame({
             **{k: df[k] for k in keys},
-            "__n": np.ones(len(df)),
+            # n counts NON-NULL rows (SQL semantics; the power sums
+            # already skip NaN via pandas' groupby sum)
+            "__n": x.notna().astype("float64"),
             "__s1": x, "__s2": x**2, "__s3": x**3, "__s4": x**4,
         })
         return t.groupby(keys, sort=False, observed=True).sum().reset_index()
@@ -1947,28 +1984,32 @@ def grouped_moments(
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, sort=False, observed=True).sum().reset_index()
         n = g["__n"].to_numpy()
+        nz = np.maximum(n, 1)
         s1, s2 = g["__s1"].to_numpy(), g["__s2"].to_numpy()
         s3, s4 = g["__s3"].to_numpy(), g["__s4"].to_numpy()
-        m = s1 / n
+        m = s1 / nz
         m2 = np.maximum(s2 - s1 * m, 0.0)          # Σ(x-m)²
         m3 = s3 - 3 * m * s2 + 2 * n * m**3        # Σ(x-m)³
         m4 = s4 - 4 * m * s3 + 6 * m**2 * s2 - 3 * n * m**4
         var = m2 / np.maximum(n - 1, 1)
-        sd3 = np.power(np.maximum(var, 1e-300), 1.5)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            skew = np.where(
-                n > 2,
-                n / np.maximum((n - 1) * (n - 2), 1) * m3 / sd3,
-                np.nan,
-            )
-            kurt = np.where(
-                n > 3,
-                n * (n + 1)
-                / np.maximum((n - 1) * (n - 2) * (n - 3), 1)
-                * m4 / np.maximum(var, 1e-300) ** 2
-                - 3 * (n - 1) ** 2 / np.maximum((n - 2) * (n - 3), 1),
-                np.nan,
-            )
+        # constant (or numerically-constant) groups are NULL in SQL;
+        # a relative threshold also absorbs cancellation residue that
+        # would otherwise divide to ±inf
+        degenerate = var <= np.maximum(np.abs(m) * 1e-14, 1e-150) ** 2
+        var_safe = np.where(degenerate, 1.0, var)
+        skew = np.where(
+            (n > 2) & ~degenerate,
+            n / np.maximum((n - 1) * (n - 2), 1) * m3 / var_safe**1.5,
+            np.nan,
+        )
+        kurt = np.where(
+            (n > 3) & ~degenerate,
+            n * (n + 1)
+            / np.maximum((n - 1) * (n - 2) * (n - 3), 1)
+            * m4 / var_safe**2
+            - 3 * (n - 1) ** 2 / np.maximum((n - 2) * (n - 3), 1),
+            np.nan,
+        )
         out = g[keys].copy()
         out["skew"] = skew.astype("float64")
         out["kurt"] = kurt.astype("float64")

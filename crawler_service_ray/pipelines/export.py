@@ -116,6 +116,14 @@ def _dedup_split_write(
     final.write_parquet(tmp_dir, partition_cols=["split", "lang_pred"])
     os.replace(tmp_dir, data_dir)
 
+    # a rerun with narrower flags must not leave a previous export's
+    # sibling tables beside the fresh manifest (same hazard as the
+    # 0-row path): the manifest must account for everything on disk
+    if not multimodal:
+        shutil.rmtree(os.path.join(out_dir, "media"), ignore_errors=True)
+    if not packed:
+        shutil.rmtree(os.path.join(out_dir, "packed"), ignore_errors=True)
+
     if multimodal:
         # corpus-level media dedup: explode (media_ref, doc_id) pairs —
         # only those pairs shuffle, never payloads — and aggregate to one
@@ -162,15 +170,22 @@ def _dedup_split_write(
         else:
             # all-text corpus: commit an empty table WITH schema so
             # readers (and the manifest pass below) never hit a
-            # schemaless directory
+            # schemaless directory; first_doc's type must match what a
+            # media-bearing export of the SAME source would write
+            # (doc_id is int for table shards, string for crawl runs)
             import pyarrow as pa
             import pyarrow.parquet as pq
 
+            sch = final.schema()
+            t = sch.types[list(sch.names).index("doc_id")]
+            is_int = (pa.types.is_integer(t) if isinstance(t, pa.DataType)
+                      else np.issubdtype(t, np.integer))
+            id_type = pa.int64() if is_int else pa.string()
             pq.write_table(
                 pa.table({
                     "media_ref": pa.array([], type=pa.string()),
                     "n_uses": pa.array([], type=pa.int64()),
-                    "first_doc": pa.array([], type=pa.string()),
+                    "first_doc": pa.array([], type=id_type),
                     "content_hash": pa.array([], type=pa.string()),
                     "payload_bytes": pa.array([], type=pa.int64()),
                     "media_type": pa.array([], type=pa.string()),

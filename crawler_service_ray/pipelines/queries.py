@@ -3318,12 +3318,16 @@ def q_kmeans_audit(sf_dir: str, audit_max: int = 200_000):
             np.linalg.norm(newC, axis=1, keepdims=True), 1e-12)
     S = X @ Cr.T
     want = np.argmax(S, axis=1)
-    diff = got["cluster"].to_numpy() != want
+    got_c = got["cluster"].to_numpy()
+    diff = got_c != want
     if diff.any():
-        # forgive only genuine float near-ties: top-2 sims within 1e-9
-        top2 = np.partition(S[diff], -2, axis=1)[:, -2:]
-        near_tie = (top2[:, 1] - top2[:, 0]) <= 1e-9
-        mism = int((~near_tie).sum())
+        # forgive only genuine float near-ties: the cluster the
+        # DISTRIBUTED path chose must itself sit within 1e-9 of the
+        # reference's best similarity (a reference-side tie between two
+        # OTHER clusters must not excuse a wrong assignment)
+        rows = np.nonzero(diff)[0]
+        gap = S[rows, want[rows]] - S[rows, got_c[rows]]
+        mism = int((gap > 1e-9).sum())
     else:
         mism = 0
     return pd.DataFrame({

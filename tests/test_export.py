@@ -183,6 +183,13 @@ def test_export_run_multimodal_media(ray_session, tiny_corpus, tmp_path):
         assert int(row["n_media"]) == sum(
             1 for s in segs if s["kind"] == "media")
 
+    # flag-narrowing rerun into the SAME dir must clear stale siblings
+    m3 = export_run(run, out, min_quality=0.0, multimodal=False,
+                    packed=False, resume=False)
+    assert not os.path.exists(os.path.join(out, "media"))
+    assert not os.path.exists(os.path.join(out, "packed"))
+    assert "media_unique" not in m3
+
     # text-only escape hatch: no segments / media artifacts
     out2 = str(tmp_path / "exp_txt")
     m2 = export_run(run, out2, min_quality=0.0, multimodal=False)

@@ -339,8 +339,22 @@ def test_quantiles_sketch_high_cardinality_copartitioned(ray_session):
     ).to_pandas()
     base = base.sort_values("g").reset_index(drop=True)
     cop = cop.sort_values("g").reset_index(drop=True)
-    cop["g"] = cop["g"].astype(base["g"].dtype)
+    # integer keys survive the no-broadcast path losslessly (dtype too)
+    assert cop["g"].dtype == base["g"].dtype
     pd.testing.assert_frame_equal(cop[base.columns.tolist()], base)
+
+    # keys above 2^53 (float64's integer ceiling) must survive exactly
+    big = pd.DataFrame({
+        "g": np.repeat(np.arange(40, dtype="int64") + (1 << 62), 10),
+        "v": np.tile(np.arange(10, dtype="float64"), 40),
+    })
+    bds = rd.from_pandas(big, override_num_blocks=3)
+    got = grouped_quantiles_sketch(
+        bds, ["g"], "v", [0.5], bins=64, broadcast_max_keys=5,
+        num_buckets=4,
+    ).to_pandas()
+    assert got["g"].dtype == np.dtype("int64")
+    assert sorted(got["g"]) == sorted(big["g"].unique())
 
     # partitioned range merge matches the default path
     df2 = pd.DataFrame({"g": np.arange(100), "v": np.arange(100.0)})
@@ -846,3 +860,50 @@ def test_grouped_arg_extreme_ties_and_modes(ray_session):
                              merge_partitions=2).to_pandas() \
         .sort_values("g").reset_index(drop=True)
     assert list(mn["v"]) == [20, 7]
+
+
+def test_range_join_partitioned_left_with_empty_intervals(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        range_join_partitioned,
+    )
+
+    df = pd.DataFrame({"id": np.arange(4, dtype="int64"),
+                       "v": [1.0, 5.0, 9.0, 13.0]})
+    empty_iv = pd.DataFrame({"lo": pd.Series([], dtype="float64"),
+                             "hi": pd.Series([], dtype="float64"),
+                             "tag": pd.Series([], dtype=object)})
+    out = range_join_partitioned(
+        rd.from_pandas(df, override_num_blocks=2),
+        rd.from_pandas(empty_iv), "v", bucket_width=4.0, how="left",
+        num_partitions=4,
+    ).to_pandas()
+    assert len(out) == 4
+    assert out["tag"].isna().all()
+    # inner drops everything, but returns cleanly
+    inner = range_join_partitioned(
+        rd.from_pandas(df, override_num_blocks=2),
+        rd.from_pandas(empty_iv), "v", bucket_width=4.0,
+        num_partitions=4,
+    ).to_pandas()
+    assert len(inner) == 0
+
+
+def test_grouped_moments_nulls_and_constant_groups(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import grouped_moments
+
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 1, 2, 2, 2, 2],
+        # g=1: three values + a NULL -> n=3: skew defined, kurt NULL
+        # g=2: constant at large magnitude -> both NULL (SQL semantics)
+        "x": [3.0, 3.0, 9.0, np.nan, 1e8, 1e8, 1e8, 1e8],
+    })
+    out = grouped_moments(rd.from_pandas(df, override_num_blocks=2),
+                          ["g"], "x").to_pandas().sort_values("g")
+    assert abs(out.iloc[0]["skew"] - 1.732050807568877) < 1e-9
+    assert np.isnan(out.iloc[0]["kurt"])
+    assert np.isnan(out.iloc[1]["skew"]) and np.isnan(out.iloc[1]["kurt"])
+    assert np.isfinite(out["skew"].fillna(0)).all()  # never inf
