@@ -3449,6 +3449,75 @@ def q_crawl_page(sf_dir: str):
     return page2.drop_columns(["spans"])
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank over the supplier↔part co-purchase graph (each distinct
+    (l_suppkey, l_partkey) pair becomes two directed edges — symmetric,
+    so no dangling mass and total rank 1). Five synchronous power
+    iterations, damping 0.85, entirely dataset-native: out-degrees ride
+    the edges, each iteration is two hash exchanges (scatter rank/outd
+    along src, reduce + teleport on dst) with per-partition combiners —
+    `functions/graph.py:pagerank`. Oracle: the identical recurrence
+    unrolled as five CTE layers in DuckDB. 6-dp rounding on both sides
+    absorbs sum-order reassociation."""
+    from ..functions.graph import pagerank
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_suppkey", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["l_suppkey"].to_numpy()
+        p = df["l_partkey"].to_numpy() + 10_000_000
+        return pd.DataFrame({
+            "src": np.concatenate([s, p]),
+            "dst": np.concatenate([p, s]),
+        })
+
+    edges = distinct(
+        li.map_batches(to_edges, batch_format="pandas"), ["src", "dst"]
+    )
+    pr = pagerank(edges, iters=5, num_partitions=16)
+    return pr.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["node"].astype("int64"),
+            "pagerank": df["pagerank"].round(6),
+        }),
+        batch_format="pandas",
+    )
+
+
+def _sql_pagerank() -> str:
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey + 10000000 AS p FROM lineitem),
+edges AS (
+  SELECT s AS src, p AS dst FROM pairs
+  UNION ALL
+  SELECT p AS src, s AS dst FROM pairs),
+deg AS (SELECT src, count(*)::DOUBLE AS outd FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n)
+"""
+    step = """,
+r{i} AS (
+  SELECT nd.node,
+         (1 - 0.85) / n.n + 0.85 * coalesce(c.contrib, 0) AS rank
+  FROM nodes nd CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.outd) AS contrib
+    FROM edges e
+    JOIN r{prev} r ON r.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c ON c.node = nd.node)
+"""
+    body = "".join(step.format(i=i, prev=i - 1) for i in range(1, 6))
+    return (head + body
+            + "SELECT node, round(rank, 6) AS pagerank FROM r5")
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -3555,6 +3624,7 @@ QUERIES = {
     "gopher_filter": q_gopher_filter,
     "first_last": q_first_last,
     "linreg": q_linreg,
+    "pagerank": q_pagerank,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
     "crawl_stats": q_crawl_stats,
@@ -3661,4 +3731,5 @@ ORACLE_SQL = {
     "gopher_filter": SQL_GOPHER_FILTER,
     "first_last": SQL_FIRST_LAST,
     "linreg": SQL_LINREG,
+    "pagerank": SQL_PAGERANK,
 }
