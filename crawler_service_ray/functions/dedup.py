@@ -1389,3 +1389,136 @@ def remove_dup_spans(
 
     return grouped_apply(both, [id_col], rebuild,
                          num_partitions=num_partitions)
+
+
+def _lev_le1(a: str, b: str) -> int | None:
+    """Levenshtein distance if ≤ 1, else None — O(len) two-pointer
+    (no DP matrix; only the verify step of the deletion-key blocking
+    needs it, and only on candidate pairs)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return None
+    if la == lb:
+        # exactly one substitution?
+        diff = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+        return 1 if len(diff) == 1 else None
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1 :] else None
+
+
+def fuzzy_dedup_pairs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_len: int = 24,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Edit-distance-≤1 near-duplicate pairs on a ``key_len``-char
+    prefix key via deletion-neighborhood blocking (the SymSpell trick):
+    two strings are within Levenshtein 1 iff they share a member of
+    their {self} ∪ {one-char-deleted} variant sets, so each doc emits
+    ``key_len+1`` (variant-hash, key, id) rows, candidate pairs form
+    inside variant-hash partitions, and an O(len) two-pointer check
+    verifies dist ≤ 1 — COMPLETE at threshold 1, no LSH false-negative
+    risk. Returns distinct (id_a, id_b, dist) with id_a < id_b.
+
+    Scale shape: the exchange moves (hash, 24-char key, id) rows —
+    (key_len+1)× the doc count but tiny rows, same discipline as the
+    MinHash band shuffle above; candidate verification is local to the
+    bucket (keys travel with the rows, no text join); the pair list is
+    output-scale and deduped co-partitioned. Exact-dup clusters all
+    share the identity variant → their full pair set is emitted, which
+    IS the correct output. Keys are character-based; the variant
+    generation works on numpy byte matrices, so the key prefix is
+    ASCII-normalized first (non-ASCII bytes collapse to '?') — document
+    corpora here are ASCII, and the SQL oracle applies the same
+    normalization for parity.
+    """
+    from .relational import grouped_apply
+
+    def gen_variants(df: pd.DataFrame) -> pd.DataFrame:
+        keys = (
+            df[text_col].astype(str).str.slice(0, key_len)
+            .str.encode("ascii", errors="replace")
+        )
+        ids_out, keys_out, var_out = [], [], []
+        # group rows by key LENGTH so each length class is one numpy
+        # byte-matrix op (no per-row Python in the variant build)
+        lens = keys.str.len()
+        for L, idx in pd.Series(range(len(df))).groupby(lens.to_numpy()):
+            rows = idx.to_numpy()
+            sub = keys.iloc[rows]
+            ids = df[id_col].iloc[rows].to_numpy()
+            # every key in this group has length exactly L — the join
+            # is a dense (n, L) byte matrix, no padding
+            full = sub.to_numpy()
+            ids_out.append(ids)
+            keys_out.append(full)
+            var_out.append(full)
+            if int(L) == 0:
+                continue
+            mat = (
+                np.frombuffer(b"".join(full), dtype="S1")
+                .reshape(len(rows), int(L))
+            )
+            for i in range(int(L)):
+                if int(L) == 1:
+                    dele = np.array([b""] * len(rows), dtype=object)
+                else:
+                    dele = np.ascontiguousarray(
+                        np.delete(mat, i, axis=1)
+                    ).view(f"S{int(L) - 1}").ravel()
+                ids_out.append(ids)
+                keys_out.append(full)
+                var_out.append(dele)
+        if not ids_out:
+            return pd.DataFrame({"__vh": pd.Series([], dtype="uint64"),
+                                 "key": [], id_col: []})
+        variant = np.concatenate(var_out)
+        vh = pd.util.hash_array(variant.astype(object))
+        return pd.DataFrame({
+            "__vh": vh,
+            "key": np.concatenate(keys_out).astype(object),
+            id_col: np.concatenate(ids_out),
+        })
+
+    variants = ds.map_batches(gen_variants, batch_format="pandas")
+
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates(subset=["__vh", id_col])
+        sizes = part.groupby("__vh", sort=False)[id_col].transform("size")
+        hot = part[sizes >= 2]
+        out_a, out_b, out_d = [], [], []
+        for _vh, g in hot.groupby("__vh", sort=False):
+            g = g.drop_duplicates(subset=id_col).sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            ks = g["key"].to_numpy()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = _lev_le1(
+                        ks[i].decode("ascii"), ks[j].decode("ascii")
+                    )
+                    if d is not None:
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+                        out_d.append(d)
+        return pd.DataFrame({
+            "id_a": np.asarray(out_a, dtype="int64"),
+            "id_b": np.asarray(out_b, dtype="int64"),
+            "dist": np.asarray(out_d, dtype="int64"),
+        })
+
+    pairs = grouped_apply(variants, ["__vh"], bucket_pairs,
+                          num_partitions=num_partitions)
+
+    def dedup_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(subset=["id_a", "id_b"])
+
+    return grouped_apply(pairs, ["id_a", "id_b"], dedup_pairs,
+                         num_partitions=num_partitions)

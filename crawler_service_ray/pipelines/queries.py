@@ -3449,6 +3449,118 @@ def q_crawl_page(sf_dir: str):
     return page2.drop_columns(["spans"])
 
 
+def q_fuzzy_dedup(sf_dir: str):
+    """Edit-distance-≤1 fuzzy key dedup (record-linkage tier between
+    exact hash and MinHash): deletion-neighborhood (SymSpell) blocking
+    over a 24-char prefix key — COMPLETE at threshold 1, verified by an
+    O(len) two-pointer check inside the blocking partition
+    (`functions/dedup.py:fuzzy_dedup_pairs`). The oracle is the full
+    quadratic levenshtein self-join, so the blocking's completeness is
+    hash-checked, not trusted."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
+    return dedup.fuzzy_dedup_pairs(docs, key_len=24)
+
+
+SQL_FUZZY_DEDUP = """
+WITH k AS (SELECT doc_id, substr(text, 1, 24) AS key FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.key, b.key)::BIGINT AS dist
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.key, b.key) <= 1
+"""
+
+
+def q_bm25(sf_dir: str):
+    """BM25 relevance ranking (Okapi, Lucene IDF) of the corpus against
+    a fixed 3-term query — the retrieval scorer a training-data search /
+    contamination triage runs at corpus scale. Shape: ONE streaming
+    pass builds a wide (doc_id, dl, tf_term...) table (a 3-term query
+    needs no term⋈doc join at all — term tfs are columns), one scalar
+    aggregate pass for N/avgdl/df (floats on the driver, nothing else),
+    one scoring pass. Scores round to 6 dp BEFORE ranking on both
+    engines; ties break on doc_id. k1=1.2, b=0.75,
+    idf=ln(1+(N-df+0.5)/(df+0.5))."""
+    TERMS = ("hash", "join", "vector")
+    K1, B = 1.2, 0.75
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
+
+    def wide(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str)
+        out = {"doc_id": df["doc_id"],
+               # dl = non-empty tokens of string_split(text, ' ')
+               "dl": s.str.count(r"[^ ]+").astype("float64")}
+        for t in TERMS:
+            out[f"tf_{t}"] = s.str.count(
+                rf"(?:^| ){t}(?= |$)").astype("float64")
+        return pd.DataFrame(out)
+
+    w = docs.map_batches(wide, batch_format="pandas").materialize()
+    n_docs = float(w.count())
+    sums = w.map_batches(
+        lambda df: pd.DataFrame({
+            "dl_sum": [df["dl"].sum()],
+            **{f"df_{t}": [float((df[f"tf_{t}"] > 0).sum())]
+               for t in TERMS},
+        }),
+        batch_format="pandas",
+    ).to_pandas().sum()
+    avgdl = sums["dl_sum"] / n_docs
+    idf = {t: float(np.log(1.0 + (n_docs - sums[f"df_{t}"] + 0.5)
+                           / (sums[f"df_{t}"] + 0.5)))
+           for t in TERMS}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dl = df["dl"].to_numpy()
+        norm = K1 * (1.0 - B + B * dl / avgdl)
+        sc = np.zeros(len(df))
+        for t in TERMS:
+            tf = df[f"tf_{t}"].to_numpy()
+            sc += idf[t] * tf * (K1 + 1.0) / (tf + norm)
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                            "bm25": np.round(sc, 6)})
+        return out[out["bm25"] > 0]
+
+    scored = w.map_batches(score, batch_format="pandas")
+    return topk(scored, by=["bm25", "doc_id"], k=20,
+                descending=[True, False])
+
+
+SQL_BM25 = """
+WITH wn AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  WHERE word <> ''),
+dl AS (SELECT d.doc_id, coalesce(c.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN
+         (SELECT doc_id, count(*) AS dl FROM wn GROUP BY doc_id) c
+         USING (doc_id)),
+tf AS (SELECT doc_id, word, count(*)::DOUBLE AS tf FROM wn
+       WHERE word IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+dfq AS (SELECT word, count(*)::DOUBLE AS df FROM tf GROUP BY word),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - q.df + 0.5) / (q.df + 0.5))
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+            ) AS score
+  FROM tf
+  JOIN dfq q USING (word)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, bm25 FROM (
+  SELECT doc_id, round(score, 6) AS bm25,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS r
+  FROM scored WHERE round(score, 6) > 0)
+WHERE r <= 20
+"""
+
+
 def q_pagerank(sf_dir: str):
     """PageRank over the supplier↔part co-purchase graph (each distinct
     (l_suppkey, l_partkey) pair becomes two directed edges — symmetric,
@@ -3624,6 +3736,8 @@ QUERIES = {
     "gopher_filter": q_gopher_filter,
     "first_last": q_first_last,
     "linreg": q_linreg,
+    "bm25": q_bm25,
+    "fuzzy_dedup": q_fuzzy_dedup,
     "pagerank": q_pagerank,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -3731,5 +3845,7 @@ ORACLE_SQL = {
     "gopher_filter": SQL_GOPHER_FILTER,
     "first_last": SQL_FIRST_LAST,
     "linreg": SQL_LINREG,
+    "bm25": SQL_BM25,
+    "fuzzy_dedup": SQL_FUZZY_DEDUP,
     "pagerank": SQL_PAGERANK,
 }

@@ -375,3 +375,69 @@ def test_frequent_lines_bounded_result(ray_session):
         rd.from_pandas(df), min_doc_freq=2
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_fuzzy_dedup_pairs_planted(ray_session):
+    """Deletion-neighborhood blocking is complete at distance 1:
+    substitution, insertion, deletion all pair; distance 2 does not."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.dedup import fuzzy_dedup_pairs
+
+    base = "the quick brown fox jump"  # 24 chars
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "text": [
+            base,                          # identity
+            base,                          # exact dup of 1 (dist 0)
+            "the quick brown fox jumX",    # substitution (dist 1 vs 1/2)
+            "the quick brown fox jum",     # deletion (dist 1 vs 1/2)
+            "Xthe quick brown fox jum",    # insertion at front => prefix
+            "the XXick brown fox jump",    # dist 2 vs base — no pair
+            "completely different txt",    # unrelated
+        ],
+    })
+    out = (
+        fuzzy_dedup_pairs(rd.from_pandas(docs), key_len=24,
+                          num_partitions=4)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    got = set(zip(out["id_a"], out["id_b"], out["dist"]))
+    assert (1, 2, 0) in got
+    assert (1, 3, 1) in got and (2, 3, 1) in got
+    assert (1, 4, 1) in got and (2, 4, 1) in got
+    # 3 vs 4: "...jumX" vs "...jum" = one deletion
+    assert (3, 4, 1) in got
+    # doc 5's 24-char key is base shifted right one = dist 2 region is
+    # allowed to pair only where true dist <= 1
+    assert all(d <= 1 for (_a, _b, d) in got)
+    assert not any(6 in (a, b) for (a, b, _d) in got)
+    assert not any(7 in (a, b) for (a, b, _d) in got)
+
+
+def test_fuzzy_dedup_matches_quadratic(ray_session):
+    """Blocked pairs == brute-force levenshtein<=1 pairs on random keys."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.dedup import (_lev_le1,
+                                                     fuzzy_dedup_pairs)
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcd")
+    base_keys = ["".join(rng.choice(alpha, 10)) for _ in range(40)]
+    texts = []
+    for k in base_keys:
+        texts.append(k)
+        if rng.random() < 0.5:  # plant a 1-edit neighbor
+            i = int(rng.integers(0, len(k)))
+            texts.append(k[:i] + "z" + k[i + 1:])
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = fuzzy_dedup_pairs(rd.from_pandas(docs), key_len=24,
+                            num_partitions=4).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if _lev_le1(texts[i][:24], texts[j][:24]) is not None:
+                want.add((i, j))
+    assert got == want
