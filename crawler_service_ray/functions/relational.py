@@ -2060,3 +2060,138 @@ def grouped_arg_extreme(
                              num_partitions=merge_partitions)
     return part.repartition(1).map_batches(
         pick, batch_format="pandas", batch_size=None)
+
+
+def grouping_sets_agg(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    aggs: Mapping[str, tuple[str, str]],
+    total_label: str = "ALL",
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """SQL ``GROUP BY GROUPING SETS(...)`` (and, via all-subsets,
+    ``CUBE``): the fact table is read ONCE — the finest aggregate over
+    ``keys`` (one row per combo, small) is materialized and every
+    grouping set re-aggregates it (sum/count/min/max are associative),
+    the same single-read discipline as :func:`rollup_agg`. Rolled-away
+    key slots carry ``total_label`` (keys must be string columns). Each
+    set must be a subset of ``keys``."""
+    keys = list(keys)
+    aggs = dict(aggs)
+    for out, (_, fn) in aggs.items():
+        if fn not in _ROLLUP_REAGG:
+            raise ValueError(
+                f"grouping_sets_agg needs re-aggregatable fns, got {fn!r}"
+            )
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} not a subset of {keys}")
+    finest = grouped_agg(ds, keys, aggs,
+                         merge_partitions=merge_partitions).materialize()
+    reagg = {out: (out, _ROLLUP_REAGG[fn]) for out, (_, fn) in aggs.items()}
+    order = keys + list(aggs)
+    levels = []
+    for s in sets:
+        s = list(s)
+        if set(s) == set(keys):
+            lvl = finest
+        elif not s:
+            lvl = finest.repartition(1).map_batches(
+                lambda df: pd.DataFrame(
+                    {out: [df[out].agg(_ROLLUP_REAGG[fn])]
+                     for out, (_, fn) in aggs.items()}
+                ),
+                batch_format="pandas", batch_size=None,
+            )
+        else:
+            lvl = grouped_agg(finest, s, reagg)
+        pad = [k for k in keys if k not in s]
+        levels.append(lvl.map_batches(
+            lambda df, pad=pad, order=order: df.assign(
+                **{c: total_label for c in pad}
+            )[order],
+            batch_format="pandas",
+        ))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+def cube_agg(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    total_label: str = "ALL",
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """SQL ``GROUP BY CUBE(keys)`` — all 2^|keys| grouping sets, each
+    re-aggregated from ONE materialized finest pass."""
+    from itertools import combinations
+
+    keys = list(keys)
+    sets: list[tuple[str, ...]] = []
+    for r in range(len(keys), -1, -1):
+        sets.extend(combinations(keys, r))
+    return grouping_sets_agg(ds, keys, sets, aggs,
+                             total_label=total_label,
+                             merge_partitions=merge_partitions)
+
+
+def range_frame_agg(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    ts_col: str,
+    val_col: str,
+    width_us: int,
+    out_name: str = "range_sum",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Time-RANGE window frame: per group ordered by ``ts_col``, the sum
+    of ``val_col`` over ``RANGE BETWEEN width PRECEDING AND CURRENT
+    ROW`` — timestamp-valued frame bounds, peers (equal ts) included,
+    exactly SQL RANGE semantics (vs the row-count frames of
+    ``moving_avg``).
+
+    One key-hash exchange; inside each partition the whole frame math is
+    THREE vectorized ops, no per-group Python loop: rows sort by
+    (group, ts), groups are mapped onto disjoint int64 intervals
+    (``gid * span + (ts - ts_min)``), and both frame edges for ALL rows
+    come from two whole-array ``np.searchsorted`` calls against that
+    composite axis + one prefix-sum difference."""
+    keys = list(keys)
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return part.assign(**{out_name: pd.Series([], dtype="float64")})
+        part = part.sort_values(keys + [ts_col],
+                                kind="mergesort").reset_index(drop=True)
+        ts = part[ts_col].to_numpy()
+        if ts.dtype.kind == "M":
+            ts = ts.astype("datetime64[us]").view("int64")
+        else:
+            ts = ts.astype("int64")
+        gid = pd.MultiIndex.from_frame(part[keys]).factorize()[0] \
+            if len(keys) > 1 else part[keys[0]].factorize()[0]
+        gid = np.asarray(gid, dtype="int64")
+        t0 = ts.min()
+        rel = ts - t0
+        span = int(rel.max()) + int(width_us) + 2
+        if (int(gid.max()) + 1) * span >= np.iinfo(np.int64).max:
+            # composite axis would overflow int64 — fail stop rather
+            # than alias groups (needs a wider span encoding; at that
+            # point raise num_partitions so per-partition gid shrinks)
+            raise ValueError(
+                "range_frame_agg: group-count x time-span exceeds int64;"
+                " raise num_partitions"
+            )
+        comp = gid * span + rel
+        lo = np.searchsorted(comp, gid * span + rel - width_us, side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        csum = np.concatenate(
+            [[0.0], np.cumsum(part[val_col].to_numpy(dtype="float64"))]
+        )
+        return part.assign(**{out_name: csum[hi] - csum[lo]})
+
+    return grouped_apply(ds, keys, per_part, num_partitions=num_partitions)

@@ -3449,6 +3449,67 @@ def q_crawl_page(sf_dir: str):
     return page2.drop_columns(["spans"])
 
 
+def q_cube_lineitem(sf_dir: str):
+    """GROUP BY CUBE(returnflag, linestatus): all four grouping sets —
+    one fact-table read, every level re-aggregated from the materialized
+    finest result (`functions/relational.py:cube_agg`)."""
+    from ..functions.relational import cube_agg
+
+    ds = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_returnflag", "l_linestatus",
+                             "l_quantity"])
+    out = cube_agg(
+        ds, keys=["l_returnflag", "l_linestatus"],
+        aggs={"sum_qty": ("l_quantity", "sum"),
+              "n": ("l_quantity", "count")},
+    )
+    return out.map_batches(
+        lambda df: df.assign(sum_qty=df["sum_qty"].round(4)),
+        batch_format="pandas",
+    )
+
+
+SQL_CUBE_LINEITEM = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def q_range_frame(sf_dir: str):
+    """Timestamp-RANGE window frame: per user, the running 1-hour sum
+    of event values (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    CURRENT ROW` — peers at equal ts included, true RANGE semantics vs
+    moving_avg's row frames). One exchange; both frame edges for every
+    row come from two whole-partition searchsorted calls on a composite
+    (group, time) axis — no per-group loop
+    (`functions/relational.py:range_frame_agg`)."""
+    from ..functions.relational import range_frame_agg
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "user_id", "ts", "value"])
+    out = range_frame_agg(ds, ["user_id"], "ts", "value",
+                          width_us=3_600_000_000, out_name="sum_1h",
+                          num_partitions=16)
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "sum_1h"]].assign(
+            sum_1h=df["sum_1h"].round(6)),
+        batch_format="pandas",
+    )
+
+
+SQL_RANGE_FRAME = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ), 6) AS sum_1h
+FROM events
+"""
+
+
 def q_fuzzy_dedup(sf_dir: str):
     """Edit-distance-≤1 fuzzy key dedup (record-linkage tier between
     exact hash and MinHash): deletion-neighborhood (SymSpell) blocking
@@ -3738,6 +3799,8 @@ QUERIES = {
     "linreg": q_linreg,
     "bm25": q_bm25,
     "fuzzy_dedup": q_fuzzy_dedup,
+    "cube_lineitem": q_cube_lineitem,
+    "range_frame": q_range_frame,
     "pagerank": q_pagerank,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -3847,5 +3910,7 @@ ORACLE_SQL = {
     "linreg": SQL_LINREG,
     "bm25": SQL_BM25,
     "fuzzy_dedup": SQL_FUZZY_DEDUP,
+    "cube_lineitem": SQL_CUBE_LINEITEM,
+    "range_frame": SQL_RANGE_FRAME,
     "pagerank": SQL_PAGERANK,
 }

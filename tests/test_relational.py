@@ -907,3 +907,74 @@ def test_grouped_moments_nulls_and_constant_groups(ray_session):
     assert np.isnan(out.iloc[0]["kurt"])
     assert np.isnan(out.iloc[1]["skew"]) and np.isnan(out.iloc[1]["kurt"])
     assert np.isfinite(out["skew"].fillna(0)).all()  # never inf
+
+
+def test_range_frame_agg_peers_and_bounds(ray_session):
+    """RANGE frame includes equal-ts peers (both directions) and drops
+    rows strictly older than the width; groups are independent."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import range_frame_agg
+
+    base = pd.Timestamp("2026-01-01")
+    h = pd.Timedelta(hours=1)
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 1, 2],
+        "ts": [base, base, base + h / 2, base + 2 * h, base + 2 * h,
+               base],
+        "v": [1.0, 2.0, 4.0, 8.0, 16.0, 100.0],
+        "i": [0, 1, 2, 3, 4, 5],
+    })
+    out = range_frame_agg(
+        rd.from_pandas(df, override_num_blocks=2), ["u"], "ts", "v",
+        width_us=3_600_000_000, out_name="s", num_partitions=4,
+    ).to_pandas().set_index("i")["s"]
+    # rows 0,1 are ts-peers: both see v0+v1 = 3
+    assert out[0] == 3.0 and out[1] == 3.0
+    # row 2 (t=+30min) sees 1+2+4
+    assert out[2] == 7.0
+    # rows 3,4 (t=+2h) see only each other (peers), older rows out of range
+    assert out[3] == 24.0 and out[4] == 24.0
+    # group 2 independent
+    assert out[5] == 100.0
+    # parity with DuckDB's RANGE frame on the same data
+    want = duckdb.sql("""
+        SELECT i, sum(v) OVER (PARTITION BY u ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) s
+        FROM df""").df().set_index("i")["s"]
+    assert (out.sort_index() == want.sort_index()).all()
+
+
+def test_cube_agg_levels(ray_session):
+    """CUBE emits all 2^k grouping sets, each consistent with a direct
+    pandas aggregate of the base data."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import cube_agg
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "y", "y", "y"],
+        "b": ["p", "q", "p", "p", "q"],
+        "v": [1.0, 2.0, 4.0, 8.0, 16.0],
+    })
+    out = cube_agg(rd.from_pandas(df, override_num_blocks=2), ["a", "b"],
+                   {"s": ("v", "sum"), "n": ("v", "count")}).to_pandas()
+    got = {(r.a, r.b): (r.s, r.n) for r in out.itertuples()}
+    assert len(got) == len(out)  # no duplicate level rows
+    assert got[("x", "p")] == (1.0, 1)
+    assert got[("y", "p")] == (12.0, 2)
+    assert got[("x", "ALL")] == (3.0, 2)
+    assert got[("ALL", "p")] == (13.0, 3)
+    assert got[("ALL", "q")] == (18.0, 2)
+    assert got[("ALL", "ALL")] == (31.0, 5)
+
+
+def test_grouping_sets_subset_validation(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import grouping_sets_agg
+
+    df = pd.DataFrame({"a": ["x"], "v": [1.0]})
+    with pytest.raises(ValueError, match="not a subset"):
+        grouping_sets_agg(rd.from_pandas(df), ["a"], [("zz",)],
+                          {"s": ("v", "sum")})
