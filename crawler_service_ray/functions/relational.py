@@ -114,11 +114,13 @@ def grouped_agg(
     O(distinct keys
     × blocks) rows regardless of input size. The merge has two shapes:
 
-    * ``merge_partitions=None`` (default): one pandas groupby over the
-      partial rows coalesced to one task. Right for low/medium key
-      cardinality (≲10^6 distinct keys) — measured here, Ray 2.49's
-      sort-based ``Aggregate`` costs ~2 ms/row on multi-column keys,
-      100× this merge.
+    * ``merge_partitions=None`` (default): the partial rows (≤ distinct
+      keys × read blocks) are collected and merged with ONE pandas
+      groupby, returned as a single-block dataset. Right for low/medium
+      key cardinality (≲10^6 distinct keys) — measured here, Ray 2.49's
+      sort-based ``Aggregate`` costs ~2 ms/row on multi-column keys and
+      even a ``repartition(1)`` AllToAll of 42 partial rows costs
+      ~0.7 s of fixed exchange setup, ~10× this collect+merge.
     * ``merge_partitions=P`` (≥2): hash-partitioned merge via
       ``grouped_apply`` — the partials shuffle by key hash and P
       parallel tasks each merge their key range. Use when distinct-key
@@ -167,9 +169,7 @@ def grouped_agg(
     if merge_partitions and merge_partitions > 1:
         return grouped_apply(part, keys, merge,
                              num_partitions=merge_partitions)
-    return part.repartition(1).map_batches(
-        merge, batch_format="pandas", batch_size=None
-    )
+    return rd.from_pandas(merge(part.to_pandas()))
 
 
 # ---------------------------------------------------------------------------
