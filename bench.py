@@ -59,6 +59,13 @@ BENCH_QUERIES = [
     # round-4 additions: large×large non-equi join + multimodal packing
     "range_join_partitioned",
     "mm_pack",
+    # round-4 second wave: iterative graph, retrieval scoring, complete
+    # edit-distance blocking, cube, timestamp-RANGE frames
+    "pagerank",
+    "bm25",
+    "fuzzy_dedup",
+    "cube_lineitem",
+    "range_frame",
 ]
 
 
