@@ -63,17 +63,32 @@ def pagerank(
     """
     from .relational import grouped_agg, grouped_apply, resolve_broadcast
 
-    # out-degree per src: one count aggregate (small output — ≤ one row
-    # per distinct src)
-    deg = grouped_agg(edges, [src], {"outd": (dst, "count")},
-                      merge_partitions=4)
-    deg_df = deg.to_pandas()
-    # in-edge endpoints that never appear as src still need rank rows
-    indeg = grouped_agg(edges, [dst], {"ind": (src, "count")},
-                        merge_partitions=4)
-    ind_df = indeg.to_pandas()
-    node_arr = np.union1d(deg_df[src].to_numpy(), ind_df[dst].to_numpy())
-    n_nodes = len(node_arr)
+    from .relational import distinct
+
+    # the edge list feeds the node pass, the degree pass and the
+    # iteration input — pin it once or every consumer re-executes the
+    # caller's upstream (read/transform/distinct) from scratch
+    edges = edges.materialize()
+
+    # node list = union of the degree aggregates' key sets. The degree
+    # aggs pre-reduce per block, so the exchanges move ≤ nodes × blocks
+    # partial rows — ~an order less than shuffling 2×|E| raw node
+    # halves; everything stays distributed until the path is chosen
+    deg_ds = grouped_agg(edges, [src], {"outd": (dst, "count")},
+                         merge_partitions=num_partitions).materialize()
+    ind_ds = grouped_agg(edges, [dst], {"ind": (src, "count")},
+                         merge_partitions=num_partitions).materialize()
+    nodes_ds = distinct(
+        deg_ds.map_batches(
+            lambda df: pd.DataFrame({"node": df[src]}),
+            batch_format="pandas",
+        ).union(ind_ds.map_batches(
+            lambda df: pd.DataFrame({"node": df[dst]}),
+            batch_format="pandas",
+        )),
+        ["node"], merge_partitions=num_partitions,
+    ).materialize()
+    n_nodes = nodes_ds.count()
     if n_nodes == 0:
         return rd.from_pandas(pd.DataFrame({
             "node": pd.Series([], dtype="int64"),
@@ -82,13 +97,20 @@ def pagerank(
     base = (1.0 - damping) / n_nodes
 
     if n_nodes <= broadcast_threshold:
+        # node table fits the driver by construction of this branch —
+        # out-degrees are ≤ n_nodes rows, collected once
+        deg_df = deg_ds.to_pandas()
+        node_arr = np.sort(nodes_ds.to_pandas()["node"].to_numpy())
         inv_outd = pd.Series(
             1.0 / deg_df["outd"].to_numpy(dtype="float64"),
             index=deg_df[src].to_numpy(),
         )
+        # up to broadcast_threshold entries — ship via object store once,
+        # not pickled into every task's closure
+        inv_ref = ray.put(inv_outd)
 
-        def attach_w(df: pd.DataFrame) -> pd.DataFrame:
-            w = inv_outd.reindex(df[src].to_numpy()).to_numpy()
+        def attach_w(df: pd.DataFrame, _ref=inv_ref) -> pd.DataFrame:
+            w = resolve_broadcast(_ref).reindex(df[src].to_numpy()).to_numpy()
             return pd.DataFrame({"src": df[src], "dst": df[dst], "w": w})
 
         e = edges.map_batches(attach_w, batch_format="pandas").materialize()
@@ -106,10 +128,11 @@ def pagerank(
                      .reset_index())
                 return g
 
+            # partials are ≤ n_nodes × blocks rows; the default
+            # driver-collect merge makes each iteration ONE execution
             part = e.map_batches(scatter_block, batch_format="pandas")
             tot = grouped_agg(part, ["node"],
-                              {"contrib": ("contrib", "sum")},
-                              merge_partitions=4).to_pandas()
+                              {"contrib": ("contrib", "sum")}).to_pandas()
             contrib = (pd.Series(tot["contrib"].to_numpy(),
                                  index=tot["node"].to_numpy())
                        .reindex(node_arr).fillna(0.0).to_numpy())
@@ -119,12 +142,13 @@ def pagerank(
             "node": node_arr, "pagerank": ranks.to_numpy(),
         }))
 
-    return _pagerank_exchange(edges, src, dst, damping, iters,
+    return _pagerank_exchange(edges, nodes_ds, src, dst, damping, iters,
                               num_partitions, n_nodes)
 
 
 def _pagerank_exchange(
     edges: rd.Dataset,
+    nodes: rd.Dataset,
     src: str,
     dst: str,
     damping: float,
@@ -146,19 +170,6 @@ def _pagerank_exchange(
 
     e = grouped_apply(
         edges, [src], attach_deg, num_partitions=num_partitions
-    ).materialize()
-
-    def node_halves(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"node": pd.concat([df[src], df[dst]], ignore_index=True)}
-        )
-
-    def first_per_node(part: pd.DataFrame) -> pd.DataFrame:
-        return part.drop_duplicates(subset="node")
-
-    nodes = grouped_apply(
-        edges.map_batches(node_halves, batch_format="pandas"),
-        ["node"], first_per_node, num_partitions=num_partitions,
     ).materialize()
     base = (1.0 - damping) / n_nodes
 

@@ -1129,9 +1129,10 @@ def distinct(
     if merge_partitions and merge_partitions > 1:
         return grouped_apply(pruned, columns, local,
                              num_partitions=merge_partitions)
-    return pruned.repartition(1).map_batches(
-        local, batch_format="pandas", batch_size=None
-    )
+    # same shape as grouped_agg's default merge: the surviving rows fit
+    # one task by this path's contract, and a collect+dedup skips the
+    # repartition(1) AllToAll's fixed exchange cost
+    return rd.from_pandas(local(pruned.to_pandas()))
 
 
 def set_op_distinct(

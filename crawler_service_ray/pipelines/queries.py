@@ -3646,7 +3646,8 @@ def q_pagerank(sf_dir: str):
         })
 
     edges = distinct(
-        li.map_batches(to_edges, batch_format="pandas"), ["src", "dst"]
+        li.map_batches(to_edges, batch_format="pandas"), ["src", "dst"],
+        merge_partitions=16,
     )
     pr = pagerank(edges, iters=5, num_partitions=16)
     return pr.map_batches(
