@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "fuzzy_dedup",
     "cube_lineitem",
     "range_frame",
+    "funnel",
 ]
 
 

@@ -2196,3 +2196,53 @@ def range_frame_agg(
         return part.assign(**{out_name: csum[hi] - csum[lo]})
 
     return grouped_apply(ds, keys, per_part, num_partitions=num_partitions)
+
+
+def funnel_steps(
+    events: rd.Dataset,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+    within_us: int | None = None,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Ordered-funnel analysis: for each user, the earliest completion
+    of ``steps`` in strict timestamp order (greedy: first step-1 event,
+    then the first step-2 event strictly after it, ...). Returns one row
+    per completing user — ``(user, t1..tk)`` — optionally restricted to
+    funnels finishing within ``within_us`` of the first step.
+
+    Shape: ONE key-hash exchange co-locates every user's events; inside
+    the partition each chaining round is a vectorized groupby-min +
+    merge over only the rows of that step's type (no per-user loop).
+    The k-step chain is k small partition-local reductions, not k
+    dataset exchanges."""
+    keys = [user_col]
+    steps = list(steps)
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        cur = (
+            part.loc[part[type_col] == steps[0]]
+            .groupby(user_col, sort=False)[ts_col].min().rename("t1")
+            .reset_index()
+        )
+        for i, step in enumerate(steps[1:], start=2):
+            nxt = part.loc[part[type_col] == step,
+                           [user_col, ts_col]].merge(cur, on=user_col)
+            nxt = nxt[nxt[ts_col] > nxt[f"t{i - 1}"]]
+            if nxt.empty:
+                cur = cur.iloc[:0].assign(**{f"t{i}": pd.Series(
+                    [], dtype="datetime64[us]")})
+                continue
+            g = nxt.groupby(
+                [user_col] + [f"t{j}" for j in range(1, i)], sort=False
+            )[ts_col].min().rename(f"t{i}").reset_index()
+            cur = g
+        if within_us is not None and len(cur) and len(steps) > 1:
+            span = (cur[f"t{len(steps)}"] - cur["t1"])
+            cur = cur[span <= pd.Timedelta(microseconds=within_us)]
+        return cur[[user_col] + [f"t{i}" for i in range(1, len(steps) + 1)]]
+
+    return grouped_apply(events, keys, per_part,
+                         num_partitions=num_partitions)

@@ -3449,6 +3449,125 @@ def q_crawl_page(sf_dir: str):
     return page2.drop_columns(["spans"])
 
 
+def q_sample_weighted(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): key = ln(u)/w with u a Knuth-hash
+    pseudo-uniform of the id — heavier rows get keys nearer 0, the
+    global top-k by key IS a weighted sample, and the same integer+float
+    arithmetic runs on both engines so the subset is identical on every
+    run and at every parallelism (the property random_shuffle can't
+    give). Keys round to 6 dp BEFORE ranking; ties break on id.
+    Shuffle-free except the top-k tail."""
+    ds = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
+                    columns=["o_orderkey", "o_totalprice"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["o_orderkey"].to_numpy().astype(np.uint64)
+        h = ((ids % np.uint64(4294967296)) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+        u = (h.astype("float64") + 0.5) / 4294967296.0
+        key = np.log(u) / df["o_totalprice"].to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_totalprice": df["o_totalprice"],
+            "es_key": np.round(key, 6),
+        })
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    return topk(scored, by=["es_key", "o_orderkey"], k=100,
+                descending=[False, True])
+
+
+SQL_SAMPLE_WEIGHTED = """
+WITH scored AS (
+  SELECT o_orderkey, o_totalprice,
+         round(ln((((o_orderkey % 4294967296) * 2654435761)
+                   % 4294967296 + 0.5) / 4294967296.0)
+               / o_totalprice, 6) AS es_key
+  FROM orders)
+SELECT o_orderkey, o_totalprice, es_key FROM (
+  SELECT *, row_number() OVER (ORDER BY es_key ASC, o_orderkey DESC) r
+  FROM scored)
+WHERE r <= 100
+"""
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust per-group outlier flags: rows whose |x − group median|
+    exceeds 3 × the group's median absolute deviation — the
+    quality-filter shape that survives heavy tails where mean/stddev
+    z-scores don't. One key-hash exchange co-locates each group; median
+    and MAD are two vectorized in-partition reductions. Boundary
+    comparison rounds at 6 dp on both engines. Scale note: groups here
+    are few and fat — for that regime the broadcast-median pattern
+    (`quality_above_median`) bounds partition skew; this query pins the
+    co-partitioned form."""
+    from ..functions.relational import grouped_apply
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "event_type", "value"])
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("event_type", sort=False)["value"]
+        med = g.transform("median")
+        dev = (part["value"] - med).abs()
+        mad = dev.groupby(part["event_type"], sort=False) \
+                 .transform("median")
+        keep = np.round(dev.to_numpy() - 3.0 * mad.to_numpy(), 6) > 0
+        return part.loc[keep, ["event_id", "event_type", "value"]]
+
+    return grouped_apply(ds, ["event_type"], per_part,
+                         num_partitions=4)
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type AS g, median(value) AS m
+  FROM events GROUP BY 1),
+mad AS (
+  SELECT g, median(abs(value - m)) AS mad
+  FROM events JOIN med ON event_type = g GROUP BY g, m)
+SELECT event_id, event_type, value
+FROM events JOIN med ON event_type = med.g
+JOIN mad ON med.g = mad.g
+WHERE round(abs(value - m) - 3 * mad, 6) > 0
+"""
+
+
+def q_funnel(sf_dir: str):
+    """Ordered-funnel analysis over the event stream: users completing
+    view → click → purchase in strict ts order within 7 days, with the
+    greedy earliest-completion timestamps. ONE key-hash exchange; the
+    3-step chain is vectorized groupby-min + merge inside each user
+    partition (`functions/relational.py:funnel_steps`)."""
+    from ..functions.relational import funnel_steps
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["user_id", "event_type", "ts"])
+    return funnel_steps(ds, "user_id", "event_type", "ts",
+                        steps=["view", "click", "purchase"],
+                        within_us=7 * 24 * 3600 * 1_000_000,
+                        num_partitions=16)
+
+
+SQL_FUNNEL = """
+WITH a AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+b AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN a USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > a.t1 GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN b USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > b.t2 GROUP BY 1)
+SELECT a.user_id, t1, t2, t3
+FROM a JOIN b USING (user_id) JOIN c USING (user_id)
+WHERE t3 - t1 <= INTERVAL 7 DAY
+"""
+
+
 def q_cube_lineitem(sf_dir: str):
     """GROUP BY CUBE(returnflag, linestatus): all four grouping sets —
     one fact-table read, every level re-aggregated from the materialized
@@ -3802,6 +3921,9 @@ QUERIES = {
     "fuzzy_dedup": q_fuzzy_dedup,
     "cube_lineitem": q_cube_lineitem,
     "range_frame": q_range_frame,
+    "sample_weighted": q_sample_weighted,
+    "mad_outliers": q_mad_outliers,
+    "funnel": q_funnel,
     "pagerank": q_pagerank,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -3913,5 +4035,8 @@ ORACLE_SQL = {
     "fuzzy_dedup": SQL_FUZZY_DEDUP,
     "cube_lineitem": SQL_CUBE_LINEITEM,
     "range_frame": SQL_RANGE_FRAME,
+    "sample_weighted": SQL_SAMPLE_WEIGHTED,
+    "mad_outliers": SQL_MAD_OUTLIERS,
+    "funnel": SQL_FUNNEL,
     "pagerank": SQL_PAGERANK,
 }

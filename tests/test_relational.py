@@ -978,3 +978,41 @@ def test_grouping_sets_subset_validation(ray_session):
     with pytest.raises(ValueError, match="not a subset"):
         grouping_sets_agg(rd.from_pandas(df), ["a"], [("zz",)],
                           {"s": ("v", "sum")})
+
+
+def test_funnel_steps_semantics(ray_session):
+    """Strict ordering (same-ts does not advance), greedy earliest
+    chain, window cutoff, incomplete users dropped."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import funnel_steps
+
+    t = lambda m: pd.Timestamp("2026-01-01") + pd.Timedelta(minutes=m)
+    rows = [
+        # u1 completes: A@0, B@5 (after A), C@7
+        (1, "A", t(0)), (1, "B", t(5)), (1, "C", t(7)),
+        # u1 also has an earlier C that must NOT count (before B)
+        (1, "C", t(2)),
+        # u2: B before A only -> incomplete
+        (2, "B", t(0)), (2, "A", t(1)), (2, "C", t(2)),
+        # wait: u2 has no B after A -> incomplete
+        # u3: same-ts chain A@0 B@0 -> strict > fails -> incomplete
+        (3, "A", t(0)), (3, "B", t(0)), (3, "C", t(1)),
+        # u4 completes but outside the 10-minute window
+        (4, "A", t(0)), (4, "B", t(5)), (4, "C", t(30)),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    out = funnel_steps(
+        rd.from_pandas(df, override_num_blocks=2), "user_id",
+        "event_type", "ts", steps=["A", "B", "C"],
+        within_us=10 * 60 * 1_000_000, num_partitions=4,
+    ).to_pandas()
+    assert set(out["user_id"]) == {1}
+    r = out.iloc[0]
+    assert r["t1"] == t(0) and r["t2"] == t(5) and r["t3"] == t(7)
+    # without the window, u4 completes too
+    out2 = funnel_steps(
+        rd.from_pandas(df, override_num_blocks=2), "user_id",
+        "event_type", "ts", steps=["A", "B", "C"], num_partitions=4,
+    ).to_pandas()
+    assert set(out2["user_id"]) == {1, 4}
