@@ -2246,3 +2246,81 @@ def funnel_steps(
 
     return grouped_apply(events, keys, per_part,
                          num_partitions=num_partitions)
+
+
+def resample_ffill(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    ts_col: str,
+    val_col: str,
+    freq_us: int,
+    grid_col: str = "h",
+    out_name: str = "value_ff",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Time-grid resampling with forward fill (gap filling): per group,
+    a regular grid from floor(min ts) to floor(max ts) at ``freq_us``,
+    each grid point carrying the LAST observed value at-or-before it
+    (NULL when the grid point precedes the first event — SQL
+    ``ASOF LEFT JOIN`` semantics, which the oracle uses verbatim).
+
+    One key-hash exchange; inside each partition the whole fill is
+    vectorized on the composite (group, time) int64 axis of
+    :func:`range_frame_agg`: grid rows materialize via repeat+arange,
+    ONE ``searchsorted`` against the sorted event axis finds every grid
+    point's predecessor event, and a group-start comparison masks
+    fills that would leak from the previous group."""
+    keys = list(keys)
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            **{k: part[k].iloc[:0] for k in keys},
+            grid_col: pd.Series([], dtype="datetime64[us]"),
+            out_name: pd.Series([], dtype="float64"),
+        })
+        if not len(part):
+            return empty
+        part = part.sort_values(keys + [ts_col],
+                                kind="mergesort").reset_index(drop=True)
+        ts = part[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        gid = pd.MultiIndex.from_frame(part[keys]).factorize()[0] \
+            if len(keys) > 1 else part[keys[0]].factorize()[0]
+        gid = np.asarray(gid, dtype="int64")
+        n_g = int(gid.max()) + 1
+        starts = np.full(n_g, len(part), dtype="int64")
+        np.minimum.at(starts, gid, np.arange(len(part)))
+        # per-group grid bounds, floored to the grid frequency
+        lo = np.full(n_g, np.iinfo(np.int64).max)
+        hi = np.full(n_g, np.iinfo(np.int64).min)
+        np.minimum.at(lo, gid, ts)
+        np.maximum.at(hi, gid, ts)
+        lo = lo // freq_us * freq_us
+        hi = hi // freq_us * freq_us
+        sizes = (hi - lo) // freq_us + 1
+        total = int(sizes.sum())
+        g_gid = np.repeat(np.arange(n_g), sizes)
+        offs = np.arange(total, dtype="int64") - np.repeat(
+            np.cumsum(sizes) - sizes, sizes)
+        g_ts = np.repeat(lo, sizes) + offs * freq_us
+        t0 = ts.min()
+        span = int(max(ts.max(), g_ts.max()) - t0) + freq_us + 2
+        if n_g * span >= np.iinfo(np.int64).max:
+            raise ValueError(
+                "resample_ffill: group-count x time-span exceeds int64;"
+                " raise num_partitions"
+            )
+        comp_ev = gid * span + (ts - t0)
+        comp_gr = g_gid * span + (g_ts - t0)
+        idx = np.searchsorted(comp_ev, comp_gr, side="right") - 1
+        vals = part[val_col].to_numpy(dtype="float64")
+        filled = np.where(idx >= starts[g_gid],
+                          vals[np.maximum(idx, 0)], np.nan)
+        key_rows = part.iloc[starts[g_gid]][keys].reset_index(drop=True)
+        return pd.DataFrame({
+            **{k: key_rows[k] for k in keys},
+            grid_col: g_ts.view("datetime64[us]"),
+            out_name: filled,
+        })
+
+    return grouped_apply(ds, keys, per_part,
+                         num_partitions=num_partitions)

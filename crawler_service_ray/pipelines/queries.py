@@ -3568,6 +3568,42 @@ WHERE t3 - t1 <= INTERVAL 7 DAY
 """
 
 
+def q_resample_ffill(sf_dir: str):
+    """Hourly resample + forward fill (gap filling) of each user's
+    event-value series (users 0-19): grid points carry the last value
+    at-or-before them, NULL before the first event — ASOF LEFT JOIN
+    semantics, which the oracle runs verbatim. One exchange; grid
+    build and fill are repeat/arange + ONE searchsorted per partition
+    (`functions/relational.py:resample_ffill`)."""
+    from ..functions.relational import resample_ffill
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["user_id", "ts", "value"])
+    small = ds.map_batches(lambda df: df[df["user_id"] < 20],
+                           batch_format="pandas")
+    out = resample_ffill(small, ["user_id"], "ts", "value",
+                         freq_us=3_600_000_000, num_partitions=8)
+    return out.map_batches(
+        lambda df: df.assign(value_ff=df["value_ff"].round(6)),
+        batch_format="pandas",
+    )
+
+
+SQL_RESAMPLE_FFILL = """
+WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 20),
+bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM ev GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds)
+SELECT g.user_id, g.h, round(e.value, 6) AS value_ff
+FROM grid g ASOF LEFT JOIN ev e
+  ON g.user_id = e.user_id AND g.h >= e.ts
+"""
+
+
 def q_cube_lineitem(sf_dir: str):
     """GROUP BY CUBE(returnflag, linestatus): all four grouping sets —
     one fact-table read, every level re-aggregated from the materialized
@@ -3922,6 +3958,7 @@ QUERIES = {
     "cube_lineitem": q_cube_lineitem,
     "range_frame": q_range_frame,
     "sample_weighted": q_sample_weighted,
+    "resample_ffill": q_resample_ffill,
     "mad_outliers": q_mad_outliers,
     "funnel": q_funnel,
     "pagerank": q_pagerank,
@@ -4036,6 +4073,7 @@ ORACLE_SQL = {
     "cube_lineitem": SQL_CUBE_LINEITEM,
     "range_frame": SQL_RANGE_FRAME,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
+    "resample_ffill": SQL_RESAMPLE_FFILL,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "funnel": SQL_FUNNEL,
     "pagerank": SQL_PAGERANK,

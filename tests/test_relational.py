@@ -1016,3 +1016,33 @@ def test_funnel_steps_semantics(ray_session):
         "event_type", "ts", steps=["A", "B", "C"], num_partitions=4,
     ).to_pandas()
     assert set(out2["user_id"]) == {1, 4}
+
+
+def test_resample_ffill_semantics(ray_session):
+    """Grid floors to freq, fill is last-at-or-before, the grid point
+    before a group's first event is NULL, and fills never leak across
+    co-partitioned groups."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import resample_ffill
+
+    t = lambda m: pd.Timestamp("2026-01-01") + pd.Timedelta(minutes=m)
+    df = pd.DataFrame({
+        # group 1: events at 00:30 and 02:10 -> grid 00:00,01:00,02:00
+        "u": [1, 1, 2],
+        "ts": [t(30), t(130), t(45)],
+        "v": [10.0, 20.0, 99.0],
+    })
+    out = resample_ffill(
+        rd.from_pandas(df, override_num_blocks=2), ["u"], "ts", "v",
+        freq_us=3_600_000_000, num_partitions=1,  # force co-residence
+    ).to_pandas().sort_values(["u", "h"]).reset_index(drop=True)
+    g1 = out[out["u"] == 1]
+    assert list(g1["h"]) == [t(0), t(60), t(120)]
+    assert np.isnan(g1["value_ff"].iloc[0])        # 00:00 precedes 00:30
+    assert g1["value_ff"].iloc[1] == 10.0          # 01:00 <- 00:30 event
+    assert g1["value_ff"].iloc[2] == 10.0          # 02:00 <- still 00:30
+    g2 = out[out["u"] == 2]
+    # group 2's 00:00 grid point must NOT pick up group 1's values
+    assert list(g2["h"]) == [t(0)]
+    assert np.isnan(g2["value_ff"].iloc[0])
