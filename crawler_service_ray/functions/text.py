@@ -944,3 +944,221 @@ def pack_interleaved(
 
     return grouped_apply(ds, [group_col], pack_part,
                          num_partitions=num_partitions)
+
+
+def _bpe_word_table(ds: rd.Dataset, text_col: str,
+                    num_partitions: int = 8) -> rd.Dataset:
+    """(word, wcount) over the corpus — the table BPE actually trains
+    on (vocabulary-scale, not corpus-scale). Partial counts per block,
+    hash-partitioned merge."""
+    from .relational import grouped_agg
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[text_col].astype(str).str.split(" ").explode()
+        w = w[(w != "") & w.notna()]
+        c = w.groupby(w, sort=False).size()
+        return pd.DataFrame({"word": c.index.astype(object),
+                             "wcount": c.to_numpy().astype("int64")})
+
+    per_block = ds.map_batches(explode, batch_format="pandas")
+    return grouped_agg(per_block, ["word"], {"wcount": ("wcount", "sum")},
+                       merge_partitions=num_partitions)
+
+
+def _bpe_flatten(words: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """word strings → (flat symbol array, word index per symbol) with
+    single-character initial symbols."""
+    lens = np.fromiter((len(w) for w in words), dtype="int64",
+                       count=len(words))
+    flat = np.array([ch for w in words for ch in w], dtype=object)
+    word_of = np.repeat(np.arange(len(words)), lens)
+    return flat, word_of
+
+
+def _bpe_pair_counts(flat: np.ndarray, word_of: np.ndarray,
+                     wcount: np.ndarray) -> pd.DataFrame:
+    """Weighted adjacent-pair counts over the flattened symbol table —
+    counts every OCCURRENCE (so 'aaa' contributes two (a,a) pairs),
+    matching the classic BPE trainer's statistics."""
+    if len(flat) < 2:
+        return pd.DataFrame({"left": [], "right": [],
+                             "cnt": pd.Series([], dtype="int64")})
+    same = word_of[:-1] == word_of[1:]
+    l = flat[:-1][same]
+    r = flat[1:][same]
+    w = wcount[word_of[:-1][same]]
+    g = (pd.DataFrame({"left": l, "right": r, "cnt": w})
+         .groupby(["left", "right"], sort=False)["cnt"].sum()
+         .reset_index())
+    return g
+
+
+def _bpe_apply_merge(flat: np.ndarray, word_of: np.ndarray,
+                     left: str, right: str) -> tuple[np.ndarray, np.ndarray]:
+    """Replace every left-to-right non-overlapping (left, right)
+    occurrence with the merged symbol — vectorized: overlapping match
+    runs resolve greedily by keeping even offsets within each run."""
+    if len(flat) < 2:
+        return flat, word_of
+    m = np.zeros(len(flat), dtype=bool)
+    m[:-1] = (flat[:-1] == left) & (flat[1:] == right) \
+        & (word_of[:-1] == word_of[1:])
+    if not m.any():
+        return flat, word_of
+    # overlap runs only matter for self-adjacent merges (left == right
+    # or chains like (ab)(ba)): resolve greedy-leftmost by keeping
+    # even positions within each consecutive-match run
+    idx = np.flatnonzero(m)
+    run_start = np.ones(len(idx), dtype=bool)
+    run_start[1:] = idx[1:] != idx[:-1] + 1
+    run_id = np.cumsum(run_start) - 1
+    first_of_run = idx[np.flatnonzero(run_start)][run_id]
+    keep = ((idx - first_of_run) % 2) == 0
+    starts = idx[keep]
+    merged = np.empty(len(flat), dtype=object)
+    merged[:] = flat
+    merged[starts] = left + right
+    drop = np.zeros(len(flat), dtype=bool)
+    drop[starts + 1] = True
+    return merged[~drop], word_of[~drop]
+
+
+def bpe_train_merges(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    num_merges: int = 8,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Distributed BPE-merge training: learn the top ``num_merges``
+    byte-pair merges over the corpus — the tokenizer-training pass of
+    an LLM data pipeline.
+
+    Shape: ONE corpus exchange builds the (word, wcount) table (the
+    classic reduction — BPE statistics depend only on the weighted
+    vocabulary, which is orders smaller than the corpus); the word
+    table materializes once, then each merge round is one streaming
+    pass over it: per-block weighted pair counts (vectorized flat-array
+    kernels, no per-word Python in the count), a driver-side argmax
+    over the pair partials (pair table is vocabulary-bounded), and a
+    broadcast merge application. Deterministic tiebreak: highest count,
+    then lexicographic (left, right) — the same rule as the single-node
+    reference in `bpe_reference`, so parity is exact, no floats
+    anywhere. Symbols start as characters with no end-of-word marker
+    (documented simplification; the merge algebra is unchanged).
+
+    Returns the merge table (rank, left, right, pair_count) as pandas —
+    merges are tokenizer artifacts, inherently driver-scale.
+    """
+    words = _bpe_word_table(ds, text_col,
+                            num_partitions=num_partitions).materialize()
+
+    def to_state(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "word": df["word"].astype(object),
+            "wcount": df["wcount"].astype("int64"),
+        })
+
+    state = words.map_batches(to_state, batch_format="pandas") \
+                 .materialize()
+    merges = []
+    for rank in range(num_merges):
+        def count_block(df: pd.DataFrame) -> pd.DataFrame:
+            w = df["word"].to_numpy()
+            syms = df["__syms"].to_numpy() if "__syms" in df else None
+            if syms is None:
+                flat, word_of = _bpe_flatten(w)
+            else:
+                lens = np.fromiter((len(s) for s in syms), dtype="int64",
+                                   count=len(syms))
+                flat = np.concatenate([np.asarray(s, dtype=object)
+                                       for s in syms]) \
+                    if len(syms) else np.array([], dtype=object)
+                word_of = np.repeat(np.arange(len(syms)), lens)
+            return _bpe_pair_counts(flat, word_of,
+                                    df["wcount"].to_numpy())
+
+        parts = state.map_batches(count_block,
+                                  batch_format="pandas").to_pandas()
+        if parts.empty:
+            break
+        tot = parts.groupby(["left", "right"], sort=False)["cnt"] \
+                   .sum().reset_index()
+        tot = tot.sort_values(["cnt", "left", "right"],
+                              ascending=[False, True, True],
+                              kind="mergesort")
+        best = tot.iloc[0]
+        if int(best["cnt"]) < 2:
+            break
+        merges.append((rank, str(best["left"]), str(best["right"]),
+                       int(best["cnt"])))
+        bl, br = str(best["left"]), str(best["right"])
+
+        def apply_block(df: pd.DataFrame, _l=bl, _r=br) -> pd.DataFrame:
+            w = df["word"].to_numpy()
+            syms = df["__syms"].to_numpy() if "__syms" in df else None
+            if syms is None:
+                flat, word_of = _bpe_flatten(w)
+            else:
+                lens = np.fromiter((len(s) for s in syms), dtype="int64",
+                                   count=len(syms))
+                flat = np.concatenate([np.asarray(s, dtype=object)
+                                       for s in syms]) \
+                    if len(syms) else np.array([], dtype=object)
+                word_of = np.repeat(np.arange(len(syms)), lens)
+            flat, word_of = _bpe_apply_merge(flat, word_of, _l, _r)
+            n = len(df)
+            out_syms = [[] for _ in range(n)]
+            for s, wi in zip(flat, word_of):
+                out_syms[wi].append(s)
+            return pd.DataFrame({
+                "word": df["word"].astype(object),
+                "wcount": df["wcount"].astype("int64"),
+                "__syms": pd.Series(out_syms, dtype=object),
+            })
+
+        state = state.map_batches(apply_block,
+                                  batch_format="pandas").materialize()
+
+    return pd.DataFrame(
+        merges, columns=["rank", "left", "right", "pair_count"]
+    ).astype({"rank": "int64", "pair_count": "int64"})
+
+
+def bpe_reference(word_counts: pd.DataFrame,
+                  num_merges: int = 8) -> pd.DataFrame:
+    """Independent single-node classic BPE trainer (dict/loop form, no
+    shared kernels with the distributed path) — the audit reference."""
+    vocab = {tuple(w): int(c) for w, c in
+             zip(word_counts["word"], word_counts["wcount"])}
+    merges = []
+    for rank in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (bl, br), cnt = best
+        if cnt < 2:
+            break
+        merges.append((rank, bl, br, cnt))
+        new_vocab: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == bl
+                        and syms[i + 1] == br):
+                    out.append(bl + br)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return pd.DataFrame(
+        merges, columns=["rank", "left", "right", "pair_count"]
+    ).astype({"rank": "int64", "pair_count": "int64"})

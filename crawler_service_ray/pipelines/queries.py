@@ -3568,6 +3568,62 @@ WHERE t3 - t1 <= INTERVAL 7 DAY
 """
 
 
+def q_bpe_audit(sf_dir: str):
+    """Distributed BPE-merge training audit (the tokenizer-training
+    pass): `bpe_train_merges` learns 8 merges — one corpus exchange
+    builds the weighted word table, then each round is one streaming
+    pass with vectorized flat-array pair kernels and a driver argmax
+    over the vocabulary-bounded pair partials. The audit re-trains with
+    the independent dict/loop single-node reference (`bpe_reference`,
+    no shared kernels) on the collected word table and counts merge-list
+    mismatches (0 — integer counts + lexicographic tiebreak make parity
+    exact). The FIRST merge pair and its count are additionally
+    recomputed by the oracle in pure SQL (adjacent-char pair statistics
+    via substr/generate_series), so the top of the merge list is pinned
+    to data, not trusted."""
+    from ..functions.text import (_bpe_word_table, bpe_reference,
+                                  bpe_train_merges)
+
+    docs = read_table(sf_dir, "documents", columns=["text"],
+                      bytes_per_block=_DOC_BPB)
+    got = bpe_train_merges(docs, num_merges=8, num_partitions=8)
+    wc = _bpe_word_table(docs, "text", num_partitions=8).to_pandas()
+    want = bpe_reference(wc, num_merges=8)
+    n = max(len(got), len(want))
+    mism = 0
+    for i in range(n):
+        a = got.iloc[i].tolist() if i < len(got) else None
+        b = want.iloc[i].tolist() if i < len(want) else None
+        if a != b:
+            mism += 1
+    return pd.DataFrame({
+        "n_merges": pd.Series([len(got)], dtype="int64"),
+        "n_mismatch": pd.Series([mism], dtype="int64"),
+        "top_left": [got["left"].iloc[0] if len(got) else ""],
+        "top_right": [got["right"].iloc[0] if len(got) else ""],
+        "top_count": pd.Series(
+            [got["pair_count"].iloc[0] if len(got) else 0], dtype="int64"),
+    })
+
+
+SQL_BPE_AUDIT = """
+WITH words AS (
+  SELECT word, count(*)::BIGINT AS wcount
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1),
+pairs AS (
+  SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+         sum(wcount)::BIGINT AS cnt
+  FROM words, unnest(generate_series(1, length(word) - 1)) AS t(i)
+  WHERE length(word) >= 2
+  GROUP BY 1, 2),
+top AS (SELECT l, r, cnt FROM pairs ORDER BY cnt DESC, l, r LIMIT 1)
+SELECT 8::BIGINT AS n_merges, 0::BIGINT AS n_mismatch,
+       l AS top_left, r AS top_right, cnt AS top_count
+FROM top
+"""
+
+
 def q_resample_ffill(sf_dir: str):
     """Hourly resample + forward fill (gap filling) of each user's
     event-value series (users 0-19): grid points carry the last value
@@ -3959,6 +4015,7 @@ QUERIES = {
     "range_frame": q_range_frame,
     "sample_weighted": q_sample_weighted,
     "resample_ffill": q_resample_ffill,
+    "bpe_audit": q_bpe_audit,
     "mad_outliers": q_mad_outliers,
     "funnel": q_funnel,
     "pagerank": q_pagerank,
@@ -4074,6 +4131,7 @@ ORACLE_SQL = {
     "range_frame": SQL_RANGE_FRAME,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "resample_ffill": SQL_RESAMPLE_FFILL,
+    "bpe_audit": SQL_BPE_AUDIT,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "funnel": SQL_FUNNEL,
     "pagerank": SQL_PAGERANK,

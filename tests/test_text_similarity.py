@@ -327,3 +327,43 @@ def test_char_entropy_kernel_edges(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert list(out["entropy"]) == [ref(t) for t in texts]
     assert list(out["n_chars"]) == [len(t) for t in texts]
+
+
+def test_bpe_train_matches_reference(ray_session):
+    """Distributed BPE merges == independent dict/loop reference,
+    including the overlapping-run greedy case ('aaaa')."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.text import (_bpe_word_table,
+                                                    bpe_reference,
+                                                    bpe_train_merges)
+
+    docs = pd.DataFrame({"text": [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "aaaa aaaa aa banana bandana",
+        "low new low new",
+    ]})
+    ds = rd.from_pandas(docs, override_num_blocks=2)
+    got = bpe_train_merges(ds, num_merges=6, num_partitions=4)
+    wc = _bpe_word_table(ds, "text", num_partitions=4).to_pandas()
+    want = bpe_reference(wc, num_merges=6)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+    assert len(got) == 6
+    # merged symbols must really merge: applying rank-0 merge reduces
+    # the rank-0 pair's count to zero in the next round's stats
+    r0 = (got["left"].iloc[0], got["right"].iloc[0])
+    later = got.iloc[1:]
+    assert not ((later["left"] == r0[0]) & (later["right"] == r0[1])).any()
+
+
+def test_bpe_apply_merge_overlap_greedy():
+    """'aaaa' with merge (a,a) -> (aa, aa); 'aaa' -> (aa, a)."""
+    from crawler_service_ray.functions.text import _bpe_apply_merge
+
+    flat = np.array(list("aaaa") + list("aaa"), dtype=object)
+    word_of = np.array([0, 0, 0, 0, 1, 1, 1])
+    f2, w2 = _bpe_apply_merge(flat, word_of, "a", "a")
+    assert list(f2) == ["aa", "aa", "aa", "a"]
+    assert list(w2) == [0, 0, 1, 1]
