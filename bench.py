@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "cube_lineitem",
     "range_frame",
     "funnel",
+    "resample_ffill",
+    "bpe_audit",
 ]
 
 

@@ -137,6 +137,19 @@ def grouped_agg(
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         # re-reduce the partial columns: sums/counts add, min/max reduce
+        if any(k not in df.columns for k in keys):
+            # an all-empty input collects to a column-less frame (Ray
+            # drops the schema of 0-row object blocks); emit the output
+            # header so downstream consumers see a uniform shape
+            cols = {k: pd.Series(dtype=object) for k in keys}
+            for out, (_, fn) in aggs.items():
+                if fn == "count":
+                    cols[out] = pd.Series(dtype="int64")
+                elif fn in ("sum", "mean", "var", "std"):
+                    cols[out] = pd.Series(dtype="float64")
+                else:
+                    cols[out] = pd.Series(dtype=object)
+            return pd.DataFrame(cols)
         plan = {}
         for c in df.columns:
             if c.startswith("__p_"):
