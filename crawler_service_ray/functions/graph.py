@@ -238,3 +238,205 @@ def _pagerank_exchange(
         ).materialize()
 
     return ranks
+
+
+def bfs_depths(
+    edges: rd.Dataset,
+    sources: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 6,
+    num_partitions: int = 16,
+    broadcast_threshold: int = 5_000_000,
+) -> rd.Dataset:
+    """Multi-source BFS: min hop-distance from any source node.
+
+    ``edges`` is a directed ``(src, dst)`` int64 edge list (need not be
+    distinct — duplicates cost bandwidth, not correctness); ``sources``
+    is a dataset with a ``node`` column. Returns ``(node, depth)`` for
+    every node reachable within ``max_depth`` hops, depth = the minimum
+    number of edges from any source (sources themselves at depth 0).
+    This is the crawl-analysis primitive the frontier itself embodies
+    (epoch number == BFS depth from the seed list — compare
+    `pipelines/crawl.py`'s epoch superstep): seed-distance over the
+    harvested link graph answers "how deep did the crawl reach X".
+
+    Two execution shapes, same discipline as :func:`pagerank`:
+
+    * **Broadcast frontier** (reached set ≤ ``broadcast_threshold``):
+      the edge set is pinned once and NEVER moves; each round
+      ``ray.put``s the current frontier as one sorted int64 array,
+      streams the edges through ``map_batches`` (per-block sorted-array
+      membership + per-block dedup of candidate dsts), and merges the
+      ≤ nodes × blocks candidate partials with the same driver-collect
+      ``distinct`` the aggregate family uses. Per round: one streaming
+      pass over the edges, zero edge shuffles. The driver holds only
+      the visited int64 array — the same "node table fits" regime as
+      pagerank's broadcast branch.
+    * **Exchange** (huge reached sets): frontier rows co-partition with
+      the edges on ``src`` (one tagged-union exchange emits candidate
+      ``(dst, d+1)`` rows, deduped per partition), then candidates
+      co-partition with the depth state on ``node`` (min-depth wins).
+      Two hash exchanges per round, nothing on the driver; the edge
+      side of the scatter exchange re-ships each round — the honest
+      cost of not fitting the frontier anywhere, bounded by
+      ``max_depth`` rounds.
+
+    Both paths produce identical output (pinned by pytest parity vs a
+    single-node BFS reference).
+    """
+    from .relational import distinct
+
+    empty = pd.DataFrame({
+        "node": pd.Series([], dtype="int64"),
+        "depth": pd.Series([], dtype="int64"),
+    })
+    # count before mapping: an all-empty dataset loses its schema through
+    # map_batches (0-row object blocks), so the projection would KeyError
+    if sources.count() == 0:
+        return rd.from_pandas(empty)
+    edges = edges.materialize()
+    srcs = distinct(
+        sources.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"]}),
+            batch_format="pandas",
+        ),
+        ["node"],
+    ).materialize()
+
+    if broadcast_threshold > 0:
+        return _bfs_broadcast(edges, srcs, src, dst, max_depth,
+                              broadcast_threshold)
+    return _bfs_exchange(edges, srcs, src, dst, max_depth, num_partitions)
+
+
+def _bfs_broadcast(
+    edges: rd.Dataset,
+    srcs: rd.Dataset,
+    src: str,
+    dst: str,
+    max_depth: int,
+    broadcast_threshold: int,
+) -> rd.Dataset:
+    from .relational import distinct, resolve_broadcast
+
+    frontier = np.sort(srcs.to_pandas()["node"].to_numpy(dtype="int64"))
+    visited = frontier.copy()
+    out_nodes = [frontier]
+    out_depths = [np.zeros(len(frontier), dtype="int64")]
+
+    for d in range(1, max_depth + 1):
+        ref = ray.put(frontier)
+
+        def expand(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            f = resolve_broadcast(_ref)
+            s = df[src].to_numpy(dtype="int64")
+            # sorted-array membership: idx clamp + equality check
+            idx = np.searchsorted(f, s)
+            hit = (idx < len(f)) & (f[np.minimum(idx, len(f) - 1)] == s)
+            cand = pd.unique(df[dst].to_numpy(dtype="int64")[hit])
+            return pd.DataFrame({"node": cand})
+
+        cand = distinct(
+            edges.map_batches(expand, batch_format="pandas"), ["node"]
+        ).to_pandas()["node"].to_numpy(dtype="int64")
+        new = np.setdiff1d(cand, visited)  # sorted result
+        if len(new) == 0:
+            break
+        visited = np.union1d(visited, new)
+        if len(visited) > broadcast_threshold:
+            raise ValueError(
+                f"bfs_depths: reached set grew past broadcast_threshold="
+                f"{broadcast_threshold}; rerun with broadcast_threshold=0 "
+                "(exchange path) for graphs whose reached set cannot sit "
+                "on the driver"
+            )
+        out_nodes.append(new)
+        out_depths.append(np.full(len(new), d, dtype="int64"))
+        frontier = new
+
+    return rd.from_pandas(pd.DataFrame({
+        "node": np.concatenate(out_nodes),
+        "depth": np.concatenate(out_depths),
+    }))
+
+
+def _bfs_exchange(
+    edges: rd.Dataset,
+    srcs: rd.Dataset,
+    src: str,
+    dst: str,
+    max_depth: int,
+    num_partitions: int,
+) -> rd.Dataset:
+    from .relational import grouped_apply
+
+    state = srcs.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["node"].astype("int64"),
+            "depth": np.zeros(len(df), dtype="int64"),
+        }),
+        batch_format="pandas",
+    ).materialize()
+    n_state = state.count()
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df[src].astype("int64"),
+            "__dst": df[dst].astype("int64"),
+            "__f": False,
+        })
+
+    e_tagged = edges.map_batches(tag_edge, batch_format="pandas")
+
+    for d in range(1, max_depth + 1):
+        d_prev = d - 1
+
+        def tag_frontier(df: pd.DataFrame, _d=d_prev) -> pd.DataFrame:
+            f = df.loc[df["depth"] == _d, "node"]
+            return pd.DataFrame({
+                "node": f.astype("int64"),
+                "__dst": np.full(len(f), -1, dtype="int64"),
+                "__f": True,
+            })
+
+        def scatter(part: pd.DataFrame, _d=d) -> pd.DataFrame:
+            fset = part.loc[part["__f"], "node"].to_numpy(dtype="int64")
+            if len(fset) == 0:
+                return pd.DataFrame({
+                    "node": pd.Series([], dtype="int64"),
+                    "depth": pd.Series([], dtype="int64"),
+                })
+            fset = np.sort(fset)
+            ed = part.loc[~part["__f"]]
+            s = ed["node"].to_numpy(dtype="int64")
+            idx = np.searchsorted(fset, s)
+            hit = ((idx < len(fset))
+                   & (fset[np.minimum(idx, len(fset) - 1)] == s))
+            cand = pd.unique(ed["__dst"].to_numpy(dtype="int64")[hit])
+            return pd.DataFrame({
+                "node": cand,
+                "depth": np.full(len(cand), _d, dtype="int64"),
+            })
+
+        both = state.map_batches(tag_frontier, batch_format="pandas").union(
+            e_tagged
+        )
+        cands = grouped_apply(both, ["node"], scatter,
+                              num_partitions=num_partitions)
+
+        def min_depth(part: pd.DataFrame) -> pd.DataFrame:
+            g = (part.groupby("node", sort=False)["depth"].min()
+                 .reset_index())
+            return g
+
+        state = grouped_apply(
+            state.union(cands), ["node"], min_depth,
+            num_partitions=num_partitions,
+        ).materialize()
+        n_new = state.count()
+        if n_new == n_state:
+            break
+        n_state = n_new
+
+    return state

@@ -3903,6 +3903,60 @@ r{i} AS (
 SQL_PAGERANK = _sql_pagerank()
 
 
+def q_bfs_depth(sf_dir: str):
+    """Multi-source BFS depth over the same supplier↔part graph as
+    `pagerank`: minimum hop-distance (≤ 4) from the sources = supplier
+    nodes whose key is a multiple of 10. The crawl's epoch superstep IS
+    this computation (epoch number == seed distance), so the oracle
+    doubles as an independent check of the frontier-expansion shape.
+    Broadcast-frontier path: the edge set is pinned once and streamed
+    once per round — zero edge shuffles (`functions/graph.py:
+    bfs_depths`). Oracle: a recursive CTE over the identical edge list
+    with min(depth) per reached node."""
+    from ..functions.graph import bfs_depths
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_suppkey", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["l_suppkey"].to_numpy()
+        p = df["l_partkey"].to_numpy() + 10_000_000
+        return pd.DataFrame({
+            "src": np.concatenate([s, p]),
+            "dst": np.concatenate([p, s]),
+        })
+
+    edges = distinct(
+        li.map_batches(to_edges, batch_format="pandas"), ["src", "dst"],
+        merge_partitions=16,
+    )
+
+    def to_sources(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["l_suppkey"].to_numpy(dtype="int64")
+        return pd.DataFrame({"node": s[s % 10 == 0]})
+
+    sources = li.map_batches(to_sources, batch_format="pandas")
+    return bfs_depths(edges, sources, max_depth=4)
+
+
+SQL_BFS_DEPTH = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey + 10000000 AS p FROM lineitem),
+edges AS (
+  SELECT s AS src, p AS dst FROM pairs
+  UNION ALL
+  SELECT p AS src, s AS dst FROM pairs),
+reach(node, depth) AS (
+  SELECT DISTINCT l_suppkey, 0 FROM lineitem WHERE l_suppkey % 10 = 0
+  UNION
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.depth < 4
+)
+SELECT node, min(depth)::BIGINT AS depth FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -4019,6 +4073,7 @@ QUERIES = {
     "mad_outliers": q_mad_outliers,
     "funnel": q_funnel,
     "pagerank": q_pagerank,
+    "bfs_depth": q_bfs_depth,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
     "crawl_stats": q_crawl_stats,
@@ -4135,4 +4190,5 @@ ORACLE_SQL = {
     "mad_outliers": SQL_MAD_OUTLIERS,
     "funnel": SQL_FUNNEL,
     "pagerank": SQL_PAGERANK,
+    "bfs_depth": SQL_BFS_DEPTH,
 }

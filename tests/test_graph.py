@@ -75,3 +75,67 @@ def test_dangling_nodes_leak_mass(ray_session):
     assert got.sum() < 1.0
     # rank(1) == rank(2) by symmetry
     assert abs(got[1] - got[2]) < 1e-15
+
+
+# ---------------------------------------------------------------------------
+# BFS depths: both execution paths vs a single-node reference
+# ---------------------------------------------------------------------------
+
+def _python_bfs(edges: pd.DataFrame, sources, max_depth):
+    adj: dict[int, list[int]] = {}
+    for s, d in zip(edges["src"], edges["dst"]):
+        adj.setdefault(int(s), []).append(int(d))
+    depth = {int(s): 0 for s in sources}
+    frontier = list(depth)
+    for d in range(1, max_depth + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in depth:
+                    depth[v] = d
+                    nxt.append(v)
+        if not nxt:
+            break
+        frontier = nxt
+    return pd.Series(depth).sort_index()
+
+
+def _run_bfs(edge_df, sources, **kw):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.graph import bfs_depths
+
+    e = rd.from_pandas(edge_df.astype({"src": "int64", "dst": "int64"}))
+    s = rd.from_pandas(pd.DataFrame({"node": np.asarray(sources, "int64")}))
+    got = bfs_depths(e, s, **kw).to_pandas()
+    if got.empty:  # Ray's to_pandas drops columns on 0-row datasets
+        return pd.Series([], dtype="int64")
+    return pd.Series(
+        got["depth"].to_numpy(), index=got["node"].to_numpy()
+    ).sort_index()
+
+
+@pytest.mark.parametrize("kw", [
+    {},  # broadcast-frontier path
+    {"broadcast_threshold": 0, "num_partitions": 4},  # exchange path
+])
+def test_bfs_matches_python(ray_session, edge_df, kw):
+    ref = _python_bfs(edge_df, [0, 7], max_depth=4)
+    got = _run_bfs(edge_df, [0, 7], max_depth=4, **kw)
+    assert got.index.tolist() == ref.index.tolist()
+    assert got.to_numpy().tolist() == ref.to_numpy().tolist()
+
+
+def test_bfs_depth_cap_and_unreachable(ray_session):
+    # chain 0->1->2->3 plus an island 9->10: cap at 2 hops from {0}
+    df = pd.DataFrame({"src": [0, 1, 2, 9], "dst": [1, 2, 3, 10]})
+    got = _run_bfs(df, [0], max_depth=2)
+    assert got.to_dict() == {0: 0, 1: 1, 2: 2}
+    got_x = _run_bfs(df, [0], max_depth=2, broadcast_threshold=0,
+                     num_partitions=3)
+    assert got_x.to_dict() == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_empty_sources(ray_session, edge_df):
+    got = _run_bfs(edge_df, [], max_depth=3)
+    assert len(got) == 0
