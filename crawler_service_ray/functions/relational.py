@@ -2337,3 +2337,87 @@ def resample_ffill(
 
     return grouped_apply(ds, keys, per_part,
                          num_partitions=num_partitions)
+
+
+def freq_sketch(
+    ds: rd.Dataset,
+    col: str,
+    k: int = 64,
+    batch_size: int = 131072,
+) -> tuple[rd.Dataset, int, int]:
+    """Misra–Gries frequent-items sketch (mergeable-summaries form,
+    Agarwal et al. 2012) — the bounded-memory frequency sibling of the
+    HLL cardinality sketch and the histogram quantile sketch: top items
+    by count over a column whose distinct-value set is too large to
+    aggregate exactly.
+
+    Per batch: an exact vectorized ``value_counts`` (bounded by batch
+    size), then the MG reduction — subtract the (k+1)-th largest count
+    from every counter and drop the non-positive — so at most ``k``
+    (item, count) rows plus one (n, decrement) bookkeeping row leave
+    each batch regardless of input size. The merge (driver collect of
+    the ≤ (k+1) × blocks partial rows, the ``grouped_agg`` default-merge
+    rationale) sums counts per item and applies one final MG reduction.
+
+    Guarantees (each decrement of ``d`` removes ≥ (k+1)·d total mass,
+    so the cumulative decrement Δ ≤ n/(k+1)):
+
+    * every reported count is a LOWER bound on the item's true count;
+    * true count ≤ reported + Δ;
+    * any item with true count > Δ is present in the output.
+
+    Like any MG sketch the exact counts depend on batch boundaries, so
+    the output is approximate (not parallelism-invariant); the
+    guarantees above are machine-checked by the ``freq_sketch_audit``
+    invariant oracle. Returns ``(dataset(item, est_lb, est_ub), n,
+    delta)``.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[col].value_counts()  # sorted desc
+        n_b = int(vc.sum())
+        dec = int(vc.iloc[k]) if len(vc) > k else 0
+        kept = (vc - dec) if dec else vc
+        kept = kept[kept > 0]
+        out = pd.DataFrame({
+            "item": kept.index.to_numpy(),
+            "cnt": kept.to_numpy(dtype="int64"),
+            "n": np.zeros(len(kept), dtype="int64"),
+            "dec": np.zeros(len(kept), dtype="int64"),
+        })
+        if n_b:
+            meta = pd.DataFrame({
+                "item": out["item"].iloc[:1]
+                if len(out) else df[col].iloc[:1],
+                "cnt": np.array([0], dtype="int64"),
+                "n": np.array([n_b], dtype="int64"),
+                "dec": np.array([dec], dtype="int64"),
+            })
+            out = pd.concat([out, meta], ignore_index=True)
+        return out
+
+    part = ds.map_batches(partial, batch_format="pandas",
+                          batch_size=batch_size).to_pandas()
+    if len(part) == 0:
+        empty = pd.DataFrame({
+            "item": pd.Series([], dtype=object),
+            "est_lb": pd.Series([], dtype="int64"),
+            "est_ub": pd.Series([], dtype="int64"),
+        })
+        return rd.from_pandas(empty), 0, 0
+    n_total = int(part["n"].sum())
+    delta = int(part["dec"].sum())
+    g = (part.groupby("item", sort=False)["cnt"].sum()
+         .sort_values(ascending=False))
+    g = g[g > 0]
+    if len(g) > k:
+        d = int(g.iloc[k])
+        g = g - d
+        g = g[g > 0]
+        delta += d
+    out = pd.DataFrame({
+        "item": g.index.to_numpy(),
+        "est_lb": g.to_numpy(dtype="int64"),
+        "est_ub": g.to_numpy(dtype="int64") + delta,
+    })
+    return rd.from_pandas(out), n_total, delta

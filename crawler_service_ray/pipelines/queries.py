@@ -3957,6 +3957,72 @@ SELECT node, min(depth)::BIGINT AS depth FROM reach GROUP BY node
 """
 
 
+def q_freq_sketch(sf_dir: str):
+    """Misra–Gries frequent-items sketch over the event stream's user
+    ids (k=32 counters — far below the distinct-user count, so the MG
+    decrement machinery is genuinely exercised). Approximate by design
+    (counts depend on batch boundaries), so the primary is rows-only;
+    every guarantee is machine-checked by `freq_sketch_audit`★
+    (`functions/relational.py:freq_sketch`)."""
+    from ..functions.relational import freq_sketch
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    hh, _, _ = freq_sketch(ds, "user_id", k=32)
+    return hh.map_batches(
+        lambda df: df.sort_values(
+            ["est_lb", "item"], ascending=[False, True]
+        ).reset_index(drop=True),
+        batch_format="pandas",
+    )
+
+
+def q_freq_sketch_audit(sf_dir: str):
+    """INVARIANT oracle for the MG sketch (the `quantiles_sketch_err`
+    pattern): recompute exact per-user counts with `grouped_agg`, then
+    assert the sketch's three provable guarantees — every reported
+    count is a lower bound (n_lb_violations=0), true ≤ reported + Δ
+    (n_ub_violations=0), every item with true count > Δ is present
+    (n_missed_heavy=0) — plus the analytic bound Δ ≤ n/(k+1)
+    (delta_within_bound=1). n_exact_distinct is recomputed by the SQL
+    oracle, so a broken stream (wrong n, dropped rows) hash-mismatches
+    even when the invariant flags happen to hold."""
+    from ..functions.relational import freq_sketch, grouped_agg
+
+    k = 32
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    hh_ds, n_total, delta = freq_sketch(ds, "user_id", k=k)
+    hh = hh_ds.to_pandas()
+    exact = grouped_agg(
+        ds, ["user_id"], {"true_cnt": ("user_id", "count")}
+    ).to_pandas()
+    m = exact.merge(hh, left_on="user_id", right_on="item", how="left")
+    present = m["est_lb"].notna()
+    lb = m["est_lb"].fillna(0).to_numpy(dtype="int64")
+    tc = m["true_cnt"].to_numpy(dtype="int64")
+    return pd.DataFrame({
+        "n_exact_distinct": np.array([len(exact)], dtype="int64"),
+        "n_missed_heavy": np.array(
+            [int(((tc > delta) & ~present).sum())], dtype="int64"),
+        "n_lb_violations": np.array(
+            [int((lb[present] > tc[present]).sum())], dtype="int64"),
+        "n_ub_violations": np.array(
+            [int((tc[present] > lb[present] + delta).sum())],
+            dtype="int64"),
+        "delta_within_bound": np.array(
+            [int(delta * (k + 1) <= n_total)], dtype="int64"),
+    })
+
+
+SQL_FREQ_SKETCH_AUDIT = """
+SELECT count(DISTINCT user_id)::BIGINT AS n_exact_distinct,
+       0::BIGINT AS n_missed_heavy,
+       0::BIGINT AS n_lb_violations,
+       0::BIGINT AS n_ub_violations,
+       1::BIGINT AS delta_within_bound
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -4074,6 +4140,8 @@ QUERIES = {
     "funnel": q_funnel,
     "pagerank": q_pagerank,
     "bfs_depth": q_bfs_depth,
+    "freq_sketch": q_freq_sketch,
+    "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
     "crawl_stats": q_crawl_stats,
@@ -4191,4 +4259,5 @@ ORACLE_SQL = {
     "funnel": SQL_FUNNEL,
     "pagerank": SQL_PAGERANK,
     "bfs_depth": SQL_BFS_DEPTH,
+    "freq_sketch_audit": SQL_FREQ_SKETCH_AUDIT,
 }

@@ -1046,3 +1046,49 @@ def test_resample_ffill_semantics(ray_session):
     # group 2's 00:00 grid point must NOT pick up group 1's values
     assert list(g2["h"]) == [t(0)]
     assert np.isnan(g2["value_ff"].iloc[0])
+
+
+# ---------------------------------------------------------------------------
+# freq_sketch (Misra–Gries heavy hitters)
+# ---------------------------------------------------------------------------
+
+def test_freq_sketch_guarantees(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import freq_sketch
+
+    rng = np.random.default_rng(11)
+    # zipf-ish stream: a few very hot items over a long tail
+    vals = np.concatenate([
+        np.repeat(np.arange(5), 400),              # 5 heavy items ×400
+        rng.integers(100, 2000, 6000),             # long uniform tail
+    ])
+    rng.shuffle(vals)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(16)
+    k = 16
+    hh, n, delta = freq_sketch(ds, "v", k=k, batch_size=256)
+    out = hh.to_pandas().set_index("item")
+
+    assert n == len(vals)
+    assert delta * (k + 1) <= n  # analytic decrement bound
+    true = pd.Series(vals).value_counts()
+    # every item with true count > delta must be present
+    for item, cnt in true[true > delta].items():
+        assert item in out.index, (item, cnt, delta)
+    # reported counts are lower bounds and within delta of truth
+    for item, row in out.iterrows():
+        assert row["est_lb"] <= true[item] <= row["est_ub"]
+    assert len(out) <= k
+
+
+def test_freq_sketch_exact_when_few_items(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import freq_sketch
+
+    df = pd.DataFrame({"v": np.repeat(["a", "b", "c"], [30, 20, 10])})
+    ds = rd.from_pandas(df).repartition(4)
+    hh, n, delta = freq_sketch(ds, "v", k=8, batch_size=16)
+    out = hh.to_pandas().set_index("item")["est_lb"].to_dict()
+    assert delta == 0 and n == 60
+    assert out == {"a": 30, "b": 20, "c": 10}
