@@ -1162,3 +1162,92 @@ def bpe_reference(word_counts: pd.DataFrame,
     return pd.DataFrame(
         merges, columns=["rank", "left", "right", "pair_count"]
     ).astype({"rank": "int64", "pair_count": "int64"})
+
+
+def collocations(
+    ds: rd.Dataset,
+    k: int = 40,
+    min_count: int = 5,
+    text_col: str = "text",
+    merge_partitions: int | None = 8,
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Top-k collocations (adjacent word bigrams) by pointwise mutual
+    information — the phrase-mining pass a tokenizer/vocabulary builder
+    runs over a training corpus.
+
+    PMI is computed over the bigram distribution itself: with N = total
+    bigrams, p(a,·) = (bigrams starting with a)/N, p(·,b) = (bigrams
+    ending with b)/N, ``pmi = ln(c_ab · N / (c1(a) · c2(b)))`` — self-
+    consistent denominators, reproducible in SQL without mixing token
+    and bigram totals. Tokenization is single-space split with empties
+    dropped (``vocab_topk`` parity); dropping empties keeps the
+    surviving tokens adjacent, matching the list-slice zip the oracle
+    uses.
+
+    Dataflow: per-batch bigram partial counts (explode + same-doc mask +
+    one groupby — only distinct-bigram rows leave a block), one
+    ``grouped_agg`` merge (partitioned for corpus-scale bigram
+    vocabularies), the two marginal tables derived FROM the reduced
+    bigram table (never re-reading the corpus), bucketed joins for the
+    vocabulary-scale marginals (correctly NOT broadcast — same
+    discipline as tfidf), and the shared truncating ``topk`` for the
+    final ordering. The ``min_count`` filter prunes the join input but
+    the marginals are computed over ALL bigrams, so frequency floors
+    don't distort the distribution."""
+    from .relational import bucketed_hash_join, grouped_agg, topk
+
+    def pairs_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split(" ").explode()
+        toks = toks[(toks != "") & toks.notna()]
+        w = toks.to_numpy(dtype=object)
+        if len(w) < 2:
+            return pd.DataFrame({
+                "w1": pd.Series([], dtype=object),
+                "w2": pd.Series([], dtype=object),
+                "cnt": pd.Series([], dtype="int64"),
+            })
+        doc = toks.index.to_numpy()
+        same = doc[:-1] == doc[1:]
+        g = (pd.DataFrame({"w1": w[:-1][same], "w2": w[1:][same]})
+             .groupby(["w1", "w2"], sort=False).size()
+             .reset_index(name="cnt"))
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    partials = ds.select_columns([text_col]).map_batches(
+        pairs_partial, batch_format="pandas")
+    big = grouped_agg(
+        partials, ["w1", "w2"], {"c_ab": ("cnt", "sum")},
+        merge_partitions=merge_partitions,
+    ).materialize()
+    n_total = float(big.sum("c_ab"))
+    c1 = grouped_agg(big, ["w1"], {"c1": ("c_ab", "sum")},
+                     merge_partitions=merge_partitions)
+    c2 = grouped_agg(big, ["w2"], {"c2": ("c_ab", "sum")},
+                     merge_partitions=merge_partitions)
+
+    kept = big.map_batches(
+        lambda df, _m=min_count: df[df["c_ab"] >= _m],
+        batch_format="pandas",
+    )
+    joined = bucketed_hash_join(
+        bucketed_hash_join(kept, c1, on="w1", num_buckets=num_buckets),
+        c2, on="w2", num_buckets=num_buckets,
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        pmi = np.log(
+            df["c_ab"].to_numpy(dtype="float64") * n_total
+            / (df["c1"].to_numpy(dtype="float64")
+               * df["c2"].to_numpy(dtype="float64"))
+        )
+        return pd.DataFrame({
+            "w1": df["w1"], "w2": df["w2"],
+            "c_ab": df["c_ab"].astype("int64"),
+            "pmi": np.round(pmi, 6),
+        })
+
+    scored = joined.map_batches(score, batch_format="pandas")
+    return topk(scored, ["pmi", "w1", "w2"], k,
+                descending=[True, False, False])

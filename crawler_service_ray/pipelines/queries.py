@@ -4023,6 +4023,39 @@ FROM events
 """
 
 
+def q_collocations(sf_dir: str):
+    """Top-40 adjacent-bigram collocations by PMI over the document
+    corpus (min bigram count 5) — phrase mining for tokenizer/vocab
+    construction. Bigram partial counts per block, marginals derived
+    from the reduced bigram table, bucketed joins for the vocabulary-
+    scale denominators (`functions/text.py:collocations`). Oracle: the
+    identical distribution via parallel list-slice unnest in DuckDB."""
+    return text.collocations(
+        read_table(sf_dir, "documents", columns=["text"]),
+        k=40, min_count=5,
+    )
+
+
+SQL_COLLOCATIONS = """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents),
+pairs AS (
+  SELECT unnest(w[1:len(w) - 1]) AS w1, unnest(w[2:len(w)]) AS w2
+  FROM toks WHERE len(w) >= 2),
+bc AS (SELECT w1, w2, count(*)::DOUBLE AS c_ab FROM pairs GROUP BY w1, w2),
+m1 AS (SELECT w1, sum(c_ab) AS c1 FROM bc GROUP BY w1),
+m2 AS (SELECT w2, sum(c_ab) AS c2 FROM bc GROUP BY w2),
+tot AS (SELECT sum(c_ab) AS n FROM bc)
+SELECT b.w1, b.w2, b.c_ab::BIGINT AS c_ab,
+       round(ln(b.c_ab * tot.n / (m1.c1 * m2.c2)), 6) AS pmi
+FROM bc b JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+WHERE b.c_ab >= 5
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 40
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -4141,6 +4174,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "bfs_depth": q_bfs_depth,
     "freq_sketch": q_freq_sketch,
+    "collocations": q_collocations,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -4260,4 +4294,5 @@ ORACLE_SQL = {
     "pagerank": SQL_PAGERANK,
     "bfs_depth": SQL_BFS_DEPTH,
     "freq_sketch_audit": SQL_FREQ_SKETCH_AUDIT,
+    "collocations": SQL_COLLOCATIONS,
 }

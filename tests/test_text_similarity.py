@@ -367,3 +367,48 @@ def test_bpe_apply_merge_overlap_greedy():
     f2, w2 = _bpe_apply_merge(flat, word_of, "a", "a")
     assert list(f2) == ["aa", "aa", "aa", "a"]
     assert list(w2) == [0, 0, 1, 1]
+
+
+# ---------------------------------------------------------------------------
+# collocations (bigram PMI)
+# ---------------------------------------------------------------------------
+
+def test_collocations_matches_single_node(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_service_ray.functions.text import collocations
+
+    rng = np.random.default_rng(3)
+    words = ["the", "of", "data", "ray", "new", "york"]
+    docs = []
+    for _ in range(200):
+        toks = list(rng.choice(words, size=12))
+        # plant a strong collocation: "new york" always adjacent
+        if rng.random() < 0.5:
+            i = int(rng.integers(0, 11))
+            toks[i], toks[i + 1] = "new", "york"
+        docs.append(" ".join(toks))
+    ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(8)
+    got = collocations(ds, k=10, min_count=2).to_pandas()
+
+    # single-node reference with the same self-consistent PMI
+    pairs = {}
+    for d in docs:
+        t = [x for x in d.split(" ") if x]
+        for a, b in zip(t[:-1], t[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    n = sum(pairs.values())
+    c1, c2 = {}, {}
+    for (a, b), c in pairs.items():
+        c1[a] = c1.get(a, 0) + c
+        c2[b] = c2.get(b, 0) + c
+    rows = [(a, b, c, round(np.log(c * n / (c1[a] * c2[b])), 6))
+            for (a, b), c in pairs.items() if c >= 2]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    ref = pd.DataFrame(rows[:10], columns=["w1", "w2", "c_ab", "pmi"])
+
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), ref, check_dtype=False)
+    # the planted phrase must rank first
+    assert (got.iloc[0]["w1"], got.iloc[0]["w2"]) == ("new", "york")
