@@ -2421,3 +2421,46 @@ def freq_sketch(
         "est_ub": g.to_numpy(dtype="int64") + delta,
     })
     return rd.from_pandas(out), n_total, delta
+
+
+def retention_cohorts(
+    ds: rd.Dataset,
+    user_col: str,
+    ts_col: str,
+    period_us: int = 604_800_000_000,  # one week
+    num_partitions: int = 32,
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """Cohort retention: users grouped by their first-activity period,
+    counted in every later period they return — THE follow-on analytics
+    query over any event log (here: did a crawled host/user come back).
+
+    Returns ``(cohort, period_offset, n_users)``: cohort = the user's
+    first period (``floor(ts/period)``), offset = period − cohort,
+    n_users = distinct users from that cohort active at that offset.
+
+    Dataflow: ONE user-hash exchange (``grouped_apply``) co-locates each
+    user's events; inside a partition everything is vectorized pandas —
+    first-period transform, (user, cohort, offset) dedup, a partial
+    (cohort, offset) count — so only per-partition partial count rows
+    leave the exchange, merged by ``grouped_agg``. No distinct-count
+    shuffle: per-user dedup happens where the user already lives."""
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        # normalize to µs regardless of the block's datetime unit
+        wk = (part[ts_col].to_numpy(dtype="datetime64[us]")
+              .astype("int64") // period_us)
+        g = pd.DataFrame({"u": part[user_col].to_numpy(), "wk": wk})
+        g["cohort"] = g.groupby("u", sort=False)["wk"].transform("min")
+        g["period_offset"] = g["wk"] - g["cohort"]
+        d = g.drop_duplicates(["u", "period_offset"])
+        out = (d.groupby(["cohort", "period_offset"], sort=False)
+               .size().reset_index(name="cnt"))
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    partials = grouped_apply(ds, [user_col], per_part,
+                             num_partitions=num_partitions)
+    return grouped_agg(partials, ["cohort", "period_offset"],
+                       {"n_users": ("cnt", "sum")},
+                       merge_partitions=merge_partitions)

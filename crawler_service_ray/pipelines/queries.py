@@ -4056,6 +4056,33 @@ LIMIT 40
 """
 
 
+def q_retention(sf_dir: str):
+    """Weekly cohort retention over the event log: users bucketed by
+    first-activity week, counted at each week offset they return. One
+    user-hash exchange + a partial-count merge
+    (`functions/relational.py:retention_cohorts`)."""
+    from ..functions.relational import retention_cohorts
+
+    return retention_cohorts(
+        read_table(sf_dir, "events", columns=["user_id", "ts"]),
+        "user_id", "ts",
+    )
+
+
+SQL_RETENTION = """
+WITH w AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+  FROM events),
+f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id),
+pairs AS (
+  SELECT DISTINCT w.user_id, f.cohort, w.wk - f.cohort AS period_offset
+  FROM w JOIN f USING (user_id))
+SELECT cohort, period_offset, count(*)::BIGINT AS n_users
+FROM pairs GROUP BY cohort, period_offset
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -4175,6 +4202,7 @@ QUERIES = {
     "bfs_depth": q_bfs_depth,
     "freq_sketch": q_freq_sketch,
     "collocations": q_collocations,
+    "retention": q_retention,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -4295,4 +4323,5 @@ ORACLE_SQL = {
     "bfs_depth": SQL_BFS_DEPTH,
     "freq_sketch_audit": SQL_FREQ_SKETCH_AUDIT,
     "collocations": SQL_COLLOCATIONS,
+    "retention": SQL_RETENTION,
 }

@@ -1092,3 +1092,36 @@ def test_freq_sketch_exact_when_few_items(ray_session):
     out = hh.to_pandas().set_index("item")["est_lb"].to_dict()
     assert delta == 0 and n == 60
     assert out == {"a": 30, "b": 20, "c": 10}
+
+
+def test_retention_cohorts_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import retention_cohorts
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    users = rng.integers(0, 300, n)
+    # event times across ~10 weeks, µs precision
+    ts = np.datetime64("2024-01-01", "us") + rng.integers(
+        0, 10 * 7 * 86400, n
+    ).astype("timedelta64[s]").astype("timedelta64[us]")
+    df = pd.DataFrame({"user_id": users, "ts": ts})
+    got = (retention_cohorts(
+        rd.from_pandas(df).repartition(8), "user_id", "ts",
+        num_partitions=4)
+        .to_pandas()
+        .sort_values(["cohort", "period_offset"])
+        .reset_index(drop=True))
+
+    wk = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64") \
+        // 604_800_000_000
+    ref = pd.DataFrame({"u": df["user_id"], "wk": wk})
+    ref["cohort"] = ref.groupby("u")["wk"].transform("min")
+    ref["period_offset"] = ref["wk"] - ref["cohort"]
+    ref = (ref.drop_duplicates(["u", "period_offset"])
+           .groupby(["cohort", "period_offset"]).size()
+           .reset_index(name="n_users")
+           .sort_values(["cohort", "period_offset"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
