@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "funnel",
     "resample_ffill",
     "bpe_audit",
+    "bfs_depth",
+    "collocations",
+    "retention",
 ]
 
 
