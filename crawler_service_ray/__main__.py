@@ -27,7 +27,7 @@ def main(argv=None) -> int:
     c.add_argument("--corpus", required=True,
                    help="corpus dir, or a real directory tree with "
                         "--source posix")
-    c.add_argument("--source", choices=["corpus", "posix"],
+    c.add_argument("--source", choices=["corpus", "posix", "drive"],
                    default="corpus")
     c.add_argument("--run", required=True)
     c.add_argument("--seeds", nargs="*", default=None)
@@ -94,7 +94,28 @@ def main(argv=None) -> int:
     g.add_argument("--cross", type=int, default=2)
     g.add_argument("--buckets", type=int, default=16)
 
+    gd = sub.add_parser("gen-drive",
+                        help="synthesize a drive-account fixture "
+                             "(Box/GDrive-shaped paginated listings)")
+    gd.add_argument("--corpus", required=True)
+    gd.add_argument("--drives", type=int, default=2)
+    gd.add_argument("--folders", type=int, default=7)
+    gd.add_argument("--files", type=int, default=6)
+    gd.add_argument("--fanout", type=int, default=2)
+    gd.add_argument("--page-size", type=int, default=4)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "gen-drive":
+        from .stages.drive import generate_drive_fixture
+
+        path = generate_drive_fixture(
+            args.corpus, num_drives=args.drives,
+            folders_per_drive=args.folders, files_per_folder=args.files,
+            fanout=args.fanout, page_size=args.page_size,
+        )
+        print(json.dumps({"fixture": path}))
+        return 0
 
     if args.cmd == "gen-corpus":
         from .sources.corpus import generate_corpus
@@ -179,8 +200,14 @@ def main(argv=None) -> int:
 
     seeds = args.seeds
     if not seeds:
-        seeds = (["posix://data"] if args.source == "posix"
-                 else default_seeds(corpus_meta(args.corpus)["num_hosts"]))
+        if args.source == "posix":
+            seeds = ["posix://data"]
+        elif args.source == "drive":
+            from .stages.drive import default_drive_seeds
+
+            seeds = default_drive_seeds(args.corpus)
+        else:
+            seeds = default_seeds(corpus_meta(args.corpus)["num_hosts"])
     cfg = CrawlConfig(
         corpus_dir=args.corpus,
         run_dir=args.run,

@@ -42,9 +42,11 @@ class PolitenessConfig:
 
 @dataclass(frozen=True)
 class CrawlConfig:
-    # source root: the bucketed synthetic corpus ("corpus" kind) or a real
+    # source root: the bucketed synthetic corpus ("corpus" kind), a real
     # local directory tree ("posix" kind — stages/posix.py, the Source-seam
-    # proof; URLs are posix://data/<relpath>)
+    # proof; URLs are posix://data/<relpath>), or a drive-account fixture
+    # ("drive" kind — stages/drive.py, the Box/GDrive paginated-listing
+    # connector; URLs are drive://<drive>.drv/{f,x}/<id>)
     corpus_dir: str
     run_dir: str
     source_kind: str = "corpus"

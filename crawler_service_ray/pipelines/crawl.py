@@ -264,6 +264,16 @@ class CrawlRun:
             self._corpus_refs, self._corpus_nb = _CORPUS_REFS[
                 self._corpus_sig
             ]
+        elif self.cfg.source_kind == "drive":
+            # drive fixture: loaded per worker in DriveFetcher.__init__;
+            # sig includes the fixture file's (mtime, size) so a fixture
+            # regenerated in place never serves a stale per-worker cache
+            from ..stages.drive import fixture_path
+
+            fp = fixture_path(self.cfg.corpus_dir)
+            st = os.stat(fp)
+            self._corpus_sig = f"drive|{fp}|{st.st_mtime_ns}|{st.st_size}"
+            self._corpus_refs, self._corpus_nb = None, 0
         else:  # posix: the tree is read directly by each fetch task
             self._corpus_sig = f"posix|{os.path.abspath(self.cfg.corpus_dir)}"
             self._corpus_refs, self._corpus_nb = None, 0
@@ -1011,6 +1021,10 @@ def _make_fetcher(source_kind: str, corpus_dir: str, corpus_refs,
         from ..stages.posix import PosixFetcher
 
         return PosixFetcher(corpus_dir, epoch)
+    if source_kind == "drive":
+        from ..stages.drive import DriveFetcher
+
+        return DriveFetcher(corpus_dir, epoch)
     return CorpusFetcher(
         SharedBucketProvider(corpus_refs, corpus_nb), epoch,
         flaky_every=flaky_every,
