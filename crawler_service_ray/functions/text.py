@@ -1164,6 +1164,67 @@ def bpe_reference(word_counts: pd.DataFrame,
     ).astype({"rank": "int64", "pair_count": "int64"})
 
 
+def mixture_sample(
+    ds: rd.Dataset,
+    key: str,
+    id_col: str,
+    total: int,
+    alpha: float = 0.5,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Temperature-scaled corpus-mixture sampling: draw a deterministic
+    sample of ~``total`` rows whose per-``key`` (source/language) counts
+    follow the α-power recipe LM training mixes use — target share of
+    group g ∝ n_g^α, so α=1 keeps natural proportions, α→0 flattens the
+    mix toward uniform and up-weights low-resource groups (the standard
+    multilingual-sampling trick; α≈0.3-0.7 in published recipes).
+
+    Fully deterministic and parallelism-invariant: group targets come
+    from exact counts (floor(round(total·share, 6)) — same float64
+    arithmetic in SQL, so totals may undershoot ``total`` by < #groups,
+    never overshoot); membership is the per-group smallest-``target_g``
+    rows by Knuth-hashed id (ties impossible: (hash, id) is unique per
+    group). Scale shape: the count pass is a partial-agg exchange of
+    #groups rows; scoring is one vectorized map; each batch pre-truncates
+    to its local per-group head so only candidate rows (≤ target_g per
+    group per block) enter the single co-partitioning exchange.
+    Nonnegative-id precondition as ``cap_per_group``
+    (`relational.py:455-463`).
+    """
+    from .relational import grouped_agg, grouped_apply
+
+    counts = grouped_agg(ds, [key], {"n": (id_col, "count")},
+                         merge_partitions=None).to_pandas()
+    w = counts["n"].to_numpy(dtype="float64") ** float(alpha)
+    share = w / w.sum()
+    targets = {
+        k: int(np.floor(np.round(total * s, 6)))
+        for k, s in zip(counts[key].tolist(), share.tolist())
+    }
+
+    def score_and_trim(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy().astype(np.uint64)
+        h = ((ids % np.uint64(4294967296)) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+        df = df.assign(samp_key=h.astype("int64"))
+        df = df.sort_values(["samp_key", id_col], kind="mergesort")
+        g = df.groupby(key, sort=False, observed=True)
+        kept = [grp.head(targets.get(k, 0)) for k, grp in g]
+        return (pd.concat(kept) if kept
+                else df.iloc[0:0])
+
+    def exact(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["samp_key", id_col], kind="mergesort")
+        g = part.groupby(key, sort=False, observed=True)
+        kept = [grp.head(targets.get(k, 0)) for k, grp in g]
+        return pd.concat(kept) if kept else part.iloc[0:0]
+
+    return grouped_apply(
+        ds.map_batches(score_and_trim, batch_format="pandas"),
+        [key], exact, num_partitions=num_partitions,
+    )
+
+
 def collocations(
     ds: rd.Dataset,
     k: int = 40,

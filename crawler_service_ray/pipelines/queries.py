@@ -3492,6 +3492,46 @@ WHERE r <= 100
 """
 
 
+def q_mixture_sample(sf_dir: str):
+    """Temperature-scaled corpus-mixture sampling (α=0.5, budget 200):
+    per-source targets ∝ count^α — the multilingual/multi-source LM
+    mixing recipe — with deterministic per-group membership by Knuth-
+    hashed doc_id (`functions/text.py:mixture_sample`). The oracle
+    replays the exact target arithmetic (pow/round/floor) and the
+    per-group rank in SQL. Nonnegative-id precondition as
+    `sample_weighted`."""
+    from ..functions.text import mixture_sample
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return mixture_sample(ds, key="source", id_col="doc_id",
+                          total=200, alpha=0.5)
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, pow(n, 0.5) AS wg FROM counts),
+t AS (
+  SELECT source,
+         CAST(floor(round(200 * wg / (SELECT sum(wg) FROM w), 6))
+              AS BIGINT) AS target
+  FROM w),
+scored AS (
+  SELECT doc_id, source,
+         CAST(((doc_id % 4294967296) * 2654435761) % 4294967296
+              AS BIGINT) AS samp_key
+  FROM documents),
+ranked AS (
+  SELECT s.*,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY samp_key, doc_id) AS r
+  FROM scored s)
+SELECT doc_id, source, samp_key
+FROM ranked JOIN t USING (source)
+WHERE r <= target
+"""
+
+
 def q_mad_outliers(sf_dir: str):
     """Robust per-group outlier flags: rows whose |x − group median|
     exceeds 3 × the group's median absolute deviation — the
@@ -4194,6 +4234,7 @@ QUERIES = {
     "cube_lineitem": q_cube_lineitem,
     "range_frame": q_range_frame,
     "sample_weighted": q_sample_weighted,
+    "mixture_sample": q_mixture_sample,
     "resample_ffill": q_resample_ffill,
     "bpe_audit": q_bpe_audit,
     "mad_outliers": q_mad_outliers,
@@ -4315,6 +4356,7 @@ ORACLE_SQL = {
     "cube_lineitem": SQL_CUBE_LINEITEM,
     "range_frame": SQL_RANGE_FRAME,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
     "resample_ffill": SQL_RESAMPLE_FFILL,
     "bpe_audit": SQL_BPE_AUDIT,
     "mad_outliers": SQL_MAD_OUTLIERS,

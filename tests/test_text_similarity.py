@@ -134,6 +134,39 @@ def test_sample_hash_parallelism_invariant(ray_session):
     assert (h < np.uint64(214748365)).all()
 
 
+def test_mixture_sample_alpha_semantics(ray_session):
+    """α=1 keeps natural proportions; α→0 flattens toward uniform
+    (low-resource groups gain share); output is deterministic and
+    parallelism-shaped by hash only."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.text import mixture_sample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(1, 1001, dtype=np.int64),
+        "source": (["web"] * 810) + (["books"] * 90)
+                  + (["code"] * 100),
+    })
+    natural = mixture_sample(rd.from_pandas(df), "source", "doc_id",
+                             total=100, alpha=1.0).to_pandas()
+    flat = mixture_sample(rd.from_pandas(df), "source", "doc_id",
+                          total=99, alpha=0.001).to_pandas()
+    nat = natural["source"].value_counts()
+    fl = flat["source"].value_counts()
+    assert nat["web"] == 81 and nat["books"] == 9 and nat["code"] == 10
+    # near-uniform thirds at α≈0 despite the 8:1 natural skew
+    assert set(fl.values) <= {32, 33} and len(fl) == 3
+    # determinism: same call twice = identical membership
+    again = mixture_sample(rd.from_pandas(df), "source", "doc_id",
+                           total=100, alpha=1.0).to_pandas()
+    assert sorted(again["doc_id"]) == sorted(natural["doc_id"])
+    # never overshoots the budget; groups smaller than their target
+    # contribute everything they have
+    tiny = mixture_sample(rd.from_pandas(df.head(12)), "source",
+                          "doc_id", total=1000, alpha=0.5).to_pandas()
+    assert len(tiny) == 12
+
+
 def test_fingerprint_stability_and_sensitivity():
     a = text.fingerprint_batch(
         pd.DataFrame({"doc_id": [1], "text": ["w1 w2 w3 w4 w5 w6 w7 w8 w9 "
