@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "bfs_depth",
     "collocations",
     "retention",
+    "mixture_sample",
 ]
 
 
