@@ -297,3 +297,80 @@ def kmeans(
         })
 
     return C, ds.map_batches(assign, batch_format="pandas")
+
+
+def pca_fit(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    k: int = 4,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed PCA fit: ONE ``map_batches`` pass emits per-block
+    moment partials (n, Σx, ΣxxT — d + d² floats per block, d small),
+    the driver merges them and eigendecomposes the d×d covariance.
+    Nothing row-scale ever reaches the driver, so the fit is
+    100-TB-safe whenever d² × blocks is small (the embedding-table
+    regime: d ≤ a few hundred).
+
+    Returns ``(mean (d,), components (k,d), eigvals (k,))`` with a
+    deterministic sign convention (each component's largest-|coord|
+    entry is positive) so outputs are stable across runs and
+    parallelism up to float64 reassociation of the block-order sums.
+    Components are orthonormal (checked; raises on pathology).
+    """
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "n": [len(X)],
+            "s": [X.sum(axis=0).tolist()],
+            "ss": [(X.T @ X).ravel().tolist()],
+        })
+
+    p = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    if n == 0:
+        raise ValueError("pca_fit: empty input")
+    d = len(p["s"].iloc[0])
+    s = np.add.reduce([np.asarray(x, dtype=np.float64) for x in p["s"]])
+    S = np.add.reduce(
+        [np.asarray(x, dtype=np.float64).reshape(d, d) for x in p["ss"]])
+    mean = s / n
+    cov = S / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)       # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()         # (k, d)
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    g = comps @ comps.T
+    if not np.allclose(g, np.eye(k), atol=1e-8):
+        raise ValueError("pca_fit: components not orthonormal "
+                         f"(max dev {np.abs(g - np.eye(k)).max():.2e})")
+    return mean, comps, evals[order]
+
+
+def pca_project(
+    ds: rd.Dataset,
+    mean: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pc",
+) -> rd.Dataset:
+    """Project every row onto the fitted components: (mean, components)
+    ship ONCE via ``ray.put`` + the per-worker broadcast LRU; each batch
+    is one centered matmul. Output: ``(id_col, out_col: list<double>)``."""
+    ref = ray.put((np.asarray(mean, dtype=np.float64),
+                   np.asarray(components, dtype=np.float64)))
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        mu, C = _bcast(ref)
+        X = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        P = (X - mu) @ C.T
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            out_col: list(P),
+        })
+
+    return ds.map_batches(proj, batch_format="pandas")

@@ -3344,6 +3344,100 @@ FROM embeddings
 """
 
 
+def q_pca_audit(sf_dir: str, audit_max: int = 200_000):
+    """Distributed PCA self-audit (`functions/similarity.py:pca_fit` —
+    one moment-partials pass, d×d eigh on the driver). Machine-checked,
+    all folded into ``n_mismatch`` (SQL pins 0):
+
+    1. covariance parity — block-order-merged moments vs a single-node
+       numpy recompute, entrywise |Δ| ≤ 1e-8·(1+max|cov|);
+    2. subspace parity — the top-k projection operators CᵀC of both
+       fits agree to 1e-5 (sign/rotation-invariant, so float
+       reassociation can't flake it the way raw eigenvector
+       comparison would);
+    3. variance capture — the DISTRIBUTED sum of squared projected
+       coords (a second streaming pass through `pca_project`) equals
+       n·Σλ_topk to 1e-6 relative: the eigenvalues the driver derived
+       really do describe the data the cluster projected.
+
+    Driver-memory bound: like `kmeans_audit`, above ``audit_max`` rows
+    both legs run on the same deterministic hash-sample — at 100 TB the
+    parity certificate is sample-scale by construction."""
+    from ..functions.similarity import pca_fit, pca_project
+
+    K = 4
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_total = ds.count()
+    if n_total > audit_max:
+        keep_mod = max(2, n_total // audit_max)
+
+        def hsample(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["vec_id"].to_numpy().astype(np.uint64)
+            h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+            return df[h % np.uint64(keep_mod) == 0]
+
+        ds = ds.map_batches(hsample, batch_format="pandas").materialize()
+
+    mean, comps, evals = pca_fit(ds, k=K)
+    mism = 0
+
+    # 1. covariance parity vs single-node recompute
+    t = ds.to_pandas()
+    X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    n = len(X)
+    mu_r = X.mean(axis=0)
+    cov_r = (X.T @ X) / n - np.outer(mu_r, mu_r)
+    cov_d = None  # recompute the distributed cov from the fit outputs?
+    # pca_fit does not expose cov; recompute its partials path inline
+    # (same block-order reduce) to audit the merge arithmetic itself
+    p = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "n": [len(df)],
+            "s": [np.stack(df["embedding"].to_numpy())
+                  .astype(np.float64).sum(axis=0).tolist()],
+            "ss": [(lambda M: (M.T @ M).ravel().tolist())(
+                np.stack(df["embedding"].to_numpy()).astype(np.float64))],
+        }),
+        batch_format="pandas").to_pandas()
+    d = len(mu_r)
+    s = np.add.reduce([np.asarray(x) for x in p["s"]])
+    S = np.add.reduce([np.asarray(x).reshape(d, d) for x in p["ss"]])
+    cov_d = S / n - np.outer(s / n, s / n)
+    tol = 1e-8 * (1.0 + np.abs(cov_r).max())
+    mism += int((np.abs(cov_d - cov_r) > tol).sum())
+
+    # 2. subspace parity (projection operators)
+    ev_r, evec_r = np.linalg.eigh(cov_r)
+    Cr = evec_r[:, np.argsort(ev_r)[::-1][:K]].T
+    Pd = comps.T @ comps
+    Pr = Cr.T @ Cr
+    if np.abs(Pd - Pr).max() > 1e-5:
+        mism += 1
+
+    # 3. distributed variance capture vs n·Σλ
+    proj = pca_project(ds, mean, comps)
+    ssq = proj.map_batches(
+        lambda df: pd.DataFrame(
+            {"ssq": [float((np.stack(df["pc"].to_numpy()) ** 2).sum())]}),
+        batch_format="pandas").to_pandas()["ssq"].sum()
+    want = n * float(evals.sum())
+    if abs(ssq - want) > 1e-6 * max(want, 1.0):
+        mism += 1
+
+    return pd.DataFrame({
+        "n_points": pd.Series([n_total], dtype="int64"),
+        "k": pd.Series([K], dtype="int64"),
+        "n_mismatch": pd.Series([mism], dtype="int64"),
+    })
+
+
+SQL_PCA_AUDIT = """
+SELECT count(*)::BIGINT AS n_points, 4::BIGINT AS k,
+       0::BIGINT AS n_mismatch
+FROM embeddings
+"""
+
+
 def q_dup_spans(sf_dir: str):
     """Passage-level exact dedup: every (doc_id, start_word) occurrence
     of a word-8-gram shared by >= 2 distinct docs, with the sharing-doc
@@ -4173,6 +4267,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "dup_spans_clean": q_dup_spans_clean,
     "kmeans_audit": q_kmeans_audit,
+    "pca_audit": q_pca_audit,
     "mm_segments": q_mm_segments,
     "mm_media_dedup": q_mm_media_dedup,
     "mm_pack": q_mm_pack,
@@ -4300,6 +4395,7 @@ ORACLE_SQL = {
     "dup_spans": SQL_DUP_SPANS,
     "dup_spans_clean": SQL_DUP_SPANS_CLEAN,
     "kmeans_audit": SQL_KMEANS_AUDIT,
+    "pca_audit": SQL_PCA_AUDIT,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_ivf_subset": SQL_DEDUP_EMBEDDING_IVF_SUBSET,
     "ann_ivf_recall": SQL_ANN_IVF_RECALL,

@@ -339,6 +339,48 @@ def test_kmeans_parallelism_invariant_and_converging(ray_session):
     assert len(set(a[::40])) == 3
 
 
+def test_pca_fit_recovers_planted_structure(ray_session):
+    """A planted dominant direction must be the first component (up to
+    the deterministic sign convention); components are orthonormal; the
+    projection reproduces the driver-side computation; block count
+    (parallelism) doesn't change the answer beyond float reassociation."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n = 8, 400
+    axis = np.zeros(d)
+    axis[2] = 1.0
+    X = rng.normal(0, 0.05, size=(n, d)) + np.outer(
+        rng.normal(0, 3.0, size=n), axis)
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(X.astype(np.float32)),
+    })
+    mean, comps, evals = pca_fit(rd.from_pandas(df), k=3)
+    assert comps.shape == (3, d)
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-8)
+    assert evals[0] > 10 * evals[1]          # planted variance dominates
+    assert abs(comps[0, 2]) > 0.99           # first PC ≈ planted axis
+    assert comps[0, 2] > 0                   # sign convention
+    # parallelism invariance (different block structure)
+    m2, c2, e2 = pca_fit(
+        rd.from_pandas(df).repartition(7), k=3)
+    assert np.allclose(mean, m2, atol=1e-9)
+    assert np.abs(comps.T @ comps - c2.T @ c2).max() < 1e-6
+    # projection parity vs driver matmul
+    got = pca_project(rd.from_pandas(df), mean, comps).to_pandas()
+    got = got.sort_values("vec_id")
+    P = np.stack(got["pc"].to_numpy())
+    want = (np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            - mean) @ comps.T
+    assert np.abs(P - want).max() < 1e-9
+
+
 def test_char_entropy_kernel_edges(ray_session):
     import math
     from collections import Counter
