@@ -3626,6 +3626,52 @@ WHERE r <= target
 """
 
 
+def q_skew_report(sf_dir: str):
+    """Key-skew diagnostic: the 20 heaviest keys with count, corpus
+    share and cumulative share — the report that tells a 100-TB
+    pipeline WHICH keys need salting before a groupby/join (this
+    engine's own `bucketed_hash_join(salt=k)` and the crawl's mega-host
+    spilling act on exactly this information). Partial-agg counts (one
+    small exchange), distributed top-k, 20-row driver finish; the total
+    comes from a shuffle-free streaming count."""
+    from ..functions.relational import grouped_agg, topk
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "user_id"])
+    total = ds.count()
+    counts = grouped_agg(ds, ["user_id"], {"n": ("event_id", "count")},
+                         merge_partitions=8)
+    top = topk(counts, by=["n", "user_id"], k=20,
+               descending=[True, False]).to_pandas()
+    top = top.sort_values(["n", "user_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    n = top["n"].to_numpy(dtype="int64")
+    return pd.DataFrame({
+        "user_id": top["user_id"].astype("int64"),
+        "n": n,
+        "share": np.round(n / float(total), 6),
+        "cum_share": np.round(np.cumsum(n) / float(total), 6),
+        "rnk": np.arange(1, len(top) + 1, dtype="int64"),
+    })
+
+
+SQL_SKEW_REPORT = """
+WITH c AS (
+  SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id),
+tot AS (SELECT count(*)::DOUBLE AS t FROM events),
+top AS (
+  SELECT user_id, n,
+         row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+  FROM c QUALIFY rnk <= 20)
+SELECT user_id, n,
+       round(n / (SELECT t FROM tot), 6) AS share,
+       round((sum(n) OVER (ORDER BY rnk))::DOUBLE
+             / (SELECT t FROM tot), 6) AS cum_share,
+       rnk
+FROM top
+"""
+
+
 def q_mad_outliers(sf_dir: str):
     """Robust per-group outlier flags: rows whose |x − group median|
     exceeds 3 × the group's median absolute deviation — the
@@ -4330,6 +4376,7 @@ QUERIES = {
     "range_frame": q_range_frame,
     "sample_weighted": q_sample_weighted,
     "mixture_sample": q_mixture_sample,
+    "skew_report": q_skew_report,
     "resample_ffill": q_resample_ffill,
     "bpe_audit": q_bpe_audit,
     "mad_outliers": q_mad_outliers,
@@ -4453,6 +4500,7 @@ ORACLE_SQL = {
     "range_frame": SQL_RANGE_FRAME,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "skew_report": SQL_SKEW_REPORT,
     "resample_ffill": SQL_RESAMPLE_FFILL,
     "bpe_audit": SQL_BPE_AUDIT,
     "mad_outliers": SQL_MAD_OUTLIERS,
