@@ -3672,6 +3672,75 @@ FROM top
 """
 
 
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two ranked lists (the hybrid-retrieval
+    combiner: BM25 list + ANN list in IR; here two order-book signals —
+    customers by total spend and by order count): standard truncated-list
+    RRF, score = Σ 1/(60 + rank) over the lists the id appears in, each
+    list cut at M=100. Scale shape: each signal is a partial-agg exchange
+    + a DISTRIBUTED top-M (per-block pre-truncation, never a full sort);
+    only 2×M rows reach the driver for the fusion arithmetic. Spend
+    rounds to 2 dp before ranking so distributed float reassociation
+    can't flip near-ties vs the SQL engine; all ties break on custkey."""
+    from ..functions.relational import grouped_agg, topk
+
+    M, K, RRF_K = 100, 25, 60
+    ds = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
+                    columns=["o_custkey", "o_totalprice"])
+    spend = grouped_agg(ds, ["o_custkey"],
+                        {"s": ("o_totalprice", "sum")},
+                        merge_partitions=8)
+    spend = spend.map_batches(
+        lambda df: df.assign(s=np.round(df["s"], 2)),
+        batch_format="pandas")
+    cnt = grouped_agg(ds, ["o_custkey"],
+                      {"c": ("o_totalprice", "count")},
+                      merge_partitions=8)
+    ta = topk(spend, by=["s", "o_custkey"], k=M,
+              descending=[True, False]).to_pandas()
+    tb = topk(cnt, by=["c", "o_custkey"], k=M,
+              descending=[True, False]).to_pandas()
+    ta = ta.sort_values(["s", "o_custkey"], ascending=[False, True])
+    tb = tb.sort_values(["c", "o_custkey"], ascending=[False, True])
+    score: dict[int, float] = {}
+    for t in (ta, tb):
+        for r, ck in enumerate(t["o_custkey"].tolist(), start=1):
+            score[ck] = score.get(ck, 0.0) + 1.0 / (RRF_K + r)
+    out = pd.DataFrame({
+        "o_custkey": pd.Series(list(score), dtype="int64"),
+        "rrf": np.round(np.array(list(score.values())), 6),
+    }).sort_values(["rrf", "o_custkey"],
+                   ascending=[False, True]).head(K)
+    out["rnk"] = np.arange(1, len(out) + 1, dtype="int64")
+    return out.reset_index(drop=True)
+
+
+SQL_RRF_FUSION = """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS s
+  FROM orders GROUP BY o_custkey),
+cnt AS (
+  SELECT o_custkey, count(*)::BIGINT AS c
+  FROM orders GROUP BY o_custkey),
+ra AS (
+  SELECT o_custkey,
+         row_number() OVER (ORDER BY s DESC, o_custkey) AS r
+  FROM spend QUALIFY r <= 100),
+rb AS (
+  SELECT o_custkey,
+         row_number() OVER (ORDER BY c DESC, o_custkey) AS r
+  FROM cnt QUALIFY r <= 100),
+f AS (
+  SELECT coalesce(ra.o_custkey, rb.o_custkey) AS o_custkey,
+         round(coalesce(1.0 / (60 + ra.r), 0)
+               + coalesce(1.0 / (60 + rb.r), 0), 6) AS rrf
+  FROM ra FULL JOIN rb ON ra.o_custkey = rb.o_custkey)
+SELECT o_custkey, rrf,
+       row_number() OVER (ORDER BY rrf DESC, o_custkey) AS rnk
+FROM f QUALIFY rnk <= 25
+"""
+
+
 def q_mad_outliers(sf_dir: str):
     """Robust per-group outlier flags: rows whose |x − group median|
     exceeds 3 × the group's median absolute deviation — the
@@ -4377,6 +4446,7 @@ QUERIES = {
     "sample_weighted": q_sample_weighted,
     "mixture_sample": q_mixture_sample,
     "skew_report": q_skew_report,
+    "rrf_fusion": q_rrf_fusion,
     "resample_ffill": q_resample_ffill,
     "bpe_audit": q_bpe_audit,
     "mad_outliers": q_mad_outliers,
@@ -4501,6 +4571,7 @@ ORACLE_SQL = {
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "skew_report": SQL_SKEW_REPORT,
+    "rrf_fusion": SQL_RRF_FUSION,
     "resample_ffill": SQL_RESAMPLE_FFILL,
     "bpe_audit": SQL_BPE_AUDIT,
     "mad_outliers": SQL_MAD_OUTLIERS,
