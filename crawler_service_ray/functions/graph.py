@@ -440,3 +440,126 @@ def _bfs_exchange(
         n_state = n_new
 
     return state
+
+
+def triangle_count(
+    edges: rd.Dataset,
+    num_partitions: int = 16,
+) -> int:
+    """Exact triangle count of an undirected simple graph given as
+    canonical edges (``u < v``, distinct). The classic degree-ordered
+    orientation bounds skew: orient every edge from its
+    (degree, id)-smaller endpoint, so no node's OUT-degree exceeds
+    ~sqrt(2m) regardless of hubs, and total wedge fan-out is O(m^1.5)
+    instead of Σ deg² (which a web-scale hub graph would blow up).
+
+    Three exchanges end to end: (1) degree partials (grouped count over
+    both endpoints), (2) two bucketed joins shipping degrees onto the
+    edges (the node table is corpus-scale — never broadcast), (3) one
+    co-partition of wedges with oriented edges counting matches
+    in-partition; only per-partition counts reach the driver. Wedge
+    generation is vectorized run arithmetic per source block — no
+    Python loop over nodes.
+    """
+    from .relational import bucketed_hash_join, grouped_agg
+
+    def both_ends(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": np.concatenate([df["u"].to_numpy(),
+                                    df["v"].to_numpy()]),
+        })
+
+    deg = grouped_agg(
+        edges.map_batches(both_ends, batch_format="pandas"),
+        ["node"], {"deg": ("node", "count")},
+        merge_partitions=num_partitions,
+    )
+    eu = bucketed_hash_join(
+        edges, deg.map_batches(
+            lambda d: d.rename(columns={"node": "u", "deg": "du"}),
+            batch_format="pandas"),
+        on=["u"], num_buckets=num_partitions,
+    )
+    euv = bucketed_hash_join(
+        eu, deg.map_batches(
+            lambda d: d.rename(columns={"node": "v", "deg": "dv"}),
+            batch_format="pandas"),
+        on=["v"], num_buckets=num_partitions,
+    )
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        du = df["du"].to_numpy()
+        dv = df["dv"].to_numpy()
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        return pd.DataFrame({
+            "src": np.where(fwd, u, v),
+            "dst": np.where(fwd, v, u),
+            "ddst": np.where(fwd, dv, du).astype("int64"),
+            "dsrc": np.where(fwd, du, dv).astype("int64"),
+        })
+
+    oriented = euv.map_batches(orient, batch_format="pandas")
+
+    def wedges_of(part: pd.DataFrame) -> pd.DataFrame:
+        # all ordered out-neighbor pairs per src: sort by (src, rank of
+        # dst in the SAME orientation order) then vectorized run pairs
+        if len(part) == 0:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        p = part.sort_values(
+            ["src", "ddst", "dst"], kind="mergesort")
+        src = p["src"].to_numpy()
+        dst = p["dst"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        lens = np.diff(np.r_[starts, len(src)])
+        # for a run of length L: L*(L-1)/2 pairs (i<j), generated by
+        # repeating each index j (its position in the run) times
+        pos = np.arange(len(src)) - np.repeat(starts, lens)
+        a_idx = np.repeat(np.arange(len(src)), pos)  # j repeated pos_j times
+        # the i index for each pair: offsets within each j's prefix,
+        # vectorized (arange minus each j-segment's start offset)
+        seg_starts = np.cumsum(pos) - pos
+        off = np.arange(pos.sum(), dtype=np.int64) - np.repeat(seg_starts, pos)
+        i_idx = a_idx - pos[a_idx] + off
+        # pair = (dst[i], dst[j]) with i earlier in orientation order,
+        # so the wedge (a,b) is itself oriented a->b
+        return pd.DataFrame({"a": dst[i_idx], "b": dst[a_idx]})
+
+    # co-partition wedges with oriented edges by the closing pair and
+    # count matches per partition — counts only cross the wire
+    def key_mod(df: pd.DataFrame, c1: str, c2: str) -> np.ndarray:
+        h = (df[c1].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+             + df[c2].to_numpy().astype(np.uint64) * np.uint64(40503))
+        return (h % np.uint64(num_partitions)).astype("int64")
+
+    # a src's out-edges can span read blocks — co-partition by src hash
+    # BEFORE pair generation or cross-block wedges are silently missed
+    wedges = oriented.map_batches(
+        lambda d: d.assign(__sp=(d["src"].to_numpy().astype(np.uint64)
+                                 * np.uint64(0x9E3779B97F4A7C15)
+                                 % np.uint64(num_partitions)).astype("int64")),
+        batch_format="pandas",
+    ).groupby("__sp").map_groups(
+        lambda g: wedges_of(g.drop(columns="__sp")),
+        batch_format="pandas",
+    ).map_batches(lambda d: d.assign(__gp=key_mod(d, "a", "b"),
+                                     __w=np.int64(1)),
+                  batch_format="pandas")
+    closing = oriented.map_batches(
+        lambda d: pd.DataFrame({"a": d["src"], "b": d["dst"]}),
+        batch_format="pandas").map_batches(
+        lambda d: d.assign(__gp=key_mod(d, "a", "b"),
+                           __w=np.int64(0)),
+        batch_format="pandas")
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["__w"] == 1]
+        e = g[g["__w"] == 0]
+        merged = w.merge(e[["a", "b"]].drop_duplicates(), on=["a", "b"])
+        return pd.DataFrame({"n": [np.int64(len(merged))]})
+
+    parts = wedges.union(closing).groupby("__gp").map_groups(
+        count_part, batch_format="pandas").to_pandas()
+    return int(parts["n"].sum())

@@ -139,3 +139,57 @@ def test_bfs_depth_cap_and_unreachable(ray_session):
 def test_bfs_empty_sources(ray_session, edge_df):
     got = _run_bfs(edge_df, [], max_depth=3)
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# Triangle count: degree-ordered orientation vs brute force
+# ---------------------------------------------------------------------------
+
+def _brute_triangles(edges: pd.DataFrame) -> int:
+    es = {(int(u), int(v)) for u, v in zip(edges["u"], edges["v"])}
+    nodes = sorted({x for e in es for x in e})
+    cnt = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes:
+                if c > b and (a, c) in es and (b, c) in es:
+                    cnt += 1
+    return cnt
+
+
+def _canon_edges(rng, n_nodes, n_draws):
+    u = rng.integers(0, n_nodes, n_draws)
+    v = rng.integers(0, n_nodes, n_draws)
+    df = pd.DataFrame({"u": np.minimum(u, v), "v": np.maximum(u, v)})
+    return df[df["u"] != df["v"]].drop_duplicates().reset_index(drop=True)
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_draws", [
+    (3, 25, 220),   # dense: many triangles
+    (11, 60, 150),  # sparse
+])
+def test_triangle_count_matches_brute_force(ray_session, seed, n_nodes,
+                                            n_draws):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.graph import triangle_count
+
+    df = _canon_edges(np.random.default_rng(seed), n_nodes, n_draws)
+    got = triangle_count(rd.from_pandas(df), num_partitions=4)
+    assert got == _brute_triangles(df)
+
+
+def test_triangle_count_known_graphs(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.graph import triangle_count
+
+    # K4 has 4 triangles; adding a pendant edge changes nothing
+    k4 = pd.DataFrame({"u": [0, 0, 0, 1, 1, 2, 3],
+                       "v": [1, 2, 3, 2, 3, 3, 9]})
+    assert triangle_count(rd.from_pandas(k4), num_partitions=3) == 4
+    # a triangle-free path
+    path = pd.DataFrame({"u": [0, 1, 2], "v": [1, 2, 3]})
+    assert triangle_count(rd.from_pandas(path), num_partitions=2) == 0
