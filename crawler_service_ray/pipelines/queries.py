@@ -4206,6 +4206,68 @@ SELECT node, min(depth)::BIGINT AS depth FROM reach GROUP BY node
 """
 
 
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count of the part co-purchase graph: nodes are
+    parts, an edge joins two parts bought in the same order (canonical
+    ``u < v``, distinct). Edge generation never self-joins lineitem:
+    rows co-partition by order hash, each partition sorts by orderkey
+    once and emits its per-order pairs with vectorized run arithmetic
+    (no Python loop over orders). The count itself is degree-ordered
+    wedge counting — orientation bounds hub fan-out to ~sqrt(2m), and
+    only per-partition counts reach the driver
+    (`functions/graph.py:triangle_count`). Oracle: DuckDB's distinct
+    self-join edge list closed with the textbook e1⋈e2⋈e3 join."""
+    from ..functions.graph import triangle_count
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_orderkey", "l_partkey"])
+    nparts = 16
+
+    def pairs_of(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        key = p["l_orderkey"].to_numpy()
+        val = p["l_partkey"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        lens = np.diff(np.r_[starts, len(key)])
+        pos = np.arange(len(key)) - np.repeat(starts, lens)
+        j = np.repeat(np.arange(len(key)), pos)
+        seg_starts = np.cumsum(pos) - pos
+        off = np.arange(pos.sum(), dtype=np.int64) \
+            - np.repeat(seg_starts, pos)
+        i = j - pos[j] + off
+        # sorted by partkey within the order run, so val[i] <= val[j];
+        # equal pairs (same part twice in one order) are not edges
+        keep = val[i] != val[j]
+        return pd.DataFrame({"u": val[i][keep], "v": val[j][keep]})
+
+    pairs = li.map_batches(
+        lambda d: d.assign(__op=(d["l_orderkey"].to_numpy()
+                                 .astype(np.uint64)
+                                 * np.uint64(0x9E3779B97F4A7C15)
+                                 % np.uint64(nparts)).astype("int64")),
+        batch_format="pandas",
+    ).groupby("__op").map_groups(
+        lambda g: pairs_of(g.drop(columns="__op")),
+        batch_format="pandas",
+    )
+    edges = distinct(pairs, ["u", "v"], merge_partitions=nparts)
+    n = triangle_count(edges, num_partitions=nparts)
+    return pd.DataFrame({"n_triangles": [np.int64(n)]})
+
+
+SQL_TRIANGLE_COUNT = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT count(*)::BIGINT AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.v = e2.u
+JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+"""
+
+
 def q_freq_sketch(sf_dir: str):
     """Misra–Gries frequent-items sketch over the event stream's user
     ids (k=32 counters — far below the distinct-user count, so the MG
@@ -4453,6 +4515,7 @@ QUERIES = {
     "funnel": q_funnel,
     "pagerank": q_pagerank,
     "bfs_depth": q_bfs_depth,
+    "triangle_count": q_triangle_count,
     "freq_sketch": q_freq_sketch,
     "collocations": q_collocations,
     "retention": q_retention,
@@ -4578,6 +4641,7 @@ ORACLE_SQL = {
     "funnel": SQL_FUNNEL,
     "pagerank": SQL_PAGERANK,
     "bfs_depth": SQL_BFS_DEPTH,
+    "triangle_count": SQL_TRIANGLE_COUNT,
     "freq_sketch_audit": SQL_FREQ_SKETCH_AUDIT,
     "collocations": SQL_COLLOCATIONS,
     "retention": SQL_RETENTION,
