@@ -73,6 +73,12 @@ BENCH_QUERIES = [
     "collocations",
     "retention",
     "mixture_sample",
+    # round-4 fifth wave: exact triangles, PCA, skew report, RRF, MG sketch
+    "triangle_count",
+    "pca_audit",
+    "skew_report",
+    "rrf_fusion",
+    "freq_sketch_audit",
 ]
 
 
