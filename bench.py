@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "skew_report",
     "rrf_fusion",
     "freq_sketch_audit",
+    # round-4 sixth wave: sweep-line coverage, grouped HLL
+    "interval_coverage",
+    "approx_distinct_grouped",
 ]
 
 

@@ -2464,3 +2464,133 @@ def retention_cohorts(
     return grouped_agg(partials, ["cohort", "period_offset"],
                        {"n_users": ("cnt", "sum")},
                        merge_partitions=merge_partitions)
+
+
+def interval_coverage(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    lo_col: str,
+    hi_col: str,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-key merged-interval statistics: overlapping/touching
+    ``[lo, hi]`` intervals union into islands; emits per key
+    ``n_intervals``, ``n_islands`` and ``covered`` (total island
+    length, Σ island_hi − island_lo). The classic sweep-line coverage
+    aggregate (uptime per host, shipping-activity span per supplier)
+    that plain SUM(hi−lo) double-counts.
+
+    ONE key-hash exchange (`grouped_apply`) co-locates each key, then
+    everything in-partition is a single mergesort plus cython grouped
+    cummax/shift — no Python loop over keys or islands. An interval
+    starting exactly at the running max still merges (closed-interval
+    semantics, matching the SQL twin's ``lo > max_prev``). Columns must
+    be numeric (timestamps pre-converted to epoch µs by the caller, so
+    both engines subtract in exact int64)."""
+    keys = list(keys)
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {**{k: pd.Series(dtype=object) for k in keys},
+                 "n_intervals": pd.Series(dtype="int64"),
+                 "n_islands": pd.Series(dtype="int64"),
+                 "covered": pd.Series(dtype="int64")})
+        p = part.sort_values(keys + [lo_col, hi_col], kind="mergesort")
+        lo = p[lo_col].to_numpy()
+        hi = p[hi_col].to_numpy()
+        gk = p.groupby(keys, sort=False)
+        prev_max = gk[hi_col].cummax().shift(1)
+        first_of_key = gk.cumcount().to_numpy() == 0
+        new_island = first_of_key | (lo > prev_max.to_numpy())
+        island = np.cumsum(new_island)  # global id: keys are contiguous
+        # per-island lo is its first row's lo (sorted); hi is the
+        # island's running cummax at its last row
+        run_max = pd.Series(hi).groupby(island).cummax().to_numpy()
+        ends = np.r_[np.flatnonzero(new_island)[1:] - 1, len(lo) - 1]
+        isl_lo = lo[new_island]
+        isl_hi = run_max[ends]
+        head = p.iloc[np.flatnonzero(new_island)]
+        out = head[keys].copy()
+        out["__len"] = isl_hi - isl_lo
+        agg = out.groupby(keys, sort=False)["__len"] \
+                 .agg(["count", "sum"]).reset_index()
+        agg = agg.rename(columns={"count": "n_islands", "sum": "covered"})
+        n_iv = gk.size().reset_index(name="n_intervals")
+        res = n_iv.merge(agg, on=keys)
+        res["n_intervals"] = res["n_intervals"].astype("int64")
+        res["n_islands"] = res["n_islands"].astype("int64")
+        res["covered"] = res["covered"].astype("int64")
+        return res
+
+    return grouped_apply(ds, keys, per_part,
+                         num_partitions=num_partitions)
+
+
+def approx_count_distinct_grouped(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    col: str,
+    p: int = 12,
+    out_name: str = "approx_distinct",
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """Per-group HyperLogLog distinct count — the grouped sibling of
+    :func:`approx_count_distinct` for 100-TB distinct-users-per-key
+    questions where an exact per-group distinct would shuffle every
+    row. Per batch only NONZERO (key, register, rho) partials leave
+    (≤ groups×2^p rows, independent of input size); a grouped max
+    merges registers; the estimator pass is fully vectorized across
+    keys (np.add.at over key codes — no per-group Python). Linear
+    counting below 2.5m per group, bias-corrected harmonic mean above;
+    relative error ≈ 1.04/√m (~1.6% at p=12)."""
+    keys = list(keys)
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _key_hash(df[[col]], [col]).astype(np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        rho = np.ones(len(h), dtype=np.int64)
+        mask = np.uint64(1) << np.uint64(63)
+        cur = rest
+        for _ in range(64 - p):
+            zero_top = (cur & mask) == 0
+            if not zero_top.any():
+                break
+            rho[zero_top] += 1
+            cur = cur << np.uint64(1)
+            cur[~zero_top] = mask
+        g = df[keys].copy()
+        g["__reg"] = idx
+        g["__rho"] = rho
+        return (g.groupby(keys + ["__reg"], sort=False)["__rho"]
+                .max().reset_index())
+
+    merged = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys + ["__reg"], {"__rho": ("__rho", "max")},
+    )
+
+    def estimate(part: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = pd.factorize(
+            pd.util.hash_pandas_object(part[keys], index=False)
+        )
+        nk = len(uniq)
+        pow2 = np.power(2.0, -part["__rho"].to_numpy(dtype=np.float64))
+        sum_pow = np.zeros(nk)
+        np.add.at(sum_pow, codes, pow2)
+        nz = np.bincount(codes, minlength=nk)
+        n_zero = m - nz
+        alpha = 0.7213 / (1 + 1.079 / m)
+        raw = alpha * m * m / (sum_pow + n_zero)
+        lc = np.where(n_zero > 0,
+                      m * np.log(m / np.maximum(n_zero, 1)), raw)
+        est = np.where((raw <= 2.5 * m) & (n_zero > 0), lc, raw)
+        first = ~pd.Series(codes).duplicated().to_numpy()
+        out = part.loc[first, keys].reset_index(drop=True)
+        out[out_name] = np.round(est[codes[first]]).astype("int64")
+        return out
+
+    return grouped_apply(merged, keys, estimate,
+                         num_partitions=merge_partitions or 8)

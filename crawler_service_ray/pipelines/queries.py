@@ -4394,6 +4394,86 @@ FROM pairs GROUP BY cohort, period_offset
 """
 
 
+def q_interval_coverage(sf_dir: str):
+    """Merged-interval (sweep-line) coverage per user: each event opens
+    an activity interval [ts, ts + value seconds] (epoch µs int64 in
+    both engines); overlapping/touching intervals union into islands.
+    Emits per user n_intervals, n_islands and covered µs — the
+    aggregate a plain SUM(hi−lo) double-counts. ONE user-hash exchange
+    (`interval_coverage`), islands via vectorized grouped cummax — no
+    Python loop over keys or islands."""
+    from ..functions.relational import interval_coverage
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["ts"].to_numpy().view("int64")  # epoch µs, exact int64
+        dur = np.floor(df["value"].to_numpy() * 1e6).astype("int64")
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                             "lo": lo, "hi": lo + dur})
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"]
+                    ).map_batches(prep, batch_format="pandas")
+    return interval_coverage(ds, ["user_id"], "lo", "hi")
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS lo,
+         epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS hi
+  FROM events),
+brk AS (
+  SELECT user_id, lo, hi,
+         CASE WHEN lo > max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM iv),
+isl AS (
+  SELECT user_id, lo, hi,
+         sum(new_isl) OVER (PARTITION BY user_id ORDER BY lo, hi
+                            ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM brk),
+per_isl AS (
+  SELECT user_id, isl_id, min(lo) AS ilo, max(hi) AS ihi, count(*) AS n_iv
+  FROM isl GROUP BY user_id, isl_id)
+SELECT user_id, sum(n_iv)::BIGINT AS n_intervals,
+       count(*)::BIGINT AS n_islands,
+       sum(ihi - ilo)::BIGINT AS covered
+FROM per_isl GROUP BY user_id
+"""
+
+
+def q_approx_distinct_grouped(sf_dir: str):
+    """ERROR-BOUND-INVARIANT oracle for the grouped HyperLogLog
+    (`approx_count_distinct_grouped`, the `approx_distinct` pattern per
+    group): per l_returnflag the sketch's distinct l_orderkey must land
+    within 5% of exact (HLL stdev at p=12 is ~1.6%, so 5% ≈ 3σ;
+    measured relerr ≤ 2.8% at sf0.01). Emits
+    (l_returnflag, n_exact, n_violations); SQL recomputes the exact
+    counts independently and asserts zero violations."""
+    from ..functions.relational import approx_count_distinct_grouped
+
+    cols = ["l_returnflag", "l_orderkey"]
+    est = approx_count_distinct_grouped(
+        read_table(sf_dir, "lineitem", columns=cols),
+        ["l_returnflag"], "l_orderkey", p=12,
+    ).to_pandas()
+    pairs = distinct(read_table(sf_dir, "lineitem", columns=cols), cols)
+    exact = grouped_agg(pairs, ["l_returnflag"],
+                        {"n_exact": ("l_orderkey", "count")}).to_pandas()
+    mrg = exact.merge(est, on="l_returnflag")
+    mrg["n_violations"] = (
+        (mrg["approx_distinct"] - mrg["n_exact"]).abs()
+        > 0.05 * mrg["n_exact"]
+    ).astype("int64")
+    return mrg[["l_returnflag", "n_exact", "n_violations"]]
+
+
+SQL_APPROX_DISTINCT_GROUPED = """
+SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS n_exact,
+       0::BIGINT AS n_violations
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -4519,6 +4599,8 @@ QUERIES = {
     "freq_sketch": q_freq_sketch,
     "collocations": q_collocations,
     "retention": q_retention,
+    "interval_coverage": q_interval_coverage,
+    "approx_distinct_grouped": q_approx_distinct_grouped,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -4645,4 +4727,6 @@ ORACLE_SQL = {
     "freq_sketch_audit": SQL_FREQ_SKETCH_AUDIT,
     "collocations": SQL_COLLOCATIONS,
     "retention": SQL_RETENTION,
+    "interval_coverage": SQL_INTERVAL_COVERAGE,
+    "approx_distinct_grouped": SQL_APPROX_DISTINCT_GROUPED,
 }

@@ -1125,3 +1125,75 @@ def test_retention_cohorts_matches_pandas(ray_session):
            .sort_values(["cohort", "period_offset"])
            .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_interval_coverage_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import interval_coverage
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    keys = rng.integers(0, 40, n)
+    lo = rng.integers(0, 10_000, n).astype("int64")
+    hi = lo + rng.integers(0, 400, n)
+    df = pd.DataFrame({"k": keys, "lo": lo, "hi": hi})
+    got = (interval_coverage(rd.from_pandas(df).repartition(7),
+                             ["k"], "lo", "hi", num_partitions=5)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+
+    # brute-force oracle: per key, mark covered integer points
+    rows = []
+    for k, g in df.groupby("k"):
+        iv = sorted(zip(g["lo"], g["hi"]))
+        islands = []
+        for a, b in iv:
+            if islands and a <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], b)
+            else:
+                islands.append([a, b])
+        rows.append({"k": k, "n_intervals": len(iv),
+                     "n_islands": len(islands),
+                     "covered": sum(b - a for a, b in islands)})
+    ref = pd.DataFrame(rows).sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_interval_coverage_touching_intervals_merge(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import interval_coverage
+
+    # [0,5] and [5,9] touch -> one island (closed-interval semantics);
+    # [20,21] is disjoint
+    df = pd.DataFrame({"k": [1, 1, 1], "lo": [0, 5, 20],
+                       "hi": [5, 9, 21]})
+    got = interval_coverage(rd.from_pandas(df), ["k"], "lo",
+                            "hi").to_pandas()
+    assert got.iloc[0].to_dict() == {
+        "k": 1, "n_intervals": 3, "n_islands": 2, "covered": 10}
+
+
+def test_approx_count_distinct_grouped_accuracy(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        approx_count_distinct_grouped,
+    )
+
+    rng = np.random.default_rng(3)
+    # three groups with very different cardinalities, incl. the
+    # linear-counting and the raw-estimator regimes at p=12
+    parts = []
+    for g, card in [("a", 50), ("b", 3000), ("c", 20000)]:
+        vals = rng.integers(0, card * 10, card * 3) % card + hash(g) % 97 * 1_000_000
+        parts.append(pd.DataFrame({"g": g, "v": vals}))
+    df = pd.concat(parts, ignore_index=True)
+    got = (approx_count_distinct_grouped(
+        rd.from_pandas(df).repartition(9), ["g"], "v", p=12,
+        merge_partitions=3)
+        .to_pandas().set_index("g")["approx_distinct"])
+    exact = df.groupby("g")["v"].nunique()
+    for g in exact.index:
+        relerr = abs(got[g] - exact[g]) / exact[g]
+        assert relerr <= 0.05, (g, got[g], exact[g], relerr)
