@@ -79,9 +79,10 @@ BENCH_QUERIES = [
     "skew_report",
     "rrf_fusion",
     "freq_sketch_audit",
-    # round-4 sixth wave: sweep-line coverage, grouped HLL
+    # round-4 sixth wave: sweep-line coverage, grouped HLL, cosine join
     "interval_coverage",
     "approx_distinct_grouped",
+    "cosine_pairs",
 ]
 
 

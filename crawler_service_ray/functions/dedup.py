@@ -1522,3 +1522,139 @@ def fuzzy_dedup_pairs(
 
     return grouped_apply(pairs, ["id_a", "id_b"], dedup_pairs,
                          num_partitions=num_partitions)
+
+
+def cosine_pairs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    max_df: int = 256,
+    num_partitions: int = 32,
+    round_dp: int = 4,
+) -> rd.Dataset:
+    """EXACT all-pairs TF-IDF cosine similarity over the discriminative
+    vocabulary — the sparse dot-product join (term-partitioned inverted
+    index, the DISCO/all-pairs-similarity pattern): every document pair
+    whose cosine over terms with ``df <= max_df`` reaches ``threshold``.
+
+    The vector space is tf·ln(N/df) restricted to terms with document
+    frequency ≤ ``max_df`` (the stop-term cutoff `ngram_jaccard_pairs`
+    uses, here EXACT by construction: the restriction defines the
+    space, applied identically by the SQL twin, rather than lower-
+    bounding a fixed score). ``max_df`` must be < N so no kept weight
+    is zero. Tokenization splits on single spaces (DuckDB
+    ``string_split`` parity).
+
+    Stages, each a bounded exchange:
+      1. per-batch (id, term, tf) explode — docs are atomic rows, so
+         per-batch tf is exact;
+      2. df = partial-merged term counts (vocabulary stays distributed);
+      3. tf ⋈ df bucketed by term → weights (df > max_df dropped);
+      4. per-doc L2 norms (grouped partial sums) ⋈ weights bucketed by
+         id → unit-normalized weights;
+      5. term-partitioned self-merge (terms with df ≥ 2 only — a df=1
+         term can produce no cross-doc product, which prunes the long
+         tail of the vocabulary) → partial products, per-word fanout
+         bounded by max_df²;
+      6. (d1, d2) partial-sum merge → cosine, rounded to ``round_dp``
+         BEFORE the threshold test on both engines so summation-order
+         ulps can never flip a boundary pair.
+
+    Weights are rounded to 6 dp on both engines before any product
+    (the `tfidf` parity rule) so numpy-vs-DuckDB ln() last-ulp
+    differences cannot propagate."""
+    from .relational import bucketed_hash_join, grouped_agg, grouped_apply
+
+    n_docs = ds.count()
+    if max_df >= n_docs:
+        raise ValueError(
+            f"max_df={max_df} must be < document count {n_docs} "
+            "(a term in every document would carry weight 0)")
+
+    def tf_explode(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[[id_col, text_col]].copy()
+        t["__w"] = t[text_col].astype(str).str.split(" ")
+        t = t[[id_col, "__w"]].explode("__w")
+        t = t[(t["__w"] != "") & t["__w"].notna()]
+        tf = t.groupby([id_col, "__w"], sort=False).size()
+        out = tf.reset_index(name="__tf")
+        out["__tf"] = out["__tf"].astype("int64")
+        return out
+
+    tf_ds = ds.select_columns([id_col, text_col]).map_batches(
+        tf_explode, batch_format="pandas")
+    dfreq = grouped_agg(tf_ds, ["__w"], {"__df": ("__tf", "count")},
+                        merge_partitions=4)
+    joined = bucketed_hash_join(tf_ds, dfreq, on="__w", num_buckets=8)
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["__df"] <= max_df]
+        w = np.round(
+            df["__tf"].to_numpy(dtype="float64")
+            * np.log(n_docs / df["__df"].to_numpy(dtype="float64")), 6)
+        return pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "__w": df["__w"],
+            "__df": df["__df"].astype("int64"),
+            "__wt": w,
+        })
+
+    weights = joined.map_batches(weigh, batch_format="pandas")
+    # materialize once: read twice below (norms + pair products)
+    weights = weights.materialize()
+
+    def sq(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__sq=df["__wt"] ** 2)
+
+    norms = grouped_agg(
+        weights.map_batches(sq, batch_format="pandas"),
+        [id_col], {"__n2": ("__sq", "sum")}, merge_partitions=4)
+    unit = bucketed_hash_join(
+        weights.map_batches(
+            lambda d: d[d["__df"] >= 2].drop(columns="__df"),
+            batch_format="pandas"),
+        norms, on=id_col, num_buckets=8)
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "__w": df["__w"],
+            "__wn": df["__wt"].to_numpy(dtype="float64")
+            / np.sqrt(df["__n2"].to_numpy(dtype="float64")),
+        })
+
+    unit = unit.map_batches(normalize, batch_format="pandas")
+
+    def pair_products(part: pd.DataFrame) -> pd.DataFrame:
+        m = part.merge(part, on="__w", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
+            return pd.DataFrame({
+                "d1": pd.Series(dtype="int64"),
+                "d2": pd.Series(dtype="int64"),
+                "__p": pd.Series(dtype="float64")})
+        g = (m.assign(__p=m["__wn_a"] * m["__wn_b"])
+             .groupby([f"{id_col}_a", f"{id_col}_b"], sort=False)["__p"]
+             .sum().reset_index())
+        g.columns = ["d1", "d2", "__p"]
+        g["d1"] = g["d1"].astype("int64")
+        g["d2"] = g["d2"].astype("int64")
+        return g
+
+    partials = grouped_apply(unit, ["__w"], pair_products,
+                             num_partitions=num_partitions)
+    summed = grouped_agg(partials, ["d1", "d2"],
+                         {"cos_sim": ("__p", "sum")},
+                         merge_partitions=num_partitions)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cos_sim"] = np.round(
+            df["cos_sim"].to_numpy(dtype="float64"), round_dp)
+        df = df[df["cos_sim"] >= threshold]
+        df["d1"] = df["d1"].astype("int64")
+        df["d2"] = df["d2"].astype("int64")
+        return df
+
+    return summed.map_batches(finish, batch_format="pandas")

@@ -4474,6 +4474,47 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_cosine_pairs(sf_dir: str):
+    """EXACT all-pairs TF-IDF cosine similarity join over the
+    discriminative vocabulary (terms with df ≤ 256): every document
+    pair with cosine ≥ 0.3, via the term-partitioned sparse
+    dot-product join (`dedup.cosine_pairs`) — inverted-index partial
+    products, per-term fanout bounded by max_df², partial-sum merge.
+    Weights rounded 6 dp and cosines 4 dp on both engines before the
+    threshold test (the `tfidf` parity rule)."""
+    return dedup.cosine_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                   bytes_per_block=_DOC_BPB),
+        threshold=0.3, max_df=256,
+    )
+
+
+SQL_COSINE_PAIRS = """
+WITH w2 AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  WHERE word <> ''),
+tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w2 GROUP BY 1, 2),
+dfreq AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+w AS (SELECT doc_id, tf.word AS word, df,
+             round(tf * ln(n.n / df), 6) AS wt
+      FROM tf JOIN dfreq USING (word) CROSS JOIN n
+      WHERE df <= 256),
+nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+wn AS (SELECT w.doc_id, word, wt / nrm AS wn
+       FROM w JOIN nrm ON w.doc_id = nrm.doc_id
+       WHERE df >= 2),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         round(sum(a.wn * b.wn), 4) AS cos_sim
+  FROM wn a JOIN wn b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2, cos_sim FROM pairs WHERE cos_sim >= 0.3
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -4601,6 +4642,7 @@ QUERIES = {
     "retention": q_retention,
     "interval_coverage": q_interval_coverage,
     "approx_distinct_grouped": q_approx_distinct_grouped,
+    "cosine_pairs": q_cosine_pairs,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -4729,4 +4771,5 @@ ORACLE_SQL = {
     "retention": SQL_RETENTION,
     "interval_coverage": SQL_INTERVAL_COVERAGE,
     "approx_distinct_grouped": SQL_APPROX_DISTINCT_GROUPED,
+    "cosine_pairs": SQL_COSINE_PAIRS,
 }

@@ -441,3 +441,50 @@ def test_fuzzy_dedup_matches_quadratic(ray_session):
             if _lev_le1(texts[i][:24], texts[j][:24]) is not None:
                 want.add((i, j))
     assert got == want
+
+
+def test_cosine_pairs_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.dedup import cosine_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = []
+    for _ in range(80):
+        words = rng.choice(vocab, size=rng.integers(5, 25))
+        texts.append(" ".join(words))
+    # plant a near-duplicate pair
+    texts.append(texts[0] + " w0")
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    max_df, t = 50, 0.2
+    got = (cosine_pairs(rd.from_pandas(docs).repartition(5),
+                        threshold=t, max_df=max_df, num_partitions=4)
+           .to_pandas().sort_values(["d1", "d2"]).reset_index(drop=True))
+
+    # brute-force: dense tf-idf over the same restricted vocabulary
+    n = len(texts)
+    tf = {}
+    for i, txt in enumerate(texts):
+        for w in txt.split(" "):
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    df_counts = {}
+    for (_i, w) in tf:
+        df_counts[w] = df_counts.get(w, 0) + 1
+    kept = sorted(w for w, c in df_counts.items() if c <= max_df)
+    idx = {w: j for j, w in enumerate(kept)}
+    M = np.zeros((n, len(kept)))
+    for (i, w), c in tf.items():
+        if w in idx:
+            M[i, idx[w]] = round(c * np.log(n / df_counts[w]), 6)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    sims = np.round(M @ M.T, 4)
+    want = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if sims[i, j] >= t:
+                want.append({"d1": i, "d2": j, "cos_sim": sims[i, j]})
+    ref = pd.DataFrame(want)
+    assert len(got) == len(ref) and len(got) > 0
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    assert ((got["d1"] == 0) & (got["d2"] == n - 1)).any()  # planted pair
