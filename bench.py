@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "interval_coverage",
     "approx_distinct_grouped",
     "cosine_pairs",
+    "profile",
+    "session_transitions",
 ]
 
 

@@ -2594,3 +2594,105 @@ def approx_count_distinct_grouped(
 
     return grouped_apply(merged, keys, estimate,
                          num_partitions=merge_partitions or 8)
+
+
+def profile_table(
+    ds: rd.Dataset,
+    columns: Sequence[str],
+    merge_partitions: int = 8,
+) -> rd.Dataset:
+    """ANALYZE-style column profiler: one row per column with
+    ``n_rows``, ``n_nulls`` and exact ``n_distinct`` — the data-quality
+    summary every ingest pipeline runs before trusting a new shard.
+
+    Counts are one partial-agg pass (per batch per column, three int64s
+    leave). Exact distincts melt each batch to per-batch-DEDUPED
+    (column, value) rows — what leaves the map side is bounded by
+    per-block distinct values, then a hash-partitioned final dedup +
+    count. Values are rendered to strings ONLY as internal shuffle keys
+    (never compared across engines, so formatting parity is
+    irrelevant). At 100 TB swap the exact distinct for
+    :func:`approx_count_distinct_grouped` over the same melted rows —
+    the counts pass is already scale-free."""
+    columns = list(columns)
+
+    def count_partials(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "col": columns,
+            "n_rows": np.int64(len(df)),
+            "n_nulls": [int(df[c].isna().sum()) for c in columns],
+        })
+
+    counts = grouped_agg(
+        ds.map_batches(count_partials, batch_format="pandas"),
+        ["col"],
+        {"n_rows": ("n_rows", "sum"), "n_nulls": ("n_nulls", "sum")},
+    )
+
+    def melt_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for c in columns:
+            u = df[c].dropna().unique()
+            outs.append(pd.DataFrame({
+                "col": c, "__v": pd.Series(u).astype(str)}))
+        return pd.concat(outs, ignore_index=True)
+
+    melted = ds.map_batches(melt_distinct, batch_format="pandas")
+    uniq = distinct(melted, ["col", "__v"],
+                    merge_partitions=merge_partitions)
+    ndist = grouped_agg(uniq, ["col"],
+                        {"n_distinct": ("__v", "count")})
+
+    merged = counts.to_pandas().merge(ndist.to_pandas(), on="col")
+    for c in ("n_rows", "n_nulls", "n_distinct"):
+        merged[c] = merged[c].astype("int64")
+    return rd.from_pandas(merged.sort_values("col")
+                          .reset_index(drop=True))
+
+
+def session_transitions(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    gap_seconds: float = 1800.0,
+    order_col: str | None = None,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Within-session event-transition counts (the Markov/clickstream
+    matrix): consecutive events of the same ``key`` ordered by
+    (``ts_col``, ``order_col``) form a (from_type, to_type) transition
+    unless the gap exceeds ``gap_seconds`` (the `sessionize` boundary
+    rule). ``order_col`` breaks timestamp ties deterministically so
+    both engines see the same ordering.
+
+    ONE key-hash exchange co-locates each key's events; in-partition
+    everything is a mergesort + shift (no per-session Python). Only
+    per-partition (from, to) partial counts leave — ≤ |event-type|²
+    rows per partition regardless of input size."""
+    order = [key, ts_col] + ([order_col] if order_col else [])
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({
+                "from_type": pd.Series(dtype=object),
+                "to_type": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64")})
+        p = part.sort_values(order, kind="mergesort")
+        same_key = p[key].to_numpy() == np.roll(p[key].to_numpy(), 1)
+        same_key[0] = False
+        ts = p[ts_col].to_numpy(dtype="datetime64[us]").view("int64")
+        gap_us = ts - np.roll(ts, 1)
+        ok = same_key & (gap_us <= int(gap_seconds * 1e6))
+        types = p[type_col].to_numpy()
+        out = pd.DataFrame({
+            "from_type": np.roll(types, 1)[ok], "to_type": types[ok]})
+        g = (out.groupby(["from_type", "to_type"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    partials = grouped_apply(ds, [key], per_part,
+                             num_partitions=num_partitions)
+    return grouped_agg(partials, ["from_type", "to_type"],
+                       {"n": ("n", "sum")})

@@ -4515,6 +4515,58 @@ SELECT d1, d2, cos_sim FROM pairs WHERE cos_sim >= 0.3
 """
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+def q_profile(sf_dir: str):
+    """ANALYZE-style table profile of orders: per column n_rows,
+    n_nulls, exact n_distinct (`profile_table` — one partial-count
+    pass + a per-batch-deduped melt into a hash-partitioned distinct;
+    values stringified only as internal shuffle keys)."""
+    from ..functions.relational import profile_table
+
+    return profile_table(read_table(sf_dir, "orders"), _PROFILE_COLS)
+
+
+SQL_PROFILE = " UNION ALL ".join(
+    f"SELECT '{c}' AS col, count(*)::BIGINT AS n_rows,"
+    f" (count(*) - count({c}))::BIGINT AS n_nulls,"
+    f" count(DISTINCT {c})::BIGINT AS n_distinct FROM orders"
+    for c in _PROFILE_COLS
+)
+
+
+def q_session_transitions(sf_dir: str):
+    """Within-session clickstream transition matrix: consecutive
+    events per user (ordered by ts with event_id tiebreak, session
+    boundary at gap > 1800 s — the `sessionize` rule) counted as
+    (from_type, to_type) pairs. ONE user-hash exchange
+    (`session_transitions`); only ≤ |event-type|² partial counts per
+    partition leave."""
+    from ..functions.relational import session_transitions
+
+    return session_transitions(
+        read_table(sf_dir, "events",
+                   columns=["user_id", "ts", "event_id", "event_type"]),
+        "user_id", "ts", "event_type",
+        gap_seconds=1800.0, order_col="event_id",
+    )
+
+
+SQL_SESSION_TRANSITIONS = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         epoch(ts - lag(ts) OVER w) AS gap,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT prev_type AS from_type, event_type AS to_type, count(*)::BIGINT AS n
+FROM e WHERE gap IS NOT NULL AND gap <= 1800
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -4643,6 +4695,8 @@ QUERIES = {
     "interval_coverage": q_interval_coverage,
     "approx_distinct_grouped": q_approx_distinct_grouped,
     "cosine_pairs": q_cosine_pairs,
+    "profile": q_profile,
+    "session_transitions": q_session_transitions,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -4772,4 +4826,6 @@ ORACLE_SQL = {
     "interval_coverage": SQL_INTERVAL_COVERAGE,
     "approx_distinct_grouped": SQL_APPROX_DISTINCT_GROUPED,
     "cosine_pairs": SQL_COSINE_PAIRS,
+    "profile": SQL_PROFILE,
+    "session_transitions": SQL_SESSION_TRANSITIONS,
 }

@@ -1197,3 +1197,64 @@ def test_approx_count_distinct_grouped_accuracy(ray_session):
     for g in exact.index:
         relerr = abs(got[g] - exact[g]) / exact[g]
         assert relerr <= 0.05, (g, got[g], exact[g], relerr)
+
+
+def test_profile_table_counts_nulls_and_distincts(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import profile_table
+
+    df = pd.DataFrame({
+        "a": [1, 1, 2, None, None],
+        "b": ["x", "y", "x", "x", None],
+        "c": [1.5, 2.5, 2.5, 2.5, 1.5],
+    })
+    got = (profile_table(rd.from_pandas(df).repartition(3),
+                         ["a", "b", "c"], merge_partitions=2)
+           .to_pandas().set_index("col"))
+    assert got.loc["a"].to_dict() == {
+        "n_rows": 5, "n_nulls": 2, "n_distinct": 2}
+    assert got.loc["b"].to_dict() == {
+        "n_rows": 5, "n_nulls": 1, "n_distinct": 2}
+    assert got.loc["c"].to_dict() == {
+        "n_rows": 5, "n_nulls": 0, "n_distinct": 2}
+
+
+def test_session_transitions_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        session_transitions,
+    )
+
+    rng = np.random.default_rng(19)
+    n = 5000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 120, n),
+        "ts": np.datetime64("2024-01-01", "us")
+        + rng.integers(0, 30 * 86400, n).astype("timedelta64[s]"
+                                                ).astype("timedelta64[us]"),
+        "event_id": np.arange(n, dtype="int64"),
+        "event_type": rng.choice(["v", "c", "p"], n),
+    })
+    got = (session_transitions(rd.from_pandas(df).repartition(8),
+                               "user_id", "ts", "event_type",
+                               gap_seconds=3600.0, order_col="event_id",
+                               num_partitions=5)
+           .to_pandas().sort_values(["from_type", "to_type"])
+           .reset_index(drop=True))
+
+    p = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    same = p["user_id"].to_numpy() == np.roll(p["user_id"].to_numpy(), 1)
+    same[0] = False
+    gap = (p["ts"].to_numpy().view("int64")
+           - np.roll(p["ts"].to_numpy().view("int64"), 1))
+    ok = same & (gap <= 3600 * 10**6)
+    types = p["event_type"].to_numpy()
+    ref = (pd.DataFrame({"from_type": np.roll(types, 1)[ok],
+                         "to_type": types[ok]})
+           .groupby(["from_type", "to_type"]).size()
+           .reset_index(name="n")
+           .sort_values(["from_type", "to_type"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
