@@ -1590,6 +1590,15 @@ def cosine_pairs(
 
     def weigh(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["__df"] <= max_df]
+        if len(df) == 0:
+            # typed empty frame; categorical for the term column so
+            # Ray's size estimator skips its string-sampling path
+            # (np.vectorize fails on 0-row object/string columns)
+            return pd.DataFrame({
+                id_col: pd.Series(dtype="int64"),
+                "__w": pd.Series(dtype="category"),
+                "__df": pd.Series(dtype="int64"),
+                "__wt": pd.Series(dtype="float64")})
         w = np.round(
             df["__tf"].to_numpy(dtype="float64")
             * np.log(n_docs / df["__df"].to_numpy(dtype="float64")), 6)

@@ -324,7 +324,16 @@ def bucketed_hash_join(
                 r[c] = r[c].astype(l[c].dtype)
             else:  # right/outer with null keys: widen left instead
                 l = l.assign(**{c: l[c].astype(r[c].dtype)})
-        return l.merge(r, on=on, how=how)
+        m = l.merge(r, on=on, how=how)
+        if len(m) == 0:
+            # Ray's block-size estimator can't sample a 0-row
+            # string/object column (np.vectorize without otypes) and
+            # logs an error per empty bucket; categorical dtype skips
+            # the sampling path and is equivalent for an empty block
+            m = m.astype({c: "category" for c in m.columns
+                          if m[c].dtype == object
+                          or str(m[c].dtype).startswith("string")})
+        return m
 
     return both.groupby("__bucket").map_groups(
         join_bucket, batch_format="pandas"
