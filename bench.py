@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "cosine_pairs",
     "profile",
     "session_transitions",
+    "pq_audit",
 ]
 
 

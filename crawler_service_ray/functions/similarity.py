@@ -374,3 +374,126 @@ def pca_project(
         })
 
     return ds.map_batches(proj, batch_format="pandas")
+
+
+def _pq_subspaces(X: np.ndarray, m: int) -> np.ndarray:
+    """(n, d) -> (m, n, d/m) contiguous subspace views."""
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    return X.reshape(n, m, d // m).transpose(1, 0, 2)
+
+
+def _pq_assign(Xs: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Per-subspace nearest-centroid codes: Xs (m, n, dsub), C
+    (m, k, dsub) -> (n, m) int codes. argmin of ||x-c||² via the
+    expanded form (one matmul per subspace, no n×k×dsub temp)."""
+    m = Xs.shape[0]
+    codes = np.empty((Xs.shape[1], m), dtype=np.int64)
+    for j in range(m):
+        d2 = (C[j] ** 2).sum(axis=1)[None, :] - 2.0 * (Xs[j] @ C[j].T)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_fit(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Distributed product-quantization codebooks (the embedding-
+    compression path for 100-TB ANN corpora: m uint8 codes replace a
+    d-float vector; IVF-PQ is this plus `ivf_topk`'s cells): split d
+    dims into m subspaces, per subspace k-means (EUCLIDEAN Lloyd — PQ
+    reconstructs raw subvectors, so no unit normalization) trained for
+    ALL m subspaces in ONE map_batches pass per iteration. Per block
+    only m×k (sum, count) partial rows of dsub floats leave; the merge
+    is a driver-side reduce over model-constant-sized partials.
+
+    Init is the bottom-k-by-id-hash sample (content-derived, so
+    codebooks are identical under any block layout); empty clusters
+    keep their previous centroid. Returns (m, k, d/m) float64
+    codebooks, identical at any parallelism up to float reassociation
+    of the partial sums."""
+    ds = ds.materialize()
+
+    def sample_local(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df[id_col].to_numpy().astype(np.uint64))
+        idx = np.argsort(h, kind="stable")[:k]
+        return df.iloc[idx][[id_col, vec_col]].assign(__h=h[idx])
+
+    samp = (ds.map_batches(sample_local, batch_format="pandas")
+            .to_pandas().sort_values("__h", kind="mergesort").head(k))
+    if len(samp) < k:
+        raise ValueError(f"need at least k={k} rows to init PQ")
+    X0 = np.stack(samp[vec_col].to_numpy()).astype(np.float64)
+    d = X0.shape[1]
+    C = np.ascontiguousarray(
+        X0.reshape(k, m, d // m).transpose(1, 0, 2))  # (m, k, dsub)
+
+    for _ in range(max(0, iters)):
+        ref = ray.put(C)
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            Cw = _bcast(ref)
+            X = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+            Xs = _pq_subspaces(X, m)
+            codes = _pq_assign(Xs, Cw)
+            rows = []
+            for j in range(m):
+                sums = np.zeros((k, d // m))
+                counts = np.zeros(k, dtype=np.int64)
+                np.add.at(sums, codes[:, j], Xs[j])
+                np.add.at(counts, codes[:, j], 1)
+                nz = counts > 0
+                rows.append(pd.DataFrame({
+                    "j": j, "c": np.arange(k)[nz], "n": counts[nz],
+                    "s": list(sums[nz])}))
+            return pd.concat(rows, ignore_index=True)
+
+        p = ds.map_batches(partials, batch_format="pandas").to_pandas()
+        sums = np.zeros_like(C)
+        counts = np.zeros((m, k), dtype=np.int64)
+        for j, c, n, s in zip(p["j"], p["c"], p["n"], p["s"]):
+            sums[int(j), int(c)] += np.asarray(s)
+            counts[int(j), int(c)] += int(n)
+        nz = counts > 0
+        C = C.copy()
+        C[nz] = sums[nz] / counts[nz][:, None]
+    return C
+
+
+def pq_encode(
+    ds: rd.Dataset,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Encode vectors to PQ codes: ONE streaming pass, codebooks
+    broadcast once via ray.put. Emits (id, code_0..code_{m-1},
+    recon_sse) — codes are the per-subspace nearest centroids,
+    recon_sse the squared reconstruction error (Σ_j ||x_j − c_j||²),
+    carried so downstream audits never need the vectors again."""
+    m = codebooks.shape[0]
+    ref = ray.put(codebooks)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        Cw = _bcast(ref)
+        X = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        Xs = _pq_subspaces(X, m)
+        codes = _pq_assign(Xs, Cw)
+        sse = np.zeros(len(df))
+        for j in range(m):
+            diff = Xs[j] - Cw[j][codes[:, j]]
+            sse += (diff * diff).sum(axis=1)
+        out = pd.DataFrame({id_col: df[id_col].astype("int64")})
+        for j in range(m):
+            out[f"code_{j}"] = codes[:, j].astype("int64")
+        out["recon_sse"] = sse
+        return out
+
+    return ds.map_batches(encode, batch_format="pandas")

@@ -4567,6 +4567,105 @@ GROUP BY 1, 2
 """
 
 
+def q_pq_audit(sf_dir: str, audit_max: int = 200_000):
+    """Product-quantization self-audit (`similarity.pq_fit/pq_encode`,
+    the `kmeans_audit` pattern): fit m=4, k=16 codebooks distributed,
+    encode the corpus, then machine-check three invariants — (1) every
+    code in [0, k); (2) total reconstruction SSE strictly below the
+    rank-0 baseline (SSE around the global mean, computed in one
+    distributed partial pass); (3) single-node parity — the same
+    fixed-init Lloyd recomputed on the driver must produce the same
+    codes, near-ties (distance gap ≤ 1e-9, float reassociation)
+    forgiven. Above ``audit_max`` rows both legs run on the same
+    deterministic hash-sample (the kmeans_audit driver-memory rule)."""
+    from ..functions.similarity import (
+        _pq_assign,
+        _pq_subspaces,
+        pq_encode,
+        pq_fit,
+    )
+
+    M, K, ITERS = 4, 16, 4
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_total = ds.count()
+    if n_total > audit_max:
+        keep_mod = max(2, n_total // audit_max)
+
+        def hsample(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["vec_id"].to_numpy().astype(np.uint64)
+            h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+            return df[h % np.uint64(keep_mod) == 0]
+
+        ds = ds.map_batches(hsample, batch_format="pandas").materialize()
+
+    C = pq_fit(ds, m=M, k=K, iters=ITERS)
+    enc = (pq_encode(ds, C).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    code_cols = [f"code_{j}" for j in range(M)]
+    codes = enc[code_cols].to_numpy()
+    n_code_viol = int(((codes < 0) | (codes >= K)).sum())
+
+    # rank-0 baseline: SSE around the global mean, distributed partials
+    def sse_partials(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "n": [len(X)], "ssq": [float((X * X).sum())],
+            "s": [X.sum(axis=0)]})
+
+    p = ds.map_batches(sse_partials, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    mean = np.sum(np.stack(p["s"].to_numpy()), axis=0) / n
+    sse_mean = float(p["ssq"].sum()) - n * float(mean @ mean)
+    sse_improved = int(float(enc["recon_sse"].sum()) < sse_mean)
+
+    # single-node parity: same init (bottom-k by id hash), same Lloyd
+    t = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    h = pd.util.hash_array(t["vec_id"].to_numpy().astype(np.uint64))
+    idx = np.argsort(h, kind="stable")[:K]
+    d = X.shape[1]
+    Cr = np.ascontiguousarray(
+        X[idx].reshape(K, M, d // M).transpose(1, 0, 2))
+    Xs = _pq_subspaces(X, M)
+    for _ in range(ITERS):
+        a = _pq_assign(Xs, Cr)
+        newC = Cr.copy()
+        for j in range(M):
+            for c in range(K):
+                mrows = Xs[j][a[:, j] == c]
+                if len(mrows):
+                    newC[j, c] = mrows.mean(axis=0)
+        Cr = newC
+    want = _pq_assign(Xs, Cr)
+    got = enc.sort_values("vec_id")[code_cols].to_numpy()
+    mism = 0
+    for j in range(M):
+        diff = got[:, j] != want[:, j]
+        if diff.any():
+            rows = np.nonzero(diff)[0]
+            d2 = ((Cr[j] ** 2).sum(axis=1)[None, :]
+                  - 2.0 * (Xs[j][rows] @ Cr[j].T))
+            gap = (d2[np.arange(len(rows)), got[rows, j]]
+                   - d2[np.arange(len(rows)), want[rows, j]])
+            mism += int((gap > 1e-9).sum())
+    return pd.DataFrame({
+        "n_points": np.array([n_total], dtype="int64"),
+        "m": np.array([M], dtype="int64"),
+        "k": np.array([K], dtype="int64"),
+        "n_code_violations": np.array([n_code_viol], dtype="int64"),
+        "n_mismatch": np.array([mism], dtype="int64"),
+        "sse_improved": np.array([sse_improved], dtype="int64"),
+    })
+
+
+SQL_PQ_AUDIT = """
+SELECT count(*)::BIGINT AS n_points, 4::BIGINT AS m, 16::BIGINT AS k,
+       0::BIGINT AS n_code_violations, 0::BIGINT AS n_mismatch,
+       1::BIGINT AS sse_improved
+FROM embeddings
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -4697,6 +4796,7 @@ QUERIES = {
     "cosine_pairs": q_cosine_pairs,
     "profile": q_profile,
     "session_transitions": q_session_transitions,
+    "pq_audit": q_pq_audit,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -4828,4 +4928,5 @@ ORACLE_SQL = {
     "cosine_pairs": SQL_COSINE_PAIRS,
     "profile": SQL_PROFILE,
     "session_transitions": SQL_SESSION_TRANSITIONS,
+    "pq_audit": SQL_PQ_AUDIT,
 }
