@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "profile",
     "session_transitions",
     "pq_audit",
+    "pq_ann_recall",
 ]
 
 

@@ -497,3 +497,60 @@ def pq_encode(
         return out
 
     return ds.map_batches(encode, batch_format="pandas")
+
+
+def pq_topk(
+    enc: rd.Dataset,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Asymmetric-distance (ADC) top-k over a PQ-ENCODED corpus — the
+    search side of `pq_fit`/`pq_encode`: the corpus never decompresses;
+    each task builds per-query m×k distance lookup tables ONCE from the
+    broadcast (codebooks, queries) and scores a batch of codes with m
+    table-gathers per query (no per-vector float math). Per block only
+    k candidate rows per query leave; the final exact top-k merge runs
+    on nq×k×blocks rows. Returns (query_id, neighbor_id, rank, adist) —
+    adist is the ADC approximation of ||q − x||², exact rank order of
+    the QUANTIZED corpus."""
+    from .relational import topk_per_group
+
+    m, kc, dsub = codebooks.shape
+    ref = ray.put((codebooks, np.asarray(queries, dtype=np.float64),
+                   np.asarray(query_ids)))
+    code_cols = [f"code_{j}" for j in range(m)]
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        C, Q, qids = _bcast(ref)
+        Qs = Q.reshape(len(Q), m, dsub)
+        # LUT[q, j, c] = ||Q[q,j] - C[j,c]||^2
+        lut = ((Qs[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
+        codes = df[code_cols].to_numpy()
+        n = len(df)
+        outs = []
+        for qi in range(len(Q)):
+            d = np.zeros(n)
+            for j in range(m):
+                d += lut[qi, j][codes[:, j]]
+            top = np.argsort(d, kind="stable")[:k]
+            outs.append(pd.DataFrame({
+                "query_id": qids[qi],
+                "neighbor_id": df[id_col].to_numpy()[top],
+                "adist": d[top]}))
+        return pd.concat(outs, ignore_index=True)
+
+    cand = enc.map_batches(score, batch_format="pandas")
+    top = topk_per_group(cand, keys=["query_id"],
+                         by=["adist", "neighbor_id"], k=k,
+                         descending=[False, False])
+
+    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "adist", "neighbor_id"],
+                            kind="mergesort").reset_index(drop=True)
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        return df
+
+    return top.map_batches(add_rank, batch_format="pandas")

@@ -4666,6 +4666,85 @@ FROM embeddings
 """
 
 
+def q_pq_ann_recall(sf_dir: str):
+    """RECALL-INVARIANT oracle for ADC search over the PQ-compressed
+    corpus (`similarity.pq_topk`, the `ann_ivf_recall` pattern): the
+    corpus is unit-normalized, PQ-encoded (m=8, k=16 — 8 bytes per
+    64-float vector), and searched with per-task distance LUTs. Checks
+    (1) mean shortlist recall@100 vs the exact top-5 ≥ 0.7 and (2)
+    every query ≥ 0.4 (measured 0.94 mean / 0.6 min at sf0.01 —
+    deterministic: content-hash init, stable tiebreaks), and (3)
+    exact-metric rerank of the shortlist must recover at least the
+    recall of the raw ADC top-5 (the standard ADC+rerank refinement).
+    Emits (n_exact_rows, n_recall_violations); SQL recomputes the
+    exact row count and asserts zero violations."""
+    from ..functions import similarity as sim
+
+    exact = q_ann_topk(sf_dir).to_pandas()
+    by_q = exact.groupby("query_id")["neighbor_id"].apply(set)
+    queries, qids = _query_vectors(sf_dir)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "embedding"])
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        X = X / np.maximum(
+            np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame({"vec_id": df["vec_id"].astype("int64"),
+                             "embedding": list(X)})
+
+    nds = ds.map_batches(norm, batch_format="pandas").materialize()
+    C = sim.pq_fit(nds, m=8, k=16, iters=4)
+    enc = sim.pq_encode(nds, C).materialize()
+
+    short = sim.pq_topk(enc, C, qn, qids, k=100).to_pandas()
+    sq = short.groupby("query_id")["neighbor_id"].apply(set)
+    rec100 = np.array([
+        len(by_q[q] & sq.get(q, set())) / len(by_q[q])
+        for q in by_q.index])
+
+    adc5 = sim.pq_topk(enc, C, qn, qids, k=5).to_pandas()
+    aq = adc5.groupby("query_id")["neighbor_id"].apply(set)
+    rec_adc5 = np.array([
+        len(by_q[q] & aq.get(q, set())) / len(by_q[q])
+        for q in by_q.index])
+
+    # exact-metric rerank of the shortlist (audit-scale driver fetch;
+    # at 100 TB this is a semi-join + distributed rerank)
+    cand_ids = set(short["neighbor_id"])
+    vecs = (nds.map_batches(
+        lambda d, s=cand_ids: d[d["vec_id"].isin(s)],
+        batch_format="pandas").to_pandas())
+    V = {int(i): v for i, v in zip(vecs["vec_id"], vecs["embedding"])}
+    rec_rr5 = []
+    for qi, qid in enumerate(qids):
+        ids = short.loc[short["query_id"] == qid, "neighbor_id"]
+        sims = {int(i): float(qn[qi] @ np.asarray(V[int(i)]))
+                for i in ids}
+        top5 = set(sorted(sims, key=lambda i: (-sims[i], i))[:5])
+        rec_rr5.append(len(by_q[qid] & top5) / len(by_q[qid]))
+    rec_rr5 = np.array(rec_rr5)
+
+    violations = (
+        int(rec100.mean() < 0.7)
+        + int((rec100 < 0.4).sum())
+        + int(rec_rr5.mean() < rec_adc5.mean())
+    )
+    return pd.DataFrame({
+        "n_exact_rows": np.array([len(exact)], dtype="int64"),
+        "n_recall_violations": np.array([violations], dtype="int64"),
+    })
+
+
+SQL_PQ_ANN_RECALL = f"""
+WITH e AS ({SQL_ANN_TOPK})
+SELECT count(*)::BIGINT AS n_exact_rows,
+       0::BIGINT AS n_recall_violations
+FROM e
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -4797,6 +4876,7 @@ QUERIES = {
     "profile": q_profile,
     "session_transitions": q_session_transitions,
     "pq_audit": q_pq_audit,
+    "pq_ann_recall": q_pq_ann_recall,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -4929,4 +5009,5 @@ ORACLE_SQL = {
     "profile": SQL_PROFILE,
     "session_transitions": SQL_SESSION_TRANSITIONS,
     "pq_audit": SQL_PQ_AUDIT,
+    "pq_ann_recall": SQL_PQ_ANN_RECALL,
 }

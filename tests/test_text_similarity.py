@@ -533,3 +533,47 @@ def test_pq_roundtrip_planted_clusters(ray_session):
     C1 = pq_fit(rd.from_pandas(df), m=m, k=k, iters=6)
     codes1 = _pq_assign(_pq_subspaces(Xf, m), C1)
     np.testing.assert_array_equal(codes, codes1)
+
+
+def test_pq_topk_exact_on_quantized_corpus(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.similarity import (
+        _pq_assign,
+        _pq_subspaces,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(31)
+    m, k, dsub, n = 2, 4, 4, 300
+    X = rng.normal(size=(n, m * dsub))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype="int64"),
+                       "embedding": list(X.astype(np.float32))})
+    ds = rd.from_pandas(df).repartition(5)
+    C = pq_fit(ds, m=m, k=k, iters=3)
+    enc = pq_encode(ds, C).materialize()
+
+    Q = X[:3].astype(np.float64)
+    got = (pq_topk(enc, C, Q, np.arange(3), k=7)
+           .to_pandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+
+    # reference: exact ADC over the SAME quantized corpus
+    Xs = _pq_subspaces(np.stack(
+        df["embedding"].to_numpy()).astype(np.float64), m)
+    codes = _pq_assign(Xs, C)
+    recon = np.concatenate(
+        [C[j][codes[:, j]] for j in range(m)], axis=1)
+    for qi in range(3):
+        d = ((recon - Q[qi]) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(n), np.round(d, 12)))[:7]
+        g = got[got["query_id"] == qi]
+        # adist ranking must match the exact quantized distances
+        np.testing.assert_allclose(
+            np.sort(g["adist"].to_numpy()),
+            np.sort(d[order]), rtol=1e-9)
+        assert set(g["neighbor_id"]) == set(order) or \
+            np.allclose(sorted(d[list(g["neighbor_id"])]),
+                        sorted(d[order]), rtol=1e-9)
