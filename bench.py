@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "session_transitions",
     "pq_audit",
     "pq_ann_recall",
+    "freq_sketch_grouped_audit",
 ]
 
 

@@ -2705,3 +2705,94 @@ def session_transitions(
                              num_partitions=num_partitions)
     return grouped_agg(partials, ["from_type", "to_type"],
                        {"n": ("n", "sum")})
+
+
+def _mg_reduce_grouped(
+    vc: pd.DataFrame, keys: list[str], k: int,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Vectorized per-key Misra–Gries reduction of a (keys, item, cnt)
+    counter table: subtract each key's (k+1)-th largest count from all
+    its counters, drop non-positive. Returns (reduced counters,
+    per-key decrements) — no Python loop over keys or items."""
+    vc = vc.sort_values(keys + ["cnt"],
+                        ascending=[True] * len(keys) + [False],
+                        kind="mergesort")
+    pos = vc.groupby(keys, sort=False).cumcount()
+    decs = (vc[pos == k][keys + ["cnt"]]
+            .rename(columns={"cnt": "dec"}))
+    if len(decs):
+        vc = vc.merge(decs, on=keys, how="left")
+        vc["dec"] = vc["dec"].fillna(0).astype("int64")
+        vc["cnt"] = vc["cnt"] - vc["dec"]
+        vc = vc[vc["cnt"] > 0].drop(columns="dec")
+    else:
+        decs = pd.DataFrame({k_: pd.Series(dtype=vc[k_].dtype)
+                             for k_ in keys} | {
+                                 "dec": pd.Series(dtype="int64")})
+    return vc, decs
+
+
+def freq_sketch_grouped(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    col: str,
+    k: int = 64,
+    batch_size: int = 131072,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Per-group Misra–Gries frequent items — `freq_sketch` with a key:
+    top ``col`` values per group over item sets too large for an exact
+    per-group count (top pages per language, top hosts per TLD). Per
+    batch at most k (key, item, cnt) rows plus one (key, n, dec)
+    bookkeeping row leave PER KEY (the reduction is one vectorized
+    sort + grouped cumcount — no Python loop over keys); the merge
+    co-partitions by key and applies the same reduction once more.
+
+    MG guarantees hold PER KEY (Δ_key ≤ n_key/(k+1)): est_lb ≤ true ≤
+    est_lb + delta, and any item with true count > delta is present —
+    machine-checked by the `freq_sketch_grouped_audit` oracle. Output
+    rows carry each key's n and delta so consumers can bound errors
+    without a second pass."""
+    keys = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame()
+        vc = (df.groupby(keys + [col], sort=False).size()
+              .reset_index(name="cnt"))
+        vc["cnt"] = vc["cnt"].astype("int64")
+        n_b = df.groupby(keys, sort=False).size().reset_index(name="n")
+        vc, decs = _mg_reduce_grouped(vc, keys, k)
+        meta = n_b.merge(decs, on=keys, how="left")
+        meta["dec"] = meta["dec"].fillna(0).astype("int64")
+        meta["n"] = meta["n"].astype("int64")
+        meta[col] = None
+        meta["cnt"] = np.int64(0)
+        vc = vc.assign(n=np.int64(0), dec=np.int64(0))
+        return pd.concat([vc, meta[vc.columns]], ignore_index=True)
+
+    part = ds.map_batches(partial, batch_format="pandas",
+                          batch_size=batch_size)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame()
+        meta = (g.groupby(keys, sort=False)[["n", "dec"]].sum()
+                .reset_index())
+        items = g[g[col].notna()]
+        vc = (items.groupby(keys + [col], sort=False)["cnt"].sum()
+              .reset_index())
+        vc = vc[vc["cnt"] > 0]
+        vc, decs2 = _mg_reduce_grouped(vc, keys, k)
+        meta = meta.merge(decs2.rename(columns={"dec": "dec2"}),
+                          on=keys, how="left")
+        meta["delta"] = (meta["dec"]
+                         + meta["dec2"].fillna(0)).astype("int64")
+        out = vc.merge(meta[keys + ["n", "delta"]], on=keys)
+        out = out.rename(columns={"cnt": "est_lb", col: "item"})
+        out["est_ub"] = (out["est_lb"] + out["delta"]).astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out[keys + ["item", "est_lb", "est_ub", "n", "delta"]]
+
+    return grouped_apply(part, keys, merge,
+                         num_partitions=num_partitions)

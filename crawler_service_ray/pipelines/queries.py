@@ -4745,6 +4745,69 @@ FROM e
 """
 
 
+def q_freq_sketch_grouped_audit(sf_dir: str):
+    """PER-KEY INVARIANT oracle for the grouped MG sketch
+    (`freq_sketch_grouped`, the `freq_sketch_audit` guarantees applied
+    per group): for every event_type, every reported count is a lower
+    bound, true ≤ reported + Δ_key, every item with true count > Δ_key
+    is present, and Δ_key ≤ n_key/(k+1). One row per key; the SQL
+    oracle recomputes each key's exact distinct count so a broken
+    stream hash-mismatches even when the flags hold."""
+    from ..functions.relational import freq_sketch_grouped, grouped_agg
+
+    k = 32
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    hh = freq_sketch_grouped(ds, ["event_type"], "user_id",
+                             k=k).to_pandas()
+    exact = grouped_agg(
+        ds, ["event_type", "user_id"],
+        {"true_cnt": ("user_id", "count")},
+    ).to_pandas()
+    meta = (hh.groupby("event_type")[["n", "delta"]].first()
+            .reset_index())
+    m = exact.merge(
+        hh[["event_type", "item", "est_lb"]],
+        left_on=["event_type", "user_id"],
+        right_on=["event_type", "item"], how="left",
+    ).merge(meta, on="event_type", how="left")
+    # a key with zero surviving counters has unknown delta; every key
+    # must therefore surface at least one counter (k=32 vs 150 users)
+    assert m["delta"].notna().all(), "sketch lost a key entirely"
+    present = m["est_lb"].notna().to_numpy()
+    lb = m["est_lb"].fillna(0).to_numpy(dtype="int64")
+    tc = m["true_cnt"].to_numpy(dtype="int64")
+    dl = m["delta"].to_numpy(dtype="int64")
+    m["missed_heavy"] = (tc > dl) & ~present
+    m["lb_viol"] = present & (lb > tc)
+    m["ub_viol"] = present & (tc > lb + dl)
+    g = m.groupby("event_type", sort=False).agg(
+        n_exact_distinct=("user_id", "count"),
+        n_missed_heavy=("missed_heavy", "sum"),
+        n_lb_violations=("lb_viol", "sum"),
+        n_ub_violations=("ub_viol", "sum"),
+    ).reset_index()
+    bound = meta.assign(
+        delta_within_bound=(meta["delta"] * (k + 1)
+                            <= meta["n"]).astype("int64"))
+    out = g.merge(bound[["event_type", "delta_within_bound"]],
+                  on="event_type")
+    for c in ("n_exact_distinct", "n_missed_heavy",
+              "n_lb_violations", "n_ub_violations"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_FREQ_SKETCH_GROUPED_AUDIT = """
+SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS n_exact_distinct,
+       0::BIGINT AS n_missed_heavy,
+       0::BIGINT AS n_lb_violations,
+       0::BIGINT AS n_ub_violations,
+       1::BIGINT AS delta_within_bound
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -4877,6 +4940,7 @@ QUERIES = {
     "session_transitions": q_session_transitions,
     "pq_audit": q_pq_audit,
     "pq_ann_recall": q_pq_ann_recall,
+    "freq_sketch_grouped_audit": q_freq_sketch_grouped_audit,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -5010,4 +5074,5 @@ ORACLE_SQL = {
     "session_transitions": SQL_SESSION_TRANSITIONS,
     "pq_audit": SQL_PQ_AUDIT,
     "pq_ann_recall": SQL_PQ_ANN_RECALL,
+    "freq_sketch_grouped_audit": SQL_FREQ_SKETCH_GROUPED_AUDIT,
 }

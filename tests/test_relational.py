@@ -1258,3 +1258,37 @@ def test_session_transitions_matches_pandas(ray_session):
            .sort_values(["from_type", "to_type"])
            .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_freq_sketch_grouped_guarantees(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        freq_sketch_grouped,
+    )
+
+    rng = np.random.default_rng(13)
+    # zipf-ish per-group item draws with planted per-group heavy items
+    rows = []
+    for g, n in [("a", 4000), ("b", 2500)]:
+        items = rng.zipf(1.7, n) % 500
+        rows.append(pd.DataFrame({"g": g, "v": items}))
+    df = pd.concat(rows, ignore_index=True)
+    k = 16
+    hh = (freq_sketch_grouped(
+        rd.from_pandas(df).repartition(7), ["g"], "v", k=k,
+        batch_size=512, num_partitions=3).to_pandas())
+    exact = df.groupby(["g", "v"]).size().reset_index(name="true")
+    for g, sub in hh.groupby("g"):
+        n_g = len(df[df["g"] == g])
+        delta = int(sub["delta"].iloc[0])
+        assert delta * (k + 1) <= n_g
+        ex = exact[exact["g"] == g].set_index("v")["true"]
+        for _, r in sub.iterrows():
+            t = int(ex[r["item"]])
+            assert r["est_lb"] <= t <= r["est_ub"]
+        # every heavy item (true > delta) must be reported
+        heavy = set(ex[ex > delta].index)
+        assert heavy <= set(sub["item"]), (g, heavy - set(sub["item"]))
+        # bounded output
+        assert len(sub) <= k
