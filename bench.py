@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "pq_audit",
     "pq_ann_recall",
     "freq_sketch_grouped_audit",
+    "dedup_incremental_audit",
 ]
 
 

@@ -1667,3 +1667,148 @@ def cosine_pairs(
         return df
 
     return summed.map_batches(finish, batch_format="pandas")
+
+
+def minhash_index_write(
+    ds: rd.Dataset,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    num_shards: int = 16,
+    append: bool = False,
+) -> dict:
+    """Persist the LSH band index as a hive-partitioned parquet
+    artifact — the reusable state that makes daily-increment dedup
+    O(delta), not O(corpus): band the documents once, shard rows by
+    ``band_hash % num_shards``, write one directory per shard (the
+    partition an incremental run prunes at the PATH level — only
+    shards the delta actually touches are ever read). ``append=True``
+    adds new files into the existing shard directories (parquet
+    filenames are unique per write), the index-maintenance step after
+    each incremental run. Banding parameters are recorded in
+    ``index_meta.json`` and must match at query time — a mismatched
+    signature scheme would silently produce no collisions."""
+    import json
+    import os
+    import shutil
+
+    meta = {"num_perm": num_perm, "bands": bands,
+            "num_shards": num_shards, "id_col": id_col}
+    meta_path = os.path.join(index_dir, "index_meta.json")
+    if append:
+        with open(meta_path) as f:
+            old = json.load(f)
+        if {k: old[k] for k in meta} != meta:
+            raise ValueError(
+                f"index params {old} != requested {meta}")
+    else:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        os.makedirs(index_dir, exist_ok=True)
+
+    bands_ds = ds.map_batches(
+        _MinhashBands(text_col, id_col, num_perm, bands),
+        batch_format="pandas",
+    )
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["shard"] = (df["band_hash"]
+                       % np.uint64(num_shards)).astype("int64")
+        return df
+
+    bands_ds.map_batches(add_shard, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["shard"])
+    if not append:
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+    return meta
+
+
+def minhash_dedup_incremental(
+    new_ds: rd.Dataset,
+    index_dir: str,
+    base_docs: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Near-duplicate pairs TOUCHING A DELTA against a persisted LSH
+    index (`minhash_index_write`) — the incremental-ingest dedup path:
+    band only the new documents, read only the index shards whose
+    band-hash range the delta touches (path-level pruning — at 100 TB
+    the index is corpus-scale but a day's delta touches a bounded
+    shard set and, within each shard, only colliding band keys), emit
+    candidate pairs where AT LEAST ONE side is new (base×base pairs
+    were the previous runs' output), verify true Jaccard with the
+    streamed text join. Equivalence contract (pytest-pinned): result
+    == full-corpus `minhash_lsh_pairs` restricted to pairs touching
+    the delta, byte-identical. Document ids must be unique across
+    base and delta."""
+    import glob
+    import json
+    import os
+
+    from .relational import grouped_apply
+
+    with open(os.path.join(index_dir, "index_meta.json")) as f:
+        meta = json.load(f)
+    num_shards = int(meta["num_shards"])
+
+    nb = new_ds.map_batches(
+        _MinhashBands(text_col, id_col,
+                      int(meta["num_perm"]), int(meta["bands"])),
+        batch_format="pandas",
+    ).materialize()
+
+    shard_rows = nb.map_batches(
+        lambda df: pd.DataFrame({
+            "shard": np.unique(df["band_hash"]
+                               % np.uint64(num_shards)).astype("int64")}),
+        batch_format="pandas",
+    ).to_pandas()
+    shards = sorted(set(shard_rows["shard"]))
+    files = [f for s in shards
+             for f in glob.glob(
+                 os.path.join(index_dir, f"shard={s}", "*.parquet"))]
+
+    def tag(origin: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(__origin=np.int8(origin))
+        return fn
+
+    both = nb.map_batches(tag(1), batch_format="pandas")
+    if files:
+        idx = rd.read_parquet(
+            files, columns=["band_id", "band_hash", id_col])
+        both = both.union(idx.map_batches(tag(0), batch_format="pandas"))
+
+    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        sizes = part.groupby(["band_id", "band_hash"], sort=False)[
+            id_col].transform("nunique")
+        has_new = part.groupby(["band_id", "band_hash"], sort=False)[
+            "__origin"].transform("max")
+        hot = part[(sizes >= 2) & (has_new == 1)]
+        out_a, out_b = [], []
+        for _key, g in hot.groupby(["band_id", "band_hash"], sort=False):
+            g = g.drop_duplicates(subset=id_col)
+            ids = g[id_col].to_numpy()
+            origins = g.set_index(id_col)["__origin"]
+            ids = np.sort(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if origins[ids[i]] or origins[ids[j]]:
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    cand = grouped_apply(both, ["band_id", "band_hash"],
+                         partition_pairs,
+                         num_partitions=num_partitions)
+    docs = base_docs.select_columns([id_col, text_col]).union(
+        new_ds.select_columns([id_col, text_col]))
+    return verify_pairs_with_texts(
+        cand, docs, text_col=text_col, id_col=id_col,
+        threshold=threshold)

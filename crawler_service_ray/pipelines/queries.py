@@ -4808,6 +4808,56 @@ FROM events GROUP BY event_type
 """
 
 
+def q_dedup_incremental_audit(sf_dir: str):
+    """EQUIVALENCE oracle for incremental LSH dedup against a persisted
+    index (`dedup.minhash_index_write` + `minhash_dedup_incremental`,
+    the kmeans_audit parity pattern): treat doc_id < 100 as today's
+    delta and the rest as the already-indexed corpus; the incremental
+    run (band the delta only, path-prune index shards, candidates must
+    touch the delta) must produce EXACTLY the full-corpus
+    `minhash_lsh_pairs` restricted to pairs touching the delta. Emits
+    (n_delta_docs, n_mismatch); SQL recomputes the delta count and
+    asserts zero mismatches."""
+    import tempfile
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
+    new_ds = docs.map_batches(
+        lambda d: d[d["doc_id"] < 100], batch_format="pandas"
+    ).materialize()
+    base_ds = docs.map_batches(
+        lambda d: d[d["doc_id"] >= 100], batch_format="pandas"
+    ).materialize()
+
+    with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
+        idx = os.path.join(tmp, "lshidx")
+        dedup.minhash_index_write(base_ds, idx, num_perm=128, bands=32,
+                                  num_shards=8)
+        got = dedup.minhash_dedup_incremental(
+            new_ds, idx, base_ds, threshold=0.7).to_pandas()
+
+    full = dedup.minhash_lsh_pairs(docs, num_perm=128, bands=32,
+                                   threshold=0.7).to_pandas()
+    touch = full[(full["id_a"] < 100) | (full["id_b"] < 100)]
+    key = ["id_a", "id_b"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = touch.sort_values(key).reset_index(drop=True)
+    mismatch = 0 if (len(g) == len(w)
+                     and (g[key].to_numpy() == w[key].to_numpy()).all()
+                     and np.allclose(g["jaccard"], w["jaccard"])
+                     ) else max(abs(len(g) - len(w)), 1)
+    return pd.DataFrame({
+        "n_delta_docs": np.array([new_ds.count()], dtype="int64"),
+        "n_mismatch": np.array([mismatch], dtype="int64"),
+    })
+
+
+SQL_DEDUP_INCREMENTAL_AUDIT = """
+SELECT count(*)::BIGINT AS n_delta_docs, 0::BIGINT AS n_mismatch
+FROM documents WHERE doc_id < 100
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -4941,6 +4991,7 @@ QUERIES = {
     "pq_audit": q_pq_audit,
     "pq_ann_recall": q_pq_ann_recall,
     "freq_sketch_grouped_audit": q_freq_sketch_grouped_audit,
+    "dedup_incremental_audit": q_dedup_incremental_audit,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -5075,4 +5126,5 @@ ORACLE_SQL = {
     "pq_audit": SQL_PQ_AUDIT,
     "pq_ann_recall": SQL_PQ_ANN_RECALL,
     "freq_sketch_grouped_audit": SQL_FREQ_SKETCH_GROUPED_AUDIT,
+    "dedup_incremental_audit": SQL_DEDUP_INCREMENTAL_AUDIT,
 }

@@ -488,3 +488,66 @@ def test_cosine_pairs_matches_bruteforce(ray_session):
     assert len(got) == len(ref) and len(got) > 0
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
     assert ((got["d1"] == 0) & (got["d2"] == n - 1)).any()  # planted pair
+
+
+def test_minhash_incremental_matches_full_run(ray_session, tmp_path):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.dedup import (
+        minhash_dedup_incremental,
+        minhash_index_write,
+        minhash_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(41)
+    vocab = [f"tok{i}" for i in range(400)]
+
+    def mk(n_words=40):
+        return " ".join(rng.choice(vocab, size=n_words))
+
+    base_texts = [mk() for _ in range(120)]
+    # base-internal near-dup (must NOT appear in the incremental output)
+    base_texts.append(base_texts[0])
+    new_texts = [mk() for _ in range(30)]
+    new_texts.append(base_texts[5])          # new x base exact dup
+    w = base_texts[7].split(" "); w[3] = "zz"
+    new_texts.append(" ".join(w))            # new x base near dup
+    new_texts.append(new_texts[0])           # new x new exact dup
+
+    base = pd.DataFrame({"doc_id": range(1000, 1000 + len(base_texts)),
+                         "text": base_texts})
+    new = pd.DataFrame({"doc_id": range(len(new_texts)),
+                        "text": new_texts})
+    base_ds = rd.from_pandas(base).repartition(4)
+    new_ds = rd.from_pandas(new).repartition(3)
+
+    idx_dir = str(tmp_path / "lshidx")
+    minhash_index_write(base_ds, idx_dir, num_perm=64, bands=16,
+                        num_shards=8)
+    got = (minhash_dedup_incremental(new_ds, idx_dir, base_ds,
+                                     threshold=0.6, num_partitions=8)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+
+    full = (minhash_lsh_pairs(
+        rd.from_pandas(pd.concat([base, new], ignore_index=True)),
+        num_perm=64, bands=16, threshold=0.6).to_pandas())
+    new_ids = set(new["doc_id"])
+    want = (full[full["id_a"].isin(new_ids) | full["id_b"].isin(new_ids)]
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the planted cross-set and in-delta dups are found; the
+    # base-internal dup is not re-reported
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (30, 1005) in pairs and (31, 1007) in pairs \
+        and (0, 32) in pairs
+    assert (1000, 1120) not in pairs
+
+    # index append: adding the delta's bands then re-running the SAME
+    # delta must now also collide with itself through the index
+    minhash_index_write(new_ds, idx_dir, num_perm=64, bands=16,
+                        num_shards=8, append=True)
+    again = (minhash_dedup_incremental(new_ds, idx_dir, base_ds,
+                                       threshold=0.6, num_partitions=8)
+             .to_pandas())
+    assert set(zip(again["id_a"], again["id_b"])) >= pairs
