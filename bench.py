@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "pq_ann_recall",
     "freq_sketch_grouped_audit",
     "dedup_incremental_audit",
+    "hll_set_ops",
 ]
 
 

@@ -2796,3 +2796,83 @@ def freq_sketch_grouped(
 
     return grouped_apply(part, keys, merge,
                          num_partitions=num_partitions)
+
+
+def _hll_rho(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, leading-zero rank) per uint64 hash — the HLL
+    update, shared by the set-algebra path."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+    rho = np.ones(len(h), dtype=np.int64)
+    mask = np.uint64(1) << np.uint64(63)
+    cur = rest
+    for _ in range(64 - p):
+        zero_top = (cur & mask) == 0
+        if not zero_top.any():
+            break
+        rho[zero_top] += 1
+        cur = cur << np.uint64(1)
+        cur[~zero_top] = mask
+    return idx, rho
+
+
+def _hll_registers(ds: rd.Dataset, col: str, p: int) -> np.ndarray:
+    """Dense 2^p register array for a column — per batch only nonzero
+    (reg, rho) rows leave; the max-merge is a grouped_agg; the dense
+    fill happens once on ≤ 2^p rows (model-constant driver state)."""
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _key_hash(df[[col]], [col]).astype(np.uint64)
+        idx, rho = _hll_rho(h, p)
+        reg = np.zeros(m, dtype=np.int64)
+        np.maximum.at(reg, idx, rho)
+        nz = np.flatnonzero(reg)
+        return pd.DataFrame({"__reg": nz.astype("int64"),
+                             "__rho": reg[nz].astype("int64")})
+
+    t = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["__reg"], {"__rho": ("__rho", "max")},
+    ).to_pandas()
+    reg = np.zeros(m, dtype=np.int64)
+    if len(t):
+        reg[t["__reg"].to_numpy()] = t["__rho"].to_numpy()
+    return reg
+
+
+def _hll_estimate(reg: np.ndarray) -> float:
+    m = len(reg)
+    n_zero = int((reg == 0).sum())
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / np.power(2.0, -reg.astype(np.float64)).sum()
+    if raw <= 2.5 * m and n_zero:
+        return m * np.log(m / n_zero)
+    return raw
+
+
+def hll_set_ops(
+    ds_a: rd.Dataset,
+    ds_b: rd.Dataset,
+    col: str,
+    p: int = 12,
+) -> pd.DataFrame:
+    """HLL sketch ALGEBRA over two streams: |A|, |B|, |A∪B| (register-
+    wise max — the lossless HLL merge), and |A∩B| by inclusion-
+    exclusion. The union estimate has plain HLL error; the intersection
+    inherits the absolute errors of all three terms, so its RELATIVE
+    error blows up when |A∩B| ≪ |A∪B| — callers needing small sharp
+    intersections should count them directly. Each stream contributes
+    only its nonzero registers (≤ 2^p rows); nothing about either
+    stream's size reaches the driver."""
+    ra = _hll_registers(ds_a, col, p)
+    rb = _hll_registers(ds_b, col, p)
+    ea, eb = _hll_estimate(ra), _hll_estimate(rb)
+    eu = _hll_estimate(np.maximum(ra, rb))
+    return pd.DataFrame({
+        "est_a": np.array([round(ea)], dtype="int64"),
+        "est_b": np.array([round(eb)], dtype="int64"),
+        "est_union": np.array([round(eu)], dtype="int64"),
+        "est_intersection": np.array(
+            [round(max(ea + eb - eu, 0.0))], dtype="int64"),
+    })

@@ -4858,6 +4858,60 @@ FROM documents WHERE doc_id < 100
 """
 
 
+def q_hll_set_ops(sf_dir: str):
+    """ERROR-BOUND-INVARIANT oracle for HLL sketch algebra
+    (`relational.hll_set_ops`): distinct clickers vs purchasers —
+    |A|, |B|, |A∪B| from register-wise max, |A∩B| by inclusion-
+    exclusion — each within max(5%, 2) of the exact count (p=12 LC
+    regime; the intersection inherits all three absolute errors).
+    Emits the exact counts plus n_violations; SQL recomputes the
+    exacts independently and asserts zero violations."""
+    from ..functions.relational import hll_set_ops
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "user_id"])
+
+    def only(t):
+        return ds.map_batches(
+            lambda d, t=t: d[d["event_type"] == t][["user_id"]],
+            batch_format="pandas")
+
+    est = hll_set_ops(only("click"), only("purchase"), "user_id", p=12)
+
+    pairs = distinct(ds, ["event_type", "user_id"]).to_pandas()
+    a = set(pairs.loc[pairs["event_type"] == "click", "user_id"])
+    b = set(pairs.loc[pairs["event_type"] == "purchase", "user_id"])
+    exact = {"a": len(a), "b": len(b),
+             "union": len(a | b), "intersection": len(a & b)}
+    viol = sum(
+        int(abs(int(est[f"est_{k}"].iloc[0]) - v)
+            > max(0.05 * v, 2))
+        for k, v in exact.items())
+    return pd.DataFrame({
+        "n_exact_a": np.array([exact["a"]], dtype="int64"),
+        "n_exact_b": np.array([exact["b"]], dtype="int64"),
+        "n_exact_union": np.array([exact["union"]], dtype="int64"),
+        "n_exact_inter": np.array([exact["intersection"]],
+                                  dtype="int64"),
+        "n_violations": np.array([viol], dtype="int64"),
+    })
+
+
+SQL_HLL_SET_OPS = """
+WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'click'),
+b AS (SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase')
+SELECT (SELECT count(*) FROM a)::BIGINT AS n_exact_a,
+       (SELECT count(*) FROM b)::BIGINT AS n_exact_b,
+       (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+         ::BIGINT AS n_exact_union,
+       (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+         ::BIGINT AS n_exact_inter,
+       0::BIGINT AS n_violations
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -4992,6 +5046,7 @@ QUERIES = {
     "pq_ann_recall": q_pq_ann_recall,
     "freq_sketch_grouped_audit": q_freq_sketch_grouped_audit,
     "dedup_incremental_audit": q_dedup_incremental_audit,
+    "hll_set_ops": q_hll_set_ops,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -5127,4 +5182,5 @@ ORACLE_SQL = {
     "pq_ann_recall": SQL_PQ_ANN_RECALL,
     "freq_sketch_grouped_audit": SQL_FREQ_SKETCH_GROUPED_AUDIT,
     "dedup_incremental_audit": SQL_DEDUP_INCREMENTAL_AUDIT,
+    "hll_set_ops": SQL_HLL_SET_OPS,
 }

@@ -1292,3 +1292,25 @@ def test_freq_sketch_grouped_guarantees(ray_session):
         assert heavy <= set(sub["item"]), (g, heavy - set(sub["item"]))
         # bounded output
         assert len(sub) <= k
+
+
+def test_hll_set_ops_accuracy(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import hll_set_ops
+
+    rng = np.random.default_rng(29)
+    # |A|=3000, |B|=2000, |A∩B|=1000 — all three regimes exercised
+    a_vals = np.arange(0, 3000, dtype="int64")
+    b_vals = np.arange(2000, 4000, dtype="int64")
+    da = pd.DataFrame({"v": rng.permutation(np.repeat(a_vals, 2))})
+    db = pd.DataFrame({"v": rng.permutation(np.repeat(b_vals, 3))})
+    est = hll_set_ops(rd.from_pandas(da).repartition(5),
+                      rd.from_pandas(db).repartition(4), "v", p=12)
+    for name, exact in [("est_a", 3000), ("est_b", 2000),
+                        ("est_union", 4000),
+                        ("est_intersection", 1000)]:
+        got = int(est[name].iloc[0])
+        # intersection inherits three absolute errors — wider band
+        tol = 0.15 if name == "est_intersection" else 0.05
+        assert abs(got - exact) <= tol * exact, (name, got, exact)
