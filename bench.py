@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "freq_sketch_grouped_audit",
     "dedup_incremental_audit",
     "hll_set_ops",
+    "countmin_audit",
 ]
 
 

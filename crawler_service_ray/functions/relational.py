@@ -2876,3 +2876,77 @@ def hll_set_ops(
         "est_intersection": np.array(
             [round(max(ea + eb - eu, 0.0))], dtype="int64"),
     })
+
+
+def countmin_sketch(
+    ds: rd.Dataset,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+    batch_size: int = 131072,
+) -> tuple[np.ndarray, int]:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    point-query frequency sibling of the Misra–Gries top-k: a
+    depth×width counter matrix answering "how often did value v occur"
+    with ONE-SIDED error (estimate ≥ true count always; overshoot
+    ≤ 2n/width with probability ≥ 1 − 2^−depth per query). Per batch
+    the batch's exact value counts scatter-add into a local matrix and
+    only the depth×width ints leave (model-constant, input-size-free);
+    matrices merge by plain addition — the textbook mergeable-summary
+    shape. Returns (matrix, n_total).
+
+    Point queries: :func:`countmin_query`. The estimate depends only on
+    hash collisions, NOT batch boundaries — unlike MG the sketch is
+    parallelism-invariant."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[col].value_counts()
+        vals = vc.index.to_numpy()
+        cnts = vc.to_numpy(dtype="int64")
+        base = pd.util.hash_array(vals).astype(np.uint64)
+        M = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            np.add.at(M[d], _cm_hash(base, d, width), cnts)
+        return pd.DataFrame({
+            "row": np.repeat(np.arange(depth, dtype="int64"), width),
+            "colx": np.tile(np.arange(width, dtype="int64"), depth),
+            "cnt": M.reshape(-1),
+            "n": np.int64(len(df)),
+        })
+
+    part = ds.map_batches(partial, batch_format="pandas",
+                          batch_size=batch_size).to_pandas()
+    if len(part) == 0:
+        return np.zeros((depth, width), dtype=np.int64), 0
+    n_total = int(part["n"].sum()) // (depth * width)
+    M = (part.groupby(["row", "colx"], sort=True)["cnt"].sum()
+         .to_numpy().reshape(depth, width))
+    return M, n_total
+
+
+def _cm_hash(base: np.ndarray, d: int, width: int) -> np.ndarray:
+    """Per-depth cell index from a shared base hash: splitmix-style
+    avalanche of (base XOR depth-salt). pd.util.hash_array's hash_key
+    only salts OBJECT arrays, so depth rows must be decorrelated here
+    explicitly or numeric columns would hash identically in every row."""
+    # salt in Python ints: a scalar np.uint64 multiply would emit an
+    # overflow RuntimeWarning (array ops wrap silently, scalars warn)
+    x = base ^ np.uint64((0x9E3779B97F4A7C15 * (d + 1)) & (2**64 - 1))
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    x = x ^ (x >> np.uint64(33))
+    return (x % np.uint64(width)).astype(np.int64)
+
+
+def countmin_query(
+    M: np.ndarray, values: np.ndarray,
+) -> np.ndarray:
+    """Point-query a count-min matrix: min over rows of the hashed
+    cells — vectorized over the whole query array. ``values`` must have
+    the same dtype family the sketch was built from (the base hash is
+    dtype-sensitive)."""
+    depth, width = M.shape
+    base = pd.util.hash_array(np.asarray(values)).astype(np.uint64)
+    est = np.full(len(base), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        est = np.minimum(est, M[d, _cm_hash(base, d, width)])
+    return est

@@ -4897,6 +4897,53 @@ def q_hll_set_ops(sf_dir: str):
     })
 
 
+def q_countmin_audit(sf_dir: str):
+    """GUARANTEE oracle for the count-min sketch
+    (`relational.countmin_sketch`, the `freq_sketch_audit` pattern):
+    exact per-user counts recomputed with `grouped_agg`, then the
+    sketch's properties machine-checked — (1) every point estimate is
+    an UPPER bound on the true count (one-sided error, a hard CM
+    guarantee: n_underestimates = 0), (2) every matrix row conserves
+    total mass (Σ row = n, deterministic), (3) no estimate overshoots
+    by more than 4n/width (the 2n/width Markov bound doubled for
+    margin; depth=4 makes a per-item miss ~2^-4 and the fixed data +
+    fixed hashes make the measured overshoot deterministic). The SQL
+    oracle recomputes n_distinct so a broken stream hash-mismatches."""
+    from ..functions.relational import (
+        countmin_query,
+        countmin_sketch,
+        grouped_agg,
+    )
+
+    width = 2048
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    M, n_total = countmin_sketch(ds, "user_id", depth=4, width=width)
+    exact = grouped_agg(
+        ds, ["user_id"], {"true_cnt": ("user_id", "count")}
+    ).to_pandas()
+    est = countmin_query(M, exact["user_id"].to_numpy())
+    tc = exact["true_cnt"].to_numpy(dtype="int64")
+    over = est - tc
+    return pd.DataFrame({
+        "n_distinct": np.array([len(exact)], dtype="int64"),
+        "n_underestimates": np.array([int((over < 0).sum())],
+                                     dtype="int64"),
+        "mass_ok": np.array(
+            [int((M.sum(axis=1) == n_total).all())], dtype="int64"),
+        "n_overshoot_violations": np.array(
+            [int((over > 4 * n_total / width).sum())], dtype="int64"),
+    })
+
+
+SQL_COUNTMIN_AUDIT = """
+SELECT count(DISTINCT user_id)::BIGINT AS n_distinct,
+       0::BIGINT AS n_underestimates,
+       1::BIGINT AS mass_ok,
+       0::BIGINT AS n_overshoot_violations
+FROM events
+"""
+
+
 SQL_HLL_SET_OPS = """
 WITH a AS (SELECT DISTINCT user_id FROM events
            WHERE event_type = 'click'),
@@ -5047,6 +5094,7 @@ QUERIES = {
     "freq_sketch_grouped_audit": q_freq_sketch_grouped_audit,
     "dedup_incremental_audit": q_dedup_incremental_audit,
     "hll_set_ops": q_hll_set_ops,
+    "countmin_audit": q_countmin_audit,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -5183,4 +5231,5 @@ ORACLE_SQL = {
     "freq_sketch_grouped_audit": SQL_FREQ_SKETCH_GROUPED_AUDIT,
     "dedup_incremental_audit": SQL_DEDUP_INCREMENTAL_AUDIT,
     "hll_set_ops": SQL_HLL_SET_OPS,
+    "countmin_audit": SQL_COUNTMIN_AUDIT,
 }

@@ -1314,3 +1314,33 @@ def test_hll_set_ops_accuracy(ray_session):
         # intersection inherits three absolute errors — wider band
         tol = 0.15 if name == "est_intersection" else 0.05
         assert abs(got - exact) <= tol * exact, (name, got, exact)
+
+
+def test_countmin_guarantees_and_parallelism_invariance(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        countmin_query,
+        countmin_sketch,
+    )
+
+    rng = np.random.default_rng(37)
+    vals = (rng.zipf(1.5, 8000) % 3000).astype("int64")
+    df = pd.DataFrame({"v": vals})
+    M, n = countmin_sketch(rd.from_pandas(df).repartition(6), "v",
+                           depth=4, width=1024, batch_size=777)
+    assert n == len(df)
+    assert (M.sum(axis=1) == n).all()  # per-row mass conservation
+    uniq, true = np.unique(vals, return_counts=True)
+    est = countmin_query(M, uniq)
+    assert (est >= true).all()  # one-sided error, always
+    # CM is batch-boundary independent: 1 block == 6 blocks exactly
+    M1, n1 = countmin_sketch(rd.from_pandas(df), "v",
+                             depth=4, width=1024)
+    assert n1 == n and (M1 == M).all()
+    # depth rows must be decorrelated (the numeric hash_key pitfall):
+    # identical rows would make min-over-rows pointless
+    assert not (M[0] == M[1]).all()
+    # absent values can only collide upward, never report negatives
+    probe = countmin_query(M, np.array([10**9, 10**9 + 1], dtype="int64"))
+    assert (probe >= 0).all()
