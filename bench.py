@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "dedup_incremental_audit",
     "hll_set_ops",
     "countmin_audit",
+    "window_distinct",
 ]
 
 

@@ -4897,6 +4897,34 @@ def q_hll_set_ops(sf_dir: str):
     })
 
 
+def q_window_distinct(sf_dir: str):
+    """Distinct users per hourly tumbling window — the
+    distinct-per-window shape: vectorized window assignment, per-batch
+    (window, user) dedup bounds what shuffles, hash-partitioned final
+    dedup, then a grouped count. At 100-TB user cardinality swap the
+    exact distinct for `approx_count_distinct_grouped` keyed by the
+    window — the assignment pass is identical."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "window_start": df["ts"].dt.floor("h"),
+            "user_id": df["user_id"],
+        })
+
+    pairs = distinct(ds.map_batches(assign, batch_format="pandas"),
+                     ["window_start", "user_id"], merge_partitions=4)
+    return grouped_agg(pairs, ["window_start"],
+                       {"n_users": ("user_id", "count")})
+
+
+SQL_WINDOW_DISTINCT = """
+SELECT date_trunc('hour', ts) AS window_start,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1
+"""
+
+
 def q_countmin_audit(sf_dir: str):
     """GUARANTEE oracle for the count-min sketch
     (`relational.countmin_sketch`, the `freq_sketch_audit` pattern):
@@ -5095,6 +5123,7 @@ QUERIES = {
     "dedup_incremental_audit": q_dedup_incremental_audit,
     "hll_set_ops": q_hll_set_ops,
     "countmin_audit": q_countmin_audit,
+    "window_distinct": q_window_distinct,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -5232,4 +5261,5 @@ ORACLE_SQL = {
     "dedup_incremental_audit": SQL_DEDUP_INCREMENTAL_AUDIT,
     "hll_set_ops": SQL_HLL_SET_OPS,
     "countmin_audit": SQL_COUNTMIN_AUDIT,
+    "window_distinct": SQL_WINDOW_DISTINCT,
 }
