@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "hll_set_ops",
     "countmin_audit",
     "window_distinct",
+    "sessionize_incremental",
 ]
 
 

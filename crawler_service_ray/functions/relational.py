@@ -2950,3 +2950,93 @@ def countmin_query(
     for d in range(depth):
         est = np.minimum(est, M[d, _cm_hash(base, d, width)])
     return est
+
+
+def sessionize_incremental(
+    events: rd.Dataset,
+    state: rd.Dataset | None,
+    key: str,
+    ts_col: str,
+    gap_seconds: float = 1800.0,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Chunked (streaming-ingest) sessionization with carried state —
+    `sessionize` for a pipeline that lands events in time-ordered
+    chunks: each call processes one chunk given the per-key state of
+    all previous chunks and returns the NEW state, which doubles as
+    the running per-key session stats (key, last_ts, n_sessions,
+    n_events). Folding chunks is EXACTLY the batch `sessionize` of the
+    concatenation (same strict-> gap rule, int-µs arithmetic; pinned
+    by pytest and the `sessionize_incremental` oracle query).
+
+    Precondition (the streaming contract): no event in this chunk
+    predates an already-processed event OF THE SAME KEY. State and
+    chunk co-partition by key hash — one exchange per chunk, state
+    never aggregates on the driver; at 100 TB the state Dataset is
+    user-cardinality and stays distributed (write it to parquet
+    between chunks like the crawl's seen-state snapshots)."""
+    gap_us = int(gap_seconds * 1e6)
+
+    def tag_ev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: df[key], ts_col: df[ts_col],
+            "n_sessions": np.int64(0), "n_events": np.int64(0),
+            "__st": np.int8(0)})
+
+    def tag_st(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: df[key], ts_col: df["last_ts"],
+            "n_sessions": df["n_sessions"].astype("int64"),
+            "n_events": df["n_events"].astype("int64"),
+            "__st": np.int8(1)})
+
+    both = events.map_batches(tag_ev, batch_format="pandas")
+    if state is not None:
+        both = both.union(state.map_batches(tag_st,
+                                            batch_format="pandas"))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["__st"] == 1]
+        ev = g[g["__st"] == 0]
+        out_cols = [key, "last_ts", "n_sessions", "n_events"]
+        if len(ev) == 0:
+            out = st.rename(columns={ts_col: "last_ts"})[out_cols]
+            return out.reset_index(drop=True)
+        p = ev.sort_values([key, ts_col], kind="mergesort")
+        kv = p[key].to_numpy()
+        ts_i = p[ts_col].to_numpy(dtype="datetime64[us]").view("int64")
+        same = kv == np.roll(kv, 1)
+        same[0] = False
+        breaks_in = same & ((ts_i - np.roll(ts_i, 1)) > gap_us)
+        chunk = pd.DataFrame({key: kv, "__brk": breaks_in,
+                              "__ts": ts_i})
+        agg = (chunk.groupby(key, sort=False)
+               .agg(__brk=("__brk", "sum"), n_ev=("__ts", "size"),
+                    first_ts=("__ts", "first"), last_ts=("__ts", "max"))
+               .reset_index())
+        stm = (st[[key, ts_col, "n_sessions", "n_events"]]
+               .rename(columns={ts_col: "__state_ts"}))
+        m = agg.merge(stm, on=key, how="left")
+        has_state = m["n_sessions"].notna()
+        state_ts = (m["__state_ts"].to_numpy(dtype="datetime64[us]")
+                    .view("int64"))
+        new_first = np.where(
+            has_state,
+            (m["first_ts"].to_numpy() - state_ts) > gap_us, True)
+        m["n_sessions"] = (m["n_sessions"].fillna(0).astype("int64")
+                           + m["__brk"].astype("int64")
+                           + new_first.astype("int64"))
+        m["n_events"] = (m["n_events"].fillna(0).astype("int64")
+                         + m["n_ev"].astype("int64"))
+        m["last_ts"] = m["last_ts"].astype("datetime64[us]")
+        out = m[out_cols]
+        # keys with state but no events this chunk pass through
+        idle = st[~st[key].isin(agg[key])]
+        if len(idle):
+            out = pd.concat(
+                [out, idle.rename(columns={ts_col: "last_ts"})[out_cols]],
+                ignore_index=True)
+        return out.reset_index(drop=True)
+
+    return grouped_apply(both, [key], per_part,
+                         num_partitions=num_partitions)

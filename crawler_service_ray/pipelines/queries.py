@@ -4925,6 +4925,38 @@ FROM events GROUP BY 1
 """
 
 
+def q_sessionize_incremental(sf_dir: str):
+    """Chunked sessionization with carried state
+    (`relational.sessionize_incremental`): the event log split into
+    two time-ordered chunks, folded through the per-user state — the
+    streaming-ingest path. The FULL-BATCH sessionize SQL is the
+    oracle: folding chunks must reproduce it exactly (same strict->
+    gap rule, int-µs arithmetic), so the hash match certifies the
+    state handoff, not just row counts."""
+    from ..functions.relational import sessionize_incremental
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    cut = pd.Timestamp(
+        ds.map_batches(
+            lambda d: pd.DataFrame({"q": [d["ts"].quantile(0.5)]}),
+            batch_format="pandas",
+        ).to_pandas()["q"].quantile(0.5))
+
+    def chunk(pred):
+        return ds.map_batches(
+            lambda d, p=pred: d[p(d["ts"])], batch_format="pandas")
+
+    state = sessionize_incremental(
+        chunk(lambda t: t <= cut), None, "user_id", "ts",
+        1800.0).materialize()
+    state = sessionize_incremental(
+        chunk(lambda t: t > cut), state, "user_id", "ts", 1800.0)
+    return state.select_columns(["user_id", "n_sessions", "n_events"])
+
+
+SQL_SESSIONIZE_INCREMENTAL = SQL_SESSIONIZE
+
+
 def q_countmin_audit(sf_dir: str):
     """GUARANTEE oracle for the count-min sketch
     (`relational.countmin_sketch`, the `freq_sketch_audit` pattern):
@@ -5124,6 +5156,7 @@ QUERIES = {
     "hll_set_ops": q_hll_set_ops,
     "countmin_audit": q_countmin_audit,
     "window_distinct": q_window_distinct,
+    "sessionize_incremental": q_sessionize_incremental,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -5262,4 +5295,5 @@ ORACLE_SQL = {
     "hll_set_ops": SQL_HLL_SET_OPS,
     "countmin_audit": SQL_COUNTMIN_AUDIT,
     "window_distinct": SQL_WINDOW_DISTINCT,
+    "sessionize_incremental": SQL_SESSIONIZE_INCREMENTAL,
 }

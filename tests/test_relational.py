@@ -1344,3 +1344,45 @@ def test_countmin_guarantees_and_parallelism_invariance(ray_session):
     # absent values can only collide upward, never report negatives
     probe = countmin_query(M, np.array([10**9, 10**9 + 1], dtype="int64"))
     assert (probe >= 0).all()
+
+
+def test_sessionize_incremental_folds_to_batch(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        sessionize,
+        sessionize_incremental,
+    )
+
+    rng = np.random.default_rng(43)
+    n = 6000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 200, n),
+        "ts": np.datetime64("2024-01-01", "us")
+        + rng.integers(0, 20 * 86400, n).astype("timedelta64[s]"
+                                                ).astype("timedelta64[us]"),
+    })
+    batch = (sessionize(rd.from_pandas(df), "user_id", "ts", 1800.0)
+             .to_pandas().sort_values("user_id").reset_index(drop=True))
+
+    # fold three time-ordered chunks through the state
+    cuts = df["ts"].quantile([0.33, 0.66]).to_numpy()
+    chunks = [df[df["ts"] <= cuts[0]],
+              df[(df["ts"] > cuts[0]) & (df["ts"] <= cuts[1])],
+              df[df["ts"] > cuts[1]]]
+    state = None
+    for c in chunks:
+        state = sessionize_incremental(
+            rd.from_pandas(c).repartition(4), state, "user_id", "ts",
+            1800.0, num_partitions=5).materialize()
+    got = (state.to_pandas()[["user_id", "n_sessions", "n_events"]]
+           .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+
+    # an empty chunk is a pure state passthrough
+    state2 = sessionize_incremental(
+        rd.from_pandas(df.head(0)), state, "user_id", "ts",
+        1800.0).materialize()
+    got2 = (state2.to_pandas()[["user_id", "n_sessions", "n_events"]]
+            .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, batch, check_dtype=False)
