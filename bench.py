@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "countmin_audit",
     "window_distinct",
     "sessionize_incremental",
+    "ols",
 ]
 
 

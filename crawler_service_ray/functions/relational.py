@@ -3040,3 +3040,48 @@ def sessionize_incremental(
 
     return grouped_apply(both, [key], per_part,
                          num_partitions=num_partitions)
+
+
+def ols_fit(
+    ds: rd.Dataset,
+    x_cols: Sequence[str],
+    y_col: str,
+) -> tuple[np.ndarray, int]:
+    """Multi-feature ordinary least squares via distributed normal
+    equations — `grouped_linreg` beyond one regressor: each block
+    contributes only the (d+1)×(d+1) Gram matrix XᵀX and Xᵀy partials
+    (d = features + intercept; model-constant floats per block,
+    input-size-free), partials sum-merge, and the driver solves the
+    tiny system. Returns (coefficients [intercept, *x_cols], n).
+
+    The solve uses the EXPLICIT closed form (matrix inverse of the
+    summed Gram), so an engine replaying the same sums — e.g. a SQL
+    oracle with Cramer's rule — reproduces coefficients up to float
+    reassociation of the sums; round before comparing. Conditioning
+    caveat: raw power sums, like `grouped_corr`'s — center features
+    upstream if |mean| ≫ spread."""
+    x_cols = list(x_cols)
+    d = len(x_cols) + 1
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.column_stack(
+            [np.ones(len(df))]
+            + [df[c].to_numpy(dtype="float64") for c in x_cols])
+        y = df[y_col].to_numpy(dtype="float64")
+        g = X.T @ X
+        v = X.T @ y
+        return pd.DataFrame({
+            "i": np.repeat(np.arange(d), d + 1),
+            "j": np.tile(np.arange(d + 1), d),
+            "v": np.concatenate(
+                [np.concatenate([g[i], [v[i]]]) for i in range(d)]),
+            "n": np.int64(len(df)),
+        })
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum()) // (d * (d + 1))
+    M = (p.groupby(["i", "j"], sort=True)["v"].sum()
+         .to_numpy().reshape(d, d + 1))
+    G, v = M[:, :d], M[:, d]
+    coef = np.linalg.solve(G, v)
+    return coef, n

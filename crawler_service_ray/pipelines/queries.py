@@ -4925,6 +4925,56 @@ FROM events GROUP BY 1
 """
 
 
+def q_ols(sf_dir: str):
+    """Multi-feature OLS (extended price on quantity + discount) via
+    distributed normal equations (`relational.ols_fit` — only the
+    (d+1)² Gram partials leave a block). The SQL oracle solves the
+    SAME summed system with Cramer's rule, so the 4-dp coefficient
+    hash certifies the distributed Gram accumulation end to end."""
+    from ..functions.relational import ols_fit
+
+    coef, n = ols_fit(
+        read_table(sf_dir, "lineitem",
+                   columns=["l_quantity", "l_discount",
+                            "l_extendedprice"]),
+        ["l_quantity", "l_discount"], "l_extendedprice")
+    return pd.DataFrame({
+        "n_rows": np.array([n], dtype="int64"),
+        "intercept": [round(float(coef[0]), 4)],
+        "coef_quantity": [round(float(coef[1]), 4)],
+        "coef_discount": [round(float(coef[2]), 4)],
+    })
+
+
+SQL_OLS = """
+WITH s AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(l_quantity) AS s1, sum(l_discount) AS s2,
+         sum(l_quantity*l_quantity) AS s11,
+         sum(l_quantity*l_discount) AS s12,
+         sum(l_discount*l_discount) AS s22,
+         sum(l_extendedprice) AS sy,
+         sum(l_quantity*l_extendedprice) AS s1y,
+         sum(l_discount*l_extendedprice) AS s2y
+  FROM lineitem),
+d AS (SELECT *,
+  n*(s11*s22 - s12*s12) - s1*(s1*s22 - s2*s12)
+    + s2*(s1*s12 - s2*s11) AS det,
+  sy*(s11*s22 - s12*s12) - s1y*(s1*s22 - s2*s12)
+    + s2y*(s1*s12 - s2*s11) AS det0,
+  n*(s1y*s22 - s12*s2y) - s1*(sy*s22 - s2*s2y)
+    + s2*(sy*s12 - s2*s1y) AS det1,
+  n*(s11*s2y - s1y*s12) - s1*(s1*s2y - sy*s12)
+    + s2*(s1*s1y - sy*s11) AS det2
+  FROM s)
+SELECT n::BIGINT AS n_rows,
+       round(det0/det, 4) AS intercept,
+       round(det1/det, 4) AS coef_quantity,
+       round(det2/det, 4) AS coef_discount
+FROM d
+"""
+
+
 def q_sessionize_incremental(sf_dir: str):
     """Chunked sessionization with carried state
     (`relational.sessionize_incremental`): the event log split into
@@ -5157,6 +5207,7 @@ QUERIES = {
     "countmin_audit": q_countmin_audit,
     "window_distinct": q_window_distinct,
     "sessionize_incremental": q_sessionize_incremental,
+    "ols": q_ols,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -5296,4 +5347,5 @@ ORACLE_SQL = {
     "countmin_audit": SQL_COUNTMIN_AUDIT,
     "window_distinct": SQL_WINDOW_DISTINCT,
     "sessionize_incremental": SQL_SESSIONIZE_INCREMENTAL,
+    "ols": SQL_OLS,
 }

@@ -1386,3 +1386,25 @@ def test_sessionize_incremental_folds_to_batch(ray_session):
     got2 = (state2.to_pandas()[["user_id", "n_sessions", "n_events"]]
             .sort_values("user_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got2, batch, check_dtype=False)
+
+
+def test_ols_fit_matches_lstsq(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import ols_fit
+
+    rng = np.random.default_rng(47)
+    n = 5000
+    x1 = rng.normal(10, 3, n)
+    x2 = rng.normal(-2, 1, n)
+    y = 3.5 + 1.25 * x1 - 4.0 * x2 + rng.normal(0, 0.5, n)
+    df = pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+    coef, nn = ols_fit(rd.from_pandas(df).repartition(7),
+                       ["x1", "x2"], "y")
+    X = np.column_stack([np.ones(n), x1, x2])
+    ref = np.linalg.lstsq(X, y, rcond=None)[0]
+    assert nn == n
+    np.testing.assert_allclose(coef, ref, rtol=1e-8)
+    # parallelism invariance up to float reassociation
+    coef1, _ = ols_fit(rd.from_pandas(df), ["x1", "x2"], "y")
+    np.testing.assert_allclose(coef, coef1, rtol=1e-9)
