@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "window_distinct",
     "sessionize_incremental",
     "ols",
+    "logreg_audit",
 ]
 
 

@@ -3085,3 +3085,75 @@ def ols_fit(
     G, v = M[:, :d], M[:, d]
     coef = np.linalg.solve(G, v)
     return coef, n
+
+
+def logreg_fit(
+    ds: rd.Dataset,
+    x_cols: Sequence[str],
+    y_col: str,
+    iters: int = 8,
+    ridge: float = 1e-6,
+) -> tuple[np.ndarray, int]:
+    """Logistic regression via distributed IRLS (Newton-Raphson) — the
+    classification sibling of `ols_fit` for learned quality/spam
+    filters over corpus features: each iteration broadcasts the d-float
+    coefficient vector and runs ONE map_batches pass; a block emits
+    only the (d×d) weighted Gram XᵀWX and XᵀWz partials (W = μ(1−μ),
+    z the working response), the driver solves the tiny system. A
+    small ridge keeps the solve defined under separation. Deterministic
+    (β₀ = 0, fixed iteration count); identical at any parallelism up
+    to float reassociation of the partial sums — certified by the
+    `logreg_audit` single-node parity oracle."""
+    x_cols = list(x_cols)
+    d = len(x_cols) + 1
+    beta = np.zeros(d)
+
+    ds = ds.materialize()  # iterative: pin the working set once
+    for _ in range(max(1, iters)):
+        ref = ray.put(beta)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            b = resolve_broadcast(ref)
+            X = np.column_stack(
+                [np.ones(len(df))]
+                + [df[c].to_numpy(dtype="float64") for c in x_cols])
+            y = df[y_col].to_numpy(dtype="float64")
+            eta = X @ b
+            mu = 1.0 / (1.0 + np.exp(-eta))
+            w = np.maximum(mu * (1.0 - mu), 1e-12)
+            z = eta + (y - mu) / w
+            Xw = X * w[:, None]
+            g = X.T @ Xw
+            v = Xw.T @ z
+            return pd.DataFrame({
+                "i": np.repeat(np.arange(d), d + 1),
+                "j": np.tile(np.arange(d + 1), d),
+                "v": np.concatenate(
+                    [np.concatenate([g[i], [v[i]]]) for i in range(d)]),
+                "n": np.int64(len(df)),
+            })
+
+        p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        n = int(p["n"].sum()) // (d * (d + 1))
+        M = (p.groupby(["i", "j"], sort=True)["v"].sum()
+             .to_numpy().reshape(d, d + 1))
+        G, v = M[:, :d] + ridge * np.eye(d), M[:, d]
+        beta = np.linalg.solve(G, v)
+    return beta, n
+
+
+def logreg_fit_local(
+    X: np.ndarray, y: np.ndarray, iters: int = 8, ridge: float = 1e-6,
+) -> np.ndarray:
+    """Single-node IRLS with the identical arithmetic (the parity
+    reference for `logreg_fit` audits)."""
+    d = X.shape[1]
+    beta = np.zeros(d)
+    for _ in range(max(1, iters)):
+        eta = X @ beta
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = np.maximum(mu * (1.0 - mu), 1e-12)
+        z = eta + (y - mu) / w
+        Xw = X * w[:, None]
+        beta = np.linalg.solve(X.T @ Xw + ridge * np.eye(d), Xw.T @ z)
+    return beta

@@ -4975,6 +4975,48 @@ FROM d
 """
 
 
+def q_logreg_audit(sf_dir: str):
+    """PARITY oracle for distributed IRLS logistic regression
+    (`relational.logreg_fit`, the kmeans_audit pattern): predict
+    purchase events from (value, hour-of-day); the single-node IRLS
+    with identical arithmetic must reproduce the coefficients to 1e-6
+    relative (only float reassociation of the Gram partials separates
+    the two). Emits (n_rows, n_purchases, coef_ok); SQL recomputes
+    both counts so a broken stream hash-mismatches."""
+    from ..functions.relational import logreg_fit, logreg_fit_local
+
+    ds = read_table(sf_dir, "events",
+                    columns=["ts", "event_type", "value"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "value": df["value"].astype("float64"),
+            "hour": df["ts"].dt.hour.astype("float64"),
+            "y": (df["event_type"] == "purchase").astype("float64"),
+        })
+
+    fds = ds.map_batches(feats, batch_format="pandas")
+    coef, n = logreg_fit(fds, ["value", "hour"], "y", iters=8)
+
+    t = fds.to_pandas()
+    X = np.column_stack([np.ones(len(t)), t["value"], t["hour"]])
+    ref = logreg_fit_local(X, t["y"].to_numpy(), iters=8)
+    rel = np.abs(coef - ref) / np.maximum(np.abs(ref), 1e-12)
+    return pd.DataFrame({
+        "n_rows": np.array([n], dtype="int64"),
+        "n_purchases": np.array([int(t["y"].sum())], dtype="int64"),
+        "coef_ok": np.array([int((rel < 1e-6).all())], dtype="int64"),
+    })
+
+
+SQL_LOGREG_AUDIT = """
+SELECT count(*)::BIGINT AS n_rows,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchases,
+       1::BIGINT AS coef_ok
+FROM events
+"""
+
+
 def q_sessionize_incremental(sf_dir: str):
     """Chunked sessionization with carried state
     (`relational.sessionize_incremental`): the event log split into
@@ -5208,6 +5250,7 @@ QUERIES = {
     "window_distinct": q_window_distinct,
     "sessionize_incremental": q_sessionize_incremental,
     "ols": q_ols,
+    "logreg_audit": q_logreg_audit,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -5348,4 +5391,5 @@ ORACLE_SQL = {
     "window_distinct": SQL_WINDOW_DISTINCT,
     "sessionize_incremental": SQL_SESSIONIZE_INCREMENTAL,
     "ols": SQL_OLS,
+    "logreg_audit": SQL_LOGREG_AUDIT,
 }

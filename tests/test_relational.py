@@ -1408,3 +1408,29 @@ def test_ols_fit_matches_lstsq(ray_session):
     # parallelism invariance up to float reassociation
     coef1, _ = ols_fit(rd.from_pandas(df), ["x1", "x2"], "y")
     np.testing.assert_allclose(coef, coef1, rtol=1e-9)
+
+
+def test_logreg_fit_recovers_planted_coefficients(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        logreg_fit,
+        logreg_fit_local,
+    )
+
+    rng = np.random.default_rng(53)
+    n = 8000
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    eta = -0.5 + 1.2 * x1 - 0.8 * x2
+    y = (rng.random(n) < 1 / (1 + np.exp(-eta))).astype("float64")
+    df = pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+    coef, nn = logreg_fit(rd.from_pandas(df).repartition(6),
+                          ["x1", "x2"], "y", iters=10)
+    assert nn == n
+    # recovers the planted model within sampling error
+    np.testing.assert_allclose(coef, [-0.5, 1.2, -0.8], atol=0.15)
+    # single-node parity (identical arithmetic up to reassociation)
+    X = np.column_stack([np.ones(n), x1, x2])
+    ref = logreg_fit_local(X, y, iters=10)
+    np.testing.assert_allclose(coef, ref, rtol=1e-8)
