@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "sessionize_incremental",
     "ols",
     "logreg_audit",
+    "naive_bayes",
 ]
 
 

@@ -1312,3 +1312,136 @@ def collocations(
     scored = joined.map_batches(score, batch_format="pandas")
     return topk(scored, ["pmi", "w1", "w2"], k,
                 descending=[True, False, False])
+
+
+def naive_bayes_classify(
+    train: rd.Dataset,
+    test: rd.Dataset,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    merge_partitions: int = 4,
+    num_buckets: int = 8,
+    round_dp: int = 6,
+) -> rd.Dataset:
+    """Multinomial Naive Bayes text classification, trained and applied
+    distributed — the classical supervised label-propagation step of a
+    curation pipeline (predict language/domain/quality tier from token
+    counts). Laplace-smoothed: ln P(w|ℓ) = ln((c(ℓ,w)+1)/(tot_ℓ+V)).
+
+    Scale shape: the (label, word) likelihood table is VOCABULARY-scale
+    and never reaches the driver — it pivots to one row per word with
+    a log-prob column per label (labels are model constants, collected
+    driver-side with priors/totals), bucket-joins the test token table
+    by word (LEFT join — unseen words take the smoothing floor), and
+    per-doc scores partial-sum merge. Scores round to ``round_dp``
+    before the argmax on both engines (ties break label-ascending), so
+    ln() reassociation cannot flip a prediction. Emits
+    (id, pred_label)."""
+    from .relational import (
+        bucketed_hash_join,
+        distinct,
+        grouped_agg,
+        grouped_apply,
+    )
+
+    def tokens(keep: str, doc_counts: bool = False):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({
+                    keep: pd.Series(dtype="int64" if not doc_counts
+                                    else "category"),
+                    "word": pd.Series(dtype="category"),
+                    "cnt": pd.Series(dtype="int64")})
+            t = df[[keep, text_col]].copy()
+            t["word"] = t[text_col].astype(str).str.split(" ")
+            t = t[[keep, "word"]].explode("word")
+            t = t[(t["word"] != "") & t["word"].notna()]
+            g = (t.groupby([keep, "word"], sort=False).size()
+                 .reset_index(name="cnt"))
+            g["cnt"] = g["cnt"].astype("int64")
+            if doc_counts:
+                # fold per-label DOC counts into the same pass (the
+                # empty word is filtered from real tokens, so it is a
+                # safe sentinel) — saves a second full read of train
+                dc = (df.groupby(keep, sort=False).size()
+                      .reset_index(name="cnt"))
+                dc["word"] = ""
+                dc["cnt"] = dc["cnt"].astype("int64")
+                g = pd.concat([g, dc[g.columns]], ignore_index=True)
+            return g
+        return fn
+
+    tt_all = grouped_agg(
+        train.map_batches(tokens(label_col, doc_counts=True),
+                          batch_format="pandas"),
+        [label_col, "word"], {"c": ("cnt", "sum")},
+        merge_partitions=merge_partitions,
+    ).materialize()
+    tt = tt_all.map_batches(lambda d: d[d["word"] != ""],
+                            batch_format="pandas")
+
+    stats = (grouped_agg(
+        tt_all.map_batches(
+            lambda d: d.assign(
+                __tok=np.where(d["word"] != "", d["c"], 0),
+                __doc=np.where(d["word"] == "", d["c"], 0)),
+            batch_format="pandas"),
+        [label_col],
+        {"tot": ("__tok", "sum"), "n_docs": ("__doc", "sum")})
+        .to_pandas().set_index(label_col))
+    tot = stats["tot"]
+    pri = stats["n_docs"].astype(float)
+    vocab_v = float(distinct(tt, ["word"]).count())
+    labels = sorted(tot.index)
+    n_train = float(pri.sum())
+    log_prior = {l: float(np.log(pri[l] / n_train)) for l in labels}
+    denom = {l: float(tot[l]) + vocab_v for l in labels}
+    floor = {l: float(np.log(1.0 / denom[l])) for l in labels}
+
+    def pivot(part: pd.DataFrame) -> pd.DataFrame:
+        w = part.pivot_table(index="word", columns=label_col,
+                             values="c", aggfunc="sum")
+        out = pd.DataFrame({"word": w.index})
+        for l in labels:
+            c = (w[l].to_numpy(dtype="float64")
+                 if l in w.columns else np.zeros(len(w)))
+            c = np.nan_to_num(c)
+            out[f"__lp_{l}"] = np.log((c + 1.0) / denom[l])
+        return out
+
+    wide = grouped_apply(tt, ["word"], pivot,
+                         num_partitions=num_buckets)
+
+    ttoks = test.map_batches(tokens(id_col), batch_format="pandas")
+    joined = bucketed_hash_join(ttoks, wide, on="word", how="left",
+                                num_buckets=num_buckets)
+
+    def partial_scores(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df["cnt"].to_numpy(dtype="float64")
+        out = {id_col: df[id_col].astype("int64")}
+        for l in labels:
+            lp = df[f"__lp_{l}"].to_numpy(dtype="float64")
+            lp = np.where(np.isnan(lp), floor[l], lp)
+            out[f"__s_{l}"] = cnt * lp
+        return pd.DataFrame(out)
+
+    per_doc = grouped_agg(
+        joined.map_batches(partial_scores, batch_format="pandas"),
+        [id_col], {f"__s_{l}": (f"__s_{l}", "sum") for l in labels},
+        merge_partitions=merge_partitions,
+    )
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        S = np.column_stack(
+            [np.round(df[f"__s_{l}"].to_numpy(dtype="float64")
+                      + log_prior[l], round_dp) for l in labels])
+        # argmax with label-ascending tiebreak: labels are sorted and
+        # np.argmax takes the FIRST maximum
+        pick = np.argmax(S, axis=1)
+        return pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "pred_" + label_col: np.array(labels, dtype=object)[pick],
+        })
+
+    return per_doc.map_batches(decide, batch_format="pandas")

@@ -64,6 +64,17 @@ _DEFAULT_BPB = {
 }
 
 
+def _catempty(df: pd.DataFrame) -> pd.DataFrame:
+    """0-row frames with string columns trip Ray's block-size
+    estimator (np.vectorize on an empty sample) — cast them to
+    categorical, which the estimator sizes without sampling (same
+    trick as `bucketed_hash_join`'s empty buckets)."""
+    if len(df) == 0:
+        return df.astype({c: "category" for c in df.columns
+                          if df[c].dtype == object})
+    return df
+
+
 def read_table(sf_dir, name, columns=None, bytes_per_block=None, **kw):
     if bytes_per_block is None:
         bytes_per_block = _DEFAULT_BPB.get(name)
@@ -4823,11 +4834,11 @@ def q_dedup_incremental_audit(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
                       bytes_per_block=_DOC_BPB)
     new_ds = docs.map_batches(
-        lambda d: d[d["doc_id"] < 100], batch_format="pandas"
-    ).materialize()
+        lambda d: _catempty(d[d["doc_id"] < 100]),
+        batch_format="pandas").materialize()
     base_ds = docs.map_batches(
-        lambda d: d[d["doc_id"] >= 100], batch_format="pandas"
-    ).materialize()
+        lambda d: _catempty(d[d["doc_id"] >= 100]),
+        batch_format="pandas").materialize()
 
     with tempfile.TemporaryDirectory(dir="/tmp") as tmp:
         idx = os.path.join(tmp, "lshidx")
@@ -4972,6 +4983,64 @@ SELECT n::BIGINT AS n_rows,
        round(det1/det, 4) AS coef_quantity,
        round(det2/det, 4) AS coef_discount
 FROM d
+"""
+
+
+def q_naive_bayes(sf_dir: str):
+    """Multinomial Naive Bayes language prediction
+    (`text.naive_bayes_classify`): train on doc_id ≥ 100, predict the
+    lang of doc_id < 100. FULL SQL oracle — DuckDB replays the entire
+    Laplace-smoothed model (token counts, totals, vocabulary size,
+    priors, per-doc log-score argmax with 6-dp rounding and
+    label-ascending ties), so the hash match certifies training AND
+    inference end to end."""
+    from ..functions.text import naive_bayes_classify
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang"],
+                      bytes_per_block=_DOC_BPB)
+    train = docs.map_batches(
+        lambda d: _catempty(d[d["doc_id"] >= 100]),
+        batch_format="pandas")
+    test = docs.map_batches(
+        lambda d: _catempty(d[d["doc_id"] < 100][["doc_id", "text"]]),
+        batch_format="pandas")
+    return naive_bayes_classify(train, test)
+
+
+SQL_NAIVE_BAYES = """
+WITH train AS (SELECT * FROM documents WHERE doc_id >= 100),
+test AS (SELECT * FROM documents WHERE doc_id < 100),
+tt AS (SELECT lang, word, count(*)::DOUBLE AS c
+       FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+             FROM train)
+       WHERE word <> '' GROUP BY 1, 2),
+tot AS (SELECT lang, sum(c) AS tot FROM tt GROUP BY 1),
+v AS (SELECT count(DISTINCT word)::DOUBLE AS v FROM tt),
+pri AS (SELECT lang,
+               ln(count(*)::DOUBLE
+                  / (SELECT count(*) FROM train)) AS lp
+        FROM train GROUP BY 1),
+langs AS (SELECT tot.lang, tot, lp, v
+          FROM tot JOIN pri USING (lang) CROSS JOIN v),
+toks AS (SELECT doc_id, word, count(*)::DOUBLE AS cnt
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM test)
+         WHERE word <> '' GROUP BY 1, 2),
+scored AS (
+  SELECT t.doc_id, l.lang,
+         any_value(l.lp)
+         + sum(t.cnt * ln((COALESCE(tt.c, 0) + 1) / (l.tot + l.v)))
+           AS score
+  FROM toks t CROSS JOIN langs l
+  LEFT JOIN tt ON tt.lang = l.lang AND tt.word = t.word
+  GROUP BY t.doc_id, l.lang, l.tot, l.v),
+ranked AS (SELECT doc_id, lang,
+                  row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY round(score, 6) DESC, lang ASC) AS r
+           FROM scored)
+SELECT doc_id, lang AS pred_lang FROM ranked WHERE r = 1
 """
 
 
@@ -5251,6 +5320,7 @@ QUERIES = {
     "sessionize_incremental": q_sessionize_incremental,
     "ols": q_ols,
     "logreg_audit": q_logreg_audit,
+    "naive_bayes": q_naive_bayes,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -5392,4 +5462,5 @@ ORACLE_SQL = {
     "sessionize_incremental": SQL_SESSIONIZE_INCREMENTAL,
     "ols": SQL_OLS,
     "logreg_audit": SQL_LOGREG_AUDIT,
+    "naive_bayes": SQL_NAIVE_BAYES,
 }

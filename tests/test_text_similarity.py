@@ -577,3 +577,63 @@ def test_pq_topk_exact_on_quantized_corpus(ray_session):
         assert set(g["neighbor_id"]) == set(order) or \
             np.allclose(sorted(d[list(g["neighbor_id"])]),
                         sorted(d[order]), rtol=1e-9)
+
+
+def test_naive_bayes_matches_single_node(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.text import naive_bayes_classify
+
+    rng = np.random.default_rng(59)
+    vocab = {"en": ["the", "cat", "dog", "house"],
+             "es": ["el", "gato", "perro", "casa"],
+             "de": ["der", "katze", "hund", "haus"]}
+    shared = ["data", "x1", "x2"]
+    rows = []
+    for i in range(240):
+        lang = ["en", "es", "de"][i % 3]
+        words = list(rng.choice(vocab[lang] + shared, size=12))
+        rows.append({"doc_id": i, "text": " ".join(words),
+                     "lang": lang})
+    df = pd.DataFrame(rows)
+    train = df[df["doc_id"] >= 60]
+    test = df[df["doc_id"] < 60]
+    got = (naive_bayes_classify(
+        rd.from_pandas(train).repartition(5),
+        rd.from_pandas(test[["doc_id", "text"]]).repartition(3),
+        num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # single-node reference: identical Laplace-smoothed model
+    tt = {}
+    tot = {}
+    ndocs = {}
+    for _, r in train.iterrows():
+        ndocs[r["lang"]] = ndocs.get(r["lang"], 0) + 1
+        for w in r["text"].split(" "):
+            if w:
+                tt[(r["lang"], w)] = tt.get((r["lang"], w), 0) + 1
+                tot[r["lang"]] = tot.get(r["lang"], 0) + 1
+    V = len({w for (_l, w) in tt})
+    labels = sorted(tot)
+    n_train = sum(ndocs.values())
+    preds = []
+    for _, r in test.iterrows():
+        best = None
+        for l in labels:
+            s = np.log(ndocs[l] / n_train)
+            for w in r["text"].split(" "):
+                if w:
+                    s += np.log((tt.get((l, w), 0) + 1)
+                                / (tot[l] + V))
+            s = round(s, 6)
+            if best is None or s > best[0]:
+                best = (s, l)
+        preds.append({"doc_id": r["doc_id"], "pred_lang": best[1]})
+    ref = (pd.DataFrame(preds).sort_values("doc_id")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    # the planted vocabulary makes the task near-separable
+    truth = test.set_index("doc_id")["lang"]
+    acc = (got.set_index("doc_id")["pred_lang"] == truth).mean()
+    assert acc > 0.9
