@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "ols",
     "logreg_audit",
     "naive_bayes",
+    "wow_revenue",
 ]
 
 

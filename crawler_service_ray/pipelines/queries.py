@@ -4986,6 +4986,55 @@ FROM d
 """
 
 
+def q_wow_revenue(sf_dir: str):
+    """Week-over-week revenue: epoch-week partial-sum aggregation of
+    orders (only (week, sum) partials leave a block), then one
+    `grouped_shift` lag over the tiny week table and the percent
+    change, 4-dp rounded on both engines before the hash."""
+    from ..functions.relational import grouped_agg, grouped_shift
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderdate", "o_totalprice"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        wk = (df["o_orderdate"].to_numpy(dtype="datetime64[us]")
+              .view("int64") // (604_800 * 10**6))
+        return pd.DataFrame({"wk": wk,
+                             "o_totalprice": df["o_totalprice"]})
+
+    weekly = grouped_agg(
+        ds.map_batches(assign, batch_format="pandas"),
+        ["wk"], {"revenue": ("o_totalprice", "sum")})
+    weekly = weekly.map_batches(
+        lambda d: d.assign(__one=np.int64(1)), batch_format="pandas")
+    lagged = grouped_shift(
+        weekly, keys=["__one"], order_by=["wk"], col="revenue",
+        periods=1, out_name="prev_revenue", num_partitions=1)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["revenue"].to_numpy(dtype="float64")
+        prev = df["prev_revenue"].to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "wk": df["wk"].astype("int64"),
+            "revenue": np.round(rev, 2),
+            "wow_pct": np.round(100.0 * (rev - prev) / prev, 4),
+        })
+
+    return lagged.map_batches(finish, batch_format="pandas")
+
+
+SQL_WOW_REVENUE = """
+WITH w AS (
+  SELECT CAST(floor(epoch(o_orderdate) / 604800) AS BIGINT) AS wk,
+         sum(o_totalprice) AS revenue
+  FROM orders GROUP BY 1)
+SELECT wk, round(revenue, 2) AS revenue,
+       round(100.0 * (revenue - lag(revenue) OVER (ORDER BY wk))
+             / lag(revenue) OVER (ORDER BY wk), 4) AS wow_pct
+FROM w
+"""
+
+
 def q_naive_bayes(sf_dir: str):
     """Multinomial Naive Bayes language prediction
     (`text.naive_bayes_classify`): train on doc_id ≥ 100, predict the
@@ -5321,6 +5370,7 @@ QUERIES = {
     "ols": q_ols,
     "logreg_audit": q_logreg_audit,
     "naive_bayes": q_naive_bayes,
+    "wow_revenue": q_wow_revenue,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -5463,4 +5513,5 @@ ORACLE_SQL = {
     "ols": SQL_OLS,
     "logreg_audit": SQL_LOGREG_AUDIT,
     "naive_bayes": SQL_NAIVE_BAYES,
+    "wow_revenue": SQL_WOW_REVENUE,
 }
