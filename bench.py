@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "logreg_audit",
     "naive_bayes",
     "wow_revenue",
+    "surprisal",
 ]
 
 

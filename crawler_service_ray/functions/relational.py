@@ -2680,6 +2680,7 @@ def session_transitions(
     per-partition (from, to) partial counts leave — ≤ |event-type|²
     rows per partition regardless of input size."""
     order = [key, ts_col] + ([order_col] if order_col else [])
+    gap_us = int(gap_seconds * 1e6)
 
     def per_part(part: pd.DataFrame) -> pd.DataFrame:
         if len(part) == 0:
@@ -2687,16 +2688,10 @@ def session_transitions(
                 "from_type": pd.Series(dtype=object),
                 "to_type": pd.Series(dtype=object),
                 "n": pd.Series(dtype="int64")})
-        p = part.sort_values(order, kind="mergesort")
-        same_key = p[key].to_numpy() == np.roll(p[key].to_numpy(), 1)
-        same_key[0] = False
-        ts = p[ts_col].to_numpy(dtype="datetime64[us]").view("int64")
-        gap_us = ts - np.roll(ts, 1)
-        ok = same_key & (gap_us <= int(gap_seconds * 1e6))
-        types = p[type_col].to_numpy()
-        out = pd.DataFrame({
-            "from_type": np.roll(types, 1)[ok], "to_type": types[ok]})
-        g = (out.groupby(["from_type", "to_type"], sort=False)
+        kv, f, t = _transition_pairs(part, key, ts_col, type_col,
+                                     gap_us, order)
+        g = (pd.DataFrame({"from_type": f, "to_type": t})
+             .groupby(["from_type", "to_type"], sort=False)
              .size().reset_index(name="n"))
         g["n"] = g["n"].astype("int64")
         return g
@@ -2705,6 +2700,85 @@ def session_transitions(
                              num_partitions=num_partitions)
     return grouped_agg(partials, ["from_type", "to_type"],
                        {"n": ("n", "sum")})
+
+
+def _transition_pairs(part, key, ts_col, type_col, gap_us, order):
+    """Shared session-transition kernel: sorted shift over a key-hash
+    partition → (key values, from types, to types) of every
+    within-session consecutive pair."""
+    p = part.sort_values(order, kind="mergesort")
+    kv = p[key].to_numpy()
+    same_key = kv == np.roll(kv, 1)
+    same_key[0] = False
+    ts = p[ts_col].to_numpy(dtype="datetime64[us]").view("int64")
+    gaps = ts - np.roll(ts, 1)
+    ok = same_key & (gaps <= gap_us)
+    types = p[type_col].to_numpy()
+    return kv[ok], np.roll(types, 1)[ok], types[ok]
+
+
+def transition_surprisal(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    gap_seconds: float = 1800.0,
+    order_col: str | None = None,
+    num_partitions: int = 32,
+    round_dp: int = 6,
+) -> rd.Dataset:
+    """Per-key mean negative log-likelihood of the key's within-session
+    transitions under the CORPUS transition model (row-normalized
+    `session_transitions` counts) — the sequence-anomaly score: a user
+    whose clickstream follows rare transitions scores high (bot/fraud
+    triage, session-quality weighting).
+
+    Two passes over the events: one fits the model (≤ |types|² counter
+    rows — model-constant, collected and row-normalized driver-side),
+    one rescans per key with the log-prob map broadcast BY VALUE (it is
+    tiny) and emits only (key, surprisal, n_transitions). Surprisal
+    rounds to ``round_dp`` before the hash so ln() summation order
+    cannot flip a value. Keys with zero transitions are absent
+    (matching the SQL twin's inner join)."""
+    counts = session_transitions(
+        ds, key, ts_col, type_col, gap_seconds=gap_seconds,
+        order_col=order_col, num_partitions=num_partitions,
+    ).to_pandas()
+    tot = counts.groupby("from_type")["n"].transform("sum")
+    model = pd.DataFrame({
+        "__f": counts["from_type"], "__t": counts["to_type"],
+        "__lp": np.log(counts["n"].to_numpy(dtype="float64")
+                       / tot.to_numpy(dtype="float64"))})
+    order = [key, ts_col] + ([order_col] if order_col else [])
+    gap_us = int(gap_seconds * 1e6)
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({
+                key: pd.Series(dtype="int64"),
+                "surprisal": pd.Series(dtype="float64"),
+                "n_transitions": pd.Series(dtype="int64")})
+        kv, f, t = _transition_pairs(part, key, ts_col, type_col,
+                                     gap_us, order)
+        if len(kv) == 0:
+            return pd.DataFrame({
+                key: pd.Series(dtype=part[key].dtype),
+                "surprisal": pd.Series(dtype="float64"),
+                "n_transitions": pd.Series(dtype="int64")})
+        # vectorized model lookup: every observed pair is in the model
+        # (it was fit on the same stream), so the inner merge is total
+        m = (pd.DataFrame({key: kv, "__f": f, "__t": t})
+             .merge(model, on=["__f", "__t"]))
+        m["__nll"] = -m["__lp"]
+        g = (m.groupby(key, sort=False)["__nll"]
+             .agg(["mean", "size"]).reset_index())
+        return pd.DataFrame({
+            key: g[key],
+            "surprisal": np.round(g["mean"].to_numpy(), round_dp),
+            "n_transitions": g["size"].astype("int64")})
+
+    return grouped_apply(ds, [key], per_part,
+                         num_partitions=num_partitions)
 
 
 def _mg_reduce_grouped(

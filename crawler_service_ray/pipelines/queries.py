@@ -4986,6 +4986,40 @@ FROM d
 """
 
 
+def q_surprisal(sf_dir: str):
+    """Per-user sequence surprisal under the corpus clickstream model
+    (`relational.transition_surprisal`): mean −ln P(to|from) of each
+    user's within-session transitions, the bot/fraud triage score.
+    FULL SQL oracle — DuckDB refits the identical row-normalized
+    transition model and rescans with a lag window."""
+    from ..functions.relational import transition_surprisal
+
+    return transition_surprisal(
+        read_table(sf_dir, "events",
+                   columns=["user_id", "ts", "event_id",
+                            "event_type"]),
+        "user_id", "ts", "event_type",
+        gap_seconds=1800.0, order_col="event_id")
+
+
+SQL_SURPRISAL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch(ts - lag(ts) OVER w) AS gap,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+tr AS (SELECT user_id, prev_type AS f, event_type AS t
+       FROM e WHERE gap IS NOT NULL AND gap <= 1800),
+cnt AS (SELECT f, t, count(*)::DOUBLE AS n FROM tr GROUP BY 1, 2),
+tot AS (SELECT f, sum(n) AS tot FROM cnt GROUP BY 1),
+p AS (SELECT f, t, ln(n / tot) AS lp FROM cnt JOIN tot USING (f))
+SELECT user_id, round(avg(-lp), 6) AS surprisal,
+       count(*)::BIGINT AS n_transitions
+FROM tr JOIN p USING (f, t) GROUP BY user_id
+"""
+
+
 def q_wow_revenue(sf_dir: str):
     """Week-over-week revenue: epoch-week partial-sum aggregation of
     orders (only (week, sum) partials leave a block), then one
@@ -5371,6 +5405,7 @@ QUERIES = {
     "logreg_audit": q_logreg_audit,
     "naive_bayes": q_naive_bayes,
     "wow_revenue": q_wow_revenue,
+    "surprisal": q_surprisal,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -5514,4 +5549,5 @@ ORACLE_SQL = {
     "logreg_audit": SQL_LOGREG_AUDIT,
     "naive_bayes": SQL_NAIVE_BAYES,
     "wow_revenue": SQL_WOW_REVENUE,
+    "surprisal": SQL_SURPRISAL,
 }

@@ -1434,3 +1434,48 @@ def test_logreg_fit_recovers_planted_coefficients(ray_session):
     X = np.column_stack([np.ones(n), x1, x2])
     ref = logreg_fit_local(X, y, iters=10)
     np.testing.assert_allclose(coef, ref, rtol=1e-8)
+
+
+def test_transition_surprisal_matches_reference(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        transition_surprisal,
+    )
+
+    rng = np.random.default_rng(61)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 80, n),
+        "ts": np.datetime64("2024-01-01", "us")
+        + rng.integers(0, 10 * 86400, n).astype("timedelta64[s]"
+                                                ).astype("timedelta64[us]"),
+        "event_id": np.arange(n, dtype="int64"),
+        "event_type": rng.choice(["a", "b", "c"], n,
+                                 p=[0.7, 0.2, 0.1]),
+    })
+    got = (transition_surprisal(
+        rd.from_pandas(df).repartition(6), "user_id", "ts",
+        "event_type", gap_seconds=7200.0, order_col="event_id",
+        num_partitions=4)
+        .to_pandas().sort_values("user_id").reset_index(drop=True))
+
+    p = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    same = p["user_id"].to_numpy() == np.roll(p["user_id"].to_numpy(), 1)
+    same[0] = False
+    gap = (p["ts"].to_numpy().view("int64")
+           - np.roll(p["ts"].to_numpy().view("int64"), 1))
+    ok = same & (gap <= 7200 * 10**6)
+    tr = pd.DataFrame({"u": p["user_id"].to_numpy()[ok],
+                       "f": np.roll(p["event_type"].to_numpy(), 1)[ok],
+                       "t": p["event_type"].to_numpy()[ok]})
+    cnt = tr.groupby(["f", "t"]).size().reset_index(name="n")
+    cnt["lp"] = np.log(cnt["n"] / cnt.groupby("f")["n"].transform("sum"))
+    m = tr.merge(cnt[["f", "t", "lp"]], on=["f", "t"])
+    ref = (m.groupby("u")["lp"].agg(["mean", "size"]).reset_index())
+    ref = pd.DataFrame({"user_id": ref["u"],
+                        "surprisal": np.round(-ref["mean"], 6),
+                        "n_transitions": ref["size"].astype("int64")}
+                       ).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    assert (got["surprisal"] > 0).all()
