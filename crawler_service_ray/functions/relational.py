@@ -2576,9 +2576,16 @@ def approx_count_distinct_grouped(
         return (g.groupby(keys + ["__reg"], sort=False)["__rho"]
                 .max().reset_index())
 
+    # the register merge sees (keys × 2^p × blocks) partial rows;
+    # the default driver-collect merge is right while that product is
+    # small (the grouped_agg rationale — one exchange cheaper), and
+    # ``merge_partitions`` switches BOTH the max-merge and the
+    # estimator to hash-partitioned when group count scales with the
+    # corpus (set it at 100-TB cardinalities)
     merged = grouped_agg(
         ds.map_batches(partial, batch_format="pandas"),
         keys + ["__reg"], {"__rho": ("__rho", "max")},
+        merge_partitions=merge_partitions,
     )
 
     def estimate(part: pd.DataFrame) -> pd.DataFrame:
