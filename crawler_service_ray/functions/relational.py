@@ -2995,14 +2995,35 @@ def countmin_sketch(
             "n": np.int64(len(df)),
         })
 
-    part = ds.map_batches(partial, batch_format="pandas",
-                          batch_size=batch_size).to_pandas()
+    # combine layer before the driver: each combine batch scatter-adds
+    # ~16 block matrices into one (dense np.add.at — no groupby), so
+    # the driver collects depth×width×(blocks/16) rows instead of
+    # every block's matrix (the 100-TB block-count hazard); n sums are
+    # linear so batching cannot change the total
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        idx = (df["row"].to_numpy() * width
+               + df["colx"].to_numpy())
+        M = np.zeros(depth * width, dtype=np.int64)
+        nv = np.zeros(depth * width, dtype=np.int64)
+        np.add.at(M, idx, df["cnt"].to_numpy())
+        np.add.at(nv, idx, df["n"].to_numpy())
+        return pd.DataFrame({
+            "row": np.repeat(np.arange(depth, dtype="int64"), width),
+            "colx": np.tile(np.arange(width, dtype="int64"), depth),
+            "cnt": M, "n": nv})
+
+    part = (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size)
+            .map_batches(combine, batch_format="pandas",
+                         batch_size=16 * depth * width)
+            .to_pandas())
     if len(part) == 0:
         return np.zeros((depth, width), dtype=np.int64), 0
     n_total = int(part["n"].sum()) // (depth * width)
-    M = (part.groupby(["row", "colx"], sort=True)["cnt"].sum()
-         .to_numpy().reshape(depth, width))
-    return M, n_total
+    idx = part["row"].to_numpy() * width + part["colx"].to_numpy()
+    M = np.zeros(depth * width, dtype=np.int64)
+    np.add.at(M, idx, part["cnt"].to_numpy())
+    return M.reshape(depth, width), int(n_total)
 
 
 def _cm_hash(base: np.ndarray, d: int, width: int) -> np.ndarray:
