@@ -2912,13 +2912,23 @@ def _hll_registers(ds: rd.Dataset, col: str, p: int) -> np.ndarray:
         return pd.DataFrame({"__reg": nz.astype("int64"),
                              "__rho": reg[nz].astype("int64")})
 
-    t = grouped_agg(
-        ds.map_batches(partial, batch_format="pandas"),
-        ["__reg"], {"__rho": ("__rho", "max")},
-    ).to_pandas()
+    # max-merge combine before the driver (the countmin_sketch
+    # pattern): each combine batch folds many blocks' nonzero register
+    # rows into ≤ 2^p, so the collect is blocks/16-compressed
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        reg = np.zeros(m, dtype=np.int64)
+        np.maximum.at(reg, df["__reg"].to_numpy(), df["__rho"].to_numpy())
+        nz = np.flatnonzero(reg)
+        return pd.DataFrame({"__reg": nz.astype("int64"),
+                             "__rho": reg[nz].astype("int64")})
+
+    t = (ds.map_batches(partial, batch_format="pandas")
+         .map_batches(combine, batch_format="pandas",
+                      batch_size=16 * m)
+         .to_pandas())
     reg = np.zeros(m, dtype=np.int64)
     if len(t):
-        reg[t["__reg"].to_numpy()] = t["__rho"].to_numpy()
+        np.maximum.at(reg, t["__reg"].to_numpy(), t["__rho"].to_numpy())
     return reg
 
 
