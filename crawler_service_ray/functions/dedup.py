@@ -1582,8 +1582,10 @@ def cosine_pairs(
         out["__tf"] = out["__tf"].astype("int64")
         return out
 
+    # tf_ds is read twice (df aggregation + the tf join side) — pin it
+    # so the corpus tokenize pass runs once, not twice
     tf_ds = ds.select_columns([id_col, text_col]).map_batches(
-        tf_explode, batch_format="pandas")
+        tf_explode, batch_format="pandas").materialize()
     dfreq = grouped_agg(tf_ds, ["__w"], {"__df": ("__tf", "count")},
                         merge_partitions=4)
     joined = bucketed_hash_join(tf_ds, dfreq, on="__w", num_buckets=8)
@@ -1793,10 +1795,12 @@ def minhash_dedup_incremental(
         hot = part[(sizes >= 2) & (has_new == 1)]
         out_a, out_b = [], []
         for _key, g in hot.groupby(["band_id", "band_hash"], sort=False):
-            g = g.drop_duplicates(subset=id_col)
-            ids = g[id_col].to_numpy()
-            origins = g.set_index(id_col)["__origin"]
-            ids = np.sort(ids)
+            # a doc can appear BOTH as a fresh delta band row and as an
+            # index row (after index append) — the origin must be the
+            # max over its rows, not whichever row drop_duplicates
+            # happens to keep (block order is not a contract)
+            origins = g.groupby(id_col, sort=False)["__origin"].max()
+            ids = np.sort(origins.index.to_numpy())
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     if origins[ids[i]] or origins[ids[j]]:

@@ -2558,18 +2558,7 @@ def approx_count_distinct_grouped(
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         h = _key_hash(df[[col]], [col]).astype(np.uint64)
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
-        rho = np.ones(len(h), dtype=np.int64)
-        mask = np.uint64(1) << np.uint64(63)
-        cur = rest
-        for _ in range(64 - p):
-            zero_top = (cur & mask) == 0
-            if not zero_top.any():
-                break
-            rho[zero_top] += 1
-            cur = cur << np.uint64(1)
-            cur[~zero_top] = mask
+        idx, rho = _hll_rho(h, p)
         g = df[keys].copy()
         g["__reg"] = idx
         g["__rho"] = rho
@@ -2659,7 +2648,12 @@ def profile_table(
     ndist = grouped_agg(uniq, ["col"],
                         {"n_distinct": ("__v", "count")})
 
-    merged = counts.to_pandas().merge(ndist.to_pandas(), on="col")
+    # LEFT merge: a column with zero non-null values has no melted
+    # rows, but the profile (like the SQL twin) must still report it
+    # with n_distinct = 0
+    merged = counts.to_pandas().merge(ndist.to_pandas(), on="col",
+                                      how="left")
+    merged["n_distinct"] = merged["n_distinct"].fillna(0)
     for c in ("n_rows", "n_nulls", "n_distinct"):
         merged[c] = merged[c].astype("int64")
     return rd.from_pandas(merged.sort_values("col")

@@ -535,7 +535,10 @@ def pq_topk(
             d = np.zeros(n)
             for j in range(m):
                 d += lut[qi, j][codes[:, j]]
-            top = np.argsort(d, kind="stable")[:k]
+            # tiebreak on neighbor id so block layout cannot change
+            # which of several adist-equal rows survives the per-block
+            # truncation (the global merge breaks ties the same way)
+            top = np.lexsort((df[id_col].to_numpy(), d))[:k]
             outs.append(pd.DataFrame({
                 "query_id": qids[qi],
                 "neighbor_id": df[id_col].to_numpy()[top],

@@ -71,7 +71,8 @@ def _catempty(df: pd.DataFrame) -> pd.DataFrame:
     trick as `bucketed_hash_join`'s empty buckets)."""
     if len(df) == 0:
         return df.astype({c: "category" for c in df.columns
-                          if df[c].dtype == object})
+                          if df[c].dtype == object
+                          or str(df[c].dtype).startswith("string")})
     return df
 
 
@@ -4416,7 +4417,8 @@ def q_interval_coverage(sf_dir: str):
     from ..functions.relational import interval_coverage
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        lo = df["ts"].to_numpy().view("int64")  # epoch µs, exact int64
+        lo = df["ts"].to_numpy(
+            dtype="datetime64[us]").view("int64")  # epoch µs, exact
         dur = np.floor(df["value"].to_numpy() * 1e6).astype("int64")
         return pd.DataFrame({"user_id": df["user_id"].to_numpy(),
                              "lo": lo, "hi": lo + dur})
@@ -4597,7 +4599,10 @@ def q_pq_audit(sf_dir: str, audit_max: int = 200_000):
     )
 
     M, K, ITERS = 4, 16, 4
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # materialize up front: the audit consumes ds five times (count,
+    # fit, encode, SSE partials, the driver-side reference)
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "embedding"]).materialize()
     n_total = ds.count()
     if n_total > audit_max:
         keep_mod = max(2, n_total // audit_max)

@@ -1479,3 +1479,16 @@ def test_transition_surprisal_matches_reference(ray_session):
                        ).sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
     assert (got["surprisal"] > 0).all()
+
+
+def test_profile_table_keeps_all_null_columns(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import profile_table
+
+    df = pd.DataFrame({"a": [1, 2, 3],
+                       "b": pd.Series([None, None, None], dtype=object)})
+    got = (profile_table(rd.from_pandas(df), ["a", "b"])
+           .to_pandas().set_index("col"))
+    assert got.loc["b"].to_dict() == {
+        "n_rows": 3, "n_nulls": 3, "n_distinct": 0}
