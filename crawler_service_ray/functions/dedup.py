@@ -1687,13 +1687,24 @@ def minhash_index_write(
     ``band_hash % num_shards``, write one directory per shard (the
     partition an incremental run prunes at the PATH level — only
     shards the delta actually touches are ever read). ``append=True``
-    adds new files into the existing shard directories (parquet
-    filenames are unique per write), the index-maintenance step after
-    each incremental run. Banding parameters are recorded in
-    ``index_meta.json`` and must match at query time — a mismatched
-    signature scheme would silently produce no collisions."""
+    adds new files into the existing shard directories, the
+    index-maintenance step after each incremental run. Banding
+    parameters are recorded in ``index_meta.json`` and must match at
+    query time — a mismatched signature scheme would silently produce
+    no collisions.
+
+    Appends are crash-safe: the delta's band rows land in a temp
+    subdirectory first, then move into the shard dirs under an
+    ``append<k>-`` filename prefix, and a per-append manifest
+    (``appends/<k>.json``, written LAST via atomic rename) records the
+    moved files. A crash anywhere before the manifest leaves either a
+    temp dir or prefixed-but-unmanifested files — the next append (or
+    rewrite) rolls both back before writing, so a retried append never
+    duplicates band rows and candidate-generation cost never inflates."""
+    import glob
     import json
     import os
+    import re
     import shutil
 
     meta = {"num_perm": num_perm, "bands": bands,
@@ -1709,6 +1720,22 @@ def minhash_index_write(
         shutil.rmtree(index_dir, ignore_errors=True)
         os.makedirs(index_dir, exist_ok=True)
 
+    # roll back debris from any append that crashed mid-flight: temp
+    # dirs (crash before/while writing) and prefixed shard files whose
+    # append id has no manifest (crash between the moves and the
+    # manifest rename)
+    app_dir = os.path.join(index_dir, "appends")
+    done = {int(os.path.splitext(f)[0]) for f in
+            (os.listdir(app_dir) if os.path.isdir(app_dir) else [])
+            if f.endswith(".json")}
+    for t in glob.glob(os.path.join(index_dir, ".tmp_append*")):
+        shutil.rmtree(t, ignore_errors=True)
+    for sd in glob.glob(os.path.join(index_dir, "shard=*")):
+        for f in os.listdir(sd):
+            m = re.match(r"append(\d+)-", f)
+            if m and int(m.group(1)) not in done:
+                os.remove(os.path.join(sd, f))
+
     bands_ds = ds.map_batches(
         _MinhashBands(text_col, id_col, num_perm, bands),
         batch_format="pandas",
@@ -1720,11 +1747,31 @@ def minhash_index_write(
                        % np.uint64(num_shards)).astype("int64")
         return df
 
-    bands_ds.map_batches(add_shard, batch_format="pandas").write_parquet(
-        index_dir, partition_cols=["shard"])
+    sharded = bands_ds.map_batches(add_shard, batch_format="pandas")
     if not append:
-        with open(meta_path, "w") as f:
+        sharded.write_parquet(index_dir, partition_cols=["shard"])
+        with open(meta_path + ".tmp", "w") as f:
             json.dump(meta, f)
+        os.replace(meta_path + ".tmp", meta_path)
+        return meta
+
+    k = max(done, default=-1) + 1
+    tmp = os.path.join(index_dir, f".tmp_append{k}")
+    sharded.write_parquet(tmp, partition_cols=["shard"])
+    moved = []
+    for sd in sorted(glob.glob(os.path.join(tmp, "shard=*"))):
+        dst_dir = os.path.join(index_dir, os.path.basename(sd))
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in sorted(os.listdir(sd)):
+            dst = f"append{k}-{f}"
+            os.replace(os.path.join(sd, f), os.path.join(dst_dir, dst))
+            moved.append(os.path.join(os.path.basename(sd), dst))
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(app_dir, exist_ok=True)
+    man_path = os.path.join(app_dir, f"{k}.json")
+    with open(man_path + ".tmp", "w") as f:
+        json.dump({"append_id": k, "files": moved}, f)
+    os.replace(man_path + ".tmp", man_path)
     return meta
 
 

@@ -2495,7 +2495,11 @@ def interval_coverage(
     starting exactly at the running max still merges (closed-interval
     semantics, matching the SQL twin's ``lo > max_prev``). Columns must
     be numeric (timestamps pre-converted to epoch µs by the caller, so
-    both engines subtract in exact int64)."""
+    both engines subtract in exact int64). Intervals must satisfy
+    ``hi >= lo`` — an inverted interval would yield negative island
+    lengths and a silently wrong ``covered``, so each partition asserts
+    the precondition (cheap vectorized check) instead of mirroring the
+    corruption."""
     keys = list(keys)
 
     def per_part(part: pd.DataFrame) -> pd.DataFrame:
@@ -2505,6 +2509,12 @@ def interval_coverage(
                  "n_intervals": pd.Series(dtype="int64"),
                  "n_islands": pd.Series(dtype="int64"),
                  "covered": pd.Series(dtype="int64")})
+        bad = part[hi_col].to_numpy() < part[lo_col].to_numpy()
+        if bad.any():
+            raise ValueError(
+                f"interval_coverage: {int(bad.sum())} interval(s) with "
+                f"{hi_col} < {lo_col} — inverted intervals produce "
+                "negative island lengths; clamp or drop them upstream")
         p = part.sort_values(keys + [lo_col, hi_col], kind="mergesort")
         lo = p[lo_col].to_numpy()
         hi = p[hi_col].to_numpy()
@@ -2827,10 +2837,17 @@ def freq_sketch_grouped(
     est_lb + delta, and any item with true count > delta is present —
     machine-checked by the `freq_sketch_grouped_audit` oracle. Output
     rows carry each key's n and delta so consumers can bound errors
-    without a second pass."""
+    without a second pass.
+
+    NULL items are dropped from the stream explicitly (not counted in
+    ``n`` either): pandas groupby would silently exclude them from the
+    counters while the per-key ``n`` still counted them, inflating the
+    error bound's denominator, and a surviving null-like item row would
+    be misclassified as bookkeeping by the ``notna`` split in merge."""
     keys = list(keys)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[col].notna()]
         if len(df) == 0:
             return pd.DataFrame()
         vc = (df.groupby(keys + [col], sort=False).size()

@@ -414,20 +414,24 @@ def pq_fit(
     only m×k (sum, count) partial rows of dsub floats leave; the merge
     is a driver-side reduce over model-constant-sized partials.
 
-    Init is the bottom-k-by-id-hash sample (content-derived, so
-    codebooks are identical under any block layout); empty clusters
-    keep their previous centroid. Returns (m, k, d/m) float64
-    codebooks, identical at any parallelism up to float reassociation
-    of the partial sums."""
+    Init is the bottom-k-by-(id-hash, id) sample — content-derived AND
+    content-tiebroken, so codebooks are identical under any block
+    layout unconditionally (sorting by hash alone would resolve equal
+    hashes by block concatenation order; sorting by (hash, id) breaks
+    ties on content, which duplicate-id inputs would otherwise hit);
+    empty clusters keep their previous centroid. Returns (m, k, d/m)
+    float64 codebooks, identical at any parallelism up to float
+    reassociation of the partial sums."""
     ds = ds.materialize()
 
     def sample_local(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_array(df[id_col].to_numpy().astype(np.uint64))
-        idx = np.argsort(h, kind="stable")[:k]
+        idx = np.lexsort((df[id_col].to_numpy(), h))[:k]
         return df.iloc[idx][[id_col, vec_col]].assign(__h=h[idx])
 
     samp = (ds.map_batches(sample_local, batch_format="pandas")
-            .to_pandas().sort_values("__h", kind="mergesort").head(k))
+            .to_pandas().sort_values(["__h", id_col], kind="mergesort")
+            .head(k))
     if len(samp) < k:
         raise ValueError(f"need at least k={k} rows to init PQ")
     X0 = np.stack(samp[vec_col].to_numpy()).astype(np.float64)

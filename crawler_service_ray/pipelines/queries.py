@@ -4458,8 +4458,11 @@ def q_approx_distinct_grouped(sf_dir: str):
     """ERROR-BOUND-INVARIANT oracle for the grouped HyperLogLog
     (`approx_count_distinct_grouped`, the `approx_distinct` pattern per
     group): per l_returnflag the sketch's distinct l_orderkey must land
-    within 5% of exact (HLL stdev at p=12 is ~1.6%, so 5% ≈ 3σ;
-    measured relerr ≤ 2.8% at sf0.01). Emits
+    within 5% of exact (HLL stdev at p=12 is ~1.6%, so 5% ≈ 3σ — the
+    band is derived from the estimator's own error model, not tuned,
+    but the measured relerr ≤ 2.8% at sf0.01 sits closer to the bar in
+    the small-count linear-counting regime; a gate-sf change should
+    re-check the margin). Emits
     (l_returnflag, n_exact, n_violations); SQL recomputes the exact
     counts independently and asserts zero violations."""
     from ..functions.relational import approx_count_distinct_grouped
@@ -4689,7 +4692,11 @@ def q_pq_ann_recall(sf_dir: str):
     64-float vector), and searched with per-task distance LUTs. Checks
     (1) mean shortlist recall@100 vs the exact top-5 ≥ 0.7 and (2)
     every query ≥ 0.4 (measured 0.94 mean / 0.6 min at sf0.01 —
-    deterministic: content-hash init, stable tiebreaks), and (3)
+    deterministic: content-hash init, stable tiebreaks; the floors are
+    TUNED AT sf0.01 — a different scale factor or embedding
+    distribution shifts the measured margins, so a gate-sf change must
+    re-measure and re-tune them deliberately, they are not
+    scale-free constants), and (3)
     exact-metric rerank of the shortlist must recover at least the
     recall of the raw ADC top-5 (the standard ADC+rerank refinement).
     Emits (n_exact_rows, n_recall_violations); SQL recomputes the

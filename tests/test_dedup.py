@@ -551,3 +551,65 @@ def test_minhash_incremental_matches_full_run(ray_session, tmp_path):
                                        threshold=0.6, num_partitions=8)
              .to_pandas())
     assert set(zip(again["id_a"], again["id_b"])) >= pairs
+
+def test_minhash_index_append_crash_safe(ray_session, tmp_path):
+    """A retried append must not duplicate band rows: files from an
+    append that crashed between its moves and its manifest are rolled
+    back before the retry lands (dedup.minhash_index_write)."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawler_service_ray.functions.dedup import minhash_index_write
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(200)]
+
+    def mk():
+        return " ".join(rng.choice(vocab, size=30))
+
+    base = pd.DataFrame({"doc_id": range(100, 140),
+                         "text": [mk() for _ in range(40)]})
+    delta = pd.DataFrame({"doc_id": range(10),
+                          "text": [mk() for _ in range(10)]})
+    idx = str(tmp_path / "idx")
+    minhash_index_write(rd.from_pandas(base), idx, num_perm=32, bands=8,
+                        num_shards=4)
+
+    def nrows():
+        return sum(pq.read_table(f).num_rows for f in
+                   glob.glob(os.path.join(idx, "shard=*", "*.parquet")))
+
+    n0 = nrows()
+    minhash_index_write(rd.from_pandas(delta), idx, num_perm=32, bands=8,
+                        num_shards=4, append=True)
+    n1 = nrows()
+    d_rows = n1 - n0
+    assert d_rows == len(delta) * 8  # one band row per (doc, band)
+    assert os.path.exists(os.path.join(idx, "appends", "0.json"))
+
+    # simulate an append that crashed after moving its files but
+    # before the manifest rename: clone append0's files under the
+    # next append id with no manifest
+    for f in glob.glob(os.path.join(idx, "shard=*", "append0-*")):
+        d, b = os.path.split(f)
+        shutil.copy(f, os.path.join(d, b.replace("append0-", "append1-")))
+    os.makedirs(os.path.join(idx, ".tmp_append1", "shard=0"),
+                exist_ok=True)  # plus a half-written temp dir
+    assert nrows() == n1 + d_rows  # the corruption is visible...
+
+    # ...and the retried append rolls it back, landing exactly once
+    minhash_index_write(rd.from_pandas(delta), idx, num_perm=32, bands=8,
+                        num_shards=4, append=True)
+    assert nrows() == n1 + d_rows
+    assert not glob.glob(os.path.join(idx, ".tmp_append*"))
+    man_path = os.path.join(idx, "appends", "1.json")
+    assert os.path.exists(man_path)
+    with open(man_path) as fh:
+        man = json.load(fh)
+    assert man["files"] and all(
+        os.path.exists(os.path.join(idx, rel)) for rel in man["files"])
