@@ -350,6 +350,54 @@ def exact_dedup(
     )
 
 
+def exact_dedup_arrow(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+    keep_cols: Sequence[str] = (),
+) -> rd.Dataset:
+    """:func:`exact_dedup` with NESTED passenger columns kept Arrow
+    end-to-end — same semantics and same content hash (so same winners
+    and dup counts), but every stage is ``batch_format="pyarrow"`` and
+    the shuffle runs through ``grouped_apply_arrow``: a list<struct>
+    ``segments`` passenger rides the (hash, id) exchange as Arrow
+    buffers instead of degrading to per-row Python objects (the
+    multimodal export's dedup path). Output column order matches the
+    pandas form: (id, dup_count, *keep_cols)."""
+    from .relational import grouped_apply_arrow
+
+    keep_cols = list(keep_cols)
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            t.column(text_col).to_numpy(zero_copy_only=False)
+            .astype(object)).astype("uint64")
+        cols = {id_col: t.column(id_col),
+                "__h": pa.array(h, type=pa.uint64())}
+        for c in keep_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    def first_wins(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("__h", "ascending"), (id_col, "ascending")])
+        h = t.column("__h").to_numpy(zero_copy_only=False)
+        new = np.r_[True, h[1:] != h[:-1]] if len(h) else \
+            np.zeros(0, dtype=bool)
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, len(h)]) if len(starts) else \
+            np.zeros(0, dtype=np.int64)
+        win = t.take(pa.array(starts, type=pa.int64()))
+        out = win.select([id_col] + keep_cols)
+        return out.add_column(
+            1, "dup_count", pa.array(sizes.astype("int64")))
+
+    return grouped_apply_arrow(
+        ds.map_batches(hash_batch, batch_format="pyarrow"),
+        ["__h"], first_wins, num_partitions=num_partitions,
+    )
+
+
 class _MinhashBands:
     """Stage: batch-vectorized minhash banding; emits
     (band_id, band_hash, doc_id) rows per document."""

@@ -63,6 +63,14 @@ def read_table(sf_dir: str, name: str, columns: Sequence[str] | None = None,
 
 _AGG_FNS = {"sum", "count", "min", "max", "mean"}
 
+# grouped_agg's driver-collect merge is only right below ~10^6 partial
+# rows (the documented key-cardinality rule); above it the merge
+# auto-switches to the hash-partitioned path, sized so each merge task
+# handles ~AUTO_MERGE_ROWS_PER_PART partial rows. Module-level so tests
+# (and unusual deployments) can tune the bar.
+AUTO_MERGE_THRESHOLD = 1_000_000
+AUTO_MERGE_ROWS_PER_PART = 262_144
+
 
 def _partial_agg(
     df: pd.DataFrame, keys: list[str], aggs: dict[str, tuple[str, str]]
@@ -126,6 +134,14 @@ def grouped_agg(
       parallel tasks each merge their key range. Use when distinct-key
       count scales with the fact table (e.g. grouping by order key),
       where a single-task merge becomes the bottleneck at cluster scale.
+
+    The ≲10^6-key rule is SELF-ENFORCING: on the default path the
+    partials materialize first and their row count (known for free from
+    block metadata) is checked against ``AUTO_MERGE_THRESHOLD`` — above
+    it the merge auto-switches to the partitioned path, sized by the
+    measured partial count, with a loud log line. A call site that
+    misjudges its key cardinality degrades to the correct distributed
+    merge instead of a driver-side materialization.
     """
     keys = list(keys)
     aggs = dict(aggs)
@@ -182,6 +198,18 @@ def grouped_agg(
     if merge_partitions and merge_partitions > 1:
         return grouped_apply(part, keys, merge,
                              num_partitions=merge_partitions)
+    part = part.materialize()
+    n_partials = part.count()
+    if n_partials > AUTO_MERGE_THRESHOLD:
+        num = max(2, min(512, -(-n_partials // AUTO_MERGE_ROWS_PER_PART)))
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "grouped_agg: %d partial rows exceed the driver-merge "
+            "threshold (%d) — auto-switching to a %d-partition merge; "
+            "pass merge_partitions explicitly at this call site",
+            n_partials, AUTO_MERGE_THRESHOLD, num)
+        return grouped_apply(part, keys, merge, num_partitions=num)
     return rd.from_pandas(merge(part.to_pandas()))
 
 
@@ -1406,6 +1434,40 @@ def grouped_apply(
         ds.map_batches(tag, batch_format="pandas")
         .groupby("__gp")
         .map_groups(run, batch_format="pandas")
+    )
+
+
+def grouped_apply_arrow(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    fn,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Arrow-format sibling of :func:`grouped_apply` for rows carrying
+    NESTED columns (list<struct> segments): Ray's pandas block codec
+    cannot round-trip Arrow nested arrays (list elements degrade to
+    numpy void scalars whose re-inference to Arrow fails), so a shuffle
+    whose payload includes nested data must stay
+    ``batch_format="pyarrow"`` end-to-end — the nested child arrays then
+    ride the exchange as Arrow buffers, zero-copy in and out of the
+    object store. Key hashing matches grouped_apply bit-for-bit (same
+    ``_key_hash`` over the key columns), so the two forms co-locate
+    identically."""
+    keys = list(keys)
+
+    def tag(t: pa.Table) -> pa.Table:
+        kdf = pd.DataFrame({
+            k: t.column(k).to_numpy(zero_copy_only=False) for k in keys})
+        gp = (_key_hash(kdf, keys) % num_partitions).astype("int64")
+        return t.append_column("__gp", pa.array(gp))
+
+    def run(t: pa.Table) -> pa.Table:
+        return fn(t.drop_columns(["__gp"]))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__gp")
+        .map_groups(run, batch_format="pyarrow")
     )
 
 

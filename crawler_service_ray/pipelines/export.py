@@ -36,6 +36,13 @@ import pandas as pd
 
 from ..functions import dedup, text
 
+# media-pair count above which the media/ table's aggregate merge is
+# hash-partitioned instead of driver-collected (the grouped_agg
+# ≲10^6-key rule, applied with headroom because distinct media_ref
+# scales with the corpus). Module-level so tests can exercise the
+# partitioned path at fixture scale.
+MEDIA_MERGE_DRIVER_MAX = 500_000
+
 
 def _assign_split(df: pd.DataFrame) -> pd.DataFrame:
     """Deterministic 80/10/10 split. Integer ids use the same Knuth
@@ -59,6 +66,25 @@ def _assign_split(df: pd.DataFrame) -> pd.DataFrame:
     df["split"] = np.where(h < 8, "train",
                            np.where(h < 9, "val", "test")).astype(object)
     return df
+
+
+def _assign_split_arrow(t):
+    """Arrow-format twin of :func:`_assign_split` for the multimodal
+    path, where the batch carries a nested ``segments`` column that must
+    not round-trip through the pandas block codec. Same hash, same
+    labels — only the doc_id column is pulled into numpy."""
+    import pyarrow as pa
+
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    if ids.dtype.kind in "iu":
+        iv = ids.astype(np.uint64)
+        h = ((iv % np.uint64(2**32)) * np.uint64(2654435761)) \
+            % np.uint64(2**32) % np.uint64(10)
+    else:
+        h = pd.util.hash_array(
+            ids.astype(object)).astype(np.uint64) % np.uint64(10)
+    split = np.where(h < 8, "train", np.where(h < 9, "val", "test"))
+    return t.append_column("split", pa.array(split, type=pa.string()))
 
 
 def _write_manifest(manifest: dict, manifest_path: str) -> dict:
@@ -98,11 +124,22 @@ def _dedup_split_write(
             {**base, "rows_written": 0, "partitions": {}}, manifest_path)
 
     # winners carry their full row through the dedup shuffle as
-    # passenger columns — one exchange instead of dedup + re-join
+    # passenger columns — one exchange instead of dedup + re-join. The
+    # multimodal path uses the Arrow form throughout: the segments
+    # list<struct> rides every stage as Arrow buffers (Ray's pandas
+    # codec cannot round-trip nested columns, and per-row Python
+    # materialization was the old path's hot loop).
     passengers = [c for c in kept.schema().names if c != "doc_id"]
-    survivors = dedup.exact_dedup(kept, text_col="text", id_col="doc_id",
-                                  keep_cols=passengers)
-    final = survivors.map_batches(_assign_split, batch_format="pandas")
+    if multimodal:
+        survivors = dedup.exact_dedup_arrow(
+            kept, text_col="text", id_col="doc_id", keep_cols=passengers)
+        final = survivors.map_batches(_assign_split_arrow,
+                                      batch_format="pyarrow")
+    else:
+        survivors = dedup.exact_dedup(
+            kept, text_col="text", id_col="doc_id", keep_cols=passengers)
+        final = survivors.map_batches(_assign_split,
+                                      batch_format="pandas")
     if packed or multimodal:
         # the doc table, the media table and the packed table all
         # consume `final`; materialize so the dedup chain executes once
@@ -130,21 +167,42 @@ def _dedup_split_write(
         # row per distinct ref with its use count and first-owner doc
         from ..functions.relational import grouped_agg
 
-        def media_pairs(df: pd.DataFrame) -> pd.DataFrame:
-            segs = df["segments"]
-            counts = segs.map(
-                lambda s: sum(1 for x in s if x["kind"] == "media"))
-            refs = [x["media_ref"] for s in segs for x in s
-                    if x["kind"] == "media"]
-            ids = np.repeat(df["doc_id"].to_numpy(dtype=object),
-                            counts.to_numpy())
-            return pd.DataFrame({"media_ref": pd.Series(refs, dtype=object),
-                                 "doc_id": pd.Series(ids, dtype=object)})
+        def media_pairs(t):
+            # vectorized Arrow explode: flatten the segment lists once,
+            # keep media entries, repeat doc ids by parent index — no
+            # per-row Python over segments
+            import pyarrow as pa
+            import pyarrow.compute as pc
 
+            segs = t.column("segments")
+            flat = pc.list_flatten(segs).combine_chunks()
+            parents = pc.list_parent_indices(segs).to_numpy(
+                zero_copy_only=False)
+            kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+            m = kinds == "media"
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "media_ref": flat.field("media_ref").filter(
+                    pa.array(m)),
+                "doc_id": pa.array(ids[parents[m]],
+                                   type=t.schema.field("doc_id").type),
+            })
+
+        # distinct media_ref scales with the corpus: size the merge
+        # from the input so the media-table aggregate NEVER collects on
+        # the driver at scale (Σ n_media bounds the pair count; free on
+        # the materialized dataset). grouped_agg's partial-count
+        # auto-switch remains the backstop for misestimates.
+        from ..functions.relational import AUTO_MERGE_ROWS_PER_PART
+
+        n_pairs = int(final.sum("n_media") or 0)
+        mp = (None if n_pairs <= MEDIA_MERGE_DRIVER_MAX
+              else max(2, -(-n_pairs // AUTO_MERGE_ROWS_PER_PART)))
         media_tbl = grouped_agg(
-            final.map_batches(media_pairs, batch_format="pandas"),
+            final.map_batches(media_pairs, batch_format="pyarrow"),
             ["media_ref"],
             {"n_uses": ("doc_id", "count"), "first_doc": ("doc_id", "min")},
+            merge_partitions=mp,
         )
         # second dedup tier: payload features + content-hash
         # canonicalization over the UNIQUE refs (payload work once per
@@ -209,14 +267,38 @@ def _dedup_split_write(
             df["lang_pred"] = parts.str[1]
             return df
 
-        tagged = final.map_batches(tag_group, batch_format="pandas")
+        def tag_group_arrow(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            comb = pc.binary_join_element_wise(
+                pc.cast(t.column("split"), pa.string()),
+                pc.cast(t.column("lang_pred"), pa.string()), "\x1f")
+            return t.append_column("__grp", comb)
+
+        def untag_arrow(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            parts = pc.split_pattern(t.column("__grp"), "\x1f")
+            t = t.drop_columns(["__grp"])
+            t = t.append_column(
+                "split", pc.cast(pc.list_element(parts, 0), pa.string()))
+            return t.append_column(
+                "lang_pred",
+                pc.cast(pc.list_element(parts, 1), pa.string()))
+
         if multimodal:
-            # interleaved sequences: media refs ride in document order
+            # interleaved sequences: media refs ride in document order;
+            # arrow-format stages end-to-end (nested segments column)
+            tagged = final.map_batches(tag_group_arrow,
+                                       batch_format="pyarrow")
             seqs = text.pack_interleaved(
                 tagged, capacity=pack_capacity, group_col="__grp",
                 tokens_col="n_tokens",
-            ).map_batches(untag, batch_format="pandas")
+            ).map_batches(untag_arrow, batch_format="pyarrow")
         else:
+            tagged = final.map_batches(tag_group, batch_format="pandas")
             seqs = text.pack_payloads(
                 tagged, capacity=pack_capacity, group_col="__grp",
             ).map_batches(untag, batch_format="pandas")
@@ -313,27 +395,41 @@ def export_corpus(
 
         docs = interleaved_docs(docs)
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        q = text.quality_features(df)
-        lang = text.LangId()(df)
-        out = df[["doc_id", "text"]].copy()
-        out["quality_score"] = q["quality_score"]
-        out["n_words"] = q["n_words"].astype("int64")
-        out["lang_pred"] = lang["lang_pred"].to_numpy()
+    def score(t):
+        # arrow-format stage: the scoring kernels run on a two-column
+        # pandas view (text + id only); the nested segments column is
+        # never pulled out of Arrow
+        import pyarrow as pa
+
+        tdf = pd.DataFrame({
+            "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
+            "text": t.column("text").to_numpy(zero_copy_only=False),
+        })
+        q = text.quality_features(tdf)
+        lang = text.LangId()(tdf)
+        qs = q["quality_score"].to_numpy()
+        lp = lang["lang_pred"].to_numpy()
+        cols = {
+            "doc_id": t.column("doc_id"),
+            "text": t.column("text"),
+            "quality_score": pa.array(qs, type=pa.float64()),
+            "n_words": pa.array(
+                q["n_words"].to_numpy().astype("int64")),
+            "lang_pred": pa.array(lp, type=pa.string()),
+        }
         if multimodal:
-            # arrow list<struct> -> python lists so downstream pandas
-            # blocks re-convert to arrow cleanly on write
-            out["segments"] = df["segments"].map(list)
-            out["n_media"] = df["n_media"].astype("int64")
-            out["n_tokens"] = df["n_tokens"].astype("int64")
-        keep = out["quality_score"] >= min_quality
+            cols["segments"] = t.column("segments")
+            cols["n_media"] = t.column("n_media")
+            cols["n_tokens"] = t.column("n_tokens")
+        out = pa.table(cols)
+        keep = qs >= min_quality
         if langs is not None:
-            keep &= out["lang_pred"].isin(langs)
-        return out[keep]
+            keep &= pd.Series(lp).isin(langs).to_numpy()
+        return out.filter(pa.array(keep))
 
     # one scoring pass: materialize the (shard-sized) filtered rows so
     # the emptiness probe and the dedup reuse the same blocks
-    kept = docs.map_batches(score, batch_format="pandas").materialize()
+    kept = docs.map_batches(score, batch_format="pyarrow").materialize()
     base = {"sf_dir": os.path.abspath(sf_dir), "rows_in": int(n_in),
             "min_quality": min_quality, "langs": langs}
     return _dedup_split_write(kept, out_dir, base, packed, pack_capacity,
@@ -376,7 +472,6 @@ def export_run(
             return json.load(f)
 
     from ..functions.multimodal import SEGMENT_STRUCT
-    from ..functions.text import _re2_token_count
     from .crawl import fetched_dataset
 
     docs = fetched_dataset(run_dir)
@@ -398,15 +493,17 @@ def export_run(
             .groupby(parents[mask]).agg(" ".join)
         )
         n = t.num_rows
-        out = pd.DataFrame({
-            "doc_id": t.column("url").to_numpy(zero_copy_only=False),
-            "text": pd.Series([""] * n, dtype=object),
-            "quality_score": t.column("quality_score").to_numpy(
-                zero_copy_only=False),
-            "lang_pred": t.column("lang_pred").to_numpy(
-                zero_copy_only=False),
-        })
-        out.loc[joined.index, "text"] = joined.to_numpy()
+        text_vals = np.full(n, "", dtype=object)
+        text_vals[joined.index.to_numpy()] = joined.to_numpy()
+        qs = t.column("quality_score").to_numpy(zero_copy_only=False)
+        lp = t.column("lang_pred").to_numpy(zero_copy_only=False)
+        text_arr = pa.array(text_vals, type=pa.string())
+        cols = {
+            "doc_id": t.column("url"),
+            "text": text_arr,
+            "quality_score": t.column("quality_score"),
+            "lang_pred": t.column("lang_pred"),
+        }
         if multimodal:
             refs = flat.field("media_ref").to_numpy(zero_copy_only=False)
             offs = flat.field("offset").to_numpy(zero_copy_only=False)
@@ -427,22 +524,24 @@ def export_run(
                 ],
                 fields=list(SEGMENT_STRUCT),
             )
-            # offsets: kept flat spans with parent < i (parents ascend)
-            seg_list = pa.ListArray.from_arrays(
+            # offsets: kept flat spans with parent < i (parents ascend).
+            # The ListArray stays Arrow from here to the parquet write —
+            # never round-tripped through Python lists
+            cols["segments"] = pa.ListArray.from_arrays(
                 pa.array(np.searchsorted(sp, np.arange(n + 1)),
                          type=pa.int32()),
                 seg_flat,
             )
-            # python lists (not ndarray elements): pandas->arrow block
-            # conversion re-infers list<struct> cleanly on write
-            out["segments"] = pd.Series(seg_list.to_pylist(), dtype=object)
-            out["n_media"] = np.bincount(
-                sp[sk == "media"], minlength=n).astype("int64")
-            out["n_tokens"] = _re2_token_count(out["text"]).to_numpy()
-        keep = out["quality_score"] >= min_quality
+            cols["n_media"] = pa.array(np.bincount(
+                sp[sk == "media"], minlength=n).astype("int64"))
+            cols["n_tokens"] = pa.array(
+                pc.count_substring_regex(text_arr, pattern=r"\S+")
+                .to_numpy().astype("int64"))
+        out = pa.table(cols)
+        keep = qs >= min_quality
         if langs is not None:
-            keep &= out["lang_pred"].isin(langs)
-        return out[keep]
+            keep &= pd.Series(lp).isin(langs).to_numpy()
+        return out.filter(pa.array(keep))
 
     kept = docs.map_batches(reassemble, batch_format="pyarrow").materialize()
     base = {"run_dir": os.path.abspath(run_dir), "rows_in": int(n_in),

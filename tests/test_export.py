@@ -276,3 +276,41 @@ def test_export_multimodal_all_text_corpus(ray_session, tmp_path):
     assert m["media_content_unique"] == 0
     mt = pads.dataset(os.path.join(out, "media")).to_table()
     assert mt.num_rows == 0 and "canonical_ref" in mt.schema.names
+
+def test_export_media_merge_never_on_driver(ray_session, tmp_path,
+                                            monkeypatch):
+    """High-cardinality media refs: with the driver-merge bar lowered to
+    fixture scale, the media/ table's aggregate must run through the
+    hash-partitioned merge (grouped_apply on media_ref — never a driver
+    collect) and produce byte-identical media accounting."""
+    import crawler_service_ray.functions.relational as rel
+    import crawler_service_ray.pipelines.export as ex
+
+    # baseline: default (driver-merge) path at fixture scale
+    out_a = str(tmp_path / "exp_a")
+    m_a = ex.export_corpus("/root/testdata/sf0.001", out_a,
+                           min_quality=0.5, multimodal=True)
+    mt_a = (pads.dataset(os.path.join(out_a, "media")).to_table()
+            .to_pandas().sort_values("media_ref").reset_index(drop=True))
+
+    engaged = []
+    orig = rel.grouped_apply
+
+    def spy(ds, keys, fn, num_partitions=32):
+        engaged.append((list(keys), num_partitions))
+        return orig(ds, keys, fn, num_partitions=num_partitions)
+
+    monkeypatch.setattr(rel, "grouped_apply", spy)
+    monkeypatch.setattr(ex, "MEDIA_MERGE_DRIVER_MAX", 0)
+
+    out_b = str(tmp_path / "exp_b")
+    m_b = ex.export_corpus("/root/testdata/sf0.001", out_b,
+                           min_quality=0.5, multimodal=True)
+    media_merges = [e for e in engaged if e[0] == ["media_ref"]]
+    assert media_merges and all(p >= 2 for _, p in media_merges)
+    for k in ("rows_written", "media_unique", "media_occurrences",
+              "media_content_unique"):
+        assert m_b[k] == m_a[k], k
+    mt_b = (pads.dataset(os.path.join(out_b, "media")).to_table()
+            .to_pandas().sort_values("media_ref").reset_index(drop=True))
+    pd.testing.assert_frame_equal(mt_b, mt_a, check_dtype=False)

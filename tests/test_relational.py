@@ -1492,3 +1492,44 @@ def test_profile_table_keeps_all_null_columns(ray_session):
            .to_pandas().set_index("col"))
     assert got.loc["b"].to_dict() == {
         "n_rows": 3, "n_nulls": 3, "n_distinct": 0}
+
+
+def test_grouped_agg_auto_partitioned_merge(ray_session, monkeypatch):
+    """The ≲10^6-partial-row rule is self-enforcing: fact-scaling keys
+    through the DEFAULT merge path must engage the hash-partitioned
+    merge (never a driver collect), bit-identical to the driver merge."""
+    import ray.data as rd
+
+    import crawler_service_ray.functions.relational as rel
+
+    n = 5000
+    df = pd.DataFrame({"k": np.arange(n, dtype="int64"),
+                       "v": (np.arange(n) % 7).astype("int64")})
+    ds = rd.from_pandas(df).repartition(4)
+    want = (df.groupby("k")["v"].agg(["sum", "size"])
+            .reset_index().rename(columns={"sum": "s", "size": "c"}))
+
+    calls = []
+    orig = rel.grouped_apply
+
+    def spy(*a, **kw):
+        calls.append(kw.get("num_partitions"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(rel, "grouped_apply", spy)
+
+    # below the bar: driver merge, no partitioned path
+    out = (rel.grouped_agg(ds, ["k"], {"s": ("v", "sum"),
+                                       "c": ("k", "count")})
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert not calls
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+    # above the bar: the partitioned merge engages, sized from the
+    # measured partial count, and the result is identical
+    monkeypatch.setattr(rel, "AUTO_MERGE_THRESHOLD", 1000)
+    out2 = (rel.grouped_agg(ds, ["k"], {"s": ("v", "sum"),
+                                        "c": ("k", "count")})
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert calls and calls[0] >= 2
+    pd.testing.assert_frame_equal(out2, want, check_dtype=False)
