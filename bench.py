@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "funnel",
     "resample_ffill",
     "bpe_audit",
+    "bpe_encode",
     "bfs_depth",
     "collocations",
     "retention",

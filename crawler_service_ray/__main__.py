@@ -84,7 +84,21 @@ def main(argv=None) -> int:
                     help="--sf-dir only: derive interleaved text+media "
                          "segments per doc (the mm_* derivation) and "
                          "export them like --from-run does by default")
+    ex.add_argument("--bpe-merges", default=None,
+                    help="merges parquet (see train-bpe): token "
+                         "accounting and --pack-capacity then mean "
+                         "real BPE tokenizer tokens")
     ex.add_argument("--num-cpus", type=int, default=None)
+
+    tb = sub.add_parser(
+        "train-bpe",
+        help="train BPE merges over a documents shard and save the "
+             "merge table as parquet (feed to export --bpe-merges)",
+    )
+    tb.add_argument("--sf-dir", required=True)
+    tb.add_argument("--out", required=True, help="merges parquet path")
+    tb.add_argument("--num-merges", type=int, default=64)
+    tb.add_argument("--num-cpus", type=int, default=None)
 
     g = sub.add_parser("gen-corpus", help="synthesize a corpus")
     g.add_argument("--corpus", required=True)
@@ -162,9 +176,30 @@ def main(argv=None) -> int:
             src, args.out, min_quality=args.min_quality,
             langs=args.langs, resume=not args.no_resume,
             packed=args.packed, pack_capacity=args.pack_capacity,
+            bpe_merges=args.bpe_merges,
             **kw2,
         )
         print(json.dumps(manifest))
+        return 0
+
+    if args.cmd == "train-bpe":
+        import ray
+
+        if not ray.is_initialized():
+            kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR", **kw)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .functions.text import bpe_train_merges
+        from .pipelines.queries import read_table
+
+        docs = read_table(args.sf_dir, "documents",
+                          columns=["doc_id", "text"])
+        merges = bpe_train_merges(docs, num_merges=args.num_merges)
+        pq.write_table(pa.Table.from_pandas(merges), args.out)
+        print(json.dumps({"merges": len(merges), "out": args.out}))
         return 0
 
     if args.cmd == "status":

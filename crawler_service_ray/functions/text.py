@@ -12,6 +12,7 @@ setup (compiled regexes, n-gram profiles) happens once per actor in
 from __future__ import annotations
 
 import re
+from typing import Sequence
 
 import numpy as np
 import pandas as pd
@@ -797,18 +798,24 @@ def pack_payloads(
     id_col: str = "doc_id",
     group_col: str = "lang",
     num_partitions: int = 8,
+    tokens_col: str | None = None,
 ) -> rd.Dataset:
     """Materialize the packed training sequences: the same greedy
     per-group packing as :func:`pack_sequences`, but emitting one row
     per bin — ``(group, seq_id, n_docs, seq_tokens, text)`` with the
     member documents' texts joined by ``sep`` in ``id_col`` order.
     Same partitioning contract as pack_sequences (a group packs inside
-    one task; shard + namespace at scale)."""
+    one task; shard + namespace at scale).
+
+    ``tokens_col`` names a PRECOMPUTED per-doc token-count column to
+    budget bins with (e.g. BPE counts from ``bpe_encode_counts``);
+    default None counts whitespace tokens here."""
     from .relational import grouped_apply
 
     def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
         t = df[text_col].astype(str)
-        nt = _re2_token_count(t)
+        nt = (df[tokens_col].astype("int64") if tokens_col
+              else _re2_token_count(t))
         return pd.DataFrame({group_col: df[group_col], id_col: df[id_col],
                              "n_tokens": nt, text_col: t})
 
@@ -1159,6 +1166,107 @@ def bpe_train_merges(
     return pd.DataFrame(
         merges, columns=["rank", "left", "right", "pair_count"]
     ).astype({"rank": "int64", "pair_count": "int64"})
+
+
+def bpe_encode_word_tokens(words: np.ndarray,
+                           merges: Sequence[tuple[str, str]]) -> np.ndarray:
+    """Token count per word after applying ``merges`` in rank order —
+    the shared vectorized encode kernel (same flat-array merge the
+    trainer uses, so train/encode semantics cannot diverge)."""
+    if len(words) == 0:
+        return np.zeros(0, dtype=np.int64)
+    flat, word_of = _bpe_flatten(words)
+    for left, right in merges:
+        flat, word_of = _bpe_apply_merge(flat, word_of, left, right)
+    return np.bincount(word_of, minlength=len(words)).astype("int64")
+
+
+def bpe_encode_reference(word: str,
+                         merges: Sequence[tuple[str, str]]) -> int:
+    """Independent dict/loop single-word encoder (greedy left-to-right
+    scan per merge, rank order — the classic BPE apply), used by the
+    audit tests; shares no kernels with the vectorized path."""
+    syms = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left \
+                    and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def bpe_encode_counts(
+    ds: rd.Dataset,
+    merges: pd.DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Distributed BPE ENCODE: apply a trained merge table
+    (:func:`bpe_train_merges` output) to every document in ONE
+    streaming pass, emitting (id, n_words, n_bpe_tokens) — the token
+    accounting a packed training export needs to mean real tokenizer
+    tokens instead of whitespace tokens.
+
+    Scale shape: the merge table is a tokenizer artifact (driver-scale)
+    broadcast once via ``ray.put``; each batch factorizes its words and
+    encodes only the UNIQUE words (corpus word frequency follows Zipf,
+    so the per-batch unique set is far smaller than the token stream),
+    then scatters counts back per document with two bincounts — no
+    exchange at all. The merge loop is bounded by the merge-table
+    length with the vectorized flat-array kernel inside. Documents with
+    zero words emit n_words = 0 (callers joining against a word-level
+    oracle filter them)."""
+    import ray
+
+    from .relational import resolve_broadcast
+
+    mlist = [(str(lt), str(rt))
+             for lt, rt in zip(merges["left"], merges["right"])]
+    refs = [ray.put(mlist)]
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        m = resolve_broadcast(refs[0])
+        n_words, n_tok = bpe_doc_token_counts(df[text_col], m)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_words": n_words,
+            "n_bpe_tokens": n_tok,
+        })
+
+    return ds.map_batches(enc, batch_format="pandas")
+
+
+def bpe_doc_token_counts(
+    texts: pd.Series, merges: Sequence[tuple[str, str]]
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n_words, n_bpe_tokens) per text — the shared per-batch encode:
+    factorize the batch's words, encode only the uniques, scatter back
+    with two bincounts."""
+    texts = texts.astype(str)
+    splits = texts.str.split(" ")
+    lens = splits.str.len().to_numpy().astype(np.int64)
+    n = len(texts)
+    if n:
+        words_all = np.concatenate(
+            [np.asarray(x, dtype=object) for x in splits])
+    else:
+        words_all = np.array([], dtype=object)
+    doc_of = np.repeat(np.arange(n), lens)
+    keep = words_all != ""
+    words_all, doc_of = words_all[keep], doc_of[keep]
+    codes, uniq = pd.factorize(words_all)
+    utok = bpe_encode_word_tokens(np.asarray(uniq, dtype=object), merges)
+    n_tok = np.bincount(doc_of, weights=utok[codes],
+                        minlength=n).astype("int64") \
+        if len(codes) else np.zeros(n, dtype=np.int64)
+    n_words = np.bincount(doc_of, minlength=n).astype("int64")
+    return n_words, n_tok
 
 
 def bpe_reference(word_counts: pd.DataFrame,

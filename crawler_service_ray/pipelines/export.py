@@ -87,6 +87,21 @@ def _assign_split_arrow(t):
     return t.append_column("split", pa.array(split, type=pa.string()))
 
 
+def _load_merges(bpe_merges) -> list[tuple[str, str]] | None:
+    """Resolve the ``bpe_merges`` export argument — a merges DataFrame
+    (from ``bpe_train_merges``) or a parquet path (from the `train-bpe`
+    CLI) — to the rank-ordered (left, right) list the encode kernel
+    applies. None means whitespace tokens."""
+    if bpe_merges is None:
+        return None
+    if isinstance(bpe_merges, str):
+        import pyarrow.parquet as pq
+
+        bpe_merges = pq.read_table(bpe_merges).to_pandas()
+    m = bpe_merges.sort_values("rank")
+    return [(str(lt), str(rt)) for lt, rt in zip(m["left"], m["right"])]
+
+
 def _write_manifest(manifest: dict, manifest_path: str) -> dict:
     os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
     with open(manifest_path + ".tmp", "w") as f:
@@ -103,6 +118,7 @@ def _dedup_split_write(
     pack_capacity: int,
     manifest_path: str,
     multimodal: bool = False,
+    bpe: bool = False,
 ) -> dict:
     """Shared tail: exact dedup (columns ride as passengers) → split →
     partitioned write (+ optional packed table) → manifest. ``kept`` is
@@ -301,6 +317,7 @@ def _dedup_split_write(
             tagged = final.map_batches(tag_group, batch_format="pandas")
             seqs = text.pack_payloads(
                 tagged, capacity=pack_capacity, group_col="__grp",
+                tokens_col="n_tokens" if bpe else None,
             ).map_batches(untag, batch_format="pandas")
         packed_dir = os.path.join(out_dir, "packed")
         tmp_p = os.path.join(out_dir, ".tmp_packed")
@@ -341,6 +358,7 @@ def _dedup_split_write(
         ).to_table(columns=pcols)
         pdf = pt.to_pandas()
         manifest["pack_capacity"] = pack_capacity
+        manifest["tokenizer"] = "bpe" if bpe else "whitespace"
         manifest["sequences"] = {
             f"{s}/{lg}": int(n) for (s, lg), n in
             pdf.groupby(["split", "lang_pred"]).size().sort_index().items()
@@ -361,6 +379,7 @@ def export_corpus(
     packed: bool = False,
     pack_capacity: int = 2048,
     multimodal: bool = False,
+    bpe_merges=None,
 ) -> dict:
     """Filter → dedup → split → write hive-partitioned parquet from a
     documents shard.
@@ -370,6 +389,13 @@ def export_corpus(
     sequences per (split, lang) group — split boundaries are never
     crossed, so train sequences cannot leak val/test text — one row per
     sequence (seq text + doc count + token sum), same hive partitioning.
+
+    ``bpe_merges`` (a merge table from ``bpe_train_merges`` or a parquet
+    path from the `train-bpe` CLI) switches the per-doc ``n_tokens``
+    accounting — and therefore what ``pack_capacity`` MEANS — from
+    whitespace tokens to real BPE tokenizer tokens, applied in the same
+    scoring pass (`bpe_doc_token_counts`, unique-words-per-batch encode,
+    no extra exchange). The manifest records ``tokenizer``.
 
     With ``multimodal=True`` each document is first re-derived as an
     interleaved text+media segment sequence (`interleaved_docs` — the
@@ -388,6 +414,7 @@ def export_corpus(
 
     from .queries import read_table
 
+    mlist = _load_merges(bpe_merges)
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     n_in = docs.count()
     if multimodal:
@@ -421,6 +448,12 @@ def export_corpus(
             cols["segments"] = t.column("segments")
             cols["n_media"] = t.column("n_media")
             cols["n_tokens"] = t.column("n_tokens")
+        if mlist is not None:
+            # pack budgets in real tokenizer tokens: overrides the
+            # word-count n_tokens on the multimodal path, adds the
+            # column on the text-only path
+            cols["n_tokens"] = pa.array(
+                text.bpe_doc_token_counts(tdf["text"], mlist)[1])
         out = pa.table(cols)
         keep = qs >= min_quality
         if langs is not None:
@@ -432,8 +465,11 @@ def export_corpus(
     kept = docs.map_batches(score, batch_format="pyarrow").materialize()
     base = {"sf_dir": os.path.abspath(sf_dir), "rows_in": int(n_in),
             "min_quality": min_quality, "langs": langs}
+    if isinstance(bpe_merges, str):
+        base["bpe_merges"] = os.path.abspath(bpe_merges)
     return _dedup_split_write(kept, out_dir, base, packed, pack_capacity,
-                              manifest_path, multimodal=multimodal)
+                              manifest_path, multimodal=multimodal,
+                              bpe=mlist is not None)
 
 
 def export_run(
@@ -445,6 +481,7 @@ def export_run(
     packed: bool = False,
     pack_capacity: int = 2048,
     multimodal: bool = True,
+    bpe_merges=None,
 ) -> dict:
     """Crawl → curate → training data: export a finished crawl run.
 
@@ -465,6 +502,10 @@ def export_run(
     family blob likewise preserves every file kind in order
     (`/root/reference/crawlers/globus_base_preserved.py:320-346`).
     ``multimodal=False`` restores the text-only export.
+
+    ``bpe_merges`` switches token accounting to real BPE tokenizer
+    tokens exactly as in :func:`export_corpus` — ``pack_capacity``
+    then budgets BPE tokens.
     """
     manifest_path = os.path.join(out_dir, "export_manifest.json")
     if resume and os.path.exists(manifest_path):
@@ -474,6 +515,7 @@ def export_run(
     from ..functions.multimodal import SEGMENT_STRUCT
     from .crawl import fetched_dataset
 
+    mlist = _load_merges(bpe_merges)
     docs = fetched_dataset(run_dir)
     n_in = docs.count()
 
@@ -537,6 +579,12 @@ def export_run(
             cols["n_tokens"] = pa.array(
                 pc.count_substring_regex(text_arr, pattern=r"\S+")
                 .to_numpy().astype("int64"))
+        if mlist is not None:
+            # real tokenizer tokens for the pack budget (overrides the
+            # RE2 whitespace count on the multimodal path, adds the
+            # column on the text-only path)
+            cols["n_tokens"] = pa.array(text.bpe_doc_token_counts(
+                pd.Series(text_vals), mlist)[1])
         out = pa.table(cols)
         keep = qs >= min_quality
         if langs is not None:
@@ -546,5 +594,8 @@ def export_run(
     kept = docs.map_batches(reassemble, batch_format="pyarrow").materialize()
     base = {"run_dir": os.path.abspath(run_dir), "rows_in": int(n_in),
             "min_quality": min_quality, "langs": langs}
+    if isinstance(bpe_merges, str):
+        base["bpe_merges"] = os.path.abspath(bpe_merges)
     return _dedup_split_write(kept, out_dir, base, packed, pack_capacity,
-                              manifest_path, multimodal=multimodal)
+                              manifest_path, multimodal=multimodal,
+                              bpe=mlist is not None)

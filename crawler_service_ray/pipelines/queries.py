@@ -3885,6 +3885,85 @@ FROM top
 """
 
 
+def q_bpe_encode(sf_dir: str):
+    """Distributed BPE ENCODE against a FULL SQL replay: train 8 merges
+    over the corpus (`bpe_train_merges`), apply them in one streaming
+    broadcast pass (`bpe_encode_counts` — unique words per batch, no
+    exchange), and emit per-document (n_words, n_bpe_tokens) for
+    doc_id < 200. The oracle is not an invariant check: it RE-TRAINS
+    the same 8 merges in pure SQL (8 unrolled rounds of adjacent-pair
+    statistics + argmax with the same (cnt DESC, left, right) tiebreak
+    — DuckDB's binary collation equals Python's codepoint order) and
+    RE-APPLIES them with `replace()` over chr(31)-delimited symbol
+    strings, whose left-to-right non-overlapping semantics equal the
+    trainer's greedy-leftmost merge, so token counts are hash-compared
+    end-to-end."""
+    from ..functions.text import bpe_encode_counts, bpe_train_merges
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
+    merges = bpe_train_merges(docs, num_merges=8, num_partitions=8)
+    sample = docs.map_batches(
+        lambda d: _catempty(d[d["doc_id"] < 200]),
+        batch_format="pandas")
+    enc = bpe_encode_counts(sample, merges)
+    return enc.map_batches(
+        lambda df: df[df["n_words"] > 0], batch_format="pandas")
+
+
+def _make_bpe_encode_sql(num_merges: int = 8,
+                         sample: str = "doc_id < 200") -> str:
+    """Generate the unrolled BPE train+encode SQL: each round computes
+    weighted adjacent-pair counts over the chr(31)-delimited symbol
+    representation, picks the argmax, and applies it via replace()
+    (both-side delimiters make symbol boundaries unambiguous). Static
+    and data-independent — only the round count is templated."""
+    rounds, prev = [], "w0"
+    for k in range(num_merges):
+        cur = f"w{k + 1}"
+        rounds.append(f"""
+p{k} AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(wcount)::BIGINT AS cnt
+  FROM (SELECT wcount, string_split(rep, chr(31)) AS syms FROM {prev}) s,
+       unnest(generate_series(2, len(s.syms) - 2)) AS t(i)
+  GROUP BY 1, 2),
+b{k} AS (SELECT l, r FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+{cur} AS (
+  SELECT word, wcount,
+         replace(rep, chr(31) || b.l || chr(31) || b.r || chr(31),
+                 chr(31) || b.l || b.r || chr(31)) AS rep
+  FROM {prev} CROSS JOIN b{k} b)""")
+        prev = cur
+    return f"""
+WITH words AS (
+  SELECT word, count(*)::BIGINT AS wcount
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1),
+w0 AS (
+  SELECT word, wcount,
+         chr(31) || array_to_string(string_split(word, ''), chr(31))
+           || chr(31) AS rep
+  FROM words),
+{','.join(rounds)},
+enc AS (
+  SELECT word,
+         (length(rep) - length(replace(rep, chr(31), '')) - 1)::BIGINT
+           AS wtok
+  FROM {prev}),
+dw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE {sample})
+SELECT doc_id, count(*)::BIGINT AS n_words,
+       sum(wtok)::BIGINT AS n_bpe_tokens
+FROM (SELECT doc_id, word FROM dw WHERE word <> '') d
+JOIN enc USING (word)
+GROUP BY doc_id
+"""
+
+
+SQL_BPE_ENCODE = _make_bpe_encode_sql(8)
+
+
 def q_resample_ffill(sf_dir: str):
     """Hourly resample + forward fill (gap filling) of each user's
     event-value series (users 0-19): grid points carry the last value
@@ -5392,6 +5471,7 @@ QUERIES = {
     "rrf_fusion": q_rrf_fusion,
     "resample_ffill": q_resample_ffill,
     "bpe_audit": q_bpe_audit,
+    "bpe_encode": q_bpe_encode,
     "mad_outliers": q_mad_outliers,
     "funnel": q_funnel,
     "pagerank": q_pagerank,
@@ -5536,6 +5616,7 @@ ORACLE_SQL = {
     "rrf_fusion": SQL_RRF_FUSION,
     "resample_ffill": SQL_RESAMPLE_FFILL,
     "bpe_audit": SQL_BPE_AUDIT,
+    "bpe_encode": SQL_BPE_ENCODE,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "funnel": SQL_FUNNEL,
     "pagerank": SQL_PAGERANK,

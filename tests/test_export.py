@@ -5,6 +5,7 @@ import json
 import os
 
 import pandas as pd
+import pyarrow as pa
 import pyarrow.dataset as pads
 
 
@@ -314,3 +315,54 @@ def test_export_media_merge_never_on_driver(ray_session, tmp_path,
     mt_b = (pads.dataset(os.path.join(out_b, "media")).to_table()
             .to_pandas().sort_values("media_ref").reset_index(drop=True))
     pd.testing.assert_frame_equal(mt_b, mt_a, check_dtype=False)
+
+def test_export_packed_bpe_token_budget(ray_session, tmp_path):
+    """--bpe-merges makes pack_capacity mean real tokenizer tokens: the
+    packed table's seq_tokens are BPE counts (sum matches an
+    independent re-encode of the written docs), the manifest records
+    the tokenizer, and budgets differ from the whitespace run."""
+    import pyarrow.parquet as pq
+
+    from crawler_service_ray.functions.text import (bpe_doc_token_counts,
+                                                    bpe_train_merges)
+    from crawler_service_ray.pipelines.export import export_corpus
+    from crawler_service_ray.pipelines.queries import read_table
+
+    sf = "/root/testdata/sf0.001"
+    merges = bpe_train_merges(
+        read_table(sf, "documents", columns=["doc_id", "text"]),
+        num_merges=8)
+    mpath = str(tmp_path / "merges.parquet")
+    pq.write_table(pa.Table.from_pandas(merges), mpath)
+    mlist = list(zip(merges["left"], merges["right"]))
+
+    out_ws = str(tmp_path / "exp_ws")
+    m_ws = export_corpus(sf, out_ws, min_quality=0.5, packed=True,
+                         pack_capacity=256)
+    out_bpe = str(tmp_path / "exp_bpe")
+    m_bpe = export_corpus(sf, out_bpe, min_quality=0.5, packed=True,
+                          pack_capacity=256, bpe_merges=mpath)
+    assert m_bpe["tokenizer"] == "bpe"
+    assert m_ws["tokenizer"] == "whitespace"
+    assert m_bpe["bpe_merges"] == mpath
+    assert m_bpe["rows_written"] == m_ws["rows_written"]
+    assert m_bpe["packed_tokens"] != m_ws["packed_tokens"]
+
+    # seq_tokens really are BPE counts: re-encode the written docs
+    df = pads.dataset(os.path.join(out_bpe, "data"),
+                      partitioning="hive").to_table().to_pandas()
+    _, want = bpe_doc_token_counts(df["text"], mlist)
+    assert m_bpe["packed_tokens"] == int(want.sum())
+    assert (df["n_tokens"].to_numpy() == want).all()
+
+    # multimodal packed path budgets BPE tokens too
+    out_mm = str(tmp_path / "exp_mm_bpe")
+    m_mm = export_corpus(sf, out_mm, min_quality=0.5, packed=True,
+                         pack_capacity=256, multimodal=True,
+                         bpe_merges=merges)
+    assert m_mm["tokenizer"] == "bpe"
+    mmdf = pads.dataset(os.path.join(out_mm, "data"),
+                        partitioning="hive").to_table().to_pandas()
+    _, want_mm = bpe_doc_token_counts(mmdf["text"], mlist)
+    assert (mmdf["n_tokens"].to_numpy() == want_mm).all()
+    assert m_mm["packed_tokens"] == int(want_mm.sum())

@@ -433,6 +433,48 @@ def test_bpe_train_matches_reference(ray_session):
     assert not ((later["left"] == r0[0]) & (later["right"] == r0[1])).any()
 
 
+def test_bpe_encode_matches_reference(ray_session):
+    """Vectorized distributed encode == independent dict/loop per-word
+    encoder on the trained merges, including overlap runs and words the
+    trainer never saw whole ('aaaaa')."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.text import (_bpe_word_table,
+                                                    bpe_encode_counts,
+                                                    bpe_encode_reference,
+                                                    bpe_train_merges)
+
+    docs = pd.DataFrame({
+        "doc_id": range(5),
+        "text": [
+            "low low low lower lowest",
+            "new newer newest new new",
+            "aaaa aaaa aa aaa aaaaa banana bandana",
+            "low new low new",
+            "",
+        ],
+    })
+    ds = rd.from_pandas(docs, override_num_blocks=3)
+    merges = bpe_train_merges(ds, num_merges=6, num_partitions=4)
+    mlist = list(zip(merges["left"], merges["right"]))
+    got = (bpe_encode_counts(ds, merges).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    def ref_doc(t):
+        ws = [w for w in t.split(" ") if w]
+        return len(ws), sum(bpe_encode_reference(w, mlist) for w in ws)
+
+    want = [ref_doc(t) for t in docs["text"]]
+    assert list(got["n_words"]) == [w for w, _ in want]
+    assert list(got["n_bpe_tokens"]) == [t for _, t in want]
+    # merges really compress: fewer tokens than characters
+    chars = docs["text"].str.replace(" ", "", regex=False).str.len()
+    assert (got["n_bpe_tokens"].to_numpy()
+            <= chars.to_numpy()).all()
+    assert (got["n_bpe_tokens"].to_numpy()
+            < chars.to_numpy())[chars.to_numpy() > 0].any()
+
+
 def test_bpe_apply_merge_overlap_greedy():
     """'aaaa' with merge (a,a) -> (aa, aa); 'aaa' -> (aa, a)."""
     from crawler_service_ray.functions.text import _bpe_apply_merge
