@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "resample_ffill",
     "bpe_audit",
     "bpe_encode",
+    "semdedup",
     "bfs_depth",
     "collocations",
     "retention",

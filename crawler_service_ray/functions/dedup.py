@@ -1157,6 +1157,104 @@ def embedding_near_dup_ivf(
     return grouped_apply(pairs, ["id_a", "id_b"], dd, num_partitions=16)
 
 
+def semdedup(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    threshold: float = 0.95,
+    iters: int = 3,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with distributed k-means,
+    then within each cluster remove every row whose cosine to a
+    higher-priority row reaches ``threshold`` — the curation pass that
+    catches paraphrases MinHash misses. Priority is (centroid
+    similarity DESC, id ASC), so each duplicate group's survivor is its
+    centroid-nearest member and the rule is deterministic at any
+    parallelism.
+
+    Emits one row per input: (id, cluster, centroid_sim, keep,
+    near_id, near_cos) — removed rows carry the first higher-priority
+    row they matched and the true float64 cosine (so every removal is
+    auditable as a genuine near-dup pair); kept rows carry
+    near_id = -1, near_cos = NaN. Guarantees: (a) every (id, near_id)
+    removal pair has exact cosine ≥ threshold; (b) no two KEPT rows in
+    the same cluster are near-dups at threshold (if they were, the
+    lower-priority one would have been removed) — both machine-checked
+    by the ``semdedup`` oracle query against the exact block-pair set.
+
+    Scale shape: k-means is the documented model-constant-partials
+    pass (`similarity.kmeans`); then centroids broadcast once and ONE
+    cluster-hash exchange co-locates each cluster; the in-cell work is
+    one float64 matmul + a strictly-lower-triangle max (O(n_cell²),
+    the same inherent cost family as ``embedding_near_dup``'s diagonal
+    blocks — at 100 TB raise ``k`` so cells fit a worker; cross-cluster
+    near-dups are out of scope BY DESIGN, the paper's approximation)."""
+    import ray
+
+    from .relational import grouped_apply, resolve_broadcast
+    from .similarity import _stack_normalized, kmeans
+
+    C, _ = kmeans(ds, vec_col=vec_col, id_col=id_col, k=k,
+                  iters=iters, seed=seed)
+    refs = [ray.put(C)]
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        Cw = resolve_broadcast(refs[0])
+        X = _stack_normalized(df[vec_col])
+        S = X @ Cw.T
+        a = np.argmax(S, axis=1)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            vec_col: df[vec_col],
+            "cluster": a.astype("int64"),
+            "centroid_sim": S[np.arange(len(a)), a],
+        })
+
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pandas")
+
+    def per_cluster(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _c, sub in part.groupby("cluster", sort=False):
+            order = np.lexsort((sub[id_col].to_numpy(),
+                                -sub["centroid_sim"].to_numpy()))
+            sub = sub.iloc[order]
+            X = _stack_normalized(sub[vec_col])
+            ids = sub[id_col].to_numpy()
+            n = len(sub)
+            S = X @ X.T
+            lower = np.tril(np.ones((n, n), dtype=bool), -1)
+            hit = (S >= threshold) & lower
+            has = hit.any(axis=1)
+            first = hit.argmax(axis=1)
+            outs.append(pd.DataFrame({
+                id_col: ids,
+                "cluster": sub["cluster"].to_numpy(),
+                "centroid_sim": sub["centroid_sim"].to_numpy(),
+                "keep": ~has,
+                "near_id": np.where(has, ids[first], -1).astype("int64"),
+                "near_cos": np.where(
+                    has, S[np.arange(n), first], np.nan),
+            }))
+        if not outs:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "cluster": pd.Series([], dtype="int64"),
+                "centroid_sim": pd.Series([], dtype="float64"),
+                "keep": pd.Series([], dtype=bool),
+                "near_id": pd.Series([], dtype="int64"),
+                "near_cos": pd.Series([], dtype="float64"),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_apply(assigned, ["cluster"], per_cluster,
+                         num_partitions=num_partitions or min(k, 32))
+
+
 def frequent_lines(
     ds: rd.Dataset,
     text_col: str = "text",

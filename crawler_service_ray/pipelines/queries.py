@@ -1272,6 +1272,64 @@ FROM p
 """
 
 
+def q_semdedup(sf_dir: str):
+    """INVARIANT oracle for SemDeDup-style semantic dedup
+    (`dedup.semdedup`: k-means cells → within-cell removal keeping the
+    centroid-nearest row — the paraphrase-catching curation pass).
+    Checks, against the EXACT block-pair near-dup set at the same
+    threshold: (1) every (removed, near_id) pair is a true near-dup
+    with matching cosine (removals never invent similarity), and
+    (2) no two KEPT rows in the same cluster are near-dups (the rule
+    is exhaustive within cells). Cross-cell pairs are out of scope by
+    design (the paper's approximation), so they are excluded from (2).
+    Emits (n_docs, n_removed_is_positive, n_pair_violations,
+    n_kept_violations); SQL pins the doc count and the zeros, and
+    n_removed collapses to a checked 0/1 flag because the removal
+    count itself is k-means-partition dependent."""
+    emb = _planted_embeddings(sf_dir)
+    out = dedup.semdedup(emb, k=8, threshold=_EMB_NEARDUP_T,
+                         iters=3).to_pandas()
+    exact = dedup.embedding_near_dup(
+        emb, threshold=_EMB_NEARDUP_T, num_blocks=4,
+    ).to_pandas()
+    ekey = {(int(a), int(b)): float(c) for a, b, c in
+            zip(exact["id_a"], exact["id_b"], exact["cosine"])}
+
+    removed = out[~out["keep"]]
+    pair_viol = 0
+    for rid, nid, cos in zip(removed["vec_id"], removed["near_id"],
+                             removed["near_cos"]):
+        key = (min(int(rid), int(nid)), max(int(rid), int(nid)))
+        want = ekey.get(key)
+        if want is None or abs(want - float(cos)) > 1e-9:
+            pair_viol += 1
+
+    cl = dict(zip(out["vec_id"], out["cluster"]))
+    kept = set(out.loc[out["keep"], "vec_id"].astype(int))
+    kept_viol = sum(
+        1 for (a, b) in ekey
+        if a in kept and b in kept and cl.get(a) == cl.get(b))
+    return pd.DataFrame({
+        "n_docs": np.array([len(out)], dtype="int64"),
+        "n_removed_is_positive": np.array(
+            [int(len(removed) > 0)], dtype="int64"),
+        "n_pair_violations": np.array([pair_viol], dtype="int64"),
+        "n_kept_violations": np.array([kept_viol], dtype="int64"),
+    })
+
+
+SQL_SEMDEDUP = """
+WITH aug AS (
+  SELECT vec_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 FROM embeddings WHERE vec_id < 100
+)
+SELECT count(*)::BIGINT AS n_docs, 1::BIGINT AS n_removed_is_positive,
+       0::BIGINT AS n_pair_violations, 0::BIGINT AS n_kept_violations
+FROM aug
+"""
+
+
 def q_ann_ivf(sf_dir: str):
     queries, qids = _query_vectors(sf_dir)
     ds = read_table(sf_dir, "embeddings", bytes_per_block=_DOC_BPB, columns=["vec_id", "embedding"])
@@ -5472,6 +5530,7 @@ QUERIES = {
     "resample_ffill": q_resample_ffill,
     "bpe_audit": q_bpe_audit,
     "bpe_encode": q_bpe_encode,
+    "semdedup": q_semdedup,
     "mad_outliers": q_mad_outliers,
     "funnel": q_funnel,
     "pagerank": q_pagerank,
@@ -5617,6 +5676,7 @@ ORACLE_SQL = {
     "resample_ffill": SQL_RESAMPLE_FFILL,
     "bpe_audit": SQL_BPE_AUDIT,
     "bpe_encode": SQL_BPE_ENCODE,
+    "semdedup": SQL_SEMDEDUP,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "funnel": SQL_FUNNEL,
     "pagerank": SQL_PAGERANK,

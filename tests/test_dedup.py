@@ -613,3 +613,51 @@ def test_minhash_index_append_crash_safe(ray_session, tmp_path):
         man = json.load(fh)
     assert man["files"] and all(
         os.path.exists(os.path.join(idx, rel)) for rel in man["files"])
+
+def test_semdedup_keeps_centroid_nearest(ray_session):
+    """Within each k-means cell, exactly the lower-priority member of a
+    planted near-identical pair is removed, attributed to its survivor
+    with the true cosine; unrelated rows all survive."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.dedup import semdedup
+
+    rng = np.random.default_rng(5)
+    d = 16
+    # three well-separated cluster directions
+    dirs = np.eye(d)[:3] * 10.0
+    rows = []
+    vid = 0
+    for ci in range(3):
+        for _ in range(12):
+            rows.append((vid, dirs[ci] + rng.normal(0, 0.8, d)))
+            vid += 1
+    # a near-identical pair inside cluster 0 (cos ~ 1)
+    base = dirs[0] + rng.normal(0, 0.5, d)
+    rows.append((1000, base))
+    rows.append((1001, base + 1e-4))
+    df = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                       "embedding": [r[1] for r in rows]})
+    ds = rd.from_pandas(df, override_num_blocks=3)
+    out = (semdedup(ds, k=3, threshold=0.98, iters=4)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert len(out) == len(df)
+    removed = out[~out["keep"]]
+    kept = out[out["keep"]]
+    # exactly one of the planted pair is removed, attributed to the
+    # other, with its true cosine
+    assert set(removed["vec_id"]) <= {1000, 1001}
+    assert len(removed) == 1
+    r = removed.iloc[0]
+    assert int(r["near_id"]) in (1000, 1001)
+    assert int(r["near_id"]) != int(r["vec_id"])
+    assert r["near_cos"] >= 0.98
+    # the survivor is the pair's centroid-nearest member
+    surv = int(({1000, 1001} - {int(r["vec_id"])}).pop())
+    ssim = float(out.loc[out["vec_id"] == surv, "centroid_sim"].iloc[0])
+    rsim = float(r["centroid_sim"])
+    assert (ssim > rsim) or (abs(ssim - rsim) < 1e-12
+                             and surv < int(r["vec_id"]))
+    # everything else survives, with clean kept-row markers
+    assert (kept["near_id"] == -1).all()
+    assert kept["near_cos"].isna().all()
