@@ -84,6 +84,12 @@ def main(argv=None) -> int:
                     help="--sf-dir only: derive interleaved text+media "
                          "segments per doc (the mm_* derivation) and "
                          "export them like --from-run does by default")
+    ex.add_argument("--lsh-index", default=None,
+                    help="persistent cross-run LSH index dir (with "
+                         "--from-run): report this run's near-dups vs "
+                         "all previously indexed runs, then fold the "
+                         "run in")
+    ex.add_argument("--lsh-threshold", type=float, default=0.7)
     ex.add_argument("--bpe-merges", default=None,
                     help="merges parquet (see train-bpe): token "
                          "accounting and --pack-capacity then mean "
@@ -170,8 +176,12 @@ def main(argv=None) -> int:
             ap.error("export needs exactly one of --sf-dir / --from-run")
         fn, src = ((export_run, args.from_run) if args.from_run
                    else (export_corpus, args.sf_dir))
-        kw2 = ({"multimodal": not args.text_only} if args.from_run
+        kw2 = ({"multimodal": not args.text_only,
+                "lsh_index": args.lsh_index,
+                "lsh_threshold": args.lsh_threshold} if args.from_run
                else {"multimodal": args.multimodal})
+        if args.lsh_index and not args.from_run:
+            ap.error("--lsh-index requires --from-run")
         manifest = fn(
             src, args.out, min_quality=args.min_quality,
             langs=args.langs, resume=not args.no_resume,

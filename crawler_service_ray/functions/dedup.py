@@ -1826,6 +1826,7 @@ def minhash_index_write(
     bands: int = 32,
     num_shards: int = 16,
     append: bool = False,
+    tag: str | None = None,
 ) -> dict:
     """Persist the LSH band index as a hive-partitioned parquet
     artifact — the reusable state that makes daily-increment dedup
@@ -1846,7 +1847,13 @@ def minhash_index_write(
     moved files. A crash anywhere before the manifest leaves either a
     temp dir or prefixed-but-unmanifested files — the next append (or
     rewrite) rolls both back before writing, so a retried append never
-    duplicates band rows and candidate-generation cost never inflates."""
+    duplicates band rows and candidate-generation cost never inflates.
+
+    ``tag`` makes COMPLETED appends idempotent too: it is recorded in
+    the append manifest, and an append whose tag already has a manifest
+    is a no-op — the export lifecycle tags each append with its run
+    directory so a re-run after a post-append crash cannot double-index
+    the same crawl."""
     import glob
     import json
     import os
@@ -1871,9 +1878,15 @@ def minhash_index_write(
     # append id has no manifest (crash between the moves and the
     # manifest rename)
     app_dir = os.path.join(index_dir, "appends")
-    done = {int(os.path.splitext(f)[0]) for f in
-            (os.listdir(app_dir) if os.path.isdir(app_dir) else [])
-            if f.endswith(".json")}
+    manifests = [f for f in
+                 (os.listdir(app_dir) if os.path.isdir(app_dir) else [])
+                 if f.endswith(".json")]
+    done = {int(os.path.splitext(f)[0]) for f in manifests}
+    if append and tag is not None:
+        for f in manifests:
+            with open(os.path.join(app_dir, f)) as fh:
+                if json.load(fh).get("tag") == tag:
+                    return meta  # this delta is already indexed
     for t in glob.glob(os.path.join(index_dir, ".tmp_append*")):
         shutil.rmtree(t, ignore_errors=True)
     for sd in glob.glob(os.path.join(index_dir, "shard=*")):
@@ -1916,7 +1929,7 @@ def minhash_index_write(
     os.makedirs(app_dir, exist_ok=True)
     man_path = os.path.join(app_dir, f"{k}.json")
     with open(man_path + ".tmp", "w") as f:
-        json.dump({"append_id": k, "files": moved}, f)
+        json.dump({"append_id": k, "tag": tag, "files": moved}, f)
     os.replace(man_path + ".tmp", man_path)
     return meta
 

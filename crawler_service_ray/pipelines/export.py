@@ -102,6 +102,105 @@ def _load_merges(bpe_merges) -> list[tuple[str, str]] | None:
     return [(str(lt), str(rt)) for lt, rt in zip(m["left"], m["right"])]
 
 
+def _update_lsh_index(
+    out_dir: str,
+    index_dir: str,
+    manifest: dict,
+    manifest_path: str,
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    bands: int = 32,
+    num_shards: int = 16,
+) -> dict:
+    """The daily-crawl dedup loop: report this export's near-dups
+    against a PERSISTENT cross-run LSH index, then fold the export's
+    docs into it — so each crawl is deduped against every crawl before
+    it at O(delta) banding cost (`dedup.minhash_dedup_incremental`
+    path-prunes untouched index shards).
+
+    The index directory holds the band shards (``shard=*``, maintained
+    by ``minhash_index_write``) plus ``docs/`` — the (doc_id, text)
+    store needed to verify candidate pairs' true Jaccard; one parquet
+    file per indexed run, named by the run tag so a retried export
+    overwrites instead of duplicating. Appends are tagged with the run
+    dir, making the whole phase idempotent: re-running a crashed export
+    recomputes the same pairs and never double-indexes. Pair output
+    lands in ``<out_dir>/near_dups/`` (id_a, id_b, jaccard) and the
+    manifest gains an ``lsh`` block with delta/cross/in-delta counts.
+
+    First run against an empty index bootstraps it: pairs are the
+    delta's in-delta near-dups (`minhash_lsh_pairs`)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ..functions.dedup import (
+        minhash_dedup_incremental,
+        minhash_index_write,
+        minhash_lsh_pairs,
+    )
+
+    delta = rd.read_parquet(os.path.join(out_dir, "data")) \
+        .select_columns(["doc_id", "text"]).materialize()
+    n_delta = delta.count()
+    run_tag = manifest.get("run_dir") or manifest.get("sf_dir") or out_dir
+    docs_dir = os.path.join(index_dir, "docs")
+    bootstrap = not os.path.exists(
+        os.path.join(index_dir, "index_meta.json"))
+
+    if bootstrap:
+        pairs = minhash_lsh_pairs(delta, num_perm=num_perm, bands=bands,
+                                  threshold=threshold).to_pandas()
+    else:
+        import glob as _glob
+
+        base_files = sorted(_glob.glob(os.path.join(docs_dir,
+                                                    "*.parquet")))
+        base_docs = rd.read_parquet(base_files)
+        pairs = minhash_dedup_incremental(
+            delta, index_dir, base_docs, threshold=threshold,
+        ).to_pandas()
+
+    nd_dir = os.path.join(out_dir, "near_dups")
+    os.makedirs(nd_dir, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pairs, preserve_index=False),
+                   os.path.join(nd_dir, "pairs.parquet"))
+
+    delta_ids = set(delta.to_pandas()["doc_id"])
+    in_delta = int((pairs["id_a"].isin(delta_ids)
+                    & pairs["id_b"].isin(delta_ids)).sum()) \
+        if len(pairs) else 0
+
+    # fold the delta into the index: bands (tagged, idempotent) + texts
+    # (deterministic filename per run tag, so retries overwrite)
+    if bootstrap:
+        minhash_index_write(delta, index_dir, num_perm=num_perm,
+                            bands=bands, num_shards=num_shards)
+    else:
+        minhash_index_write(delta, index_dir, num_perm=num_perm,
+                            bands=bands, num_shards=num_shards,
+                            append=True, tag=run_tag)
+    os.makedirs(docs_dir, exist_ok=True)
+    fname = hashlib.sha1(run_tag.encode()).hexdigest()[:16] + ".parquet"
+    tmp = os.path.join(docs_dir, "." + fname + ".tmp")
+    delta.to_pandas().to_parquet(tmp, index=False)
+    os.replace(tmp, os.path.join(docs_dir, fname))
+
+    manifest["lsh"] = {
+        "index_dir": os.path.abspath(index_dir),
+        "bootstrap": bootstrap,
+        "delta_docs": int(n_delta),
+        "near_dup_pairs": int(len(pairs)),
+        "in_delta_pairs": in_delta,
+        "cross_pairs": int(len(pairs)) - in_delta,
+        "threshold": threshold,
+    }
+    return _write_manifest(manifest, manifest_path)
+
+
 def _write_manifest(manifest: dict, manifest_path: str) -> dict:
     os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
     with open(manifest_path + ".tmp", "w") as f:
@@ -482,6 +581,8 @@ def export_run(
     pack_capacity: int = 2048,
     multimodal: bool = True,
     bpe_merges=None,
+    lsh_index: str | None = None,
+    lsh_threshold: float = 0.7,
 ) -> dict:
     """Crawl → curate → training data: export a finished crawl run.
 
@@ -506,6 +607,12 @@ def export_run(
     ``bpe_merges`` switches token accounting to real BPE tokenizer
     tokens exactly as in :func:`export_corpus` — ``pack_capacity``
     then budgets BPE tokens.
+
+    ``lsh_index`` chains the run into the cross-run dedup lifecycle:
+    the export's near-dups against every PREVIOUSLY indexed run are
+    reported (``near_dups/`` + manifest ``lsh`` block) and the run's
+    docs are folded into the persistent band index — see
+    :func:`_update_lsh_index`.
     """
     manifest_path = os.path.join(out_dir, "export_manifest.json")
     if resume and os.path.exists(manifest_path):
@@ -596,6 +703,12 @@ def export_run(
             "min_quality": min_quality, "langs": langs}
     if isinstance(bpe_merges, str):
         base["bpe_merges"] = os.path.abspath(bpe_merges)
-    return _dedup_split_write(kept, out_dir, base, packed, pack_capacity,
-                              manifest_path, multimodal=multimodal,
-                              bpe=mlist is not None)
+    manifest = _dedup_split_write(kept, out_dir, base, packed,
+                                  pack_capacity, manifest_path,
+                                  multimodal=multimodal,
+                                  bpe=mlist is not None)
+    if lsh_index and manifest.get("rows_written", 0) > 0:
+        manifest = _update_lsh_index(out_dir, lsh_index, manifest,
+                                     manifest_path,
+                                     threshold=lsh_threshold)
+    return manifest

@@ -366,3 +366,93 @@ def test_export_packed_bpe_token_budget(ray_session, tmp_path):
     _, want_mm = bpe_doc_token_counts(mmdf["text"], mlist)
     assert (mmdf["n_tokens"].to_numpy() == want_mm).all()
     assert m_mm["packed_tokens"] == int(want_mm.sum())
+
+def test_export_lsh_lifecycle_chains_two_crawls(ray_session, tiny_corpus,
+                                                tmp_path):
+    """Crawl A bootstraps a persistent LSH index; crawl B (a mirror of
+    A under different hosts — new URLs, identical content) exports
+    against it and must report exactly the near-dup pairs that a
+    full-corpus minhash_lsh_pairs over BOTH runs' curated docs finds
+    touching B. Retrying B's index phase never double-indexes."""
+    import glob
+    import json as _json
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawler_service_ray.config import CrawlConfig
+    from crawler_service_ray.functions.dedup import minhash_lsh_pairs
+    from crawler_service_ray.pipelines.crawl import CrawlRun
+    from crawler_service_ray.pipelines.export import export_run
+
+    run_a = str(tmp_path / "run_a")
+    cfg = CrawlConfig(
+        corpus_dir=tiny_corpus, run_dir=run_a,
+        seeds=["http://h0.test/p/0", "http://h1.test/p/0"],
+        max_epochs=30, num_seen_shards=2)
+    CrawlRun(cfg).run(resume=False)
+
+    # run B = a mirror site: same fetched content at rewritten hosts
+    run_b = str(tmp_path / "run_b")
+    for f in glob.glob(os.path.join(run_a, "epochs", "epoch=*",
+                                    "fetched", "*.parquet")):
+        t = pq.read_table(f)
+        urls = pd.Series(t.column("url").to_pandas()).str.replace(
+            "http://h", "http://m", regex=False)
+        t = t.set_column(t.schema.get_field_index("url"), "url",
+                         pa.array(urls, type=pa.string()))
+        dst = f.replace(run_a, run_b)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        pq.write_table(t, dst)
+
+    idx = str(tmp_path / "lsh_index")
+    out_a = str(tmp_path / "exp_a_lsh")
+    m_a = export_run(run_a, out_a, min_quality=0.0, multimodal=False,
+                     lsh_index=idx)
+    assert m_a["lsh"]["bootstrap"] is True
+    assert m_a["lsh"]["delta_docs"] == m_a["rows_written"]
+    assert m_a["lsh"]["cross_pairs"] == 0  # nothing indexed before A
+
+    out_b = str(tmp_path / "exp_b_lsh")
+    m_b = export_run(run_b, out_b, min_quality=0.0, multimodal=False,
+                     lsh_index=idx)
+    lsh = m_b["lsh"]
+    assert lsh["bootstrap"] is False
+    # every B doc mirrors an A doc: at least one cross pair per B doc
+    assert lsh["cross_pairs"] >= m_b["rows_written"] > 0
+
+    # machine-check the manifest counts against a full-corpus LSH run
+    # over the union of both exports' curated docs, restricted to B
+    import pyarrow.dataset as _pads
+    docs_a = _pads.dataset(os.path.join(out_a, "data"),
+                           partitioning="hive").to_table(
+        columns=["doc_id", "text"]).to_pandas()
+    docs_b = _pads.dataset(os.path.join(out_b, "data"),
+                           partitioning="hive").to_table(
+        columns=["doc_id", "text"]).to_pandas()
+    union = rd.from_pandas(pd.concat([docs_a, docs_b],
+                                     ignore_index=True))
+    full = minhash_lsh_pairs(union, num_perm=128, bands=32,
+                             threshold=0.7).to_pandas()
+    b_ids = set(docs_b["doc_id"])
+    want = (full[full["id_a"].isin(b_ids) | full["id_b"].isin(b_ids)]
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    got = (pq.read_table(os.path.join(out_b, "near_dups",
+                                      "pairs.parquet")).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert lsh["near_dup_pairs"] == len(want)
+
+    # idempotence: a post-crash retry (manifest lost, index appended)
+    # re-reports the same pairs and never double-indexes
+    def n_band_rows():
+        return sum(pq.read_table(f).num_rows for f in
+                   glob.glob(os.path.join(idx, "shard=*", "*.parquet")))
+
+    n_rows = n_band_rows()
+    os.remove(os.path.join(out_b, "export_manifest.json"))
+    m_b2 = export_run(run_b, out_b, min_quality=0.0, multimodal=False,
+                      lsh_index=idx)
+    assert m_b2["lsh"]["near_dup_pairs"] == lsh["near_dup_pairs"]
+    assert n_band_rows() == n_rows
+    assert len(glob.glob(os.path.join(idx, "docs", "*.parquet"))) == 2
