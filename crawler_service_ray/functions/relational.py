@@ -3342,3 +3342,97 @@ def logreg_fit_local(
         Xw = X * w[:, None]
         beta = np.linalg.solve(X.T @ Xw + ridge * np.eye(d), Xw.T @ z)
     return beta
+
+
+def roc_auc(
+    ds: rd.Dataset,
+    score_col: str,
+    pos_col: str,
+    score_dp: int = 6,
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """Distributed ROC-AUC of a scalar score against a binary label —
+    the evaluation step for the learned curation filters (`logreg_fit`,
+    `naive_bayes_classify`). Mann–Whitney with tie correction:
+
+        AUC = [ Σ_s np(s)·cumneg_below(s) + ½·np(s)·nn(s) ] / (Np·Nn)
+
+    Scale shape: scores round to ``score_dp`` FIRST (both engines), so
+    the reduced (score → n_pos, n_neg) table is bounded by
+    score_range·10^dp — a model-constant cardinality independent of the
+    corpus, like a sketch — not by the row count. Per-batch counts
+    shrink each block to its distinct scores before ONE ``grouped_agg``
+    exchange; the ordered tie-corrected scan runs once over that
+    bounded table. Emits one row (n_pos, n_neg, auc@6dp). Raise
+    ``score_dp`` only with a matching cardinality budget."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        sc = np.round(df[score_col].to_numpy(dtype="float64"), score_dp)
+        pos = df[pos_col].to_numpy(dtype="int64")
+        g = (pd.DataFrame({"sc": sc, "np": pos, "nn": 1 - pos})
+             .groupby("sc", sort=False).sum().reset_index())
+        return g
+
+    g = grouped_agg(
+        ds.map_batches(part, batch_format="pandas"),
+        ["sc"], {"np": ("np", "sum"), "nn": ("nn", "sum")},
+        merge_partitions=merge_partitions,
+    )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("sc", kind="mergesort")
+        npos = df["np"].to_numpy(dtype="float64")
+        nneg = df["nn"].to_numpy(dtype="float64")
+        cb = np.concatenate([[0.0], np.cumsum(nneg)[:-1]])
+        num = float(np.sum(npos * cb + 0.5 * npos * nneg))
+        tp, tn = float(npos.sum()), float(nneg.sum())
+        return pd.DataFrame({
+            "n_pos": np.array([tp], dtype="int64"),
+            "n_neg": np.array([tn], dtype="int64"),
+            "auc": [round(num / (tp * tn), 6)] if tp and tn else [np.nan],
+        })
+
+    # the scan input is the bounded reduced table (see docstring) — one
+    # task, same contract as the sketch estimators
+    return g.repartition(1).map_batches(scan, batch_format="pandas",
+                                        batch_size=None)
+
+
+def grouped_ewma(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak: str,
+    alpha: float = 0.5,
+    out_name: str = "ewma",
+    num_partitions: int = 32,
+    round_dp: int = 6,
+) -> rd.Dataset:
+    """Per-key exponentially weighted moving average in (ts, tiebreak)
+    order — the streaming smoother (y₀ = x₀; yₜ = (1−α)·yₜ₋₁ + α·xₜ,
+    the ``adjust=False`` recurrence). Inherently a sequential fold per
+    key, so the distribution axis is the KEY: hash-partition by key
+    (ONE exchange), one vectorized sort + C-backed ``groupby.ewm`` per
+    partition — no Python loop over rows or groups, and no global sort.
+
+    α must be exactly representable such that (1−α)+α == 1.0 in float64
+    (e.g. 0.5, 0.25) for the result to be bit-reproducible against an
+    engine computing the textbook recurrence directly — pandas
+    normalizes by the accumulated weight (1−α)+α, which differs from
+    1.0 for α like 0.3 by one ulp."""
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, tiebreak], kind="mergesort")
+        ew = (g.groupby(key, sort=False)[val_col]
+              .ewm(alpha=alpha, adjust=False).mean()
+              .reset_index(drop=True).to_numpy())
+        # α=0.5 folds produce dyadic rationals that land EXACTLY on
+        # decimal .5 ties, where numpy's banker's rounding and SQL
+        # round() (half away from zero) disagree — mirror std::round
+        p = 10.0 ** round_dp
+        ew = np.copysign(np.floor(np.abs(ew) * p + 0.5), ew) / p
+        return g.assign(**{out_name: ew})
+
+    return grouped_apply(ds, [key], per_partition,
+                         num_partitions=num_partitions)

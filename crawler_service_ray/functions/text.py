@@ -12,6 +12,7 @@ setup (compiled regexes, n-gram profiles) happens once per actor in
 from __future__ import annotations
 
 import re
+from functools import partial
 from typing import Sequence
 
 import numpy as np
@@ -1590,3 +1591,168 @@ def naive_bayes_classify(
         })
 
     return per_doc.map_batches(decide, batch_format="pandas")
+
+
+def _bigram_rows(df: pd.DataFrame, text_col: str,
+                 id_col: str | None) -> pd.DataFrame:
+    """Per-batch adjacent-word pairs: one flat token array + a parallel
+    doc-index array, empties masked BEFORE pairing (DuckDB
+    ``list_filter(string_split(text,' '), x -> x <> '')`` parity), pairs
+    where consecutive slots share a doc. Emits reduced (``[id,] w1, w2,
+    cnt``) rows — the per-batch groupby bounds what leaves the block to
+    its distinct bigrams."""
+    keys = ([id_col] if id_col is not None else []) + ["w1", "w2"]
+    if len(df) == 0:
+        cols: dict = {}
+        if id_col is not None:
+            cols[id_col] = pd.Series(dtype="int64")
+        cols["w1"] = pd.Series(dtype="category")
+        cols["w2"] = pd.Series(dtype="category")
+        cols["cnt"] = pd.Series(dtype="int64")
+        return pd.DataFrame(cols)
+    toks = df[text_col].astype(str).str.split(" ")
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    did = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+    keep = flat != ""
+    flat, did = flat[keep], did[keep]
+    if len(flat) < 2:
+        return _bigram_rows(df.iloc[:0], text_col, id_col)
+    adj = did[:-1] == did[1:]
+    out = pd.DataFrame({"__did": did[:-1][adj],
+                        "w1": flat[:-1][adj], "w2": flat[1:][adj]})
+    if id_col is not None:
+        out[id_col] = df[id_col].to_numpy()[out["__did"].to_numpy()]
+    g = out.groupby(keys, sort=False).size().reset_index(name="cnt")
+    g["cnt"] = g["cnt"].astype("int64")
+    return g
+
+
+def bigram_lm_score(
+    train: rd.Dataset,
+    test: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.1,
+    merge_partitions: int = 4,
+    num_buckets: int = 8,
+    round_dp: int = 4,
+) -> rd.Dataset:
+    """Per-document perplexity under an add-k-smoothed bigram word LM
+    trained on ``train`` — the CCNet-style LM quality filter (Wenzek et
+    al. 2019: score pages by LM perplexity, keep the fluent tail). The
+    reference's curation has no learned scorer (it tallies
+    extensions/categories, crawlers/local_funcx.py:128); this is the
+    100-TB curation step that replaces those heuristics.
+
+    P(w2|w1) = (c(w1,w2)+k) / (ctx(w1)+k·V) with ctx(w1) = Σ_w c(w1,w)
+    (context occurrences, i.e. every non-final token) and V = distinct
+    train tokens. Unseen bigrams fall back to the smoothing floor
+    through the same formula via LEFT joins (missing c → 0, missing
+    ctx → 0), so a w1 never seen in train scores -ln(1/V).
+
+    Scale shape: bigram counts reduce per batch before ONE
+    hash-partitioned ``grouped_agg`` (the model table is
+    vocabulary²-bounded but corpus-token-bounded in practice — it never
+    reaches the driver); V is one distinct-count scalar; scoring
+    bucket-joins the test doc-bigram table against the model on
+    (w1,w2) and against the context table on w1 — two key-hash
+    exchanges, no broadcast of a vocabulary-scale side. Per-doc
+    sums merge with partial aggregation. Emits (id, n_bigrams,
+    avg_nll) with avg_nll rounded to ``round_dp`` on both engines."""
+    from .relational import bucketed_hash_join, distinct, grouped_agg
+
+    bc = grouped_agg(
+        train.map_batches(
+            partial(_bigram_rows, text_col=text_col, id_col=None),
+            batch_format="pandas"),
+        ["w1", "w2"], {"c": ("cnt", "sum")},
+        merge_partitions=merge_partitions,
+    ).materialize()
+    cc = grouped_agg(bc, ["w1"], {"ctx": ("c", "sum")},
+                     merge_partitions=merge_partitions)
+
+    def uni(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split(" ").explode()
+        toks = toks[(toks != "") & toks.notna()]
+        return pd.DataFrame({"word": toks.unique().astype(object)})
+
+    vocab_v = float(distinct(
+        train.map_batches(uni, batch_format="pandas"), ["word"],
+    ).count())
+
+    bg = test.map_batches(
+        partial(_bigram_rows, text_col=text_col, id_col=id_col),
+        batch_format="pandas")
+    j = bucketed_hash_join(bg, bc, on=["w1", "w2"], how="left",
+                           num_buckets=num_buckets)
+    j = bucketed_hash_join(j, cc, on="w1", how="left",
+                           num_buckets=num_buckets)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.nan_to_num(df["c"].to_numpy(dtype="float64"))
+        ctx = np.nan_to_num(df["ctx"].to_numpy(dtype="float64"))
+        cnt = df["cnt"].to_numpy(dtype="float64")
+        nll = -np.log((c + k) / (ctx + k * vocab_v))
+        return pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "__nll": nll * cnt, "__n": cnt,
+        })
+
+    per_doc = grouped_agg(
+        j.map_batches(score, batch_format="pandas"),
+        [id_col], {"__nll": ("__nll", "sum"), "__n": ("__n", "sum")},
+        merge_partitions=merge_partitions,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "n_bigrams": df["__n"].to_numpy(dtype="int64"),
+            "avg_nll": np.round(
+                df["__nll"].to_numpy(dtype="float64")
+                / df["__n"].to_numpy(dtype="float64"), round_dp),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pandas")
+
+
+def boolean_search(
+    ds: rd.Dataset,
+    terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """Conjunctive boolean retrieval (docs containing ALL query terms)
+    via query-restricted postings — the exact-match companion to `bm25`.
+    Scale shape: the postings explode is filtered to the k query terms
+    INSIDE the batch (the inverted index is never materialized beyond
+    them) and deduped per batch; a doc's text lives in one row, so the
+    per-batch dedup is globally exact and the ONE ``grouped_agg``
+    exchange carries ≤ k rows per matching doc. count == k is the
+    intersection. Tokenization matches `vocab_topk` (single-space
+    split, empties dropped)."""
+    from .relational import grouped_agg
+
+    terms = sorted(set(terms))
+    k = len(terms)
+    tset = frozenset(terms)
+
+    def posts(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].astype(str).str.split(" ").rename("w")
+        e = df[[id_col]].join(s).explode("w")
+        e = e[e["w"].isin(tset)].drop_duplicates()
+        if len(e) == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "w": pd.Series(dtype="category")})
+        return e
+
+    hits = grouped_agg(
+        ds.map_batches(posts, batch_format="pandas"),
+        [id_col], {"n": ("w", "count")},
+        merge_partitions=merge_partitions,
+    )
+    return hits.map_batches(
+        lambda d: d.loc[d["n"] == k, [id_col]].astype("int64"),
+        batch_format="pandas")

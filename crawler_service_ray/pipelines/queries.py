@@ -5412,6 +5412,222 @@ SELECT (SELECT count(*) FROM a)::BIGINT AS n_exact_a,
 """
 
 
+def q_bigram_lm(sf_dir: str):
+    """LM-perplexity quality filter (CCNet-shaped): train an add-0.1
+    bigram word LM on the even-doc_id half of the corpus, score EVERY
+    doc's average negative log-likelihood — odd docs exercise the
+    unseen-bigram/unseen-context smoothing paths. Full SQL oracle
+    replays counts, smoothing and the fallback through the same LEFT
+    joins."""
+    train = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda d: d[d["doc_id"] % 2 == 0],
+                     batch_format="pandas")
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return text.bigram_lm_score(train, docs, k=0.1)
+
+
+SQL_BIGRAM_LM = """
+WITH w AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+      FROM w),
+bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+       FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+bc AS (SELECT w1, w2, count(*)::DOUBLE AS c FROM bg
+       WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+cc AS (SELECT w1, sum(c) AS ctx FROM bc GROUP BY 1),
+v AS (SELECT count(DISTINCT w)::DOUBLE AS vsz FROM t WHERE doc_id % 2 = 0),
+sc AS (SELECT bg.doc_id,
+              -ln((coalesce(bc.c, 0) + 0.1)
+                  / (coalesce(cc.ctx, 0) + 0.1 * v.vsz)) AS nll
+       FROM bg
+       LEFT JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+       LEFT JOIN cc ON bg.w1 = cc.w1
+       CROSS JOIN v)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(nll), 4) AS avg_nll
+FROM sc GROUP BY doc_id
+"""
+
+
+def q_regional_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped six-table join — the composition stress test for
+    the join planner idioms: dimension chain (region⋈nation) folds
+    driver-side (bounded), customers semi-filter by a broadcast nation
+    set, orders date-filter AT THE READ side, the two fact⋈fact hops
+    (orders⋈customer on custkey, lineitem⋈orders on orderkey) are
+    explicit co-partitioned bucket joins, supplier (per-key unique,
+    bounded) broadcasts, and the final per-nation revenue is a partial
+    aggregate over ≤25 keys."""
+    from ..functions.relational import grouped_agg, topk
+
+    nat = read_table(sf_dir, "nation").to_pandas()
+    reg = read_table(sf_dir, "region").to_pandas()
+    asia = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia.loc[asia["r_name"] == "ASIA",
+                    ["n_nationkey", "n_name"]].reset_index(drop=True)
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    cust = broadcast_join(
+        cust,
+        asia[["n_nationkey"]].rename(
+            columns={"n_nationkey": "c_nationkey"}).astype(
+                {"c_nationkey": "int32"}),
+        on="c_nationkey")
+    cust = cust.map_batches(
+        lambda d: d.rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas")
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    orders = orders.map_batches(
+        lambda d: d.loc[(d["o_orderdate"] >= lo) & (d["o_orderdate"] < hi),
+                        ["o_orderkey", "o_custkey"]],
+        batch_format="pandas")
+    oc = bucketed_hash_join(orders, cust, on="o_custkey", num_buckets=16)
+    oc = oc.map_batches(
+        lambda d: d.rename(columns={"o_orderkey": "l_orderkey"})[
+            ["l_orderkey", "c_nationkey"]],
+        batch_format="pandas")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+    j = bucketed_hash_join(li, oc, on="l_orderkey", num_buckets=32)
+
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp.rename(columns={"s_suppkey": "l_suppkey"})
+    j = broadcast_join(j, supp, on="l_suppkey")
+
+    def rev(d: pd.DataFrame) -> pd.DataFrame:
+        d = d[d["c_nationkey"] == d["s_nationkey"]]
+        return pd.DataFrame({
+            "n_nationkey": d["s_nationkey"].astype("int32"),
+            "__rev": d["l_extendedprice"].to_numpy()
+            * (1.0 - d["l_discount"].to_numpy()),
+        })
+
+    agg = grouped_agg(j.map_batches(rev, batch_format="pandas"),
+                      ["n_nationkey"], {"revenue": ("__rev", "sum")})
+    names = asia.astype({"n_nationkey": "int32"})
+
+    def finish(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.merge(names, on="n_nationkey")
+        return pd.DataFrame({"n_name": d["n_name"],
+                             "revenue": np.round(d["revenue"], 2)})
+
+    return topk(agg.map_batches(finish, batch_format="pandas"),
+                ["revenue", "n_name"], 25, descending=[True, False])
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+def q_auc(sf_dir: str):
+    """ROC-AUC of the first embedding component predicting label < 5 —
+    the distributed Mann–Whitney rank statistic with tie correction
+    (`roc_auc`). The oracle replays the identical tie-corrected
+    cumulative form with a window function."""
+    import pyarrow.compute as pc
+
+    from ..functions.relational import roc_auc
+
+    ds = read_table(sf_dir, "embeddings", bytes_per_block=_DOC_BPB,
+                    columns=["label", "embedding"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "sc": pc.cast(pc.list_element(t["embedding"], 0), pa.float64()),
+            "pos": pc.cast(pc.less(t["label"], 5), pa.int64()),
+        })
+
+    return roc_auc(ds.map_batches(f, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+                   score_col="sc", pos_col="pos")
+
+
+SQL_AUC = """
+WITH s AS (SELECT round(embedding[1], 6) AS sc,
+                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+           FROM embeddings),
+g AS (SELECT sc, sum(pos)::DOUBLE AS np, sum(1 - pos)::DOUBLE AS nn
+      FROM s GROUP BY sc),
+c AS (SELECT np, nn,
+             coalesce(sum(nn) OVER (ORDER BY sc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM g)
+SELECT (SELECT sum(np) FROM g)::BIGINT AS n_pos,
+       (SELECT sum(nn) FROM g)::BIGINT AS n_neg,
+       round(sum(np * cb + 0.5 * np * nn)
+             / ((SELECT sum(np) FROM g) * (SELECT sum(nn) FROM g)),
+             6) AS auc
+FROM c
+"""
+
+
+def q_ewma(sf_dir: str):
+    """Per-user EWMA of event values (α=0.5, adjust=False recurrence) —
+    the streaming smoother distributed on the KEY axis (`grouped_ewma`:
+    one user-hash exchange, C-backed in-partition scan). The oracle
+    replays the recurrence with a recursive CTE; α=0.5 makes the float
+    fold bit-identical across engines (see grouped_ewma docstring)."""
+    from ..functions.relational import grouped_ewma
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    out = grouped_ewma(ds, key="user_id", ts_col="ts", val_col="value",
+                       tiebreak="event_id", alpha=0.5)
+    return out.map_batches(
+        lambda d: d[["event_id", "user_id", "ewma"]],
+        batch_format="pandas")
+
+
+SQL_EWMA = """
+WITH RECURSIVE o AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+r AS (
+  SELECT event_id, user_id, rn, value::DOUBLE AS ew FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_id, o.user_id, o.rn, 0.5 * r.ew + 0.5 * o.value
+  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+SELECT event_id, user_id, round(ew, 6) AS ewma FROM r
+"""
+
+
+def q_boolean_search(sf_dir: str):
+    """Conjunctive boolean retrieval: docs containing ALL of three query
+    terms via query-restricted postings + one count==k aggregate
+    (`boolean_search`)."""
+    return text.boolean_search(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        terms=["join", "hash", "filter"])
+
+
+SQL_BOOLEAN_SEARCH = """
+SELECT doc_id FROM documents
+WHERE list_has_all(list_filter(string_split(text, ' '), x -> x <> ''),
+                   ['join', 'hash', 'filter'])
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -5557,6 +5773,11 @@ QUERIES = {
     "naive_bayes": q_naive_bayes,
     "wow_revenue": q_wow_revenue,
     "surprisal": q_surprisal,
+    "bigram_lm": q_bigram_lm,
+    "regional_revenue": q_regional_revenue,
+    "auc": q_auc,
+    "ewma": q_ewma,
+    "boolean_search": q_boolean_search,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -5703,4 +5924,9 @@ ORACLE_SQL = {
     "naive_bayes": SQL_NAIVE_BAYES,
     "wow_revenue": SQL_WOW_REVENUE,
     "surprisal": SQL_SURPRISAL,
+    "bigram_lm": SQL_BIGRAM_LM,
+    "regional_revenue": SQL_REGIONAL_REVENUE,
+    "auc": SQL_AUC,
+    "ewma": SQL_EWMA,
+    "boolean_search": SQL_BOOLEAN_SEARCH,
 }

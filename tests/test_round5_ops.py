@@ -1,0 +1,129 @@
+"""Round-5 second-wave operators: bigram LM scoring, ROC-AUC, EWMA,
+boolean retrieval — each checked against an independent single-node
+reference and for parallelism invariance (the oracle gate covers the
+SQL side; these pin the kernels on adversarial shapes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from crawler_service_ray.functions import relational as rel
+from crawler_service_ray.functions import text as tx
+
+
+def _bigram_reference(train_texts, test_rows, k):
+    """Dict-based add-k bigram LM (the independent reference)."""
+    bc: dict = {}
+    ctx: dict = {}
+    vocab = set()
+    for t in train_texts:
+        ws = [w for w in t.split(" ") if w != ""]
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bc[(a, b)] = bc.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    v = float(len(vocab))
+    out = {}
+    for doc_id, t in test_rows:
+        ws = [w for w in t.split(" ") if w != ""]
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            continue
+        nll = [-np.log((bc.get(p, 0) + k) / (ctx.get(p[0], 0) + k * v))
+               for p in pairs]
+        out[doc_id] = (len(pairs), round(float(np.mean(nll)), 4))
+    return out
+
+
+def test_bigram_lm_matches_reference(ray_session):
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(30)]
+    train_texts = [" ".join(rng.choice(words, size=rng.integers(2, 40)))
+                   for _ in range(40)]
+    # test docs exercise: seen bigrams, unseen bigram of seen words,
+    # unseen context word, double spaces, single-token doc (no bigrams)
+    test_texts = train_texts[:10] + [
+        "w0 w29 w1  w2", "zzz w0 qqq", "only", "w5 w5 w5 w5"]
+    train = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(train_texts), dtype="int64"),
+        "text": train_texts})).repartition(4)
+    test = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(test_texts), dtype="int64"),
+        "text": test_texts})).repartition(3)
+
+    got = (tx.bigram_lm_score(train, test, k=0.1)
+           .to_pandas().set_index("doc_id").sort_index())
+    want = _bigram_reference(
+        train_texts, list(enumerate(test_texts)), k=0.1)
+
+    assert set(got.index) == set(want)  # the no-bigram doc is absent
+    for did, (n, nll) in want.items():
+        assert got.loc[did, "n_bigrams"] == n
+        assert got.loc[did, "avg_nll"] == pytest.approx(nll, abs=2e-4)
+
+
+def test_roc_auc_matches_pairwise_definition(ray_session):
+    rng = np.random.default_rng(3)
+    n = 400
+    # deliberately coarse scores so ties span both labels
+    sc = np.round(rng.normal(size=n), 1)
+    pos = (sc + rng.normal(scale=1.5, size=n) > 0).astype("int64")
+    df = pd.DataFrame({"sc": sc, "pos": pos})
+
+    got = rel.roc_auc(rd.from_pandas(df).repartition(5),
+                      "sc", "pos").to_pandas().iloc[0]
+
+    p, q = sc[pos == 1], sc[pos == 0]
+    wins = (p[:, None] > q[None, :]).sum() + 0.5 * (p[:, None] == q[None, :]).sum()
+    want = wins / (len(p) * len(q))
+    assert got["n_pos"] == len(p) and got["n_neg"] == len(q)
+    assert got["auc"] == pytest.approx(want, abs=1e-6)
+    # parallelism invariance
+    got1 = rel.roc_auc(rd.from_pandas(df).repartition(1),
+                       "sc", "pos").to_pandas().iloc[0]
+    assert got1["auc"] == got["auc"]
+
+
+def test_grouped_ewma_matches_recurrence(ray_session):
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, size=n).astype("int64"),
+        "ts": rng.permutation(n).astype("int64"),
+        "id": np.arange(n, dtype="int64"),
+        "v": np.round(rng.normal(size=n) * 10, 2),
+    })
+    got = (rel.grouped_ewma(rd.from_pandas(df).repartition(6),
+                            key="k", ts_col="ts", val_col="v",
+                            tiebreak="id", alpha=0.5, num_partitions=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    want = {}
+    for k, g in df.sort_values(["ts", "id"]).groupby("k"):
+        y = None
+        for rid, x in zip(g["id"], g["v"]):
+            y = x if y is None else 0.5 * y + 0.5 * x
+            want[rid] = np.floor(abs(y) * 1e6 + 0.5) * np.sign(y) / 1e6
+    assert np.allclose(got.set_index("id")["ewma"],
+                       pd.Series(want).sort_index(), atol=0, rtol=0)
+
+
+def test_boolean_search_matches_reference(ray_session):
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype="int64"),
+        "text": [
+            "a b c",          # all three
+            "a a b b c c a",  # all three, repeated
+            "a b",            # missing c
+            "c",              # missing a b
+            "",               # empty
+            "x a y b z c",    # all three, interleaved
+        ],
+    })
+    got = (tx.boolean_search(rd.from_pandas(docs).repartition(3),
+                             terms=["a", "b", "c"])
+           .to_pandas()["doc_id"].sort_values().tolist())
+    assert got == [0, 1, 5]
