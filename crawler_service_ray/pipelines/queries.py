@@ -5628,6 +5628,53 @@ WHERE list_has_all(list_filter(string_split(text, ' '), x -> x <> ''),
 """
 
 
+def q_ann_lsh_recall(sf_dir: str):
+    """RECALL-INVARIANT oracle for random-hyperplane LSH ANN
+    (`lsh_topk`, multiprobe) — the `ann_ivf_recall` pattern: (1) mean
+    recall@5 is MONOTONE in n_tables (table t's candidates are a
+    strict subset of t+1's for a shared seed — a decrease means broken
+    banding), (2) at 16 tables × 8 bits mean recall ≥ 0.7 and every
+    query ≥ 0.2 (measured 0.92 mean / 0.4 min at sf0.01 —
+    deterministic; thresholds tuned at sf0.01 like `pq_ann_recall`'s).
+    SQL recomputes the exact top-5 row count and asserts zero
+    violations."""
+    from ..functions import similarity as sim
+
+    exact = q_ann_topk(sf_dir).to_pandas()
+    queries, qids = _query_vectors(sf_dir)
+    ds = read_table(sf_dir, "embeddings", bytes_per_block=_DOC_BPB,
+                    columns=["vec_id", "embedding"])
+    by_q = exact.groupby("query_id")["neighbor_id"].apply(set)
+
+    def recalls(n_tables: int) -> np.ndarray:
+        got = sim.lsh_topk(ds, queries, qids, k=5,
+                           n_tables=n_tables, n_bits=8).to_pandas()
+        g = got.groupby("query_id")["neighbor_id"].apply(set)
+        return np.array([
+            len(by_q[qid] & g.get(qid, set())) / len(by_q[qid])
+            for qid in by_q.index
+        ])
+
+    r4, r16 = recalls(4), recalls(16)
+    violations = (
+        int(r16.mean() < r4.mean())       # monotone in tables
+        + int(r16.mean() < 0.7)           # aggregate floor at L=16
+        + int((r16 < 0.2).sum())          # per-query floor at L=16
+    )
+    return pd.DataFrame({
+        "n_exact_rows": np.array([len(exact)], dtype="int64"),
+        "n_recall_violations": np.array([violations], dtype="int64"),
+    })
+
+
+SQL_ANN_LSH_RECALL = f"""
+WITH e AS ({SQL_ANN_TOPK})
+SELECT count(*)::BIGINT AS n_exact_rows,
+       0::BIGINT AS n_recall_violations
+FROM e
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -5778,6 +5825,7 @@ QUERIES = {
     "auc": q_auc,
     "ewma": q_ewma,
     "boolean_search": q_boolean_search,
+    "ann_lsh_recall": q_ann_lsh_recall,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -5929,4 +5977,5 @@ ORACLE_SQL = {
     "auc": SQL_AUC,
     "ewma": SQL_EWMA,
     "boolean_search": SQL_BOOLEAN_SEARCH,
+    "ann_lsh_recall": SQL_ANN_LSH_RECALL,
 }

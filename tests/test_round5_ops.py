@@ -127,3 +127,41 @@ def test_boolean_search_matches_reference(ray_session):
                              terms=["a", "b", "c"])
            .to_pandas()["doc_id"].sort_values().tolist())
     assert got == [0, 1, 5]
+
+
+def test_lsh_topk_planted_and_monotone(ray_session):
+    rng = np.random.default_rng(5)
+    n, d = 300, 32
+    base = rng.normal(size=(n, d))
+    # plant: vec 1 is a near-copy of vec 0 — identical sign pattern, so
+    # they collide in EVERY table and LSH must return it at rank 1
+    base[1] = base[0] + 1e-6 * np.abs(base[0])
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype="int64"),
+                       "embedding": list(base.astype("float32"))})
+    ds = rd.from_pandas(df).repartition(4)
+    from crawler_service_ray.functions import similarity as sim
+
+    q = base[[0]].astype(np.float64)
+    got = sim.lsh_topk(ds, q, np.array([0]), k=5,
+                       n_tables=8, n_bits=8).to_pandas()
+    top1 = got.sort_values("rank").iloc[0]
+    assert top1["neighbor_id"] == 1 and top1["cosine"] > 0.999999
+
+    # candidate monotonicity: a shared seed makes table t a prefix of
+    # t+1, so the L=2 result set is a subset of the L=8 candidate pool
+    # -> recall of the exact top-5 can only grow
+    exact = sim.brute_force_topk(ds, q, np.array([0]), k=5).to_pandas()
+    want = set(exact["neighbor_id"])
+
+    def rec(L):
+        g = sim.lsh_topk(ds, q, np.array([0]), k=5, n_tables=L,
+                         n_bits=8).to_pandas()
+        return len(want & set(g["neighbor_id"])) / len(want)
+    assert rec(8) >= rec(2)
+
+    # parallelism invariance
+    a = sim.lsh_topk(rd.from_pandas(df).repartition(1), q, np.array([0]),
+                     k=5, n_tables=8, n_bits=8).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("rank").reset_index(drop=True),
+        got.sort_values("rank").reset_index(drop=True))
