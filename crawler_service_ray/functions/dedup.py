@@ -2022,3 +2022,48 @@ def minhash_dedup_incremental(
     return verify_pairs_with_texts(
         cand, docs, text_col=text_col, id_col=id_col,
         threshold=threshold)
+
+
+def leakage_safe_split(
+    docs: rd.Dataset,
+    pairs: rd.Dataset,
+    id_col: str = "doc_id",
+    fractions: tuple[int, int] = (8, 9),
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Near-dup-aware train/val/test assignment — the decontaminated
+    split a training-data export needs: documents connected by a
+    near-dup pair land in the SAME split, so validation never scores
+    on a paraphrase of a training row (the leakage the plain
+    doc_id-hash split permits).
+
+    Composition: connected components over ``pairs`` (min-label
+    propagation) give each near-dup family its cluster id; every doc's
+    group key is its cluster id or, for singletons, its own id (LEFT
+    bucket-join — the cluster table scales with the corpus and never
+    broadcasts); the split is the same deterministic Knuth-hash bucket
+    rule as the plain split (same-key ⇒ same split at any parallelism,
+    on any rerun). Emits (id, split)."""
+    from .relational import bucketed_hash_join
+
+    cl = connected_components(pairs)
+    cl = cl.map_batches(
+        lambda d: d.rename(columns={"node": id_col,
+                                    "label": "__cluster"}),
+        batch_format="pandas")
+    j = bucketed_hash_join(docs.select_columns([id_col]), cl,
+                           on=id_col, how="left",
+                           num_buckets=num_buckets)
+    lo, hi = fractions
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        gk = df["__cluster"].to_numpy(dtype="float64")
+        ids = df[id_col].to_numpy(dtype="int64")
+        gk = np.where(np.isnan(gk), ids, gk).astype(np.uint64)
+        h = ((gk % np.uint64(4294967296)) * np.uint64(2654435761)) \
+            % np.uint64(4294967296) % np.uint64(10)
+        split = np.where(h < lo, "train",
+                         np.where(h < hi, "val", "test"))
+        return pd.DataFrame({id_col: ids, "split": split.astype(object)})
+
+    return j.map_batches(assign, batch_format="pandas")

@@ -340,6 +340,14 @@ def bucketed_hash_join(
     both = lt.union(rt)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # union normally pads each side's missing columns with nulls,
+        # but a bucket fed entirely from ONE input block can arrive
+        # with only that side's schema (seen with a sparse right side
+        # whose rows hash into few buckets) — pad the absent columns
+        # before re-projecting
+        for c in left_cols + right_cols:
+            if c not in g.columns:
+                g[c] = np.nan
         l = g.loc[g["__side"] == "l", left_cols]
         r = g.loc[g["__side"] == "r", right_cols]
         if how in ("inner", "left"):
@@ -3435,4 +3443,66 @@ def grouped_ewma(
         return g.assign(**{out_name: ew})
 
     return grouped_apply(ds, [key], per_partition,
+                         num_partitions=num_partitions)
+
+
+def global_order_index(
+    ds: rd.Dataset,
+    id_col: str,
+    out_name: str = "pos",
+    coarse_bits: int = 12,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Deterministic global-shuffle ORDER INDEX: every row gets its
+    0-based rank under (knuth_hash(id), id) — the reproducible
+    training-data shuffle (write order for packed exports that must be
+    identical on rerun/resume, unlike ``random_shuffle``). A global
+    row_number without a global sort:
+
+    1. one partial-count pass bins rows by the TOP ``coarse_bits`` of
+       the hash — the bin-count table is model-constant (2^bits rows),
+       collected and prefix-summed on the driver like a sketch;
+    2. one bin-hash exchange co-locates each bin, which sorts locally
+       by (hash, id) and adds its broadcast offset.
+
+    Exactly the rank ``row_number() OVER (ORDER BY hash, id) - 1``; ties
+    impossible (id disambiguates). Ids must be non-negative int64."""
+    two32 = np.uint64(4294967296)
+    shift = np.uint64(32 - coarse_bits)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy().astype(np.uint64)
+        h = (ids % two32) * np.uint64(2654435761) % two32
+        return df.assign(__h=h.astype("int64"),
+                         __bin=(h >> shift).astype("int64"))
+
+    with_keys = ds.map_batches(keyed, batch_format="pandas")
+
+    counts = grouped_agg(
+        with_keys.map_batches(
+            lambda d: d[["__bin"]].assign(__one=np.int64(1)),
+            batch_format="pandas"),
+        ["__bin"], {"n": ("__one", "sum")},
+    ).to_pandas().sort_values("__bin")
+    offs = np.zeros(1 << coarse_bits, dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]])
+    offs[counts["__bin"].to_numpy()] = cum
+    oref = ray.put(offs)
+    orefs = [oref]
+
+    def rank_bin(g: pd.DataFrame) -> pd.DataFrame:
+        # a hash partition holds MANY bins: one sort, then per-bin
+        # within-position via run arithmetic (no Python loop over bins)
+        offs_ = resolve_broadcast(orefs[0])
+        g = g.sort_values(["__bin", "__h", id_col], kind="mergesort")
+        bins = g["__bin"].to_numpy()
+        n = len(g)
+        starts = np.flatnonzero(
+            np.concatenate([[True], bins[1:] != bins[:-1]]))
+        runlen = np.diff(np.concatenate([starts, [n]]))
+        within = np.arange(n, dtype=np.int64) - np.repeat(starts, runlen)
+        g = g.assign(**{out_name: offs_[bins] + within})
+        return g.drop(columns=["__h", "__bin"])
+
+    return grouped_apply(with_keys, ["__bin"], rank_bin,
                          num_partitions=num_partitions)

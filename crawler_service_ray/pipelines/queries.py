@@ -5675,6 +5675,65 @@ FROM e
 """
 
 
+def q_split_leakage_safe(sf_dir: str):
+    """Decontaminated split: near-dup families (exact n-gram-Jaccard
+    ≥ 0.5 connected components) co-travel to one split via the
+    cluster-keyed Knuth-hash rule (`leakage_safe_split`). The oracle
+    replays clusters (recursive CTE), the singleton fallback and the
+    identical integer hash end-to-end — the hash match certifies no
+    cross-split near-dup pair can exist."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
+    pairs = dedup.ngram_jaccard_pairs(docs, k=5, threshold=0.5)
+    return dedup.leakage_safe_split(docs, pairs)
+
+
+SQL_SPLIT_LEAKAGE_SAFE = f"""
+WITH RECURSIVE
+p AS ({SQL_NGRAM_JACCARD}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src
+),
+cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+g AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS gk
+      FROM documents d LEFT JOIN cl USING (doc_id))
+SELECT doc_id,
+       CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ((gk % 4294967296) * 2654435761) % 4294967296 % 10 AS b
+      FROM g)
+"""
+
+
+def q_order_index(sf_dir: str):
+    """Deterministic global shuffle order: every doc gets its 0-based
+    rank under (knuth_hash(doc_id), doc_id) — the reproducible write
+    order a packed export needs (identical on rerun/resume at ANY
+    parallelism, unlike `random_shuffle`). `global_order_index` computes
+    the global row_number WITHOUT a global sort: one tiny bin-count
+    collect (2^12 rows) + one bin exchange. The oracle is the literal
+    window function, so the hash match certifies exact rank parity."""
+    from ..functions.relational import global_order_index
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return global_order_index(docs, id_col="doc_id", out_name="pos")
+
+
+SQL_ORDER_INDEX = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY ((doc_id::HUGEINT % 4294967296) * 2654435761)
+                  % 4294967296, doc_id) - 1 AS pos
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -5826,6 +5885,8 @@ QUERIES = {
     "ewma": q_ewma,
     "boolean_search": q_boolean_search,
     "ann_lsh_recall": q_ann_lsh_recall,
+    "split_leakage_safe": q_split_leakage_safe,
+    "order_index": q_order_index,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -5978,4 +6039,6 @@ ORACLE_SQL = {
     "ewma": SQL_EWMA,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
+    "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,
+    "order_index": SQL_ORDER_INDEX,
 }

@@ -165,3 +165,30 @@ def test_lsh_topk_planted_and_monotone(ray_session):
     pd.testing.assert_frame_equal(
         a.sort_values("rank").reset_index(drop=True),
         got.sort_values("rank").reset_index(drop=True))
+
+
+def test_leakage_safe_split_co_travels_near_dups(ray_session):
+    from crawler_service_ray.functions import dedup as dd
+
+    # 40 distinct docs + 3 planted near-dup families (one per split
+    # boundary risk); family members must land in the SAME split
+    rng = np.random.default_rng(9)
+    words = [f"t{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(words, size=20)) for _ in range(40)]
+    fam = {40: 0, 41: 0, 42: 7, 43: 7, 44: 13, 45: 13, 46: 13}
+    for did, src in fam.items():
+        texts.append(texts[src] + " extraword")
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                         "text": texts})
+    ds = rd.from_pandas(docs).repartition(4)
+    pairs = dd.ngram_jaccard_pairs(ds, k=5, threshold=0.5)
+    out = (dd.leakage_safe_split(ds, pairs)
+           .to_pandas().set_index("doc_id")["split"])
+
+    assert len(out) == len(texts) and set(out.unique()) <= {
+        "train", "val", "test"}
+    for did, src in fam.items():
+        assert out[did] == out[src], (did, src)
+    # and the pair set itself never crosses splits
+    for _, r in pairs.to_pandas().iterrows():
+        assert out[r["id_a"]] == out[r["id_b"]]
