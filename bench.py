@@ -100,6 +100,16 @@ BENCH_QUERIES = [
     "naive_bayes",
     "wow_revenue",
     "surprisal",
+    # round-5 additions: LM scoring, retrieval, classified-eval, Q5-shaped
+    # join, LSH ANN, leakage-safe splits, deterministic global ordering
+    "bigram_lm",
+    "regional_revenue",
+    "auc",
+    "ewma",
+    "boolean_search",
+    "ann_lsh_recall",
+    "split_leakage_safe",
+    "order_index",
 ]
 
 
