@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "ann_lsh_recall",
     "split_leakage_safe",
     "order_index",
+    "shuffle_shards",
 ]
 
 

@@ -94,6 +94,11 @@ def main(argv=None) -> int:
                     help="merges parquet (see train-bpe): token "
                          "accounting and --pack-capacity then mean "
                          "real BPE tokenizer tokens")
+    ex.add_argument("--shuffle-shards", type=int, default=None,
+                    help="write data/ under shard=0..N-1 hive dirs: "
+                         "deterministic balanced global-hash-order "
+                         "shards — a reproducible pre-shuffled layout "
+                         "(same doc, same shard, any parallelism)")
     ex.add_argument("--num-cpus", type=int, default=None)
 
     tb = sub.add_parser(
@@ -187,6 +192,7 @@ def main(argv=None) -> int:
             langs=args.langs, resume=not args.no_resume,
             packed=args.packed, pack_capacity=args.pack_capacity,
             bpe_merges=args.bpe_merges,
+            shuffle_shards=args.shuffle_shards,
             **kw2,
         )
         print(json.dumps(manifest))

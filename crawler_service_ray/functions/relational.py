@@ -3506,3 +3506,77 @@ def global_order_index(
 
     return grouped_apply(with_keys, ["__bin"], rank_bin,
                          num_partitions=num_partitions)
+
+
+def _order_bins(ids: np.ndarray, coarse_bits: int) -> np.ndarray:
+    """Coarse hash bin per id under the engine's order hash: integer
+    ids take the Knuth multiplicative hash (SQL-replayable), string ids
+    (crawl URLs) the same 64-bit content hash the split assignment
+    uses. Top ``coarse_bits`` of the 32-bit value."""
+    two32 = np.uint64(4294967296)
+    if ids.dtype.kind in "iu":
+        h = (ids.astype(np.uint64) % two32) * np.uint64(2654435761) % two32
+    else:
+        h = pd.util.hash_array(ids.astype(object)).astype(np.uint64) % two32
+    return (h >> np.uint64(32 - coarse_bits)).astype(np.int64)
+
+
+def balanced_hash_shards(
+    ds: rd.Dataset,
+    id_col: str,
+    num_shards: int,
+    out_name: str = "shard",
+    coarse_bits: int = 12,
+) -> rd.Dataset:
+    """Deterministic BALANCED shard assignment from the global hash
+    order — the partitioner for a reproducible training-data shuffle
+    and the shard key a resumable export writes. Conceptually rows
+    order by (hash(id), id) exactly as in :func:`global_order_index`;
+    shard k receives one contiguous range of that order, sized to
+    ~n/num_shards. Unlike the order index there is NO data exchange:
+
+    1. one partial-count pass bins rows by the top ``coarse_bits`` of
+       the hash — a model-constant 2^bits count table, prefix-summed on
+       the driver like a sketch;
+    2. the bin→shard map (``shard(bin) = cum_before(bin)·S // n``)
+       ships by value and a second streaming pass appends the column.
+
+    Same id ⇒ same shard at any parallelism and on any rerun (a resumed
+    export can skip finished ``shard=`` dirs and every surviving row
+    still lands where the first run put it), and shard sizes deviate
+    from n/S by at most one bin's population. Arrow end-to-end so
+    nested columns (the export's interleaved ``segments``) ride
+    untouched. A naive ``random_shuffle`` + ``repartition`` gives
+    neither the determinism nor the skip-finished contract."""
+    two_bins = 1 << coarse_bits
+
+    def bin_counts(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        bins = _order_bins(ids, coarse_bits)
+        c = np.bincount(bins, minlength=two_bins)
+        nz = np.flatnonzero(c)
+        return pa.table({"__bin": nz.astype("int64"),
+                         "__n": c[nz].astype("int64")})
+
+    counts = grouped_agg(
+        ds.map_batches(bin_counts, batch_format="pyarrow"),
+        ["__bin"], {"n": ("__n", "sum")},
+    ).to_pandas()
+    full = np.zeros(two_bins, dtype=np.int64)
+    full[counts["__bin"].to_numpy()] = counts["n"].to_numpy()
+    total = int(full.sum())
+    if total == 0:
+        lut = np.zeros(two_bins, dtype=np.int64)
+    else:
+        before = np.concatenate([[0], np.cumsum(full)[:-1]])
+        lut = before * np.int64(num_shards) // np.int64(total)
+    lref = [ray.put(lut)]
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        bins = _order_bins(ids, coarse_bits)
+        lut_ = resolve_broadcast(lref[0])
+        return t.append_column(
+            out_name, pa.array(lut_[bins], type=pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

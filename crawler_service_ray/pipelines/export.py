@@ -218,6 +218,7 @@ def _dedup_split_write(
     manifest_path: str,
     multimodal: bool = False,
     bpe: bool = False,
+    shuffle_shards: int | None = None,
 ) -> dict:
     """Shared tail: exact dedup (columns ride as passengers) → split →
     partitioned write (+ optional packed table) → manifest. ``kept`` is
@@ -227,7 +228,17 @@ def _dedup_split_write(
     ``segments`` column in ``data/``, (b) writes a ``media/`` table of
     corpus-deduped refs (media_ref, n_uses, first_doc), (c) accounts
     media in the manifest, and (d) packs INTERLEAVED sequences (media
-    refs preserved in document order) instead of text-only payloads."""
+    refs preserved in document order) instead of text-only payloads.
+
+    ``shuffle_shards=N`` prepends a ``shard=`` hive level to ``data/``:
+    each surviving doc's shard is its contiguous range of the global
+    hash order (`balanced_hash_shards` — a bin-count collect plus one
+    streaming pass, NO exchange), so the written layout IS a
+    reproducible global shuffle — the same doc lands in the same shard
+    on any rerun at any parallelism, shard sizes are balanced to within
+    one hash bin, and a consumer reading ``shard=0..N-1`` in order
+    streams the corpus in shuffled order without ``random_shuffle``'s
+    nondeterministic all-to-all."""
     if kept.count() == 0:
         # an earlier export into this out_dir may have left data/ and
         # packed/ behind; a 0-row manifest must not sit next to stale
@@ -265,7 +276,13 @@ def _dedup_split_write(
     shutil.rmtree(tmp_dir, ignore_errors=True)
     shutil.rmtree(data_dir, ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
-    final.write_parquet(tmp_dir, partition_cols=["split", "lang_pred"])
+    data_out, part_cols = final, ["split", "lang_pred"]
+    if shuffle_shards:
+        from ..functions.relational import balanced_hash_shards
+
+        data_out = balanced_hash_shards(final, "doc_id", shuffle_shards)
+        part_cols = ["shard"] + part_cols
+    data_out.write_parquet(tmp_dir, partition_cols=part_cols)
     os.replace(tmp_dir, data_dir)
 
     # a rerun with narrower flags must not leave a previous export's
@@ -439,6 +456,12 @@ def _dedup_split_write(
         "rows_written": int(sizes.sum()),
         "partitions": {f"{s}/{lg}": int(n) for (s, lg), n in sizes.items()},
     }
+    if shuffle_shards:
+        sc = (pd.Series(written.to_table(columns=["shard"])["shard"]
+                        .to_numpy(zero_copy_only=False))
+              .astype("int64").value_counts().sort_index())
+        manifest["shuffle_shards"] = shuffle_shards
+        manifest["shards"] = {str(k): int(v) for k, v in sc.items()}
     if multimodal:
         mt = pads.dataset(os.path.join(out_dir, "media")).to_table(
             columns=["media_ref", "n_uses", "content_hash"])
@@ -479,6 +502,7 @@ def export_corpus(
     pack_capacity: int = 2048,
     multimodal: bool = False,
     bpe_merges=None,
+    shuffle_shards: int | None = None,
 ) -> dict:
     """Filter → dedup → split → write hive-partitioned parquet from a
     documents shard.
@@ -568,7 +592,8 @@ def export_corpus(
         base["bpe_merges"] = os.path.abspath(bpe_merges)
     return _dedup_split_write(kept, out_dir, base, packed, pack_capacity,
                               manifest_path, multimodal=multimodal,
-                              bpe=mlist is not None)
+                              bpe=mlist is not None,
+                              shuffle_shards=shuffle_shards)
 
 
 def export_run(
@@ -583,6 +608,7 @@ def export_run(
     bpe_merges=None,
     lsh_index: str | None = None,
     lsh_threshold: float = 0.7,
+    shuffle_shards: int | None = None,
 ) -> dict:
     """Crawl → curate → training data: export a finished crawl run.
 
@@ -706,7 +732,8 @@ def export_run(
     manifest = _dedup_split_write(kept, out_dir, base, packed,
                                   pack_capacity, manifest_path,
                                   multimodal=multimodal,
-                                  bpe=mlist is not None)
+                                  bpe=mlist is not None,
+                                  shuffle_shards=shuffle_shards)
     if lsh_index and manifest.get("rows_written", 0) > 0:
         manifest = _update_lsh_index(out_dir, lsh_index, manifest,
                                      manifest_path,

@@ -5734,6 +5734,38 @@ FROM documents
 """
 
 
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic balanced shard assignment from the global hash
+    order (`balanced_hash_shards`) — the reproducible-shuffle
+    partitioner the export's `--shuffle-shards` writes. NO exchange:
+    one model-constant bin-count pass (2^12 rows collect, prefix-summed
+    like a sketch) + one streaming pass through a by-value bin→shard
+    map. The oracle replays the identical coarse bins, cumulative
+    counts and floor arithmetic in SQL, so the hash match certifies
+    both the hash and the balance rule end-to-end."""
+    from ..functions.relational import balanced_hash_shards
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return balanced_hash_shards(docs, id_col="doc_id", num_shards=8)
+
+
+SQL_SHUFFLE_SHARDS = """
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id::HUGEINT % 4294967296) * 2654435761) % 4294967296 AS hv
+  FROM documents),
+b AS (SELECT doc_id, hv // 1048576 AS bin FROM h),
+c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+o AS (SELECT bin,
+             coalesce(sum(n) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+             sum(n) OVER () AS tot
+      FROM c)
+SELECT b.doc_id, CAST((o.bef * 8) // o.tot AS BIGINT) AS shard
+FROM b JOIN o USING (bin)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -5887,6 +5919,7 @@ QUERIES = {
     "ann_lsh_recall": q_ann_lsh_recall,
     "split_leakage_safe": q_split_leakage_safe,
     "order_index": q_order_index,
+    "shuffle_shards": q_shuffle_shards,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -6041,4 +6074,5 @@ ORACLE_SQL = {
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,
     "order_index": SQL_ORDER_INDEX,
+    "shuffle_shards": SQL_SHUFFLE_SHARDS,
 }

@@ -456,3 +456,37 @@ def test_export_lsh_lifecycle_chains_two_crawls(ray_session, tiny_corpus,
     assert m_b2["lsh"]["near_dup_pairs"] == lsh["near_dup_pairs"]
     assert n_band_rows() == n_rows
     assert len(glob.glob(os.path.join(idx, "docs", "*.parquet"))) == 2
+
+
+def test_export_shuffle_shards_layout(ray_session, tmp_path):
+    """--shuffle-shards writes shard=K hive dirs whose membership is the
+    deterministic global-hash-order partition: balanced, manifest-
+    accounted, and identical on a fresh re-export (the skip-finished-
+    shards contract)."""
+    from crawler_service_ray.pipelines.export import export_corpus
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "shuf")
+    m = export_corpus(sf, out, min_quality=0.5, shuffle_shards=4)
+    assert m["shuffle_shards"] == 4
+    assert sum(m["shards"].values()) == m["rows_written"]
+
+    data = pads.dataset(os.path.join(out, "data"), partitioning="hive")
+    df = data.to_table().to_pandas()
+    df["shard"] = df["shard"].astype("int64")
+    got = df.groupby("shard").size()
+    assert {str(k): int(n) for k, n in got.items()} == m["shards"]
+    # reruns reproduce the exact membership (fresh out dir, no resume
+    # short-circuit)
+    out2 = str(tmp_path / "shuf2")
+    m2 = export_corpus(sf, out2, min_quality=0.5, shuffle_shards=4,
+                       resume=False)
+    df2 = (pads.dataset(os.path.join(out2, "data"), partitioning="hive")
+           .to_table().to_pandas())
+    df2["shard"] = df2["shard"].astype("int64")
+    a = df.sort_values("doc_id")[["doc_id", "shard"]].reset_index(drop=True)
+    b = df2.sort_values("doc_id")[["doc_id", "shard"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert m2["shards"] == m["shards"]
+    # the plain columns (split/lang/quality) still ride along intact
+    assert set(df["split"]) <= {"train", "val", "test"}

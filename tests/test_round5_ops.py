@@ -192,3 +192,41 @@ def test_leakage_safe_split_co_travels_near_dups(ray_session):
     # and the pair set itself never crosses splits
     for _, r in pairs.to_pandas().iterrows():
         assert out[r["id_a"]] == out[r["id_b"]]
+
+
+def test_balanced_hash_shards_deterministic_and_balanced(ray_session):
+    from crawler_service_ray.functions.relational import (
+        balanced_hash_shards,
+    )
+
+    ids = np.arange(10_000, dtype="int64")
+    df = pd.DataFrame({"doc_id": ids, "v": ids * 2})
+    a = (balanced_hash_shards(rd.from_pandas(df).repartition(1),
+                              "doc_id", 8)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (balanced_hash_shards(rd.from_pandas(df).repartition(13),
+                              "doc_id", 8)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # same id -> same shard at ANY parallelism (the resume contract)
+    pd.testing.assert_frame_equal(a, b)
+    sizes = a["shard"].value_counts()
+    assert set(a["shard"].unique()) == set(range(8))
+    # balance: within one coarse bin (2^12 bins) of the ideal n/S
+    max_bin = 10_000 / (1 << 12) + 1
+    ideal = 10_000 / 8
+    assert (sizes - ideal).abs().max() <= max_bin + 1
+    # passengers untouched
+    assert (a["v"] == a["doc_id"] * 2).all()
+
+    # string ids (crawl URLs) take the 64-bit content-hash path with
+    # the same determinism contract
+    sdf = pd.DataFrame(
+        {"doc_id": [f"https://h{i % 7}.test/p/{i}" for i in range(3000)]})
+    sa = (balanced_hash_shards(rd.from_pandas(sdf).repartition(2),
+                               "doc_id", 4)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    sb = (balanced_hash_shards(rd.from_pandas(sdf).repartition(9),
+                               "doc_id", 4)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(sa, sb)
+    assert set(sa["shard"].unique()) == set(range(4))
