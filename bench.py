@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "split_leakage_safe",
     "order_index",
     "shuffle_shards",
+    "pareto_frontier",
+    "frequent_pairs",
+    "mutual_info",
 ]
 
 

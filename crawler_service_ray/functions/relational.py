@@ -3580,3 +3580,152 @@ def balanced_hash_shards(
             out_name, pa.array(lut_[bins], type=pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _pareto_reduce(df: pd.DataFrame, c0: str, c1: str) -> pd.DataFrame:
+    """Exact 2-D Pareto frontier (minimize both) of ONE DataFrame —
+    vectorized: sort by (c0, c1); a row survives iff it attains the min
+    c1 at its c0 value AND every strictly smaller c0 has strictly
+    larger min-c1 (prefix-min over distinct c0). Duplicate (c0, c1)
+    frontier points all survive (mutually non-dominating)."""
+    if df.empty:
+        return df
+    d = df.sort_values([c0, c1], kind="mergesort")
+    v0 = d[c0].to_numpy()
+    v1 = d[c1].to_numpy()
+    new_run = np.r_[False, v0[1:] != v0[:-1]]
+    run_id = np.cumsum(new_run)
+    starts = np.flatnonzero(np.r_[True, new_run[1:]])
+    min_at = v1[starts]
+    prefix = np.r_[np.inf, np.minimum.accumulate(min_at)[:-1]]
+    keep = (v1 == min_at[run_id]) & (v1 < prefix[run_id])
+    return d.loc[keep]
+
+
+def pareto_frontier(
+    ds: rd.Dataset,
+    c0: str,
+    c1: str,
+    num_bins: int = 1024,
+) -> rd.Dataset:
+    """Distributed 2-D Pareto frontier (minimize ``c0`` and ``c1``) —
+    the skyline operator. Three stages, NO row-scale shuffle:
+
+    1. per-block local frontier (dominated rows never leave their
+       block) — materialized once, so the survivors feed both later
+       stages;
+    2. a model-constant bin prune: per-block partial min(c1) over
+       ``num_bins`` linear bins of c0 (range from two aggregates on the
+       already-tiny survivors), driver prefix-min, broadcast-by-value
+       filter removing every row dominated from a strictly lower bin.
+       The prefix staircase computed on local frontiers EQUALS the one
+       on raw data (the global min-c1 row of any c0 range is on its
+       block's frontier), so the prune is exact;
+    3. the frontier-sized remainder reduces exactly on the driver.
+
+    Columns must be non-null numerics. Returns the frontier rows with
+    their original columns."""
+    loc = ds.map_batches(
+        partial(_pareto_reduce, c0=c0, c1=c1), batch_format="pandas",
+    ).materialize()
+    lo, hi = loc.min(c0), loc.max(c0)
+    if lo is not None and hi > lo:
+        width = (float(hi) - float(lo)) / num_bins
+
+        def bin_of(arr: np.ndarray) -> np.ndarray:
+            return np.minimum(
+                ((arr.astype("float64") - float(lo)) / width)
+                .astype(np.int64),
+                num_bins - 1)
+
+        def bin_mins(d: pd.DataFrame) -> pd.DataFrame:
+            b = bin_of(d[c0].to_numpy())
+            return (pd.DataFrame({"__bin": b, "__m": d[c1].to_numpy()})
+                    .groupby("__bin", as_index=False)["__m"].min())
+
+        mins = grouped_agg(
+            loc.map_batches(bin_mins, batch_format="pandas"),
+            ["__bin"], {"m": ("__m", "min")},
+        ).to_pandas()
+        full = np.full(num_bins, np.inf)
+        full[mins["__bin"].to_numpy()] = mins["m"].to_numpy()
+        prefix = np.r_[np.inf, np.minimum.accumulate(full)[:-1]]
+
+        def prune(d: pd.DataFrame) -> pd.DataFrame:
+            b = bin_of(d[c0].to_numpy())
+            return d.loc[d[c1].to_numpy() < prefix[b]]
+
+        loc = loc.map_batches(prune, batch_format="pandas")
+    final = _pareto_reduce(loc.to_pandas(), c0, c1)
+    return rd.from_pandas(final.reset_index(drop=True))
+
+
+def frequent_pairs(
+    ds: rd.Dataset,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Market-basket frequent item PAIRS with exact support — the
+    a-priori first rung (co-occurrence mining). One basket-hash
+    exchange co-locates each basket; a partition dedups
+    (basket, item), emits its per-basket canonical pairs (item_a <
+    item_b) with the run-arithmetic kernel (no Python loop over
+    baskets) and PRE-AGGREGATES pair counts before anything else
+    moves; a grouped sum (auto-switching merge) finishes, filtered to
+    ``support >= min_support``. Per-basket fanout is s·(s−1)/2 — cap
+    basket size upstream when it is unbounded."""
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([basket_col, item_col])
+        p = g.sort_values([basket_col, item_col], kind="mergesort")
+        key = p[basket_col].to_numpy()
+        val = p[item_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        lens = np.diff(np.r_[starts, len(key)])
+        pos = np.arange(len(key)) - np.repeat(starts, lens)
+        j = np.repeat(np.arange(len(key)), pos)
+        seg_starts = np.cumsum(pos) - pos
+        off = np.arange(pos.sum(), dtype=np.int64) \
+            - np.repeat(seg_starts, pos)
+        i = j - pos[j] + off
+        return (pd.DataFrame({"item_a": val[i], "item_b": val[j]})
+                .groupby(["item_a", "item_b"]).size()
+                .reset_index(name="__n"))
+
+    partials = grouped_apply(ds, [basket_col], per_part,
+                             num_partitions=num_partitions)
+    agg = grouped_agg(partials, ["item_a", "item_b"],
+                      {"support": ("__n", "sum")})
+    return agg.map_batches(
+        lambda d: d[d["support"] >= min_support], batch_format="pandas")
+
+
+def mutual_info(
+    ds: rd.Dataset,
+    col_a: str,
+    col_b: str,
+) -> pd.DataFrame:
+    """Mutual information (bits) between two categorical columns — the
+    feature-selection / drift score. One pass of per-block contingency
+    partials (≤ |A|·|B| rows per block, model-constant like a sketch),
+    a grouped sum, and the driver folds the tiny joint table to
+    I(A;B) = Σ p_ab · log2(p_ab / (p_a·p_b)) in sorted (a, b) term
+    order (deterministic float accumulation). Returns one row
+    (mi_bits, n). Assumes |A|·|B| is model-scale (categories, not
+    ids)."""
+    def partial_counts(d: pd.DataFrame) -> pd.DataFrame:
+        return (d.groupby([col_a, col_b]).size()
+                .reset_index(name="__n"))
+
+    joint = grouped_agg(
+        ds.map_batches(partial_counts, batch_format="pandas"),
+        [col_a, col_b], {"n": ("__n", "sum")},
+    ).to_pandas().sort_values([col_a, col_b])
+    n = float(joint["n"].sum())
+    na = joint.groupby(col_a)["n"].transform("sum").to_numpy()
+    nb = joint.groupby(col_b)["n"].transform("sum").to_numpy()
+    nj = joint["n"].to_numpy().astype("float64")
+    mi = float(np.sum((nj / n) * np.log2(nj * n / (na * nb))))
+    return pd.DataFrame({"mi_bits": [round(mi, 6)],
+                         "n": [np.int64(n)]})

@@ -5766,6 +5766,87 @@ FROM b JOIN o USING (bin)
 """
 
 
+def q_pareto_frontier(sf_dir: str):
+    """Skyline of the part catalog — cheapest-for-its-size parts:
+    minimize (p_retailprice, p_size) jointly (`pareto_frontier`).
+    Dominated rows never leave their block (local frontier), a
+    model-constant bin prefix-min staircase removes cross-block
+    dominated rows by broadcast filter, and only the frontier-sized
+    remainder reaches the exact driver reduce. Oracle: the literal
+    NOT EXISTS dominance predicate."""
+    from ..functions.relational import pareto_frontier
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_retailprice", "p_size"])
+    return pareto_frontier(part, "p_retailprice", "p_size")
+
+
+SQL_PARETO_FRONTIER = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+"""
+
+
+def q_frequent_pairs(sf_dir: str):
+    """Frequent co-purchased part PAIRS with exact support ≥ 3 — the
+    market-basket first rung (`frequent_pairs`): ONE order-hash
+    exchange, per-partition (order, part) dedup + run-arithmetic pair
+    emission + pre-aggregation, grouped sum with the auto-switching
+    merge. Oracle: the canonical distinct self-join with HAVING."""
+    from ..functions.relational import frequent_pairs
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_orderkey", "l_partkey"])
+    return frequent_pairs(li, "l_orderkey", "l_partkey", min_support=3)
+
+
+SQL_FREQUENT_PAIRS = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS item_a, c.l_partkey AS item_b,
+       count(*)::BIGINT AS support
+FROM b a JOIN b c
+  ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+def q_mutual_info(sf_dir: str):
+    """Mutual information (bits) between the event type and a derived
+    user cohort (user_id mod 10) — the categorical dependence /
+    feature-selection score (`mutual_info`): contingency partials are
+    model-constant per block (≤ |A|·|B| rows), one grouped sum, driver
+    fold in sorted term order. The SQL oracle recomputes the identical
+    plug-in estimator with log2 over the same integer counts."""
+    from ..functions.relational import mutual_info
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    ev = ev.map_batches(
+        lambda d: pd.DataFrame({
+            "event_type": d["event_type"],
+            "cohort": (d["user_id"].to_numpy() % 10).astype("int64")}),
+        batch_format="pandas")
+    return mutual_info(ev, "event_type", "cohort")
+
+
+SQL_MUTUAL_INFO = """
+WITH j AS (
+  SELECT event_type AS a, user_id % 10 AS b, count(*) AS n
+  FROM events GROUP BY 1, 2),
+t AS (SELECT sum(n)::DOUBLE AS tot FROM j),
+ma AS (SELECT a, sum(n)::DOUBLE AS na FROM j GROUP BY a),
+mb AS (SELECT b, sum(n)::DOUBLE AS nb FROM j GROUP BY b)
+SELECT round(sum((j.n / t.tot) *
+              log2((j.n * t.tot) / (ma.na * mb.nb))), 6) AS mi_bits,
+       CAST(max(t.tot) AS BIGINT) AS n
+FROM j JOIN ma ON j.a = ma.a JOIN mb ON j.b = mb.b CROSS JOIN t
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -5920,6 +6001,9 @@ QUERIES = {
     "split_leakage_safe": q_split_leakage_safe,
     "order_index": q_order_index,
     "shuffle_shards": q_shuffle_shards,
+    "pareto_frontier": q_pareto_frontier,
+    "frequent_pairs": q_frequent_pairs,
+    "mutual_info": q_mutual_info,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -6075,4 +6159,7 @@ ORACLE_SQL = {
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,
     "order_index": SQL_ORDER_INDEX,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
+    "pareto_frontier": SQL_PARETO_FRONTIER,
+    "frequent_pairs": SQL_FREQUENT_PAIRS,
+    "mutual_info": SQL_MUTUAL_INFO,
 }

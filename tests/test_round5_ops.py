@@ -230,3 +230,70 @@ def test_balanced_hash_shards_deterministic_and_balanced(ray_session):
           .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(sa, sb)
     assert set(sa["shard"].unique()) == set(range(4))
+
+
+def test_pareto_frontier_matches_brute_force(ray_session):
+    rng = np.random.default_rng(21)
+    n = 5000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype="int64"),
+        "price": rng.uniform(0, 100, n).round(2),
+        "size": rng.integers(1, 50, n).astype("int64"),
+    })
+    # plant exact ties on the frontier: duplicated (price, size) points
+    # are mutually non-dominating and must BOTH survive
+    df.loc[0, ["price", "size"]] = (0.01, 49)
+    df.loc[1, ["price", "size"]] = (0.01, 49)
+    got = (rel.pareto_frontier(
+        rd.from_pandas(df).repartition(7), "price", "size")
+        .to_pandas().sort_values("id").reset_index(drop=True))
+    p, s = df["price"].to_numpy(), df["size"].to_numpy()
+    dominated = np.zeros(n, dtype=bool)
+    for i in range(n):
+        dominated[i] = bool(np.any(
+            (p <= p[i]) & (s <= s[i]) & ((p < p[i]) | (s < s[i]))))
+    want = df.loc[~dominated].sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["id", "price", "size"]], want[["id", "price", "size"]])
+    assert {0, 1} <= set(got["id"])
+
+
+def test_frequent_pairs_dedups_within_basket(ray_session):
+    # basket 1: items (1,2,2,3) -> pairs (1,2),(1,3),(2,3) ONCE each
+    # (the duplicate 2 must not inflate support); pair (1,2) recurs in
+    # baskets 2 and 3 -> support 3
+    df = pd.DataFrame({
+        "b": [1, 1, 1, 1, 2, 2, 3, 3, 4],
+        "i": [1, 2, 2, 3, 1, 2, 2, 1, 9],
+    })
+    got = (rel.frequent_pairs(
+        rd.from_pandas(df).repartition(3), "b", "i", min_support=2)
+        .to_pandas().sort_values(["item_a", "item_b"])
+        .reset_index(drop=True))
+    want = pd.DataFrame({"item_a": [1], "item_b": [2],
+                         "support": [3]})
+    pd.testing.assert_frame_equal(
+        got.astype({"support": "int64"}), want.astype({"support": "int64"}))
+    # support >= 1 recovers every within-basket pair exactly once
+    all_pairs = (rel.frequent_pairs(
+        rd.from_pandas(df).repartition(3), "b", "i", min_support=1)
+        .to_pandas())
+    assert len(all_pairs) == 3 and int(all_pairs["support"].sum()) == 5
+
+
+def test_mutual_info_independence_and_identity(ray_session):
+    rng = np.random.default_rng(3)
+    n = 20_000
+    a = rng.integers(0, 4, n)
+    # independent column: MI ~ 0 (within plug-in estimator bias)
+    b_ind = rng.integers(0, 5, n)
+    df = pd.DataFrame({"a": a.astype("int64"), "b": b_ind.astype("int64")})
+    mi0 = rel.mutual_info(rd.from_pandas(df).repartition(5), "a", "b")
+    assert float(mi0["mi_bits"][0]) < 0.01
+    # deterministic function of a: MI == H(a)
+    df2 = pd.DataFrame({"a": a.astype("int64"),
+                        "b": (a * 7).astype("int64")})
+    mi1 = rel.mutual_info(rd.from_pandas(df2).repartition(5), "a", "b")
+    pa_ = np.bincount(a) / n
+    h = float(-(pa_[pa_ > 0] * np.log2(pa_[pa_ > 0])).sum())
+    assert abs(float(mi1["mi_bits"][0]) - h) < 1e-5
