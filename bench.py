@@ -114,6 +114,9 @@ BENCH_QUERIES = [
     "pareto_frontier",
     "frequent_pairs",
     "mutual_info",
+    "chi2_independence",
+    "validate",
+    "twap",
 ]
 
 

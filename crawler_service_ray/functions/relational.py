@@ -3729,3 +3729,102 @@ def mutual_info(
     mi = float(np.sum((nj / n) * np.log2(nj * n / (na * nb))))
     return pd.DataFrame({"mi_bits": [round(mi, 6)],
                          "n": [np.int64(n)]})
+
+
+def chi2_test(
+    ds: rd.Dataset,
+    col_a: str,
+    col_b: str,
+) -> pd.DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the drift / dependence gate that pairs with
+    :func:`mutual_info` (same model-constant contingency exchange).
+    Absent (a, b) cells contribute their expectation exactly:
+    χ² = Σ_observed (n−e)²/e + (N − Σ_observed e), since a zero-observed
+    cell's term collapses to e. Returns one row (chi2, dof, n)."""
+    def partial_counts(d: pd.DataFrame) -> pd.DataFrame:
+        return (d.groupby([col_a, col_b]).size()
+                .reset_index(name="__n"))
+
+    joint = grouped_agg(
+        ds.map_batches(partial_counts, batch_format="pandas"),
+        [col_a, col_b], {"n": ("__n", "sum")},
+    ).to_pandas().sort_values([col_a, col_b])
+    n = float(joint["n"].sum())
+    na = joint.groupby(col_a)["n"].transform("sum").to_numpy(
+        dtype="float64")
+    nb = joint.groupby(col_b)["n"].transform("sum").to_numpy(
+        dtype="float64")
+    nj = joint["n"].to_numpy(dtype="float64")
+    ex = na * nb / n
+    chi2 = float(((nj - ex) ** 2 / ex).sum() + (n - ex.sum()))
+    dof = (joint[col_a].nunique() - 1) * (joint[col_b].nunique() - 1)
+    return pd.DataFrame({"chi2": [round(chi2, 6)],
+                         "dof": [np.int64(dof)],
+                         "n": [np.int64(n)]})
+
+
+def validate_rules(
+    ds: rd.Dataset,
+    rules: Mapping[str, "callable"],
+) -> rd.Dataset:
+    """Deequ / Great-Expectations-style data validation at pipeline
+    scale: ``rules`` maps rule name → vectorized predicate over a
+    pandas batch returning a boolean VIOLATION mask. One streaming pass
+    emits |rules| partial rows per block (model-constant, like a
+    sketch); a grouped sum folds them. Output one row per rule:
+    (rule, violations, n_rows) — n_rows is the full scan count so a
+    downstream gate can threshold on violation RATES without a second
+    pass."""
+    names = sorted(rules)
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "rule": names,
+            "__v": [np.int64(np.asarray(rules[nm](df)).sum())
+                    for nm in names],
+            "__n": np.int64(len(df)),
+        })
+
+    partials = ds.map_batches(per_block, batch_format="pandas")
+    return grouped_agg(partials, ["rule"],
+                       {"violations": ("__v", "sum"),
+                        "n_rows": ("__n", "sum")})
+
+
+def time_weighted_avg(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak_col: str,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-key time-weighted (step-function) average — the TWAP /
+    sensor-mean semantics: each observation holds until the key's next
+    event, so its weight is that gap in microseconds; the key's last
+    event closes the window with zero weight. ONE key-hash exchange;
+    in-partition mergesort + shift, no per-key loop. ``tiebreak_col``
+    pins which of two same-timestamp rows carries the gap (the SQL twin
+    orders its lead() identically). Keys whose total weight is zero
+    (single event, or all events simultaneous) emit no row. 6-dp
+    rounding before the result leaves the partition."""
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, tiebreak_col], kind="mergesort")
+        k = g[key].to_numpy()
+        t = (g[ts_col].to_numpy().astype("datetime64[us]")
+             .astype("int64"))
+        v = g[val_col].to_numpy(dtype="float64")
+        nxt_same = np.r_[k[1:] == k[:-1], False]
+        gap = np.where(nxt_same, np.r_[t[1:] - t[:-1], 0], 0) \
+            .astype("float64")
+        agg = (pd.DataFrame({key: k, "__num": v * gap, "__den": gap})
+               .groupby(key, as_index=False).sum())
+        agg = agg[agg["__den"] > 0]
+        return pd.DataFrame({
+            key: agg[key],
+            "twap": (agg["__num"] / agg["__den"]).round(6),
+        })
+
+    return grouped_apply(ds, [key], per_part,
+                         num_partitions=num_partitions)

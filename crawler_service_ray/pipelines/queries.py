@@ -5847,6 +5847,110 @@ FROM j JOIN ma ON j.a = ma.a JOIN mb ON j.b = mb.b CROSS JOIN t
 """
 
 
+def q_chi2_independence(sf_dir: str):
+    """Pearson chi-square independence test between event type and the
+    derived user cohort (`chi2_test` — same model-constant contingency
+    exchange as `mutual_info`; absent cells contribute their exact
+    expectation via the Σe identity). Oracle replays the identical
+    estimator, including the absent-cell correction N − Σ_observed e."""
+    from ..functions.relational import chi2_test
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    ev = ev.map_batches(
+        lambda d: pd.DataFrame({
+            "event_type": d["event_type"],
+            "cohort": (d["user_id"].to_numpy() % 10).astype("int64")}),
+        batch_format="pandas")
+    return chi2_test(ev, "event_type", "cohort")
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH j AS (
+  SELECT event_type AS a, user_id % 10 AS b, count(*)::DOUBLE AS n
+  FROM events GROUP BY 1, 2),
+t AS (SELECT sum(n) AS tot FROM j),
+ma AS (SELECT a, sum(n) AS na FROM j GROUP BY a),
+mb AS (SELECT b, sum(n) AS nb FROM j GROUP BY b),
+e AS (SELECT j.n, ma.na * mb.nb / t.tot AS ex
+      FROM j JOIN ma ON j.a = ma.a JOIN mb ON j.b = mb.b CROSS JOIN t)
+SELECT round(sum((n - ex) * (n - ex) / ex)
+             + max(t.tot) - sum(ex), 6) AS chi2,
+       CAST((SELECT (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1)
+             FROM j) AS BIGINT) AS dof,
+       CAST(max(t.tot) AS BIGINT) AS n
+FROM e CROSS JOIN t
+"""
+
+
+def q_validate(sf_dir: str):
+    """Deequ-style data-quality audit of lineitem (`validate_rules`):
+    four vectorized rule predicates scan once, |rules| partial counts
+    per block (model-constant), grouped sum → (rule, violations,
+    n_rows). Mixed outcome by design — some business rules flag real
+    rows, the null check is clean — so the gate checks both regimes.
+    Oracle: one FILTERed count per rule, UNION ALL."""
+    from ..functions.relational import validate_rules
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_quantity", "l_discount",
+                             "l_extendedprice", "l_shipdate"])
+    rules = {
+        "discount_gt_8pct": lambda d: d["l_discount"].to_numpy() > 0.08,
+        "price_below_1000":
+            lambda d: d["l_extendedprice"].to_numpy() < 1000.0,
+        "quantity_gt_45": lambda d: d["l_quantity"].to_numpy() > 45.0,
+        "shipdate_null": lambda d: d["l_shipdate"].isna().to_numpy(),
+    }
+    return validate_rules(li, rules)
+
+
+SQL_VALIDATE = """
+SELECT 'discount_gt_8pct' AS rule,
+       count(*) FILTER (WHERE l_discount > 0.08)::BIGINT AS violations,
+       count(*)::BIGINT AS n_rows FROM lineitem
+UNION ALL
+SELECT 'price_below_1000',
+       count(*) FILTER (WHERE l_extendedprice < 1000.0)::BIGINT,
+       count(*)::BIGINT FROM lineitem
+UNION ALL
+SELECT 'quantity_gt_45',
+       count(*) FILTER (WHERE l_quantity > 45.0)::BIGINT,
+       count(*)::BIGINT FROM lineitem
+UNION ALL
+SELECT 'shipdate_null',
+       count(*) FILTER (WHERE l_shipdate IS NULL)::BIGINT,
+       count(*)::BIGINT FROM lineitem
+"""
+
+
+def q_twap(sf_dir: str):
+    """Per-user time-weighted average event value — TWAP / step-function
+    sensor-mean semantics (`time_weighted_avg`): each value holds until
+    the user's next event (µs gap weight), last event weightless, ONE
+    user-hash exchange with in-partition mergesort + shift. The oracle's
+    lead() window orders by the identical (ts, event_id) tiebreak."""
+    from ..functions.relational import time_weighted_avg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "value", "event_id"])
+    return time_weighted_avg(ev, "user_id", "ts", "value", "event_id")
+
+
+SQL_TWAP = """
+WITH w AS (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+         - epoch_us(ts) AS gap
+  FROM events)
+SELECT user_id, round(sum(value * gap) / sum(gap), 6) AS twap
+FROM w
+WHERE gap IS NOT NULL
+GROUP BY user_id
+HAVING sum(gap) > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -6004,6 +6108,9 @@ QUERIES = {
     "pareto_frontier": q_pareto_frontier,
     "frequent_pairs": q_frequent_pairs,
     "mutual_info": q_mutual_info,
+    "chi2_independence": q_chi2_independence,
+    "validate": q_validate,
+    "twap": q_twap,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -6162,4 +6269,7 @@ ORACLE_SQL = {
     "pareto_frontier": SQL_PARETO_FRONTIER,
     "frequent_pairs": SQL_FREQUENT_PAIRS,
     "mutual_info": SQL_MUTUAL_INFO,
+    "chi2_independence": SQL_CHI2_INDEPENDENCE,
+    "validate": SQL_VALIDATE,
+    "twap": SQL_TWAP,
 }

@@ -297,3 +297,58 @@ def test_mutual_info_independence_and_identity(ray_session):
     pa_ = np.bincount(a) / n
     h = float(-(pa_[pa_ > 0] * np.log2(pa_[pa_ > 0])).sum())
     assert abs(float(mi1["mi_bits"][0]) - h) < 1e-5
+
+
+def test_chi2_matches_dense_reference(ray_session):
+    rng = np.random.default_rng(11)
+    n = 8000
+    a = rng.integers(0, 3, n)
+    b = np.where(rng.random(n) < 0.3, a % 2, rng.integers(0, 4, n))
+    df = pd.DataFrame({"a": a.astype("int64"), "b": b.astype("int64")})
+    got = rel.chi2_test(rd.from_pandas(df).repartition(6), "a", "b")
+    # dense reference over ALL cells (incl. observed-zero ones)
+    obs = np.zeros((3, 4))
+    for ai, bi in zip(a, b):
+        obs[ai, bi] += 1
+    ex = obs.sum(1)[:, None] * obs.sum(0)[None, :] / n
+    want = float(((obs - ex) ** 2 / ex).sum())
+    assert abs(float(got["chi2"][0]) - want) < 1e-5
+    assert int(got["dof"][0]) == (3 - 1) * (4 - 1)
+    assert int(got["n"][0]) == n
+
+
+def test_validate_rules_counts(ray_session):
+    df = pd.DataFrame({
+        "x": [1.0, 2.0, 100.0, -5.0, 3.0, np.nan],
+        "y": ["a", "b", None, "c", None, "d"],
+    })
+    rules = {
+        "x_out_of_range": lambda d: ~d["x"].between(0, 10).fillna(False)
+        .to_numpy(),
+        "y_null": lambda d: d["y"].isna().to_numpy(),
+    }
+    got = (rel.validate_rules(rd.from_pandas(df).repartition(4), rules)
+           .to_pandas().set_index("rule"))
+    assert int(got.loc["x_out_of_range", "violations"]) == 3
+    assert int(got.loc["y_null", "violations"]) == 2
+    assert (got["n_rows"] == 6).all()
+
+
+def test_twap_hand_case_and_parallelism(ray_session):
+    def us(s):
+        return np.datetime64("2024-01-01T00:00:00") + np.timedelta64(s, "s")
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 3, 3],
+        "ts": [us(0), us(10), us(40), us(5), us(0), us(0)],
+        "v": [10.0, 40.0, 99.0, 7.0, 1.0, 2.0],
+        "eid": [0, 1, 2, 3, 4, 5],
+    })
+    # k=1: 10 for 10s, 40 for 30s -> (100+1200)/40 = 32.5
+    # k=2: single event -> no row; k=3: simultaneous pair -> no row
+    for nparts in (1, 5):
+        got = (rel.time_weighted_avg(
+            rd.from_pandas(df).repartition(nparts), "k", "ts", "v", "eid")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+        assert list(got["k"]) == [1]
+        assert abs(float(got["twap"][0]) - 32.5) < 1e-9
