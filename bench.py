@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "chi2_independence",
     "validate",
     "twap",
+    "cdc_upsert",
 ]
 
 

@@ -3828,3 +3828,47 @@ def time_weighted_avg(
 
     return grouped_apply(ds, [key], per_part,
                          num_partitions=num_partitions)
+
+
+def upsert_latest(
+    base: rd.Dataset,
+    delta: rd.Dataset,
+    key_col: str,
+    ver_col: str,
+    deleted_col: str | None = None,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """CDC merge — ``MERGE INTO`` latest-wins semantics: apply a change
+    log to a base table in ONE key-hash exchange. Each key keeps the
+    row with the highest ``ver_col``; version ties break toward the
+    delta (the change log is newer by definition). With
+    ``deleted_col``, a winning delta row flagged deleted removes the
+    key entirely (tombstone). Inputs must share a schema (the base is
+    padded with ``deleted_col=False`` if absent); per-partition work is
+    one mergesort + drop_duplicates, no per-key loop — the incremental
+    table-maintenance pass a daily-snapshot pipeline runs instead of
+    recomputing the table."""
+    cols = list(base.schema().names)
+    if deleted_col and deleted_col not in cols:
+        base = base.map_batches(
+            lambda d: d.assign(**{deleted_col: False}),
+            batch_format="pandas")
+        cols = cols + [deleted_col]
+
+    def tag(pri):
+        def f(d: pd.DataFrame) -> pd.DataFrame:
+            return d[cols].assign(__pri=np.int8(pri))
+        return f
+
+    u = base.map_batches(tag(0), batch_format="pandas").union(
+        delta.map_batches(tag(1), batch_format="pandas"))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ver_col, "__pri"], kind="mergesort")
+        g = g.drop_duplicates(key_col, keep="last")
+        if deleted_col:
+            g = g[~g[deleted_col].astype(bool)]
+        return g.drop(columns="__pri")
+
+    return grouped_apply(u, [key_col], per_part,
+                         num_partitions=num_partitions)

@@ -5951,6 +5951,54 @@ HAVING sum(gap) > 0
 """
 
 
+def q_cdc_upsert(sf_dir: str):
+    """CDC merge (`upsert_latest` — MERGE INTO latest-wins with
+    tombstones): the base customer snapshot absorbs a deterministic
+    change log (every 7th key updated at version 2; of those, every
+    13th a delete tombstone). ONE key-hash exchange; per-partition
+    mergesort + drop_duplicates, version ties break toward the delta.
+    The oracle replays the identical log with a row_number window."""
+    from ..functions.relational import upsert_latest
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_acctbal"])
+    base = cust.map_batches(
+        lambda d: d.assign(ver=np.int64(1), deleted=False),
+        batch_format="pandas")
+    delta = cust.map_batches(
+        lambda d: d[d["c_custkey"] % 7 == 0].assign(
+            c_name=lambda x: "upd_" + x["c_name"],
+            c_acctbal=lambda x: x["c_acctbal"] + 100.0,
+            ver=np.int64(2),
+            deleted=lambda x: (x["c_custkey"] % 13 == 0),
+        ),
+        batch_format="pandas")
+    merged = upsert_latest(base, delta, "c_custkey", "ver",
+                           deleted_col="deleted")
+    return merged.map_batches(
+        lambda d: d[["c_custkey", "c_name", "c_acctbal", "ver"]],
+        batch_format="pandas")
+
+
+SQL_CDC_UPSERT = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_acctbal, 1 AS ver, 0 AS pri,
+         false AS deleted
+  FROM customer),
+delta AS (
+  SELECT c_custkey, 'upd_' || c_name AS c_name,
+         c_acctbal + 100.0 AS c_acctbal, 2 AS ver, 1 AS pri,
+         (c_custkey % 13 = 0) AS deleted
+  FROM customer WHERE c_custkey % 7 = 0),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY c_custkey ORDER BY ver DESC, pri DESC) AS rn
+      FROM u)
+SELECT c_custkey, c_name, c_acctbal, CAST(ver AS BIGINT) AS ver
+FROM r WHERE rn = 1 AND NOT deleted
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -6111,6 +6159,7 @@ QUERIES = {
     "chi2_independence": q_chi2_independence,
     "validate": q_validate,
     "twap": q_twap,
+    "cdc_upsert": q_cdc_upsert,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -6272,4 +6321,5 @@ ORACLE_SQL = {
     "chi2_independence": SQL_CHI2_INDEPENDENCE,
     "validate": SQL_VALIDATE,
     "twap": SQL_TWAP,
+    "cdc_upsert": SQL_CDC_UPSERT,
 }

@@ -352,3 +352,30 @@ def test_twap_hand_case_and_parallelism(ray_session):
             .to_pandas().sort_values("k").reset_index(drop=True))
         assert list(got["k"]) == [1]
         assert abs(float(got["twap"][0]) - 32.5) < 1e-9
+
+
+def test_upsert_latest_semantics(ray_session):
+    base = pd.DataFrame({
+        "k": [1, 2, 3, 4],
+        "val": ["a", "b", "c", "d"],
+        "ver": np.int64([1, 1, 5, 1]),
+    })
+    delta = pd.DataFrame({
+        "k": [2, 3, 4, 5],
+        "val": ["B", "stale", "D", "E"],
+        "ver": np.int64([2, 3, 1, 1]),
+        "deleted": [False, False, True, False],
+    })
+    for nparts in (1, 4):
+        got = (rel.upsert_latest(
+            rd.from_pandas(base).repartition(nparts),
+            rd.from_pandas(delta).repartition(nparts),
+            "k", "ver", deleted_col="deleted")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+        # k=1 untouched; k=2 updated; k=3 base wins (higher ver);
+        # k=4 delete tombstone LOSES to the base's ver=1? No: tie
+        # ver=1 breaks toward the delta -> tombstone wins, key gone;
+        # k=5 inserted
+        assert list(got["k"]) == [1, 2, 3, 5]
+        assert list(got["val"]) == ["a", "B", "c", "E"]
+        assert list(got["ver"]) == [1, 2, 5, 1]
