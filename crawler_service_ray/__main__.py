@@ -111,6 +111,16 @@ def main(argv=None) -> int:
     tb.add_argument("--num-merges", type=int, default=64)
     tb.add_argument("--num-cpus", type=int, default=None)
 
+    cp = sub.add_parser(
+        "compact",
+        help="rewrite each hive leaf's small parquet files into "
+             "~target-MB files in place (atomic per-leaf swap, layout "
+             "preserved) — the OPTIMIZE pass for accreted output",
+    )
+    cp.add_argument("--dir", required=True)
+    cp.add_argument("--target-mb", type=float, default=64.0)
+    cp.add_argument("--num-cpus", type=int, default=None)
+
     g = sub.add_parser("gen-corpus", help="synthesize a corpus")
     g.add_argument("--corpus", required=True)
     g.add_argument("--hosts", type=int, default=8)
@@ -140,6 +150,18 @@ def main(argv=None) -> int:
             fanout=args.fanout, page_size=args.page_size,
         )
         print(json.dumps({"fixture": path}))
+        return 0
+
+    if args.cmd == "compact":
+        import ray
+
+        if not ray.is_initialized():
+            kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR", **kw)
+        from .pipelines.compact import compact_dir
+
+        print(json.dumps(compact_dir(args.dir, target_mb=args.target_mb)))
         return 0
 
     if args.cmd == "gen-corpus":
