@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "validate",
     "twap",
     "cdc_upsert",
+    "throttle",
 ]
 
 

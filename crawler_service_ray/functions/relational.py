@@ -3872,3 +3872,36 @@ def upsert_latest(
 
     return grouped_apply(u, [key_col], per_part,
                          num_partitions=num_partitions)
+
+
+def throttle_events(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+    min_gap_us: int,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Consecutive near-duplicate suppression (stream throttle): an
+    event is DROPPED when the same key's immediately preceding raw
+    event (by ts, then ``tiebreak_col``) is closer than ``min_gap_us``
+    — the double-fire / retry-storm cleaner. Gap is measured to the
+    previous RAW event (lag semantics, SQL-replayable); a
+    gap-to-last-KEPT debounce is inherently sequential per key and
+    deliberately not this operator. ONE key-hash exchange,
+    in-partition mergesort + shift, no per-key loop."""
+    keys = list(keys)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + [ts_col, tiebreak_col],
+                          kind="mergesort")
+        kv = g[keys].astype(str).agg("\x1f".join, axis=1).to_numpy() \
+            if len(keys) > 1 else g[keys[0]].to_numpy()
+        t = (g[ts_col].to_numpy().astype("datetime64[us]")
+             .astype("int64"))
+        same = np.r_[False, kv[1:] == kv[:-1]]
+        gap = np.r_[np.int64(0), t[1:] - t[:-1]]
+        return g.loc[~(same & (gap < min_gap_us))]
+
+    return grouped_apply(ds, keys, per_part,
+                         num_partitions=num_partitions)

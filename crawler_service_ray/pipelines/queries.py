@@ -5999,6 +5999,36 @@ FROM r WHERE rn = 1 AND NOT deleted
 """
 
 
+def q_throttle(sf_dir: str):
+    """Stream throttle (`throttle_events`): drop any event whose same
+    user fired another event less than an hour earlier — the
+    double-fire / retry-storm cleaner. Lag semantics (gap to the
+    previous RAW event), ONE user-hash exchange with in-partition
+    mergesort + shift; the oracle's lag() window orders by the
+    identical (ts, event_id) tiebreak."""
+    from ..functions.relational import throttle_events
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    out = throttle_events(ev, ["user_id"], "ts", "event_id",
+                          min_gap_us=3_600_000_000)
+    return out.map_batches(
+        lambda d: d[["event_id", "user_id", "event_type"]],
+        batch_format="pandas")
+
+
+SQL_THROTTLE = """
+WITH g AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT event_id, user_id, event_type
+FROM g
+WHERE gap IS NULL OR gap >= 3600000000::BIGINT
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -6160,6 +6190,7 @@ QUERIES = {
     "validate": q_validate,
     "twap": q_twap,
     "cdc_upsert": q_cdc_upsert,
+    "throttle": q_throttle,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -6322,4 +6353,5 @@ ORACLE_SQL = {
     "validate": SQL_VALIDATE,
     "twap": SQL_TWAP,
     "cdc_upsert": SQL_CDC_UPSERT,
+    "throttle": SQL_THROTTLE,
 }

@@ -379,3 +379,23 @@ def test_upsert_latest_semantics(ray_session):
         assert list(got["k"]) == [1, 2, 3, 5]
         assert list(got["val"]) == ["a", "B", "c", "E"]
         assert list(got["ver"]) == [1, 2, 5, 1]
+
+
+def test_throttle_events_lag_semantics(ray_session):
+    def us(s):
+        return np.datetime64("2024-01-01T00:00:00") + np.timedelta64(s, "s")
+
+    # k=1: events at 0, 5, 12 with gap 10 -> 5 dropped (0..5 < 10) and
+    # 12 dropped too (12-5=7 < 10: gap to previous RAW event, even
+    # though 5 was itself dropped — the lag semantics under test)
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2],
+        "ts": [us(0), us(5), us(12), us(0), us(30)],
+        "eid": np.int64([0, 1, 2, 3, 4]),
+    })
+    for nparts in (1, 3):
+        got = (rel.throttle_events(
+            rd.from_pandas(df).repartition(nparts), ["k"], "ts", "eid",
+            min_gap_us=10_000_000)
+            .to_pandas().sort_values("eid"))
+        assert list(got["eid"]) == [0, 3, 4]
