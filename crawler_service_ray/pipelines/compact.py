@@ -13,6 +13,11 @@ Atomicity is per leaf: the new files land in a dot-prefixed sibling
 temp dir (invisible to pyarrow dataset discovery), then two renames
 swap it in. A crash can strand a ``*.compact_old`` sibling; the next
 run's recovery sweep restores any leaf whose swap did not complete.
+Per-leaf atomicity is also the scale-out seam: at 100 TB, run one
+``compact`` invocation per top-level partition range (the same
+shard-the-work pattern as the export CLI) — concurrent invocations
+never touch the same leaf, and a failed invocation's leaves are
+either old-complete or new-complete, never mixed.
 Row order within a leaf may change (parquet tables are unordered);
 row COUNT and values are preserved — the pytest checks multiset
 equality.
