@@ -3628,8 +3628,14 @@ def pareto_frontier(
     loc = ds.map_batches(
         partial(_pareto_reduce, c0=c0, c1=c1), batch_format="pandas",
     ).materialize()
-    lo, hi = loc.min(c0), loc.max(c0)
-    if lo is not None and hi > lo:
+    # one combined pass for the bin range (ds.min + ds.max would launch
+    # two scan jobs over the same survivors)
+    rng = loc.map_batches(
+        lambda d: pd.DataFrame({"mn": [d[c0].min()], "mx": [d[c0].max()]}),
+        batch_format="pandas").to_pandas()
+    lo = rng["mn"].min() if len(rng) else None
+    hi = rng["mx"].max() if len(rng) else None
+    if lo is not None and not pd.isna(lo) and hi > lo:
         width = (float(hi) - float(lo)) / num_bins
 
         def bin_of(arr: np.ndarray) -> np.ndarray:

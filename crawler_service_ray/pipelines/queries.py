@@ -61,6 +61,17 @@ _DEFAULT_BPB = {
     "events": _FACT_BPB,
     "lineitem": _FACT_BPB,
     "orders": _FACT_BPB,
+    # dimension tables: Ray's default split of a 15k-row customer read
+    # into 64 blocks made cdc_upsert's downstream groupby sort 128 tiny
+    # blocks (5.5 s of per-block overhead for ~1 s of compute at
+    # sf0.1); byte-sized blocks collapse that to the natural 1-2.
+    # `embeddings` intentionally NOT listed: its consumers are
+    # matmul-bound and want the cpu fan-out.
+    "customer": _FACT_BPB,
+    "supplier": _FACT_BPB,
+    "part": _FACT_BPB,
+    "nation": _FACT_BPB,
+    "region": _FACT_BPB,
 }
 
 
@@ -5973,8 +5984,11 @@ def q_cdc_upsert(sf_dir: str):
             deleted=lambda x: (x["c_custkey"] % 13 == 0),
         ),
         batch_format="pandas")
+    # dimension-sized input: 8 merge partitions (the operator default
+    # of 32 is sized for fact tables; per-partition fixed cost would
+    # dominate a 10^5-row merge)
     merged = upsert_latest(base, delta, "c_custkey", "ver",
-                           deleted_col="deleted")
+                           deleted_col="deleted", num_partitions=8)
     return merged.map_batches(
         lambda d: d[["c_custkey", "c_name", "c_acctbal", "ver"]],
         batch_format="pandas")
