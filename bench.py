@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "twap",
     "cdc_upsert",
     "throttle",
+    "trend_per_user",
+    "join_size_estimate",
 ]
 
 

@@ -3911,3 +3911,79 @@ def throttle_events(
 
     return grouped_apply(ds, keys, per_part,
                          num_partitions=num_partitions)
+
+
+def grouped_linreg(
+    ds: rd.Dataset,
+    key: str,
+    x_col: str,
+    y_col: str,
+) -> rd.Dataset:
+    """Per-key simple linear regression — the trend-per-entity scan
+    (per-user drift, per-host latency slope): each block emits per-key
+    moment partials (n, Σx, Σy, Σxx, Σxy) — five numbers per key per
+    block, the grouped sibling of `ols_fit`'s Gram partials — one
+    grouped sum, then the closed form vectorized across keys INSIDE the
+    merged partitions (the slope table never funnels through a single
+    node). Keys with fewer than 2 rows or zero x-variance are dropped
+    (DuckDB ``regr_slope`` returns NULL there — the oracle filters the
+    same way). 6-dp rounding before anything leaves."""
+    def partials(d: pd.DataFrame) -> pd.DataFrame:
+        x = d[x_col].to_numpy(dtype="float64")
+        y = d[y_col].to_numpy(dtype="float64")
+        t = pd.DataFrame({key: d[key], "__n": np.float64(1.0),
+                          "__sx": x, "__sy": y,
+                          "__sxx": x * x, "__sxy": x * y})
+        return t.groupby(key, as_index=False).sum()
+
+    sums = grouped_agg(
+        ds.map_batches(partials, batch_format="pandas"),
+        [key], {"n": ("__n", "sum"), "sx": ("__sx", "sum"),
+                "sy": ("__sy", "sum"), "sxx": ("__sxx", "sum"),
+                "sxy": ("__sxy", "sum")},
+    )
+
+    def finish(d: pd.DataFrame) -> pd.DataFrame:
+        n = d["n"].to_numpy()
+        sx, sy = d["sx"].to_numpy(), d["sy"].to_numpy()
+        sxx, sxy = d["sxx"].to_numpy(), d["sxy"].to_numpy()
+        denom = n * sxx - sx * sx
+        ok = (n >= 2) & (denom > 0)
+        slope = np.where(ok, (n * sxy - sx * sy) / np.where(ok, denom, 1),
+                         np.nan)
+        icept = np.where(ok, (sy - slope * sx) / n, np.nan)
+        out = pd.DataFrame({
+            key: d[key], "slope": np.round(slope, 6),
+            "intercept": np.round(icept, 6),
+            "n": n.astype("int64"),
+        })
+        return out[ok]
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
+def countmin_join_size(
+    ds_a: rd.Dataset,
+    col_a: str,
+    ds_b: rd.Dataset,
+    col_b: str,
+    depth: int = 4,
+    width: int = 8192,
+) -> tuple[int, int, int]:
+    """Equi-join CARDINALITY estimate without running the join — the
+    classic sketch inner product (AGMS / count-min, Cormode &
+    Muthukrishnan 2005 §4.2): |A ⋈ B| = Σ_k a_k·b_k is estimated by
+    min over depth rows of ⟨A_d, B_d⟩, where each side's count-min
+    matrix is built in its own one-pass parallelism-invariant scan
+    (`countmin_sketch` — only the depth×width matrix leaves). Hash
+    collisions only ADD mass, so the estimate is one-sided
+    (est ≥ true always); per row the expected overshoot is
+    n_a·n_b/width, so min-over-depth lands within a small multiple of
+    that with overwhelming probability. The query-optimizer /
+    shuffle-planning primitive: decide broadcast vs partitioned join
+    from two cheap scans. Returns (estimate, n_a, n_b)."""
+    Ma, na = countmin_sketch(ds_a, col_a, depth=depth, width=width)
+    Mb, nb = countmin_sketch(ds_b, col_b, depth=depth, width=width)
+    est = min(int(np.dot(Ma[d].astype("float64"),
+                         Mb[d].astype("float64"))) for d in range(depth))
+    return est, na, nb

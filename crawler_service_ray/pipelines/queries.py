@@ -6043,6 +6043,90 @@ WHERE gap IS NULL OR gap >= 3600000000::BIGINT
 """
 
 
+def q_trend_per_user(sf_dir: str):
+    """Per-user value trend (`grouped_linreg`): OLS slope/intercept of
+    event value over days-since-epoch-start, from five moment partials
+    per user per block (the grouped sibling of `ols`'s Gram partials) —
+    the slope table never funnels through one node. Oracle: DuckDB's
+    regr_slope/regr_intercept over the identical x, with the same
+    n≥2-and-nonzero-variance filter (regr_slope IS NULL there)."""
+    from ..functions.relational import grouped_linreg
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ev = ev.map_batches(
+        lambda d: pd.DataFrame({
+            "user_id": d["user_id"],
+            "x": (d["ts"].to_numpy().astype("datetime64[us]")
+                  .astype("int64") / 86_400_000_000.0),
+            "value": d["value"]}),
+        batch_format="pandas")
+    return grouped_linreg(ev, "user_id", "x", "value")
+
+
+SQL_TREND_PER_USER = """
+SELECT user_id,
+       round(regr_slope(value, x), 6) AS slope,
+       round(regr_intercept(value, x), 6) AS intercept,
+       count(*)::BIGINT AS n
+FROM (SELECT user_id, epoch_us(ts) / 86400000000.0 AS x, value
+      FROM events)
+GROUP BY user_id
+HAVING count(*) >= 2 AND regr_slope(value, x) IS NOT NULL
+"""
+
+
+def q_join_size_estimate(sf_dir: str):
+    """GUARANTEE oracle for sketch-based join-cardinality estimation
+    (`countmin_join_size` — the AGMS/count-min inner product, the
+    broadcast-vs-partitioned planning primitive): |clicks ⋈ views| on
+    user_id is estimated from two independent one-pass sketches and
+    machine-checked against the exact join size — (1) est ≥ true
+    (collisions only add, a hard guarantee: underest = 0), (2) est ≤
+    true + 4·n_a·n_b/width (Markov bound ×4 margin; min over 4 depth
+    rows makes a miss ~2^-8, fixed data/hashes make it deterministic).
+    The SQL oracle recomputes the exact join size so a broken stream
+    hash-mismatches."""
+    from ..functions.relational import countmin_join_size, grouped_agg
+
+    width = 8192
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    clicks = ev.map_batches(
+        lambda d: d.loc[d["event_type"] == "click", ["user_id"]],
+        batch_format="pandas")
+    views = ev.map_batches(
+        lambda d: d.loc[d["event_type"] == "view", ["user_id"]],
+        batch_format="pandas")
+    est, na, nb = countmin_join_size(clicks, "user_id",
+                                     views, "user_id", width=width)
+    # exact join size: per-user click×view partials, summed — the
+    # verification side, NOT part of the estimator
+    cj = grouped_agg(clicks, ["user_id"], {"c": ("user_id", "count")})
+    vj = grouped_agg(views, ["user_id"], {"v": ("user_id", "count")})
+    from ..functions.relational import bucketed_hash_join
+
+    j = bucketed_hash_join(cj, vj, on="user_id", num_buckets=4).to_pandas()
+    true_sz = int((j["c"].to_numpy() * j["v"].to_numpy()).sum())
+    bound = 4.0 * na * nb / width
+    return pd.DataFrame({
+        "true_join_size": np.array([true_sz], dtype="int64"),
+        "n_underest": np.array([int(est < true_sz)], dtype="int64"),
+        "n_bound_violations": np.array(
+            [int(est > true_sz + bound)], dtype="int64"),
+    })
+
+
+SQL_JOIN_SIZE_ESTIMATE = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+v AS (SELECT user_id, count(*) AS n FROM events
+      WHERE event_type = 'view' GROUP BY user_id)
+SELECT coalesce(sum(c.n * v.n), 0)::BIGINT AS true_join_size,
+       0::BIGINT AS n_underest,
+       0::BIGINT AS n_bound_violations
+FROM c JOIN v USING (user_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -6205,6 +6289,8 @@ QUERIES = {
     "twap": q_twap,
     "cdc_upsert": q_cdc_upsert,
     "throttle": q_throttle,
+    "trend_per_user": q_trend_per_user,
+    "join_size_estimate": q_join_size_estimate,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -6368,4 +6454,6 @@ ORACLE_SQL = {
     "twap": SQL_TWAP,
     "cdc_upsert": SQL_CDC_UPSERT,
     "throttle": SQL_THROTTLE,
+    "trend_per_user": SQL_TREND_PER_USER,
+    "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
 }

@@ -399,3 +399,41 @@ def test_throttle_events_lag_semantics(ray_session):
             min_gap_us=10_000_000)
             .to_pandas().sort_values("eid"))
         assert list(got["eid"]) == [0, 3, 4]
+
+
+def test_grouped_linreg_matches_polyfit(ray_session):
+    rng = np.random.default_rng(17)
+    rows = []
+    for k in range(20):
+        n = rng.integers(2, 30)
+        x = rng.uniform(0, 10, n)
+        y = 2.0 * k * x + k + rng.normal(0, 0.1, n)
+        rows.append(pd.DataFrame({"k": np.int64(k), "x": x, "y": y}))
+    # singleton key and zero-variance key: both must be dropped
+    rows.append(pd.DataFrame({"k": np.int64(100), "x": [1.0], "y": [1.0]}))
+    rows.append(pd.DataFrame({"k": np.int64(101),
+                              "x": [2.0, 2.0, 2.0], "y": [1.0, 2.0, 3.0]}))
+    df = pd.concat(rows, ignore_index=True)
+    got = (rel.grouped_linreg(rd.from_pandas(df).repartition(6),
+                              "k", "x", "y")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert set(got["k"]) == set(range(20))
+    for _, r in got.iterrows():
+        sub = df[df["k"] == r["k"]]
+        sl, ic = np.polyfit(sub["x"], sub["y"], 1)
+        assert abs(r["slope"] - sl) < 1e-4 and abs(r["intercept"] - ic) < 1e-4
+
+
+def test_countmin_join_size_guarantees(ray_session):
+    rng = np.random.default_rng(5)
+    a = pd.DataFrame({"k": rng.zipf(1.5, 4000).astype("int64") % 500})
+    b = pd.DataFrame({"k": rng.zipf(1.5, 6000).astype("int64") % 500})
+    est, na, nb = rel.countmin_join_size(
+        rd.from_pandas(a).repartition(3), "k",
+        rd.from_pandas(b).repartition(4), "k", width=4096)
+    true = int(pd.merge(a.value_counts().rename("ca").reset_index(),
+                        b.value_counts().rename("cb").reset_index(),
+                        on="k").eval("ca * cb").sum())
+    assert na == 4000 and nb == 6000
+    assert est >= true                      # one-sided, always
+    assert est <= true + 4 * na * nb / 4096  # Markov x4, min over depth
