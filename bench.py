@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "throttle",
     "trend_per_user",
     "join_size_estimate",
+    "ab_test",
 ]
 
 

@@ -3987,3 +3987,48 @@ def countmin_join_size(
     est = min(int(np.dot(Ma[d].astype("float64"),
                          Mb[d].astype("float64"))) for d in range(depth))
     return est, na, nb
+
+
+def welch_ttest(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    group_a,
+    group_b,
+) -> pd.DataFrame:
+    """Welch's unequal-variance t-test between two cohorts — the A/B
+    readout that completes the dependence trio with `mutual_info` /
+    `chi2_test`. One streaming pass of per-cohort moment partials
+    (n, Σv, Σv²) — six numbers per block — summed by `grouped_agg`;
+    the driver folds the 2-row table to (t_stat, df) with the
+    Welch–Satterthwaite correction. 6-dp rounding; sample variance
+    (ddof=1) like SQL's var_samp."""
+    def partials(d: pd.DataFrame) -> pd.DataFrame:
+        m = d[d[group_col].isin([group_a, group_b])]
+        v = m[val_col].to_numpy(dtype="float64")
+        t = pd.DataFrame({group_col: m[group_col], "__n": np.float64(1.0),
+                          "__s": v, "__ss": v * v})
+        return t.groupby(group_col, as_index=False).sum()
+
+    agg = grouped_agg(
+        ds.map_batches(partials, batch_format="pandas"),
+        [group_col], {"n": ("__n", "sum"), "s": ("__s", "sum"),
+                      "ss": ("__ss", "sum")},
+    ).to_pandas().set_index(group_col)
+
+    def stats(g):
+        n = float(agg.loc[g, "n"])
+        m = agg.loc[g, "s"] / n
+        var = (agg.loc[g, "ss"] - n * m * m) / (n - 1)
+        return n, m, var
+
+    na, ma, va = stats(group_a)
+    nb, mb, vb = stats(group_b)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / np.sqrt(se2)
+    df = se2 ** 2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return pd.DataFrame({
+        "t_stat": [round(float(t), 6)], "df": [round(float(df), 6)],
+        "mean_a": [round(float(ma), 6)], "mean_b": [round(float(mb), 6)],
+        "n_a": [np.int64(na)], "n_b": [np.int64(nb)],
+    })

@@ -6127,6 +6127,36 @@ FROM c JOIN v USING (user_id)
 """
 
 
+def q_ab_test(sf_dir: str):
+    """Welch's unequal-variance t-test of event value between the
+    click and view cohorts (`welch_ttest`): one pass of per-cohort
+    moment partials (n, Σv, Σv² — six numbers per block), grouped sum,
+    Welch–Satterthwaite fold on the 2-row table. The oracle recomputes
+    the identical statistic from avg/var_samp/count."""
+    from ..functions.relational import welch_ttest
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return welch_ttest(ev, "event_type", "value", "click", "view")
+
+
+SQL_AB_TEST = """
+WITH s AS (
+  SELECT event_type, count(*)::DOUBLE AS n, avg(value) AS m,
+         var_samp(value) AS v
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY event_type),
+a AS (SELECT * FROM s WHERE event_type = 'click'),
+b AS (SELECT * FROM s WHERE event_type = 'view')
+SELECT round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+       round(pow(a.v / a.n + b.v / b.n, 2) /
+             (pow(a.v / a.n, 2) / (a.n - 1)
+              + pow(b.v / b.n, 2) / (b.n - 1)), 6) AS df,
+       round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+FROM a, b
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -6291,6 +6321,7 @@ QUERIES = {
     "throttle": q_throttle,
     "trend_per_user": q_trend_per_user,
     "join_size_estimate": q_join_size_estimate,
+    "ab_test": q_ab_test,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -6456,4 +6487,5 @@ ORACLE_SQL = {
     "throttle": SQL_THROTTLE,
     "trend_per_user": SQL_TREND_PER_USER,
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
+    "ab_test": SQL_AB_TEST,
 }

@@ -437,3 +437,22 @@ def test_countmin_join_size_guarantees(ray_session):
     assert na == 4000 and nb == 6000
     assert est >= true                      # one-sided, always
     assert est <= true + 4 * na * nb / 4096  # Markov x4, min over depth
+
+
+def test_welch_ttest_reference(ray_session):
+    rng = np.random.default_rng(23)
+    a = rng.normal(10.0, 2.0, 500)
+    b = rng.normal(9.0, 5.0, 300)
+    df = pd.DataFrame({
+        "g": ["a"] * 500 + ["b"] * 300 + ["c"] * 10,
+        "v": np.r_[a, b, np.zeros(10)],
+    })
+    got = rel.welch_ttest(rd.from_pandas(df).repartition(5),
+                          "g", "v", "a", "b")
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / 500 + vb / 300
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    dof = se2 ** 2 / ((va / 500) ** 2 / 499 + (vb / 300) ** 2 / 299)
+    assert abs(float(got["t_stat"][0]) - t) < 1e-5
+    assert abs(float(got["df"][0]) - dof) < 1e-3
+    assert int(got["n_a"][0]) == 500 and int(got["n_b"][0]) == 300
