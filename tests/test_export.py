@@ -490,3 +490,26 @@ def test_export_shuffle_shards_layout(ray_session, tmp_path):
     assert m2["shards"] == m["shards"]
     # the plain columns (split/lang/quality) still ride along intact
     assert set(df["split"]) <= {"train", "val", "test"}
+
+
+def test_export_shuffle_shards_multimodal(ray_session, tmp_path):
+    """The shard column coexists with the nested segments list<struct>
+    (arrow end-to-end) and the media accounting is unchanged by the
+    extra hive level."""
+    from crawler_service_ray.pipelines.export import export_corpus
+
+    out = str(tmp_path / "mm")
+    m = export_corpus("/root/testdata/sf0.001", out, min_quality=0.5,
+                      multimodal=True, shuffle_shards=2)
+    assert m["shuffle_shards"] == 2
+    assert sum(m["shards"].values()) == m["rows_written"]
+    t = pads.dataset(os.path.join(out, "data"),
+                     partitioning="hive").to_table()
+    assert "segments" in t.schema.names
+    assert t.num_rows == m["rows_written"]
+    # media accounting matches a no-shards export of the same input
+    out2 = str(tmp_path / "mm_plain")
+    m2 = export_corpus("/root/testdata/sf0.001", out2, min_quality=0.5,
+                       multimodal=True)
+    assert m["media_unique"] == m2["media_unique"]
+    assert m["media_occurrences"] == m2["media_occurrences"]
