@@ -1926,12 +1926,17 @@ def grouped_linreg(
     x: str,
     y: str,
     merge_partitions: int | None = None,
+    with_n: bool = False,
+    drop_degenerate: bool = False,
 ) -> rd.Dataset:
     """Grouped least-squares regression of y on x — SQL ``regr_slope``/
     ``regr_intercept``/``covar_samp`` in one pass via the same
     partial-sums pattern as ``grouped_corr``: each batch emits
     (n, Σx, Σy, Σx², Σxy) per key, merged coalesced or hash-partitioned.
-    Same numerics caveat: pre-center very-large-magnitude columns."""
+    Same numerics caveat: pre-center very-large-magnitude columns.
+    ``with_n`` adds the per-key row count; ``drop_degenerate`` drops
+    keys with n < 2 or zero x-variance (where SQL's regr_slope is
+    NULL) — the per-entity trend-scan contract."""
     keys = list(keys)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1956,6 +1961,10 @@ def grouped_linreg(
         out["intercept"] = (
             g["__sy"] / n - (cov / vx) * g["__sx"] / n
         ).astype("float64")
+        if with_n:
+            out["n"] = n.astype("int64").to_numpy()
+        if drop_degenerate:
+            out = out[((n >= 2) & (vx > 0)).to_numpy()]
         return out
 
     parts = ds.map_batches(partial, batch_format="pandas")
@@ -3911,55 +3920,6 @@ def throttle_events(
 
     return grouped_apply(ds, keys, per_part,
                          num_partitions=num_partitions)
-
-
-def grouped_linreg(
-    ds: rd.Dataset,
-    key: str,
-    x_col: str,
-    y_col: str,
-) -> rd.Dataset:
-    """Per-key simple linear regression — the trend-per-entity scan
-    (per-user drift, per-host latency slope): each block emits per-key
-    moment partials (n, Σx, Σy, Σxx, Σxy) — five numbers per key per
-    block, the grouped sibling of `ols_fit`'s Gram partials — one
-    grouped sum, then the closed form vectorized across keys INSIDE the
-    merged partitions (the slope table never funnels through a single
-    node). Keys with fewer than 2 rows or zero x-variance are dropped
-    (DuckDB ``regr_slope`` returns NULL there — the oracle filters the
-    same way). 6-dp rounding before anything leaves."""
-    def partials(d: pd.DataFrame) -> pd.DataFrame:
-        x = d[x_col].to_numpy(dtype="float64")
-        y = d[y_col].to_numpy(dtype="float64")
-        t = pd.DataFrame({key: d[key], "__n": np.float64(1.0),
-                          "__sx": x, "__sy": y,
-                          "__sxx": x * x, "__sxy": x * y})
-        return t.groupby(key, as_index=False).sum()
-
-    sums = grouped_agg(
-        ds.map_batches(partials, batch_format="pandas"),
-        [key], {"n": ("__n", "sum"), "sx": ("__sx", "sum"),
-                "sy": ("__sy", "sum"), "sxx": ("__sxx", "sum"),
-                "sxy": ("__sxy", "sum")},
-    )
-
-    def finish(d: pd.DataFrame) -> pd.DataFrame:
-        n = d["n"].to_numpy()
-        sx, sy = d["sx"].to_numpy(), d["sy"].to_numpy()
-        sxx, sxy = d["sxx"].to_numpy(), d["sxy"].to_numpy()
-        denom = n * sxx - sx * sx
-        ok = (n >= 2) & (denom > 0)
-        slope = np.where(ok, (n * sxy - sx * sy) / np.where(ok, denom, 1),
-                         np.nan)
-        icept = np.where(ok, (sy - slope * sx) / n, np.nan)
-        out = pd.DataFrame({
-            key: d[key], "slope": np.round(slope, 6),
-            "intercept": np.round(icept, 6),
-            "n": n.astype("int64"),
-        })
-        return out[ok]
-
-    return sums.map_batches(finish, batch_format="pandas")
 
 
 def countmin_join_size(

@@ -6044,31 +6044,48 @@ WHERE gap IS NULL OR gap >= 3600000000::BIGINT
 
 
 def q_trend_per_user(sf_dir: str):
-    """Per-user value trend (`grouped_linreg`): OLS slope/intercept of
-    event value over days-since-epoch-start, from five moment partials
-    per user per block (the grouped sibling of `ols`'s Gram partials) —
-    the slope table never funnels through one node. Oracle: DuckDB's
-    regr_slope/regr_intercept over the identical x, with the same
-    n≥2-and-nonzero-variance filter (regr_slope IS NULL there)."""
+    """Per-user value trend (`grouped_linreg` with the per-entity
+    contract: n column, degenerate keys dropped): OLS slope/intercept
+    of event value over days since 2024-01-01, from five moment
+    partials per user per block — the slope table never funnels
+    through one node. x is CENTERED at the corpus start (the
+    grouped_linreg docstring's numerics rule: uncentered epoch-days
+    ≈ 19,700 make n·Σxx − (Σx)² a catastrophic cancellation whose
+    block-order jitter flips 6-dp rounding). Oracle: DuckDB's
+    regr_slope/regr_intercept over the identical centered x with the
+    same n≥2-and-nonzero-variance filter; 4-dp rounding on both
+    engines before the hash."""
     from ..functions.relational import grouped_linreg
 
+    t0 = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
     ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
     ev = ev.map_batches(
         lambda d: pd.DataFrame({
             "user_id": d["user_id"],
-            "x": (d["ts"].to_numpy().astype("datetime64[us]")
-                  .astype("int64") / 86_400_000_000.0),
+            "x": ((d["ts"].to_numpy().astype("datetime64[us]")
+                   .astype("int64") - t0) / 86_400_000_000.0),
             "value": d["value"]}),
         batch_format="pandas")
-    return grouped_linreg(ev, "user_id", "x", "value")
+    out = grouped_linreg(ev, ["user_id"], "x", "value",
+                         with_n=True, drop_degenerate=True)
+    return out.map_batches(
+        lambda d: pd.DataFrame({
+            "user_id": d["user_id"],
+            "slope": d["slope"].round(4),
+            "intercept": d["intercept"].round(4),
+            "n": d["n"]}),
+        batch_format="pandas")
 
 
 SQL_TREND_PER_USER = """
 SELECT user_id,
-       round(regr_slope(value, x), 6) AS slope,
-       round(regr_intercept(value, x), 6) AS intercept,
+       round(regr_slope(value, x), 4) AS slope,
+       round(regr_intercept(value, x), 4) AS intercept,
        count(*)::BIGINT AS n
-FROM (SELECT user_id, epoch_us(ts) / 86400000000.0 AS x, value
+FROM (SELECT user_id,
+             (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+             / 86400000000.0 AS x,
+             value
       FROM events)
 GROUP BY user_id
 HAVING count(*) >= 2 AND regr_slope(value, x) IS NOT NULL

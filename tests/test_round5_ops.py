@@ -415,7 +415,8 @@ def test_grouped_linreg_matches_polyfit(ray_session):
                               "x": [2.0, 2.0, 2.0], "y": [1.0, 2.0, 3.0]}))
     df = pd.concat(rows, ignore_index=True)
     got = (rel.grouped_linreg(rd.from_pandas(df).repartition(6),
-                              "k", "x", "y")
+                              ["k"], "x", "y",
+                              with_n=True, drop_degenerate=True)
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert set(got["k"]) == set(range(20))
     for _, r in got.iterrows():
