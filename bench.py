@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "trend_per_user",
     "join_size_estimate",
     "ab_test",
+    "sample_exact_k",
 ]
 
 

@@ -6174,6 +6174,39 @@ FROM a, b
 """
 
 
+def q_sample_exact_k(sf_dir: str):
+    """EXACT-k deterministic uniform sample — the k smallest Knuth
+    id-hashes (vs `sample_hash`'s Bernoulli keep, whose size is only
+    E[np]): a per-block truncation + one tiny coalesced tail via
+    `topk`, so exactly k rows come back, the SAME k rows on any rerun
+    at any parallelism, and a grown corpus keeps ~all previous picks
+    (bounded symmetric difference — the hash order is fixed). Oracle:
+    the literal ORDER BY hash LIMIT k."""
+    from ..functions.relational import topk
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+
+    def hashed(d: pd.DataFrame) -> pd.DataFrame:
+        iv = d["doc_id"].to_numpy().astype(np.uint64)
+        h = ((iv % np.uint64(2**32)) * np.uint64(2654435761)) \
+            % np.uint64(2**32)
+        return d.assign(h=h.astype("int64"))
+
+    ds = docs.map_batches(hashed, batch_format="pandas")
+    return topk(ds, ["h", "doc_id"], k=500, descending=False)
+
+
+SQL_SAMPLE_EXACT_K = """
+SELECT doc_id, source, n_chars,
+       CAST(((doc_id::HUGEINT % 4294967296) * 2654435761)
+            % 4294967296 AS BIGINT) AS h
+FROM documents
+ORDER BY h, doc_id
+LIMIT 500
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -6339,6 +6372,7 @@ QUERIES = {
     "trend_per_user": q_trend_per_user,
     "join_size_estimate": q_join_size_estimate,
     "ab_test": q_ab_test,
+    "sample_exact_k": q_sample_exact_k,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -6505,4 +6539,5 @@ ORACLE_SQL = {
     "trend_per_user": SQL_TREND_PER_USER,
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "ab_test": SQL_AB_TEST,
+    "sample_exact_k": SQL_SAMPLE_EXACT_K,
 }
