@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "join_size_estimate",
     "ab_test",
     "sample_exact_k",
+    "impute",
 ]
 
 

@@ -6207,6 +6207,67 @@ LIMIT 500
 """
 
 
+def q_impute(sf_dir: str):
+    """Group-mean NULL imputation — the feature-cleaning pass: values
+    deterministically masked (every 5th event_id) refill with their
+    user's non-null mean. Per-user (Σ, non-null n) partials, grouped
+    sum, LEFT bucket-join back (the user table scales with the corpus,
+    never broadcasts), vectorized coalesce. Users whose every value is
+    masked have no mean — dropped on both engines."""
+    from ..functions.relational import bucketed_hash_join, grouped_agg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "value"])
+
+    def mask(d: pd.DataFrame) -> pd.DataFrame:
+        v = d["value"].to_numpy(dtype="float64").copy()
+        v[(d["event_id"].to_numpy() % 5) == 0] = np.nan
+        # grouped_agg's "count" is a ROW count (key-column semantics);
+        # a NULL-skipping mean needs the explicit non-null indicator
+        return pd.DataFrame({"event_id": d["event_id"],
+                             "user_id": d["user_id"], "v": v,
+                             "nn": (~np.isnan(v)).astype("float64")})
+
+    m = ev.map_batches(mask, batch_format="pandas")
+    means = grouped_agg(m, ["user_id"],
+                        {"s": ("v", "sum"), "c": ("nn", "sum")})
+    means = means.map_batches(
+        lambda d: pd.DataFrame({
+            "user_id": d["user_id"],
+            "mv": d["s"].to_numpy()
+            / np.where(d["c"].to_numpy() > 0, d["c"].to_numpy(), np.nan),
+        }),
+        batch_format="pandas")
+    j = bucketed_hash_join(m, means, on="user_id", num_buckets=8)
+
+    def fill(d: pd.DataFrame) -> pd.DataFrame:
+        v = d["v"].to_numpy(dtype="float64")
+        mv = d["mv"].to_numpy(dtype="float64")
+        out = pd.DataFrame({
+            "event_id": d["event_id"].astype("int64"),
+            # 4-dp: the refilled mean is a float SUM quotient whose
+            # last ulp differs between numpy and DuckDB accumulation
+            # order — at 6 dp one sf0.01 user mean sat exactly on the
+            # boundary (41.4315625) and flipped the hash
+            "value_filled": np.round(np.where(np.isnan(v), mv, v), 4),
+        })
+        return out[~np.isnan(mv)]
+
+    return j.map_batches(fill, batch_format="pandas")
+
+
+SQL_IMPUTE = """
+WITH m AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+  FROM events),
+a AS (SELECT user_id, avg(v) AS mv FROM m GROUP BY user_id)
+SELECT m.event_id, round(coalesce(m.v, a.mv), 4) AS value_filled
+FROM m JOIN a USING (user_id)
+WHERE a.mv IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -6373,6 +6434,7 @@ QUERIES = {
     "join_size_estimate": q_join_size_estimate,
     "ab_test": q_ab_test,
     "sample_exact_k": q_sample_exact_k,
+    "impute": q_impute,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -6540,4 +6602,5 @@ ORACLE_SQL = {
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "ab_test": SQL_AB_TEST,
     "sample_exact_k": SQL_SAMPLE_EXACT_K,
+    "impute": SQL_IMPUTE,
 }
