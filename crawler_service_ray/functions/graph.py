@@ -662,3 +662,217 @@ def triangle_count(
     parts = wedges.union(closing).groupby("__gp").map_groups(
         count_part, batch_format="pandas").to_pandas()
     return int(parts["n"].sum())
+
+
+def sssp_bounded(
+    edges: rd.Dataset,
+    sources: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_hops: int = 4,
+    num_partitions: int = 16,
+    broadcast_threshold: int = 5_000_000,
+) -> rd.Dataset:
+    """Bounded-hop weighted single/multi-source shortest paths
+    (Bellman-Ford, exactly ``max_hops`` relaxation rounds).
+
+    ``edges`` is a directed ``(src, dst, weight)`` int64 edge list
+    (duplicates cost bandwidth, not correctness — min wins); ``sources``
+    has a ``node`` column, distance 0. Returns ``(node, dist)`` for
+    every node reachable within ``max_hops`` edges, ``dist`` = the
+    minimum total weight over any such path. Semantics are the
+    unrolled K-round relaxation — the same contract an unrolled SQL
+    CTE states — so the result is deterministic at any parallelism and
+    needs no convergence test. This is the weighted sibling of
+    :func:`bfs_depths` (crawl analysis: hop-bounded cheapest route to a
+    URL when edges carry latency/priority costs).
+
+    Two execution shapes, same discipline as :func:`bfs_depths`:
+
+    * **Broadcast** (reached set ≤ ``broadcast_threshold``): the edge
+      set is pinned once and NEVER moves; each round ``ray.put``s the
+      changed-node frontier as sorted (nodes, dists) arrays, streams
+      the edges through ``map_batches`` (sorted-array probe + per-block
+      min per dst), and min-merges the ≤ nodes × blocks partials on the
+      driver. Relaxing only last-round-improved nodes is the textbook
+      Bellman-Ford frontier optimization: an unchanged node's
+      out-relaxations were already applied in the round it last
+      improved and distances are monotone, so round-K output is
+      bit-identical to full relaxation.
+    * **Exchange** (huge reached sets): the dist table co-partitions
+      with the edges on ``src`` (one tagged-union exchange emits
+      ``(dst, dist+w)`` candidates, min-reduced per partition), then
+      candidates co-partition with the state on ``node`` (min wins).
+      Exactly ``max_hops`` rounds; nothing on the driver.
+
+    Both paths produce identical output (pinned by pytest parity and a
+    single-node Bellman-Ford reference in tests/test_graph.py).
+    """
+    from .relational import distinct
+
+    empty = pd.DataFrame({
+        "node": pd.Series([], dtype="int64"),
+        "dist": pd.Series([], dtype="int64"),
+    })
+    if sources.count() == 0:
+        return rd.from_pandas(empty)
+    edges = edges.materialize()
+    srcs = distinct(
+        sources.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"]}),
+            batch_format="pandas"),
+        ["node"],
+    ).materialize()
+
+    if broadcast_threshold > 0:
+        return _sssp_broadcast(edges, srcs, src, dst, weight, max_hops,
+                               broadcast_threshold)
+    return _sssp_exchange(edges, srcs, src, dst, weight, max_hops,
+                          num_partitions)
+
+
+def _sssp_broadcast(
+    edges: rd.Dataset,
+    srcs: rd.Dataset,
+    src: str,
+    dst: str,
+    weight: str,
+    max_hops: int,
+    broadcast_threshold: int,
+) -> rd.Dataset:
+    from .relational import resolve_broadcast
+
+    nodes = np.sort(srcs.to_pandas()["node"].to_numpy(dtype="int64"))
+    dists = np.zeros(len(nodes), dtype="int64")
+    f_nodes, f_dists = nodes, dists  # frontier = improved last round
+
+    for _ in range(max_hops):
+        if len(f_nodes) == 0:
+            break
+        ref = ray.put((f_nodes, f_dists))
+
+        def relax(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            fn, fd = resolve_broadcast(_ref)
+            s = df[src].to_numpy(dtype="int64")
+            idx = np.searchsorted(fn, s)
+            hit = (idx < len(fn)) & (fn[np.minimum(idx, len(fn) - 1)] == s)
+            d = df[dst].to_numpy(dtype="int64")[hit]
+            nd = fd[idx[hit]] + df[weight].to_numpy(dtype="int64")[hit]
+            # per-block min per dst bounds what leaves the block to
+            # O(distinct dsts) rows
+            g = pd.DataFrame({"node": d, "dist": nd}).groupby(
+                "node", sort=False)["dist"].min().reset_index()
+            return g
+
+        parts = edges.map_batches(relax, batch_format="pandas").to_pandas()
+        if len(parts) == 0:
+            break
+        cand = parts.groupby("node", sort=False)["dist"].min().reset_index()
+        c_nodes = cand["node"].to_numpy(dtype="int64")
+        c_dists = cand["dist"].to_numpy(dtype="int64")
+        # merge min with current state; frontier = strictly improved
+        pos = np.searchsorted(nodes, c_nodes)
+        known = (pos < len(nodes)) & (
+            nodes[np.minimum(pos, len(nodes) - 1)] == c_nodes)
+        improved_known = known & (c_dists < np.where(
+            known, dists[np.minimum(pos, len(nodes) - 1)], 0))
+        new_mask = ~known
+        if improved_known.any():
+            dists[pos[improved_known]] = c_dists[improved_known]
+        f_nodes = np.concatenate([c_nodes[improved_known],
+                                  c_nodes[new_mask]])
+        f_dists = np.concatenate([c_dists[improved_known],
+                                  c_dists[new_mask]])
+        order = np.argsort(f_nodes, kind="stable")
+        f_nodes, f_dists = f_nodes[order], f_dists[order]
+        if new_mask.any():
+            nodes = np.concatenate([nodes, c_nodes[new_mask]])
+            dists = np.concatenate([dists, c_dists[new_mask]])
+            order = np.argsort(nodes, kind="stable")
+            nodes, dists = nodes[order], dists[order]
+        if len(nodes) > broadcast_threshold:
+            raise ValueError(
+                f"sssp_bounded: reached set grew past broadcast_threshold="
+                f"{broadcast_threshold}; rerun with broadcast_threshold=0 "
+                "(exchange path) for graphs whose dist table cannot sit "
+                "on the driver")
+
+    return rd.from_pandas(pd.DataFrame({"node": nodes, "dist": dists}))
+
+
+def _sssp_exchange(
+    edges: rd.Dataset,
+    srcs: rd.Dataset,
+    src: str,
+    dst: str,
+    weight: str,
+    max_hops: int,
+    num_partitions: int,
+) -> rd.Dataset:
+    from .relational import grouped_apply
+
+    state = srcs.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["node"].astype("int64"),
+            "dist": np.zeros(len(df), dtype="int64"),
+        }),
+        batch_format="pandas",
+    ).materialize()
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df[src].astype("int64"),
+            "__dst": df[dst].astype("int64"),
+            "__w": df[weight].astype("int64"),
+            "__f": False,
+        })
+
+    e_tagged = edges.map_batches(tag_edge, batch_format="pandas")
+
+    for _ in range(max_hops):
+        def tag_state(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": df["node"].astype("int64"),
+                "__dst": np.full(len(df), -1, dtype="int64"),
+                "__w": df["dist"].astype("int64"),
+                "__f": True,
+            })
+
+        def scatter(part: pd.DataFrame) -> pd.DataFrame:
+            st = part.loc[part["__f"]]
+            if len(st) == 0:
+                return pd.DataFrame({
+                    "node": pd.Series([], dtype="int64"),
+                    "dist": pd.Series([], dtype="int64"),
+                })
+            sn = st["node"].to_numpy(dtype="int64")
+            sd = st["__w"].to_numpy(dtype="int64")
+            order = np.argsort(sn, kind="stable")
+            sn, sd = sn[order], sd[order]
+            ed = part.loc[~part["__f"]]
+            s = ed["node"].to_numpy(dtype="int64")
+            idx = np.searchsorted(sn, s)
+            hit = (idx < len(sn)) & (sn[np.minimum(idx, len(sn) - 1)] == s)
+            nd = sd[idx[hit]] + ed["__w"].to_numpy(dtype="int64")[hit]
+            g = pd.DataFrame({
+                "node": ed["__dst"].to_numpy(dtype="int64")[hit],
+                "dist": nd,
+            }).groupby("node", sort=False)["dist"].min().reset_index()
+            return g
+
+        both = state.map_batches(tag_state, batch_format="pandas").union(
+            e_tagged)
+        cands = grouped_apply(both, ["node"], scatter,
+                              num_partitions=num_partitions)
+
+        def min_dist(part: pd.DataFrame) -> pd.DataFrame:
+            return (part.groupby("node", sort=False)["dist"].min()
+                    .reset_index())
+
+        state = grouped_apply(
+            state.union(cands), ["node"], min_dist,
+            num_partitions=num_partitions,
+        ).materialize()
+
+    return state

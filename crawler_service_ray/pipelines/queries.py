@@ -6268,6 +6268,192 @@ WHERE a.mv IS NOT NULL
 """
 
 
+def q_path_rollup(sf_dir: str):
+    """Hierarchical directory rollup — files/bytes per ancestor prefix
+    at every depth, the per-directory crawl statistic the reference's
+    directory-tree traversal tallies as it walks (compare the
+    files/bytes counters of `/root/reference/crawlers/
+    globus_base_preserved.py:109-114` rolled up by path instead of
+    globally). Paths are derived deterministically from the documents
+    table (`/<source>/b<doc_id%7>/d<doc_id>`); each row fans out to its
+    3 ancestor prefixes inside `map_batches` (vectorized string
+    concat), then ONE grouped sum. Depth-3 key cardinality equals the
+    corpus row count, so the merge is explicitly hash-partitioned
+    (`merge_partitions=16`) — the partials never land on the driver."""
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+
+    def explode(d: pd.DataFrame) -> pd.DataFrame:
+        src = d["source"].astype(str)
+        l1 = "/" + src
+        l2 = l1 + "/b" + (d["doc_id"] % 7).astype(str)
+        l3 = l2 + "/d" + d["doc_id"].astype(str)
+        nc = d["n_chars"].astype("int64")
+        n = len(d)
+        return pd.DataFrame({
+            "prefix": pd.concat([l1, l2, l3], ignore_index=True),
+            "depth": np.repeat(np.arange(1, 4, dtype="int64"), n),
+            "n_chars": pd.concat([nc, nc, nc], ignore_index=True),
+        })
+
+    rolled = grouped_agg(
+        docs.map_batches(explode, batch_format="pandas"),
+        ["prefix", "depth"],
+        {"files": ("prefix", "count"), "bytes": ("n_chars", "sum")},
+        merge_partitions=16,
+    )
+    return rolled.map_batches(
+        lambda d: d.assign(files=d["files"].astype("int64"),
+                           bytes=d["bytes"].astype("int64")),
+        batch_format="pandas",
+    )
+
+
+SQL_PATH_ROLLUP = """
+WITH base AS (
+  SELECT '/' || source AS l1,
+         '/' || source || '/b' || (doc_id % 7) AS l2,
+         '/' || source || '/b' || (doc_id % 7) || '/d' || doc_id AS l3,
+         n_chars
+  FROM documents),
+lv AS (
+  SELECT l1 AS prefix, 1 AS depth, n_chars FROM base
+  UNION ALL SELECT l2, 2, n_chars FROM base
+  UNION ALL SELECT l3, 3, n_chars FROM base)
+SELECT prefix, CAST(depth AS BIGINT) AS depth,
+       count(*) AS files, CAST(sum(n_chars) AS BIGINT) AS bytes
+FROM lv GROUP BY prefix, depth
+"""
+
+
+def q_window_ranks(sf_dir: str):
+    """The remaining SQL window-rank family in one partitioned pass:
+    per-customer DENSE_RANK (price desc), CUME_DIST (price asc) and
+    LEAD(orderdate) in (date, key) order. One key-hash shuffle
+    (`grouped_apply` on o_custkey); inside each partition the three
+    frames are pandas C-vectorized groupby transforms (rank dense /
+    rank max ÷ size / shift(-1)) — no per-group Python. LEAD's frame
+    edge is NULL on both engines; cume_dist is an exact ratio of small
+    ints, bit-stable at 6 dp."""
+    from ..functions.relational import grouped_apply
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice",
+                             "o_orderdate"])
+
+    def wfun(g: pd.DataFrame) -> pd.DataFrame:
+        by_c = g.groupby("o_custkey", sort=False)
+        drank = by_c["o_totalprice"].rank(
+            method="dense", ascending=False).astype("int64")
+        cume = (by_c["o_totalprice"].rank(method="max", ascending=True)
+                / by_c["o_totalprice"].transform("size"))
+        g2 = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                           kind="mergesort")
+        nxt = g2.groupby("o_custkey", sort=False)["o_orderdate"].shift(-1)
+        next_days = ((nxt - pd.Timestamp(0)).dt.total_seconds()
+                     / 86400.0).reindex(g.index)
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].astype("int64"),
+            "drank": drank,
+            "cume": np.round(cume.to_numpy(dtype="float64"), 6),
+            "next_days": np.round(next_days.to_numpy(dtype="float64"), 6),
+        })
+
+    return grouped_apply(ds, ["o_custkey"], wfun, num_partitions=8)
+
+
+def q_sssp(sf_dir: str):
+    """Bounded-hop weighted shortest paths over the supplier↔part
+    graph (`functions/graph.py:sssp_bounded`): edge weight = the
+    minimum quantity ever shipped for that (supplier, part) pair,
+    sources = suppliers with key % 10 == 0, exactly 4 Bellman-Ford
+    relaxation rounds. The broadcast path pins the edge set once and
+    streams it once per round — zero edge shuffles; only improved
+    nodes relax (bit-identical to full relaxation, see the function
+    docstring). Oracle: the identical 4-round relaxation unrolled as
+    chained CTEs — min-dist per node after each round."""
+    from ..functions.graph import sssp_bounded
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_suppkey", "l_partkey", "l_quantity"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["l_suppkey"].to_numpy(dtype="int64")
+        p = df["l_partkey"].to_numpy(dtype="int64") + 10_000_000
+        w = df["l_quantity"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "src": np.concatenate([s, p]),
+            "dst": np.concatenate([p, s]),
+            "w": np.concatenate([w, w]),
+        })
+
+    # per-(src,dst) min weight: the dedup that bounds duplicate edges
+    edges = grouped_agg(
+        li.map_batches(to_edges, batch_format="pandas"),
+        ["src", "dst"], {"w": ("w", "min")}, merge_partitions=16)
+
+    def to_sources(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["l_suppkey"].to_numpy(dtype="int64")
+        return pd.DataFrame({"node": s[s % 10 == 0]})
+
+    sources = li.map_batches(to_sources, batch_format="pandas")
+    return sssp_bounded(edges, sources, max_hops=4)
+
+
+SQL_SSSP = """
+WITH pairs AS (
+  SELECT l_suppkey AS s, l_partkey + 10000000 AS p,
+         CAST(min(l_quantity) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+edges AS (
+  SELECT s AS src, p AS dst, w FROM pairs
+  UNION ALL SELECT p, s, w FROM pairs),
+d0 AS (
+  SELECT DISTINCT l_suppkey AS node, CAST(0 AS BIGINT) AS dist
+  FROM lineitem WHERE l_suppkey % 10 = 0),
+d1 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT * FROM d0
+    UNION ALL
+    SELECT e.dst, d.dist + e.w FROM d0 d JOIN edges e ON e.src = d.node)
+  GROUP BY node),
+d2 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT * FROM d1
+    UNION ALL
+    SELECT e.dst, d.dist + e.w FROM d1 d JOIN edges e ON e.src = d.node)
+  GROUP BY node),
+d3 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT * FROM d2
+    UNION ALL
+    SELECT e.dst, d.dist + e.w FROM d2 d JOIN edges e ON e.src = d.node)
+  GROUP BY node),
+d4 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT * FROM d3
+    UNION ALL
+    SELECT e.dst, d.dist + e.w FROM d3 d JOIN edges e ON e.src = d.node)
+  GROUP BY node)
+SELECT node, dist FROM d4
+"""
+
+
+SQL_WINDOW_RANKS = """
+SELECT o_orderkey,
+       CAST(dense_rank() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC) AS BIGINT)
+         AS drank,
+       round(cume_dist() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice), 6) AS cume,
+       round(epoch(lead(o_orderdate) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey)) / 86400.0, 6)
+         AS next_days
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -6435,6 +6621,9 @@ QUERIES = {
     "ab_test": q_ab_test,
     "sample_exact_k": q_sample_exact_k,
     "impute": q_impute,
+    "path_rollup": q_path_rollup,
+    "window_ranks": q_window_ranks,
+    "sssp": q_sssp,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -6603,4 +6792,7 @@ ORACLE_SQL = {
     "ab_test": SQL_AB_TEST,
     "sample_exact_k": SQL_SAMPLE_EXACT_K,
     "impute": SQL_IMPUTE,
+    "path_rollup": SQL_PATH_ROLLUP,
+    "window_ranks": SQL_WINDOW_RANKS,
+    "sssp": SQL_SSSP,
 }

@@ -193,3 +193,107 @@ def test_triangle_count_known_graphs(ray_session):
     # a triangle-free path
     path = pd.DataFrame({"u": [0, 1, 2], "v": [1, 2, 3]})
     assert triangle_count(rd.from_pandas(path), num_partitions=2) == 0
+
+
+# ---------------------------------------------------------------------------
+# sssp_bounded
+# ---------------------------------------------------------------------------
+
+def _python_sssp(edges: pd.DataFrame, sources, max_hops: int):
+    """Single-node K-round Bellman-Ford reference (full relaxation)."""
+    dist = {int(s): 0 for s in sources}
+    e = list(zip(edges["src"].astype(int), edges["dst"].astype(int),
+                 edges["w"].astype(int)))
+    for _ in range(max_hops):
+        prev = dict(dist)
+        # K-round semantics: relax against the PREVIOUS round's table
+        cur = {}
+        for s, d, w in e:
+            if s in prev:
+                nd = prev[s] + w
+                if d not in cur or nd < cur[d]:
+                    cur[d] = nd
+        dist = dict(prev)
+        for d, nd in cur.items():
+            if d not in dist or nd < dist[d]:
+                dist[d] = nd
+    return dist
+
+
+@pytest.fixture(scope="module")
+def wedge_df():
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 50, 400)
+    dst = rng.integers(0, 50, 400)
+    w = rng.integers(1, 20, 400)
+    df = pd.DataFrame({"src": src, "dst": dst, "w": w})
+    df = df[df["src"] != df["dst"]]
+    # min per (src,dst): duplicates allowed in the operator, but the
+    # python reference wants one weight per edge for clarity
+    return (df.groupby(["src", "dst"], as_index=False)["w"].min()
+            .reset_index(drop=True))
+
+
+@pytest.mark.parametrize("kw", [
+    {},                                            # broadcast path
+    {"broadcast_threshold": 0, "num_partitions": 4},  # exchange path
+])
+def test_sssp_matches_python(ray_session, wedge_df, kw):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.graph import sssp_bounded
+
+    sources = pd.DataFrame({"node": [0, 7, 23]})
+    got = sssp_bounded(rd.from_pandas(wedge_df),
+                       rd.from_pandas(sources), max_hops=3, **kw)
+    got = got.to_pandas().set_index("node")["dist"].astype(int).to_dict()
+    ref = _python_sssp(wedge_df, [0, 7, 23], max_hops=3)
+    assert got == ref
+
+
+def test_sssp_weights_beat_hops(ray_session):
+    """A 2-hop cheap route must beat a 1-hop expensive edge."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.graph import sssp_bounded
+
+    edges = pd.DataFrame({
+        "src": [0, 0, 1],
+        "dst": [2, 1, 2],
+        "w": [100, 1, 1],
+    })
+    out = sssp_bounded(rd.from_pandas(edges),
+                       rd.from_pandas(pd.DataFrame({"node": [0]})),
+                       max_hops=4).to_pandas()
+    d = out.set_index("node")["dist"].to_dict()
+    assert d == {0: 0, 1: 1, 2: 2}
+
+
+def test_sssp_hop_bound_cuts_route(ray_session):
+    """With max_hops=1 the cheap 2-hop route is invisible."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.graph import sssp_bounded
+
+    edges = pd.DataFrame({
+        "src": [0, 0, 1],
+        "dst": [2, 1, 2],
+        "w": [100, 1, 1],
+    })
+    out = sssp_bounded(rd.from_pandas(edges),
+                       rd.from_pandas(pd.DataFrame({"node": [0]})),
+                       max_hops=1).to_pandas()
+    d = out.set_index("node")["dist"].to_dict()
+    assert d == {0: 0, 1: 1, 2: 100}
+
+
+def test_sssp_empty_sources(ray_session, wedge_df):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.graph import sssp_bounded
+
+    out = sssp_bounded(
+        rd.from_pandas(wedge_df),
+        rd.from_pandas(pd.DataFrame({"node": pd.Series([], dtype="int64")})),
+        max_hops=3).to_pandas()
+    assert len(out) == 0
