@@ -3992,3 +3992,114 @@ def welch_ttest(
         "mean_a": [round(float(ma), 6)], "mean_b": [round(float(mb), 6)],
         "n_a": [np.int64(na)], "n_b": [np.int64(nb)],
     })
+
+
+def equi_depth_histogram(
+    ds: rd.Dataset,
+    col: str,
+    tie_cols: Sequence[str],
+    num_buckets: int = 8,
+    coarse_bins: int = 4096,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Exact equi-depth histogram — ``num_buckets`` buckets of (near-)
+    equal ROW COUNT with their value ranges, the optimizer/skew
+    statistic an equi-WIDTH histogram (:`histogram` family) cannot
+    give on skewed data. Bucket of a row = ``rank * B // n`` under the
+    total order ``(col, *tie_cols)`` — exactly
+    ``(row_number() OVER (ORDER BY col, ties) - 1) * B // count(*)``,
+    so ties are impossible and the result is deterministic at any
+    parallelism. A global rank WITHOUT a global sort, the value-order
+    sibling of :func:`global_order_index`:
+
+    1. one min/max pass fixes the value range (model-constant
+       partials);
+    2. one partial-count pass bins rows into ``coarse_bins`` uniform
+       value bins — a model-constant count table, prefix-summed on the
+       driver like a sketch;
+    3. one bin-hash exchange co-locates each value bin, which sorts
+       locally by ``(col, *tie_cols)``, adds its broadcast offset to
+       get exact global ranks, maps rank→bucket, and pre-aggregates
+       its per-bucket (n, lo, hi) partials — only ≤ buckets × bins
+       partial rows leave the exchange;
+    4. one tiny merge produces the B-row result.
+
+    Only the 2^k count table ever sits on the driver; the data crosses
+    the wire once (the bin exchange). Values must be numeric and
+    non-null; ``tie_cols`` must make rows unique."""
+    tie_cols = list(tie_cols)
+    cols = [col] + tie_cols
+
+    # pass 1: global min/max (constant-key partials, driver merge)
+    mm = grouped_agg(
+        ds.map_batches(
+            lambda d: pd.DataFrame({"__k": np.zeros(len(d), dtype="int64"),
+                                    col: d[col]}),
+            batch_format="pandas"),
+        ["__k"], {"lo": (col, "min"), "hi": (col, "max")},
+    ).to_pandas()
+    if len(mm) == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "bucket": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "lo": pd.Series([], dtype="float64"),
+            "hi": pd.Series([], dtype="float64"),
+        }))
+    vlo = float(mm["lo"].iloc[0])
+    vhi = float(mm["hi"].iloc[0])
+    width = max(vhi - vlo, 1e-300)
+
+    def val_bin(v: np.ndarray) -> np.ndarray:
+        b = ((v - vlo) / width * coarse_bins).astype("int64")
+        return np.clip(b, 0, coarse_bins - 1)
+
+    def keyed(d: pd.DataFrame) -> pd.DataFrame:
+        return d[cols].assign(
+            __bin=val_bin(d[col].to_numpy(dtype="float64")))
+
+    with_bins = ds.map_batches(keyed, batch_format="pandas")
+
+    # pass 2: model-constant bin-count table, prefix-summed like a sketch
+    counts = grouped_agg(
+        with_bins.map_batches(
+            lambda d: d[["__bin"]].assign(__one=np.int64(1)),
+            batch_format="pandas"),
+        ["__bin"], {"n": ("__one", "sum")},
+    ).to_pandas().sort_values("__bin")
+    total = int(counts["n"].sum())
+    offs = np.zeros(coarse_bins, dtype="int64")
+    cum = np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]])
+    offs[counts["__bin"].to_numpy()] = cum
+    oref = ray.put(offs)
+    orefs = [oref]
+
+    def bucketize(g: pd.DataFrame) -> pd.DataFrame:
+        offs_ = resolve_broadcast(orefs[0])
+        g = g.sort_values(["__bin"] + cols, kind="mergesort")
+        bins = g["__bin"].to_numpy()
+        n = len(g)
+        starts = np.flatnonzero(
+            np.concatenate([[True], bins[1:] != bins[:-1]]))
+        runlen = np.diff(np.concatenate([starts, [n]]))
+        within = np.arange(n, dtype=np.int64) - np.repeat(starts, runlen)
+        rank = offs_[bins] + within
+        bucket = rank * num_buckets // total
+        v = g[col].to_numpy(dtype="float64")
+        part = pd.DataFrame({"bucket": bucket, "v": v})
+        agg = part.groupby("bucket", sort=False)["v"].agg(
+            ["size", "min", "max"]).reset_index()
+        return pd.DataFrame({"bucket": agg["bucket"].astype("int64"),
+                             "n": agg["size"].astype("int64"),
+                             "lo": agg["min"], "hi": agg["max"]})
+
+    partials = grouped_apply(with_bins, ["__bin"], bucketize,
+                             num_partitions=num_partitions)
+
+    def merge(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("bucket", sort=True).agg(
+            n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"),
+        ).reset_index()
+        return g
+
+    out = partials.to_pandas()  # ≤ buckets × partitions rows
+    return rd.from_pandas(merge(out))

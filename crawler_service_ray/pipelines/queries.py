@@ -6439,6 +6439,41 @@ SELECT node, dist FROM d4
 """
 
 
+def q_histogram_depth(sf_dir: str):
+    """Exact equi-depth histogram of lineitem prices: 8 buckets of
+    equal row count with their value ranges — the skew statistic an
+    equi-width histogram (`histogram_price`) can't give
+    (`functions/relational.py:equi_depth_histogram`). Global
+    rank-by-value WITHOUT a global sort: a model-constant value-bin
+    count table + one bin exchange; only ≤ buckets × partitions
+    partial rows reach the merge. Oracle: the literal
+    `(row_number() - 1) * 8 // n` bucket rule."""
+    from ..functions.relational import equi_depth_histogram
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_extendedprice", "l_orderkey",
+                             "l_linenumber"])
+    out = equi_depth_histogram(
+        li, "l_extendedprice", ["l_orderkey", "l_linenumber"],
+        num_buckets=8)
+    return out.map_batches(
+        lambda d: d.assign(lo=d["lo"].round(2), hi=d["hi"].round(2)),
+        batch_format="pandas")
+
+
+SQL_HISTOGRAM_DEPTH = """
+WITH r AS (
+  SELECT l_extendedprice AS v,
+         (row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                             l_linenumber) - 1) * 8
+           // count(*) OVER () AS bucket
+  FROM lineitem)
+SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+       round(min(v), 2) AS lo, round(max(v), 2) AS hi
+FROM r GROUP BY bucket
+"""
+
+
 SQL_WINDOW_RANKS = """
 SELECT o_orderkey,
        CAST(dense_rank() OVER (PARTITION BY o_custkey
@@ -6624,6 +6659,7 @@ QUERIES = {
     "path_rollup": q_path_rollup,
     "window_ranks": q_window_ranks,
     "sssp": q_sssp,
+    "histogram_depth": q_histogram_depth,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -6795,4 +6831,5 @@ ORACLE_SQL = {
     "path_rollup": SQL_PATH_ROLLUP,
     "window_ranks": SQL_WINDOW_RANKS,
     "sssp": SQL_SSSP,
+    "histogram_depth": SQL_HISTOGRAM_DEPTH,
 }

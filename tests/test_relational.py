@@ -1533,3 +1533,64 @@ def test_grouped_agg_auto_partitioned_merge(ray_session, monkeypatch):
             .to_pandas().sort_values("k").reset_index(drop=True))
     assert calls and calls[0] >= 2
     pd.testing.assert_frame_equal(out2, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# equi_depth_histogram
+# ---------------------------------------------------------------------------
+
+def test_equi_depth_matches_rank_rule(ray_session):
+    """Bucket counts/ranges equal the literal row_number bucket rule."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        equi_depth_histogram,
+    )
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "v": np.round(rng.exponential(100.0, 1000), 2),  # skewed
+        "id": np.arange(1000, dtype="int64"),
+    })
+    got = (equi_depth_histogram(rd.from_pandas(df), "v", ["id"],
+                                num_buckets=4, num_partitions=4)
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+
+    r = df.sort_values(["v", "id"]).reset_index(drop=True)
+    r["bucket"] = (np.arange(len(r), dtype="int64") * 4) // len(r)
+    want = r.groupby("bucket").agg(
+        n=("v", "size"), lo=("v", "min"), hi=("v", "max")).reset_index()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_equi_depth_all_equal_values(ray_session):
+    """A constant column still splits into equal-count buckets."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        equi_depth_histogram,
+    )
+
+    df = pd.DataFrame({"v": np.full(40, 7.0), "id": np.arange(40)})
+    got = (equi_depth_histogram(rd.from_pandas(df), "v", ["id"],
+                                num_buckets=4, num_partitions=2)
+           .to_pandas().sort_values("bucket"))
+    assert got["n"].tolist() == [10, 10, 10, 10]
+    assert (got["lo"] == 7.0).all() and (got["hi"] == 7.0).all()
+
+
+def test_equi_depth_fewer_rows_than_buckets(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import (
+        equi_depth_histogram,
+    )
+
+    df = pd.DataFrame({"v": [3.0, 1.0], "id": [0, 1]})
+    got = (equi_depth_histogram(rd.from_pandas(df), "v", ["id"],
+                                num_buckets=8, num_partitions=2)
+           .to_pandas().sort_values("bucket"))
+    # rank*8//2: rank 0 -> bucket 0, rank 1 -> bucket 4
+    assert got["bucket"].tolist() == [0, 4]
+    assert got["n"].tolist() == [1, 1]
+    assert got["lo"].tolist() == [1.0, 3.0]
