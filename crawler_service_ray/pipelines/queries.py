@@ -6461,6 +6461,107 @@ def q_histogram_depth(sf_dir: str):
         batch_format="pandas")
 
 
+def q_anomaly_zscore(sf_dir: str):
+    """Rolling-frame anomaly score: each event's z-score against its
+    user's trailing 5-event mean/std (ROWS 4 PRECEDING AND CURRENT
+    ROW) — the streaming outlier detector a metrics pipeline runs over
+    per-host fetch latencies. One key-hash shuffle (`grouped_apply`),
+    then vectorized `groupby.rolling` mean+std per partition — the
+    same frame machinery as `moving_avg` with the sample-std frame on
+    top. Frames with n<2 (no sample std) or zero variance are NULL on
+    both engines; z is a normalized quotient, 4-dp rounded (quotient
+    relative error ~1e-15, but the subtraction inside can land on a
+    boundary at 6 dp — same contract as `impute`)."""
+    from ..functions.relational import grouped_apply
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def zpart(g: pd.DataFrame) -> pd.DataFrame:
+        # partition batches concatenate with repeating indices; label
+        # alignment below needs them unique
+        g = (g.sort_values(["ts", "event_id"], kind="mergesort")
+             .reset_index(drop=True))
+        by = g.groupby("user_id", sort=False)["value"]
+        roll = by.rolling(5, min_periods=1)
+        mean = roll.mean().droplevel(0)
+        std = roll.std(ddof=1).droplevel(0)
+        v = g["value"]
+        z = (v - mean) / std.replace(0.0, np.nan)
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "z": np.round(z.to_numpy(dtype="float64"), 4),
+        })
+
+    return grouped_apply(ds, ["user_id"], zpart, num_partitions=16)
+
+
+SQL_ANOMALY_ZSCORE = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER f AS m,
+         stddev_samp(value) OVER f AS s
+  FROM events
+  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id,
+       round((value - m) / nullif(s, 0), 4) AS z
+FROM w
+"""
+
+
+def q_autocorr(sf_dir: str):
+    """Per-user lag-1 autocorrelation of event values in (ts,
+    event_id) order — the time-series memory statistic (is a user's
+    next value predicted by the last?). One key-hash shuffle; inside
+    each partition the lag, the per-user centering and the centered
+    cross/self products are all C-vectorized groupby transforms, and
+    each user's corr finishes in its own partition — nothing but the
+    final (user, acf1) rows leave. Users with <2 lag pairs or zero
+    variance are NULL on both engines (SQL `corr` semantics)."""
+    from ..functions.relational import grouped_apply
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def acf_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        pv = g.groupby("user_id", sort=False)["value"].shift(1)
+        d = pd.DataFrame({"u": g["user_id"], "x": g["value"], "y": pv})
+        d = d[~d["y"].isna()]
+        gb = d.groupby("u", sort=False)
+        mx = gb["x"].transform("mean")
+        my = gb["y"].transform("mean")
+        cx = d["x"] - mx
+        cy = d["y"] - my
+        s = pd.DataFrame({
+            "u": d["u"], "xy": cx * cy, "xx": cx * cx, "yy": cy * cy,
+        }).groupby("u", sort=False).agg(
+            n=("xy", "size"), sxy=("xy", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum")).reset_index()
+        denom = np.sqrt(s["sxx"].to_numpy() * s["syy"].to_numpy())
+        acf = np.where((s["n"].to_numpy() >= 2) & (denom > 0),
+                       s["sxy"].to_numpy() / denom, np.nan)
+        return pd.DataFrame({
+            "user_id": s["u"].astype("int64"),
+            "acf1": np.round(acf, 6),
+        })
+
+    return grouped_apply(ds, ["user_id"], acf_part, num_partitions=16)
+
+
+SQL_AUTOCORR = """
+WITH l AS (
+  SELECT user_id, value AS x,
+         lag(value) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS y
+  FROM events)
+SELECT user_id, round(corr(x, y), 6) AS acf1
+FROM l WHERE y IS NOT NULL GROUP BY user_id
+"""
+
+
 SQL_HISTOGRAM_DEPTH = """
 WITH r AS (
   SELECT l_extendedprice AS v,
@@ -6660,6 +6761,8 @@ QUERIES = {
     "window_ranks": q_window_ranks,
     "sssp": q_sssp,
     "histogram_depth": q_histogram_depth,
+    "anomaly_zscore": q_anomaly_zscore,
+    "autocorr": q_autocorr,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -6832,4 +6935,6 @@ ORACLE_SQL = {
     "window_ranks": SQL_WINDOW_RANKS,
     "sssp": SQL_SSSP,
     "histogram_depth": SQL_HISTOGRAM_DEPTH,
+    "anomaly_zscore": SQL_ANOMALY_ZSCORE,
+    "autocorr": SQL_AUTOCORR,
 }
