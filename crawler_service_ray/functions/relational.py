@@ -1149,7 +1149,13 @@ def moving_avg(
                 else list(order_by))
 
     def roll_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_by, kind="mergesort")
+        # partition frames can arrive with repeating index labels
+        # (concatenated batches); the rolling result comes back in
+        # GROUP order, so the assignment below aligns by label and
+        # raises "cannot reindex on an axis with duplicate labels"
+        # unless the index is unique
+        g = g.sort_values(order_by, kind="mergesort").reset_index(
+            drop=True)
         r = (
             g.groupby(keys, sort=False, observed=True)[col]
             .rolling(window, min_periods=1)

@@ -6342,6 +6342,9 @@ def q_window_ranks(sf_dir: str):
                              "o_orderdate"])
 
     def wfun(g: pd.DataFrame) -> pd.DataFrame:
+        # unique labels required: the lead column comes back through a
+        # reindex on g.index (see anomaly_zscore for the same contract)
+        g = g.reset_index(drop=True)
         by_c = g.groupby("o_custkey", sort=False)
         drank = by_c["o_totalprice"].rank(
             method="dense", ascending=False).astype("int64")
