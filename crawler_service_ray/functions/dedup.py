@@ -601,10 +601,19 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     num_partitions: int = 32,
     max_shingle_df: int | None = 256,
+    score: str = "jaccard",
 ) -> rd.Dataset:
     """EXACT all-pairs word-k-gram Jaccard via a distributed inverted
     shingle index (no LSH approximation — SQL-oracle-checkable below the
     stop-shingle cutoff, see skew note).
+
+    ``score="containment"`` switches the pair statistic to the
+    asymmetric CONTAINMENT coefficient |∩| / min(|A|, |B|) — the
+    quote/subset detector: a short doc pasted inside a long one scores
+    ~1.0 here while its Jaccard can be arbitrarily small, so threshold
+    semantics differ fundamentally. Same index, same exchanges, only
+    the final vectorized division changes; the output column is named
+    after the score.
 
     Shingle tokenization splits on single spaces (DuckDB
     ``string_split(text, ' ')`` parity); docs with < k words contribute
@@ -696,10 +705,13 @@ def ngram_jaccard_pairs(
             __inter=("__inter", "sum"), __na=("__na", "first"),
             __nb=("__nb", "first"),
         ).reset_index()
-        jac = g["__inter"] / (g["__na"] + g["__nb"] - g["__inter"])
-        g = g.assign(jaccard=jac.astype("float64"))
-        g = g[g["jaccard"] >= threshold]
-        return g[["id_a", "id_b", "jaccard"]]
+        if score == "containment":
+            val = g["__inter"] / np.minimum(g["__na"], g["__nb"])
+        else:
+            val = g["__inter"] / (g["__na"] + g["__nb"] - g["__inter"])
+        g = g.assign(**{score: val.astype("float64")})
+        g = g[g[score] >= threshold]
+        return g[["id_a", "id_b", score]]
 
     return grouped_apply(partials, ["id_a", "id_b"], merge_pairs,
                          num_partitions=num_partitions)

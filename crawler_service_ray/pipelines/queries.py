@@ -1023,6 +1023,44 @@ WHERE c / (na.n + nb.n - c) >= 0.5
 """
 
 
+def q_containment(sf_dir: str):
+    """Asymmetric CONTAINMENT near-dup pairs — the quote/subset
+    detector (|∩| / min(|A|,|B|) ≥ 0.8 over word-5-gram sets): a short
+    doc pasted inside a long one scores ~1.0 here while its Jaccard
+    can be arbitrarily small. Same distributed inverted shingle index
+    as `ngram_jaccard` (`functions/dedup.py:ngram_jaccard_pairs` with
+    score="containment"); only the final vectorized division differs,
+    so the full SQL oracle carries over with least() in place of the
+    union denominator."""
+    return dedup.ngram_jaccard_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                   bytes_per_block=_DOC_BPB),
+        k=5, threshold=0.8, score="containment",
+    )
+
+
+SQL_CONTAINMENT = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS i
+        FROM w),
+sh AS (SELECT DISTINCT doc_id,
+              CASE WHEN len(ws) < 5 THEN array_to_string(ws, ' ')
+                   ELSE array_to_string(list_slice(ws, i, i + 4), ' ')
+              END AS s
+       FROM idx),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, c / least(na.n, nb.n) AS containment
+FROM inter
+JOIN sizes na ON inter.id_a = na.doc_id
+JOIN sizes nb ON inter.id_b = nb.doc_id
+WHERE c / least(na.n, nb.n) >= 0.8
+"""
+
+
 def q_dedup_minhash(sf_dir: str):
     return dedup.minhash_lsh_pairs(
         read_table(sf_dir, "documents", columns=["doc_id", "text"],
@@ -6766,6 +6804,7 @@ QUERIES = {
     "histogram_depth": q_histogram_depth,
     "anomaly_zscore": q_anomaly_zscore,
     "autocorr": q_autocorr,
+    "containment": q_containment,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -6940,4 +6979,5 @@ ORACLE_SQL = {
     "histogram_depth": SQL_HISTOGRAM_DEPTH,
     "anomaly_zscore": SQL_ANOMALY_ZSCORE,
     "autocorr": SQL_AUTOCORR,
+    "containment": SQL_CONTAINMENT,
 }

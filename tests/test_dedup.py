@@ -661,3 +661,25 @@ def test_semdedup_keeps_centroid_nearest(ray_session):
     # everything else survives, with clean kept-row markers
     assert (kept["near_id"] == -1).all()
     assert kept["near_cos"].isna().all()
+
+
+def test_containment_catches_subset_pair_jaccard_misses(ray_session):
+    """A short doc pasted inside a long one: containment ~1.0 while
+    jaccard is small — the asymmetric score's reason to exist."""
+    import ray.data as rd
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    long_doc = short + " " + filler
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [short, long_doc]})
+    ds = rd.from_pandas(df)
+
+    cont = dedup.ngram_jaccard_pairs(
+        ds, k=5, threshold=0.8, score="containment",
+        num_partitions=2).to_pandas()
+    assert len(cont) == 1
+    assert cont.iloc[0]["containment"] == 1.0  # every 5-gram of short ⊂ long
+
+    jac = dedup.ngram_jaccard_pairs(
+        ds, k=5, threshold=0.8, num_partitions=2).to_pandas()
+    assert len(jac) == 0  # union-normalized score can't see the subset
