@@ -124,6 +124,16 @@ BENCH_QUERIES = [
     "ab_test",
     "sample_exact_k",
     "impute",
+    # round-5 fifth wave: weighted SSSP, directory rollup, window ranks,
+    # equi-depth histogram, rolling anomaly z, autocorrelation
+    "sssp",
+    "path_rollup",
+    "window_ranks",
+    "histogram_depth",
+    "anomaly_zscore",
+    "autocorr",
+    "containment",
+    "ppr",
 ]
 
 

@@ -30,6 +30,7 @@ def pagerank(
     iters: int = 5,
     num_partitions: int = 16,
     broadcast_threshold: int = 5_000_000,
+    personalization: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -37,6 +38,18 @@ def pagerank(
     Returns ``(node, pagerank)`` for every node that appears in either
     column after ``iters`` synchronous power iterations with uniform
     initialization ``1/N`` and teleport ``(1-damping)/N``.
+
+    ``personalization`` (a dataset with a ``node`` column) switches to
+    PERSONALIZED PageRank — the crawl-prioritization form ("rank pages
+    by random walks restarting at the trusted seed hosts"): teleport
+    mass ``(1-damping)/k`` lands ONLY on the k seed nodes present in
+    the graph (seeds outside the graph are ignored), initialization is
+    the seed distribution, and every other node starts at 0. The seed
+    id set ships once via ``ray.put`` as one sorted int64 array and is
+    probed per block — it must fit in the object store (fine for any
+    realistic seed list; the rank table itself can still take the
+    exchange path). With ``personalization=None`` the teleport vector
+    is uniform and the iteration is bit-identical to the classic form.
 
     Semantics note (pinned by the SQL oracle): dangling-node mass is NOT
     redistributed — a node with no out-edges simply leaks its damped
@@ -96,6 +109,43 @@ def pagerank(
         }))
     base = (1.0 - damping) / n_nodes
 
+    seed_ref = None
+    n_seeds = 0
+    if personalization is not None:
+        seed_arr = np.sort(distinct(
+            personalization.map_batches(
+                lambda df: pd.DataFrame({"node": df["node"]}),
+                batch_format="pandas"), ["node"],
+        ).to_pandas()["node"].to_numpy(dtype="int64"))
+        seed_ref = ray.put(seed_arr)
+
+        # k = |seeds ∩ graph nodes| — one streaming membership count,
+        # nothing but per-block ints back to the driver
+        def count_in(df: pd.DataFrame, _ref=seed_ref) -> pd.DataFrame:
+            from .relational import resolve_broadcast as _rb
+            s = _rb(_ref)
+            a = df["node"].to_numpy(dtype="int64")
+            idx = np.searchsorted(s, a)
+            hit = (idx < len(s)) & (s[np.minimum(idx, len(s) - 1)] == a)
+            return pd.DataFrame({"k": [np.int64(hit.sum())]})
+
+        n_seeds = int(nodes_ds.map_batches(
+            count_in, batch_format="pandas").to_pandas()["k"].sum())
+        if n_seeds == 0:
+            raise ValueError(
+                "pagerank: personalization set shares no node with the "
+                "graph — the teleport distribution would be empty")
+
+    def _tele_of(node_vals: np.ndarray) -> np.ndarray:
+        """Per-node teleport mass: uniform, or seed-restricted."""
+        if seed_ref is None:
+            return np.full(len(node_vals), base)
+        from .relational import resolve_broadcast as _rb
+        s = _rb(seed_ref)
+        idx = np.searchsorted(s, node_vals)
+        hit = (idx < len(s)) & (s[np.minimum(idx, len(s) - 1)] == node_vals)
+        return np.where(hit, (1.0 - damping) / n_seeds, 0.0)
+
     if n_nodes <= broadcast_threshold:
         # node table fits the driver by construction of this branch —
         # out-degrees are ≤ n_nodes rows, collected once
@@ -114,7 +164,10 @@ def pagerank(
             return pd.DataFrame({"src": df[src], "dst": df[dst], "w": w})
 
         e = edges.map_batches(attach_w, batch_format="pandas").materialize()
-        ranks = pd.Series(np.full(n_nodes, 1.0 / n_nodes), index=node_arr)
+        tele_vec = _tele_of(node_arr.astype("int64"))
+        # init = teleport distribution / (1-d): uniform -> 1/N, seeds ->
+        # 1/k on seeds and 0 elsewhere
+        ranks = pd.Series(tele_vec / (1.0 - damping), index=node_arr)
 
         for _ in range(iters):
             ref = ray.put(ranks)
@@ -136,14 +189,14 @@ def pagerank(
             contrib = (pd.Series(tot["contrib"].to_numpy(),
                                  index=tot["node"].to_numpy())
                        .reindex(node_arr).fillna(0.0).to_numpy())
-            ranks = pd.Series(base + damping * contrib, index=node_arr)
+            ranks = pd.Series(tele_vec + damping * contrib, index=node_arr)
 
         return rd.from_pandas(pd.DataFrame({
             "node": node_arr, "pagerank": ranks.to_numpy(),
         }))
 
     return _pagerank_exchange(edges, nodes_ds, src, dst, damping, iters,
-                              num_partitions, n_nodes)
+                              num_partitions, n_nodes, _tele_of)
 
 
 def _pagerank_exchange(
@@ -155,6 +208,7 @@ def _pagerank_exchange(
     iters: int,
     num_partitions: int,
     n_nodes: int,
+    tele_of,
 ) -> rd.Dataset:
     """The huge-node-table path: two hash exchanges per iteration, rank
     state never on the driver. See :func:`pagerank` for semantics."""
@@ -171,12 +225,12 @@ def _pagerank_exchange(
     e = grouped_apply(
         edges, [src], attach_deg, num_partitions=num_partitions
     ).materialize()
-    base = (1.0 - damping) / n_nodes
 
-    ranks = nodes.map_batches(
-        lambda df: df.assign(pagerank=np.full(len(df), 1.0 / n_nodes)),
-        batch_format="pandas",
-    ).materialize()
+    def init_rank(df: pd.DataFrame) -> pd.DataFrame:
+        t = tele_of(df["node"].to_numpy(dtype="int64"))
+        return df.assign(pagerank=t / (1.0 - damping))
+
+    ranks = nodes.map_batches(init_rank, batch_format="pandas").materialize()
 
     def tag_rank(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -205,21 +259,27 @@ def _pagerank_exchange(
         return g
 
     def tag_node(df: pd.DataFrame) -> pd.DataFrame:
+        # node rows carry their own teleport mass (uniform or
+        # seed-restricted) so the reduce never needs a global vector
+        t = tele_of(df["node"].to_numpy(dtype="int64"))
         return pd.DataFrame(
-            {"node": df["node"], "contrib": 0.0, "__n": True}
+            {"node": df["node"], "contrib": 0.0, "__n": True, "__tele": t}
         )
 
     def tag_contrib(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(__n=False)
+        return df.assign(__n=False, __tele=0.0)
 
     def reduce_rank(part: pd.DataFrame) -> pd.DataFrame:
-        g = part.groupby("node", sort=False)["contrib"].sum().reset_index()
+        g = part.groupby("node", sort=False).agg(
+            contrib=("contrib", "sum"), __tele=("__tele", "sum"),
+        ).reset_index()
         present = part.loc[part["__n"], "node"]
         g = g[g["node"].isin(set(present))]
         return pd.DataFrame(
             {
                 "node": g["node"],
-                "pagerank": base + damping * g["contrib"].to_numpy(),
+                "pagerank": g["__tele"].to_numpy()
+                + damping * g["contrib"].to_numpy(),
             }
         )
 

@@ -4350,6 +4350,84 @@ r{i} AS (
 SQL_PAGERANK = _sql_pagerank()
 
 
+def q_ppr(sf_dir: str):
+    """PERSONALIZED PageRank over the supplier↔part graph — the
+    crawl-prioritization form: random walks restart only at the seed
+    suppliers (key % 10 == 0), so rank measures proximity to the
+    trusted set instead of global centrality
+    (`functions/graph.py:pagerank` with `personalization=`). Teleport
+    mass (1-d)/k lands only on the k seeds; init is the seed
+    distribution. Oracle: the identical 5 iterations unrolled with a
+    seed-restricted teleport CTE."""
+    from ..functions.graph import pagerank
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_suppkey", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["l_suppkey"].to_numpy()
+        p = df["l_partkey"].to_numpy() + 10_000_000
+        return pd.DataFrame({
+            "src": np.concatenate([s, p]),
+            "dst": np.concatenate([p, s]),
+        })
+
+    edges = distinct(
+        li.map_batches(to_edges, batch_format="pandas"), ["src", "dst"],
+        merge_partitions=16,
+    )
+
+    def to_seeds(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["l_suppkey"].to_numpy(dtype="int64")
+        return pd.DataFrame({"node": s[s % 10 == 0]})
+
+    seeds = li.map_batches(to_seeds, batch_format="pandas")
+    out = pagerank(edges, personalization=seeds)
+    return out.map_batches(
+        lambda d: pd.DataFrame({"node": d["node"],
+                                "ppr": d["pagerank"].round(6)}),
+        batch_format="pandas")
+
+
+def _sql_ppr() -> str:
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey + 10000000 AS p FROM lineitem),
+edges AS (
+  SELECT s AS src, p AS dst FROM pairs
+  UNION ALL
+  SELECT p AS src, s AS dst FROM pairs),
+deg AS (SELECT src, count(*)::DOUBLE AS outd FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seeds AS (SELECT DISTINCT l_suppkey AS node FROM lineitem
+          WHERE l_suppkey % 10 = 0),
+k AS (SELECT count(*)::DOUBLE AS k
+      FROM seeds JOIN nodes USING (node)),
+tele AS (
+  SELECT nd.node,
+         CASE WHEN s.node IS NOT NULL THEN (1 - 0.85) / k.k
+              ELSE 0.0 END AS t
+  FROM nodes nd CROSS JOIN k LEFT JOIN seeds s ON s.node = nd.node),
+r0 AS (SELECT node, t / (1 - 0.85) AS rank FROM tele)
+"""
+    step = """,
+r{i} AS (
+  SELECT te.node, te.t + 0.85 * coalesce(c.contrib, 0) AS rank
+  FROM tele te
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.outd) AS contrib
+    FROM edges e
+    JOIN r{prev} r ON r.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c ON c.node = te.node)
+"""
+    body = "".join(step.format(i=i, prev=i - 1) for i in range(1, 6))
+    return head + body + "SELECT node, round(rank, 6) AS ppr FROM r5"
+
+
+SQL_PPR = _sql_ppr()
+
+
 def q_bfs_depth(sf_dir: str):
     """Multi-source BFS depth over the same supplier↔part graph as
     `pagerank`: minimum hop-distance (≤ 4) from the sources = supplier
@@ -6805,6 +6883,7 @@ QUERIES = {
     "anomaly_zscore": q_anomaly_zscore,
     "autocorr": q_autocorr,
     "containment": q_containment,
+    "ppr": q_ppr,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -6980,4 +7059,5 @@ ORACLE_SQL = {
     "anomaly_zscore": SQL_ANOMALY_ZSCORE,
     "autocorr": SQL_AUTOCORR,
     "containment": SQL_CONTAINMENT,
+    "ppr": SQL_PPR,
 }

@@ -297,3 +297,75 @@ def test_sssp_empty_sources(ray_session, wedge_df):
         rd.from_pandas(pd.DataFrame({"node": pd.Series([], dtype="int64")})),
         max_hops=3).to_pandas()
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# personalized pagerank
+# ---------------------------------------------------------------------------
+
+def _numpy_ppr(edges: pd.DataFrame, seeds, damping=0.85, iters=5):
+    nodes = np.union1d(edges["src"].unique(), edges["dst"].unique())
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    seeds = [s for s in seeds if s in idx]
+    tele = np.zeros(n)
+    for s in seeds:
+        tele[idx[s]] = (1 - damping) / len(seeds)
+    outd = edges.groupby("src").size()
+    r = tele / (1 - damping)
+    si = np.array([idx[v] for v in edges["src"]])
+    di = np.array([idx[v] for v in edges["dst"]])
+    w = (1.0 / outd.reindex(edges["src"]).to_numpy())
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, r[si] * w)
+        r = tele + damping * contrib
+    return pd.Series(r, index=nodes)
+
+
+@pytest.mark.parametrize("kw", [
+    {},                                            # broadcast path
+    {"broadcast_threshold": 0, "num_partitions": 4},  # exchange path
+])
+def test_ppr_matches_numpy(ray_session, edge_df, kw):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.graph import pagerank
+
+    seeds = pd.DataFrame({"node": [0, 5, 11]})
+    got = pagerank(rd.from_pandas(edge_df),
+                   personalization=rd.from_pandas(seeds), **kw).to_pandas()
+    got = pd.Series(got["pagerank"].to_numpy(),
+                    index=got["node"].to_numpy())
+    ref = _numpy_ppr(edge_df, [0, 5, 11])
+    got = got.reindex(ref.index)
+    assert np.allclose(got.to_numpy(), ref.to_numpy(), atol=1e-12)
+
+
+def test_ppr_mass_concentrates_near_seeds(ray_session):
+    """On two disconnected components, the seedless one gets zero."""
+    import ray.data as rd
+
+    from crawler_service_ray.functions.graph import pagerank
+
+    edges = pd.DataFrame({
+        "src": [0, 1, 10, 11],
+        "dst": [1, 0, 11, 10],
+    })
+    out = pagerank(rd.from_pandas(edges),
+                   personalization=rd.from_pandas(
+                       pd.DataFrame({"node": [0]}))).to_pandas()
+    r = out.set_index("node")["pagerank"].to_dict()
+    assert r[10] == 0.0 and r[11] == 0.0
+    assert r[0] > 0.0 and r[1] > 0.0
+
+
+def test_ppr_rejects_disjoint_seeds(ray_session, edge_df):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.graph import pagerank
+
+    with pytest.raises(ValueError, match="no node"):
+        pagerank(rd.from_pandas(edge_df),
+                 personalization=rd.from_pandas(
+                     pd.DataFrame({"node": [99999]})))
