@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "autocorr",
     "containment",
     "ppr",
+    "dedup_keep_best",
+    "robust_scale",
 ]
 
 

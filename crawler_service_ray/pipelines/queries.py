@@ -1202,6 +1202,118 @@ SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
 """
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Near-dup resolution with KEEP-BEST semantics — the curation
+    pass's real policy (keep the longest/highest-quality member of
+    each duplicate cluster, not the arbitrary min-id): connected
+    components over the exact n-gram-Jaccard ≥ 0.5 pairs, clusters
+    bucket-joined back to the documents stats (the cluster table
+    scales with dup docs, never broadcast), then one partitioned
+    argmax(n_chars, tie → min doc_id) per cluster. Oracle: the
+    cluster closure + the literal row_number() winner rule."""
+    from ..functions.relational import grouped_apply
+
+    pairs = dedup.ngram_jaccard_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                   bytes_per_block=_DOC_BPB),
+        k=5, threshold=0.5,
+    )
+    clusters = dedup.connected_components(pairs).map_batches(
+        lambda df: df.rename(columns={"node": "doc_id",
+                                      "label": "cluster_id"}),
+        batch_format="pandas",
+    )
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    j = bucketed_hash_join(clusters, docs, on="doc_id", num_buckets=8)
+
+    def best(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["cluster_id", "n_chars", "doc_id"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        gb = part.groupby("cluster_id", sort=False)
+        head = gb.head(1)
+        out = pd.DataFrame({
+            # the bucket join's empty-side fill path leaves the column
+            # float64 — restore the id dtype
+            "cluster_id": head["cluster_id"].astype("int64").to_numpy(),
+            "keep_id": head["doc_id"].astype("int64").to_numpy(),
+            "keep_chars": head["n_chars"].astype("int64").to_numpy(),
+        })
+        out.insert(1, "n_docs", gb.size().to_numpy().astype("int64"))
+        return out
+
+    return grouped_apply(j, ["cluster_id"], best, num_partitions=8)
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE
+p AS ({SQL_NGRAM_JACCARD}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src
+),
+cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+      FROM cl JOIN documents d USING (doc_id)),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS nd
+      FROM j)
+SELECT cluster_id, CAST(nd AS BIGINT) AS n_docs, doc_id AS keep_id,
+       n_chars AS keep_chars
+FROM r WHERE rn = 1
+"""
+
+
+def q_robust_scale(sf_dir: str):
+    """Robust feature scaling — (value − median) / IQR per event type,
+    the outlier-immune ML-prep normalizer (z-score shifts under heavy
+    tails; median/IQR don't): exact grouped quantiles
+    (`grouped_quantiles`, percentile_cont parity) broadcast back over
+    the 5-row group table, one vectorized streaming pass to scale.
+    4-dp rounding (quotient of interpolated quantiles — same boundary
+    contract as `impute`)."""
+    from ..functions.relational import grouped_quantiles
+
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "event_type", "value"])
+    q = grouped_quantiles(
+        ev, ["event_type"], "value", [0.25, 0.5, 0.75],
+        ["q1", "q2", "q3"],
+    ).to_pandas()  # 5 group rows — the broadcast side
+    out = broadcast_join(ev, q, on="event_type")
+
+    def scale(d: pd.DataFrame) -> pd.DataFrame:
+        iqr = d["q3"].to_numpy() - d["q1"].to_numpy()
+        z = (d["value"].to_numpy() - d["q2"].to_numpy()) / np.where(
+            iqr == 0, np.nan, iqr)
+        return pd.DataFrame({
+            "event_id": d["event_id"].astype("int64"),
+            "event_type": d["event_type"],
+            "robust": np.round(z, 4),
+        })
+
+    return out.map_batches(scale, batch_format="pandas")
+
+
+SQL_ROBUST_SCALE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.5) AS q2,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type,
+       round((e.value - q.q2) / nullif(q.q3 - q.q1, 0), 4) AS robust
+FROM events e JOIN q USING (event_type)
+"""
+
+
 def q_dedup_simhash(sf_dir: str):
     return dedup.simhash_dedup(
         read_table(sf_dir, "documents", columns=["doc_id", "text"],
@@ -6884,6 +6996,8 @@ QUERIES = {
     "autocorr": q_autocorr,
     "containment": q_containment,
     "ppr": q_ppr,
+    "dedup_keep_best": q_dedup_keep_best,
+    "robust_scale": q_robust_scale,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -7060,4 +7174,6 @@ ORACLE_SQL = {
     "autocorr": SQL_AUTOCORR,
     "containment": SQL_CONTAINMENT,
     "ppr": SQL_PPR,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "robust_scale": SQL_ROBUST_SCALE,
 }
