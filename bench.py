@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "ppr",
     "dedup_keep_best",
     "robust_scale",
+    "ks_test",
 ]
 
 

@@ -4109,3 +4109,112 @@ def equi_depth_histogram(
 
     out = partials.to_pandas()  # ≤ buckets × partitions rows
     return rd.from_pandas(merge(out))
+
+
+def ks_statistic(
+    ds: rd.Dataset,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    coarse_bins: int = 4096,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """EXACT two-sample Kolmogorov–Smirnov statistic — the
+    distribution-drift detector (did this cohort's value distribution
+    shift?): D = max over sample points of |F_a(v) − F_b(v)|, the
+    right-continuous empirical CDFs evaluated at every distinct value
+    (where all the sup's candidates live). Returns one row
+    ``(ks_d, n_a, n_b)``.
+
+    A global CDF without a global sort — the same discipline as
+    :func:`equi_depth_histogram`:
+
+    1. one min/max pass fixes the value range;
+    2. one partial-count pass bins rows into ``coarse_bins`` uniform
+       value bins PER COHORT — a model-constant 2×2^k count table,
+       prefix-summed on the driver like a sketch (these are each
+       cohort's exact cumulative counts *before* every bin);
+    3. one bin-hash exchange co-locates each value bin; each partition
+       collapses to distinct values, cumsums within its bins, adds the
+       broadcast offsets — exact CDF values at every sample point —
+       and emits only its running max |diff|;
+    4. the driver maxes ≤ partitions candidates.
+
+    The CDF quotients divide exact int counts by exact totals, so the
+    float is identical to any SQL engine's — no rounding tolerance
+    needed beyond display.
+    """
+    a_lab, b_lab = group_a, group_b
+
+    def project(d: pd.DataFrame) -> pd.DataFrame:
+        m = d[group_col].isin([a_lab, b_lab])
+        d = d.loc[m]
+        return pd.DataFrame({
+            "v": d[value_col].astype("float64"),
+            "a": (d[group_col] == a_lab).astype("int64"),
+            "b": (d[group_col] == b_lab).astype("int64"),
+        })
+
+    pts = ds.map_batches(project, batch_format="pandas").materialize()
+
+    mm = grouped_agg(
+        pts.map_batches(
+            lambda d: pd.DataFrame({"__k": np.zeros(len(d), dtype="int64"),
+                                    "v": d["v"]}),
+            batch_format="pandas"),
+        ["__k"], {"lo": ("v", "min"), "hi": ("v", "max")},
+    ).to_pandas()
+    if len(mm) == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "ks_d": pd.Series([], dtype="float64"),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+        }))
+    vlo = float(mm["lo"].iloc[0])
+    width = max(float(mm["hi"].iloc[0]) - vlo, 1e-300)
+
+    def val_bin(v: np.ndarray) -> np.ndarray:
+        b = ((v - vlo) / width * coarse_bins).astype("int64")
+        return np.clip(b, 0, coarse_bins - 1)
+
+    binned = pts.map_batches(
+        lambda d: d.assign(__bin=val_bin(d["v"].to_numpy())),
+        batch_format="pandas")
+
+    counts = grouped_agg(
+        binned.map_batches(
+            lambda d: d[["__bin", "a", "b"]], batch_format="pandas"),
+        ["__bin"], {"ca": ("a", "sum"), "cb": ("b", "sum")},
+    ).to_pandas().sort_values("__bin")
+    n_a = int(counts["ca"].sum())
+    n_b = int(counts["cb"].sum())
+    offs_a = np.zeros(coarse_bins, dtype="int64")
+    offs_b = np.zeros(coarse_bins, dtype="int64")
+    bins_seen = counts["__bin"].to_numpy()
+    offs_a[bins_seen] = np.concatenate(
+        [[0], np.cumsum(counts["ca"].to_numpy())[:-1]])
+    offs_b[bins_seen] = np.concatenate(
+        [[0], np.cumsum(counts["cb"].to_numpy())[:-1]])
+    oref = ray.put((offs_a, offs_b))
+    orefs = [oref]
+
+    def part_max(g: pd.DataFrame) -> pd.DataFrame:
+        oa, ob = resolve_broadcast(orefs[0])
+        c = (g.groupby(["__bin", "v"], sort=True)
+             .agg(ca=("a", "sum"), cb=("b", "sum")).reset_index())
+        cum_a = c.groupby("__bin", sort=False)["ca"].cumsum().to_numpy()
+        cum_b = c.groupby("__bin", sort=False)["cb"].cumsum().to_numpy()
+        bins = c["__bin"].to_numpy()
+        fa = (oa[bins] + cum_a) / n_a
+        fb = (ob[bins] + cum_b) / n_b
+        d = np.abs(fa - fb)
+        return pd.DataFrame({"d": [float(d.max()) if len(d) else 0.0]})
+
+    parts = grouped_apply(binned, ["__bin"], part_max,
+                          num_partitions=num_partitions).to_pandas()
+    return rd.from_pandas(pd.DataFrame({
+        "ks_d": [float(parts["d"].max())],
+        "n_a": [np.int64(n_a)],
+        "n_b": [np.int64(n_b)],
+    }))

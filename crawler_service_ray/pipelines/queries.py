@@ -1301,6 +1301,40 @@ def q_robust_scale(sf_dir: str):
     return out.map_batches(scale, batch_format="pandas")
 
 
+def q_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov D between the click and view
+    cohorts' value distributions — the distribution-drift detector
+    (`functions/relational.py:ks_statistic`): exact sup-CDF-difference
+    with NO global sort (model-constant per-cohort bin count table +
+    one bin exchange; each partition emits only its running max).
+    The CDF quotients are exact-int ratios, so 6 dp is display-only."""
+    from ..functions.relational import ks_statistic
+
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_type", "value"])
+    out = ks_statistic(ev, "value", "event_type", "click", "view")
+    return out.map_batches(
+        lambda d: d.assign(ks_d=d["ks_d"].round(6)),
+        batch_format="pandas")
+
+
+SQL_KS_TEST = """
+WITH u AS (
+  SELECT value,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_type IN ('click', 'view')),
+c AS (SELECT value, sum(a) AS ca, sum(b) AS cb FROM u GROUP BY value),
+w AS (SELECT sum(ca) OVER (ORDER BY value) AS cum_a,
+             sum(cb) OVER (ORDER BY value) AS cum_b,
+             sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+      FROM c)
+SELECT round(max(abs(cum_a / na - cum_b / nb)), 6) AS ks_d,
+       CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+FROM w
+"""
+
+
 SQL_ROBUST_SCALE = """
 WITH q AS (
   SELECT event_type,
@@ -6998,6 +7032,7 @@ QUERIES = {
     "ppr": q_ppr,
     "dedup_keep_best": q_dedup_keep_best,
     "robust_scale": q_robust_scale,
+    "ks_test": q_ks_test,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -7176,4 +7211,5 @@ ORACLE_SQL = {
     "ppr": SQL_PPR,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "robust_scale": SQL_ROBUST_SCALE,
+    "ks_test": SQL_KS_TEST,
 }

@@ -1594,3 +1594,59 @@ def test_equi_depth_fewer_rows_than_buckets(ray_session):
     assert got["bucket"].tolist() == [0, 4]
     assert got["n"].tolist() == [1, 1]
     assert got["lo"].tolist() == [1.0, 3.0]
+
+
+# ---------------------------------------------------------------------------
+# ks_statistic
+# ---------------------------------------------------------------------------
+
+def _numpy_ks(a: np.ndarray, b: np.ndarray) -> float:
+    pts = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), pts, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), pts, side="right") / len(b)
+    return float(np.abs(fa - fb).max())
+
+
+def test_ks_matches_numpy_with_ties(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import ks_statistic
+
+    rng = np.random.default_rng(17)
+    # 1-dp rounding forces heavy ties, the case naive formulas miss
+    a = np.round(rng.normal(0.0, 1.0, 400), 1)
+    b = np.round(rng.normal(0.4, 1.3, 300), 1)
+    df = pd.DataFrame({
+        "g": ["a"] * len(a) + ["b"] * len(b),
+        "v": np.concatenate([a, b]),
+    })
+    out = ks_statistic(rd.from_pandas(df), "v", "g", "a", "b",
+                       coarse_bins=64, num_partitions=4).to_pandas()
+    assert int(out["n_a"].iloc[0]) == 400
+    assert int(out["n_b"].iloc[0]) == 300
+    assert out["ks_d"].iloc[0] == _numpy_ks(a, b)
+
+
+def test_ks_identical_distributions_zero(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import ks_statistic
+
+    v = np.arange(100, dtype="float64")
+    df = pd.DataFrame({"g": ["a"] * 100 + ["b"] * 100,
+                       "v": np.concatenate([v, v])})
+    out = ks_statistic(rd.from_pandas(df), "v", "g", "a", "b",
+                       coarse_bins=16, num_partitions=3).to_pandas()
+    assert out["ks_d"].iloc[0] == 0.0
+
+
+def test_ks_disjoint_supports_one(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import ks_statistic
+
+    df = pd.DataFrame({"g": ["a"] * 10 + ["b"] * 10,
+                       "v": list(range(10)) + list(range(100, 110))})
+    out = ks_statistic(rd.from_pandas(df), "v", "g", "a", "b",
+                       num_partitions=2).to_pandas()
+    assert out["ks_d"].iloc[0] == 1.0
