@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "robust_scale",
     "ks_test",
+    "mannwhitney",
 ]
 
 

@@ -4111,40 +4111,24 @@ def equi_depth_histogram(
     return rd.from_pandas(merge(out))
 
 
-def ks_statistic(
+def _two_sample_bin_scan(
     ds: rd.Dataset,
     value_col: str,
     group_col: str,
     group_a,
     group_b,
-    coarse_bins: int = 4096,
-    num_partitions: int = 32,
-) -> rd.Dataset:
-    """EXACT two-sample Kolmogorov–Smirnov statistic — the
-    distribution-drift detector (did this cohort's value distribution
-    shift?): D = max over sample points of |F_a(v) − F_b(v)|, the
-    right-continuous empirical CDFs evaluated at every distinct value
-    (where all the sup's candidates live). Returns one row
-    ``(ks_d, n_a, n_b)``.
-
-    A global CDF without a global sort — the same discipline as
-    :func:`equi_depth_histogram`:
-
-    1. one min/max pass fixes the value range;
-    2. one partial-count pass bins rows into ``coarse_bins`` uniform
-       value bins PER COHORT — a model-constant 2×2^k count table,
-       prefix-summed on the driver like a sketch (these are each
-       cohort's exact cumulative counts *before* every bin);
-    3. one bin-hash exchange co-locates each value bin; each partition
-       collapses to distinct values, cumsums within its bins, adds the
-       broadcast offsets — exact CDF values at every sample point —
-       and emits only its running max |diff|;
-    4. the driver maxes ≤ partitions candidates.
-
-    The CDF quotients divide exact int counts by exact totals, so the
-    float is identical to any SQL engine's — no rounding tolerance
-    needed beyond display.
-    """
+    coarse_bins: int,
+    num_partitions: int,
+    part_fn,
+):
+    """Shared skeleton of the exact two-sample order statistics
+    (:func:`ks_statistic`, :func:`mannwhitney_u`): per-cohort coarse
+    value-bin counts prefix-summed on the driver (model-constant
+    2x2^k table), one bin exchange, then ``part_fn(c, cum_a, cum_b,
+    oa, ob, n_a, n_b)`` reduces each partition's distinct-value table
+    (``c`` has columns __bin, v, ca, cb in (bin, value) order with
+    within-bin cumulative cohort counts) to a scalar per-partition
+    row. Returns (partials_df, n_a, n_b) or None when empty."""
     a_lab, b_lab = group_a, group_b
 
     def project(d: pd.DataFrame) -> pd.DataFrame:
@@ -4166,11 +4150,7 @@ def ks_statistic(
         ["__k"], {"lo": ("v", "min"), "hi": ("v", "max")},
     ).to_pandas()
     if len(mm) == 0:
-        return rd.from_pandas(pd.DataFrame({
-            "ks_d": pd.Series([], dtype="float64"),
-            "n_a": pd.Series([], dtype="int64"),
-            "n_b": pd.Series([], dtype="int64"),
-        }))
+        return None
     vlo = float(mm["lo"].iloc[0])
     width = max(float(mm["hi"].iloc[0]) - vlo, 1e-300)
 
@@ -4199,22 +4179,111 @@ def ks_statistic(
     oref = ray.put((offs_a, offs_b))
     orefs = [oref]
 
-    def part_max(g: pd.DataFrame) -> pd.DataFrame:
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
         oa, ob = resolve_broadcast(orefs[0])
         c = (g.groupby(["__bin", "v"], sort=True)
              .agg(ca=("a", "sum"), cb=("b", "sum")).reset_index())
         cum_a = c.groupby("__bin", sort=False)["ca"].cumsum().to_numpy()
         cum_b = c.groupby("__bin", sort=False)["cb"].cumsum().to_numpy()
+        return part_fn(c, cum_a, cum_b, oa, ob, n_a, n_b)
+
+    parts = grouped_apply(binned, ["__bin"], reduce_part,
+                          num_partitions=num_partitions).to_pandas()
+    return parts, n_a, n_b
+
+
+def ks_statistic(
+    ds: rd.Dataset,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    coarse_bins: int = 4096,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """EXACT two-sample Kolmogorov-Smirnov statistic — the
+    distribution-drift detector (did this cohort's value distribution
+    shift?): D = max over sample points of |F_a(v) - F_b(v)|, the
+    right-continuous empirical CDFs evaluated at every distinct value
+    (where all the sup's candidates live). Returns one row
+    ``(ks_d, n_a, n_b)``.
+
+    A global CDF without a global sort — the same discipline as
+    :func:`equi_depth_histogram` (see :func:`_two_sample_bin_scan`):
+    the data crosses the wire once, only the model-constant bin count
+    table and per-partition maxima reach the driver. The CDF quotients
+    divide exact int counts by exact totals, so the float is identical
+    to any SQL engine's — no rounding tolerance needed beyond display.
+    """
+
+    def part_max(c, cum_a, cum_b, oa, ob, n_a, n_b):
         bins = c["__bin"].to_numpy()
         fa = (oa[bins] + cum_a) / n_a
         fb = (ob[bins] + cum_b) / n_b
         d = np.abs(fa - fb)
         return pd.DataFrame({"d": [float(d.max()) if len(d) else 0.0]})
 
-    parts = grouped_apply(binned, ["__bin"], part_max,
-                          num_partitions=num_partitions).to_pandas()
+    res = _two_sample_bin_scan(ds, value_col, group_col, group_a,
+                               group_b, coarse_bins, num_partitions,
+                               part_max)
+    if res is None:
+        return rd.from_pandas(pd.DataFrame({
+            "ks_d": pd.Series([], dtype="float64"),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+        }))
+    parts, n_a, n_b = res
     return rd.from_pandas(pd.DataFrame({
         "ks_d": [float(parts["d"].max())],
+        "n_a": [np.int64(n_a)],
+        "n_b": [np.int64(n_b)],
+    }))
+
+
+def mannwhitney_u(
+    ds: rd.Dataset,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    coarse_bins: int = 4096,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """EXACT Mann-Whitney U — the rank-based two-sample test (does one
+    cohort stochastically dominate the other?), the non-parametric
+    sibling of :func:`welch_ttest` that heavy tails can't fool:
+    U_a = sum over b-observations of (# a below) + ties/2. Computed from
+    the same one-exchange cohort scan as :func:`ks_statistic` — for
+    each distinct value, its b-count multiplies (a-count strictly
+    below + half the tied a-count); per-partition partial sums (exact
+    multiples of 0.5) combine on the driver. Returns one row
+    ``(u_a, u_b, n_a, n_b)`` with U_a + U_b = n_a*n_b (asserted by the
+    pytest against a quadratic reference).
+    """
+
+    def part_u(c, cum_a, cum_b, oa, ob, n_a, n_b):
+        bins = c["__bin"].to_numpy()
+        ca = c["ca"].to_numpy()
+        cb = c["cb"].to_numpy()
+        below_a = oa[bins] + cum_a - ca  # strictly below this value
+        u = (cb * (below_a + 0.5 * ca)).sum()
+        return pd.DataFrame({"u": [float(u)]})
+
+    res = _two_sample_bin_scan(ds, value_col, group_col, group_a,
+                               group_b, coarse_bins, num_partitions,
+                               part_u)
+    if res is None:
+        return rd.from_pandas(pd.DataFrame({
+            "u_a": pd.Series([], dtype="float64"),
+            "u_b": pd.Series([], dtype="float64"),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+        }))
+    parts, n_a, n_b = res
+    u_a = float(parts["u"].sum())
+    return rd.from_pandas(pd.DataFrame({
+        "u_a": [u_a],
+        "u_b": [n_a * n_b - u_a],
         "n_a": [np.int64(n_a)],
         "n_b": [np.int64(n_b)],
     }))

@@ -1335,6 +1335,40 @@ FROM w
 """
 
 
+def q_mannwhitney(sf_dir: str):
+    """Mann–Whitney U between the click and view cohorts — the
+    rank-based two-sample test heavy tails can't fool (the
+    non-parametric sibling of `ab_test`'s Welch t): exact U with tie
+    handling from the same one-exchange cohort scan as `ks_test`
+    (`functions/relational.py:mannwhitney_u`). U values are exact
+    multiples of 0.5 — no rounding tolerance."""
+    from ..functions.relational import mannwhitney_u
+
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_type", "value"])
+    return mannwhitney_u(ev, "value", "event_type", "click", "view")
+
+
+SQL_MANNWHITNEY = """
+WITH u AS (
+  SELECT value,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_type IN ('click', 'view')),
+c AS (SELECT value, sum(a) AS ca, sum(b) AS cb FROM u GROUP BY value),
+w AS (SELECT ca, cb,
+             coalesce(sum(ca) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below_a,
+             sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+      FROM c)
+SELECT sum(cb * (below_a + 0.5 * ca)) AS u_a,
+       max(na) * max(nb) - sum(cb * (below_a + 0.5 * ca)) AS u_b,
+       CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+FROM w
+"""
+
+
 SQL_ROBUST_SCALE = """
 WITH q AS (
   SELECT event_type,
@@ -7033,6 +7067,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "robust_scale": q_robust_scale,
     "ks_test": q_ks_test,
+    "mannwhitney": q_mannwhitney,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -7212,4 +7247,5 @@ ORACLE_SQL = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "robust_scale": SQL_ROBUST_SCALE,
     "ks_test": SQL_KS_TEST,
+    "mannwhitney": SQL_MANNWHITNEY,
 }

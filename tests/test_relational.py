@@ -1650,3 +1650,22 @@ def test_ks_disjoint_supports_one(ray_session):
     out = ks_statistic(rd.from_pandas(df), "v", "g", "a", "b",
                        num_partitions=2).to_pandas()
     assert out["ks_d"].iloc[0] == 1.0
+
+
+def test_mannwhitney_matches_quadratic_reference(ray_session):
+    import ray.data as rd
+
+    from crawler_service_ray.functions.relational import mannwhitney_u
+
+    rng = np.random.default_rng(23)
+    a = np.round(rng.normal(0.0, 1.0, 120), 1)   # heavy ties
+    b = np.round(rng.normal(0.5, 1.0, 90), 1)
+    df = pd.DataFrame({"g": ["a"] * len(a) + ["b"] * len(b),
+                       "v": np.concatenate([a, b])})
+    out = mannwhitney_u(rd.from_pandas(df), "v", "g", "a", "b",
+                        coarse_bins=32, num_partitions=4).to_pandas()
+    # quadratic reference: U_a = #(a < b) + 0.5 #(a == b)
+    u_ref = float((a[:, None] < b[None, :]).sum()
+                  + 0.5 * (a[:, None] == b[None, :]).sum())
+    assert out["u_a"].iloc[0] == u_ref
+    assert out["u_a"].iloc[0] + out["u_b"].iloc[0] == len(a) * len(b)
