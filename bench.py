@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "robust_scale",
     "ks_test",
     "mannwhitney",
+    "ann_range",
 ]
 
 

@@ -1335,6 +1335,39 @@ FROM w
 """
 
 
+def q_ann_range(sf_dir: str):
+    """Exact cosine RANGE search (radius 0.30) for the 10 query
+    vectors — the "everything at least this similar" retrieval form
+    where k is unknown (`functions/similarity.py:range_search`): the
+    query matrix ships once, each corpus batch streams out only its
+    qualifying pairs, NO final reduce. 0.30 sits 1.2e-3 from the
+    nearest actual cosine at sf0.01 (measured), so the exact-float
+    membership predicate is stable; cosine itself is reported at 4 dp."""
+    from ..functions.similarity import range_search
+
+    queries, qids = _query_vectors(sf_dir)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    out = range_search(emb, queries, qids, threshold=0.30)
+    return out.map_batches(
+        lambda d: d.assign(cosine=d["cosine"].round(4)),
+        batch_format="pandas")
+
+
+SQL_ANN_RANGE = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < 10),
+s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             -- DOUBLE[] casts: the FLOAT-list kernel returns float32,
+             -- whose 4-dp rounding can straddle the engine's float64
+             list_cosine_similarity(q.qe::DOUBLE[],
+                                    e.embedding::DOUBLE[]) AS c
+      FROM q, embeddings e WHERE e.vec_id <> q.qid)
+SELECT query_id, neighbor_id, round(c, 4) AS cosine
+FROM s WHERE c >= 0.30
+"""
+
+
 def q_mannwhitney(sf_dir: str):
     """Mann–Whitney U between the click and view cohorts — the
     rank-based two-sample test heavy tails can't fool (the
@@ -7068,6 +7101,7 @@ QUERIES = {
     "robust_scale": q_robust_scale,
     "ks_test": q_ks_test,
     "mannwhitney": q_mannwhitney,
+    "ann_range": q_ann_range,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -7248,4 +7282,5 @@ ORACLE_SQL = {
     "robust_scale": SQL_ROBUST_SCALE,
     "ks_test": SQL_KS_TEST,
     "mannwhitney": SQL_MANNWHITNEY,
+    "ann_range": SQL_ANN_RANGE,
 }
