@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "ks_test",
     "mannwhitney",
     "ann_range",
+    "sample_group_k",
 ]
 
 

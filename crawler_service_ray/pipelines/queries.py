@@ -1335,6 +1335,47 @@ FROM w
 """
 
 
+def q_sample_group_k(sf_dir: str):
+    """EXACT-k-per-stratum deterministic sample — the eval-set
+    builder (`sample_stratified` downsamples by FRACTION; an eval
+    set needs exactly k per language regardless of stratum size):
+    the k smallest Knuth id-hashes within each lang via
+    `topk_per_group` (per-batch pre-truncation bounds what shuffles
+    to ≤ k·groups·blocks rows). Deterministic, resumable,
+    bounded-churn as the corpus grows — same contract as
+    `sample_exact_k`, per stratum. Oracle: the literal
+    row_number-over-hash rule."""
+    from ..functions.relational import topk_per_group
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        h = ((ids % np.uint64(4294967296)) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+        return df.assign(__h=h.astype("int64"))
+
+    out = topk_per_group(
+        docs.map_batches(keyed, batch_format="pandas"),
+        keys=["lang"], by=["__h", "doc_id"], k=20,
+        descending=False,
+    )
+    return out.map_batches(
+        lambda d: d[["doc_id", "lang"]], batch_format="pandas")
+
+
+SQL_SAMPLE_GROUP_K = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ((doc_id::HUGEINT % 4294967296) * 2654435761)
+                    % 4294967296, doc_id) AS rn
+  FROM documents)
+WHERE rn <= 20
+"""
+
+
 def q_ann_range(sf_dir: str):
     """Exact cosine RANGE search (radius 0.30) for the 10 query
     vectors — the "everything at least this similar" retrieval form
@@ -7102,6 +7143,7 @@ QUERIES = {
     "ks_test": q_ks_test,
     "mannwhitney": q_mannwhitney,
     "ann_range": q_ann_range,
+    "sample_group_k": q_sample_group_k,
     "freq_sketch_audit": q_freq_sketch_audit,
     "fingerprint": q_fingerprint,
     "crawl_fetched": q_crawl_fetched,
@@ -7283,4 +7325,5 @@ ORACLE_SQL = {
     "ks_test": SQL_KS_TEST,
     "mannwhitney": SQL_MANNWHITNEY,
     "ann_range": SQL_ANN_RANGE,
+    "sample_group_k": SQL_SAMPLE_GROUP_K,
 }
