@@ -37,7 +37,9 @@ DST = os.environ.get("CSR_SF1_DIR", "/tmp/sf1_tiled")
 COPIES = int(os.environ.get("CSR_SF1_COPIES", "10"))
 
 QUERIES = ["join_partitioned", "dedup_minhash", "tfidf",
-           "range_join_partitioned", "cosine_pairs", "pagerank"]
+           "range_join_partitioned", "cosine_pairs", "pagerank",
+           # round-5 sixth-wave exchange-bound additions
+           "sssp", "histogram_depth", "ks_test"]
 # (table, bytes_per_block const) each query reads — for block-count logs
 QUERY_TABLES = {
     "join_partitioned": [("lineitem", 1 << 20), ("orders", 1 << 20)],
@@ -46,6 +48,9 @@ QUERY_TABLES = {
     "range_join_partitioned": [("orders", 1 << 20), ("customer", None)],
     "cosine_pairs": [("documents", 128 << 10)],
     "pagerank": [("lineitem", 1 << 20)],
+    "sssp": [("lineitem", 1 << 20)],
+    "histogram_depth": [("lineitem", 1 << 20)],
+    "ks_test": [("events", 1 << 20)],
 }
 
 
@@ -75,8 +80,11 @@ def tile() -> None:
     od = pq.read_table(os.path.join(SRC, "orders.parquet")).to_pandas()
     cu = pq.read_table(os.path.join(SRC, "customer.parquet")).to_pandas()
     dc = pq.read_table(os.path.join(SRC, "documents.parquet")).to_pandas()
+    ev = pq.read_table(os.path.join(SRC, "events.parquet")).to_pandas()
+    ev_span, uid_span = 1_000_000, 10_000
 
-    outs = {"lineitem": [], "orders": [], "customer": [], "documents": []}
+    outs = {"lineitem": [], "orders": [], "customer": [], "documents": [],
+            "events": []}
     for c in range(COPIES):
         l2 = li.copy()
         l2["l_orderkey"] = l2["l_orderkey"] + c * ok_span
@@ -98,6 +106,10 @@ def tile() -> None:
         if c > 0:
             d2["text"] = _salt_texts(d2["text"], c).to_numpy()
         outs["documents"].append(d2)
+        e2 = ev.copy()
+        e2["event_id"] = e2["event_id"] + c * ev_span
+        e2["user_id"] = e2["user_id"] + c * uid_span
+        outs["events"].append(e2)
 
     for name, parts in outs.items():
         big = pd.concat(parts, ignore_index=True)
