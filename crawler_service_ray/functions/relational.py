@@ -4036,6 +4036,12 @@ def equi_depth_histogram(
     tie_cols = list(tie_cols)
     cols = [col] + tie_cols
 
+    # three consumers (min/max pass, bin-count pass, bin exchange) —
+    # pin the projected columns once or each pass re-runs the read
+    # (measured 13x instead of ~6x at 10x data before this)
+    ds = ds.map_batches(lambda d: d[cols], batch_format="pandas")
+    ds = ds.materialize()
+
     # pass 1: global min/max (constant-key partials, driver merge)
     mm = grouped_agg(
         ds.map_batches(
