@@ -133,23 +133,29 @@ def block_counts(sf_dir: str) -> dict:
 
 
 def run(sf_dir: str) -> dict:
+    """One FRESH Ray session per query: a shared session accumulates
+    the graph queries' pinned datasets and scheduling backlog, which
+    measured 2-13x inflation on whatever ran after them (84 s vs 5 s
+    isolated for histogram_depth at sf1) — session isolation makes the
+    numbers reflect the operator, not the run order."""
     import ray
 
-    from bench import BENCH_QUERIES, _consume, _quiet_schema_warnings  # noqa
+    from bench import _consume, _quiet_schema_warnings  # noqa
 
     _quiet_schema_warnings()
-    if not ray.is_initialized():
-        ray.init(address="local",
-                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
-                 include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
     import __ray_entry__ as e
 
     qs = e.queries()
     res = {}
     for name in QUERIES:
+        if ray.is_initialized():
+            ray.shutdown()
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
         t0 = time.time()
         rows = _consume(qs[name](sf_dir))
         res[name] = {"sec": round(time.time() - t0, 2), "rows": int(rows)}
