@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "mannwhitney",
     "ann_range",
     "sample_group_k",
+    "percent_rank_global",
 ]
 
 

@@ -4000,6 +4000,86 @@ def welch_ttest(
     })
 
 
+def _value_rank_exchange(
+    ds: rd.Dataset,
+    col: str,
+    tie_cols,
+    coarse_bins: int,
+    num_partitions: int,
+    part_fn,
+):
+    """Shared skeleton of the exact value-rank family
+    (:func:`equi_depth_histogram`, :func:`value_percent_rank`): a
+    global rank under ``(col, *tie_cols)`` WITHOUT a global sort —
+    one min/max pass, one model-constant coarse value-bin count pass
+    prefix-summed on the driver like a sketch, then one bin-hash
+    exchange where each partition sorts its bins locally, adds the
+    broadcast offsets for exact global ranks, and hands
+    ``part_fn(g_sorted, rank, total)`` the result. Returns
+    ``(partials_dataset, total_rows)`` or None when the input is
+    empty. Only the 2^k count table ever sits on the driver; the data
+    crosses the wire once (the bin exchange)."""
+    tie_cols = list(tie_cols)
+    cols = [col] + tie_cols
+
+    # three consumers (min/max pass, bin-count pass, bin exchange) —
+    # pin the projected columns once or each pass re-runs the read
+    # (measured 13x instead of ~2.6x at 10x data before this)
+    ds = ds.map_batches(lambda d: d[cols], batch_format="pandas")
+    ds = ds.materialize()
+
+    mm = grouped_agg(
+        ds.map_batches(
+            lambda d: pd.DataFrame({"__k": np.zeros(len(d), dtype="int64"),
+                                    col: d[col]}),
+            batch_format="pandas"),
+        ["__k"], {"lo": (col, "min"), "hi": (col, "max")},
+    ).to_pandas()
+    if len(mm) == 0:
+        return None
+    vlo = float(mm["lo"].iloc[0])
+    width = max(float(mm["hi"].iloc[0]) - vlo, 1e-300)
+
+    def val_bin(v: np.ndarray) -> np.ndarray:
+        b = ((v - vlo) / width * coarse_bins).astype("int64")
+        return np.clip(b, 0, coarse_bins - 1)
+
+    def keyed(d: pd.DataFrame) -> pd.DataFrame:
+        return d[cols].assign(
+            __bin=val_bin(d[col].to_numpy(dtype="float64")))
+
+    with_bins = ds.map_batches(keyed, batch_format="pandas")
+
+    counts = grouped_agg(
+        with_bins.map_batches(
+            lambda d: d[["__bin"]].assign(__one=np.int64(1)),
+            batch_format="pandas"),
+        ["__bin"], {"n": ("__one", "sum")},
+    ).to_pandas().sort_values("__bin")
+    total = int(counts["n"].sum())
+    offs = np.zeros(coarse_bins, dtype="int64")
+    offs[counts["__bin"].to_numpy()] = np.concatenate(
+        [[0], np.cumsum(counts["n"].to_numpy())[:-1]])
+    oref = ray.put(offs)
+    orefs = [oref]
+
+    def ranked(g: pd.DataFrame) -> pd.DataFrame:
+        offs_ = resolve_broadcast(orefs[0])
+        g = g.sort_values(["__bin"] + cols, kind="mergesort")
+        bins = g["__bin"].to_numpy()
+        n = len(g)
+        starts = np.flatnonzero(
+            np.concatenate([[True], bins[1:] != bins[:-1]]))
+        runlen = np.diff(np.concatenate([starts, [n]]))
+        within = np.arange(n, dtype=np.int64) - np.repeat(starts, runlen)
+        rank = offs_[bins] + within
+        return part_fn(g, rank, total)
+
+    partials = grouped_apply(with_bins, ["__bin"], ranked,
+                             num_partitions=num_partitions)
+    return partials, total
+
+
 def equi_depth_histogram(
     ds: rd.Dataset,
     col: str,
@@ -4015,106 +4095,72 @@ def equi_depth_histogram(
     total order ``(col, *tie_cols)`` — exactly
     ``(row_number() OVER (ORDER BY col, ties) - 1) * B // count(*)``,
     so ties are impossible and the result is deterministic at any
-    parallelism. A global rank WITHOUT a global sort, the value-order
-    sibling of :func:`global_order_index`:
-
-    1. one min/max pass fixes the value range (model-constant
-       partials);
-    2. one partial-count pass bins rows into ``coarse_bins`` uniform
-       value bins — a model-constant count table, prefix-summed on the
-       driver like a sketch;
-    3. one bin-hash exchange co-locates each value bin, which sorts
-       locally by ``(col, *tie_cols)``, adds its broadcast offset to
-       get exact global ranks, maps rank→bucket, and pre-aggregates
-       its per-bucket (n, lo, hi) partials — only ≤ buckets × bins
-       partial rows leave the exchange;
-    4. one tiny merge produces the B-row result.
-
-    Only the 2^k count table ever sits on the driver; the data crosses
-    the wire once (the bin exchange). Values must be numeric and
+    parallelism. Built on :func:`_value_rank_exchange` (global rank
+    without a global sort); each partition pre-aggregates its
+    per-bucket (n, lo, hi) partials, so only ≤ buckets × partitions
+    rows reach the final tiny merge. Values must be numeric and
     non-null; ``tie_cols`` must make rows unique."""
-    tie_cols = list(tie_cols)
-    cols = [col] + tie_cols
 
-    # three consumers (min/max pass, bin-count pass, bin exchange) —
-    # pin the projected columns once or each pass re-runs the read
-    # (measured 13x instead of ~6x at 10x data before this)
-    ds = ds.map_batches(lambda d: d[cols], batch_format="pandas")
-    ds = ds.materialize()
+    def to_buckets(g: pd.DataFrame, rank: np.ndarray,
+                   total: int) -> pd.DataFrame:
+        bucket = rank * num_buckets // total
+        v = g[col].to_numpy(dtype="float64")
+        agg = (pd.DataFrame({"bucket": bucket, "v": v})
+               .groupby("bucket", sort=False)["v"]
+               .agg(["size", "min", "max"]).reset_index())
+        return pd.DataFrame({"bucket": agg["bucket"].astype("int64"),
+                             "n": agg["size"].astype("int64"),
+                             "lo": agg["min"], "hi": agg["max"]})
 
-    # pass 1: global min/max (constant-key partials, driver merge)
-    mm = grouped_agg(
-        ds.map_batches(
-            lambda d: pd.DataFrame({"__k": np.zeros(len(d), dtype="int64"),
-                                    col: d[col]}),
-            batch_format="pandas"),
-        ["__k"], {"lo": (col, "min"), "hi": (col, "max")},
-    ).to_pandas()
-    if len(mm) == 0:
+    res = _value_rank_exchange(ds, col, tie_cols, coarse_bins,
+                               num_partitions, to_buckets)
+    if res is None:
         return rd.from_pandas(pd.DataFrame({
             "bucket": pd.Series([], dtype="int64"),
             "n": pd.Series([], dtype="int64"),
             "lo": pd.Series([], dtype="float64"),
             "hi": pd.Series([], dtype="float64"),
         }))
-    vlo = float(mm["lo"].iloc[0])
-    vhi = float(mm["hi"].iloc[0])
-    width = max(vhi - vlo, 1e-300)
-
-    def val_bin(v: np.ndarray) -> np.ndarray:
-        b = ((v - vlo) / width * coarse_bins).astype("int64")
-        return np.clip(b, 0, coarse_bins - 1)
-
-    def keyed(d: pd.DataFrame) -> pd.DataFrame:
-        return d[cols].assign(
-            __bin=val_bin(d[col].to_numpy(dtype="float64")))
-
-    with_bins = ds.map_batches(keyed, batch_format="pandas")
-
-    # pass 2: model-constant bin-count table, prefix-summed like a sketch
-    counts = grouped_agg(
-        with_bins.map_batches(
-            lambda d: d[["__bin"]].assign(__one=np.int64(1)),
-            batch_format="pandas"),
-        ["__bin"], {"n": ("__one", "sum")},
-    ).to_pandas().sort_values("__bin")
-    total = int(counts["n"].sum())
-    offs = np.zeros(coarse_bins, dtype="int64")
-    cum = np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]])
-    offs[counts["__bin"].to_numpy()] = cum
-    oref = ray.put(offs)
-    orefs = [oref]
-
-    def bucketize(g: pd.DataFrame) -> pd.DataFrame:
-        offs_ = resolve_broadcast(orefs[0])
-        g = g.sort_values(["__bin"] + cols, kind="mergesort")
-        bins = g["__bin"].to_numpy()
-        n = len(g)
-        starts = np.flatnonzero(
-            np.concatenate([[True], bins[1:] != bins[:-1]]))
-        runlen = np.diff(np.concatenate([starts, [n]]))
-        within = np.arange(n, dtype=np.int64) - np.repeat(starts, runlen)
-        rank = offs_[bins] + within
-        bucket = rank * num_buckets // total
-        v = g[col].to_numpy(dtype="float64")
-        part = pd.DataFrame({"bucket": bucket, "v": v})
-        agg = part.groupby("bucket", sort=False)["v"].agg(
-            ["size", "min", "max"]).reset_index()
-        return pd.DataFrame({"bucket": agg["bucket"].astype("int64"),
-                             "n": agg["size"].astype("int64"),
-                             "lo": agg["min"], "hi": agg["max"]})
-
-    partials = grouped_apply(with_bins, ["__bin"], bucketize,
-                             num_partitions=num_partitions)
-
-    def merge(d: pd.DataFrame) -> pd.DataFrame:
-        g = d.groupby("bucket", sort=True).agg(
+    partials, _total = res
+    out = partials.to_pandas()  # <= buckets x partitions rows
+    return rd.from_pandas(
+        out.groupby("bucket", sort=True).agg(
             n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"),
-        ).reset_index()
-        return g
+        ).reset_index())
 
-    out = partials.to_pandas()  # ≤ buckets × partitions rows
-    return rd.from_pandas(merge(out))
+
+def value_percent_rank(
+    ds: rd.Dataset,
+    col: str,
+    tie_cols: Sequence[str],
+    out_name: str = "pct",
+    coarse_bins: int = 4096,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-row EXACT global percentile — SQL
+    ``percent_rank() OVER (ORDER BY col, ties)`` = rank/(n-1) — the
+    quantile-transform/calibration primitive (map every value onto
+    its empirical CDF position). Built on :func:`_value_rank_exchange`:
+    the rows stream back out of the bin exchange carrying their rank
+    quotient; nothing but the 2^k bin count table sits on the driver,
+    and there is no global sort. Returns the tie columns + ``col`` +
+    ``out_name``; n=1 degenerates to 0.0 like the SQL function."""
+
+    def to_pct(g: pd.DataFrame, rank: np.ndarray,
+               total: int) -> pd.DataFrame:
+        denom = max(total - 1, 1)
+        out = g.drop(columns=["__bin"]).reset_index(drop=True)
+        out[out_name] = rank / denom
+        return out
+
+    res = _value_rank_exchange(ds, col, tie_cols, coarse_bins,
+                               num_partitions, to_pct)
+    if res is None:
+        cols = {c: pd.Series([], dtype="float64")
+                for c in [col] + list(tie_cols) + [out_name]}
+        return rd.from_pandas(pd.DataFrame(cols))
+    partials, _total = res
+    return partials
 
 
 def _two_sample_bin_scan(

@@ -6834,6 +6834,35 @@ def q_histogram_depth(sf_dir: str):
         batch_format="pandas")
 
 
+def q_percent_rank_global(sf_dir: str):
+    """Per-order EXACT global price percentile —
+    `percent_rank() OVER (ORDER BY price, key)` without a global sort
+    (`functions/relational.py:value_percent_rank`, the row-emitting
+    sibling of `histogram_depth`'s rank exchange): the
+    quantile-transform primitive for calibration/feature-scaling. The
+    quotient rank/(n-1) is exact ints over exact ints, identical in
+    both engines; 6 dp is display-only."""
+    from ..functions.relational import value_percent_rank
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+    out = value_percent_rank(orders, "o_totalprice", ["o_orderkey"])
+    return out.map_batches(
+        lambda d: pd.DataFrame({
+            "o_orderkey": d["o_orderkey"].astype("int64"),
+            "pct": np.round(d["pct"].to_numpy(dtype="float64"), 6),
+        }),
+        batch_format="pandas")
+
+
+SQL_PERCENT_RANK_GLOBAL = """
+SELECT o_orderkey,
+       round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6)
+         AS pct
+FROM orders
+"""
+
+
 def q_anomaly_zscore(sf_dir: str):
     """Rolling-frame anomaly score: each event's z-score against its
     user's trailing 5-event mean/std (ROWS 4 PRECEDING AND CURRENT
@@ -7134,6 +7163,7 @@ QUERIES = {
     "window_ranks": q_window_ranks,
     "sssp": q_sssp,
     "histogram_depth": q_histogram_depth,
+    "percent_rank_global": q_percent_rank_global,
     "anomaly_zscore": q_anomaly_zscore,
     "autocorr": q_autocorr,
     "containment": q_containment,
@@ -7316,6 +7346,7 @@ ORACLE_SQL = {
     "window_ranks": SQL_WINDOW_RANKS,
     "sssp": SQL_SSSP,
     "histogram_depth": SQL_HISTOGRAM_DEPTH,
+    "percent_rank_global": SQL_PERCENT_RANK_GLOBAL,
     "anomaly_zscore": SQL_ANOMALY_ZSCORE,
     "autocorr": SQL_AUTOCORR,
     "containment": SQL_CONTAINMENT,
