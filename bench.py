@@ -141,6 +141,10 @@ BENCH_QUERIES = [
     "ann_range",
     "sample_group_k",
     "percent_rank_global",
+    "gini",
+    "decayed_topk",
+    "changepoint",
+    "classification_report",
 ]
 
 

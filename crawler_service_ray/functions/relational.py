@@ -4163,6 +4163,48 @@ def value_percent_rank(
     return partials
 
 
+def gini_coefficient(
+    ds: rd.Dataset,
+    col: str,
+    tie_cols: Sequence[str],
+    coarse_bins: int = 4096,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """EXACT Gini coefficient — the inequality / concentration statistic
+    (how skewed is spend across customers, bytes across hosts, tokens
+    across documents) via the closed rank form
+    ``G = 2·Σ rn·x / (n·Σx) − (n+1)/n`` with ``rn`` the 1-based global
+    rank under ``(col, *tie_cols)``. Built on
+    :func:`_value_rank_exchange`, so there is NO global sort: each
+    partition of the bin exchange reduces its rows to three scalars
+    (Σ rn·x, Σx, n) and only ≤ num_partitions partial rows reach the
+    driver. rn·x products stay well inside float64's exact-integer
+    range for any realistic corpus slice, and the final quotient is
+    rounded by the caller. Values must be numeric and non-null;
+    ``tie_cols`` must make rows unique (determinism at any
+    parallelism)."""
+
+    def part(g: pd.DataFrame, rank: np.ndarray, total: int) -> pd.DataFrame:
+        x = g[col].to_numpy(dtype="float64")
+        swx = float(((rank + 1).astype("float64") * x).sum())
+        return pd.DataFrame({"swx": [swx], "sx": [float(x.sum())],
+                             "n": [np.int64(len(x))]})
+
+    res = _value_rank_exchange(ds, col, tie_cols, coarse_bins,
+                               num_partitions, part)
+    if res is None:
+        return rd.from_pandas(pd.DataFrame({
+            "n": pd.Series([], dtype="int64"),
+            "gini": pd.Series([], dtype="float64"),
+        }))
+    partials, total = res
+    p = partials.to_pandas()  # <= num_partitions rows of 3 scalars
+    n = float(total)
+    gini = 2.0 * p["swx"].sum() / (n * p["sx"].sum()) - (n + 1.0) / n
+    return rd.from_pandas(pd.DataFrame({"n": [np.int64(total)],
+                                        "gini": [gini]}))
+
+
 def _two_sample_bin_scan(
     ds: rd.Dataset,
     value_col: str,

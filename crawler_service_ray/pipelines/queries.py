@@ -6992,6 +6992,229 @@ FROM orders
 """
 
 
+def q_gini(sf_dir: str):
+    """EXACT Gini coefficient of order value — the concentration
+    statistic a curation pipeline runs over per-host bytes or per-doc
+    tokens to quantify skew before picking a partitioning strategy
+    (`functions/relational.py:gini_coefficient`, the scalar-reducing
+    sibling of `percent_rank_global`'s rank exchange: no global sort,
+    each partition ships three scalars). The closed rank form
+    2·Σ rn·x/(n·Σx) − (n+1)/n is replayed verbatim by the oracle's
+    row_number window; rn·x sums are exact in float64 at this scale
+    and the quotient is 6-dp rounded."""
+    from ..functions.relational import gini_coefficient
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+    out = gini_coefficient(orders, "o_totalprice", ["o_orderkey"])
+    return out.map_batches(
+        lambda d: pd.DataFrame({
+            "n": d["n"].astype("int64"),
+            "gini": np.round(d["gini"].to_numpy(dtype="float64"), 6),
+        }),
+        batch_format="pandas")
+
+
+SQL_GINI = """
+WITH r AS (SELECT o_totalprice AS x,
+                  row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                    AS rn
+           FROM orders)
+SELECT count(*) AS n,
+       round(2.0 * sum(rn * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM r
+"""
+
+
+def q_decayed_topk(sf_dir: str):
+    """Exponentially time-decayed heavy hitters — the streaming
+    'what's hot NOW' ranking (recent events count ~1, month-old events
+    count ~1/2 at a 30-day half-life): per-user Σ 0.5^(age_days/30)
+    with age measured from the corpus max ts. Two passes, both tiny:
+    a global max(ts) aggregate, then per-block partial weighted counts
+    merged by `grouped_agg` — the decay weight is a per-row vectorized
+    exp2, so the shuffle carries one float per (user, block). Rounded
+    to 6 dp BEFORE the top-k so both engines rank identical values
+    (ties then break on user_id)."""
+    from ..functions.relational import grouped_agg, topk
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["user_id", "ts"])
+    tmax = grouped_agg(
+        ds.map_batches(
+            lambda d: pd.DataFrame({
+                "__k": np.zeros(len(d), dtype="int64"),
+                "__us": d["ts"].astype("int64")}),
+            batch_format="pandas"),
+        ["__k"], {"hi": ("__us", "max")}).to_pandas()
+    tmax_us = int(tmax["hi"].iloc[0])
+    half_us = 30.0 * 86400.0 * 1e6  # 30-day half-life in microseconds
+
+    def weigh(d: pd.DataFrame) -> pd.DataFrame:
+        age = (tmax_us - d["ts"].astype("int64").to_numpy()) / half_us
+        return pd.DataFrame({"user_id": d["user_id"].astype("int64"),
+                             "__w": np.exp2(-age)})
+
+    per_user = grouped_agg(ds.map_batches(weigh, batch_format="pandas"),
+                           ["user_id"], {"w": ("__w", "sum")})
+    rounded = per_user.map_batches(
+        lambda d: pd.DataFrame({
+            "user_id": d["user_id"].astype("int64"),
+            "w": np.round(d["w"].to_numpy(dtype="float64"), 6)}),
+        batch_format="pandas")
+    return topk(rounded, ["w", "user_id"], 20, descending=[True, False])
+
+
+SQL_DECAYED_TOPK = """
+WITH m AS (SELECT max(epoch_us(ts)) AS hi FROM events)
+SELECT user_id,
+       round(sum(pow(2.0, -((SELECT hi FROM m) - epoch_us(ts))
+                           / (30.0 * 86400.0 * 1e6))), 6) AS w
+FROM events
+GROUP BY user_id
+ORDER BY w DESC, user_id
+LIMIT 20
+"""
+
+
+def q_changepoint(sf_dir: str):
+    """Per-user CUSUM changepoint — the classic estimator (Page 1954
+    family): the event where |Σ_{j≤i}(x_j − μ_user)| peaks, i.e. where
+    the series most decisively departs its own mean. One key-hash
+    shuffle (`grouped_apply`), then a vectorized per-user cumsum −
+    rank·mean inside each partition — the same partition-local frame
+    machinery as `cumsum`/`anomaly_zscore`. The argmax runs over the
+    6-dp-ROUNDED statistic in both engines (window-sum trees and
+    sequential cumsum can differ at 1e-12; rounding first collapses
+    those into ties, broken on earliest (ts, event_id)); the statistic
+    itself is selection-internal, not output — emitting it would
+    re-expose the same boundary the rounding collapses (a 6-dp flip
+    was measured at sf0.01: 222.7615625 rounds apart across engines).
+    Users with a single event change-point at that event on both
+    engines."""
+    from ..functions.relational import grouped_apply
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def cp(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+             .reset_index(drop=True))
+        by = g.groupby("user_id", sort=False)
+        mean = by["value"].transform("mean").to_numpy()
+        csum = by["value"].cumsum().to_numpy()
+        rn = by.cumcount().to_numpy() + 1
+        stat = np.round(np.abs(csum - rn * mean), 6)
+        pick = (pd.DataFrame({"user_id": g["user_id"], "stat": stat})
+                .groupby("user_id", sort=False)["stat"].idxmax())
+        # idxmax = first max in sort order = earliest (ts, event_id) tie
+        sel = g.loc[pick.to_numpy()]
+        return pd.DataFrame({
+            "user_id": sel["user_id"].astype("int64").to_numpy(),
+            "cp_event": sel["event_id"].astype("int64").to_numpy(),
+        })
+
+    return grouped_apply(ds, ["user_id"], cp, num_partitions=16)
+
+
+SQL_CHANGEPOINT = """
+WITH w AS (
+  SELECT user_id, event_id, ts,
+         round(abs(sum(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                   - row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     * avg(value) OVER (PARTITION BY user_id)), 6)
+           AS stat
+  FROM events
+),
+m AS (SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY stat DESC, ts, event_id) AS rk
+      FROM w)
+SELECT user_id, event_id AS cp_event
+FROM m WHERE rk = 1
+"""
+
+
+def q_classification_report(sf_dir: str):
+    """Confusion-matrix evaluation — precision / recall / F1 /
+    accuracy of a fixed decision rule (price > 150k predicts URGENT)
+    against the label column: the model-eval pass every
+    train-data-quality loop runs after a classifier scores a corpus.
+    One streaming map_batches pass reduces each block to four counter
+    partials (tp/fp/fn/tn); a single tiny merge derives the metrics —
+    nothing but 4 ints per block crosses the wire. Metric quotients
+    are 6-dp rounded; zero-denominator degenerates to NULL on both
+    engines."""
+    from ..functions.relational import grouped_agg
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_totalprice", "o_orderpriority"])
+
+    def counts(d: pd.DataFrame) -> pd.DataFrame:
+        pred = (d["o_totalprice"].to_numpy(dtype="float64") > 150000.0)
+        truth = (d["o_orderpriority"] == "1-URGENT").to_numpy()
+        return pd.DataFrame({
+            "__k": [np.int64(0)],
+            "tp": [np.int64((pred & truth).sum())],
+            "fp": [np.int64((pred & ~truth).sum())],
+            "fn": [np.int64((~pred & truth).sum())],
+            "tn": [np.int64((~pred & ~truth).sum())],
+        })
+
+    agg = grouped_agg(ds.map_batches(counts, batch_format="pandas"),
+                      ["__k"], {"tp": ("tp", "sum"), "fp": ("fp", "sum"),
+                                "fn": ("fn", "sum"), "tn": ("tn", "sum")})
+
+    def metrics(d: pd.DataFrame) -> pd.DataFrame:
+        tp, fp = float(d["tp"].iloc[0]), float(d["fp"].iloc[0])
+        fn, tn = float(d["fn"].iloc[0]), float(d["tn"].iloc[0])
+        prec = tp / (tp + fp) if tp + fp > 0 else np.nan
+        rec = tp / (tp + fn) if tp + fn > 0 else np.nan
+        f1 = (2 * prec * rec / (prec + rec)
+              if prec == prec and rec == rec and prec + rec > 0 else np.nan)
+        acc = (tp + tn) / (tp + fp + fn + tn)
+        return pd.DataFrame({
+            "tp": d["tp"].astype("int64"), "fp": d["fp"].astype("int64"),
+            "fn": d["fn"].astype("int64"), "tn": d["tn"].astype("int64"),
+            "precision": [np.round(prec, 6)], "recall": [np.round(rec, 6)],
+            "f1": [np.round(f1, 6)], "accuracy": [np.round(acc, 6)],
+        })
+
+    return agg.map_batches(metrics, batch_format="pandas", batch_size=None)
+
+
+SQL_CLASSIFICATION_REPORT = """
+WITH c AS (
+  SELECT sum(CASE WHEN o_totalprice > 150000
+                   AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT
+           AS tp,
+         sum(CASE WHEN o_totalprice > 150000
+                   AND o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)::BIGINT
+           AS fp,
+         sum(CASE WHEN o_totalprice <= 150000
+                   AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT
+           AS fn,
+         sum(CASE WHEN o_totalprice <= 150000
+                   AND o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)::BIGINT
+           AS tn
+  FROM orders
+)
+SELECT tp, fp, fn, tn,
+       round(tp / nullif(tp + fp, 0)::DOUBLE, 6) AS precision,
+       round(tp / nullif(tp + fn, 0)::DOUBLE, 6) AS recall,
+       round(2.0 * (tp / nullif(tp + fp, 0)::DOUBLE)
+                 * (tp / nullif(tp + fn, 0)::DOUBLE)
+             / nullif(tp / nullif(tp + fp, 0)::DOUBLE
+                      + tp / nullif(tp + fn, 0)::DOUBLE, 0), 6) AS f1,
+       round((tp + tn) / (tp + fp + fn + tn)::DOUBLE, 6) AS accuracy
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -7180,6 +7403,10 @@ QUERIES = {
     "crawl_stats": q_crawl_stats,
     "crawl_media_features": q_crawl_media_features,
     "crawl_page": q_crawl_page,
+    "gini": q_gini,
+    "decayed_topk": q_decayed_topk,
+    "changepoint": q_changepoint,
+    "classification_report": q_classification_report,
 }
 
 ORACLE_SQL = {
@@ -7357,4 +7584,8 @@ ORACLE_SQL = {
     "mannwhitney": SQL_MANNWHITNEY,
     "ann_range": SQL_ANN_RANGE,
     "sample_group_k": SQL_SAMPLE_GROUP_K,
+    "gini": SQL_GINI,
+    "decayed_topk": SQL_DECAYED_TOPK,
+    "changepoint": SQL_CHANGEPOINT,
+    "classification_report": SQL_CLASSIFICATION_REPORT,
 }

@@ -457,3 +457,35 @@ def test_welch_ttest_reference(ray_session):
     assert abs(float(got["t_stat"][0]) - t) < 1e-5
     assert abs(float(got["df"][0]) - dof) < 1e-3
     assert int(got["n_a"][0]) == 500 and int(got["n_b"][0]) == 300
+
+
+def test_gini_matches_sorted_reference(ray_session):
+    rng = np.random.default_rng(31)
+    x = rng.exponential(100.0, 3000)
+    df = pd.DataFrame({"id": np.arange(3000, dtype="int64"), "v": x})
+
+    def brute(vals: np.ndarray) -> float:
+        s = np.sort(vals)
+        n = len(s)
+        rn = np.arange(1, n + 1, dtype="float64")
+        return float(2.0 * (rn * s).sum() / (n * s.sum()) - (n + 1.0) / n)
+
+    got = rel.gini_coefficient(
+        rd.from_pandas(df).repartition(6), "v", ["id"]).to_pandas()
+    assert int(got["n"][0]) == 3000
+    assert abs(float(got["gini"][0]) - brute(x)) < 1e-9
+    # exponential distribution: true Gini = 0.5; sampled near it
+    assert 0.45 < float(got["gini"][0]) < 0.55
+
+    # all-equal values -> perfect equality, gini exactly 0
+    eq = pd.DataFrame({"id": np.arange(50, dtype="int64"),
+                       "v": np.full(50, 7.0)})
+    g0 = rel.gini_coefficient(rd.from_pandas(eq), "v", ["id"]).to_pandas()
+    assert abs(float(g0["gini"][0])) < 1e-12
+
+    # parallelism invariance: 1 block vs 11 blocks, identical quotient
+    a = rel.gini_coefficient(
+        rd.from_pandas(df).repartition(1), "v", ["id"]).to_pandas()
+    b = rel.gini_coefficient(
+        rd.from_pandas(df).repartition(11), "v", ["id"]).to_pandas()
+    assert float(a["gini"][0]) == float(b["gini"][0])
