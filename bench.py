@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "decayed_topk",
     "changepoint",
     "classification_report",
+    "window_late",
 ]
 
 

@@ -4163,6 +4163,82 @@ def value_percent_rank(
     return partials
 
 
+def running_max_exchange(
+    ds: rd.Dataset,
+    order_col: str,
+    value_col: str,
+    part_fn,
+    coarse_bins: int = 4096,
+    num_partitions: int = 32,
+) -> rd.Dataset | None:
+    """Distributed ORDERED PREFIX-SCAN (running max) without a global
+    sort — ``max(value) OVER (ORDER BY order_col ROWS UNBOUNDED
+    PRECEDING)``, the watermark primitive of streaming replay: the
+    running max of event time in ingestion order IS the watermark at
+    each arrival. Same shape as :func:`_value_rank_exchange` but the
+    driver-side model-constant table carries per-bin MAXes instead of
+    counts: one min/max pass over ``order_col``, one per-bin
+    max(value) partial pass, an exclusive prefix-max over the ≤ 2^k
+    bins on the driver (broadcast once), then ONE bin exchange where
+    each partition sorts its bins locally, cummaxes, and hands
+    ``part_fn(g_sorted, running_max)`` the exact global prefix max per
+    row. ``order_col`` must be numeric and unique (an ingestion
+    sequence); ``value_col`` numeric. Returns None on empty input."""
+    cols = [order_col, value_col]
+    ds = ds.map_batches(lambda d: d[cols], batch_format="pandas")
+    ds = ds.materialize()
+
+    mm = grouped_agg(
+        ds.map_batches(
+            lambda d: pd.DataFrame({"__k": np.zeros(len(d), dtype="int64"),
+                                    order_col: d[order_col]}),
+            batch_format="pandas"),
+        ["__k"], {"lo": (order_col, "min"), "hi": (order_col, "max")},
+    ).to_pandas()
+    if len(mm) == 0:
+        return None
+    vlo = float(mm["lo"].iloc[0])
+    width = max(float(mm["hi"].iloc[0]) - vlo, 1e-300)
+
+    def keyed(d: pd.DataFrame) -> pd.DataFrame:
+        b = ((d[order_col].to_numpy(dtype="float64") - vlo)
+             / width * coarse_bins).astype("int64")
+        return d[cols].assign(__bin=np.clip(b, 0, coarse_bins - 1))
+
+    with_bins = ds.map_batches(keyed, batch_format="pandas")
+
+    binmax = grouped_agg(
+        with_bins.map_batches(
+            lambda d: d[["__bin", value_col]], batch_format="pandas"),
+        ["__bin"], {"mx": (value_col, "max")},
+    ).to_pandas().sort_values("__bin")
+    # exclusive prefix max per bin; empty bins inherit their left max
+    pref = np.full(coarse_bins, -np.inf)
+    pref[binmax["__bin"].to_numpy()] = binmax["mx"].to_numpy(dtype="float64")
+    pref = np.concatenate([[-np.inf], np.maximum.accumulate(pref)[:-1]])
+    pref_ref = ray.put(pref)
+    prefs = [pref_ref]
+
+    def scanned(g: pd.DataFrame) -> pd.DataFrame:
+        pref_ = resolve_broadcast(prefs[0])
+        g = g.sort_values(["__bin", order_col], kind="mergesort")
+        bins = g["__bin"].to_numpy()
+        v = g[value_col].to_numpy(dtype="float64")
+        # within-bin cummax, restarted at each bin boundary
+        starts = np.flatnonzero(
+            np.concatenate([[True], bins[1:] != bins[:-1]]))
+        # cummax restarted at each bin boundary: seed every bin's first
+        # row with its exclusive prefix max, then one global cummax is
+        # exact (bins arrive sorted, pref is monotone nondecreasing)
+        seeded = v.copy()
+        seeded[starts] = np.maximum(seeded[starts], pref_[bins[starts]])
+        wm = np.maximum.accumulate(seeded)
+        return part_fn(g.drop(columns="__bin"), wm)
+
+    return grouped_apply(with_bins, ["__bin"], scanned,
+                         num_partitions=num_partitions)
+
+
 def gini_coefficient(
     ds: rd.Dataset,
     col: str,

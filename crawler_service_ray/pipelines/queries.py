@@ -7215,6 +7215,83 @@ FROM c
 """
 
 
+def q_window_late(sf_dir: str):
+    """Watermark / late-data accounting — the streaming-replay
+    semantics Ray Data has no native word for: the watermark at each
+    event's ARRIVAL is the running max of event time over all prior
+    arrivals, and an event is LATE when its hourly window closed more
+    than the allowed lateness (12 h) before that watermark. The events
+    table is exactly ts-sorted by event_id (no event could ever be
+    late), so the replay models a 7-way sharded collector draining
+    round-robin with skewed shard latencies: arrival sequence
+    (event_id + (event_id % 7)·50)·10^5 + event_id — deterministic,
+    unique, identical on both engines, and genuinely out-of-order
+    (measured max watermark lag ≈ 24.6 h, 4,178/10,000 late at
+    sf0.01). Built on `functions/relational.py:running_max_exchange` —
+    a distributed ordered prefix-scan with NO global sort (per-bin max
+    table prefix-maxed on the driver like a sketch, one bin exchange,
+    seeded vectorized cummax per partition). Each partition reduces to
+    per-window (ontime, late) partial counts; exact int-µs arithmetic
+    on both engines, so the hash match is exact."""
+    from ..functions.relational import grouped_agg, running_max_exchange
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "ts"])
+    ds = ds.map_batches(
+        lambda d: pd.DataFrame({
+            "arr": ((d["event_id"] + (d["event_id"] % 7) * 50) * 100000
+                    + d["event_id"]).astype("int64"),
+            "__us": d["ts"].astype("int64")}),
+        batch_format="pandas")
+    hour_us = 3_600_000_000
+    allowed_us = 12 * hour_us  # 12-hour allowed lateness
+
+    def part(g: pd.DataFrame, wm: np.ndarray) -> pd.DataFrame:
+        us = g["__us"].to_numpy()
+        win = us // hour_us * hour_us
+        late = (wm.astype("int64") - allowed_us) > (win + hour_us)
+        return (pd.DataFrame({"win": win, "late": late.astype("int64"),
+                              "one": np.int64(1)})
+                .groupby("win", sort=False)
+                .agg(n_late=("late", "sum"), n=("one", "sum"))
+                .reset_index())
+
+    partials = running_max_exchange(ds, "arr", "__us", part)
+    merged = grouped_agg(partials, ["win"],
+                         {"n_late": ("n_late", "sum"), "n": ("n", "sum")})
+    return merged.map_batches(
+        lambda d: pd.DataFrame({
+            "win": pd.to_datetime(d["win"].astype("int64"), unit="us"),
+            "n_ontime": (d["n"] - d["n_late"]).astype("int64"),
+            "n_late": d["n_late"].astype("int64"),
+        }),
+        batch_format="pandas")
+
+
+SQL_WINDOW_LATE = """
+WITH a AS (
+  SELECT ts,
+         (event_id + (event_id % 7) * 50) * 100000 + event_id AS arr
+  FROM events
+),
+w AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS win,
+         max(epoch_us(ts)) OVER (ORDER BY arr
+                                 ROWS UNBOUNDED PRECEDING) AS wm
+  FROM a
+),
+f AS (SELECT win,
+             CASE WHEN wm - 43200000000 > win + 3600000000
+                  THEN 1 ELSE 0 END AS late
+      FROM w)
+SELECT make_timestamp(win) AS win,
+       sum(1 - late)::BIGINT AS n_ontime,
+       sum(late)::BIGINT AS n_late
+FROM f
+GROUP BY win
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -7407,6 +7484,7 @@ QUERIES = {
     "decayed_topk": q_decayed_topk,
     "changepoint": q_changepoint,
     "classification_report": q_classification_report,
+    "window_late": q_window_late,
 }
 
 ORACLE_SQL = {
@@ -7588,4 +7666,5 @@ ORACLE_SQL = {
     "decayed_topk": SQL_DECAYED_TOPK,
     "changepoint": SQL_CHANGEPOINT,
     "classification_report": SQL_CLASSIFICATION_REPORT,
+    "window_late": SQL_WINDOW_LATE,
 }

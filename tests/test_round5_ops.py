@@ -489,3 +489,34 @@ def test_gini_matches_sorted_reference(ray_session):
     b = rel.gini_coefficient(
         rd.from_pandas(df).repartition(11), "v", ["id"]).to_pandas()
     assert float(a["gini"][0]) == float(b["gini"][0])
+
+
+def test_running_max_exchange_matches_sorted_cummax(ray_session):
+    rng = np.random.default_rng(47)
+    n = 4000
+    order = rng.permutation(n).astype("int64")   # unique, shuffled
+    val = rng.normal(0, 100, n)
+    val[::97] = val[::97] + 500                  # spikes the watermark holds
+    df = pd.DataFrame({"o": order, "v": val})
+
+    def part(g: pd.DataFrame, wm: np.ndarray) -> pd.DataFrame:
+        return pd.DataFrame({"o": g["o"].to_numpy(), "wm": wm})
+
+    got = (rel.running_max_exchange(
+        rd.from_pandas(df).repartition(7), "o", "v", part)
+        .to_pandas().sort_values("o").reset_index(drop=True))
+    want = df.sort_values("o").reset_index(drop=True)
+    ref = np.maximum.accumulate(want["v"].to_numpy())
+    assert len(got) == n
+    np.testing.assert_allclose(got["wm"].to_numpy(), ref, rtol=0, atol=0)
+
+    # parallelism invariance: 1 block vs 11 blocks, bit-identical
+    a = (rel.running_max_exchange(
+        rd.from_pandas(df).repartition(1), "o", "v", part,
+        num_partitions=4)
+        .to_pandas().sort_values("o").reset_index(drop=True))
+    b = (rel.running_max_exchange(
+        rd.from_pandas(df).repartition(11), "o", "v", part,
+        num_partitions=16)
+        .to_pandas().sort_values("o").reset_index(drop=True))
+    assert (a["wm"].to_numpy() == b["wm"].to_numpy()).all()
