@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "changepoint",
     "classification_report",
     "window_late",
+    "zorder",
 ]
 
 

@@ -7292,6 +7292,74 @@ GROUP BY win
 """
 
 
+def q_zorder(sf_dir: str):
+    """Z-order (Morton) clustering layout — the multi-dimensional
+    data-layout primitive (Delta/Iceberg `OPTIMIZE ZORDER`): quantize
+    (price, order date) to 8-bit buckets with FIXED layout constants
+    (like `histogram_price`'s fixed bin width — data-derived bounds
+    would put float bucket boundaries at the mercy of expression
+    order), interleave the bits into a 16-bit Morton code, and take
+    its top 4 bits as the shard — rows landing in one shard are close
+    in BOTH dimensions, so a reader filtering on either column skips
+    most shards. One streaming pass computes codes vectorized
+    (numpy bit ops over the whole batch), then per-shard (n, price
+    range, day range) locality partials merge in `grouped_agg` — the
+    stat a layout optimizer inspects. All-integer arithmetic after the
+    fixed-constant floor-divisions, so the hash match is exact."""
+    from ..functions.relational import grouped_agg
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_totalprice", "o_orderdate"])
+
+    def code(d: pd.DataFrame) -> pd.DataFrame:
+        p = d["o_totalprice"].to_numpy(dtype="float64")
+        days = d["o_orderdate"].astype("int64").to_numpy() // 86_400_000_000
+        bx = np.clip(np.floor(p / 2000.0).astype("int64"), 0, 255)
+        by = np.clip((days - 9131) // 10, 0, 255)
+        z = np.zeros(len(d), dtype="int64")
+        for i in range(8):
+            z |= ((bx >> i) & 1) << (2 * i)
+            z |= ((by >> i) & 1) << (2 * i + 1)
+        return pd.DataFrame({"shard": z >> 12, "p": p, "d": days})
+
+    return grouped_agg(
+        ds.map_batches(code, batch_format="pandas"),
+        ["shard"],
+        {"n": ("p", "count"), "lo_price": ("p", "min"),
+         "hi_price": ("p", "max"), "lo_day": ("d", "min"),
+         "hi_day": ("d", "max")})
+
+
+SQL_ZORDER = """
+WITH b AS (
+  SELECT o_totalprice AS p,
+         epoch_us(o_orderdate) // 86400000000 AS d,
+         least(greatest(CAST(floor(o_totalprice / 2000.0) AS BIGINT),
+                        0), 255) AS bx,
+         least(greatest((epoch_us(o_orderdate) // 86400000000 - 9131)
+                        // 10, 0), 255) AS by
+  FROM orders
+),
+z AS (
+  SELECT p, d,
+         (((bx >> 0) & 1) << 0) | (((by >> 0) & 1) << 1)
+       | (((bx >> 1) & 1) << 2) | (((by >> 1) & 1) << 3)
+       | (((bx >> 2) & 1) << 4) | (((by >> 2) & 1) << 5)
+       | (((bx >> 3) & 1) << 6) | (((by >> 3) & 1) << 7)
+       | (((bx >> 4) & 1) << 8) | (((by >> 4) & 1) << 9)
+       | (((bx >> 5) & 1) << 10) | (((by >> 5) & 1) << 11)
+       | (((bx >> 6) & 1) << 12) | (((by >> 6) & 1) << 13)
+       | (((bx >> 7) & 1) << 14) | (((by >> 7) & 1) << 15) AS zval
+  FROM b
+)
+SELECT zval >> 12 AS shard, count(*) AS n,
+       min(p) AS lo_price, max(p) AS hi_price,
+       min(d) AS lo_day, max(d) AS hi_day
+FROM z
+GROUP BY shard
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -7485,6 +7553,7 @@ QUERIES = {
     "changepoint": q_changepoint,
     "classification_report": q_classification_report,
     "window_late": q_window_late,
+    "zorder": q_zorder,
 }
 
 ORACLE_SQL = {
@@ -7667,4 +7736,5 @@ ORACLE_SQL = {
     "changepoint": SQL_CHANGEPOINT,
     "classification_report": SQL_CLASSIFICATION_REPORT,
     "window_late": SQL_WINDOW_LATE,
+    "zorder": SQL_ZORDER,
 }

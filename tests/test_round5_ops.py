@@ -520,3 +520,18 @@ def test_running_max_exchange_matches_sorted_cummax(ray_session):
         num_partitions=16)
         .to_pandas().sort_values("o").reset_index(drop=True))
     assert (a["wm"].to_numpy() == b["wm"].to_numpy()).all()
+
+
+def test_zorder_shard_locality(ray_session):
+    """Morton top-4 bits fix the 2 MSBs of BOTH dimensions, so every
+    shard's bucket ranges span at most 1/4 of each axis (64 of 256
+    buckets -> price range <= 64*2000, day range <= 64*10)."""
+    from crawler_service_ray.pipelines.queries import q_zorder
+
+    got = q_zorder("/root/testdata/sf0.001").to_pandas()
+    assert got["n"].sum() > 0
+    assert (got["shard"] >= 0).all() and (got["shard"] < 16).all()
+    span_p = got["hi_price"] - got["lo_price"]
+    span_d = got["hi_day"] - got["lo_day"]
+    assert (span_p <= 64 * 2000.0).all()
+    assert (span_d <= 64 * 10).all()
