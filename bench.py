@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "classification_report",
     "window_late",
     "zorder",
+    "leadlag_corr",
+    "benford",
 ]
 
 

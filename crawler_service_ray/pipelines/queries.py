@@ -7360,6 +7360,116 @@ GROUP BY shard
 """
 
 
+def q_leadlag_corr(sf_dir: str):
+    """Lead-lag cross-correlation between two daily series (revenue vs
+    order volume at lags −3..+3) — the does-X-anticipate-Y diagnostic
+    of metrics forensics. The distributed part is the day aggregation:
+    per-block (day, Σprice, n) partials merge in `grouped_agg`, and
+    the resulting table is CALENDAR-BOUNDED (≤ a few thousand rows
+    regardless of corpus size — the documented model-constant rule),
+    so the 7-lag Pearson closes on the driver with a vectorized
+    self-merge. Inner-join semantics on existing days, exactly like
+    the oracle's self-join; corr is a variance-normalized quotient,
+    6-dp rounded."""
+    from ..functions.relational import grouped_agg
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderdate", "o_totalprice"])
+
+    def daily(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": d["o_orderdate"].astype("int64") // 86_400_000_000,
+            "rev": d["o_totalprice"].to_numpy(dtype="float64"),
+            "one": np.int64(1)})
+
+    days = grouped_agg(ds.map_batches(daily, batch_format="pandas"),
+                       ["day"], {"rev": ("rev", "sum"),
+                                 "n": ("one", "sum")}).to_pandas()
+    days = days.sort_values("day").reset_index(drop=True)
+    out = []
+    for lag in range(-3, 4):
+        b = days[["day", "n"]].copy()
+        b["day"] = b["day"] - lag  # b at day+lag aligns to a at day
+        m = days[["day", "rev"]].merge(b, on="day", how="inner")
+        c = np.corrcoef(m["rev"].to_numpy(), m["n"].to_numpy())[0, 1]
+        out.append((lag, len(m), np.round(c, 6)))
+    return pd.DataFrame(out, columns=["lag", "n_pairs", "corr"]).astype(
+        {"lag": "int64", "n_pairs": "int64"})
+
+
+SQL_LEADLAG_CORR = (
+    "WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,\n"
+    "                  sum(o_totalprice) AS rev, count(*) AS n\n"
+    "           FROM orders GROUP BY day)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {lag} AS lag, count(*) AS n_pairs,\n"
+        f"       round(corr(a.rev, b.n), 6) AS \"corr\"\n"
+        f"FROM d a JOIN d b ON b.day = a.day + ({lag})"
+        for lag in range(-3, 4))
+)
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit audit — the fraud/synthetic-data smell test:
+    the distribution of leading digits of order totals vs Benford's
+    log10(1+1/d) expectation. Digit extraction is an unrolled
+    fixed-constant floor-division ladder (np.select / SQL CASE over
+    magnitude ranges — no log10, whose last-ulp behavior differs
+    across libms at exact powers of ten), so the per-digit counters
+    are exact integers; only 9 partial rows leave each block. Shares
+    are 6-dp quotients."""
+    from ..functions.relational import grouped_agg
+
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digits(d: pd.DataFrame) -> pd.DataFrame:
+        p = d["o_totalprice"].to_numpy(dtype="float64")
+        digit = np.select(
+            [p < 10, p < 100, p < 1000, p < 10000, p < 100000,
+             p < 1000000],
+            [np.floor(p), np.floor(p / 10), np.floor(p / 100),
+             np.floor(p / 1000), np.floor(p / 10000),
+             np.floor(p / 100000)],
+            default=np.floor(p / 1000000)).astype("int64")
+        return pd.DataFrame({"digit": digit, "one": np.int64(1)})
+
+    counts = grouped_agg(ds.map_batches(digits, batch_format="pandas"),
+                         ["digit"], {"n": ("one", "sum")})
+
+    def shares(d: pd.DataFrame) -> pd.DataFrame:
+        tot = float(d["n"].sum())
+        dig = d["digit"].to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "digit": d["digit"].astype("int64"),
+            "n": d["n"].astype("int64"),
+            "share": np.round(d["n"].to_numpy(dtype="float64") / tot, 6),
+            "benford": np.round(np.log10(1.0 + 1.0 / dig), 6),
+        })
+
+    return counts.map_batches(shares, batch_format="pandas",
+                              batch_size=None)
+
+
+SQL_BENFORD = """
+WITH g AS (
+  SELECT CASE WHEN o_totalprice < 10 THEN floor(o_totalprice)
+              WHEN o_totalprice < 100 THEN floor(o_totalprice / 10)
+              WHEN o_totalprice < 1000 THEN floor(o_totalprice / 100)
+              WHEN o_totalprice < 10000 THEN floor(o_totalprice / 1000)
+              WHEN o_totalprice < 100000 THEN floor(o_totalprice / 10000)
+              WHEN o_totalprice < 1000000
+                   THEN floor(o_totalprice / 100000)
+              ELSE floor(o_totalprice / 1000000) END::BIGINT AS digit
+  FROM orders
+)
+SELECT digit, count(*) AS n,
+       round(count(*) / (SELECT count(*) FROM g)::DOUBLE, 6) AS share,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford
+FROM g
+GROUP BY digit
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -7554,6 +7664,8 @@ QUERIES = {
     "classification_report": q_classification_report,
     "window_late": q_window_late,
     "zorder": q_zorder,
+    "leadlag_corr": q_leadlag_corr,
+    "benford": q_benford,
 }
 
 ORACLE_SQL = {
@@ -7737,4 +7849,6 @@ ORACLE_SQL = {
     "classification_report": SQL_CLASSIFICATION_REPORT,
     "window_late": SQL_WINDOW_LATE,
     "zorder": SQL_ZORDER,
+    "leadlag_corr": SQL_LEADLAG_CORR,
+    "benford": SQL_BENFORD,
 }
