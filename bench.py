@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "zorder",
     "leadlag_corr",
     "benford",
+    "calibration",
 ]
 
 

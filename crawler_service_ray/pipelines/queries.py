@@ -7470,6 +7470,71 @@ GROUP BY digit
 """
 
 
+def q_calibration(sf_dir: str):
+    """Calibration reliability diagram — the third leg of the model-
+    eval family (`auc` ranks, `classification_report` thresholds, this
+    checks PROBABILITIES): bin the predicted score into 10 fixed-width
+    bins and compare each bin's mean prediction to its empirical
+    positive rate. Score = clip((4·embedding[0]+1)/2) as a
+    pseudo-probability (the ×4 stretch spreads the ±0.37-ranged
+    component across all 10 bins — 27-86 rows per bin at sf0.01),
+    label < 5 as the positive class (the `auc` setup). Per-block
+    partials are (bin, n, Σscore, Σpos) — four numbers per bin per
+    block — merged in `grouped_agg`; the binning expression is written
+    in the IDENTICAL operation order on both engines so bucket edges
+    land identically, and the two quotients are 6-dp rounded."""
+    import pyarrow.compute as pc
+
+    from ..functions.relational import grouped_agg
+
+    ds = read_table(sf_dir, "embeddings", bytes_per_block=_DOC_BPB,
+                    columns=["label", "embedding"])
+
+    def parts(t: pa.Table) -> pd.DataFrame:
+        e0 = pc.cast(pc.list_element(t["embedding"], 0),
+                     pa.float64()).to_numpy(zero_copy_only=False)
+        score = np.clip((e0 * 4.0 + 1.0) / 2.0, 0.0, 1.0)
+        b = np.clip(np.floor(score * 10.0).astype("int64"), 0, 9)
+        pos = (t["label"].to_numpy(zero_copy_only=False) < 5)
+        return pd.DataFrame({"bin": b, "score": score,
+                             "pos": pos.astype("int64"),
+                             "one": np.int64(1)})
+
+    agg = grouped_agg(
+        ds.map_batches(parts, batch_format="pyarrow", zero_copy_batch=True),
+        ["bin"], {"n": ("one", "sum"), "s": ("score", "sum"),
+                  "p": ("pos", "sum")})
+
+    def fin(d: pd.DataFrame) -> pd.DataFrame:
+        n = d["n"].to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "bin": d["bin"].astype("int64"),
+            "n": d["n"].astype("int64"),
+            "mean_pred": np.round(d["s"].to_numpy(dtype="float64") / n, 6),
+            "pos_rate": np.round(d["p"].to_numpy(dtype="float64") / n, 6),
+        })
+
+    return agg.map_batches(fin, batch_format="pandas", batch_size=None)
+
+
+SQL_CALIBRATION = """
+WITH s AS (
+  SELECT least(greatest(CAST(floor(
+             least(greatest((embedding[1] * 4.0 + 1.0) / 2.0, 0.0), 1.0)
+             * 10.0) AS BIGINT), 0), 9) AS bin,
+         least(greatest((embedding[1] * 4.0 + 1.0) / 2.0, 0.0), 1.0)
+           AS score,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+)
+SELECT bin, count(*) AS n,
+       round(sum(score) / count(*), 6) AS mean_pred,
+       round(sum(pos) / count(*)::DOUBLE, 6) AS pos_rate
+FROM s
+GROUP BY bin
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -7666,6 +7731,7 @@ QUERIES = {
     "zorder": q_zorder,
     "leadlag_corr": q_leadlag_corr,
     "benford": q_benford,
+    "calibration": q_calibration,
 }
 
 ORACLE_SQL = {
@@ -7851,4 +7917,5 @@ ORACLE_SQL = {
     "zorder": SQL_ZORDER,
     "leadlag_corr": SQL_LEADLAG_CORR,
     "benford": SQL_BENFORD,
+    "calibration": SQL_CALIBRATION,
 }
