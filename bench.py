@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "sample_group_k",
     "percent_rank_global",
     "gini",
+    "spearman",
     "decayed_topk",
     "changepoint",
     "classification_report",

@@ -7027,6 +7027,51 @@ FROM r
 """
 
 
+def q_spearman(sf_dir: str):
+    """EXACT Spearman rank correlation between quantity and extended
+    price — the robust monotone-dependence statistic
+    (`functions/relational.py:spearman_corr`): two rank exchanges (no
+    global sort), one id-bucketed join pairing the rank columns, six
+    exact moment partials per block. l_quantity is integer-valued
+    (1-50) so the midrank tie path carries ~1200 rows per tie group at
+    sf0.01 — the tie semantics are genuinely exercised, not
+    incidental. The oracle replays midranks with
+    rank() + (count(*) OVER value)/2 windows and DuckDB corr; both
+    engines round at 6 dp (rank moment sums are exact
+    integers-and-quarters in float64, so only corr's internal
+    streaming order differs)."""
+    from ..functions.relational import spearman_corr
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_linenumber", "l_quantity",
+                             "l_extendedprice"])
+    # (orderkey, partkey, suppkey, linenumber) is the unique row key in
+    # this corpus — (orderkey, linenumber) alone collides
+    out = spearman_corr(li, "l_quantity", "l_extendedprice",
+                        ["l_orderkey", "l_partkey", "l_suppkey",
+                         "l_linenumber"])
+    return out.map_batches(
+        lambda d: pd.DataFrame({
+            "n": d["n"].astype("int64"),
+            "spearman": np.round(
+                d["spearman"].to_numpy(dtype="float64"), 6),
+        }),
+        batch_format="pandas")
+
+
+SQL_SPEARMAN = """
+WITH r AS (
+  SELECT rank() OVER (ORDER BY l_quantity)
+           + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
+         rank() OVER (ORDER BY l_extendedprice)
+           + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0
+           AS ry
+  FROM lineitem)
+SELECT count(*) AS n, round(corr(rx, ry), 6) AS spearman FROM r
+"""
+
+
 def q_decayed_topk(sf_dir: str):
     """Exponentially time-decayed heavy hitters — the streaming
     'what's hot NOW' ranking (recent events count ~1, month-old events
@@ -7724,6 +7769,7 @@ QUERIES = {
     "crawl_media_features": q_crawl_media_features,
     "crawl_page": q_crawl_page,
     "gini": q_gini,
+    "spearman": q_spearman,
     "decayed_topk": q_decayed_topk,
     "changepoint": q_changepoint,
     "classification_report": q_classification_report,
@@ -7910,6 +7956,7 @@ ORACLE_SQL = {
     "ann_range": SQL_ANN_RANGE,
     "sample_group_k": SQL_SAMPLE_GROUP_K,
     "gini": SQL_GINI,
+    "spearman": SQL_SPEARMAN,
     "decayed_topk": SQL_DECAYED_TOPK,
     "changepoint": SQL_CHANGEPOINT,
     "classification_report": SQL_CLASSIFICATION_REPORT,

@@ -491,6 +491,41 @@ def test_gini_matches_sorted_reference(ray_session):
     assert float(a["gini"][0]) == float(b["gini"][0])
 
 
+def test_spearman_matches_pandas_midranks(ray_session):
+    rng = np.random.default_rng(37)
+    n = 3000
+    # heavy ties on x (integers 0-19), monotone-plus-noise y
+    x = rng.integers(0, 20, n).astype("float64")
+    y = 3.0 * x + rng.normal(0, 10, n)
+    df = pd.DataFrame({"id": np.arange(n, dtype="int64"),
+                       "x": x, "y": y})
+    got = rel.spearman_corr(
+        rd.from_pandas(df).repartition(7), "x", "y", ["id"]).to_pandas()
+    ref = df["x"].rank(method="average").corr(
+        df["y"].rank(method="average"))
+    assert int(got["n"][0]) == n
+    assert abs(float(got["spearman"][0]) - ref) < 1e-9
+
+    # perfectly monotone (no ties) -> exactly 1; reversed -> exactly -1
+    mono = pd.DataFrame({"id": np.arange(200, dtype="int64"),
+                         "x": np.arange(200, dtype="float64"),
+                         "y": np.exp(np.arange(200) / 40.0)})
+    g1 = rel.spearman_corr(rd.from_pandas(mono), "x", "y",
+                           ["id"]).to_pandas()
+    assert abs(float(g1["spearman"][0]) - 1.0) < 1e-12
+    mono["y"] = -mono["y"]
+    g2 = rel.spearman_corr(rd.from_pandas(mono), "x", "y",
+                           ["id"]).to_pandas()
+    assert abs(float(g2["spearman"][0]) + 1.0) < 1e-12
+
+    # parallelism invariance (exact rank sums -> identical quotient)
+    a = rel.spearman_corr(rd.from_pandas(df).repartition(1),
+                          "x", "y", ["id"]).to_pandas()
+    b = rel.spearman_corr(rd.from_pandas(df).repartition(13),
+                          "x", "y", ["id"]).to_pandas()
+    assert float(a["spearman"][0]) == float(b["spearman"][0])
+
+
 def test_running_max_exchange_matches_sorted_cummax(ray_session):
     rng = np.random.default_rng(47)
     n = 4000
