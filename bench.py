@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "percent_rank_global",
     "gini",
     "spearman",
+    "js_divergence",
     "decayed_topk",
     "changepoint",
     "classification_report",

@@ -494,6 +494,98 @@ def unigram_logprob(
     )
 
 
+def js_divergence(
+    ds: rd.Dataset,
+    text_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """Jensen–Shannon divergence (base 2, so ∈ [0, 1]) between two
+    corpora's unigram distributions — the distribution-drift detector a
+    data-mixing pipeline runs between sources, snapshots, or a corpus
+    and a benchmark before deciding mixing weights. JS(P‖Q) =
+    ½·KL(P‖M) + ½·KL(Q‖M) with M = (P+Q)/2; symmetric and finite even
+    on disjoint vocabularies (unlike raw KL).
+
+    Distributed shape: per-block (word, ca, cb) partial counts (one
+    row per distinct word per block — the `vocab_topk` partial with a
+    cohort split) merge in ``grouped_agg`` (auto-switching to the
+    partitioned merge for 100-TB vocabularies; the vocabulary NEVER
+    reaches the driver), the merged word table materializes once, a
+    scalar-partials pass folds the two token totals, and a second pass
+    over the same materialized table reduces each block to one partial
+    JS sum with the totals captured by value. Only ≤ blocks scalar
+    rows reach the driver in either pass. 0·log(0/m) terms are exactly
+    0. Tokenization is single-space split with empties dropped
+    (DuckDB ``string_split(text, ' ')`` parity)."""
+    from .relational import grouped_agg
+
+    a_lab, b_lab = group_a, group_b
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[group_col].isin([a_lab, b_lab])
+        df = df.loc[m].reset_index(drop=True)
+        ex = df[text_col].astype(str).str.split(" ").explode()
+        keep = ((ex != "") & ex.notna()).to_numpy()
+        words = ex.to_numpy()[keep]
+        rows = ex.index.to_numpy()[keep]  # positional after reset_index
+        isa = (df[group_col] == a_lab).to_numpy()[rows]
+        g = (pd.DataFrame({"word": words, "a": isa.astype("int64")})
+             .groupby("word", sort=False)["a"]
+             .agg(["sum", "size"]).reset_index())
+        return pd.DataFrame({
+            "word": g["word"].to_numpy().astype(object),
+            "ca": g["sum"].to_numpy().astype("int64"),
+            "cb": (g["size"] - g["sum"]).to_numpy().astype("int64"),
+        })
+
+    wc = grouped_agg(
+        ds.select_columns([text_col, group_col]).map_batches(
+            partial, batch_format="pandas"),
+        ["word"], {"ca": ("ca", "sum"), "cb": ("cb", "sum")},
+        merge_partitions=merge_partitions,
+    ).materialize()
+
+    tot = grouped_agg(
+        wc.map_batches(
+            lambda d: d[["ca", "cb"]].assign(
+                __k=np.zeros(len(d), dtype="int64")),
+            batch_format="pandas"),
+        ["__k"], {"na": ("ca", "sum"), "nb": ("cb", "sum")},
+    ).to_pandas()
+    if len(tot) == 0 or tot["na"].iloc[0] == 0 or tot["nb"].iloc[0] == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "n_words": pd.Series([], dtype="int64"),
+            "tokens_a": pd.Series([], dtype="int64"),
+            "tokens_b": pd.Series([], dtype="int64"),
+            "js": pd.Series([], dtype="float64"),
+        }))
+    na = float(tot["na"].iloc[0])
+    nb = float(tot["nb"].iloc[0])
+
+    def contrib(d: pd.DataFrame) -> pd.DataFrame:
+        p = d["ca"].to_numpy(dtype="float64") / na
+        q = d["cb"].to_numpy(dtype="float64") / nb
+        m = 0.5 * (p + q)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tp = np.where(p > 0, p * np.log2(np.where(p > 0, p, 1.0) / m),
+                          0.0)
+            tq = np.where(q > 0, q * np.log2(np.where(q > 0, q, 1.0) / m),
+                          0.0)
+        return pd.DataFrame({"js": [0.5 * float(tp.sum() + tq.sum())],
+                             "nw": [np.int64(len(d))]})
+
+    p = wc.map_batches(contrib, batch_format="pandas").to_pandas()
+    return rd.from_pandas(pd.DataFrame({
+        "n_words": [np.int64(p["nw"].sum())],
+        "tokens_a": [np.int64(na)],
+        "tokens_b": [np.int64(nb)],
+        "js": [float(p["js"].sum())],
+    }))
+
+
 def _flat_tokens(df: pd.DataFrame, text_col: str, id_col: str):
     """Vectorized corpus flattening: (doc_id array, token array) in
     document order with empty tokens dropped — one C-backed

@@ -7027,6 +7027,59 @@ FROM r
 """
 
 
+def q_js_divergence(sf_dir: str):
+    """Jensen–Shannon divergence between two sources' unigram
+    distributions (`functions/text.py:js_divergence`) — the
+    distribution-drift statistic a data-mixing pass consults before
+    assigning mixing weights. The vocabulary-scale (word, ca, cb)
+    table merges distributed (auto-switching grouped_agg) and never
+    reaches the driver; each pass reduces blocks to scalars. The
+    oracle replays the full ½KL(P‖M)+½KL(Q‖M) formula in SQL with the
+    same string_split tokenization and 0·log0 = 0 cases; both engines
+    round the bounded [0,1] statistic at 6 dp (partial-sum order is
+    the only difference — terms are O(1e-4) and the vocabulary is
+    ~4k words at sf0.01, so accumulated reassociation error sits at
+    ~1e-15)."""
+    from ..functions.text import js_divergence
+
+    docs = read_table(sf_dir, "documents", bytes_per_block=_FACT_BPB,
+                      columns=["text", "source"])
+    out = js_divergence(docs, "text", "source", "src0", "src1")
+    return out.map_batches(
+        lambda d: pd.DataFrame({
+            "n_words": d["n_words"].astype("int64"),
+            "tokens_a": d["tokens_a"].astype("int64"),
+            "tokens_b": d["tokens_b"].astype("int64"),
+            "js": np.round(d["js"].to_numpy(dtype="float64"), 6),
+        }),
+        batch_format="pandas")
+
+
+SQL_JS_DIVERGENCE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE source IN ('src0', 'src1')),
+wc AS (
+  SELECT w,
+         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS ca,
+         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS cb
+  FROM tok WHERE w <> '' GROUP BY w),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM wc)
+SELECT count(*) AS n_words,
+       CAST((SELECT na FROM tot) AS BIGINT) AS tokens_a,
+       CAST((SELECT nb FROM tot) AS BIGINT) AS tokens_b,
+       round(sum(
+         0.5 * (CASE WHEN ca > 0 THEN (ca / na) * log2(
+                  (ca / na) / ((ca / na + cb / nb) / 2)) ELSE 0 END)
+       + 0.5 * (CASE WHEN cb > 0 THEN (cb / nb) * log2(
+                  (cb / nb) / ((ca / na + cb / nb) / 2)) ELSE 0 END)
+       ), 6) AS js
+FROM wc, tot
+"""
+
+
 def q_spearman(sf_dir: str):
     """EXACT Spearman rank correlation between quantity and extended
     price — the robust monotone-dependence statistic
@@ -7770,6 +7823,7 @@ QUERIES = {
     "crawl_page": q_crawl_page,
     "gini": q_gini,
     "spearman": q_spearman,
+    "js_divergence": q_js_divergence,
     "decayed_topk": q_decayed_topk,
     "changepoint": q_changepoint,
     "classification_report": q_classification_report,
@@ -7957,6 +8011,7 @@ ORACLE_SQL = {
     "sample_group_k": SQL_SAMPLE_GROUP_K,
     "gini": SQL_GINI,
     "spearman": SQL_SPEARMAN,
+    "js_divergence": SQL_JS_DIVERGENCE,
     "decayed_topk": SQL_DECAYED_TOPK,
     "changepoint": SQL_CHANGEPOINT,
     "classification_report": SQL_CLASSIFICATION_REPORT,

@@ -491,6 +491,48 @@ def test_gini_matches_sorted_reference(ray_session):
     assert float(a["gini"][0]) == float(b["gini"][0])
 
 
+def test_js_divergence_reference_and_bounds(ray_session):
+    def brute(ta: str, tb: str) -> float:
+        from collections import Counter
+        a, b = Counter(ta.split()), Counter(tb.split())
+        na, nb = sum(a.values()), sum(b.values())
+        js = 0.0
+        for w in set(a) | set(b):
+            p, q = a[w] / na, b[w] / nb
+            m = (p + q) / 2
+            if p > 0:
+                js += 0.5 * p * np.log2(p / m)
+            if q > 0:
+                js += 0.5 * q * np.log2(q / m)
+        return js
+
+    ta = "the cat sat on the mat the cat"
+    tb = "a dog ran in a park the dog"
+    df = pd.DataFrame({
+        "text": [ta, tb, "noise ignored"],
+        "src": ["a", "b", "c"],   # third cohort must be excluded
+    })
+    got = tx.js_divergence(rd.from_pandas(df).repartition(3),
+                           "text", "src", "a", "b").to_pandas()
+    assert abs(float(got["js"][0]) - brute(ta, tb)) < 1e-12
+    assert int(got["tokens_a"][0]) == 8 and int(got["tokens_b"][0]) == 8
+
+    # disjoint vocabularies -> exactly 1 bit; identical corpora -> 0
+    d1 = pd.DataFrame({"text": ["x y z", "p q r"], "src": ["a", "b"]})
+    g1 = tx.js_divergence(rd.from_pandas(d1), "text", "src",
+                          "a", "b").to_pandas()
+    assert abs(float(g1["js"][0]) - 1.0) < 1e-12
+    d0 = pd.DataFrame({"text": ["x y z w", "x y z w"], "src": ["a", "b"]})
+    g0 = tx.js_divergence(rd.from_pandas(d0), "text", "src",
+                          "a", "b").to_pandas()
+    assert abs(float(g0["js"][0])) < 1e-12
+
+    # symmetry: JS(a,b) == JS(b,a)
+    g2 = tx.js_divergence(rd.from_pandas(df).repartition(2),
+                          "text", "src", "b", "a").to_pandas()
+    assert abs(float(g2["js"][0]) - float(got["js"][0])) < 1e-12
+
+
 def test_spearman_matches_pandas_midranks(ray_session):
     rng = np.random.default_rng(37)
     n = 3000
