@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "gini",
     "spearman",
     "js_divergence",
+    "hits",
     "decayed_topk",
     "changepoint",
     "classification_report",

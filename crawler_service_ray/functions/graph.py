@@ -936,3 +936,168 @@ def _sssp_exchange(
         ).materialize()
 
     return state
+
+
+def hits(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    num_partitions: int = 16,
+    broadcast_threshold: int = 5_000_000,
+) -> rd.Dataset:
+    """HITS hubs & authorities over a directed edge list (Kleinberg's
+    mutual-reinforcement ranking — the link-analysis complement of
+    :func:`pagerank`: authorities are pages good hubs point AT, hubs
+    are pages that point at good authorities; on a directed bipartite
+    graph the two sides get genuinely different scores, which PageRank's
+    single vector cannot express).
+
+    ``edges`` must be distinct ``(src, dst)`` int64 pairs. Init
+    ``hub = 1`` on every node; each iteration runs the two half-steps
+    ``auth = Aᵀ·hub`` then ``hub = A·auth``, each L2-normalized (the
+    norm is one scalar-partials pass — only per-block floats reach the
+    driver). Returns ``(node, hub, auth)`` for every node, zeros where
+    a node never receives mass — exactly the unrolled
+    JOIN-GROUP-BY-normalize SQL formulation, so the oracle replays it
+    layer by layer.
+
+    Same two execution shapes as :func:`pagerank`:
+
+    * **Broadcast** (``n_nodes ≤ broadcast_threshold``): score vectors
+      ship once per half-step via ``ray.put``; the (big, never-moving)
+      edge set streams through ``map_batches`` emitting per-target
+      partial sums; ONE small combiner exchange per half-step. Edges
+      shuffle zero times.
+    * **Exchange** (huge node tables): each half-step tags the score
+      table and the edge set, co-partitions on the from-node, emits
+      per-target pre-aggregated contributions, and merges them with a
+      second hash exchange — nothing node-scale on the driver.
+      Intermediate score tables carry only nonzero rows (zero scores
+      scatter nothing and contribute nothing to the norm); the full
+      node coverage is restored by two final LEFT bucket joins.
+    """
+    from .relational import (bucketed_hash_join, distinct, grouped_agg,
+                             grouped_apply, resolve_broadcast)
+
+    edges = edges.materialize()
+    srcs = distinct(
+        edges.map_batches(lambda d: pd.DataFrame({"node": d[src]}),
+                          batch_format="pandas"),
+        ["node"], merge_partitions=num_partitions).materialize()
+    dsts = distinct(
+        edges.map_batches(lambda d: pd.DataFrame({"node": d[dst]}),
+                          batch_format="pandas"),
+        ["node"], merge_partitions=num_partitions)
+    nodes_ds = distinct(srcs.union(dsts), ["node"],
+                        merge_partitions=num_partitions).materialize()
+    n_nodes = nodes_ds.count()
+    if n_nodes == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "node": pd.Series([], dtype="int64"),
+            "hub": pd.Series([], dtype="float64"),
+            "auth": pd.Series([], dtype="float64"),
+        }))
+
+    if n_nodes <= broadcast_threshold:
+        node_arr = np.sort(
+            nodes_ds.to_pandas()["node"].to_numpy(dtype="int64"))
+        hub = pd.Series(np.ones(len(node_arr)), index=node_arr)
+
+        def half(vec: pd.Series, frm: str, to: str) -> pd.Series:
+            ref = ray.put(vec)
+
+            def scatter(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+                v = resolve_broadcast(_ref)
+                contrib = v.reindex(df[frm].to_numpy()).fillna(0.0)
+                g = (pd.DataFrame({"node": df[to].to_numpy(),
+                                   "s": contrib.to_numpy()})
+                     .groupby("node", sort=False)["s"].sum().reset_index())
+                return g
+
+            part = edges.map_batches(scatter, batch_format="pandas")
+            tot = grouped_agg(part, ["node"],
+                              {"s": ("s", "sum")}).to_pandas()
+            out = (pd.Series(tot["s"].to_numpy(),
+                             index=tot["node"].to_numpy())
+                   .reindex(node_arr).fillna(0.0))
+            z = float(np.sqrt((out.to_numpy() ** 2).sum()))
+            return out / z if z > 0 else out
+
+        auth = hub * 0.0
+        for _ in range(iters):
+            auth = half(hub, src, dst)
+            hub = half(auth, dst, src)
+        return rd.from_pandas(pd.DataFrame({
+            "node": node_arr,
+            "hub": hub.to_numpy(),
+            "auth": auth.to_numpy(),
+        }))
+
+    # ---- exchange path: nothing node-scale on the driver ----
+    def _l2(ds_scores: rd.Dataset) -> float:
+        p = ds_scores.map_batches(
+            lambda d: pd.DataFrame(
+                {"ss": [float((d["s"].to_numpy() ** 2).sum())]}),
+            batch_format="pandas").to_pandas()
+        return float(np.sqrt(p["ss"].sum()))
+
+    def _scatter(scores: rd.Dataset, frm: str, to: str) -> rd.Dataset:
+        def tag_score(d: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": d["node"], "__to": -1,
+                                 "__s": d["s"], "__k": "r"})
+
+        def tag_edge(d: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": d[frm], "__to": d[to],
+                                 "__s": 0.0, "__k": "e"})
+
+        def reduce_part(part: pd.DataFrame) -> pd.DataFrame:
+            lab = part.loc[part["__k"] == "r", ["node", "__s"]]
+            ed = part.loc[part["__k"] == "e", ["node", "__to"]]
+            m = ed.merge(lab, on="node", how="inner")
+            g = (pd.DataFrame({"node": m["__to"], "s": m["__s"]})
+                 .groupby("node", sort=False)["s"].sum().reset_index())
+            return g
+
+        both = scores.map_batches(tag_score, batch_format="pandas").union(
+            edges.map_batches(tag_edge, batch_format="pandas"))
+        part = grouped_apply(both, ["node"], reduce_part,
+                             num_partitions=num_partitions)
+        return grouped_agg(part, ["node"], {"s": ("s", "sum")},
+                           merge_partitions=num_partitions).materialize()
+
+    def _scale(ds_scores: rd.Dataset, inv: float) -> rd.Dataset:
+        return ds_scores.map_batches(
+            lambda d, _i=inv: d.assign(s=d["s"].to_numpy() * _i),
+            batch_format="pandas").materialize()
+
+    hub_ds = nodes_ds.map_batches(
+        lambda d: pd.DataFrame({"node": d["node"],
+                                "s": np.ones(len(d))}),
+        batch_format="pandas").materialize()
+    auth_ds = None
+    for _ in range(iters):
+        raw_a = _scatter(hub_ds, src, dst)
+        za = _l2(raw_a)
+        auth_ds = _scale(raw_a, 1.0 / za if za > 0 else 0.0)
+        raw_h = _scatter(auth_ds, dst, src)
+        zh = _l2(raw_h)
+        hub_ds = _scale(raw_h, 1.0 / zh if zh > 0 else 0.0)
+
+    out = bucketed_hash_join(
+        nodes_ds,
+        hub_ds.map_batches(lambda d: d.rename(columns={"s": "hub"}),
+                           batch_format="pandas"),
+        on="node", num_buckets=num_partitions, how="left")
+    out = bucketed_hash_join(
+        out,
+        auth_ds.map_batches(lambda d: d.rename(columns={"s": "auth"}),
+                            batch_format="pandas"),
+        on="node", num_buckets=num_partitions, how="left")
+    return out.map_batches(
+        lambda d: pd.DataFrame({
+            "node": d["node"].astype("int64"),
+            "hub": d["hub"].fillna(0.0).astype("float64"),
+            "auth": d["auth"].fillna(0.0).astype("float64"),
+        }),
+        batch_format="pandas")

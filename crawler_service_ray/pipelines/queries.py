@@ -7027,6 +7027,65 @@ FROM r
 """
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities over the DIRECTED supplier→part supply
+    graph (`functions/graph.py:hits`) — the link-analysis ranking
+    PageRank's single vector cannot express: suppliers score as hubs,
+    parts as authorities, and the bipartite direction keeps the two
+    sides genuinely distinct. Two mutual-reinforcement iterations
+    (auth = Aᵀ·hub, hub = A·auth, each L2-normalized by one
+    scalar-partials pass); the broadcast path streams the never-moving
+    edge set with one small combiner exchange per half-step. The
+    oracle unrolls the identical four half-steps as JOIN/GROUP
+    BY/normalize CTE layers; 6-dp rounding on both engines absorbs
+    sum-order reassociation (same contract as pagerank)."""
+    from ..functions.graph import hits
+    from ..functions.relational import distinct
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_suppkey", "l_partkey"])
+    edges = distinct(
+        li.map_batches(
+            lambda d: pd.DataFrame({
+                "src": d["l_suppkey"].astype("int64"),
+                "dst": d["l_partkey"].astype("int64") + 10_000_000,
+            }),
+            batch_format="pandas"),
+        ["src", "dst"], merge_partitions=16)
+    out = hits(edges, iters=2, num_partitions=16)
+    return out.map_batches(
+        lambda d: pd.DataFrame({
+            "node": d["node"].astype("int64"),
+            "hub": np.round(d["hub"].to_numpy(dtype="float64"), 6),
+            "auth": np.round(d["auth"].to_numpy(dtype="float64"), 6),
+        }),
+        batch_format="pandas")
+
+
+SQL_HITS = """
+WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 10000000 AS p
+           FROM lineitem),
+nodes AS (SELECT s AS node FROM e UNION SELECT p FROM e),
+a1r AS (SELECT p AS node, CAST(count(*) AS DOUBLE) AS s FROM e GROUP BY p),
+a1 AS (SELECT node, s / (SELECT sqrt(sum(s * s)) FROM a1r) AS s FROM a1r),
+h1r AS (SELECT e.s AS node, sum(a1.s) AS s
+        FROM e JOIN a1 ON a1.node = e.p GROUP BY e.s),
+h1 AS (SELECT node, s / (SELECT sqrt(sum(s * s)) FROM h1r) AS s FROM h1r),
+a2r AS (SELECT e.p AS node, sum(h1.s) AS s
+        FROM e JOIN h1 ON h1.node = e.s GROUP BY e.p),
+a2 AS (SELECT node, s / (SELECT sqrt(sum(s * s)) FROM a2r) AS s FROM a2r),
+h2r AS (SELECT e.s AS node, sum(a2.s) AS s
+        FROM e JOIN a2 ON a2.node = e.p GROUP BY e.s),
+h2 AS (SELECT node, s / (SELECT sqrt(sum(s * s)) FROM h2r) AS s FROM h2r)
+SELECT n.node,
+       round(coalesce(h2.s, 0), 6) AS hub,
+       round(coalesce(a2.s, 0), 6) AS auth
+FROM nodes n
+LEFT JOIN h2 ON h2.node = n.node
+LEFT JOIN a2 ON a2.node = n.node
+"""
+
+
 def q_js_divergence(sf_dir: str):
     """Jensen–Shannon divergence between two sources' unigram
     distributions (`functions/text.py:js_divergence`) — the
@@ -7824,6 +7883,7 @@ QUERIES = {
     "gini": q_gini,
     "spearman": q_spearman,
     "js_divergence": q_js_divergence,
+    "hits": q_hits,
     "decayed_topk": q_decayed_topk,
     "changepoint": q_changepoint,
     "classification_report": q_classification_report,
@@ -8012,6 +8072,7 @@ ORACLE_SQL = {
     "gini": SQL_GINI,
     "spearman": SQL_SPEARMAN,
     "js_divergence": SQL_JS_DIVERGENCE,
+    "hits": SQL_HITS,
     "decayed_topk": SQL_DECAYED_TOPK,
     "changepoint": SQL_CHANGEPOINT,
     "classification_report": SQL_CLASSIFICATION_REPORT,

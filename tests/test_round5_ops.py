@@ -491,6 +491,51 @@ def test_gini_matches_sorted_reference(ray_session):
     assert float(a["gini"][0]) == float(b["gini"][0])
 
 
+def test_hits_matches_numpy_and_path_parity(ray_session):
+    from crawler_service_ray.functions import graph as gr
+
+    rng = np.random.default_rng(53)
+    # directed bipartite-ish graph with a few pure-source nodes
+    e = set()
+    while len(e) < 300:
+        e.add((int(rng.integers(0, 40)), int(rng.integers(100, 160))))
+    edges = pd.DataFrame(sorted(e), columns=["src", "dst"])
+
+    def brute(iters: int) -> pd.DataFrame:
+        nodes = np.unique(np.r_[edges["src"], edges["dst"]])
+        idx = {n: i for i, n in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for s, d in e:
+            A[idx[s], idx[d]] = 1.0
+        h = np.ones(len(nodes))
+        a = np.zeros(len(nodes))
+        for _ in range(iters):
+            a = A.T @ h
+            a = a / np.sqrt((a * a).sum())
+            h = A @ a
+            h = h / np.sqrt((h * h).sum())
+        return pd.DataFrame({"node": nodes, "hub": h, "auth": a})
+
+    ref = brute(3).sort_values("node").reset_index(drop=True)
+    got = gr.hits(rd.from_pandas(edges).repartition(5), iters=3)\
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert (got["node"].to_numpy() == ref["node"].to_numpy()).all()
+    assert np.abs(got["hub"].to_numpy() - ref["hub"].to_numpy()).max() < 1e-9
+    assert np.abs(got["auth"].to_numpy() - ref["auth"].to_numpy()).max() < 1e-9
+    # pure-source nodes carry hub mass but exactly zero authority
+    pure_src = ~np.isin(ref["node"].to_numpy(),
+                        edges["dst"].unique())
+    assert (got["auth"].to_numpy()[pure_src] == 0.0).all()
+
+    # exchange path (broadcast_threshold=0) must match the broadcast path
+    ex = gr.hits(rd.from_pandas(edges).repartition(5), iters=3,
+                 broadcast_threshold=0, num_partitions=7)\
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert (ex["node"].to_numpy() == ref["node"].to_numpy()).all()
+    assert np.abs(ex["hub"].to_numpy() - got["hub"].to_numpy()).max() < 1e-12
+    assert np.abs(ex["auth"].to_numpy() - got["auth"].to_numpy()).max() < 1e-12
+
+
 def test_js_divergence_reference_and_bounds(ray_session):
     def brute(ta: str, tb: str) -> float:
         from collections import Counter
