@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "spearman",
     "js_divergence",
     "hits",
+    "assortativity",
+    "rolling_median",
     "decayed_topk",
     "changepoint",
     "classification_report",

@@ -1101,3 +1101,74 @@ def hits(
             "auth": d["auth"].fillna(0.0).astype("float64"),
         }),
         batch_format="pandas")
+
+
+def degree_assortativity(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Degree assortativity coefficient — the Pearson correlation of
+    endpoint degrees over the edge list (Newman 2002): positive means
+    hubs link to hubs (social-network shape), negative means hubs link
+    to leaves (the web/crawl shape — and the shape that tells a
+    partitioner hub-adjacent edges will concentrate in few partitions).
+    On a symmetric edge list out-degree = degree and every undirected
+    edge is counted once per direction, matching the standard
+    definition.
+
+    Distributed shape: one degree aggregate (partial counts per
+    block), TWO bucketed hash joins attaching the degree to each edge
+    endpoint (degree table co-partitions with edges by node hash —
+    never broadcast, never on the driver), then each block reduces to
+    six Pearson moment partials. Only scalars reach the driver.
+    Returns ``(n_edges, assortativity)``; NaN when degenerate (all
+    degrees equal)."""
+    from .relational import bucketed_hash_join, grouped_agg
+
+    edges = edges.materialize()
+    deg = grouped_agg(edges, [src], {"d": (dst, "count")},
+                      merge_partitions=num_partitions)
+    degn = deg.map_batches(
+        lambda t, _s=src: pd.DataFrame({
+            "node": t[_s].astype("int64"),
+            "d": t["d"].astype("float64")}),
+        batch_format="pandas").materialize()
+
+    left = edges.map_batches(
+        lambda t: pd.DataFrame({"node": t[src].astype("int64"),
+                                "__other": t[dst].astype("int64")}),
+        batch_format="pandas")
+    j1 = bucketed_hash_join(left, degn, on="node",
+                            num_buckets=num_partitions)
+    j1 = j1.map_batches(
+        lambda t: pd.DataFrame({"node": t["__other"], "dx": t["d"]}),
+        batch_format="pandas")
+    j2 = bucketed_hash_join(j1, degn, on="node",
+                            num_buckets=num_partitions)
+
+    def moments(t: pd.DataFrame) -> pd.DataFrame:
+        x = t["dx"].to_numpy(dtype="float64")
+        y = t["d"].to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "n": [np.int64(len(t))],
+            "sx": [float(x.sum())], "sy": [float(y.sum())],
+            "sxx": [float((x * x).sum())], "syy": [float((y * y).sum())],
+            "sxy": [float((x * y).sum())],
+        })
+
+    p = j2.map_batches(moments, batch_format="pandas").to_pandas()
+    n = float(p["n"].sum())
+    if n == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "n_edges": pd.Series([], dtype="int64"),
+            "assortativity": pd.Series([], dtype="float64"),
+        }))
+    sx, sy = p["sx"].sum(), p["sy"].sum()
+    cov = n * p["sxy"].sum() - sx * sy
+    den = float(np.sqrt((n * p["sxx"].sum() - sx * sx)
+                        * (n * p["syy"].sum() - sy * sy)))
+    r = cov / den if den > 0 else float("nan")
+    return rd.from_pandas(pd.DataFrame({"n_edges": [np.int64(n)],
+                                        "assortativity": [r]}))

@@ -6899,6 +6899,46 @@ def q_anomaly_zscore(sf_dir: str):
     return grouped_apply(ds, ["user_id"], zpart, num_partitions=16)
 
 
+def q_rolling_median(sf_dir: str):
+    """Rolling 5-event median per user (ROWS 4 PRECEDING AND CURRENT
+    ROW) — the robust smoother a metrics pipeline prefers over
+    `moving_avg` when latencies spike (one outlier shifts a mean for
+    five frames but a median for at most two). Same frame machinery as
+    `anomaly_zscore`: ONE key-hash shuffle, then C-vectorized
+    `groupby.rolling(5).median()` per partition. pandas and DuckDB
+    both interpolate the even-count median (quantile_cont 0.5), so the
+    values agree exactly; 6-dp rounding only guards quotient-free
+    float identity."""
+    from ..functions.relational import grouped_apply
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def rpart(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["ts", "event_id"], kind="mergesort")
+             .reset_index(drop=True))
+        med = (g.groupby("user_id", sort=False)["value"]
+               .rolling(5, min_periods=1).median().droplevel(0))
+        g["med"] = med  # label-aligned (indices unique after reset)
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "med": np.round(g["med"].to_numpy(dtype="float64"), 6),
+        })
+
+    return grouped_apply(ds, ["user_id"], rpart, num_partitions=16)
+
+
+SQL_ROLLING_MEDIAN = """
+SELECT event_id, user_id,
+       round(median(value) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN 4 PRECEDING
+                                 AND CURRENT ROW), 6) AS med
+FROM events
+"""
+
+
 SQL_ANOMALY_ZSCORE = """
 WITH w AS (
   SELECT event_id, user_id, value,
@@ -7083,6 +7123,58 @@ SELECT n.node,
 FROM nodes n
 LEFT JOIN h2 ON h2.node = n.node
 LEFT JOIN a2 ON a2.node = n.node
+"""
+
+
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the symmetric supplier↔part co-purchase
+    graph (`functions/graph.py:degree_assortativity`) — the Newman
+    endpoint-degree correlation that tells a graph partitioner whether
+    hub-adjacent edges will concentrate (disassortative, the web/crawl
+    shape) before it picks a vertex-cut strategy. Degree table
+    co-partitions with the edges through two bucketed joins (never
+    broadcast, never on the driver); blocks reduce to six Pearson
+    moment partials. The oracle replays the same two joins and
+    DuckDB's corr; both engines round at 6 dp."""
+    from ..functions.graph import degree_assortativity
+    from ..functions.relational import distinct
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_suppkey", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["l_suppkey"].to_numpy()
+        p = df["l_partkey"].to_numpy() + 10_000_000
+        return pd.DataFrame({
+            "src": np.concatenate([s, p]),
+            "dst": np.concatenate([p, s]),
+        })
+
+    edges = distinct(
+        li.map_batches(to_edges, batch_format="pandas"),
+        ["src", "dst"], merge_partitions=16)
+    out = degree_assortativity(edges, num_partitions=16)
+    return out.map_batches(
+        lambda d: pd.DataFrame({
+            "n_edges": d["n_edges"].astype("int64"),
+            "assortativity": np.round(
+                d["assortativity"].to_numpy(dtype="float64"), 6),
+        }),
+        batch_format="pandas")
+
+
+SQL_ASSORTATIVITY = """
+WITH pr AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 10000000 AS p
+            FROM lineitem),
+ed AS (SELECT s AS src, p AS dst FROM pr
+       UNION ALL SELECT p, s FROM pr),
+deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS d
+        FROM ed GROUP BY src)
+SELECT count(*) AS n_edges,
+       round(corr(dx.d, dy.d), 6) AS assortativity
+FROM ed
+JOIN deg dx ON dx.node = ed.src
+JOIN deg dy ON dy.node = ed.dst
 """
 
 
@@ -7884,6 +7976,8 @@ QUERIES = {
     "spearman": q_spearman,
     "js_divergence": q_js_divergence,
     "hits": q_hits,
+    "assortativity": q_assortativity,
+    "rolling_median": q_rolling_median,
     "decayed_topk": q_decayed_topk,
     "changepoint": q_changepoint,
     "classification_report": q_classification_report,
@@ -8073,6 +8167,8 @@ ORACLE_SQL = {
     "spearman": SQL_SPEARMAN,
     "js_divergence": SQL_JS_DIVERGENCE,
     "hits": SQL_HITS,
+    "assortativity": SQL_ASSORTATIVITY,
+    "rolling_median": SQL_ROLLING_MEDIAN,
     "decayed_topk": SQL_DECAYED_TOPK,
     "changepoint": SQL_CHANGEPOINT,
     "classification_report": SQL_CLASSIFICATION_REPORT,

@@ -536,6 +536,39 @@ def test_hits_matches_numpy_and_path_parity(ray_session):
     assert np.abs(ex["auth"].to_numpy() - got["auth"].to_numpy()).max() < 1e-12
 
 
+def test_assortativity_star_and_reference(ray_session):
+    from crawler_service_ray.functions import graph as gr
+
+    # star: hub 0 <-> leaves 1..10, symmetric edges; perfectly
+    # disassortative -> exactly -1
+    leaves = np.arange(1, 11, dtype="int64")
+    star = pd.DataFrame({
+        "src": np.r_[np.zeros(10, dtype="int64"), leaves],
+        "dst": np.r_[leaves, np.zeros(10, dtype="int64")],
+    })
+    got = gr.degree_assortativity(
+        rd.from_pandas(star).repartition(3)).to_pandas()
+    assert int(got["n_edges"][0]) == 20
+    assert abs(float(got["assortativity"][0]) + 1.0) < 1e-12
+
+    # random symmetric graph vs dense numpy reference
+    rng = np.random.default_rng(61)
+    e = set()
+    while len(e) < 150:
+        a, b = int(rng.integers(0, 30)), int(rng.integers(0, 30))
+        if a != b:
+            e.add((a, b)); e.add((b, a))
+    ed = pd.DataFrame(sorted(e), columns=["src", "dst"])
+    deg = ed.groupby("src").size()
+    dx = deg.reindex(ed["src"]).to_numpy(dtype="float64")
+    dy = deg.reindex(ed["dst"]).to_numpy(dtype="float64")
+    ref = np.corrcoef(dx, dy)[0, 1]
+    g2 = gr.degree_assortativity(
+        rd.from_pandas(ed).repartition(5), num_partitions=7).to_pandas()
+    assert int(g2["n_edges"][0]) == len(ed)
+    assert abs(float(g2["assortativity"][0]) - ref) < 1e-9
+
+
 def test_js_divergence_reference_and_bounds(ray_session):
     def brute(ta: str, tb: str) -> float:
         from collections import Counter
