@@ -1108,6 +1108,7 @@ def degree_assortativity(
     src: str = "src",
     dst: str = "dst",
     num_partitions: int = 16,
+    broadcast_threshold: int = 5_000_000,
 ) -> rd.Dataset:
     """Degree assortativity coefficient — the Pearson correlation of
     endpoint degrees over the edge list (Newman 2002): positive means
@@ -1119,13 +1120,18 @@ def degree_assortativity(
     definition.
 
     Distributed shape: one degree aggregate (partial counts per
-    block), TWO bucketed hash joins attaching the degree to each edge
-    endpoint (degree table co-partitions with edges by node hash —
-    never broadcast, never on the driver), then each block reduces to
-    six Pearson moment partials. Only scalars reach the driver.
-    Returns ``(n_edges, assortativity)``; NaN when degenerate (all
-    degrees equal)."""
-    from .relational import bucketed_hash_join, grouped_agg
+    block), then — same size gate as :func:`pagerank` — either the
+    degree table ships ONCE via ``ray.put`` and a single streaming
+    pass over the never-moving edges reduces each block straight to
+    moment partials (``n_nodes ≤ broadcast_threshold``), or TWO
+    bucketed hash joins attach the degree to each endpoint with the
+    degree table co-partitioned by node hash (huge node tables —
+    nothing node-scale on the driver). Each block reduces to six
+    Pearson moment partials; only scalars reach the driver. Returns
+    ``(n_edges, assortativity)``; NaN when degenerate (all degrees
+    equal). Both paths tested for parity."""
+    from .relational import (bucketed_hash_join, grouped_agg,
+                             resolve_broadcast)
 
     edges = edges.materialize()
     deg = grouped_agg(edges, [src], {"d": (dst, "count")},
@@ -1135,6 +1141,32 @@ def degree_assortativity(
             "node": t[_s].astype("int64"),
             "d": t["d"].astype("float64")}),
         batch_format="pandas").materialize()
+
+    if degn.count() <= broadcast_threshold:
+        dd = degn.to_pandas()
+        dser = pd.Series(dd["d"].to_numpy(), index=dd["node"].to_numpy())
+        ref = ray.put(dser)
+
+        def moments_bc(t: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            dv = resolve_broadcast(_ref)
+            x = dv.reindex(t[src].to_numpy()).to_numpy(dtype="float64")
+            y = dv.reindex(t[dst].to_numpy()).to_numpy(dtype="float64")
+            # every endpoint has an out-degree on a symmetric edge
+            # list; an asymmetric dst-only node contributes NaN —
+            # drop the edge like the join path's inner join would
+            keep = ~(np.isnan(x) | np.isnan(y))
+            x, y = x[keep], y[keep]
+            return pd.DataFrame({
+                "n": [np.int64(len(x))],
+                "sx": [float(x.sum())], "sy": [float(y.sum())],
+                "sxx": [float((x * x).sum())],
+                "syy": [float((y * y).sum())],
+                "sxy": [float((x * y).sum())],
+            })
+
+        p = edges.map_batches(
+            moments_bc, batch_format="pandas").to_pandas()
+        return _assort_from_moments(p)
 
     left = edges.map_batches(
         lambda t: pd.DataFrame({"node": t[src].astype("int64"),
@@ -1159,6 +1191,12 @@ def degree_assortativity(
         })
 
     p = j2.map_batches(moments, batch_format="pandas").to_pandas()
+    return _assort_from_moments(p)
+
+
+def _assort_from_moments(p: pd.DataFrame) -> rd.Dataset:
+    """Fold the per-block Pearson moment partials of
+    :func:`degree_assortativity` into the final scalar row."""
     n = float(p["n"].sum())
     if n == 0:
         return rd.from_pandas(pd.DataFrame({

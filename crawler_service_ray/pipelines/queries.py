@@ -7131,11 +7131,13 @@ def q_assortativity(sf_dir: str):
     graph (`functions/graph.py:degree_assortativity`) — the Newman
     endpoint-degree correlation that tells a graph partitioner whether
     hub-adjacent edges will concentrate (disassortative, the web/crawl
-    shape) before it picks a vertex-cut strategy. Degree table
-    co-partitions with the edges through two bucketed joins (never
-    broadcast, never on the driver); blocks reduce to six Pearson
-    moment partials. The oracle replays the same two joins and
-    DuckDB's corr; both engines round at 6 dp."""
+    shape) before it picks a vertex-cut strategy. Size-gated like
+    pagerank: here the degree table (~21k nodes) broadcasts once and
+    ONE streaming pass over the never-moving edges reduces each block
+    to six Pearson moment partials; huge node tables take the two
+    bucketed-join path (degree co-partitioned by node hash, parity
+    pytest-pinned). The oracle replays the degree attach as two joins
+    and DuckDB's corr; both engines round at 6 dp."""
     from ..functions.graph import degree_assortativity
     from ..functions.relational import distinct
 

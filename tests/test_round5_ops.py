@@ -568,6 +568,14 @@ def test_assortativity_star_and_reference(ray_session):
     assert int(g2["n_edges"][0]) == len(ed)
     assert abs(float(g2["assortativity"][0]) - ref) < 1e-9
 
+    # exchange path (broadcast_threshold=0) parity with broadcast path
+    g3 = gr.degree_assortativity(
+        rd.from_pandas(ed).repartition(5), num_partitions=7,
+        broadcast_threshold=0).to_pandas()
+    assert int(g3["n_edges"][0]) == len(ed)
+    assert abs(float(g3["assortativity"][0])
+               - float(g2["assortativity"][0])) < 1e-12
+
 
 def test_js_divergence_reference_and_bounds(ray_session):
     def brute(ta: str, tb: str) -> float:
