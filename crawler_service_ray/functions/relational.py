@@ -4281,39 +4281,6 @@ def gini_coefficient(
                                         "gini": [gini]}))
 
 
-def _avg_rank_table(
-    ds: rd.Dataset,
-    col: str,
-    id_cols: Sequence[str],
-    out_name: str,
-    coarse_bins: int,
-    num_partitions: int,
-):
-    """Per-row AVERAGE global rank of ``col`` (SQL fractional/midrank
-    semantics: tied values share the mean of the positions they
-    occupy) keyed by ``id_cols``, on :func:`_value_rank_exchange` —
-    no global sort. Ties are resolved entirely inside one exchange
-    partition: equal values map to the same coarse bin (the bin is a
-    function of the value), a bin's rows co-locate, and the partition
-    arrives sorted by (bin, value, ids), so each equal-value run is
-    contiguous with consecutive exact ranks — its midrank is
-    ``first + (len-1)/2`` by run arithmetic. Returns
-    ``(dataset[id_cols + [out_name]], total)`` or None when empty."""
-
-    def part(g: pd.DataFrame, rank: np.ndarray, total: int) -> pd.DataFrame:
-        v = g[col].to_numpy(dtype="float64")
-        starts = np.flatnonzero(
-            np.concatenate([[True], v[1:] != v[:-1]]))
-        runlen = np.diff(np.concatenate([starts, [len(v)]]))
-        avg = np.repeat(rank[starts] + (runlen - 1) / 2.0, runlen)
-        out = g[list(id_cols)].reset_index(drop=True)
-        out[out_name] = avg
-        return out
-
-    return _value_rank_exchange(ds, col, list(id_cols), coarse_bins,
-                                num_partitions, part)
-
-
 def spearman_corr(
     ds: rd.Dataset,
     xcol: str,
@@ -4328,49 +4295,64 @@ def spearman_corr(
     e.g., document length and quality score. Spearman = Pearson on the
     columns' average global ranks, with SQL midrank tie semantics.
 
-    Distributed shape: TWO :func:`_value_rank_exchange` passes (one per
-    column — no global sort, only the 2^k bin-count table on the
-    driver) emit per-row ``(ids, avg_rank)`` tables via
-    :func:`_avg_rank_table`; ONE bucketed hash join by ``id_cols``
-    pairs them back up; then each block reduces to six Pearson moment
-    partials (n, Σrx, Σry, Σrx², Σry², Σrx·ry) and only ≤ blocks × 6
-    scalars reach the driver. Ranks are integers-or-halves, so every
-    partial sum is exact in float64 up to ~9e15 (n ≲ 2^17 rows of
-    rank² products). Average-rank offset (0- vs 1-based) cancels —
-    correlation is shift-invariant. Values must be non-null;
-    ``id_cols`` must make rows unique."""
+    Distributed shape: TWO :func:`_value_rank_exchange` passes and
+    ZERO joins — no global sort, only the 2^k bin-count table on the
+    driver. The first pass midranks ``xcol`` carrying ``ycol`` as a
+    passenger tie column; the second midranks ``ycol`` over that
+    output carrying ``__rx`` as the passenger (extra tie columns
+    can't change a midrank — tie resolution averages out — so
+    passengers ride the exchange free), and its ``part_fn`` reduces
+    each partition straight to six Pearson moment partials (n, Σrx,
+    Σry, Σrx², Σry², Σrx·ry); only ≤ partitions × 6 scalars reach the
+    driver. Ranks are integers-or-halves, so every partial sum is
+    exact in float64 up to ~9e15 (n ≲ 2^17 rows of rank² products).
+    Average-rank offset (0- vs 1-based) cancels — correlation is
+    shift-invariant. Values must be non-null; ``id_cols`` must make
+    rows unique."""
     id_cols = list(id_cols)
     base = ds.map_batches(
         lambda d: d[[xcol, ycol] + id_cols], batch_format="pandas"
     ).materialize()
 
-    rx = _avg_rank_table(base, xcol, id_cols, "__rx",
-                         coarse_bins, num_partitions)
-    ry = _avg_rank_table(base, ycol, id_cols, "__ry",
-                         coarse_bins, num_partitions)
-    if rx is None or ry is None:
+    def part_x(g: pd.DataFrame, rank: np.ndarray,
+               total: int) -> pd.DataFrame:
+        v = g[xcol].to_numpy(dtype="float64")
+        starts = np.flatnonzero(
+            np.concatenate([[True], v[1:] != v[:-1]]))
+        runlen = np.diff(np.concatenate([starts, [len(v)]]))
+        avg = np.repeat(rank[starts] + (runlen - 1) / 2.0, runlen)
+        out = g[[ycol]].reset_index(drop=True)
+        out["__rx"] = avg
+        return out
+
+    r1 = _value_rank_exchange(base, xcol, id_cols + [ycol],
+                              coarse_bins, num_partitions, part_x)
+    if r1 is None:
         return rd.from_pandas(pd.DataFrame({
             "n": pd.Series([], dtype="int64"),
             "spearman": pd.Series([], dtype="float64"),
         }))
-    rxd, total = rx
-    ryd, _ = ry
-    joined = bucketed_hash_join(
-        rxd, ryd.map_batches(
-            lambda d: d[id_cols + ["__ry"]], batch_format="pandas"),
-        on=id_cols, num_buckets=num_partitions)
+    rxd, total = r1
 
-    def moments(d: pd.DataFrame) -> pd.DataFrame:
-        x = d["__rx"].to_numpy(dtype="float64")
-        y = d["__ry"].to_numpy(dtype="float64")
+    def part_y(g: pd.DataFrame, rank: np.ndarray,
+               total_: int) -> pd.DataFrame:
+        v = g[ycol].to_numpy(dtype="float64")
+        starts = np.flatnonzero(
+            np.concatenate([[True], v[1:] != v[:-1]]))
+        runlen = np.diff(np.concatenate([starts, [len(v)]]))
+        y = np.repeat(rank[starts] + (runlen - 1) / 2.0, runlen)
+        x = g["__rx"].to_numpy(dtype="float64")
         return pd.DataFrame({
-            "n": [np.int64(len(d))],
+            "n": [np.int64(len(g))],
             "sx": [float(x.sum())], "sy": [float(y.sum())],
             "sxx": [float((x * x).sum())], "syy": [float((y * y).sum())],
             "sxy": [float((x * y).sum())],
         })
 
-    p = joined.map_batches(moments, batch_format="pandas").to_pandas()
+    r2 = _value_rank_exchange(rxd, ycol, ["__rx"],
+                              coarse_bins, num_partitions, part_y)
+    assert r2 is not None  # r1 was non-empty
+    p = r2[0].to_pandas()
     n = float(p["n"].sum())
     sx, sy = p["sx"].sum(), p["sy"].sum()
     cov = n * p["sxy"].sum() - sx * sy

@@ -7237,8 +7237,10 @@ def q_spearman(sf_dir: str):
     """EXACT Spearman rank correlation between quantity and extended
     price — the robust monotone-dependence statistic
     (`functions/relational.py:spearman_corr`): two rank exchanges (no
-    global sort), one id-bucketed join pairing the rank columns, six
-    exact moment partials per block. l_quantity is integer-valued
+    global sort) and ZERO joins — the second exchange carries the
+    first's midranks as a passenger tie column and reduces each
+    partition straight to six exact moment partials. l_quantity is
+    integer-valued
     (1-50) so the midrank tie path carries ~1200 rows per tie group at
     sf0.01 — the tie semantics are genuinely exercised, not
     incidental. The oracle replays midranks with
