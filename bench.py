@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "hits",
     "assortativity",
     "rolling_median",
+    "average_precision",
+    "nearest_centroid",
     "decayed_topk",
     "changepoint",
     "classification_report",

@@ -3421,6 +3421,64 @@ def roc_auc(
                                         batch_size=None)
 
 
+def average_precision(
+    ds: rd.Dataset,
+    score_col: str,
+    pos_col: str,
+    score_dp: int = 6,
+    merge_partitions: int | None = None,
+) -> rd.Dataset:
+    """Distributed average precision (area under the precision-recall
+    curve, step interpolation) — the eval metric that matters when
+    positives are rare (a 1%-spam corpus scores 0.99 accuracy on the
+    constant classifier; AP stays honest). Tie-aware threshold form:
+    per distinct score s taken in DESC order,
+
+        AP = Σ_s (np(s)/Np) · [ cum_tp(s) / cum_all(s) ]
+
+    i.e. each threshold block contributes its recall increment times
+    the precision AT that threshold (all tied rows enter together —
+    the deterministic convention both engines replay; single-row
+    blocks reduce to the classic Σ P@k / Np).
+
+    Same scale shape as :func:`roc_auc`: scores round to ``score_dp``
+    FIRST, so the reduced (score → n_pos, n_neg) table is bounded by
+    score_range·10^dp — model-constant, like a sketch — and per-batch
+    counts shrink each block before ONE ``grouped_agg`` exchange; the
+    ordered scan runs once over that bounded table. Emits one row
+    (n_pos, n_neg, ap@6dp)."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        sc = np.round(df[score_col].to_numpy(dtype="float64"), score_dp)
+        pos = df[pos_col].to_numpy(dtype="int64")
+        g = (pd.DataFrame({"sc": sc, "np": pos, "nn": 1 - pos})
+             .groupby("sc", sort=False).sum().reset_index())
+        return g
+
+    g = grouped_agg(
+        ds.map_batches(part, batch_format="pandas"),
+        ["sc"], {"np": ("np", "sum"), "nn": ("nn", "sum")},
+        merge_partitions=merge_partitions,
+    )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("sc", ascending=False, kind="mergesort")
+        npos = df["np"].to_numpy(dtype="float64")
+        nneg = df["nn"].to_numpy(dtype="float64")
+        ctp = np.cumsum(npos)
+        call = np.cumsum(npos + nneg)
+        tp, tn = float(npos.sum()), float(nneg.sum())
+        ap = float(np.sum(npos * (ctp / call)) / tp) if tp else np.nan
+        return pd.DataFrame({
+            "n_pos": np.array([tp], dtype="int64"),
+            "n_neg": np.array([tn], dtype="int64"),
+            "ap": [round(ap, 6)] if tp else [np.nan],
+        })
+
+    return g.repartition(1).map_batches(scan, batch_format="pandas",
+                                        batch_size=None)
+
+
 def grouped_ewma(
     ds: rd.Dataset,
     key: str,

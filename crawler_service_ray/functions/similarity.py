@@ -708,3 +708,118 @@ def range_search(
         })
 
     return ds.map_batches(score_batch, batch_format="pandas")
+
+
+def nearest_centroid_eval(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    train_buckets: int = 8,
+    split_buckets: int = 10,
+    dist_dp: int = 6,
+) -> rd.Dataset:
+    """Nearest-centroid classification with a deterministic train/test
+    split — the cheapest embedding-space classifier (Rocchio), the
+    baseline an embedding-quality audit runs before anything learned:
+    if class centroids don't separate held-out points, no downstream
+    probe will. Split = Knuth multiplicative hash of ``id_col``
+    (``(id·2654435761) mod 2³² mod split_buckets``, the `split_assign`
+    convention — parallelism/rerun-invariant); buckets
+    ``< train_buckets`` train, the rest evaluate.
+
+    Distributed shape: training reduces each block to (label, dim,
+    Σv, n) long-form partials — ≤ k·(d+1) values per block, the
+    `kmeans` partial contract — merged by ONE tiny ``grouped_agg``;
+    the k×d centroid matrix (model-constant) ships back once via
+    ``ray.put``; the test pass scores each block against all k
+    centroids with per-label vectorized Σ(x−c)² (the same summand
+    the SQL twin uses), rounds distances to ``dist_dp`` BEFORE the
+    argmin (distance is selection-internal — the `changepoint`
+    contract), breaks ties toward the smaller label, and emits
+    per-block confusion partials. Output: (true_label, pred_label, n)
+    — ≤ k² rows."""
+    import ray
+
+    from .relational import grouped_agg, resolve_broadcast
+
+    two32 = np.uint64(2**32)
+
+    def bucket_of(ids: np.ndarray) -> np.ndarray:
+        h = (ids.astype(np.uint64) % two32) * np.uint64(2654435761) % two32
+        return (h % np.uint64(split_buckets)).astype("int64")
+
+    base = ds.map_batches(
+        lambda d: d[[id_col, label_col, vec_col]],
+        batch_format="pandas").materialize()
+
+    def train_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = bucket_of(df[id_col].to_numpy())
+        df = df.loc[b < train_buckets]
+        if len(df) == 0:
+            return pd.DataFrame({
+                "label": pd.Series([], dtype="int64"),
+                "j": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="float64"),
+                "c": pd.Series([], dtype="int64"),
+            })
+        M = np.stack(df[vec_col].to_numpy()).astype("float64")
+        labs = df[label_col].to_numpy(dtype="int64")
+        uls = np.unique(labs)
+        d = M.shape[1]
+        rows = []
+        for ul in uls:  # k iterations over a model-constant label set
+            sel = M[labs == ul]
+            rows.append(pd.DataFrame({
+                "label": np.full(d, ul, dtype="int64"),
+                "j": np.arange(d, dtype="int64"),
+                "s": sel.sum(axis=0),
+                "c": np.r_[np.int64(len(sel)),
+                           np.zeros(d - 1, dtype="int64")],
+            }))
+        return pd.concat(rows, ignore_index=True)
+
+    cent = grouped_agg(
+        base.map_batches(train_partial, batch_format="pandas"),
+        ["label", "j"], {"s": ("s", "sum"), "c": ("c", "sum")},
+    ).to_pandas()  # <= k x d rows, model-constant
+    if len(cent) == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "true_label": pd.Series([], dtype="int64"),
+            "pred_label": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+        }))
+    counts = (cent.groupby("label")["c"].sum())
+    wide = cent.pivot(index="label", columns="j", values="s").sort_index()
+    labels_arr = wide.index.to_numpy(dtype="int64")
+    C = wide.to_numpy(dtype="float64") / counts.reindex(
+        wide.index).to_numpy(dtype="float64")[:, None]
+    ref = ray.put((labels_arr, C))
+
+    def test_partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        labs_, C_ = resolve_broadcast(_ref)
+        b = bucket_of(df[id_col].to_numpy())
+        df = df.loc[b >= train_buckets]
+        if len(df) == 0:
+            return pd.DataFrame({
+                "true_label": pd.Series([], dtype="int64"),
+                "pred_label": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        X = np.stack(df[vec_col].to_numpy()).astype("float64")
+        D = np.empty((len(X), len(labs_)))
+        for i in range(len(labs_)):  # k passes, same summand as SQL
+            D[:, i] = ((X - C_[i]) ** 2).sum(axis=1)
+        D = np.round(D, dist_dp)
+        pred = labs_[np.argmin(D, axis=1)]  # first win = smallest label
+        g = (pd.DataFrame({"true_label": df[label_col].to_numpy(
+                dtype="int64"), "pred_label": pred})
+             .groupby(["true_label", "pred_label"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    return grouped_agg(
+        base.map_batches(test_partial, batch_format="pandas"),
+        ["true_label", "pred_label"], {"n": ("n", "sum")},
+    )

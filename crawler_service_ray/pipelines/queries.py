@@ -5942,6 +5942,99 @@ def q_auc(sf_dir: str):
                    score_col="sc", pos_col="pos")
 
 
+def q_average_precision(sf_dir: str):
+    """Average precision (PR-AUC, step interpolation) of the same
+    score/label pair as `auc` — the fourth leg of the model-eval
+    family (auc / classification_report / calibration / ap), and the
+    one that stays honest under class imbalance. Tie-aware threshold
+    form over the bounded (score → n_pos, n_neg) reduced table
+    (`functions/relational.py:average_precision` — the roc_auc scale
+    shape: scores round first, per-batch counts shrink blocks before
+    ONE exchange, the DESC scan runs once over the model-constant
+    table). The oracle replays the identical cumulative form with a
+    DESC window."""
+    import pyarrow.compute as pc
+
+    from ..functions.relational import average_precision
+
+    ds = read_table(sf_dir, "embeddings", bytes_per_block=_DOC_BPB,
+                    columns=["label", "embedding"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "sc": pc.cast(pc.list_element(t["embedding"], 0), pa.float64()),
+            "pos": pc.cast(pc.less(t["label"], 5), pa.int64()),
+        })
+
+    return average_precision(
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        score_col="sc", pos_col="pos")
+
+
+def q_nearest_centroid(sf_dir: str):
+    """Nearest-centroid classifier over the labeled embeddings with a
+    deterministic Knuth-hash 80/20 split
+    (`functions/similarity.py:nearest_centroid_eval`) — the Rocchio
+    baseline an embedding-quality audit runs: per-label centroid
+    training is one pass of k·(d+1) partials per block, the k×d model
+    broadcasts once, and the test pass reduces to confusion partials.
+    Distances round at 6 dp BEFORE the argmin (selection-internal, the
+    changepoint contract) with ties toward the smaller label — the
+    oracle replays the same split hash, the same Σ(x−c)² summand and
+    the same tiebreak via array_agg(ORDER BY dist, cand)."""
+    from ..functions.similarity import nearest_centroid_eval
+
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "label", "embedding"])
+    out = nearest_centroid_eval(ds)
+    return out.map_batches(
+        lambda d: d.sort_values(["true_label", "pred_label"])
+        .reset_index(drop=True).astype("int64"),
+        batch_format="pandas")
+
+
+SQL_NEAREST_CENTROID = """
+WITH sp AS (
+  SELECT vec_id, label, embedding,
+         ((vec_id % 4294967296) * 2654435761) % 4294967296 % 10 AS b
+  FROM embeddings),
+tr AS (SELECT label, unnest(embedding)::DOUBLE AS v,
+              unnest(range(len(embedding))) AS j
+       FROM sp WHERE b < 8),
+cent AS (SELECT label AS cand, j, avg(v) AS c FROM tr GROUP BY label, j),
+te AS (SELECT vec_id, label AS true_label,
+              unnest(embedding)::DOUBLE AS v,
+              unnest(range(len(embedding))) AS j
+       FROM sp WHERE b >= 8),
+d AS (SELECT te.vec_id, te.true_label, cent.cand,
+             round(sum((te.v - cent.c) * (te.v - cent.c)), 6) AS dist
+      FROM te JOIN cent ON cent.j = te.j
+      GROUP BY te.vec_id, te.true_label, cent.cand),
+pred AS (SELECT vec_id, true_label,
+                (array_agg(cand ORDER BY dist, cand))[1] AS pred_label
+         FROM d GROUP BY vec_id, true_label)
+SELECT true_label, pred_label, count(*) AS n
+FROM pred GROUP BY true_label, pred_label
+"""
+
+
+SQL_AVERAGE_PRECISION = """
+WITH s AS (SELECT round(embedding[1], 6) AS sc,
+                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+           FROM embeddings),
+g AS (SELECT sc, sum(pos)::DOUBLE AS np, sum(1 - pos)::DOUBLE AS nn
+      FROM s GROUP BY sc),
+c AS (SELECT np,
+             sum(np) OVER (ORDER BY sc DESC) AS ctp,
+             sum(np + nn) OVER (ORDER BY sc DESC) AS call
+      FROM g)
+SELECT (SELECT sum(np) FROM g)::BIGINT AS n_pos,
+       (SELECT sum(nn) FROM g)::BIGINT AS n_neg,
+       round(sum(np * ctp / call) / (SELECT sum(np) FROM g), 6) AS ap
+FROM c
+"""
+
+
 SQL_AUC = """
 WITH s AS (SELECT round(embedding[1], 6) AS sc,
                   CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
@@ -7936,6 +8029,8 @@ QUERIES = {
     "bigram_lm": q_bigram_lm,
     "regional_revenue": q_regional_revenue,
     "auc": q_auc,
+    "average_precision": q_average_precision,
+    "nearest_centroid": q_nearest_centroid,
     "ewma": q_ewma,
     "boolean_search": q_boolean_search,
     "ann_lsh_recall": q_ann_lsh_recall,
@@ -8133,6 +8228,8 @@ ORACLE_SQL = {
     "bigram_lm": SQL_BIGRAM_LM,
     "regional_revenue": SQL_REGIONAL_REVENUE,
     "auc": SQL_AUC,
+    "average_precision": SQL_AVERAGE_PRECISION,
+    "nearest_centroid": SQL_NEAREST_CENTROID,
     "ewma": SQL_EWMA,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,

@@ -536,6 +536,75 @@ def test_hits_matches_numpy_and_path_parity(ray_session):
     assert np.abs(ex["auth"].to_numpy() - got["auth"].to_numpy()).max() < 1e-12
 
 
+def test_average_precision_reference(ray_session):
+    def brute(sc: np.ndarray, pos: np.ndarray) -> float:
+        df = (pd.DataFrame({"sc": np.round(sc, 6), "p": pos})
+              .groupby("sc").agg(np_=("p", "sum"), n=("p", "size"))
+              .sort_index(ascending=False))
+        ctp = df["np_"].cumsum().to_numpy(dtype="float64")
+        call = df["n"].cumsum().to_numpy(dtype="float64")
+        npos = df["np_"].to_numpy(dtype="float64")
+        return float((npos * ctp / call).sum() / npos.sum())
+
+    rng = np.random.default_rng(71)
+    n = 2000
+    pos = (rng.random(n) < 0.1).astype("int64")   # rare positives
+    sc = rng.normal(0, 1, n) + 1.5 * pos          # informative score
+    sc[::7] = np.round(sc[::7], 1)                # force score ties
+    df = pd.DataFrame({"sc": sc, "pos": pos})
+    got = rel.average_precision(
+        rd.from_pandas(df).repartition(6), "sc", "pos").to_pandas()
+    assert int(got["n_pos"][0]) == pos.sum()
+    assert abs(float(got["ap"][0]) - round(brute(sc, pos), 6)) < 2e-6
+
+    # perfect separation -> AP exactly 1
+    dperf = pd.DataFrame({"sc": np.r_[np.ones(50), np.zeros(50)],
+                          "pos": np.r_[np.ones(50), np.zeros(50)]
+                          .astype("int64")})
+    gp = rel.average_precision(rd.from_pandas(dperf), "sc",
+                               "pos").to_pandas()
+    assert float(gp["ap"][0]) == 1.0
+
+
+def test_nearest_centroid_planted_clusters(ray_session):
+    from crawler_service_ray.functions import similarity as sim
+
+    rng = np.random.default_rng(83)
+    k, d, per = 4, 8, 300
+    centers = rng.normal(0, 8, (k, d))
+    rows = []
+    for lab in range(k):
+        pts = centers[lab] + rng.normal(0, 0.5, (per, d))
+        for i, p in enumerate(pts):
+            rows.append((lab * per + i, lab, p.astype("float32")))
+    df = pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
+    got = sim.nearest_centroid_eval(
+        rd.from_pandas(df).repartition(5)).to_pandas()
+
+    # single-node replica: same Knuth split, same centroids, same rule
+    ids = df["vec_id"].to_numpy(dtype="uint64")
+    b = (ids % np.uint64(2**32)) * np.uint64(2654435761) % np.uint64(2**32)
+    b = (b % np.uint64(10)).astype("int64")
+    M = np.stack(df["embedding"].to_numpy()).astype("float64")
+    labs = df["label"].to_numpy()
+    C = np.stack([M[(b < 8) & (labs == lab)].mean(axis=0)
+                  for lab in range(k)])
+    X, tl = M[b >= 8], labs[b >= 8]
+    D = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+    pred = np.argmin(D, axis=1)
+    ref = (pd.DataFrame({"true_label": tl, "pred_label": pred})
+           .groupby(["true_label", "pred_label"]).size()
+           .reset_index(name="n"))
+    m = got.sort_values(["true_label", "pred_label"]).reset_index(drop=True)
+    r = ref.sort_values(["true_label", "pred_label"]).reset_index(drop=True)
+    assert (m["true_label"].to_numpy() == r["true_label"].to_numpy()).all()
+    assert (m["pred_label"].to_numpy() == r["pred_label"].to_numpy()).all()
+    assert (m["n"].to_numpy() == r["n"].to_numpy()).all()
+    # well-separated clusters -> the diagonal dominates
+    acc = m.loc[m["true_label"] == m["pred_label"], "n"].sum() / m["n"].sum()
+    assert acc > 0.99
+
+
 def test_assortativity_star_and_reference(ray_session):
     from crawler_service_ray.functions import graph as gr
 
