@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "rolling_median",
     "average_precision",
     "nearest_centroid",
+    "anova_f",
+    "kruskal",
     "decayed_topk",
     "changepoint",
     "classification_report",

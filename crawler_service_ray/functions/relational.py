@@ -4058,6 +4058,115 @@ def welch_ttest(
     })
 
 
+def anova_f(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+) -> rd.Dataset:
+    """One-way ANOVA F statistic across ALL cohorts — the k-group
+    generalization of :func:`welch_ttest` (equal-variance form): does
+    the metric differ across k experiment arms / event types at all,
+    before pairwise tests. F = (SSB/(k−1)) / (SSW/(N−k)) from the
+    classic sum decomposition, computed entirely from per-cohort
+    moment partials (n, Σv, Σv²) — three numbers per cohort per
+    block, one tiny ``grouped_agg`` merge, driver folds the k-row
+    table. The SQL twin replays the identical sums; 6-dp rounding
+    absorbs partial-sum reassociation. NULL values must be absent."""
+    def partials(d: pd.DataFrame) -> pd.DataFrame:
+        v = d[val_col].to_numpy(dtype="float64")
+        t = pd.DataFrame({group_col: d[group_col],
+                          "__n": np.float64(1.0), "__s": v, "__ss": v * v})
+        return t.groupby(group_col, as_index=False).sum()
+
+    agg = grouped_agg(
+        ds.map_batches(partials, batch_format="pandas"),
+        [group_col], {"n": ("__n", "sum"), "s": ("__s", "sum"),
+                      "ss": ("__ss", "sum")},
+    ).to_pandas().sort_values(group_col)
+    k = len(agg)
+    if k < 2:
+        return rd.from_pandas(pd.DataFrame({
+            "n_groups": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "f_stat": pd.Series([], dtype="float64"),
+        }))
+    n = agg["n"].to_numpy(dtype="float64")
+    s = agg["s"].to_numpy(dtype="float64")
+    ss = agg["ss"].to_numpy(dtype="float64")
+    N = float(n.sum())
+    grand = float(s.sum()) / N
+    ssb = float((n * (s / n - grand) ** 2).sum())
+    ssw = float((ss - s * s / n).sum())
+    f = (ssb / (k - 1)) / (ssw / (N - k)) if ssw > 0 else float("nan")
+    return rd.from_pandas(pd.DataFrame({
+        "n_groups": [np.int64(k)], "n": [np.int64(N)], "f_stat": [f],
+    }))
+
+
+def kruskal_wallis(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    coarse_bins: int = 4096,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Kruskal–Wallis H test — the rank-based (distribution-free)
+    k-cohort comparison, with the standard tie correction
+    ``H' = H / (1 − Σ(t³−t)/(N³−N))``. Built on
+    :func:`_value_rank_exchange` with the cohort label riding as a
+    passenger tie column (the `spearman_corr` trick — extra tie
+    columns can't change a midrank): ONE exchange, after which each
+    partition reduces to per-cohort (Σ midrank, n) partials plus one
+    tie-cube scalar — equal values co-locate in one partition (the
+    bin is a function of the value), so both the midranks and the
+    per-value tie counts are exact with nothing value-scale on the
+    driver. Midrank sums are exact halves in float64; the SQL twin
+    replays the identical midrank window, so only the k-term and
+    partition-count fold orders differ (≈1e-10 in H) — 6-dp rounded
+    by the caller."""
+
+    def part(g: pd.DataFrame, rank: np.ndarray, total: int) -> pd.DataFrame:
+        v = g[val_col].to_numpy(dtype="float64")
+        starts = np.flatnonzero(
+            np.concatenate([[True], v[1:] != v[:-1]]))
+        runlen = np.diff(np.concatenate([starts, [len(v)]])
+                         ).astype("float64")
+        mid = np.repeat(rank[starts] + (runlen - 1) / 2.0 + 1.0,
+                        runlen.astype("int64"))  # 1-based midranks
+        per = (pd.DataFrame({group_col: g[group_col].to_numpy(),
+                             "R": mid})
+               .groupby(group_col, as_index=False)
+               .agg(R=("R", "sum"), n=("R", "size")))
+        per["n"] = per["n"].astype("int64")
+        tt = float((runlen ** 3 - runlen).sum())
+        per["tt"] = np.r_[tt, np.zeros(len(per) - 1)]
+        return per
+
+    res = _value_rank_exchange(ds, val_col, [group_col], coarse_bins,
+                               num_partitions, part)
+    if res is None:
+        return rd.from_pandas(pd.DataFrame({
+            "n_groups": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "h_stat": pd.Series([], dtype="float64"),
+        }))
+    partials, total = res
+    p = (partials.to_pandas()
+         .groupby(group_col, as_index=False)
+         .agg(R=("R", "sum"), n=("n", "sum"), tt=("tt", "sum"))
+         .sort_values(group_col))
+    N = float(total)
+    h = 12.0 / (N * (N + 1.0)) * float(
+        (p["R"].to_numpy() ** 2 / p["n"].to_numpy(dtype="float64")).sum()
+    ) - 3.0 * (N + 1.0)
+    c = 1.0 - float(p["tt"].sum()) / (N ** 3 - N)
+    h_corr = h / c if c > 0 else float("nan")
+    return rd.from_pandas(pd.DataFrame({
+        "n_groups": [np.int64(len(p))], "n": [np.int64(N)],
+        "h_stat": [h_corr],
+    }))
+
+
 def _value_rank_exchange(
     ds: rd.Dataset,
     col: str,

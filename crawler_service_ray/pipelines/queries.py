@@ -7326,6 +7326,87 @@ FROM wc, tot
 """
 
 
+def q_anova_f(sf_dir: str):
+    """One-way ANOVA F across all five event types
+    (`functions/relational.py:anova_f`) — the k-cohort screening test
+    run before pairwise `ab_test`s: per-cohort (n, Σv, Σv²) moment
+    partials, one tiny merge, driver fold. The oracle replays the
+    identical sum decomposition; 6 dp."""
+    from ..functions.relational import anova_f
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_type", "value"])
+    out = anova_f(ds, "event_type", "value")
+    return out.map_batches(
+        lambda d: pd.DataFrame({
+            "n_groups": d["n_groups"].astype("int64"),
+            "n": d["n"].astype("int64"),
+            "f_stat": np.round(d["f_stat"].to_numpy(dtype="float64"), 6),
+        }),
+        batch_format="pandas")
+
+
+SQL_ANOVA_F = """
+WITH g AS (SELECT event_type, count(*)::DOUBLE AS n, sum(value) AS s,
+                  sum(value * value) AS ss
+           FROM events GROUP BY event_type),
+t AS (SELECT sum(n) AS N, sum(s) / sum(n) AS grand,
+             count(*)::DOUBLE AS k FROM g)
+SELECT (SELECT k FROM t)::BIGINT AS n_groups,
+       (SELECT N FROM t)::BIGINT AS n,
+       round((sum(n * pow(s / n - (SELECT grand FROM t), 2))
+              / ((SELECT k FROM t) - 1))
+             / (sum(ss - s * s / n)
+                / ((SELECT N FROM t) - (SELECT k FROM t))), 6) AS f_stat
+FROM g
+"""
+
+
+def q_kruskal(sf_dir: str):
+    """Kruskal–Wallis H across the three return flags on quantity
+    (`functions/relational.py:kruskal_wallis`) — the rank-based
+    k-cohort test, tie-corrected; integer quantities make the tie
+    correction load-bearing (~1200-row tie runs). One value-rank
+    exchange with the cohort riding as a passenger (the spearman
+    trick), per-partition midrank-sum partials, nothing value-scale
+    on the driver. The oracle replays the identical midrank window
+    and tie-cube correction; 6 dp."""
+    from ..functions.relational import kruskal_wallis
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_returnflag", "l_quantity"])
+    out = kruskal_wallis(li, "l_returnflag", "l_quantity")
+    return out.map_batches(
+        lambda d: pd.DataFrame({
+            "n_groups": d["n_groups"].astype("int64"),
+            "n": d["n"].astype("int64"),
+            "h_stat": np.round(d["h_stat"].to_numpy(dtype="float64"), 6),
+        }),
+        batch_format="pandas")
+
+
+SQL_KRUSKAL = """
+WITH r AS (SELECT l_returnflag AS g,
+                  rank() OVER (ORDER BY l_quantity)
+                    + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0
+                    AS mr
+           FROM lineitem),
+rk AS (SELECT g, sum(mr) AS R, count(*)::DOUBLE AS n FROM r GROUP BY g),
+tie AS (SELECT coalesce(sum(pow(c, 3) - c), 0) AS tt
+        FROM (SELECT count(*)::DOUBLE AS c FROM lineitem
+              GROUP BY l_quantity)),
+tot AS (SELECT count(*)::DOUBLE AS N FROM lineitem)
+SELECT (SELECT count(*) FROM rk)::BIGINT AS n_groups,
+       (SELECT N FROM tot)::BIGINT AS n,
+       round((12.0 / ((SELECT N FROM tot) * ((SELECT N FROM tot) + 1))
+              * sum(R * R / n) - 3 * ((SELECT N FROM tot) + 1))
+             / (1 - (SELECT tt FROM tie)
+                / (pow((SELECT N FROM tot), 3) - (SELECT N FROM tot))),
+             6) AS h_stat
+FROM rk
+"""
+
+
 def q_spearman(sf_dir: str):
     """EXACT Spearman rank correlation between quantity and extended
     price — the robust monotone-dependence statistic
@@ -8074,6 +8155,8 @@ QUERIES = {
     "gini": q_gini,
     "spearman": q_spearman,
     "js_divergence": q_js_divergence,
+    "anova_f": q_anova_f,
+    "kruskal": q_kruskal,
     "hits": q_hits,
     "assortativity": q_assortativity,
     "rolling_median": q_rolling_median,
@@ -8267,6 +8350,8 @@ ORACLE_SQL = {
     "gini": SQL_GINI,
     "spearman": SQL_SPEARMAN,
     "js_divergence": SQL_JS_DIVERGENCE,
+    "anova_f": SQL_ANOVA_F,
+    "kruskal": SQL_KRUSKAL,
     "hits": SQL_HITS,
     "assortativity": SQL_ASSORTATIVITY,
     "rolling_median": SQL_ROLLING_MEDIAN,

@@ -536,6 +536,46 @@ def test_hits_matches_numpy_and_path_parity(ray_session):
     assert np.abs(ex["auth"].to_numpy() - got["auth"].to_numpy()).max() < 1e-12
 
 
+def test_anova_and_kruskal_references(ray_session):
+    rng = np.random.default_rng(91)
+    groups = ["a"] * 400 + ["b"] * 300 + ["c"] * 300
+    v = np.r_[rng.normal(10, 2, 400), rng.normal(11, 2, 300),
+              rng.normal(10.5, 2, 300)]
+    v = np.round(v, 1)  # force value ties across groups
+    df = pd.DataFrame({"g": groups, "v": v})
+
+    # ANOVA F vs the textbook decomposition
+    got = rel.anova_f(rd.from_pandas(df).repartition(6),
+                      "g", "v").to_pandas()
+    means = df.groupby("g")["v"].mean()
+    ns = df.groupby("g")["v"].size()
+    grand = v.mean()
+    ssb = float((ns * (means - grand) ** 2).sum())
+    ssw = float(((v - means.reindex(df["g"]).to_numpy()) ** 2).sum())
+    f_ref = (ssb / 2) / (ssw / (1000 - 3))
+    assert int(got["n_groups"][0]) == 3 and int(got["n"][0]) == 1000
+    assert abs(float(got["f_stat"][0]) - f_ref) < 1e-6
+
+    # Kruskal-Wallis vs the tie-corrected midrank formula
+    kw = rel.kruskal_wallis(rd.from_pandas(df).repartition(6),
+                            "g", "v").to_pandas()
+    mr = pd.Series(v).rank(method="average").to_numpy()
+    R = pd.DataFrame({"g": groups, "mr": mr}).groupby("g")["mr"].sum()
+    N = 1000.0
+    h = 12 / (N * (N + 1)) * float((R ** 2 / ns).sum()) - 3 * (N + 1)
+    t = pd.Series(v).value_counts().to_numpy(dtype="float64")
+    c = 1 - float((t ** 3 - t).sum()) / (N ** 3 - N)
+    assert abs(float(kw["h_stat"][0]) - h / c) < 1e-9
+
+    # identical distributions by construction -> tiny H on a permuted
+    # single group split (sanity: parallelism invariance too)
+    a = rel.kruskal_wallis(rd.from_pandas(df).repartition(1),
+                           "g", "v").to_pandas()
+    b = rel.kruskal_wallis(rd.from_pandas(df).repartition(11),
+                           "g", "v").to_pandas()
+    assert float(a["h_stat"][0]) == float(b["h_stat"][0])
+
+
 def test_average_precision_reference(ray_session):
     def brute(sc: np.ndarray, pos: np.ndarray) -> float:
         df = (pd.DataFrame({"sc": np.round(sc, 6), "p": pos})
