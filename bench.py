@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     "leadlag_corr",
     "benford",
     "calibration",
+    # round-5 ninth wave: graph density (k-core peel, clustering coeff)
+    "kcore",
+    "clustering_coeff",
 ]
 
 

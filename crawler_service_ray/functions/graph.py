@@ -1210,3 +1210,235 @@ def _assort_from_moments(p: pd.DataFrame) -> rd.Dataset:
     r = cov / den if den > 0 else float("nan")
     return rd.from_pandas(pd.DataFrame({"n_edges": [np.int64(n)],
                                         "assortativity": [r]}))
+
+
+def kcore(
+    edges: rd.Dataset,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 8,
+    num_partitions: int = 16,
+    broadcast_threshold: int = 5_000_000,
+) -> rd.Dataset:
+    """Bounded-round k-core peeling — the density filter a link-graph
+    pipeline runs to separate the web's connected "core" from leaf
+    spray before spending PageRank/HITS iterations on it (a node
+    outside the 2-core can never be on a cycle; a crawler's spam-farm
+    heuristic is "big component, tiny core").
+
+    ``edges`` must be a SYMMETRIC distinct ``(src, dst)`` int64 edge
+    list (both directions present, no self-loops), so degree(v) = the
+    row count with ``src == v``. Semantics are exactly ``max_rounds``
+    unrolled peeling rounds: with A₀ = all nodes,
+
+        deg_r(v) = |{(v,u) ∈ E : v ∈ A_{r−1}, u ∈ A_{r−1}}|
+        A_r      = {v : deg_r(v) ≥ k}
+
+    returning ``(node, deg)`` = deg_R over A_{R−1} for nodes in A_R.
+    A_r ⊆ A_{r−1} (deg_r only counts alive rows), so reaching a fixed
+    point early is exact and the loop stops there — when it converges
+    within the round budget (asserted by the query's pytest at test
+    scale), ``deg`` IS the in-core degree and the node set IS the
+    k-core; otherwise it is a sound over-approximation (the true core
+    is a subset), same contract as :func:`sssp_bounded`'s hop bound.
+
+    Two execution shapes, the :func:`bfs_depths` discipline:
+
+    * **Broadcast** (alive set ≤ ``broadcast_threshold``): the edge set
+      is pinned once and NEVER moves; each round ships the alive set as
+      ONE sorted int64 array via ``ray.put``, streams the edges through
+      ``map_batches`` (sorted-array membership on both endpoints +
+      per-block ``np.unique`` degree partials), and merges ≤ alive ×
+      blocks partial rows with the auto-switching ``grouped_agg``. The
+      driver holds only the alive array — pagerank's "node table fits"
+      regime.
+    * **Exchange** (``broadcast_threshold=0``): per round the surviving
+      edges co-partition twice — once with the alive set on ``dst``
+      (drop edges into dead nodes), once on ``src`` where the same
+      partition both filters and counts, so the round's degree table is
+      born already filtered to deg ≥ k. Nothing node-scale touches the
+      driver; the edge re-ship per round is the honest cost of an alive
+      set too big to pin, bounded by ``max_rounds`` and by the
+      monotonically SHRINKING survivor set.
+
+    Both paths produce identical output (pytest parity).
+    """
+    from .relational import grouped_agg
+
+    if broadcast_threshold > 0:
+        return _kcore_broadcast(edges, k, src, dst, max_rounds,
+                                broadcast_threshold)
+    return _kcore_exchange(edges, k, src, dst, max_rounds, num_partitions)
+
+
+def _kcore_broadcast(
+    edges: rd.Dataset,
+    k: int,
+    src: str,
+    dst: str,
+    max_rounds: int,
+    broadcast_threshold: int,
+) -> rd.Dataset:
+    from .relational import grouped_agg, resolve_broadcast
+
+    edges = edges.materialize()
+    alive: np.ndarray | None = None  # None = round 1, everyone alive
+    deg_pd = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                           "deg": pd.Series([], dtype="int64")})
+
+    for _ in range(max_rounds):
+        ref = ray.put(alive) if alive is not None else None
+
+        def degree_partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            s = df[src].to_numpy(dtype="int64")
+            if _ref is not None:
+                a = resolve_broadcast(_ref)
+                if len(a) == 0:
+                    s = s[:0]
+                else:
+                    d = df[dst].to_numpy(dtype="int64")
+                    i = np.searchsorted(a, s)
+                    j = np.searchsorted(a, d)
+                    ok = ((i < len(a))
+                          & (a[np.minimum(i, len(a) - 1)] == s)
+                          & (j < len(a))
+                          & (a[np.minimum(j, len(a) - 1)] == d))
+                    s = s[ok]
+            node, cnt = np.unique(s, return_counts=True)
+            return pd.DataFrame({"node": node,
+                                 "deg": cnt.astype("int64")})
+
+        deg_pd = grouped_agg(
+            edges.map_batches(degree_partial, batch_format="pandas"),
+            ["node"], {"deg": ("deg", "sum")},
+        ).to_pandas()
+        if "deg" not in deg_pd.columns:
+            # every block filtered to zero rows: an all-empty pandas
+            # dataset loses its schema through Ray — the core is empty
+            deg_pd = pd.DataFrame({
+                "node": pd.Series([], dtype="int64"),
+                "deg": pd.Series([], dtype="int64"),
+            })
+        deg_pd = deg_pd[deg_pd["deg"] >= k]
+        new_alive = np.sort(deg_pd["node"].to_numpy(dtype="int64"))
+        if len(new_alive) > broadcast_threshold:
+            raise ValueError(
+                f"kcore: alive set ({len(new_alive)}) exceeds "
+                f"broadcast_threshold={broadcast_threshold}; rerun with "
+                "broadcast_threshold=0 (exchange path)"
+            )
+        if alive is not None and len(new_alive) == len(alive):
+            break  # fixed point: A_r == A_{r-1}, further rounds identical
+        alive = new_alive
+
+    out = deg_pd.sort_values("node").reset_index(drop=True)
+    # sum partials merge as float64; degrees are exact small ints
+    out = out.assign(node=out["node"].astype("int64"),
+                     deg=out["deg"].astype("int64"))
+    return rd.from_pandas(out)
+
+
+def _kcore_exchange(
+    edges: rd.Dataset,
+    k: int,
+    src: str,
+    dst: str,
+    max_rounds: int,
+    num_partitions: int,
+) -> rd.Dataset:
+    from .relational import grouped_apply
+
+    surv = edges.map_batches(
+        lambda df: pd.DataFrame({"src": df[src].astype("int64"),
+                                 "dst": df[dst].astype("int64")}),
+        batch_format="pandas",
+    ).materialize()
+    alive: rd.Dataset | None = None  # None = round 1
+    n_alive = -1
+    deg: rd.Dataset | None = None
+
+    def _tag_alive(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "__n": df["node"].astype("int64"),
+            "src": np.full(len(df), -1, dtype="int64"),
+            "dst": np.full(len(df), -1, dtype="int64"),
+            "__a": True,
+        })
+
+    for _ in range(max_rounds):
+        if alive is not None:
+            # pass 1: co-partition on dst — drop edges into dead nodes
+            def tag_edge_dst(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "__n": df["dst"].astype("int64"),
+                    "src": df["src"].astype("int64"),
+                    "dst": df["dst"].astype("int64"),
+                    "__a": False,
+                })
+
+            def filter_dst(part: pd.DataFrame) -> pd.DataFrame:
+                a = np.sort(part.loc[part["__a"], "__n"]
+                            .to_numpy(dtype="int64"))
+                ed = part.loc[~part["__a"]]
+                if len(a) == 0:
+                    return ed.iloc[:0][["src", "dst"]]
+                d = ed["__n"].to_numpy(dtype="int64")
+                i = np.searchsorted(a, d)
+                ok = (i < len(a)) & (a[np.minimum(i, len(a) - 1)] == d)
+                return ed.loc[ok, ["src", "dst"]]
+
+            surv = grouped_apply(
+                alive.map_batches(_tag_alive, batch_format="pandas").union(
+                    surv.map_batches(tag_edge_dst, batch_format="pandas")),
+                ["__n"], filter_dst, num_partitions=num_partitions,
+            )
+
+        # pass 2: co-partition on src — filter src-alive AND count in the
+        # same partition; the degree table is born filtered to deg >= k
+        def tag_edge_src(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "__n": df["src"].astype("int64"),
+                "src": df["src"].astype("int64"),
+                "dst": df["dst"].astype("int64"),
+                "__a": False,
+            })
+
+        def count_src(part: pd.DataFrame, _first=(alive is None),
+                      _k=k) -> pd.DataFrame:
+            ed = part.loc[~part["__a"]]
+            if not _first:
+                a = np.sort(part.loc[part["__a"], "__n"]
+                            .to_numpy(dtype="int64"))
+                if len(a) == 0:
+                    ed = ed.iloc[:0]
+                else:
+                    s = ed["__n"].to_numpy(dtype="int64")
+                    i = np.searchsorted(a, s)
+                    ok = ((i < len(a))
+                          & (a[np.minimum(i, len(a) - 1)] == s))
+                    ed = ed.loc[ok]
+            g = (ed.groupby("__n", sort=False).size()
+                 .reset_index(name="deg"))
+            g = g[g["deg"] >= _k]
+            return pd.DataFrame({"node": g["__n"].astype("int64"),
+                                 "deg": g["deg"].astype("int64")})
+
+        tagged = surv.map_batches(tag_edge_src, batch_format="pandas")
+        if alive is not None:
+            tagged = alive.map_batches(
+                _tag_alive, batch_format="pandas").union(tagged)
+        deg = grouped_apply(tagged, ["__n"], count_src,
+                            num_partitions=num_partitions).materialize()
+
+        alive = deg.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"].astype("int64")}),
+            batch_format="pandas",
+        ).materialize()
+        n_new = alive.count()
+        if n_new == n_alive:
+            break
+        n_alive = n_new
+
+    assert deg is not None
+    return deg

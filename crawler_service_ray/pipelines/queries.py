@@ -4736,22 +4736,15 @@ SELECT node, min(depth)::BIGINT AS depth FROM reach GROUP BY node
 """
 
 
-def q_triangle_count(sf_dir: str):
-    """Exact triangle count of the part co-purchase graph: nodes are
-    parts, an edge joins two parts bought in the same order (canonical
-    ``u < v``, distinct). Edge generation never self-joins lineitem:
-    rows co-partition by order hash, each partition sorts by orderkey
-    once and emits its per-order pairs with vectorized run arithmetic
-    (no Python loop over orders). The count itself is degree-ordered
-    wedge counting — orientation bounds hub fan-out to ~sqrt(2m), and
-    only per-partition counts reach the driver
-    (`functions/graph.py:triangle_count`). Oracle: DuckDB's distinct
-    self-join edge list closed with the textbook e1⋈e2⋈e3 join."""
-    from ..functions.graph import triangle_count
-
+def _copurchase_edges(sf_dir: str, nparts: int = 16):
+    """Distinct canonical ``u < v`` part co-purchase edges (two parts
+    bought in the same order) WITHOUT a lineitem self-join: rows
+    co-partition by order hash, each partition sorts by orderkey once
+    and emits its per-order pairs with vectorized run arithmetic (no
+    Python loop over orders). Shared by `triangle_count` and
+    `clustering_coeff`."""
     li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
                     columns=["l_orderkey", "l_partkey"])
-    nparts = 16
 
     def pairs_of(part: pd.DataFrame) -> pd.DataFrame:
         p = part.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
@@ -4780,7 +4773,20 @@ def q_triangle_count(sf_dir: str):
         lambda g: pairs_of(g.drop(columns="__op")),
         batch_format="pandas",
     )
-    edges = distinct(pairs, ["u", "v"], merge_partitions=nparts)
+    return distinct(pairs, ["u", "v"], merge_partitions=nparts)
+
+
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count of the part co-purchase graph (canonical
+    ``u < v`` distinct edges via `_copurchase_edges`). The count itself
+    is degree-ordered wedge counting — orientation bounds hub fan-out
+    to ~sqrt(2m), and only per-partition counts reach the driver
+    (`functions/graph.py:triangle_count`). Oracle: DuckDB's distinct
+    self-join edge list closed with the textbook e1⋈e2⋈e3 join."""
+    from ..functions.graph import triangle_count
+
+    nparts = 16
+    edges = _copurchase_edges(sf_dir, nparts)
     n = triangle_count(edges, num_partitions=nparts)
     return pd.DataFrame({"n_triangles": [np.int64(n)]})
 
@@ -4795,6 +4801,122 @@ SELECT count(*)::BIGINT AS n_triangles
 FROM e e1
 JOIN e e2 ON e1.v = e2.u
 JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+"""
+
+
+def q_clustering_coeff(sf_dir: str):
+    """Global clustering coefficient of the part co-purchase graph —
+    3·triangles / wedges, the one-number "how cliquish" summary that
+    tells a graph pipeline whether community detection is worth
+    running. Triangles reuse `triangle_count`'s degree-ordered wedge
+    counting over the SAME `_copurchase_edges` dataset (materialized
+    once, both consumers stream it); wedges Σ d(d−1)/2 come from
+    per-block endpoint-count partials merged in the auto-switching
+    `grouped_agg`, with the node-scale degree table folded to ONE
+    scalar per block before anything reaches the driver. The quotient
+    is rounded at 6 dp on both engines."""
+    from ..functions.graph import triangle_count
+
+    nparts = 16
+    edges = _copurchase_edges(sf_dir, nparts).materialize()
+    tri = triangle_count(edges, num_partitions=nparts)
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        node, cnt = np.unique(
+            np.concatenate([df["u"].to_numpy(dtype="int64"),
+                            df["v"].to_numpy(dtype="int64")]),
+            return_counts=True)
+        return pd.DataFrame({"node": node, "deg": cnt.astype("int64")})
+
+    deg = grouped_agg(
+        edges.map_batches(deg_partial, batch_format="pandas"),
+        ["node"], {"deg": ("deg", "sum")}, merge_partitions=nparts)
+    wedge_partials = deg.map_batches(
+        lambda df: pd.DataFrame({"w": np.asarray(
+            [(df["deg"].to_numpy(dtype="int64")
+              * (df["deg"].to_numpy(dtype="int64") - 1) // 2).sum()],
+            dtype="int64")}),
+        batch_format="pandas",
+    ).to_pandas()
+    wedges = int(wedge_partials["w"].sum())
+    coeff = float(np.round(3.0 * tri / wedges, 6)) if wedges else float("nan")
+    return pd.DataFrame({
+        "n_triangles": [np.int64(tri)],
+        "n_wedges": [np.int64(wedges)],
+        "coeff": [coeff],
+    })
+
+
+SQL_CLUSTERING_COEFF = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+t AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
+d AS (
+  SELECT node, count(*)::BIGINT AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node),
+w AS (SELECT sum((deg * (deg - 1)) // 2)::BIGINT AS n_wedges FROM d)
+SELECT t.n_triangles, w.n_wedges,
+       round(3.0 * t.n_triangles / w.n_wedges, 6) AS coeff
+FROM t, w
+"""
+
+
+def q_kcore(sf_dir: str):
+    """k-core of the supplier↔part bipartite graph (k=20, 4 peeling
+    rounds — `functions/graph.py:kcore`): nodes survive while they keep
+    ≥ 20 alive neighbors, rounds unrolled identically by the oracle so
+    the result is parity-exact whether or not the peel has converged
+    (at sf0.01 it converges — asserted by pytest). Broadcast path: the
+    symmetric distinct edge set is pinned once and NEVER moves; each
+    round ships the alive set as one sorted int64 array and merges
+    per-block `np.unique` degree partials in the auto-switching
+    `grouped_agg`."""
+    from ..functions.graph import kcore
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_suppkey", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["l_suppkey"].to_numpy(dtype="int64")
+        p = df["l_partkey"].to_numpy(dtype="int64") + 10_000_000
+        return pd.DataFrame({
+            "src": np.concatenate([s, p]),
+            "dst": np.concatenate([p, s]),
+        })
+
+    edges = distinct(li.map_batches(to_edges, batch_format="pandas"),
+                     ["src", "dst"], merge_partitions=16)
+    return kcore(edges, k=20, max_rounds=4)
+
+
+SQL_KCORE = """
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey + 10000000 AS p
+  FROM lineitem),
+e AS (
+  SELECT s AS src, p AS dst FROM pairs
+  UNION ALL SELECT p, s FROM pairs),
+d1 AS (SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+a1 AS (SELECT node FROM d1 WHERE deg >= 20),
+d2 AS (
+  SELECT e.src AS node, count(*)::BIGINT AS deg FROM e
+  JOIN a1 x ON e.src = x.node JOIN a1 y ON e.dst = y.node GROUP BY 1),
+a2 AS (SELECT node FROM d2 WHERE deg >= 20),
+d3 AS (
+  SELECT e.src AS node, count(*)::BIGINT AS deg FROM e
+  JOIN a2 x ON e.src = x.node JOIN a2 y ON e.dst = y.node GROUP BY 1),
+a3 AS (SELECT node FROM d3 WHERE deg >= 20),
+d4 AS (
+  SELECT e.src AS node, count(*)::BIGINT AS deg FROM e
+  JOIN a3 x ON e.src = x.node JOIN a3 y ON e.dst = y.node GROUP BY 1)
+SELECT node, deg FROM d4 WHERE deg >= 20
 """
 
 
@@ -8086,6 +8208,8 @@ QUERIES = {
     "pagerank": q_pagerank,
     "bfs_depth": q_bfs_depth,
     "triangle_count": q_triangle_count,
+    "clustering_coeff": q_clustering_coeff,
+    "kcore": q_kcore,
     "freq_sketch": q_freq_sketch,
     "collocations": q_collocations,
     "retention": q_retention,
@@ -8287,6 +8411,8 @@ ORACLE_SQL = {
     "pagerank": SQL_PAGERANK,
     "bfs_depth": SQL_BFS_DEPTH,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "clustering_coeff": SQL_CLUSTERING_COEFF,
+    "kcore": SQL_KCORE,
     "freq_sketch_audit": SQL_FREQ_SKETCH_AUDIT,
     "collocations": SQL_COLLOCATIONS,
     "retention": SQL_RETENTION,
