@@ -159,9 +159,13 @@ BENCH_QUERIES = [
     "leadlag_corr",
     "benford",
     "calibration",
-    # round-5 ninth wave: graph density (k-core peel, clustering coeff)
+    # round-5 ninth wave: graph density (k-core peel, clustering coeff),
+    # Brown level+trend smoothing, behavioral entropy, HHI concentration
     "kcore",
     "clustering_coeff",
+    "double_smooth",
+    "type_entropy",
+    "hhi",
 ]
 
 

@@ -3519,6 +3519,54 @@ def grouped_ewma(
                          num_partitions=num_partitions)
 
 
+def brown_smoothing(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak: str,
+    alpha: float = 0.5,
+    num_partitions: int = 32,
+    round_dp: int = 6,
+) -> rd.Dataset:
+    """Per-key Brown double exponential smoothing — the level+trend
+    streaming forecaster (the step up from :func:`grouped_ewma` when a
+    series drifts: a single EWMA lags a trending signal by a constant;
+    Brown's method cancels that lag). Two CHAINED adjust=False EWMAs,
+    s′ = ewm(x), s″ = ewm(s′), then the classic identities
+
+        level = 2·s′ − s″        trend = α/(1−α) · (s′ − s″)
+
+    so the one-step-ahead forecast is level + trend. Same distribution
+    axis as ``grouped_ewma``: key-hash partition (ONE exchange), one
+    vectorized sort + two C-backed ``groupby.ewm`` scans per partition
+    — no new numerics, no Python loop over rows or groups.
+
+    α constraints are inherited from ``grouped_ewma`` (use α with
+    (1−α)+α == 1.0 exactly, e.g. 0.5, for cross-engine bit parity);
+    outputs are rounded half-away-from-zero at ``round_dp`` to mirror
+    SQL ``round()`` on the dyadic-rational ties α=0.5 produces."""
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, tiebreak], kind="mergesort")
+        s1 = (g.groupby(key, sort=False)[val_col]
+              .ewm(alpha=alpha, adjust=False).mean()
+              .reset_index(drop=True).to_numpy())
+        g2 = g.reset_index(drop=True).assign(__s1=s1)
+        s2 = (g2.groupby(key, sort=False)["__s1"]
+              .ewm(alpha=alpha, adjust=False).mean()
+              .reset_index(drop=True).to_numpy())
+        level = 2.0 * s1 - s2
+        trend = alpha / (1.0 - alpha) * (s1 - s2)
+        p = 10.0 ** round_dp
+        level = np.copysign(np.floor(np.abs(level) * p + 0.5), level) / p
+        trend = np.copysign(np.floor(np.abs(trend) * p + 0.5), trend) / p
+        return g2.drop(columns="__s1").assign(level=level, trend=trend)
+
+    return grouped_apply(ds, [key], per_partition,
+                         num_partitions=num_partitions)
+
+
 def global_order_index(
     ds: rd.Dataset,
     id_col: str,

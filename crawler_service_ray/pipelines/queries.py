@@ -6208,6 +6208,157 @@ SELECT event_id, user_id, round(ew, 6) AS ewma FROM r
 """
 
 
+def q_double_smooth(sf_dir: str):
+    """Per-user Brown double exponential smoothing (α=0.5) — level and
+    trend per event, the drift-following forecaster
+    (`functions/relational.py:brown_smoothing`: one user-hash exchange,
+    two chained C-backed ewm scans per partition). The oracle replays
+    BOTH recurrences in one recursive CTE carrying (ew1, ew2); α=0.5
+    keeps every fold a dyadic rational so the engines match bit-for-bit
+    before the shared half-away rounding."""
+    from ..functions.relational import brown_smoothing
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    out = brown_smoothing(ds, key="user_id", ts_col="ts",
+                          val_col="value", tiebreak="event_id", alpha=0.5)
+    return out.map_batches(
+        lambda d: d[["event_id", "user_id", "level", "trend"]],
+        batch_format="pandas")
+
+
+SQL_DOUBLE_SMOOTH = """
+WITH RECURSIVE o AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+r AS (
+  SELECT event_id, user_id, rn,
+         value::DOUBLE AS ew1, value::DOUBLE AS ew2
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_id, o.user_id, o.rn,
+         0.5 * r.ew1 + 0.5 * o.value,
+         0.5 * r.ew2 + 0.5 * (0.5 * r.ew1 + 0.5 * o.value)
+  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+SELECT event_id, user_id,
+       round(2.0 * ew1 - ew2, 6) AS level,
+       round(ew1 - ew2, 6) AS trend
+FROM r
+"""
+
+
+def q_type_entropy(sf_dir: str):
+    """Per-user Shannon entropy (base 2) of the event-type distribution
+    — the behavioral-diversity score a bot/fraud triage ranks on (a
+    scripted client hammers one endpoint, H≈0; a human browses, H→
+    log2 |types|). ONE user-hash exchange: per-block (user, type)
+    partial counts bound what moves to ≤ users×types rows per block,
+    and (user, type) co-locates under the user hash so the merged
+    partition computes exact counts, shares and the entropy sum with
+    vectorized groupby transforms — nothing user-scale on the driver.
+    Terms fold in sorted (user, type) order; 6-dp rounding on both
+    engines absorbs reassociation ulps."""
+    from ..functions.relational import grouped_apply
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "event_type"], sort=False)
+             .size().reset_index(name="c"))
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        gg = (g.groupby(["user_id", "event_type"], sort=True)["c"]
+              .sum().reset_index())
+        n = gg.groupby("user_id", sort=False)["c"].transform("sum")
+        p = gg["c"].to_numpy(dtype="float64") / n.to_numpy(dtype="float64")
+        gg = gg.assign(__term=-p * np.log2(p))
+        out = (gg.groupby("user_id", sort=False)
+               .agg(n_events=("c", "sum"), entropy=("__term", "sum"))
+               .reset_index())
+        out["n_events"] = out["n_events"].astype("int64")
+        out["entropy"] = np.round(out["entropy"].to_numpy(), 6)
+        return out
+
+    return grouped_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], per_part, num_partitions=16)
+
+
+SQL_TYPE_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+t AS (SELECT user_id, sum(c)::BIGINT AS n FROM c GROUP BY 1)
+SELECT c.user_id, t.n AS n_events,
+       round(-sum((c.c::DOUBLE / t.n) * log2(c.c::DOUBLE / t.n)), 6)
+         AS entropy
+FROM c JOIN t USING (user_id)
+GROUP BY c.user_id, t.n
+"""
+
+
+def q_hhi(sf_dir: str):
+    """Herfindahl–Hirschman concentration index of customer revenue
+    within each nation — Σ share², the market-concentration complement
+    of `gini` (HHI weights the head: one dominant customer → 1.0, k
+    equal customers → 1/k). The one genuine exchange is the
+    orders⋈customer bucketed join (both sides fact-scale — never
+    broadcast); per-(nation, customer) revenue pre-aggregates in
+    `grouped_agg` with a partitioned merge (customer-scale keys), and
+    shares² fold inside the nation-hash partitions — only the
+    |nations|-row result reaches the driver. 6-dp rounding on both
+    engines."""
+    from ..functions.relational import grouped_apply
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda d: d.rename(columns={"o_custkey": "custkey"}),
+        batch_format="pandas")
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda d: d.rename(columns={"c_custkey": "custkey"}),
+        batch_format="pandas")
+    joined = bucketed_hash_join(orders, cust, on="custkey", num_buckets=8)
+    rev = grouped_agg(
+        joined, ["c_nationkey", "custkey"],
+        {"rev": ("o_totalprice", "sum")}, merge_partitions=8)
+
+    def per_nation(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("c_nationkey", sort=False)["rev"].transform("sum")
+        share = g["rev"].to_numpy() / tot.to_numpy()
+        gg = g.assign(__s2=share * share)
+        out = (gg.groupby("c_nationkey", sort=True)
+               .agg(n_customers=("rev", "size"), hhi=("__s2", "sum"))
+               .reset_index())
+        return pd.DataFrame({
+            "nationkey": out["c_nationkey"].astype("int64"),
+            "n_customers": out["n_customers"].astype("int64"),
+            "hhi": np.round(out["hhi"].to_numpy(), 6),
+        })
+
+    return grouped_apply(rev, ["c_nationkey"], per_nation,
+                         num_partitions=8)
+
+
+SQL_HHI = """
+WITH r AS (
+  SELECT c_nationkey, o_custkey, sum(o_totalprice) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+t AS (
+  SELECT c_nationkey, sum(rev) AS tot, count(*)::BIGINT AS n_customers
+  FROM r GROUP BY 1)
+SELECT r.c_nationkey AS nationkey, t.n_customers,
+       round(sum((r.rev / t.tot) * (r.rev / t.tot)), 6) AS hhi
+FROM r JOIN t USING (c_nationkey)
+GROUP BY 1, 2
+"""
+
+
 def q_boolean_search(sf_dir: str):
     """Conjunctive boolean retrieval: docs containing ALL of three query
     terms via query-restricted postings + one count==k aggregate
@@ -8237,6 +8388,9 @@ QUERIES = {
     "average_precision": q_average_precision,
     "nearest_centroid": q_nearest_centroid,
     "ewma": q_ewma,
+    "double_smooth": q_double_smooth,
+    "type_entropy": q_type_entropy,
+    "hhi": q_hhi,
     "boolean_search": q_boolean_search,
     "ann_lsh_recall": q_ann_lsh_recall,
     "split_leakage_safe": q_split_leakage_safe,
@@ -8440,6 +8594,9 @@ ORACLE_SQL = {
     "average_precision": SQL_AVERAGE_PRECISION,
     "nearest_centroid": SQL_NEAREST_CENTROID,
     "ewma": SQL_EWMA,
+    "double_smooth": SQL_DOUBLE_SMOOTH,
+    "type_entropy": SQL_TYPE_ENTROPY,
+    "hhi": SQL_HHI,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,

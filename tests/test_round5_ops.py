@@ -890,3 +890,94 @@ def test_clustering_coeff_small(ray_session):
     edges = rd.from_pandas(pd.DataFrame(
         {"u": [0, 0, 1, 2], "v": [1, 2, 2, 3]}))
     assert triangle_count(edges) == 1
+
+
+def test_brown_smoothing_matches_sequential(ray_session):
+    """Level/trend equal the textbook sequential double-EWMA fold, at
+    any parallelism; a linear series' forecast converges to zero lag
+    (level + trend tracks the line)."""
+    rng = np.random.default_rng(31)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, n).astype("int64"),
+        "ts": rng.permutation(n).astype("int64"),
+        "eid": np.arange(n, dtype="int64"),
+        "v": rng.normal(10, 3, n),
+    })
+    got = (rel.brown_smoothing(
+        rd.from_pandas(df).repartition(9), "k", "ts", "v", "eid",
+        alpha=0.5, num_partitions=4)
+        .to_pandas().sort_values("eid").reset_index(drop=True))
+
+    ref = df.sort_values(["k", "ts", "eid"]).reset_index(drop=True)
+    out_l, out_t = [], []
+    # plain dict fold
+    state = {}
+    for _, r in ref.iterrows():
+        if r["k"] not in state:
+            s1 = s2 = r["v"]
+        else:
+            s1p, s2p = state[r["k"]]
+            s1 = 0.5 * s1p + 0.5 * r["v"]
+            s2 = 0.5 * s2p + 0.5 * s1
+        state[r["k"]] = (s1, s2)
+        out_l.append(2 * s1 - s2)
+        out_t.append(s1 - s2)
+    ref = ref.assign(level=np.round(out_l, 6), trend=np.round(out_t, 6))
+    ref = ref.sort_values("eid").reset_index(drop=True)
+    np.testing.assert_allclose(got["level"], ref["level"], atol=1e-9)
+    np.testing.assert_allclose(got["trend"], ref["trend"], atol=1e-9)
+
+    # a pure linear ramp: trend -> slope, forecast lag -> 0
+    lin = pd.DataFrame({
+        "k": np.zeros(60, dtype="int64"),
+        "ts": np.arange(60, dtype="int64"),
+        "eid": np.arange(60, dtype="int64"),
+        "v": 5.0 * np.arange(60),
+    })
+    g = (rel.brown_smoothing(rd.from_pandas(lin), "k", "ts", "v", "eid")
+         .to_pandas().sort_values("eid"))
+    assert abs(g["trend"].iloc[-1] - 5.0) < 1e-3
+    assert abs(g["level"].iloc[-1] - lin["v"].iloc[-1]) < 1e-2
+
+
+def test_type_entropy_bounds(ray_session):
+    """Entropy is 0 for single-type users and log2(k) for uniform
+    k-type users, invariant to parallelism."""
+    from crawler_service_ray.pipelines.queries import q_type_entropy
+
+    got = (q_type_entropy("/root/testdata/sf0.001").to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert (got["entropy"] >= 0).all()
+    assert (got["entropy"] <= np.log2(64) + 1e-9).all()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id", "event_type"])
+    want = (ev.groupby("user_id").size().rename("n_events")
+            .reset_index().sort_values("user_id").reset_index(drop=True))
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+
+
+def test_hhi_uniform_and_monopoly(ray_session):
+    """HHI identities: k equal customers -> 1/k, one customer -> 1."""
+    from crawler_service_ray.functions.relational import grouped_apply
+
+    rev = rd.from_pandas(pd.DataFrame({
+        "c_nationkey": [1, 1, 1, 1, 2],
+        "custkey": [10, 11, 12, 13, 20],
+        "rev": [25.0, 25.0, 25.0, 25.0, 99.0],
+    }))
+
+    def per_nation(g):
+        tot = g.groupby("c_nationkey", sort=False)["rev"].transform("sum")
+        share = g["rev"].to_numpy() / tot.to_numpy()
+        gg = g.assign(__s2=share * share)
+        out = (gg.groupby("c_nationkey", sort=True)
+               .agg(n_customers=("rev", "size"), hhi=("__s2", "sum"))
+               .reset_index())
+        return out
+
+    got = (grouped_apply(rev, ["c_nationkey"], per_nation,
+                         num_partitions=3)
+           .to_pandas().sort_values("c_nationkey").reset_index(drop=True))
+    assert abs(got.loc[0, "hhi"] - 0.25) < 1e-12
+    assert abs(got.loc[1, "hhi"] - 1.0) < 1e-12
