@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "double_smooth",
     "type_entropy",
     "hhi",
+    "dsir",
+    "winsorize",
 ]
 
 

@@ -6359,6 +6359,106 @@ GROUP BY 1, 2
 """
 
 
+def q_dsir(sf_dir: str):
+    """DSIR importance resampling (`functions/text.py:dsir_weights`,
+    arXiv:2302.03169): score every document by the mean per-token log
+    importance ratio between the TARGET unigram model (here: the
+    English subcorpus) and the raw-corpus model, both Laplace-smoothed
+    over the raw vocabulary, and keep the top 50 — the
+    domain-upsampling selector a pretraining mix runs against a
+    quality target. One token pass feeds both models (the target mask
+    rides the explode); the vocabulary-scale log-ratio table
+    bucket-joins the tokens by word and never reaches the driver; the
+    oracle replays the full smoothed model in SQL. Weights round at
+    6 dp before the (logweight DESC, doc_id ASC) selection on both
+    engines."""
+    from ..functions.text import dsir_weights
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang"],
+                      bytes_per_block=_DOC_BPB).map_batches(
+        lambda d: pd.DataFrame({
+            "doc_id": d["doc_id"].astype("int64"),
+            "text": d["text"],
+            "is_target": (d["lang"] == "en").to_numpy()}),
+        batch_format="pandas")
+    w = dsir_weights(docs, target_mask_col="is_target")
+    return topk(w, by=["logweight", "doc_id"], k=50,
+                descending=[True, False])
+
+
+SQL_DSIR = """
+WITH toks AS (
+  SELECT doc_id, word, count(*)::DOUBLE AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY 1, 2),
+tgt AS (
+  SELECT t.word, sum(t.cnt) AS ct
+  FROM toks t JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en' GROUP BY 1),
+raw AS (SELECT word, sum(cnt) AS cr FROM toks GROUP BY 1),
+consts AS (
+  SELECT (SELECT sum(ct) FROM tgt) AS nt,
+         (SELECT sum(cr) FROM raw) AS nr,
+         (SELECT count(*)::DOUBLE FROM raw) AS v),
+model AS (
+  SELECT raw.word,
+         ln((COALESCE(tgt.ct, 0) + 1) / (c.nt + c.v))
+           - ln((raw.cr + 1) / (c.nr + c.v)) AS lr
+  FROM raw LEFT JOIN tgt USING (word) CROSS JOIN consts c),
+scored AS (
+  SELECT t.doc_id, sum(t.cnt)::BIGINT AS n_tokens,
+         round(sum(t.cnt * m.lr) / sum(t.cnt), 6) AS logweight
+  FROM toks t JOIN model m USING (word) GROUP BY 1)
+SELECT doc_id, n_tokens, logweight
+FROM scored
+ORDER BY logweight DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+def q_winsorize(sf_dir: str):
+    """Per-group winsorization — clip each event's value into its
+    event type's [p05, p95] band, the tail-taming preprocessor that
+    (unlike dropping MAD outliers) keeps the row count intact for
+    downstream joins. Same shape as `robust_scale`: exact grouped
+    quantiles (percentile_cont parity) broadcast over the 5-row group
+    table, one vectorized clip pass — no exchange of the fact stream.
+    4-dp rounding on the interpolated bounds on both engines."""
+    from ..functions.relational import grouped_quantiles
+
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "event_type", "value"])
+    q = grouped_quantiles(
+        ev, ["event_type"], "value", [0.05, 0.95], ["lo", "hi"],
+    ).to_pandas()  # 5 group rows — the broadcast side
+    out = broadcast_join(ev, q, on="event_type")
+
+    def clip(d: pd.DataFrame) -> pd.DataFrame:
+        v = np.clip(d["value"].to_numpy(),
+                    d["lo"].to_numpy(), d["hi"].to_numpy())
+        return pd.DataFrame({
+            "event_id": d["event_id"].astype("int64"),
+            "event_type": d["event_type"],
+            "winsorized": np.round(v, 4),
+        })
+
+    return out.map_batches(clip, batch_format="pandas")
+
+
+SQL_WINSORIZE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type,
+       round(least(greatest(e.value, q.lo), q.hi), 4) AS winsorized
+FROM events e JOIN q USING (event_type)
+"""
+
+
 def q_boolean_search(sf_dir: str):
     """Conjunctive boolean retrieval: docs containing ALL of three query
     terms via query-restricted postings + one count==k aggregate
@@ -8391,6 +8491,8 @@ QUERIES = {
     "double_smooth": q_double_smooth,
     "type_entropy": q_type_entropy,
     "hhi": q_hhi,
+    "dsir": q_dsir,
+    "winsorize": q_winsorize,
     "boolean_search": q_boolean_search,
     "ann_lsh_recall": q_ann_lsh_recall,
     "split_leakage_safe": q_split_leakage_safe,
@@ -8597,6 +8699,8 @@ ORACLE_SQL = {
     "double_smooth": SQL_DOUBLE_SMOOTH,
     "type_entropy": SQL_TYPE_ENTROPY,
     "hhi": SQL_HHI,
+    "dsir": SQL_DSIR,
+    "winsorize": SQL_WINSORIZE,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,

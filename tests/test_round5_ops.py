@@ -981,3 +981,34 @@ def test_hhi_uniform_and_monopoly(ray_session):
            .to_pandas().sort_values("c_nationkey").reset_index(drop=True))
     assert abs(got.loc[0, "hhi"] - 0.25) < 1e-12
     assert abs(got.loc[1, "hhi"] - 1.0) < 1e-12
+
+
+def test_dsir_planted_target_ranks_first(ray_session):
+    """Docs written in the target's vocabulary must outscore docs in a
+    disjoint vocabulary, and weights are parallelism-invariant."""
+    rng = np.random.default_rng(17)
+    tvoc = [f"t{i}" for i in range(20)]
+    rvoc = [f"r{i}" for i in range(20)]
+    rows = []
+    for i in range(10):   # target corpus
+        rows.append((i, " ".join(rng.choice(tvoc, 30)), True))
+    for i in range(10, 20):   # raw docs in target vocab
+        rows.append((i, " ".join(rng.choice(tvoc, 30)), False))
+    for i in range(20, 30):   # raw docs in disjoint vocab
+        rows.append((i, " ".join(rng.choice(rvoc, 30)), False))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "is_target"])
+
+    got = (tx.dsir_weights(rd.from_pandas(df).repartition(4),
+                           target_mask_col="is_target")
+           .to_pandas().set_index("doc_id").sort_index())
+    assert len(got) == 30
+    target_like = got.loc[0:19, "logweight"]
+    alien = got.loc[20:29, "logweight"]
+    assert target_like.min() > alien.max()
+
+    got1 = (tx.dsir_weights(rd.from_pandas(df).repartition(1),
+                            target_mask_col="is_target",
+                            merge_partitions=2, num_buckets=3)
+            .to_pandas().set_index("doc_id").sort_index())
+    assert (got["logweight"].to_numpy()
+            == got1["logweight"].to_numpy()).all()
