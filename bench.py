@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "hhi",
     "dsir",
     "winsorize",
+    "table_diff",
 ]
 
 

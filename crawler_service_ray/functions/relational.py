@@ -4755,3 +4755,54 @@ def mannwhitney_u(
         "n_a": [np.int64(n_a)],
         "n_b": [np.int64(n_b)],
     }))
+
+
+def table_diff(
+    base: rd.Dataset,
+    new: rd.Dataset,
+    key_cols: list[str],
+    value_cols: list[str],
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Snapshot diff — the data-versioning primitive (Delta/Iceberg
+    change-data-feed shape, and `upsert_latest`'s inverse: that applies
+    a change log, this RECOVERS one from two table versions): emit
+    (key, status) with status ∈ added / removed / changed, omitting
+    unchanged rows (they dominate any real diff, so the output is
+    delta-sized, not table-sized). Keys must be unique per side;
+    ``value_cols`` compare by exact equality — for float columns that
+    means byte-identical provenance (same upstream arithmetic), else
+    round both sides first.
+
+    Scale shape: both versions co-partition in ONE tagged-union
+    key-hash exchange; each partition runs a single indicator merge +
+    vectorized column compare, and only its added/removed/changed rows
+    leave. Nothing key-scale ever reaches the driver."""
+
+    def tag(flag: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df[key_cols + value_cols].assign(__new=flag)
+        return fn
+
+    both = base.map_batches(tag(False), batch_format="pandas").union(
+        new.map_batches(tag(True), batch_format="pandas"))
+
+    def diff(part: pd.DataFrame) -> pd.DataFrame:
+        b = part.loc[~part["__new"], key_cols + value_cols]
+        n = part.loc[part["__new"], key_cols + value_cols]
+        m = b.merge(n, on=key_cols, how="outer", indicator=True,
+                    suffixes=("_b", "_n"))
+        status = np.where(
+            m["_merge"] == "right_only", "added",
+            np.where(m["_merge"] == "left_only", "removed", "changed"))
+        same = np.ones(len(m), dtype=bool)
+        for c in value_cols:
+            cb, cn = m[f"{c}_b"], m[f"{c}_n"]
+            same &= (cb == cn) | (cb.isna() & cn.isna())
+        keep = (m["_merge"] != "both") | ~same
+        out = m.loc[keep, key_cols].copy()
+        out["status"] = status[keep.to_numpy()]
+        return out
+
+    return grouped_apply(both, key_cols, diff,
+                         num_partitions=num_partitions)

@@ -6459,6 +6459,55 @@ FROM events e JOIN q USING (event_type)
 """
 
 
+def q_table_diff(sf_dir: str):
+    """Snapshot diff between two deterministic versions of the orders
+    table (`functions/relational.py:table_diff` — the change-data-feed
+    recovery op, `cdc_upsert`'s inverse): v1 drops orderkeys divisible
+    by 97, v2 drops those divisible by 89 and bumps totalprice by 1.5
+    where orderkey % 13 == 0. Emits only added/removed/changed keys —
+    the output is delta-sized. ONE tagged-union key-hash exchange; the
+    float compare is exact because both engines derive both versions
+    from the identical parquet doubles with the identical arithmetic."""
+    from ..functions.relational import table_diff
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+
+    def v1(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(dtype="int64")
+        return df.loc[k % 97 != 0, ["o_orderkey", "o_totalprice"]]
+
+    def v2(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(dtype="int64")
+        d = df.loc[k % 89 != 0, ["o_orderkey", "o_totalprice"]].copy()
+        kk = d["o_orderkey"].to_numpy(dtype="int64")
+        d["o_totalprice"] = d["o_totalprice"].to_numpy() + np.where(
+            kk % 13 == 0, 1.5, 0.0)
+        return d
+
+    base = orders.map_batches(v1, batch_format="pandas")
+    new = orders.map_batches(v2, batch_format="pandas")
+    return table_diff(base, new, ["o_orderkey"], ["o_totalprice"])
+
+
+SQL_TABLE_DIFF = """
+WITH b AS (
+  SELECT o_orderkey AS k, o_totalprice AS v
+  FROM orders WHERE o_orderkey % 97 <> 0),
+n AS (
+  SELECT o_orderkey AS k,
+         o_totalprice
+           + CASE WHEN o_orderkey % 13 = 0 THEN 1.5 ELSE 0 END AS v
+  FROM orders WHERE o_orderkey % 89 <> 0)
+SELECT COALESCE(b.k, n.k) AS o_orderkey,
+       CASE WHEN b.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM b FULL OUTER JOIN n ON b.k = n.k
+WHERE b.k IS NULL OR n.k IS NULL OR b.v <> n.v
+"""
+
+
 def q_boolean_search(sf_dir: str):
     """Conjunctive boolean retrieval: docs containing ALL of three query
     terms via query-restricted postings + one count==k aggregate
@@ -8493,6 +8542,7 @@ QUERIES = {
     "hhi": q_hhi,
     "dsir": q_dsir,
     "winsorize": q_winsorize,
+    "table_diff": q_table_diff,
     "boolean_search": q_boolean_search,
     "ann_lsh_recall": q_ann_lsh_recall,
     "split_leakage_safe": q_split_leakage_safe,
@@ -8701,6 +8751,7 @@ ORACLE_SQL = {
     "hhi": SQL_HHI,
     "dsir": SQL_DSIR,
     "winsorize": SQL_WINSORIZE,
+    "table_diff": SQL_TABLE_DIFF,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,

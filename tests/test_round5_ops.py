@@ -1012,3 +1012,27 @@ def test_dsir_planted_target_ranks_first(ray_session):
             .to_pandas().set_index("doc_id").sort_index())
     assert (got["logweight"].to_numpy()
             == got1["logweight"].to_numpy()).all()
+
+
+def test_table_diff_statuses(ray_session):
+    """Added/removed/changed/unchanged each classified correctly,
+    NULL-valued equal rows are unchanged, at any parallelism."""
+    base = pd.DataFrame({
+        "k": [1, 2, 3, 4, 5],
+        "v": [1.0, 2.0, 3.0, np.nan, 5.0],
+    })
+    new = pd.DataFrame({
+        "k": [2, 3, 4, 5, 6],
+        "v": [2.0, 3.5, np.nan, np.nan, 6.0],
+    })
+    got = (rel.table_diff(rd.from_pandas(base).repartition(3),
+                          rd.from_pandas(new).repartition(2),
+                          ["k"], ["v"], num_partitions=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = pd.DataFrame({
+        "k": [1, 3, 5, 6],
+        "status": ["removed", "changed", "changed", "added"],
+    })
+    # k=2 equal -> omitted; k=4 NaN==NaN -> unchanged, omitted
+    pd.testing.assert_frame_equal(
+        got.astype({"k": "int64"}), want.astype({"k": "int64"}))
