@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "dsir",
     "winsorize",
     "table_diff",
+    "corr_matrix",
+    "attribution",
 ]
 
 

@@ -6508,6 +6508,114 @@ WHERE b.k IS NULL OR n.k IS NULL OR b.v <> n.v
 """
 
 
+def q_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlation matrix of lineitem's four numeric
+    measures — the profiler step after `profile` (which counts) and
+    `corr` (one pair): all six pairs from ONE moment pass. Each block
+    emits a single row of partial sums (n, Σxᵢ, Σxᵢ², Σxᵢxⱼ for i<j —
+    15 floats), the driver folds blocks×1 rows and closes the six
+    correlations; nothing else moves. 6-dp rounding on both engines;
+    pairs ordered (col_a, col_b) lexicographic."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[cols].to_numpy(dtype="float64")
+        out = {"n": [float(len(df))]}
+        for i, a in enumerate(cols):
+            out[f"s_{a}"] = [x[:, i].sum()]
+            for j in range(i, len(cols)):
+                out[f"x_{a}_{cols[j]}"] = [(x[:, i] * x[:, j]).sum()]
+        return pd.DataFrame(out)
+
+    p = li.map_batches(partial, batch_format="pandas").to_pandas()
+    n = p["n"].sum()
+    rows = []
+    for i, a in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            b = cols[j]
+            sa, sb = p[f"s_{a}"].sum(), p[f"s_{b}"].sum()
+            cov = n * p[f"x_{a}_{b}"].sum() - sa * sb
+            va = n * p[f"x_{a}_{a}"].sum() - sa * sa
+            vb = n * p[f"x_{b}_{b}"].sum() - sb * sb
+            rows.append((a, b, float(np.round(cov / np.sqrt(va * vb), 6))))
+    return pd.DataFrame(rows, columns=["col_a", "col_b", "corr_ab"])
+
+
+SQL_CORR_MATRIX = """
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_ab
+FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_discount',
+       round(corr(l_quantity, l_discount), 6) FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_tax',
+       round(corr(l_quantity, l_tax), 6) FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_discount',
+       round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_tax',
+       round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+UNION ALL SELECT 'l_discount', 'l_tax',
+       round(corr(l_discount, l_tax), 6) FROM lineitem
+"""
+
+
+def q_attribution(sf_dir: str):
+    """Last-touch attribution — for every purchase, the user's most
+    recent click at or before it and the µs gap (the conversion-credit
+    join a marketing pipeline runs hourly): clicks first reduce to ONE
+    row per (user, ts) keeping max event_id (making the as-of
+    deterministic under timestamp ties — the oracle's explicit ORDER
+    BY), then the existing `asof_join` co-partitions both event
+    streams by user hash. Purchases with no prior click drop (inner
+    as-of, DuckDB ASOF semantics)."""
+    from ..functions.relational import asof_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+    clicks = grouped_agg(
+        ev.map_batches(
+            lambda d: d.loc[d["event_type"] == "click",
+                            ["user_id", "ts", "event_id"]],
+            batch_format="pandas"),
+        ["user_id", "ts"], {"click_id": ("event_id", "max")},
+        merge_partitions=8)
+    purchases = ev.map_batches(
+        lambda d: d.loc[d["event_type"] == "purchase",
+                        ["event_id", "user_id", "ts"]]
+        .rename(columns={"event_id": "purchase_id"}),
+        batch_format="pandas")
+    j = asof_join(purchases, clicks, key="user_id", ts_col="ts")
+
+    def finish(d: pd.DataFrame) -> pd.DataFrame:
+        gap = (d["ts"].to_numpy("datetime64[us]")
+               - d["ts_r"].to_numpy("datetime64[us]")).astype("int64")
+        return pd.DataFrame({
+            "purchase_id": d["purchase_id"].astype("int64"),
+            "user_id": d["user_id"].astype("int64"),
+            "click_id": d["click_id_r"].astype("int64"),
+            "gap_us": gap,
+        })
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
+SQL_ATTRIBUTION = """
+WITH c AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.user_id, l.click_id,
+       (epoch_us(p.ts) - epoch_us(l.ts))::BIGINT AS gap_us
+FROM p JOIN LATERAL (
+  SELECT click_id, ts FROM c
+  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+  ORDER BY c.ts DESC LIMIT 1) l ON true
+"""
+
+
 def q_boolean_search(sf_dir: str):
     """Conjunctive boolean retrieval: docs containing ALL of three query
     terms via query-restricted postings + one count==k aggregate
@@ -8543,6 +8651,8 @@ QUERIES = {
     "dsir": q_dsir,
     "winsorize": q_winsorize,
     "table_diff": q_table_diff,
+    "corr_matrix": q_corr_matrix,
+    "attribution": q_attribution,
     "boolean_search": q_boolean_search,
     "ann_lsh_recall": q_ann_lsh_recall,
     "split_leakage_safe": q_split_leakage_safe,
@@ -8752,6 +8862,8 @@ ORACLE_SQL = {
     "dsir": SQL_DSIR,
     "winsorize": SQL_WINSORIZE,
     "table_diff": SQL_TABLE_DIFF,
+    "corr_matrix": SQL_CORR_MATRIX,
+    "attribution": SQL_ATTRIBUTION,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,

@@ -1036,3 +1036,64 @@ def test_table_diff_statuses(ray_session):
     # k=2 equal -> omitted; k=4 NaN==NaN -> unchanged, omitted
     pd.testing.assert_frame_equal(
         got.astype({"k": "int64"}), want.astype({"k": "int64"}))
+
+
+def test_corr_matrix_identities(ray_session):
+    """corr(x, x-derived linear) = ±1; matrix values match numpy."""
+    from crawler_service_ray.pipelines.queries import q_corr_matrix
+
+    got = q_corr_matrix("/root/testdata/sf0.001")
+    assert len(got) == 6
+    assert ((got["corr_ab"] >= -1 - 1e-9)
+            & (got["corr_ab"] <= 1 + 1e-9)).all()
+    li = pd.read_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    want = np.corrcoef(li.to_numpy(dtype="float64").T)
+    m = {("l_quantity", "l_extendedprice"): want[0, 1],
+         ("l_quantity", "l_discount"): want[0, 2],
+         ("l_quantity", "l_tax"): want[0, 3],
+         ("l_extendedprice", "l_discount"): want[1, 2],
+         ("l_extendedprice", "l_tax"): want[1, 3],
+         ("l_discount", "l_tax"): want[2, 3]}
+    for _, r in got.iterrows():
+        assert r["corr_ab"] == pytest.approx(
+            m[(r["col_a"], r["col_b"])], abs=1e-5)
+
+
+def test_attribution_handcrafted(ray_session):
+    """Purchase credits the latest prior click; ts ties pick max
+    event_id; purchases with no prior click drop."""
+    from crawler_service_ray.functions.relational import (
+        asof_join, grouped_agg)
+
+    t0 = np.datetime64("2026-01-01T00:00:00", "us")
+    ev = pd.DataFrame({
+        "event_id": np.arange(8, dtype="int64"),
+        "user_id": np.array([1, 1, 1, 1, 2, 2, 3, 1], dtype="int64"),
+        "ts": [t0, t0 + 10, t0 + 10, t0 + 20,     # u1: 2 tied clicks
+               t0 + 5, t0 + 3,                    # u2: click after buy
+               t0 + 7,                            # u3: purchase only
+               t0 + 10],                          # u1: buy AT click ts
+        "event_type": ["click", "click", "click", "purchase",
+                       "purchase", "click", "purchase", "purchase"],
+    })
+    ds = rd.from_pandas(ev).repartition(3)
+    clicks = grouped_agg(
+        ds.map_batches(lambda d: d.loc[d["event_type"] == "click",
+                                       ["user_id", "ts", "event_id"]],
+                       batch_format="pandas"),
+        ["user_id", "ts"], {"click_id": ("event_id", "max")},
+        merge_partitions=2)
+    buys = ds.map_batches(
+        lambda d: d.loc[d["event_type"] == "purchase",
+                        ["event_id", "user_id", "ts"]]
+        .rename(columns={"event_id": "purchase_id"}),
+        batch_format="pandas")
+    j = (asof_join(buys, clicks, key="user_id", ts_col="ts")
+         .to_pandas().sort_values("purchase_id").reset_index(drop=True))
+    # u1 buy@20 -> tied clicks at t+10, max id = 2; u1 buy@10 (equal ts)
+    # -> same click 2; u2 buy@5 -> no prior click (click at t+3? yes
+    # t0+3 < t0+5 so click 5 wins); u3 -> dropped
+    got = dict(zip(j["purchase_id"], j["click_id_r"]))
+    assert got == {3: 2, 4: 5, 7: 2}
