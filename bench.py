@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "table_diff",
     "corr_matrix",
     "attribution",
+    "quantile_normalize",
 ]
 
 

@@ -4806,3 +4806,205 @@ def table_diff(
 
     return grouped_apply(both, key_cols, diff,
                          num_partitions=num_partitions)
+
+
+def quantile_normalize(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+    tie_col: str,
+    coarse_bins: int = 4096,
+    num_partitions: int = 32,
+    merge_partitions: int = 16,
+    round_dp: int = 6,
+) -> rd.Dataset:
+    """EXACT distributed quantile normalization — replace each value by
+    the POOLED distribution's value at the same within-group quantile,
+    so every group ends up with an identical value distribution (the
+    batch-effect remover from genomics, and the cross-source score
+    alignment step a ranking pipeline runs before mixing signals;
+    `winsorize` tames tails, this equalizes entire distributions).
+
+    Per row: within-group ordinal rank r_g under (value, tie) →
+    p = r_g/(n_g−1) → pos = p·(N−1) → linear interpolation between the
+    pooled order statistics at ranks ⌊pos⌋ and ⌊pos⌋+1 (clamped). The
+    pos/interpolation arithmetic is evaluated in the IDENTICAL
+    operation order as the SQL twin so ⌊pos⌋ can never disagree.
+    Groups of one row map to p = 0. ``tie_col`` must make rows unique.
+
+    Distributed shape — NO global sort, nothing data-scale on the
+    driver, THREE exchanges total, all by the same value-bin key:
+
+    1. **Group-aware rank exchange**: per-(bin, group) count table
+       (model-constant × |groups| — groups must be bounded, the
+       `leadlag_corr` calendar rule) prefix-sums per group on the
+       driver; one bin exchange gives every row its exact within-group
+       rank, and each row emits ≤2 LOOKUP REQUESTS
+       (event, target global rank, interpolation coefficient).
+    2. **Rank-lookup exchange**: requests route to the bin owning
+       their target rank (binary search on the broadcast global prefix
+       table); value rows co-partition by their own bin, each
+       partition re-derives exact global ranks locally and serves its
+       requests by index — emitting (event, coef·value) contributions.
+    3. **Contribution merge**: a partitioned grouped sum by event id
+       closes qnorm = (1−frac)·v_a + frac·v_b.
+    """
+    cols = [group_col, val_col, tie_col]
+    ds = ds.map_batches(lambda d: d[cols], batch_format="pandas")
+    ds = ds.materialize()
+
+    mm = grouped_agg(
+        ds.map_batches(
+            lambda d: pd.DataFrame({"__k": np.zeros(len(d), dtype="int64"),
+                                    val_col: d[val_col]}),
+            batch_format="pandas"),
+        ["__k"], {"lo": (val_col, "min"), "hi": (val_col, "max")},
+    ).to_pandas()
+    if len(mm) == 0:
+        return rd.from_pandas(pd.DataFrame({
+            tie_col: pd.Series(dtype="int64"),
+            group_col: pd.Series(dtype="object"),
+            "qnorm": pd.Series(dtype="float64")}))
+    vlo = float(mm["lo"].iloc[0])
+    width = max(float(mm["hi"].iloc[0]) - vlo, 1e-300)
+
+    def val_bin(v: np.ndarray) -> np.ndarray:
+        b = ((v - vlo) / width * coarse_bins).astype("int64")
+        return np.clip(b, 0, coarse_bins - 1)
+
+    with_bins = ds.map_batches(
+        lambda d: d[cols].assign(
+            __bin=val_bin(d[val_col].to_numpy(dtype="float64"))),
+        batch_format="pandas").materialize()
+
+    counts = grouped_agg(
+        with_bins.map_batches(
+            lambda d: d[["__bin", group_col]].assign(__one=np.int64(1)),
+            batch_format="pandas"),
+        ["__bin", group_col], {"n": ("__one", "sum")},
+    ).to_pandas()
+    groups = sorted(counts[group_col].unique().tolist())
+    gidx = {g: i for i, g in enumerate(groups)}
+    per_gb = np.zeros((len(groups), coarse_bins), dtype="int64")
+    per_gb[counts[group_col].map(gidx).to_numpy(),
+           counts["__bin"].to_numpy()] = counts["n"].to_numpy()
+    n_g = per_gb.sum(axis=1)                     # rows per group
+    offs_g = np.concatenate(
+        [np.zeros((len(groups), 1), dtype="int64"),
+         np.cumsum(per_gb, axis=1)[:, :-1]], axis=1)
+    per_b = per_gb.sum(axis=0)                   # rows per bin (pooled)
+    offs = np.concatenate([[0], np.cumsum(per_b)[:-1]])
+    ends = np.cumsum(per_b)                      # exclusive end rank/bin
+    total = int(per_b.sum())
+    bref = ray.put((offs_g, n_g, offs, ends, gidx, total))
+
+    def emit_requests(part: pd.DataFrame) -> pd.DataFrame:
+        offs_g_, n_g_, offs_, ends_, gidx_, total_ = resolve_broadcast(bref)
+        g = part.sort_values(["__bin", group_col, val_col, tie_col],
+                             kind="mergesort")
+        gi = g[group_col].map(gidx_).to_numpy(dtype="int64")
+        bins = g["__bin"].to_numpy()
+        key = gi * coarse_bins + bins
+        n = len(g)
+        starts = np.flatnonzero(
+            np.concatenate([[True], key[1:] != key[:-1]]))
+        runlen = np.diff(np.concatenate([starts, [n]]))
+        within = np.arange(n, dtype=np.int64) - np.repeat(starts, runlen)
+        rank_g = offs_g_[gi, bins] + within
+        ng = n_g_[gi].astype("float64")
+        p = np.where(ng > 1, rank_g / np.maximum(ng - 1.0, 1.0), 0.0)
+        pos = p * float(total_ - 1)
+        a = np.floor(pos)
+        frac = pos - a
+        a = a.astype("int64")
+        b = np.minimum(a + 1, total_ - 1)
+        eid = g[tie_col].to_numpy()
+        gcol = g[group_col].to_numpy()
+        out = pd.DataFrame({
+            tie_col: np.concatenate([eid, eid]),
+            group_col: np.concatenate([gcol, gcol]),
+            "__r": np.concatenate([a, b]),
+            "__c": np.concatenate([1.0 - frac, frac]),
+        })
+        return out[out["__c"] != 0.0]
+
+    requests = grouped_apply(with_bins, ["__bin"], emit_requests,
+                             num_partitions=num_partitions)
+
+    # ---- pass 2: route requests to the bin owning their target rank
+    def tag_req(d: pd.DataFrame) -> pd.DataFrame:
+        _, _, offs_, ends_, _, _ = resolve_broadcast(bref)
+        # bin b owns ranks [offs[b], ends[b]) — nonempty bins only;
+        # searchsorted over the exclusive ends finds the owner
+        owner = np.searchsorted(ends_, d["__r"].to_numpy(), side="right")
+        return pd.DataFrame({
+            "__bin": owner.astype("int64"),
+            tie_col: d[tie_col],
+            group_col: d[group_col],
+            "__r": d["__r"].astype("int64"),
+            "__c": d["__c"].astype("float64"),
+            val_col: np.zeros(len(d), dtype="float64"),
+            "__req": np.ones(len(d), dtype=bool),
+        })
+
+    def tag_val(d: pd.DataFrame) -> pd.DataFrame:
+        z = np.zeros(len(d), dtype="int64")
+        return pd.DataFrame({
+            "__bin": d["__bin"].astype("int64"),
+            tie_col: d[tie_col],
+            group_col: d[group_col],
+            "__r": z,
+            "__c": np.zeros(len(d), dtype="float64"),
+            val_col: d[val_col].astype("float64"),
+            "__req": np.zeros(len(d), dtype=bool),
+        })
+
+    both = requests.map_batches(tag_req, batch_format="pandas").union(
+        with_bins.map_batches(tag_val, batch_format="pandas"))
+
+    def serve(part: pd.DataFrame) -> pd.DataFrame:
+        _, _, offs_, _, _, _ = resolve_broadcast(bref)
+        req = part.loc[part["__req"]]
+        vals = part.loc[~part["__req"]]
+        if len(req) == 0:
+            return pd.DataFrame({
+                tie_col: pd.Series(dtype="int64"),
+                group_col: pd.Series(dtype="object"),
+                "__contrib": pd.Series(dtype="float64")})
+        # a partition holds several hash-assigned bins: derive each
+        # value row's exact GLOBAL rank (in-bin position + bin offset;
+        # the (__bin, value, tie) sort makes ranks strictly increasing)
+        vals = vals.sort_values(["__bin", val_col, tie_col],
+                                kind="mergesort")
+        bins = vals["__bin"].to_numpy()
+        nv = len(vals)
+        starts = np.flatnonzero(
+            np.concatenate([[True], bins[1:] != bins[:-1]]))
+        runlen = np.diff(np.concatenate([starts, [nv]]))
+        within = (np.arange(nv, dtype=np.int64)
+                  - np.repeat(starts, runlen))
+        ranks = offs_[bins] + within
+        v = vals[val_col].to_numpy()
+        idx = np.searchsorted(ranks, req["__r"].to_numpy())
+        return pd.DataFrame({
+            tie_col: req[tie_col].to_numpy(),
+            group_col: req[group_col].to_numpy(),
+            "__contrib": req["__c"].to_numpy() * v[idx],
+        })
+
+    contribs = grouped_apply(both, ["__bin"], serve,
+                             num_partitions=num_partitions)
+    out = grouped_agg(contribs, [tie_col, group_col],
+                      {"qnorm": ("__contrib", "sum")},
+                      merge_partitions=merge_partitions)
+
+    def _round(d: pd.DataFrame) -> pd.DataFrame:
+        # interpolated values land EXACTLY on decimal .5 ties (frac is
+        # dyadic), where numpy's banker's rounding and SQL round()
+        # (half away from zero) disagree — mirror std::round
+        q = d["qnorm"].to_numpy()
+        p = 10.0 ** round_dp
+        q = np.copysign(np.floor(np.abs(q) * p + 0.5), q) / p
+        return d.assign(qnorm=q)
+
+    return out.map_batches(_round, batch_format="pandas")

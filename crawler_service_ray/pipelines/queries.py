@@ -6616,6 +6616,52 @@ FROM p JOIN LATERAL (
 """
 
 
+def q_quantile_normalize(sf_dir: str):
+    """Exact quantile normalization of event values across event types
+    (`functions/relational.py:quantile_normalize`): each value maps to
+    the POOLED distribution's value at its within-type quantile, so
+    all five types end up identically distributed — the batch-effect /
+    cross-source score-alignment pass. NO global sort: a group-aware
+    rank exchange emits ≤2 rank-lookup requests per row, the requests
+    co-partition with the value stream by bin (each partition serves
+    lookups from exact locally-derived global ranks), and a partitioned
+    grouped sum closes the interpolation. Both engines evaluate
+    (1−frac)·v_a + frac·v_b in the same operation order; 6 dp."""
+    from ..functions.relational import quantile_normalize
+
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "event_type", "value"])
+    return quantile_normalize(ev, group_col="event_type",
+                              val_col="value", tie_col="event_id")
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH n AS (SELECT count(*)::BIGINT AS n FROM events),
+g AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) - 1 AS rg,
+         count(*) OVER (PARTITION BY event_type) AS ng
+  FROM events),
+pos AS (
+  SELECT event_id, event_type,
+         (CASE WHEN ng > 1 THEN rg::DOUBLE / (ng - 1) ELSE 0 END)
+           * (n.n - 1) AS pos
+  FROM g CROSS JOIN n),
+gv AS (
+  SELECT value,
+         row_number() OVER (ORDER BY value, event_id) - 1 AS r
+  FROM events)
+SELECT p.event_id, p.event_type,
+       round((1 - (p.pos - floor(p.pos))) * va.value
+             + (p.pos - floor(p.pos)) * vb.value, 6) AS qnorm
+FROM pos p
+JOIN gv va ON va.r = floor(p.pos)::BIGINT
+JOIN gv vb
+  ON vb.r = least(floor(p.pos)::BIGINT + 1, (SELECT n - 1 FROM n))
+"""
+
+
 def q_boolean_search(sf_dir: str):
     """Conjunctive boolean retrieval: docs containing ALL of three query
     terms via query-restricted postings + one count==k aggregate
@@ -8653,6 +8699,7 @@ QUERIES = {
     "table_diff": q_table_diff,
     "corr_matrix": q_corr_matrix,
     "attribution": q_attribution,
+    "quantile_normalize": q_quantile_normalize,
     "boolean_search": q_boolean_search,
     "ann_lsh_recall": q_ann_lsh_recall,
     "split_leakage_safe": q_split_leakage_safe,
@@ -8864,6 +8911,7 @@ ORACLE_SQL = {
     "table_diff": SQL_TABLE_DIFF,
     "corr_matrix": SQL_CORR_MATRIX,
     "attribution": SQL_ATTRIBUTION,
+    "quantile_normalize": SQL_QUANTILE_NORMALIZE,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,

@@ -1097,3 +1097,38 @@ def test_attribution_handcrafted(ray_session):
     # t0+3 < t0+5 so click 5 wins); u3 -> dropped
     got = dict(zip(j["purchase_id"], j["click_id_r"]))
     assert got == {3: 2, 4: 5, 7: 2}
+
+
+def test_quantile_normalize_identities(ray_session):
+    """A single group maps to itself; two groups end up with equal
+    sorted distributions; bit-identical at any parallelism."""
+    rng = np.random.default_rng(37)
+    n = 400
+    one = pd.DataFrame({
+        "g": ["a"] * n,
+        "v": np.round(rng.normal(50, 10, n), 3),
+        "id": np.arange(n, dtype="int64"),
+    })
+    got = (rel.quantile_normalize(rd.from_pandas(one).repartition(5),
+                                  "g", "v", "id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    np.testing.assert_allclose(got["qnorm"], one["v"], atol=2e-6)
+
+    two = pd.DataFrame({
+        "g": ["a"] * n + ["b"] * n,
+        "v": np.concatenate([rng.normal(0, 1, n),
+                             rng.normal(100, 30, n)]),
+        "id": np.arange(2 * n, dtype="int64"),
+    })
+    out = (rel.quantile_normalize(rd.from_pandas(two).repartition(7),
+                                  "g", "v", "id").to_pandas())
+    qa = np.sort(out.loc[out["g"] == "a", "qnorm"].to_numpy())
+    qb = np.sort(out.loc[out["g"] == "b", "qnorm"].to_numpy())
+    np.testing.assert_allclose(qa, qb, atol=1e-9)  # equalized
+
+    out1 = (rel.quantile_normalize(rd.from_pandas(two).repartition(1),
+                                   "g", "v", "id", num_partitions=3,
+                                   merge_partitions=2).to_pandas())
+    a = out.sort_values("id")["qnorm"].to_numpy()
+    b = out1.sort_values("id")["qnorm"].to_numpy()
+    assert (a == b).all()
