@@ -172,6 +172,9 @@ BENCH_QUERIES = [
     "corr_matrix",
     "attribution",
     "quantile_normalize",
+    "weighted_median",
+    "sliding_distinct",
+    "macro_f1",
 ]
 
 

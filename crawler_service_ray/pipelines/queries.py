@@ -6662,6 +6662,221 @@ JOIN gv vb
 """
 
 
+def q_weighted_median(sf_dir: str):
+    """Per-type LOWER weighted median — the smallest value whose
+    cumulative weight reaches half the total (weight = a deterministic
+    synthetic importance, event_id % 7 + 1): the robust center the
+    plain median can't give when rows carry unequal mass (sampled
+    streams, dedup multiplicities, token counts). ONE key-hash
+    exchange; per partition one mergesort + grouped cumsum, and the
+    2·cumw ≥ totw threshold compares exact INTEGERS, so there is no
+    rounding contract at all."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "event_type", "value"])
+
+    def prep(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": d["event_type"],
+            "value": d["value"],
+            "event_id": d["event_id"].astype("int64"),
+            "wt": (d["event_id"].to_numpy(dtype="int64") % 7 + 1),
+        })
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "value", "event_id"],
+                          kind="mergesort")
+        cw = g.groupby("event_type", sort=False)["wt"].cumsum()
+        tw = g.groupby("event_type", sort=False)["wt"].transform("sum")
+        hit = g.loc[2 * cw.to_numpy() >= tw.to_numpy()]
+        out = (hit.groupby("event_type", sort=False)["value"].first()
+               .reset_index(name="wmedian"))
+        return out
+
+    return grouped_apply(ev.map_batches(prep, batch_format="pandas"),
+                         ["event_type"], per_part, num_partitions=8)
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH w AS (
+  SELECT event_type, value, event_id,
+         (event_id % 7 + 1)::BIGINT AS wt
+  FROM events),
+c AS (
+  SELECT event_type, value,
+         sum(wt) OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) AS cw,
+         sum(wt) OVER (PARTITION BY event_type) AS tw
+  FROM w)
+SELECT event_type, min(value) AS wmedian
+FROM c WHERE 2 * cw >= tw GROUP BY 1
+"""
+
+
+def q_sliding_distinct(sf_dir: str):
+    """Unique users per 3-day sliding window stepped daily — the
+    rolling-reach metric `window_distinct` (tumbling) cannot give:
+    distinct doesn't pre-aggregate, so each (day, user) pair
+    replicates into its 3 covering windows AFTER a per-batch dedup
+    bounds the blowup, then one hash-partitioned (window, user) dedup
+    and a grouped count close it. The 100-TB variant swaps the exact
+    dedup for `approx_count_distinct_grouped` keyed by window."""
+    from ..functions.relational import distinct, grouped_apply
+
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def expand(d: pd.DataFrame) -> pd.DataFrame:
+        day = (d["ts"].to_numpy("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        du = pd.DataFrame({"day": day,
+                           "user_id": d["user_id"].astype("int64")})
+        du = du.drop_duplicates()
+        reps = pd.concat([du.assign(wstart=du["day"] - k)
+                          for k in range(3)])
+        return reps[["wstart", "user_id"]].drop_duplicates()
+
+    pairs = distinct(ev.map_batches(expand, batch_format="pandas"),
+                     ["wstart", "user_id"], merge_partitions=8)
+    return grouped_agg(pairs, ["wstart"],
+                       {"n_users": ("user_id", "count")})
+
+
+SQL_SLIDING_DISTINCT = """
+WITH d AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         user_id
+  FROM events),
+w AS (
+  SELECT day - k.k AS wstart, user_id
+  FROM d CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k)
+SELECT wstart, count(DISTINCT user_id)::BIGINT AS n_users
+FROM w GROUP BY 1
+"""
+
+
+def q_macro_f1(sf_dir: str):
+    """Per-class precision/recall/F1 of the Naive Bayes language
+    predictor (`naive_bayes`'s eval leg — the multi-class completion of
+    binary `classification_report`): predictions bucket-join the truth
+    labels by doc id, the confusion reduces to ≤ |langs|² partial
+    counts per block, and the tiny per-class table closes P/R/F1 on
+    the driver. Classes with zero predictions or zero truth rows get
+    NULL for the undefined ratios (SQL division semantics mirrored).
+    The oracle re-runs the ENTIRE NB model in SQL and evaluates the
+    same counts — training, inference and eval certified end to end."""
+    from ..functions.relational import bucketed_hash_join
+    from ..functions.text import naive_bayes_classify
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang"],
+                      bytes_per_block=_DOC_BPB)
+    train = docs.map_batches(
+        lambda d: _catempty(d[d["doc_id"] >= 100]),
+        batch_format="pandas")
+    test = docs.map_batches(
+        lambda d: _catempty(d[d["doc_id"] < 100][["doc_id", "text"]]),
+        batch_format="pandas")
+    pred = naive_bayes_classify(train, test)
+    truth = docs.map_batches(
+        lambda d: d.loc[d["doc_id"] < 100, ["doc_id", "lang"]],
+        batch_format="pandas")
+    j = bucketed_hash_join(pred, truth, on="doc_id", num_buckets=4)
+
+    def confusion(d: pd.DataFrame) -> pd.DataFrame:
+        g = (d.groupby(["lang", "pred_lang"], sort=False).size()
+             .reset_index(name="c"))
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    conf = grouped_agg(
+        j.map_batches(confusion, batch_format="pandas"),
+        ["lang", "pred_lang"], {"c": ("c", "sum")},
+    ).to_pandas()  # <= |langs|^2 rows — model-constant
+
+    langs = sorted(set(conf["lang"]).union(conf["pred_lang"]))
+    rows = []
+    for lg in langs:
+        tp = int(conf.loc[(conf["lang"] == lg)
+                          & (conf["pred_lang"] == lg), "c"].sum())
+        fp = int(conf.loc[(conf["lang"] != lg)
+                          & (conf["pred_lang"] == lg), "c"].sum())
+        fn = int(conf.loc[(conf["lang"] == lg)
+                          & (conf["pred_lang"] != lg), "c"].sum())
+        prec = tp / (tp + fp) if tp + fp else float("nan")
+        rec = tp / (tp + fn) if tp + fn else float("nan")
+        f1 = (2 * prec * rec / (prec + rec)
+              if tp + fp and tp + fn and prec + rec > 0 else float("nan"))
+        rows.append((lg, np.int64(tp), np.int64(fp), np.int64(fn),
+                     np.round(prec, 6), np.round(rec, 6),
+                     np.round(f1, 6)))
+    return pd.DataFrame(rows, columns=[
+        "lang", "tp", "fp", "fn", "precision", "recall", "f1"])
+
+
+SQL_MACRO_F1 = """
+WITH train AS (SELECT * FROM documents WHERE doc_id >= 100),
+test AS (SELECT * FROM documents WHERE doc_id < 100),
+tt AS (SELECT lang, word, count(*)::DOUBLE AS c
+       FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+             FROM train)
+       WHERE word <> '' GROUP BY 1, 2),
+tot AS (SELECT lang, sum(c) AS tot FROM tt GROUP BY 1),
+v AS (SELECT count(DISTINCT word)::DOUBLE AS v FROM tt),
+pri AS (SELECT lang,
+               ln(count(*)::DOUBLE
+                  / (SELECT count(*) FROM train)) AS lp
+        FROM train GROUP BY 1),
+langs AS (SELECT tot.lang, tot, lp, v
+          FROM tot JOIN pri USING (lang) CROSS JOIN v),
+toks AS (SELECT doc_id, word, count(*)::DOUBLE AS cnt
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM test)
+         WHERE word <> '' GROUP BY 1, 2),
+scored AS (
+  SELECT t.doc_id, l.lang,
+         any_value(l.lp)
+         + sum(t.cnt * ln((COALESCE(tt.c, 0) + 1) / (l.tot + l.v)))
+           AS score
+  FROM toks t CROSS JOIN langs l
+  LEFT JOIN tt ON tt.lang = l.lang AND tt.word = t.word
+  GROUP BY t.doc_id, l.lang, l.tot, l.v),
+pred AS (
+  SELECT doc_id, lang AS pred_lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY round(score, 6) DESC,
+                                       lang ASC) AS r
+    FROM scored) WHERE r = 1),
+joined AS (
+  SELECT d.lang, p.pred_lang FROM pred p
+  JOIN documents d USING (doc_id)),
+classes AS (
+  SELECT lang FROM joined
+  UNION SELECT pred_lang FROM joined),
+counts AS (
+  SELECT c.lang,
+         sum(CASE WHEN j.lang = c.lang AND j.pred_lang = c.lang
+                  THEN 1 ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN j.lang <> c.lang AND j.pred_lang = c.lang
+                  THEN 1 ELSE 0 END)::BIGINT AS fp,
+         sum(CASE WHEN j.lang = c.lang AND j.pred_lang <> c.lang
+                  THEN 1 ELSE 0 END)::BIGINT AS fn
+  FROM classes c CROSS JOIN joined j GROUP BY 1)
+SELECT lang, tp, fp, fn,
+       round(tp::DOUBLE / NULLIF(tp + fp, 0), 6) AS precision,
+       round(tp::DOUBLE / NULLIF(tp + fn, 0), 6) AS recall,
+       CASE WHEN tp + fp > 0 AND tp + fn > 0
+             AND tp::DOUBLE / (tp + fp) + tp::DOUBLE / (tp + fn) > 0
+            THEN round(2 * (tp::DOUBLE / (tp + fp))
+                         * (tp::DOUBLE / (tp + fn))
+                       / (tp::DOUBLE / (tp + fp)
+                          + tp::DOUBLE / (tp + fn)), 6)
+            ELSE NULL END AS f1
+FROM counts
+"""
+
+
 def q_boolean_search(sf_dir: str):
     """Conjunctive boolean retrieval: docs containing ALL of three query
     terms via query-restricted postings + one count==k aggregate
@@ -8700,6 +8915,9 @@ QUERIES = {
     "corr_matrix": q_corr_matrix,
     "attribution": q_attribution,
     "quantile_normalize": q_quantile_normalize,
+    "weighted_median": q_weighted_median,
+    "sliding_distinct": q_sliding_distinct,
+    "macro_f1": q_macro_f1,
     "boolean_search": q_boolean_search,
     "ann_lsh_recall": q_ann_lsh_recall,
     "split_leakage_safe": q_split_leakage_safe,
@@ -8912,6 +9130,9 @@ ORACLE_SQL = {
     "corr_matrix": SQL_CORR_MATRIX,
     "attribution": SQL_ATTRIBUTION,
     "quantile_normalize": SQL_QUANTILE_NORMALIZE,
+    "weighted_median": SQL_WEIGHTED_MEDIAN,
+    "sliding_distinct": SQL_SLIDING_DISTINCT,
+    "macro_f1": SQL_MACRO_F1,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,

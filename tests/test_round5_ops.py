@@ -1132,3 +1132,45 @@ def test_quantile_normalize_identities(ray_session):
     a = out.sort_values("id")["qnorm"].to_numpy()
     b = out1.sort_values("id")["qnorm"].to_numpy()
     assert (a == b).all()
+
+
+def test_weighted_median_reference(ray_session):
+    """Lower weighted median matches the textbook cumulative rule on a
+    handcrafted case where plain median differs."""
+    from crawler_service_ray.functions.relational import grouped_apply
+
+    df = pd.DataFrame({
+        "event_type": ["a"] * 4 + ["b"] * 3,
+        "value": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0],
+        "event_id": np.arange(7, dtype="int64"),
+        "wt": np.array([1, 1, 1, 10, 5, 1, 1], dtype="int64"),
+    })
+
+    def per_part(g):
+        g = g.sort_values(["event_type", "value", "event_id"],
+                          kind="mergesort")
+        cw = g.groupby("event_type", sort=False)["wt"].cumsum()
+        tw = g.groupby("event_type", sort=False)["wt"].transform("sum")
+        hit = g.loc[2 * cw.to_numpy() >= tw.to_numpy()]
+        return (hit.groupby("event_type", sort=False)["value"].first()
+                .reset_index(name="wmedian"))
+
+    got = (grouped_apply(rd.from_pandas(df).repartition(3),
+                         ["event_type"], per_part, num_partitions=2)
+           .to_pandas().sort_values("event_type")
+           .reset_index(drop=True))
+    # a: weights 1,1,1,10 tot 13 -> first cum>=6.5 is value 4
+    # b: weights 5,1,1 tot 7 -> first cum>=3.5 is value 10
+    assert got["wmedian"].tolist() == [4.0, 10.0]
+
+
+def test_macro_f1_counts_consistent(ray_session):
+    from crawler_service_ray.pipelines.queries import q_macro_f1
+
+    got = q_macro_f1("/root/testdata/sf0.001")
+    assert len(got) >= 2
+    # every test doc lands in exactly one (truth, pred) cell:
+    # sum tp+fn = n_test per truth class; fp sums = fn sums globally
+    assert got["fp"].sum() == got["fn"].sum()
+    ok = got.dropna(subset=["f1"])
+    assert ((ok["f1"] >= 0) & (ok["f1"] <= 1)).all()
