@@ -175,6 +175,8 @@ BENCH_QUERIES = [
     "weighted_median",
     "sliding_distinct",
     "macro_f1",
+    "knn_classify",
+    "scd2",
 ]
 
 

@@ -6359,6 +6359,107 @@ GROUP BY 1, 2
 """
 
 
+def q_knn_classify(sf_dir: str):
+    """k-NN majority-vote classification over the embeddings (k=5,
+    cosine): vec_id < 100 are the query/test set (predicate pushed
+    into the parquet read — only their row groups reach the driver),
+    vec_id ≥ 100 the reference set. The local-then-global exact top-k
+    streams the reference side (`brute_force_topk`); neighbor labels
+    attach through a bucketed join (the label table is corpus-scale —
+    never broadcast) and the vote is a grouped count with
+    (count DESC, label ASC) ties. At 100 TB the shortlist swaps to
+    `ivf_topk`/`pq_topk`; the vote plumbing is unchanged."""
+    from ..functions.relational import bucketed_hash_join, grouped_apply
+
+    queries, qids = _query_vectors(sf_dir, n=100)
+    train = read_table(sf_dir, "embeddings", bytes_per_block=_DOC_BPB,
+                       columns=["vec_id", "embedding"]).map_batches(
+        lambda d: d[d["vec_id"] >= 100], batch_format="pandas")
+    top = similarity.brute_force_topk(train, queries, qids, k=5,
+                                      exclude_self=False)
+    labels = read_table(sf_dir, "embeddings",
+                        columns=["vec_id", "label"]).map_batches(
+        lambda d: pd.DataFrame({
+            "neighbor_id": d["vec_id"].astype("int64"),
+            "label": d["label"].astype("int64")}),
+        batch_format="pandas")
+    j = bucketed_hash_join(top, labels, on="neighbor_id", num_buckets=4)
+
+    def vote(part: pd.DataFrame) -> pd.DataFrame:
+        v = (part.groupby(["query_id", "label"], sort=False).size()
+             .reset_index(name="c"))
+        v = v.sort_values(["query_id", "c", "label"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        w = v.groupby("query_id", sort=False).first().reset_index()
+        return pd.DataFrame({
+            "vec_id": w["query_id"].astype("int64"),
+            "pred_label": w["label"].astype("int64")})
+
+    return grouped_apply(j, ["query_id"], vote, num_partitions=4)
+
+
+SQL_KNN_CLASSIFY = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < 100),
+s AS (SELECT q.qid, e.vec_id AS nid, e.label,
+             list_cosine_similarity(q.qe::DOUBLE[],
+                                    e.embedding::DOUBLE[]) AS c
+      FROM q, embeddings e WHERE e.vec_id >= 100),
+top AS (
+  SELECT qid, label FROM (
+    SELECT qid, label,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY c DESC, nid) AS r
+    FROM s) WHERE r <= 5),
+v AS (SELECT qid, label, count(*) AS c FROM top GROUP BY 1, 2)
+SELECT qid AS vec_id, label AS pred_label FROM (
+  SELECT qid, label,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY c DESC, label) AS r
+  FROM v) WHERE r = 1
+"""
+
+
+def q_scd2(sf_dir: str):
+    """SCD Type-2 history build — turn each user's change events into
+    validity intervals (value, valid_from, valid_to), the warehouse
+    dimension-history primitive (`cdc_upsert` keeps only the latest;
+    this keeps ALL versions queryable as-of any time). ONE user-hash
+    exchange; per partition a mergesort + grouped shift produces
+    valid_to = the next change's timestamp (NULL for the current
+    version) — the lead() window replayed by the oracle with the
+    (ts, event_id) tiebreak."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        nxt = g.groupby("user_id", sort=False)["ts"].shift(-1)
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "value": g["value"],
+            "valid_from": g["ts"],
+            "valid_to": nxt,
+        })
+
+    return grouped_apply(ev, ["user_id"], per_part, num_partitions=16)
+
+
+SQL_SCD2 = """
+SELECT event_id, user_id, value,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS valid_to
+FROM events
+"""
+
+
+
 def q_dsir(sf_dir: str):
     """DSIR importance resampling (`functions/text.py:dsir_weights`,
     arXiv:2302.03169): score every document by the mean per-token log
@@ -8918,6 +9019,8 @@ QUERIES = {
     "weighted_median": q_weighted_median,
     "sliding_distinct": q_sliding_distinct,
     "macro_f1": q_macro_f1,
+    "knn_classify": q_knn_classify,
+    "scd2": q_scd2,
     "boolean_search": q_boolean_search,
     "ann_lsh_recall": q_ann_lsh_recall,
     "split_leakage_safe": q_split_leakage_safe,
@@ -9133,6 +9236,8 @@ ORACLE_SQL = {
     "weighted_median": SQL_WEIGHTED_MEDIAN,
     "sliding_distinct": SQL_SLIDING_DISTINCT,
     "macro_f1": SQL_MACRO_F1,
+    "knn_classify": SQL_KNN_CLASSIFY,
+    "scd2": SQL_SCD2,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,

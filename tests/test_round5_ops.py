@@ -1174,3 +1174,57 @@ def test_macro_f1_counts_consistent(ray_session):
     assert got["fp"].sum() == got["fn"].sum()
     ok = got.dropna(subset=["f1"])
     assert ((ok["f1"] >= 0) & (ok["f1"] <= 1)).all()
+
+
+def test_scd2_intervals_partition_time(ray_session):
+    """Each key's intervals tile [first_change, inf): valid_from of
+    version i+1 equals valid_to of version i; exactly one NULL
+    valid_to (the current version) per key."""
+    from crawler_service_ray.pipelines.queries import q_scd2
+
+    got = q_scd2("/root/testdata/sf0.001").to_pandas()
+    assert got["valid_to"].isna().groupby(got["user_id"]).sum().eq(1).all()
+    g = got.sort_values(["user_id", "valid_from", "event_id"])
+    nxt_from = g.groupby("user_id")["valid_from"].shift(-1)
+    closed = g["valid_to"].notna()
+    assert (g.loc[closed, "valid_to"].to_numpy()
+            == nxt_from[closed].to_numpy()).all()
+
+
+def test_knn_classify_planted(ray_session):
+    """Two tight clusters: every test point gets its cluster's label."""
+    from crawler_service_ray.functions.relational import (
+        bucketed_hash_join, grouped_apply)
+    from crawler_service_ray.functions import similarity as sim
+
+    rng = np.random.default_rng(41)
+    d = 8
+    c0, c1 = np.eye(d)[0] * 10, np.eye(d)[1] * 10  # orthogonal directions
+    train = np.concatenate([c0 + 0.1 * rng.normal(size=(30, d)),
+                            c1 + 0.1 * rng.normal(size=(30, d))])
+    tdf = pd.DataFrame({
+        "vec_id": np.arange(100, 160, dtype="int64"),
+        "embedding": list(train.astype("float32")),
+        "label": np.array([0] * 30 + [1] * 30, dtype="int64"),
+    })
+    q = np.stack([c0 + 0.05, c1 - 0.05])
+    ds = rd.from_pandas(tdf).repartition(4)
+    top = sim.brute_force_topk(ds, q, np.array([0, 1]), k=5,
+                               exclude_self=False)
+    labels = ds.map_batches(
+        lambda x: pd.DataFrame({"neighbor_id": x["vec_id"],
+                                "label": x["label"]}),
+        batch_format="pandas")
+    j = bucketed_hash_join(top, labels, on="neighbor_id", num_buckets=2)
+
+    def vote(part):
+        v = (part.groupby(["query_id", "label"], sort=False).size()
+             .reset_index(name="c"))
+        v = v.sort_values(["query_id", "c", "label"],
+                          ascending=[True, False, True], kind="mergesort")
+        return (v.groupby("query_id", sort=False).first().reset_index()
+                [["query_id", "label"]])
+
+    got = (grouped_apply(j, ["query_id"], vote, num_partitions=2)
+           .to_pandas().sort_values("query_id"))
+    assert got["label"].tolist() == [0, 1]
