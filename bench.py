@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     "macro_f1",
     "knn_classify",
     "scd2",
+    "cumulative_users",
+    "membership_combos",
+    "kmv_audit",
 ]
 
 

@@ -5008,3 +5008,67 @@ def quantile_normalize(
         return d.assign(qnorm=q)
 
     return out.map_batches(_round, batch_format="pandas")
+
+
+def _kmv_hash(v: np.ndarray) -> np.ndarray:
+    """Murmur-finalizer avalanche of an int64 column to uniform uint64
+    — the KMV order statistic's hash (deterministic, engine-free)."""
+    x = v.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+    return x ^ (x >> np.uint64(33))
+
+
+def kmv_sketch(ds: rd.Dataset, col: str, k: int = 1024) -> np.ndarray:
+    """KMV / bottom-k distinct sketch — keep the k SMALLEST hash values
+    ever seen (Bar-Yossef et al. 2002, the theta-sketch family): the
+    third distinct-count sketch after HLL (`approx_count_distinct`) and
+    exact `distinct`, and the one whose UNION sketch supports an
+    UNBIASED intersection via the k-sample Jaccard — HLL's
+    inclusion–exclusion amplifies error on small intersections, KMV's
+    doesn't. Mergeable: bottom-k of a union = bottom-k of the
+    concatenated sketches, so per-block partials (≤ k rows each, after
+    a per-block dedup) truncate-and-coalesce exactly like ``topk``.
+    Returns the sorted uint64 hash array (≤ k values)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(_kmv_hash(df[col].to_numpy(dtype="int64")))
+        return pd.DataFrame({"h": h[:k].astype("uint64")})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    h = np.unique(parts["h"].to_numpy(dtype="uint64"))
+    return h[:k]
+
+
+def kmv_estimate(sketch: np.ndarray, k: int) -> float:
+    """Distinct-count estimate from a bottom-k sketch: exact when the
+    sketch never filled (fewer than k distinct hashes exist), else the
+    classic (k−1)/U(h_k) with hashes mapped to (0, 1]."""
+    if len(sketch) < k:
+        return float(len(sketch))
+    u = (float(sketch[k - 1]) + 1.0) / 2.0**64
+    return (k - 1) / u
+
+
+def kmv_set_ops(
+    a: rd.Dataset, b: rd.Dataset, col: str, k: int = 1024,
+) -> pd.DataFrame:
+    """KMV set algebra over two streams: |A|, |B| from their own
+    sketches, |A∪B| from the merged sketch, Jaccard = the fraction of
+    the union sketch's k-sample present in BOTH sides (an unbiased
+    k-sample estimate — every union-sketch hash is a uniform sample of
+    A∪B), and |A∩B| = J·|A∪B|. Each stream contributes ≤ k×blocks
+    partial rows; everything after is k-sized driver arithmetic."""
+    sa = kmv_sketch(a, col, k)
+    sb = kmv_sketch(b, col, k)
+    merged = np.unique(np.concatenate([sa, sb]))[:k]
+    est_a = kmv_estimate(sa, k)
+    est_b = kmv_estimate(sb, k)
+    est_u = kmv_estimate(merged, k)
+    in_a = np.isin(merged, sa, assume_unique=True)
+    in_b = np.isin(merged, sb, assume_unique=True)
+    j = float((in_a & in_b).sum()) / max(len(merged), 1)
+    return pd.DataFrame({
+        "est_a": [est_a], "est_b": [est_b], "est_union": [est_u],
+        "est_inter": [j * est_u],
+    })

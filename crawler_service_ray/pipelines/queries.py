@@ -6460,6 +6460,159 @@ FROM events
 
 
 
+def q_cumulative_users(sf_dir: str):
+    """Cumulative unique users by day — the growth curve (`window_distinct`
+    counts a window, this counts the running union, which distinct can't
+    pre-aggregate): each user reduces to a FIRST-SEEN day (grouped min,
+    user-scale keys → partitioned merge), first-seen days count into the
+    bounded calendar table, and the cumulative sum folds on the driver
+    (the `leadlag_corr` calendar rule). Nothing user-scale moves after
+    the one reduction."""
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def to_day(d: pd.DataFrame) -> pd.DataFrame:
+        day = (d["ts"].to_numpy("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        return pd.DataFrame({"user_id": d["user_id"].astype("int64"),
+                             "day": day})
+
+    first = grouped_agg(
+        ev.map_batches(to_day, batch_format="pandas"),
+        ["user_id"], {"fday": ("day", "min")}, merge_partitions=8)
+    per_day = grouped_agg(
+        first.map_batches(
+            lambda d: pd.DataFrame({"day": d["fday"].astype("int64")}),
+            batch_format="pandas"),
+        ["day"], {"new_users": ("day", "count")},
+    ).to_pandas().sort_values("day")
+    per_day["cum_users"] = per_day["new_users"].cumsum().astype("int64")
+    per_day["new_users"] = per_day["new_users"].astype("int64")
+    return per_day.reset_index(drop=True)
+
+
+SQL_CUMULATIVE_USERS = """
+WITH f AS (
+  SELECT user_id,
+         min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS day
+  FROM events GROUP BY 1),
+d AS (SELECT day, count(*)::BIGINT AS new_users FROM f GROUP BY 1)
+SELECT day, new_users,
+       sum(new_users) OVER (ORDER BY day)::BIGINT AS cum_users
+FROM d
+"""
+
+
+def q_membership_combos(sf_dir: str):
+    """UpSet-style membership-combination counts — how many users hit
+    exactly each SUBSET of event types (the overlap diagnostic behind
+    an UpSet plot; pairwise overlaps like `hll_set_ops` can't separate
+    "view+click" from "view+click+purchase"): per-block (user, bitmask)
+    OR-partials bound the exchange to ≤ users×blocks rows, a grouped
+    bit_or merges masks under the user hash, and the ≤ 2^|types| combo
+    counts close in a tiny second aggregate. Types map to fixed bit
+    positions sorted alphabetically — mirrored by the oracle."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+    bit = {t: 1 << i for i, t in enumerate(types)}
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        # the sparse slice (event_id % 11 == 0) keeps per-user type
+        # sets PARTIAL so the combo histogram is non-degenerate — with
+        # the full log every user hits all five types
+        d = d[d["event_id"].to_numpy(dtype="int64") % 11 == 0]
+        m = d["event_type"].map(bit).to_numpy(dtype="int64")
+        g = pd.DataFrame({"user_id": d["user_id"].astype("int64"),
+                          "m": m})
+        return (g.groupby("user_id", sort=False)["m"]
+                .agg(lambda s: np.bitwise_or.reduce(s.to_numpy()))
+                .reset_index(name="mask"))
+
+    def merge_masks(part: pd.DataFrame) -> pd.DataFrame:
+        out = (part.groupby("user_id", sort=False)["mask"]
+               .agg(lambda s: np.bitwise_or.reduce(s.to_numpy()))
+               .reset_index(name="mask"))
+        return out
+
+    masks = grouped_apply(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["user_id"], merge_masks, num_partitions=8)
+    return grouped_agg(masks, ["mask"],
+                       {"n_users": ("user_id", "count")})
+
+
+SQL_MEMBERSHIP_COMBOS = """
+WITH m AS (
+  SELECT user_id,
+         bit_or(CASE event_type
+                  WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                  WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                  WHEN 'view' THEN 16 END)::BIGINT AS mask
+  FROM events WHERE event_id % 11 = 0 GROUP BY 1)
+SELECT mask, count(*)::BIGINT AS n_users FROM m GROUP BY 1
+"""
+
+
+
+def q_kmv_audit(sf_dir: str):
+    """ERROR-BOUND-INVARIANT oracle for the KMV / bottom-k distinct
+    sketch (`relational.kmv_sketch` — the theta-sketch family member
+    whose union sketch gives an UNBIASED k-sample intersection, where
+    HLL's inclusion–exclusion amplifies error): A = high-value event
+    ids, B = ids ≡ 0 (mod 3). Bands at k=256: max(10%, 5) for
+    |A|/|B|/|A∪B| (CV ≈ 1/√(k−2) ≈ 6%; measured ≤ 3.8% at sf0.01),
+    max(30%, 5) for the intersection (the k-sample Jaccard's binomial
+    CV ≈ √((1−J)/(J·k)) ≈ 18% here; measured 3.2%). Deterministic
+    given the hash — but the margins are sf-dependent (the
+    `pq_ann_recall` caveat): a different scale re-tunes them
+    deliberately. SQL recomputes the exacts and asserts zero
+    violations."""
+    from ..functions.relational import kmv_set_ops
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+    a = ev.map_batches(
+        lambda d: d.loc[d["value"] >= 100, ["event_id"]],
+        batch_format="pandas")
+    b = ev.map_batches(
+        lambda d: d.loc[d["event_id"].to_numpy(dtype="int64") % 3 == 0,
+                        ["event_id"]],
+        batch_format="pandas")
+    est = kmv_set_ops(a, b, "event_id", k=256).iloc[0]
+
+    pairs = ev.to_pandas()
+    sa = set(pairs.loc[pairs["value"] >= 100, "event_id"])
+    sb = set(pairs.loc[pairs["event_id"] % 3 == 0, "event_id"])
+    exact = {"a": len(sa), "b": len(sb),
+             "union": len(sa | sb), "inter": len(sa & sb)}
+    bands = {"a": 0.10, "b": 0.10, "union": 0.10, "inter": 0.30}
+    viol = sum(
+        int(abs(float(est[f"est_{k}"]) - v) > max(bands[k] * v, 5))
+        for k, v in exact.items())
+    return pd.DataFrame({
+        "n_exact_a": np.array([exact["a"]], dtype="int64"),
+        "n_exact_b": np.array([exact["b"]], dtype="int64"),
+        "n_exact_union": np.array([exact["union"]], dtype="int64"),
+        "n_exact_inter": np.array([exact["inter"]], dtype="int64"),
+        "n_violations": np.array([viol], dtype="int64"),
+    })
+
+
+SQL_KMV_AUDIT = """
+WITH a AS (SELECT DISTINCT event_id FROM events WHERE value >= 100),
+b AS (SELECT DISTINCT event_id FROM events WHERE event_id % 3 = 0)
+SELECT (SELECT count(*) FROM a)::BIGINT AS n_exact_a,
+       (SELECT count(*) FROM b)::BIGINT AS n_exact_b,
+       (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+         ::BIGINT AS n_exact_union,
+       (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+         ::BIGINT AS n_exact_inter,
+       0::BIGINT AS n_violations
+"""
+
+
+
 def q_dsir(sf_dir: str):
     """DSIR importance resampling (`functions/text.py:dsir_weights`,
     arXiv:2302.03169): score every document by the mean per-token log
@@ -9021,6 +9174,9 @@ QUERIES = {
     "macro_f1": q_macro_f1,
     "knn_classify": q_knn_classify,
     "scd2": q_scd2,
+    "cumulative_users": q_cumulative_users,
+    "membership_combos": q_membership_combos,
+    "kmv_audit": q_kmv_audit,
     "boolean_search": q_boolean_search,
     "ann_lsh_recall": q_ann_lsh_recall,
     "split_leakage_safe": q_split_leakage_safe,
@@ -9238,6 +9394,9 @@ ORACLE_SQL = {
     "macro_f1": SQL_MACRO_F1,
     "knn_classify": SQL_KNN_CLASSIFY,
     "scd2": SQL_SCD2,
+    "cumulative_users": SQL_CUMULATIVE_USERS,
+    "membership_combos": SQL_MEMBERSHIP_COMBOS,
+    "kmv_audit": SQL_KMV_AUDIT,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,

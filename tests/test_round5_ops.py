@@ -1228,3 +1228,35 @@ def test_knn_classify_planted(ray_session):
     got = (grouped_apply(j, ["query_id"], vote, num_partitions=2)
            .to_pandas().sort_values("query_id"))
     assert got["label"].tolist() == [0, 1]
+
+
+def test_kmv_sketch_regimes(ray_session):
+    """Unfilled sketch is exact; filled sketch is parallelism-invariant
+    and within the CV band; mergeability: union sketch == sketch of
+    the concatenated stream."""
+    from crawler_service_ray.functions import relational as r
+
+    ids = pd.DataFrame({"v": np.arange(50, dtype="int64")})
+    s = r.kmv_sketch(rd.from_pandas(ids).repartition(4), "v", k=256)
+    assert r.kmv_estimate(s, 256) == 50.0  # unfilled -> exact
+
+    big = pd.DataFrame({"v": np.arange(20000, dtype="int64")})
+    s1 = r.kmv_sketch(rd.from_pandas(big).repartition(1), "v", k=256)
+    s7 = r.kmv_sketch(rd.from_pandas(big).repartition(7), "v", k=256)
+    assert (s1 == s7).all()
+    est = r.kmv_estimate(s7, 256)
+    assert abs(est - 20000) / 20000 < 0.25  # ~4 sigma at k=256
+
+    a = rd.from_pandas(big.iloc[:15000]).repartition(3)
+    b = rd.from_pandas(big.iloc[5000:]).repartition(5)
+    merged = np.unique(np.concatenate([
+        r.kmv_sketch(a, "v", 256), r.kmv_sketch(b, "v", 256)]))[:256]
+    assert (merged == s1).all()  # bottom-k of union == union of bottom-ks
+
+
+def test_membership_combos_masks(ray_session):
+    from crawler_service_ray.pipelines.queries import q_membership_combos
+
+    got = q_membership_combos("/root/testdata/sf0.001").to_pandas()
+    assert (got["mask"] >= 1).all() and (got["mask"] <= 31).all()
+    assert got["n_users"].sum() > 0
