@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "cumulative_users",
     "membership_combos",
     "kmv_audit",
+    "item2item",
+    "asof_tolerance",
 ]
 
 

@@ -1517,6 +1517,7 @@ def asof_join(
     num_partitions: int = 32,
     suffix: str = "_r",
     direction: str = "backward",
+    tolerance=None,
 ) -> rd.Dataset:
     """As-of join: for each left row, the latest right row with
     ``right.ts <= left.ts`` (``direction="backward"``, the DuckDB ASOF
@@ -1529,6 +1530,11 @@ def asof_join(
     (one shuffle of the two event streams); within a partition one
     ``merge_asof(by=key)`` call handles every key. Inner semantics: left
     rows with no prior right row are dropped (matches DuckDB ASOF JOIN).
+    ``tolerance`` (a pd.Timedelta / int matching ``ts_col``'s dtype)
+    additionally drops matches farther than the bound — the
+    staleness-capped variant (a quote older than the tolerance is no
+    quote); DuckDB has no equivalent, so its oracle is a bounded
+    LATERAL.
     """
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)
@@ -1553,7 +1559,7 @@ def asof_join(
         r = r.rename(columns={c: c + suffix for c in rcols if c != key})
         out = pd.merge_asof(
             l, r, left_on=ts_col, right_on=ts_col + suffix, by=key,
-            direction=direction,
+            direction=direction, tolerance=tolerance,
         )
         return out.dropna(subset=[ts_col + suffix])[out_cols]
 

@@ -6613,6 +6613,143 @@ SELECT (SELECT count(*) FROM a)::BIGINT AS n_exact_a,
 
 
 
+def q_item2item(sf_dir: str):
+    """Item-to-item co-occurrence similarity, top-3 per part (the
+    Amazon-style recommender primitive over the co-purchase baskets):
+    sim(i,j) = c_ij / √(c_i·c_j) — cosine over binary basket vectors.
+    Pair supports reuse `frequent_pairs`' run-arithmetic kernel (one
+    basket-hash exchange, pre-aggregated); per-item supports attach
+    through TWO bucketed joins (the item table is corpus-scale — never
+    broadcast); similarities round at 6 dp BEFORE the per-item top-3
+    (sim DESC, other ASC), the `tfidf` ranking contract."""
+    from ..functions.relational import (
+        bucketed_hash_join, frequent_pairs, topk_per_group)
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_orderkey", "l_partkey"])
+    pairs = frequent_pairs(li, "l_orderkey", "l_partkey", min_support=3)
+
+    # per-item support = DISTINCT baskets containing it: per-batch
+    # dedup alone under-counts nothing but can DOUBLE-count a
+    # (basket, item) pair split across blocks — go through the
+    # partitioned distinct first
+    uniq = distinct(li.map_batches(
+        lambda d: pd.DataFrame({"bk": d["l_orderkey"].astype("int64"),
+                                "it": d["l_partkey"].astype("int64")}),
+        batch_format="pandas"), ["bk", "it"], merge_partitions=8)
+    items = grouped_agg(uniq, ["it"], {"c": ("it", "count")},
+                        merge_partitions=8)
+
+    pa_ = pairs.map_batches(
+        lambda d: pd.DataFrame({"it": d["item_a"].astype("int64"),
+                                "item_b": d["item_b"].astype("int64"),
+                                "support": d["support"].astype("int64")}),
+        batch_format="pandas")
+    j1 = bucketed_hash_join(pa_, items, on="it", num_buckets=8)
+    j1 = j1.map_batches(
+        lambda d: pd.DataFrame({"item_a": d["it"].astype("int64"),
+                                "it": d["item_b"].astype("int64"),
+                                "support": d["support"].astype("int64"),
+                                "ca": d["c"].astype("int64")}),
+        batch_format="pandas")
+    j2 = bucketed_hash_join(j1, items, on="it", num_buckets=8)
+
+    def score(d: pd.DataFrame) -> pd.DataFrame:
+        sim = np.round(
+            d["support"].to_numpy(dtype="float64")
+            / np.sqrt(d["ca"].to_numpy(dtype="float64")
+                      * d["c"].to_numpy(dtype="float64")), 6)
+        a = d["item_a"].to_numpy(dtype="int64")
+        b = d["it"].to_numpy(dtype="int64")
+        return pd.DataFrame({          # symmetrize
+            "item": np.concatenate([a, b]),
+            "other": np.concatenate([b, a]),
+            "sim": np.concatenate([sim, sim]),
+        })
+
+    sym = j2.map_batches(score, batch_format="pandas")
+    return topk_per_group(sym, ["item"], ["sim", "other"], k=3,
+                          descending=[True, False])
+
+
+SQL_ITEM2ITEM = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+           FROM lineitem),
+ci AS (SELECT it, count(*)::BIGINT AS c FROM b GROUP BY 1),
+p AS (
+  SELECT x.it AS i, y.it AS j, count(*)::BIGINT AS cij
+  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+s AS (
+  SELECT i, j, round(cij / sqrt(c1.c * c2.c), 6) AS sim
+  FROM p JOIN ci c1 ON c1.it = p.i JOIN ci c2 ON c2.it = p.j),
+u AS (SELECT i AS item, j AS other, sim FROM s
+      UNION ALL SELECT j, i, sim FROM s)
+SELECT item, other, sim FROM (
+  SELECT item, other, sim,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY sim DESC, other) AS r
+  FROM u) WHERE r <= 3
+"""
+
+
+def q_asof_tolerance(sf_dir: str):
+    """Staleness-capped as-of join — `attribution` with a 2-hour
+    credit window: a click older than 2 h before the purchase earns
+    nothing (the marketing-attribution rule, and the quote-staleness
+    rule of a market join). Same co-partitioned merge_asof, one
+    `tolerance` bound; DuckDB ASOF has no tolerance, so the oracle is
+    the bounded LATERAL."""
+    from ..functions.relational import asof_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+    clicks = grouped_agg(
+        ev.map_batches(
+            lambda d: d.loc[d["event_type"] == "click",
+                            ["user_id", "ts", "event_id"]],
+            batch_format="pandas"),
+        ["user_id", "ts"], {"click_id": ("event_id", "max")},
+        merge_partitions=8)
+    purchases = ev.map_batches(
+        lambda d: d.loc[d["event_type"] == "purchase",
+                        ["event_id", "user_id", "ts"]]
+        .rename(columns={"event_id": "purchase_id"}),
+        batch_format="pandas")
+    j = asof_join(purchases, clicks, key="user_id", ts_col="ts",
+                  tolerance=pd.Timedelta(hours=2))
+
+    def finish(d: pd.DataFrame) -> pd.DataFrame:
+        gap = (d["ts"].to_numpy("datetime64[us]")
+               - d["ts_r"].to_numpy("datetime64[us]")).astype("int64")
+        return pd.DataFrame({
+            "purchase_id": d["purchase_id"].astype("int64"),
+            "user_id": d["user_id"].astype("int64"),
+            "click_id": d["click_id_r"].astype("int64"),
+            "gap_us": gap,
+        })
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
+SQL_ASOF_TOLERANCE = """
+WITH c AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.user_id, l.click_id,
+       (epoch_us(p.ts) - epoch_us(l.ts))::BIGINT AS gap_us
+FROM p JOIN LATERAL (
+  SELECT click_id, ts FROM c
+  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+    AND c.ts >= p.ts - INTERVAL 2 HOUR
+  ORDER BY c.ts DESC LIMIT 1) l ON true
+"""
+
+
+
 def q_dsir(sf_dir: str):
     """DSIR importance resampling (`functions/text.py:dsir_weights`,
     arXiv:2302.03169): score every document by the mean per-token log
@@ -9177,6 +9314,8 @@ QUERIES = {
     "cumulative_users": q_cumulative_users,
     "membership_combos": q_membership_combos,
     "kmv_audit": q_kmv_audit,
+    "item2item": q_item2item,
+    "asof_tolerance": q_asof_tolerance,
     "boolean_search": q_boolean_search,
     "ann_lsh_recall": q_ann_lsh_recall,
     "split_leakage_safe": q_split_leakage_safe,
@@ -9397,6 +9536,8 @@ ORACLE_SQL = {
     "cumulative_users": SQL_CUMULATIVE_USERS,
     "membership_combos": SQL_MEMBERSHIP_COMBOS,
     "kmv_audit": SQL_KMV_AUDIT,
+    "item2item": SQL_ITEM2ITEM,
+    "asof_tolerance": SQL_ASOF_TOLERANCE,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,

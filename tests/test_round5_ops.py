@@ -1260,3 +1260,32 @@ def test_membership_combos_masks(ray_session):
     got = q_membership_combos("/root/testdata/sf0.001").to_pandas()
     assert (got["mask"] >= 1).all() and (got["mask"] <= 31).all()
     assert got["n_users"].sum() > 0
+
+
+def test_asof_tolerance_caps_staleness(ray_session):
+    t0 = np.datetime64("2026-01-01T00:00:00", "us")
+    left = pd.DataFrame({
+        "lid": np.arange(3, dtype="int64"),
+        "k": np.array([1, 1, 1], dtype="int64"),
+        "ts": [t0 + 10_000_000, t0 + 100_000_000, t0 + 300_000_000],
+    })
+    right = pd.DataFrame({
+        "k": np.array([1], dtype="int64"),
+        "ts": [t0],
+        "rid": np.array([7], dtype="int64"),
+    })
+    got = rel.asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), key="k",
+        ts_col="ts", tolerance=pd.Timedelta(seconds=60)).to_pandas()
+    # only the 10s- gap row matches; 100s and 300s exceed tolerance
+    assert got["lid"].tolist() == [0]
+
+
+def test_item2item_symmetry_and_range(ray_session):
+    from crawler_service_ray.pipelines.queries import q_item2item
+
+    got = q_item2item("/root/testdata/sf0.001").to_pandas()
+    assert ((got["sim"] > 0) & (got["sim"] <= 1)).all()
+    # top-3 per item, (item, other) never self-paired
+    assert (got["item"] != got["other"]).all()
+    assert got.groupby("item").size().le(3).all()
