@@ -182,6 +182,9 @@ BENCH_QUERIES = [
     "kmv_audit",
     "item2item",
     "asof_tolerance",
+    "resample_interp",
+    "powerlaw_fit",
+    "checksum_audit",
 ]
 
 

@@ -5078,3 +5078,101 @@ def kmv_set_ops(
         "est_a": [est_a], "est_b": [est_b], "est_union": [est_u],
         "est_inter": [j * est_u],
     })
+
+
+def resample_interp(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    ts_col: str,
+    val_col: str,
+    freq_us: int,
+    grid_col: str = "h",
+    out_name: str = "value_interp",
+    num_partitions: int = 16,
+    round_dp: int = 6,
+) -> rd.Dataset:
+    """Time-grid resampling with LINEAR INTERPOLATION — the smooth
+    sibling of :func:`resample_ffill` (ffill models step signals like
+    configuration state; interpolation models continuous ones like
+    metrics): each grid point between two observations takes
+
+        v0 + (t − t0)·(v1 − v0)/(t1 − t0)
+
+    with t0 = last event ≤ t and t1 = first event ≥ t (a grid point
+    landing exactly on an event takes its value); points before a
+    group's first event are NULL (the grid is floored so the leading
+    edge can precede it), and the grid never extends past the last
+    event so t1 always exists. Events sharing (group, ts) pre-reduce
+    to max(value) — making both neighbors deterministic — mirrored by
+    the oracle. Same distributed shape as ffill: ONE key-hash
+    exchange, grid via repeat+arange, and both neighbor lookups are
+    single ``searchsorted`` calls on the composite (group, time)
+    axis. The interpolation is evaluated in the IDENTICAL operation
+    order as the SQL twin; half-away rounding at ``round_dp``."""
+    keys = list(keys)
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            **{k: part[k].iloc[:0] for k in keys},
+            grid_col: pd.Series([], dtype="datetime64[us]"),
+            out_name: pd.Series([], dtype="float64"),
+        })
+        if not len(part):
+            return empty
+        part = (part.groupby(keys + [ts_col], sort=False, as_index=False)
+                [val_col].max())
+        part = part.sort_values(keys + [ts_col],
+                                kind="mergesort").reset_index(drop=True)
+        ts = part[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        gid = pd.MultiIndex.from_frame(part[keys]).factorize()[0] \
+            if len(keys) > 1 else part[keys[0]].factorize()[0]
+        gid = np.asarray(gid, dtype="int64")
+        n_g = int(gid.max()) + 1
+        starts = np.full(n_g, len(part), dtype="int64")
+        np.minimum.at(starts, gid, np.arange(len(part)))
+        lo = np.full(n_g, np.iinfo(np.int64).max)
+        hi = np.full(n_g, np.iinfo(np.int64).min)
+        np.minimum.at(lo, gid, ts)
+        np.maximum.at(hi, gid, ts)
+        lo = lo // freq_us * freq_us
+        hi = hi // freq_us * freq_us
+        sizes = (hi - lo) // freq_us + 1
+        total = int(sizes.sum())
+        g_gid = np.repeat(np.arange(n_g), sizes)
+        offs = np.arange(total, dtype="int64") - np.repeat(
+            np.cumsum(sizes) - sizes, sizes)
+        g_ts = np.repeat(lo, sizes) + offs * freq_us
+        t0ref = ts.min()
+        span = int(max(ts.max(), g_ts.max()) - t0ref) + freq_us + 2
+        if n_g * span >= np.iinfo(np.int64).max:
+            raise ValueError(
+                "resample_interp: group-count x time-span exceeds "
+                "int64; raise num_partitions")
+        comp_ev = gid * span + (ts - t0ref)
+        comp_gr = g_gid * span + (g_ts - t0ref)
+        i0 = np.searchsorted(comp_ev, comp_gr, side="right") - 1
+        i1 = np.searchsorted(comp_ev, comp_gr, side="left")
+        vals = part[val_col].to_numpy(dtype="float64")
+        has_prev = i0 >= starts[g_gid]
+        i0c = np.maximum(i0, 0)
+        i1c = np.minimum(i1, len(part) - 1)
+        t0v, t1v = ts[i0c].astype("float64"), ts[i1c].astype("float64")
+        v0, v1 = vals[i0c], vals[i1c]
+        exact_hit = comp_ev[i1c] == comp_gr   # grid point ON an event
+        dt = t1v - t0v
+        interp = np.where(
+            exact_hit, v1,
+            v0 + (g_ts - ts[i0c]).astype("float64") * (v1 - v0)
+            / np.where(dt == 0, 1.0, dt))
+        out = np.where(has_prev | exact_hit, interp, np.nan)
+        p = 10.0 ** round_dp
+        out = np.copysign(np.floor(np.abs(out) * p + 0.5), out) / p
+        key_rows = part.iloc[starts[g_gid]][keys].reset_index(drop=True)
+        return pd.DataFrame({
+            **{k: key_rows[k] for k in keys},
+            grid_col: g_ts.view("datetime64[us]"),
+            out_name: out,
+        })
+
+    return grouped_apply(ds, keys, per_part,
+                         num_partitions=num_partitions)

@@ -6750,6 +6750,168 @@ FROM p JOIN LATERAL (
 
 
 
+def q_resample_interp(sf_dir: str):
+    """Hourly resample with LINEAR INTERPOLATION of each user's
+    event-value series (users 0-19) — the continuous-signal sibling of
+    `resample_ffill` (`functions/relational.py:resample_interp`): grid
+    points take v0 + Δt·(v1−v0)/(t1−t0) between their neighbor events,
+    NULL before the first event. Events sharing (user, ts) pre-reduce
+    to max(value) on both engines so the neighbors are deterministic.
+    One exchange; both neighbor lookups are single searchsorted calls
+    on the composite (group, time) axis. DuckDB ASOF has no forward
+    direction, so the oracle's t1 side is the LATERAL first-row form
+    (the `asof_forward` precedent); interpolation evaluated in the
+    identical operation order, 6 dp half-away."""
+    from ..functions.relational import resample_interp
+
+    ds = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["user_id", "ts", "value"])
+    small = ds.map_batches(lambda df: df[df["user_id"] < 20],
+                           batch_format="pandas")
+    return resample_interp(small, ["user_id"], "ts", "value",
+                           freq_us=3_600_000_000, num_partitions=8)
+
+
+SQL_RESAMPLE_INTERP = """
+WITH ev0 AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM ev0 GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds),
+b AS (
+  SELECT g.user_id, g.h, e.ts AS t0, e.value AS v0
+  FROM grid g ASOF LEFT JOIN ev0 e
+    ON g.user_id = e.user_id AND g.h >= e.ts),
+f AS (
+  SELECT g.user_id, g.h, l.t1, l.v1
+  FROM grid g JOIN LATERAL (
+    SELECT ts AS t1, value AS v1 FROM ev0 e
+    WHERE e.user_id = g.user_id AND e.ts >= g.h
+    ORDER BY e.ts LIMIT 1) l ON true)
+SELECT b.user_id, b.h,
+       round(CASE WHEN b.t0 IS NULL THEN NULL ELSE
+         b.v0 + (epoch_us(b.h) - epoch_us(b.t0))::DOUBLE
+                * (f.v1 - b.v0)
+                / (CASE WHEN epoch_us(f.t1) = epoch_us(b.t0)
+                        THEN 1.0
+                        ELSE (epoch_us(f.t1) - epoch_us(b.t0))::DOUBLE
+                   END)
+       END, 6) AS value_interp
+FROM b JOIN f USING (user_id, h)
+"""
+
+
+def q_powerlaw_fit(sf_dir: str):
+    """Power-law exponent estimate of the co-purchase degree
+    distribution — log-log OLS over (log2 degree, log2 count), the
+    "is this graph scale-free" diagnostic that decides whether
+    `skew_report`-style salting will be needed downstream. Degrees
+    from per-block endpoint partials (the `clustering_coeff` pass);
+    the (degree, count) table is bounded by the max degree, so the
+    five OLS sums fold driver-side from per-block partials. The
+    closed-form slope/intercept expressions are written IDENTICALLY
+    in both engines (no regr_slope — its internal order is the
+    engine's choice); 6 dp."""
+    nparts = 16
+    edges = _copurchase_edges(sf_dir, nparts)
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        node, cnt = np.unique(
+            np.concatenate([df["u"].to_numpy(dtype="int64"),
+                            df["v"].to_numpy(dtype="int64")]),
+            return_counts=True)
+        return pd.DataFrame({"node": node, "deg": cnt.astype("int64")})
+
+    deg = grouped_agg(
+        edges.map_batches(deg_partial, batch_format="pandas"),
+        ["node"], {"deg": ("deg", "sum")}, merge_partitions=nparts)
+    hist = grouped_agg(
+        deg.map_batches(
+            lambda d: pd.DataFrame({"deg": d["deg"].astype("int64")}),
+            batch_format="pandas"),
+        ["deg"], {"cnt": ("deg", "count")},
+    ).to_pandas()  # bounded by max degree — model-constant
+    x = np.log2(hist["deg"].to_numpy(dtype="float64"))
+    y = np.log2(hist["cnt"].to_numpy(dtype="float64"))
+    n = float(len(hist))
+    sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame({
+        "n_points": [np.int64(n)],
+        "slope": [float(np.round(slope, 6))],
+        "intercept": [float(np.round(intercept, 6))],
+    })
+
+
+SQL_POWERLAW_FIT = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+d AS (
+  SELECT node, count(*)::BIGINT AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node),
+h AS (SELECT deg, count(*)::BIGINT AS cnt FROM d GROUP BY 1),
+s AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(log2(deg::DOUBLE)) AS sx,
+         sum(log2(cnt::DOUBLE)) AS sy,
+         sum(log2(deg::DOUBLE) * log2(cnt::DOUBLE)) AS sxy,
+         sum(log2(deg::DOUBLE) * log2(deg::DOUBLE)) AS sxx
+  FROM h)
+SELECT n::BIGINT AS n_points,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             6) AS intercept
+FROM s
+"""
+
+
+def q_checksum_audit(sf_dir: str):
+    """Per-bucket order-independent table checksums — the fast
+    replication / migration equality check (compare 16 rows instead of
+    1.5 M): checksum = Σ knuth_hash(orderkey) per hash bucket, so any
+    dropped, duplicated or corrupted key flips its bucket's sum and
+    count. Pure per-block partials + one tiny grouped sum — the
+    cheapest possible full-table audit, and the unit a resumable
+    copier verifies per shard. Exact integer arithmetic end to end."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        k = d["o_orderkey"].to_numpy(dtype="int64")
+        h = (k.astype(np.uint64) * np.uint64(2654435761)
+             % np.uint64(2**32)).astype("int64")
+        g = pd.DataFrame({"bucket": h % 16, "h": h})
+        out = g.groupby("bucket", sort=False).agg(
+            checksum=("h", "sum"), n_rows=("h", "size")).reset_index()
+        out["checksum"] = out["checksum"].astype("int64")
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return out
+
+    return grouped_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["bucket"], {"checksum": ("checksum", "sum"),
+                     "n_rows": ("n_rows", "sum")})
+
+
+SQL_CHECKSUM_AUDIT = """
+WITH h AS (
+  SELECT (o_orderkey * 2654435761) % 4294967296 AS h
+  FROM orders)
+SELECT h % 16 AS bucket, sum(h)::BIGINT AS checksum,
+       count(*)::BIGINT AS n_rows
+FROM h GROUP BY 1
+"""
+
+
+
 def q_dsir(sf_dir: str):
     """DSIR importance resampling (`functions/text.py:dsir_weights`,
     arXiv:2302.03169): score every document by the mean per-token log
@@ -9316,6 +9478,9 @@ QUERIES = {
     "kmv_audit": q_kmv_audit,
     "item2item": q_item2item,
     "asof_tolerance": q_asof_tolerance,
+    "resample_interp": q_resample_interp,
+    "powerlaw_fit": q_powerlaw_fit,
+    "checksum_audit": q_checksum_audit,
     "boolean_search": q_boolean_search,
     "ann_lsh_recall": q_ann_lsh_recall,
     "split_leakage_safe": q_split_leakage_safe,
@@ -9538,6 +9703,9 @@ ORACLE_SQL = {
     "kmv_audit": SQL_KMV_AUDIT,
     "item2item": SQL_ITEM2ITEM,
     "asof_tolerance": SQL_ASOF_TOLERANCE,
+    "resample_interp": SQL_RESAMPLE_INTERP,
+    "powerlaw_fit": SQL_POWERLAW_FIT,
+    "checksum_audit": SQL_CHECKSUM_AUDIT,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,

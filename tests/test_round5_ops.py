@@ -1289,3 +1289,44 @@ def test_item2item_symmetry_and_range(ray_session):
     # top-3 per item, (item, other) never self-paired
     assert (got["item"] != got["other"]).all()
     assert got.groupby("item").size().le(3).all()
+
+
+def test_resample_interp_linear_ramp(ray_session):
+    """On a linear signal the interpolation is exact at every grid
+    point; leading-edge grid points are NULL; exact-hit points take
+    the event value."""
+    t0 = np.datetime64("2026-01-01T00:30:00", "us")
+    hour = np.timedelta64(3_600_000_000, "us")
+    df = pd.DataFrame({
+        "k": np.zeros(4, dtype="int64"),
+        "ts": [t0, t0 + 2 * hour, t0 + 4 * hour, t0 + 4 * hour],
+        "v": [10.0, 30.0, 50.0, 40.0],   # dup ts -> max wins (50)
+    })
+    got = (rel.resample_interp(rd.from_pandas(df).repartition(2),
+                               ["k"], "ts", "v", 3_600_000_000)
+           .to_pandas().sort_values("h").reset_index(drop=True))
+    # grid 00:00..04:00; 00:00 precedes first event -> NULL
+    assert np.isnan(got.loc[0, "value_interp"])
+    # events at fractional-hour offsets: 00:30->10, 02:30->30, 04:30->50
+    # grid 01:00 = 10 + (30m/120m)*(30-10) = 15; 03:00 = 35; 04:00 = 45
+    np.testing.assert_allclose(
+        got["value_interp"].to_numpy()[1:], [15.0, 25.0, 35.0, 45.0])
+
+    # parallelism invariance
+    a = (rel.resample_interp(rd.from_pandas(df).repartition(1),
+                             ["k"], "ts", "v", 3_600_000_000,
+                             num_partitions=3)
+         .to_pandas().sort_values("h").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, got)
+
+
+def test_checksum_audit_detects_corruption(ray_session):
+    from crawler_service_ray.pipelines.queries import q_checksum_audit
+
+    a = (q_checksum_audit("/root/testdata/sf0.001").to_pandas()
+         .sort_values("bucket").reset_index(drop=True))
+    b = (q_checksum_audit("/root/testdata/sf0.001").to_pandas()
+         .sort_values("bucket").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)  # reproducible
+    assert a["n_rows"].sum() == len(pd.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet", columns=["o_orderkey"]))
