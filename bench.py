@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "resample_interp",
     "powerlaw_fit",
     "checksum_audit",
+    "target_encode",
+    "max_gap",
 ]
 
 

@@ -6912,6 +6912,119 @@ FROM h GROUP BY 1
 
 
 
+def q_target_encode(sf_dir: str):
+    """Leave-one-out target encoding of event_type against value — the
+    category-to-number featurizer that avoids self-leakage: each row's
+    encoding is (Σ_type value − own value)/(n_type − 1), so the row's
+    own target never leaks into its feature (plain target-mean
+    encoding overfits rare categories). One grouped_agg for the
+    per-type (Σ, n) — 5 rows, broadcast back — then one vectorized
+    streaming pass; singleton categories get NULL (0/0, SQL
+    semantics). The 2-dp values scale to exact integer centi-units so
+    the sum is bit-equal on both engines at any accumulation order —
+    quotient ties are dense here (shared decimals), so no float-sum
+    rounding contract can hold; 6 dp on the final quotient."""
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "event_type", "value"]
+                    ).map_batches(
+        # 2-dp money values scale to EXACT integer centi-units, making
+        # the distributed sum bit-equal to the oracle's regardless of
+        # accumulation order — a float sum straddled the round
+        # boundary measurably often here (values share the same few
+        # decimals, so quotient ties are dense, unlike `impute`)
+        lambda d: d.assign(vi=np.rint(d["value"].to_numpy() * 100)
+                           .astype("int64")),
+        batch_format="pandas")
+    stats = grouped_agg(
+        ev, ["event_type"],
+        {"s": ("vi", "sum"), "n": ("vi", "count")},
+    ).to_pandas()  # |types| rows — the broadcast side
+    out = broadcast_join(ev, stats, on="event_type")
+
+    def enc(d: pd.DataFrame) -> pd.DataFrame:
+        n = d["n"].to_numpy(dtype="float64")
+        loo = (d["s"].to_numpy(dtype="float64")
+               - d["vi"].to_numpy(dtype="float64")) \
+            / np.where(n > 1, n - 1, np.nan) / 100.0
+        # the exact-integer quotient lands on decimal .5 ties OFTEN
+        # (centi-unit sums over small n) — half-away like SQL round()
+        loo = np.copysign(np.floor(np.abs(loo) * 1e6 + 0.5), loo) / 1e6
+        return pd.DataFrame({
+            "event_id": d["event_id"].astype("int64"),
+            "event_type": d["event_type"],
+            "loo_mean": loo,
+        })
+
+    return out.map_batches(enc, batch_format="pandas")
+
+
+SQL_TARGET_ENCODE = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS vi
+  FROM events),
+s AS (
+  SELECT event_type, sum(vi)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM v GROUP BY 1)
+SELECT e.event_id, e.event_type,
+       round((s.s - e.vi)::DOUBLE / NULLIF(s.n - 1, 0) / 100.0, 6)
+         AS loo_mean
+FROM v e JOIN s USING (event_type)
+"""
+
+
+def q_max_gap(sf_dir: str):
+    """Largest silent period per user — the outage/churn-risk signal
+    (`twap` weights by gaps; this finds the single worst one): per
+    user the maximum µs between consecutive events and the timestamp
+    that opened it, ties broken toward the EARLIEST gap start. ONE
+    user-hash exchange, per-partition mergesort + shift; exact int-µs
+    arithmetic, no rounding contract. Users with one event emit
+    nothing (no gap exists — SQL's lag produces no pair)."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        ts = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        prev = g.groupby("user_id", sort=False)["ts"].shift(1)
+        has = prev.notna().to_numpy()
+        gap = ts - prev.to_numpy("datetime64[us]").astype("int64")
+        d = pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "gap_us": gap,
+            "gap_start": prev.to_numpy("datetime64[us]"),
+        }).loc[has]
+        d = d.sort_values(["user_id", "gap_us", "gap_start"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        return d.groupby("user_id", sort=False).first().reset_index()
+
+    return grouped_apply(ev, ["user_id"], per_part, num_partitions=16)
+
+
+SQL_MAX_GAP = """
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id,
+       (epoch_us(ts) - epoch_us(prev))::BIGINT AS gap_us,
+       prev AS gap_start
+FROM (
+  SELECT user_id, ts, prev,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(ts) - epoch_us(prev) DESC, prev ASC) AS r
+  FROM g WHERE prev IS NOT NULL) WHERE r = 1
+"""
+
+
+
 def q_dsir(sf_dir: str):
     """DSIR importance resampling (`functions/text.py:dsir_weights`,
     arXiv:2302.03169): score every document by the mean per-token log
@@ -9481,6 +9594,8 @@ QUERIES = {
     "resample_interp": q_resample_interp,
     "powerlaw_fit": q_powerlaw_fit,
     "checksum_audit": q_checksum_audit,
+    "target_encode": q_target_encode,
+    "max_gap": q_max_gap,
     "boolean_search": q_boolean_search,
     "ann_lsh_recall": q_ann_lsh_recall,
     "split_leakage_safe": q_split_leakage_safe,
@@ -9706,6 +9821,8 @@ ORACLE_SQL = {
     "resample_interp": SQL_RESAMPLE_INTERP,
     "powerlaw_fit": SQL_POWERLAW_FIT,
     "checksum_audit": SQL_CHECKSUM_AUDIT,
+    "target_encode": SQL_TARGET_ENCODE,
+    "max_gap": SQL_MAX_GAP,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,

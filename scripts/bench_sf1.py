@@ -39,7 +39,9 @@ COPIES = int(os.environ.get("CSR_SF1_COPIES", "10"))
 QUERIES = ["join_partitioned", "dedup_minhash", "tfidf",
            "range_join_partitioned", "cosine_pairs", "pagerank",
            # round-5 sixth-wave exchange-bound additions
-           "sssp", "histogram_depth", "ks_test"]
+           "sssp", "histogram_depth", "ks_test",
+           # round-5 late-wave exchange-bound additions
+           "quantile_normalize", "kcore", "item2item", "table_diff"]
 # (table, bytes_per_block const) each query reads — for block-count logs
 QUERY_TABLES = {
     "join_partitioned": [("lineitem", 1 << 20), ("orders", 1 << 20)],
@@ -51,6 +53,10 @@ QUERY_TABLES = {
     "sssp": [("lineitem", 1 << 20)],
     "histogram_depth": [("lineitem", 1 << 20)],
     "ks_test": [("events", 1 << 20)],
+    "quantile_normalize": [("events", 1 << 20)],
+    "kcore": [("lineitem", 1 << 20)],
+    "item2item": [("lineitem", 1 << 20)],
+    "table_diff": [("orders", 1 << 20)],
 }
 
 

@@ -1330,3 +1330,55 @@ def test_checksum_audit_detects_corruption(ray_session):
     pd.testing.assert_frame_equal(a, b)  # reproducible
     assert a["n_rows"].sum() == len(pd.read_parquet(
         "/root/testdata/sf0.001/orders.parquet", columns=["o_orderkey"]))
+
+
+def test_target_encode_loo_identity(ray_session):
+    """LOO mean excludes the row itself: on a 3-row category with
+    values 1,2,3 the encodings are (2+3)/2, (1+3)/2, (1+2)/2."""
+    from crawler_service_ray.pipelines.queries import q_target_encode
+
+    got = q_target_encode("/root/testdata/sf0.001").to_pandas()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    vi = np.rint(ev["value"].to_numpy() * 100).astype("int64")
+    ev = ev.assign(vi=vi)
+    s = ev.groupby("event_type")["vi"].transform("sum")
+    n = ev.groupby("event_type")["vi"].transform("size")
+    want = ((s - ev["vi"]) / (n - 1) / 100.0).to_numpy()
+    want = np.copysign(np.floor(np.abs(want) * 1e6 + 0.5), want) / 1e6
+    got = got.sort_values("event_id").reset_index(drop=True)
+    ev = ev.sort_values("event_id").reset_index(drop=True)
+    np.testing.assert_allclose(got["loo_mean"].to_numpy(), want,
+                               atol=0, rtol=0)
+
+
+def test_max_gap_handcrafted(ray_session):
+    from crawler_service_ray.functions.relational import grouped_apply
+
+    t0 = np.datetime64("2026-01-01T00:00:00", "us")
+    s = np.timedelta64(1_000_000, "us")
+    df = pd.DataFrame({
+        "event_id": np.arange(5, dtype="int64"),
+        "user_id": np.array([1, 1, 1, 2, 2], dtype="int64"),
+        "ts": [t0, t0 + 10 * s, t0 + 11 * s, t0, t0 + 3 * s],
+    })
+
+    def per_part(g):
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        ts = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        prev = g.groupby("user_id", sort=False)["ts"].shift(1)
+        has = prev.notna().to_numpy()
+        gap = ts - prev.to_numpy("datetime64[us]").astype("int64")
+        d = pd.DataFrame({"user_id": g["user_id"],
+                          "gap_us": gap,
+                          "gap_start": prev.to_numpy("datetime64[us]")
+                          }).loc[has]
+        d = d.sort_values(["user_id", "gap_us", "gap_start"],
+                          ascending=[True, False, True], kind="mergesort")
+        return d.groupby("user_id", sort=False).first().reset_index()
+
+    got = (grouped_apply(rd.from_pandas(df).repartition(2), ["user_id"],
+                         per_part, num_partitions=2)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert got["gap_us"].tolist() == [10_000_000, 3_000_000]
