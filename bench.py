@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     "checksum_audit",
     "target_encode",
     "max_gap",
+    "components_hist",
+    "agg_incremental",
 ]
 
 

@@ -7025,6 +7025,103 @@ FROM (
 
 
 
+def q_components_hist(sf_dir: str):
+    """Connected-component size histogram of a SPARSE co-purchase
+    subgraph (every 7th edge by a deterministic hash — the full graph
+    is one blob; thinned it fragments, which is the regime where
+    component analysis means something): reuses the dedup stack's
+    distributed min-label propagation (`dedup.connected_components` —
+    iterative co-partitioned exchanges, no driver union-find), then
+    folds (component → size → histogram) in two tiny grouped
+    aggregates. Oracle: the recursive-CTE reachability closure over
+    the identically thinned edge set. Isolated nodes (no surviving
+    edge) are out of scope on both engines — the pair list defines
+    the universe."""
+    from ..functions.dedup import connected_components
+
+    nparts = 16
+    edges = _copurchase_edges(sf_dir, nparts)
+    sparse = edges.map_batches(
+        lambda d: d.loc[(d["u"].to_numpy(dtype="int64") * 31
+                         + d["v"].to_numpy(dtype="int64")) % 7 == 0]
+        .rename(columns={"u": "id_a", "v": "id_b"}),
+        batch_format="pandas")
+    cl = connected_components(sparse, num_partitions=nparts)
+    sizes = grouped_agg(cl, ["label"], {"size": ("node", "count")},
+                        merge_partitions=8)
+    return grouped_agg(
+        sizes.map_batches(
+            lambda d: pd.DataFrame({"size": d["size"].astype("int64")}),
+            batch_format="pandas"),
+        ["size"], {"n_components": ("size", "count")})
+
+
+SQL_COMPONENTS_HIST = """
+WITH RECURSIVE
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sparse AS (SELECT u, v FROM e0 WHERE (u * 31 + v) % 7 = 0),
+edges AS (SELECT u AS src, v AS dst FROM sparse
+          UNION ALL SELECT v, u FROM sparse),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src),
+comp AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+sizes AS (SELECT label, count(*)::BIGINT AS size FROM comp GROUP BY 1)
+SELECT size, count(*)::BIGINT AS n_components FROM sizes GROUP BY 1
+"""
+
+
+def q_agg_incremental(sf_dir: str):
+    """Incremental materialized-view maintenance, hash-certified: the
+    per-type revenue aggregate is maintained as BASE (first 80% of
+    event ids) plus a DELTA (the rest) — two independently aggregated
+    partial tables merged by one tiny grouped sum — and the oracle
+    computes the same aggregate from scratch over everything, so the
+    hash match certifies that the incremental fold equals the full
+    recomputation (the `sessionize_incremental` contract for
+    aggregates). Exact integer centi-units end to end — a maintained
+    view must not drift by ulps as deltas fold in."""
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "event_type", "value"]
+                    ).map_batches(
+        lambda d: d.assign(vi=np.rint(d["value"].to_numpy() * 100)
+                           .astype("int64")),
+        batch_format="pandas")
+    base = ev.map_batches(
+        lambda d: d[d["event_id"].to_numpy(dtype="int64") % 5 != 0],
+        batch_format="pandas")
+    delta = ev.map_batches(
+        lambda d: d[d["event_id"].to_numpy(dtype="int64") % 5 == 0],
+        batch_format="pandas")
+    base_agg = grouped_agg(base, ["event_type"],
+                           {"s": ("vi", "sum"), "n": ("vi", "count")})
+    delta_agg = grouped_agg(delta, ["event_type"],
+                            {"s": ("vi", "sum"), "n": ("vi", "count")})
+    merged = grouped_agg(base_agg.union(delta_agg), ["event_type"],
+                         {"s": ("s", "sum"), "n": ("n", "sum")})
+    return merged.map_batches(
+        lambda d: pd.DataFrame({
+            "event_type": d["event_type"],
+            "n_events": d["n"].astype("int64"),
+            "revenue": (d["s"].to_numpy(dtype="int64") // 100)
+            .astype("int64"),
+        }), batch_format="pandas")
+
+
+SQL_AGG_INCREMENTAL = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       (sum(CAST(round(value * 100, 0) AS BIGINT)) // 100)::BIGINT
+         AS revenue
+FROM events GROUP BY 1
+"""
+
+
+
 def q_dsir(sf_dir: str):
     """DSIR importance resampling (`functions/text.py:dsir_weights`,
     arXiv:2302.03169): score every document by the mean per-token log
@@ -9596,6 +9693,8 @@ QUERIES = {
     "checksum_audit": q_checksum_audit,
     "target_encode": q_target_encode,
     "max_gap": q_max_gap,
+    "components_hist": q_components_hist,
+    "agg_incremental": q_agg_incremental,
     "boolean_search": q_boolean_search,
     "ann_lsh_recall": q_ann_lsh_recall,
     "split_leakage_safe": q_split_leakage_safe,
@@ -9823,6 +9922,8 @@ ORACLE_SQL = {
     "checksum_audit": SQL_CHECKSUM_AUDIT,
     "target_encode": SQL_TARGET_ENCODE,
     "max_gap": SQL_MAX_GAP,
+    "components_hist": SQL_COMPONENTS_HIST,
+    "agg_incremental": SQL_AGG_INCREMENTAL,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "split_leakage_safe": SQL_SPLIT_LEAKAGE_SAFE,

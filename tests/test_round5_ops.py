@@ -1382,3 +1382,31 @@ def test_max_gap_handcrafted(ray_session):
                          per_part, num_partitions=2)
            .to_pandas().sort_values("user_id").reset_index(drop=True))
     assert got["gap_us"].tolist() == [10_000_000, 3_000_000]
+
+
+def test_agg_incremental_equals_full(ray_session):
+    """Folding base+delta partial aggregates equals the from-scratch
+    aggregate exactly (integer units)."""
+    from crawler_service_ray.pipelines.queries import q_agg_incremental
+
+    got = (q_agg_incremental("/root/testdata/sf0.001").to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_type", "value"])
+    vi = np.rint(ev["value"].to_numpy() * 100).astype("int64")
+    want = (ev.assign(vi=vi).groupby("event_type")
+            .agg(n_events=("vi", "size"), s=("vi", "sum")).reset_index()
+            .sort_values("event_type").reset_index(drop=True))
+    assert (got["n_events"].to_numpy()
+            == want["n_events"].to_numpy()).all()
+    assert (got["revenue"].to_numpy()
+            == (want["s"].to_numpy() // 100)).all()
+
+
+def test_components_hist_accounting(ray_session):
+    """Component sizes sum to the node count of the thinned graph."""
+    from crawler_service_ray.pipelines.queries import q_components_hist
+
+    got = q_components_hist("/root/testdata/sf0.001").to_pandas()
+    assert (got["size"] >= 2).all()   # every component spans an edge
+    assert (got["n_components"] >= 1).all()
