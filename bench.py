@@ -189,6 +189,13 @@ BENCH_QUERIES = [
     "max_gap",
     "components_hist",
     "agg_incremental",
+    # round-5 twelfth wave: Kadane bursts, robust trend, dictionary
+    # tagging, 3-step sequence mining, AMS F2 sketch
+    "max_subarray",
+    "theilsen",
+    "keyword_tag",
+    "trigram_mining",
+    "ams_f2",
 ]
 
 

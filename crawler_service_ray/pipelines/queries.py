@@ -9516,6 +9516,273 @@ GROUP BY bin
 """
 
 
+def q_max_subarray(sf_dir: str):
+    """Per-user maximum-sum contiguous subarray (Kadane) over signed
+    integer deviations — the burst detector: the hottest contiguous
+    stretch of above-threshold spend in each user's event stream.
+    Deviation x = round(value*100) − 10000 cents (fixed threshold, so
+    both engines work in exact int64); order is (ts, event_id). ONE
+    user-hash exchange; within a partition everything is vectorized
+    pandas-groupby cumsum/shift/cummin — best_j = cum_j − min(0,
+    min_{k<j} cum_k), the prefix-min identity, no per-row loop. The
+    nonempty-subarray convention (all-negative users report their max
+    single element) falls out of the same identity on both engines."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        x = pd.Series(
+            np.rint(g["value"].to_numpy(dtype="float64") * 100)
+            .astype("int64") - 10_000)
+        grp = g["user_id"]
+        cum = x.groupby(grp, sort=False).cumsum()
+        prev = cum.groupby(grp, sort=False).shift(1)
+        pmin_prev = prev.groupby(grp, sort=False).cummin()
+        # prefix candidates are {0} ∪ {cum_k : k < j}: an empty prefix
+        # (subarray starting at the first row) is always available.
+        pmin = np.fmin(
+            0.0, pmin_prev.fillna(0.0).to_numpy(dtype="float64"))
+        best = cum.to_numpy(dtype="int64") - pmin.astype("int64")
+        out = pd.DataFrame({"user_id": g["user_id"].astype("int64"),
+                            "best": best})
+        r = out.groupby("user_id", sort=False)["best"].max().reset_index()
+        return r.rename(columns={"best": "best_sum"})
+
+    return grouped_apply(ev, ["user_id"], per_part, num_partitions=16)
+
+
+SQL_MAX_SUBARRAY = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) - 10000 AS x
+  FROM events),
+c AS (
+  SELECT user_id, ts, event_id, x,
+         sum(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s),
+m AS (
+  SELECT user_id, cum,
+         least(0, coalesce(min(cum) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+           AS pmin
+  FROM c)
+SELECT user_id, CAST(max(cum - pmin) AS BIGINT) AS best_sum
+FROM m GROUP BY user_id
+"""
+
+
+def q_theilsen(sf_dir: str):
+    """Per-user Theil–Sen robust trend: the median over all pairwise
+    slopes (Δvalue-cents / Δseconds) of the user's time-ordered
+    events — outlier-immune where `trend_per_user`'s OLS is not.
+    ONE user-hash exchange; within each partition a loop over USER
+    GROUPS (bounded ~86 events → ≤3.7k pairs) with the pairwise
+    slope matrix built by one numpy broadcast per user — no per-row
+    Python. Equal-timestamp pairs are excluded (slope undefined);
+    users with no strictly-later pair emit nothing, matching the SQL
+    join's empty group."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_n, out_s = [], [], []
+        for uid, gg in g.groupby("user_id", sort=False):
+            t = gg["ts"].to_numpy("datetime64[us]").astype("int64")
+            order = np.lexsort((gg["event_id"].to_numpy(), t))
+            t = t[order]
+            v = np.rint(gg["value"].to_numpy(dtype="float64")[order]
+                        * 100)
+            dt = t[None, :] - t[:, None]
+            mask = dt > 0
+            if not mask.any():
+                continue
+            dv = v[None, :] - v[:, None]
+            slopes = dv[mask] / (dt[mask].astype("float64") / 1e6)
+            out_u.append(int(uid))
+            out_n.append(int(mask.sum()))
+            out_s.append(float(np.median(slopes)))
+        return pd.DataFrame({
+            "user_id": np.array(out_u, dtype="int64"),
+            "n_pairs": np.array(out_n, dtype="int64"),
+            "slope_cps": np.round(np.array(out_s, dtype="float64"), 6),
+        })
+
+    return grouped_apply(ev, ["user_id"], per_part, num_partitions=16)
+
+
+SQL_THEILSEN = """
+WITH s AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS DOUBLE) AS v
+  FROM events),
+p AS (
+  SELECT a.user_id,
+         (b.v - a.v)
+           / ((epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0) AS slope
+  FROM s a JOIN s b ON a.user_id = b.user_id AND a.ts < b.ts)
+SELECT user_id, count(*)::BIGINT AS n_pairs,
+       round(median(slope), 6) AS slope_cps
+FROM p GROUP BY user_id
+"""
+
+
+_TAG_KEYWORDS = ("table", "hash", "merge", "sort", "spark",
+                 "window", "batch", "scan")
+
+
+def q_keyword_tag(sf_dir: str):
+    """Dictionary tagging — the brand/topic/PII-term counting pass of
+    a curation pipeline: for a broadcast keyword list, corpus-wide
+    non-overlapping occurrence totals and containing-doc counts. Per
+    block one vectorized `str.count` per keyword (8 compiled-regex
+    passes over the batch, no per-row loop) emits 8 partial rows; a
+    tiny keyword-keyed grouped sum finishes. At 100 TB the keyword
+    list rides task submission (it is a constant); only 8 rows per
+    block leave the scan."""
+    import re as _re
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def parts(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df["text"]
+        rows = []
+        for kw in _TAG_KEYWORDS:
+            c = txt.str.count(_re.escape(kw)).to_numpy(dtype="int64")
+            rows.append((kw, int(c.sum()), int((c > 0).sum())))
+        return pd.DataFrame(rows, columns=["kw", "occ", "docs"])
+
+    return grouped_agg(
+        ds.map_batches(parts, batch_format="pandas"),
+        ["kw"], {"occurrences": ("occ", "sum"), "n_docs": ("docs", "sum")})
+
+
+SQL_KEYWORD_TAG = """
+WITH k AS (
+  SELECT unnest(['table', 'hash', 'merge', 'sort', 'spark',
+                 'window', 'batch', 'scan']) AS kw)
+SELECT kw,
+       CAST(sum((length(text) - length(replace(text, kw, '')))
+                / length(kw)) AS BIGINT) AS occurrences,
+       CAST(sum(CASE WHEN contains(text, kw) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs
+FROM documents CROSS JOIN k
+GROUP BY kw
+"""
+
+
+def q_trigram_mining(sf_dir: str):
+    """Frequent 3-step behavioral sequences: counts of consecutive
+    event-type TRIPLES per user stream (order ts, event_id) —
+    `session_transitions` is the 2-step Markov matrix; this is the
+    length-3 sequential-pattern table (≤ |types|³ = 125 rows). ONE
+    user-hash exchange; per partition a vectorized groupby shift(-1)
+    / shift(-2) builds the triples (sequences never cross users), a
+    within-partition groupby pre-counts, and a tiny grouped sum over
+    (e1,e2,e3) finishes — only ≤125 partial rows per partition leave."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        grp = g.groupby("user_id", sort=False)
+        e2 = grp["event_type"].shift(-1)
+        e3 = grp["event_type"].shift(-2)
+        ok = (e2.notna() & e3.notna()).to_numpy()
+        d = pd.DataFrame({"e1": g["event_type"].to_numpy()[ok],
+                          "e2": e2.to_numpy()[ok],
+                          "e3": e3.to_numpy()[ok]})
+        return (d.groupby(["e1", "e2", "e3"], sort=False).size()
+                .reset_index(name="n"))
+
+    parts = grouped_apply(ev, ["user_id"], per_part, num_partitions=16)
+    return grouped_agg(parts, ["e1", "e2", "e3"], {"n": ("n", "sum")})
+
+
+SQL_TRIGRAM_MINING = """
+WITH s AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e1, e2, e3, count(*)::BIGINT AS n
+FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY e1, e2, e3
+"""
+
+
+def q_ams_f2(sf_dir: str):
+    """AMS second-frequency-moment sketch with a machine-checked
+    guarantee (`freq_sketch_audit` pattern): estimate F2 = Σ cnt² of
+    `l_partkey` from s=96 deterministic ±1 hash projections — the
+    join-size / self-join-cost estimator that needs no key table.
+    Per block one (s,) partial vector of signed sums (splitmix-style
+    integer hash, vectorized over rows × sketches); partials sum
+    component-wise (model-constant, s int64s per block); the estimate
+    is the median of 8 means of 12 squared projections. The audit row
+    recomputes exact F2 distributedly (per-key counts → Σcnt², the
+    `grouped_agg` path) and asserts |est − F2| ≤ F2/2 — deterministic
+    given the fixed hash family, so the flag is a stable fact the SQL
+    oracle replays exactly."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+    s_proj, groups = 96, 8
+
+    def parts(t: pa.Table) -> pd.DataFrame:
+        k = t["l_partkey"].to_numpy(zero_copy_only=False).astype("uint64")
+        j = np.arange(s_proj, dtype="uint64")
+        h = k[:, None] * np.uint64(0x9E3779B97F4A7C15) \
+            + (j[None, :] + np.uint64(1)) * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(31)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(29)
+        sign = ((h >> np.uint64(63)).astype("int64") * 2) - 1
+        z = sign.sum(axis=0)
+        return pd.DataFrame({"j": np.arange(s_proj, dtype="int64"),
+                             "z": z})
+
+    partial = ds.map_batches(parts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    proj = grouped_agg(partial, ["j"], {"z": ("z", "sum")}).to_pandas()
+    z = (proj.sort_values("j")["z"].to_numpy(dtype="float64")) ** 2
+    means = z.reshape(groups, s_proj // groups).mean(axis=1)
+    est = float(np.median(means))
+
+    exact = grouped_agg(
+        ds, ["l_partkey"], {"cnt": ("l_partkey", "count")})
+    f2 = grouped_agg(
+        exact.map_batches(
+            lambda d: pd.DataFrame({
+                "one": np.zeros(len(d), dtype="int64"),
+                "c2": d["cnt"].to_numpy(dtype="int64") ** 2}),
+            batch_format="pandas"),
+        ["one"], {"f2": ("c2", "sum")}).to_pandas()
+    f2_exact = int(f2["f2"].iloc[0])
+    return pd.DataFrame({
+        "f2_exact": np.array([f2_exact], dtype="int64"),
+        "within_half": np.array(
+            [int(abs(est - f2_exact) <= f2_exact / 2)], dtype="int64"),
+    })
+
+
+SQL_AMS_F2 = """
+WITH c AS (
+  SELECT l_partkey, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1)
+SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact,
+       1::BIGINT AS within_half
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -9691,6 +9958,11 @@ QUERIES = {
     "resample_interp": q_resample_interp,
     "powerlaw_fit": q_powerlaw_fit,
     "checksum_audit": q_checksum_audit,
+    "max_subarray": q_max_subarray,
+    "theilsen": q_theilsen,
+    "keyword_tag": q_keyword_tag,
+    "trigram_mining": q_trigram_mining,
+    "ams_f2": q_ams_f2,
     "target_encode": q_target_encode,
     "max_gap": q_max_gap,
     "components_hist": q_components_hist,
@@ -9920,6 +10192,11 @@ ORACLE_SQL = {
     "resample_interp": SQL_RESAMPLE_INTERP,
     "powerlaw_fit": SQL_POWERLAW_FIT,
     "checksum_audit": SQL_CHECKSUM_AUDIT,
+    "max_subarray": SQL_MAX_SUBARRAY,
+    "theilsen": SQL_THEILSEN,
+    "keyword_tag": SQL_KEYWORD_TAG,
+    "trigram_mining": SQL_TRIGRAM_MINING,
+    "ams_f2": SQL_AMS_F2,
     "target_encode": SQL_TARGET_ENCODE,
     "max_gap": SQL_MAX_GAP,
     "components_hist": SQL_COMPONENTS_HIST,

