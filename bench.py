@@ -196,6 +196,9 @@ BENCH_QUERIES = [
     "keyword_tag",
     "trigram_mining",
     "ams_f2",
+    "modularity",
+    "cv_ols",
+    "stream_join",
 ]
 
 

@@ -9783,6 +9783,265 @@ FROM c
 """
 
 
+def q_modularity(sf_dir: str):
+    """Newman modularity of the brand partition over the part
+    co-purchase graph — the "is this community structure real"
+    score that gates whether a partitioning key is worth
+    co-locating by. Edges come from `_copurchase_edges` (no
+    lineitem self-join); both endpoint communities attach via ONE
+    broadcast of the bounded brand catalog (dimension table, J4
+    pattern); per block only ≤|brands| (c, e_in, degree) partial
+    rows leave; Q = Σ_c e_in/m − (deg_c/2m)² folds over the tiny
+    community table on the driver, 6-dp rounded on both engines."""
+    nparts = 16
+    edges = _copurchase_edges(sf_dir, nparts)
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    bu = broadcast_join(
+        edges, part.rename(columns={"p_partkey": "u", "p_brand": "cu"}),
+        "u")
+    both = broadcast_join(
+        bu, part.rename(columns={"p_partkey": "v", "p_brand": "cv"}),
+        "v")
+
+    def parts(df: pd.DataFrame) -> pd.DataFrame:
+        cu, cv = df["cu"], df["cv"]
+        ein = cu.where(cu.eq(cv)).value_counts()
+        deg = pd.concat([cu, cv]).value_counts()
+        out = pd.DataFrame({"c": deg.index.astype(object),
+                            "deg": deg.to_numpy(dtype="int64")})
+        out["ein"] = (out["c"].map(ein).fillna(0).astype("int64"))
+        return out[["c", "ein", "deg"]]
+
+    agg = grouped_agg(
+        both.map_batches(parts, batch_format="pandas"),
+        ["c"], {"ein": ("ein", "sum"), "deg": ("deg", "sum")}
+    ).to_pandas().sort_values("c").reset_index(drop=True)
+    m = float(agg["deg"].to_numpy(dtype="int64").sum()) / 2.0
+    ein = agg["ein"].to_numpy(dtype="float64")
+    deg = agg["deg"].to_numpy(dtype="float64")
+    q = float((ein / m - (deg / (2 * m)) * (deg / (2 * m))).sum())
+    return pd.DataFrame({
+        "n_communities": np.array([len(agg)], dtype="int64"),
+        "m_edges": np.array([int(m)], dtype="int64"),
+        "modularity": [round(q, 6)],
+    })
+
+
+SQL_MODULARITY = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+be AS (
+  SELECT pu.p_brand AS cu, pv.p_brand AS cv
+  FROM e JOIN part pu ON e.u = pu.p_partkey
+         JOIN part pv ON e.v = pv.p_partkey),
+deg AS (
+  SELECT c, count(*)::DOUBLE AS deg
+  FROM (SELECT cu AS c FROM be UNION ALL SELECT cv AS c FROM be)
+  GROUP BY c),
+ein AS (
+  SELECT cu AS c, count(*)::DOUBLE AS ein FROM be WHERE cu = cv
+  GROUP BY cu),
+m AS (SELECT sum(deg) / 2.0 AS m FROM deg)
+SELECT (SELECT count(*)::BIGINT FROM deg) AS n_communities,
+       (SELECT CAST(m AS BIGINT) FROM m) AS m_edges,
+       (SELECT round(sum(coalesce(e2.ein, 0) / m.m
+                         - (d.deg / (2 * m.m)) * (d.deg / (2 * m.m))), 6)
+        FROM deg d LEFT JOIN ein e2 USING (c) CROSS JOIN m) AS modularity
+"""
+
+
+_CV_FOLDS = 5
+
+
+def q_cv_ols(sf_dir: str):
+    """K-fold cross-validated OLS in ONE streaming pass — the
+    leave-fold-out Gram trick: per block, per-fold EXACT-integer
+    moment partials (n, Σx, Σx², Σxy, Σy² in centi-units), so the
+    train-side Gram of fold f is simply total − fold_f with NO
+    second scan and no float accumulation-order dependence; betas
+    solve the 3×3 normal equations by the SAME Cramer expressions
+    as the SQL oracle, and each fold's test RMSE comes analytically
+    from the quadratic form βᵀGβ − 2βᵀg + Σy² over the SAME exact
+    sums — both engines evaluate the identical IEEE expression tree.
+    Folds by the Knuth-hash bucket of l_orderkey (whole orders stay
+    in one fold — the leakage-safe grouping, `split_assign`'s hash)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_quantity",
+                             "l_discount", "l_tax"])
+    cols = ["n", "s1", "s2", "s11", "s12", "s22",
+            "sy", "s1y", "s2y", "syy"]
+
+    def parts(df: pd.DataFrame) -> pd.DataFrame:
+        okey = df["l_orderkey"].to_numpy().astype(np.uint64)
+        fold = (((okey % np.uint64(4294967296)) * np.uint64(2654435761))
+                % np.uint64(4294967296)
+                % np.uint64(_CV_FOLDS)).astype("int64")
+        y = np.rint(df["l_quantity"].to_numpy(dtype="float64")
+                    ).astype("int64")
+        x1 = np.rint(df["l_discount"].to_numpy(dtype="float64") * 100
+                     ).astype("int64")
+        x2 = np.rint(df["l_tax"].to_numpy(dtype="float64") * 100
+                     ).astype("int64")
+        g = pd.DataFrame({
+            "fold": fold, "n": np.int64(1), "s1": x1, "s2": x2,
+            "s11": x1 * x1, "s12": x1 * x2, "s22": x2 * x2,
+            "sy": y, "s1y": x1 * y, "s2y": x2 * y, "syy": y * y})
+        return g.groupby("fold", as_index=False).sum()
+
+    sums = grouped_agg(
+        ds.map_batches(parts, batch_format="pandas"),
+        ["fold"], {c: (c, "sum") for c in cols}
+    ).to_pandas().sort_values("fold").reset_index(drop=True)
+    tot = {c: int(sums[c].sum()) for c in cols}
+
+    out = []
+    for _, f in sums.iterrows():
+        # train = total − fold: exact integers, then ONE int→float
+        # conversion so the Cramer arithmetic below is bit-identical
+        # to the oracle's regardless of how blocks were accumulated.
+        tn, t1, t2 = (float(tot["n"] - f["n"]), float(tot["s1"] - f["s1"]),
+                      float(tot["s2"] - f["s2"]))
+        t11, t12, t22 = (float(tot["s11"] - f["s11"]),
+                         float(tot["s12"] - f["s12"]),
+                         float(tot["s22"] - f["s22"]))
+        ty, t1y, t2y = (float(tot["sy"] - f["sy"]),
+                        float(tot["s1y"] - f["s1y"]),
+                        float(tot["s2y"] - f["s2y"]))
+        det = tn * (t11 * t22 - t12 * t12) - t1 * (t1 * t22 - t2 * t12) \
+            + t2 * (t1 * t12 - t2 * t11)
+        det0 = ty * (t11 * t22 - t12 * t12) \
+            - t1y * (t1 * t22 - t2 * t12) + t2y * (t1 * t12 - t2 * t11)
+        det1 = tn * (t1y * t22 - t12 * t2y) - t1 * (ty * t22 - t2 * t2y) \
+            + t2 * (ty * t12 - t2 * t1y)
+        det2 = tn * (t11 * t2y - t1y * t12) - t1 * (t1 * t2y - ty * t12) \
+            + t2 * (t1 * t1y - ty * t11)
+        b0, b1, b2 = det0 / det, det1 / det, det2 / det
+        fn, f1, f2 = float(f["n"]), float(f["s1"]), float(f["s2"])
+        f11, f12, f22 = float(f["s11"]), float(f["s12"]), float(f["s22"])
+        fy, f1y, f2y, fyy = (float(f["sy"]), float(f["s1y"]),
+                             float(f["s2y"]), float(f["syy"]))
+        sse = fyy - 2 * (b0 * fy + b1 * f1y + b2 * f2y) \
+            + (b0 * b0 * fn + b1 * b1 * f11 + b2 * b2 * f22
+               + 2 * b0 * b1 * f1 + 2 * b0 * b2 * f2 + 2 * b1 * b2 * f12)
+        out.append((int(f["fold"]), int(f["n"]),
+                    round(float(np.sqrt(sse / fn)), 6)))
+    return pd.DataFrame(out, columns=["fold", "n_test", "rmse"])
+
+
+SQL_CV_OLS = """
+WITH r AS (
+  SELECT CAST(((l_orderkey % 4294967296) * 2654435761)
+              % 4294967296 % 5 AS BIGINT) AS fold,
+         CAST(round(l_quantity) AS BIGINT) AS y,
+         CAST(round(l_discount * 100) AS BIGINT) AS x1,
+         CAST(round(l_tax * 100) AS BIGINT) AS x2
+  FROM lineitem),
+f AS (
+  SELECT fold, count(*)::BIGINT AS n,
+         sum(x1)::BIGINT AS s1, sum(x2)::BIGINT AS s2,
+         sum(x1*x1)::BIGINT AS s11, sum(x1*x2)::BIGINT AS s12,
+         sum(x2*x2)::BIGINT AS s22, sum(y)::BIGINT AS sy,
+         sum(x1*y)::BIGINT AS s1y, sum(x2*y)::BIGINT AS s2y,
+         sum(y*y)::BIGINT AS syy
+  FROM r GROUP BY fold),
+t AS (
+  SELECT sum(n)::BIGINT AS n, sum(s1)::BIGINT AS s1,
+         sum(s2)::BIGINT AS s2, sum(s11)::BIGINT AS s11,
+         sum(s12)::BIGINT AS s12, sum(s22)::BIGINT AS s22,
+         sum(sy)::BIGINT AS sy, sum(s1y)::BIGINT AS s1y,
+         sum(s2y)::BIGINT AS s2y FROM f),
+tr AS (
+  SELECT f.fold, f.n AS fn_i,
+         CAST(t.n - f.n AS DOUBLE) AS tn,
+         CAST(t.s1 - f.s1 AS DOUBLE) AS t1,
+         CAST(t.s2 - f.s2 AS DOUBLE) AS t2,
+         CAST(t.s11 - f.s11 AS DOUBLE) AS t11,
+         CAST(t.s12 - f.s12 AS DOUBLE) AS t12,
+         CAST(t.s22 - f.s22 AS DOUBLE) AS t22,
+         CAST(t.sy - f.sy AS DOUBLE) AS ty,
+         CAST(t.s1y - f.s1y AS DOUBLE) AS t1y,
+         CAST(t.s2y - f.s2y AS DOUBLE) AS t2y,
+         CAST(f.n AS DOUBLE) AS fn, CAST(f.s1 AS DOUBLE) AS f1,
+         CAST(f.s2 AS DOUBLE) AS f2, CAST(f.s11 AS DOUBLE) AS f11,
+         CAST(f.s12 AS DOUBLE) AS f12, CAST(f.s22 AS DOUBLE) AS f22,
+         CAST(f.sy AS DOUBLE) AS fy, CAST(f.s1y AS DOUBLE) AS f1y,
+         CAST(f.s2y AS DOUBLE) AS f2y, CAST(f.syy AS DOUBLE) AS fyy
+  FROM f CROSS JOIN t),
+b AS (
+  SELECT *,
+    tn*(t11*t22 - t12*t12) - t1*(t1*t22 - t2*t12)
+      + t2*(t1*t12 - t2*t11) AS det,
+    ty*(t11*t22 - t12*t12) - t1y*(t1*t22 - t2*t12)
+      + t2y*(t1*t12 - t2*t11) AS det0,
+    tn*(t1y*t22 - t12*t2y) - t1*(ty*t22 - t2*t2y)
+      + t2*(ty*t12 - t2*t1y) AS det1,
+    tn*(t11*t2y - t1y*t12) - t1*(t1*t2y - ty*t12)
+      + t2*(t1*t1y - ty*t11) AS det2
+  FROM tr)
+SELECT fold, fn_i AS n_test,
+       round(sqrt((fyy - 2*(det0/det*fy + det1/det*f1y + det2/det*f2y)
+         + ((det0/det)*(det0/det)*fn + (det1/det)*(det1/det)*f11
+            + (det2/det)*(det2/det)*f22
+            + 2*(det0/det)*(det1/det)*f1 + 2*(det0/det)*(det2/det)*f2
+            + 2*(det1/det)*(det2/det)*f12)) / fn), 6) AS rmse
+FROM b
+"""
+
+
+def q_stream_join(sf_dir: str):
+    """Windowed stream-stream join — the conversion counter: per
+    user, click→purchase pairs where the purchase follows the click
+    by at most one hour (strict <, inclusive window edge). ONE
+    user-hash exchange after a cheap pre-filter to the two event
+    types; per partition a loop over bounded USER GROUPS where the
+    per-purchase click count is TWO searchsorted calls on the
+    user's sorted click axis — no pair materialization, no per-row
+    Python. Users with no qualifying pair emit nothing (inner-join
+    group semantics on both engines)."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    ev = ev.map_batches(
+        lambda d: d.loc[d["event_type"].isin(("click", "purchase"))],
+        batch_format="pandas")
+    w_us = 3_600_000_000
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_c = [], []
+        for uid, gg in g.groupby("user_id", sort=False):
+            et = gg["event_type"].to_numpy()
+            ts = gg["ts"].to_numpy("datetime64[us]").astype("int64")
+            t = np.sort(ts[et == "click"])
+            p = ts[et == "purchase"]
+            if len(t) == 0 or len(p) == 0:
+                continue
+            n = int((np.searchsorted(t, p, side="left")
+                     - np.searchsorted(t, p - w_us, side="left")).sum())
+            if n > 0:
+                out_u.append(int(uid))
+                out_c.append(n)
+        return pd.DataFrame({
+            "user_id": np.array(out_u, dtype="int64"),
+            "conversions": np.array(out_c, dtype="int64")})
+
+    return grouped_apply(ev, ["user_id"], per_part, num_partitions=16)
+
+
+SQL_STREAM_JOIN = """
+SELECT a.user_id, count(*)::BIGINT AS conversions
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND a.ts < b.ts
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+GROUP BY a.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -9963,6 +10222,9 @@ QUERIES = {
     "keyword_tag": q_keyword_tag,
     "trigram_mining": q_trigram_mining,
     "ams_f2": q_ams_f2,
+    "modularity": q_modularity,
+    "cv_ols": q_cv_ols,
+    "stream_join": q_stream_join,
     "target_encode": q_target_encode,
     "max_gap": q_max_gap,
     "components_hist": q_components_hist,
@@ -10197,6 +10459,9 @@ ORACLE_SQL = {
     "keyword_tag": SQL_KEYWORD_TAG,
     "trigram_mining": SQL_TRIGRAM_MINING,
     "ams_f2": SQL_AMS_F2,
+    "modularity": SQL_MODULARITY,
+    "cv_ols": SQL_CV_OLS,
+    "stream_join": SQL_STREAM_JOIN,
     "target_encode": SQL_TARGET_ENCODE,
     "max_gap": SQL_MAX_GAP,
     "components_hist": SQL_COMPONENTS_HIST,

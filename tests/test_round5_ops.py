@@ -1506,3 +1506,65 @@ def test_ams_f2_parallelism_invariant(ray_session):
                          columns=["l_partkey"])
     f2 = int((li.groupby("l_partkey").size() ** 2).sum())
     assert int(a["f2_exact"].iloc[0]) == f2
+
+
+def test_modularity_edge_accounting(ray_session):
+    """m_edges equals the pandas-reference distinct co-purchase edge
+    count; Q is inside Newman's [-1/2, 1) band."""
+    from crawler_service_ray.pipelines.queries import q_modularity
+
+    got = q_modularity("/root/testdata/sf0.001")
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    m = (li.merge(li, on="l_orderkey")
+         .query("l_partkey_x < l_partkey_y")
+         [["l_partkey_x", "l_partkey_y"]].drop_duplicates())
+    assert int(got["m_edges"].iloc[0]) == len(m)
+    q = float(got["modularity"].iloc[0])
+    assert -0.5 <= q < 1.0
+
+
+def test_cv_ols_against_lstsq(ray_session):
+    """Each fold's RMSE from the leave-fold-out Gram algebra matches
+    a per-row numpy lstsq reference; folds partition the table."""
+    from crawler_service_ray.pipelines.queries import _CV_FOLDS, q_cv_ols
+
+    got = (q_cv_ols("/root/testdata/sf0.001")
+           .sort_values("fold").reset_index(drop=True))
+    li = pd.read_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_discount", "l_tax"])
+    okey = li["l_orderkey"].to_numpy().astype(np.uint64)
+    fold = (((okey % np.uint64(2**32)) * np.uint64(2654435761))
+            % np.uint64(2**32) % np.uint64(_CV_FOLDS)).astype("int64")
+    y = np.rint(li["l_quantity"].to_numpy()).astype("float64")
+    X = np.column_stack([
+        np.ones(len(li)),
+        np.rint(li["l_discount"].to_numpy() * 100),
+        np.rint(li["l_tax"].to_numpy() * 100)])
+    assert int(got["n_test"].sum()) == len(li)
+    for _, row in got.iterrows():
+        te = fold == row["fold"]
+        beta, *_ = np.linalg.lstsq(X[~te], y[~te], rcond=None)
+        rmse = float(np.sqrt(((y[te] - X[te] @ beta) ** 2).mean()))
+        assert abs(row["rmse"] - rmse) < 1e-4
+
+
+def test_stream_join_reference(ray_session):
+    """Per-user windowed conversion counts equal the brute-force
+    pandas pair join."""
+    from crawler_service_ray.pipelines.queries import q_stream_join
+
+    got = (q_stream_join("/root/testdata/sf0.001").to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    c = ev[ev["event_type"] == "click"]
+    p = ev[ev["event_type"] == "purchase"]
+    j = c.merge(p, on="user_id", suffixes=("_c", "_p"))
+    dt = (j["ts_p"].to_numpy("datetime64[us]").astype("int64")
+          - j["ts_c"].to_numpy("datetime64[us]").astype("int64"))
+    j = j[(dt > 0) & (dt <= 3_600_000_000)]
+    want = j.groupby("user_id").size()
+    assert dict(zip(got["user_id"], got["conversions"])) \
+        == {int(k): int(v) for k, v in want.items()}
