@@ -199,6 +199,9 @@ BENCH_QUERIES = [
     "modularity",
     "cv_ols",
     "stream_join",
+    "time_travel",
+    "ht_estimate",
+    "returns_topk",
 ]
 
 

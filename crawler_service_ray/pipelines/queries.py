@@ -10042,6 +10042,215 @@ GROUP BY a.user_id
 """
 
 
+def q_time_travel(sf_dir: str):
+    """Snapshot-versioned table audit (`pipelines/versioned.py` —
+    the Delta/Iceberg-style commit log over plain parquet): commit
+    v1 (orderkey%3==0), APPEND v2 (%3==1 — history shares v1's data
+    files, commit cost independent of table size), OVERWRITE v3
+    (%3==2 — prior versions stay readable). The audit row
+    time-travel-reads all three versions as streaming Datasets and
+    reports their row counts and integer-cent checksums; the oracle
+    recomputes the same slices from the base table, so a broken
+    manifest union, a lost file, or an overwrite that leaked old
+    files all hash-mismatch."""
+    import ray
+
+    from .versioned import read_version, snapshot_write
+
+    root = os.path.join(
+        "/tmp", "csr_tt_" + sf_dir.strip("/").replace("/", "_"))
+    import shutil
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+
+    def slice_r(r):
+        def f(d: pd.DataFrame) -> pd.DataFrame:
+            keep = d["o_orderkey"].to_numpy() % 3 == r
+            return pd.DataFrame({
+                "o_orderkey": d["o_orderkey"].to_numpy()[keep],
+                "cents": np.rint(
+                    d["o_totalprice"].to_numpy(dtype="float64")[keep]
+                    * 100).astype("int64")})
+        return f
+
+    snapshot_write(orders.map_batches(slice_r(0), batch_format="pandas"),
+                   root)
+    snapshot_write(orders.map_batches(slice_r(1), batch_format="pandas"),
+                   root, mode="append")
+    snapshot_write(orders.map_batches(slice_r(2), batch_format="pandas"),
+                   root, mode="overwrite")
+
+    def stats(v):
+        ds = read_version(root, v)
+        t = grouped_agg(
+            ds.map_batches(
+                lambda d: pd.DataFrame({
+                    "one": np.zeros(len(d), dtype="int64"),
+                    "n": np.ones(len(d), dtype="int64"),
+                    "c": d["cents"].to_numpy(dtype="int64")}),
+                batch_format="pandas"),
+            ["one"], {"rows": ("n", "sum"), "s": ("c", "sum")}
+        ).to_pandas()
+        return int(t["rows"].iloc[0]), int(t["s"].iloc[0])
+
+    r1, s1 = stats(1)
+    r2, _ = stats(2)
+    r3, s3 = stats(3)
+    return pd.DataFrame({
+        "rows_v1": np.array([r1], dtype="int64"),
+        "rows_v2": np.array([r2], dtype="int64"),
+        "rows_v3": np.array([r3], dtype="int64"),
+        "sum_v1_c": np.array([s1], dtype="int64"),
+        "sum_v3_c": np.array([s3], dtype="int64"),
+    })
+
+
+SQL_TIME_TRAVEL = """
+WITH o AS (
+  SELECT o_orderkey % 3 AS r,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders)
+SELECT
+  (SELECT count(*) FROM o WHERE r = 0)::BIGINT AS rows_v1,
+  (SELECT count(*) FROM o WHERE r IN (0, 1))::BIGINT AS rows_v2,
+  (SELECT count(*) FROM o WHERE r = 2)::BIGINT AS rows_v3,
+  (SELECT sum(c) FROM o WHERE r = 0)::BIGINT AS sum_v1_c,
+  (SELECT sum(c) FROM o WHERE r = 2)::BIGINT AS sum_v3_c
+"""
+
+
+def q_ht_estimate(sf_dir: str):
+    """Horvitz–Thompson total estimation from a deterministic
+    hash-sample — the "estimate the full-corpus statistic from the
+    1/16 pilot scan" pattern: inclusion = Knuth-hash bucket 0 of 16
+    (rerun- and parallelism-invariant, `split_assign`'s hash), HT
+    total = 16 × Σ_sample. ONE pass computes both the exact total
+    and the sampled partial per block (two int64s leave each block);
+    the oracle replays the identical deterministic design, so the
+    reported relative error is a stable fact, not a flaky band."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_totalprice"])
+
+    def parts(d: pd.DataFrame) -> pd.DataFrame:
+        okey = d["o_orderkey"].to_numpy().astype(np.uint64)
+        smp = (((okey % np.uint64(4294967296)) * np.uint64(2654435761))
+               % np.uint64(4294967296) % np.uint64(16)) == 0
+        c = np.rint(d["o_totalprice"].to_numpy(dtype="float64") * 100
+                    ).astype("int64")
+        return pd.DataFrame({
+            "one": np.zeros(1, dtype="int64"),
+            "s_all": [int(c.sum())],
+            "s_smp": [int(c[smp].sum())],
+            "n_smp": [int(smp.sum())]})
+
+    t = grouped_agg(
+        ds.map_batches(parts, batch_format="pandas"),
+        ["one"], {"s_all": ("s_all", "sum"), "s_smp": ("s_smp", "sum"),
+                  "n_smp": ("n_smp", "sum")}).to_pandas()
+    exact = int(t["s_all"].iloc[0])
+    est = 16 * int(t["s_smp"].iloc[0])
+    return pd.DataFrame({
+        "n_sampled": np.array([int(t["n_smp"].iloc[0])], dtype="int64"),
+        "exact_total_c": np.array([exact], dtype="int64"),
+        "ht_total_c": np.array([est], dtype="int64"),
+        "rel_err": [round(abs(est - exact) / exact, 6)],
+    })
+
+
+SQL_HT_ESTIMATE = """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         ((o_orderkey % 4294967296) * 2654435761)
+           % 4294967296 % 16 = 0 AS smp
+  FROM orders),
+s AS (
+  SELECT sum(c)::BIGINT AS exact_total,
+         16 * sum(CASE WHEN smp THEN c ELSE 0 END)::BIGINT AS ht,
+         sum(CASE WHEN smp THEN 1 ELSE 0 END)::BIGINT AS n_smp
+  FROM o)
+SELECT n_smp AS n_sampled, exact_total AS exact_total_c,
+       ht AS ht_total_c,
+       round(abs(ht - exact_total) / exact_total::DOUBLE, 6) AS rel_err
+FROM s
+"""
+
+
+def q_returns_topk(sf_dir: str):
+    """TPC-H-Q10-shaped star join: top-20 customers by revenue lost
+    to returned items — lineitem(R) ⋈ orders ⋈ customer ⋈ nation.
+    The two FACT joins are bucketed (co-partitioned, skew-safe); the
+    revenue aggregate collapses to per-customer rows BEFORE the
+    customer attach so the wide fact never carries name columns;
+    nation (25 rows) broadcasts. Revenue in exact 10⁻⁴-dollar units
+    (cents × (100 − disc_cents)); ties at the cutoff break on
+    c_custkey, so the top-20 selection is deterministic."""
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount", "l_returnflag"])
+
+    def rev(d: pd.DataFrame) -> pd.DataFrame:
+        keep = d["l_returnflag"].to_numpy() == "R"
+        c = np.rint(d["l_extendedprice"].to_numpy(dtype="float64")[keep]
+                    * 100).astype("int64")
+        disc = np.rint(d["l_discount"].to_numpy(dtype="float64")[keep]
+                       * 100).astype("int64")
+        return pd.DataFrame({
+            "o_orderkey": d["l_orderkey"].to_numpy()[keep],
+            "rev": c * (100 - disc)})
+
+    returned = li.map_batches(rev, batch_format="pandas")
+    orders = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
+                        columns=["o_orderkey", "o_custkey"])
+    j = bucketed_hash_join(returned, orders, on="o_orderkey",
+                           num_buckets=16)
+    per_cust = grouped_agg(j, ["o_custkey"],
+                           {"revenue_c4": ("rev", "sum")},
+                           merge_partitions=8)
+    per_cust = per_cust.map_batches(
+        lambda d: d.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas")
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_nationkey"])
+    named = bucketed_hash_join(per_cust, cust, on="c_custkey",
+                               num_buckets=8)
+    nation = read_table(
+        sf_dir, "nation",
+        columns=["n_nationkey", "n_name"]).to_pandas().rename(
+            columns={"n_nationkey": "c_nationkey"})
+    full = broadcast_join(named, nation, "c_nationkey")
+    out = topk(full, by=["revenue_c4", "c_custkey"], k=20,
+               descending=[True, False])
+    def fin(d: pd.DataFrame) -> pd.DataFrame:
+        # the bucketed pandas merges upcast int keys that met an empty
+        # bucket side; the final 20 rows are all matched, so the cast
+        # back to int64 is exact
+        return pd.DataFrame({
+            "c_custkey": d["c_custkey"].astype("int64"),
+            "c_name": d["c_name"].astype(object),
+            "n_name": d["n_name"].astype(object),
+            "revenue_c4": d["revenue_c4"].astype("int64")})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_RETURNS_TOPK = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_c4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue_c4 DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -10225,6 +10434,9 @@ QUERIES = {
     "modularity": q_modularity,
     "cv_ols": q_cv_ols,
     "stream_join": q_stream_join,
+    "time_travel": q_time_travel,
+    "ht_estimate": q_ht_estimate,
+    "returns_topk": q_returns_topk,
     "target_encode": q_target_encode,
     "max_gap": q_max_gap,
     "components_hist": q_components_hist,
@@ -10462,6 +10674,9 @@ ORACLE_SQL = {
     "modularity": SQL_MODULARITY,
     "cv_ols": SQL_CV_OLS,
     "stream_join": SQL_STREAM_JOIN,
+    "time_travel": SQL_TIME_TRAVEL,
+    "ht_estimate": SQL_HT_ESTIMATE,
+    "returns_topk": SQL_RETURNS_TOPK,
     "target_encode": SQL_TARGET_ENCODE,
     "max_gap": SQL_MAX_GAP,
     "components_hist": SQL_COMPONENTS_HIST,

@@ -1568,3 +1568,53 @@ def test_stream_join_reference(ray_session):
     want = j.groupby("user_id").size()
     assert dict(zip(got["user_id"], got["conversions"])) \
         == {int(k): int(v) for k, v in want.items()}
+
+
+def test_ht_estimate_replay(ray_session):
+    """The HT estimator is a deterministic replay: 16 × the sampled
+    integer-cent sum, sample = Knuth-hash bucket 0."""
+    from crawler_service_ray.pipelines.queries import q_ht_estimate
+
+    got = q_ht_estimate("/root/testdata/sf0.001")
+    o = pd.read_parquet("/root/testdata/sf0.001/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"])
+    okey = o["o_orderkey"].to_numpy().astype(np.uint64)
+    smp = (((okey % np.uint64(2**32)) * np.uint64(2654435761))
+           % np.uint64(2**32) % np.uint64(16)) == 0
+    c = np.rint(o["o_totalprice"].to_numpy() * 100).astype("int64")
+    assert int(got["exact_total_c"].iloc[0]) == int(c.sum())
+    assert int(got["ht_total_c"].iloc[0]) == 16 * int(c[smp].sum())
+    assert int(got["n_sampled"].iloc[0]) == int(smp.sum())
+
+
+def test_returns_topk_reference(ray_session):
+    """Top-20 returned-revenue customers equal the pandas star-join
+    reference, including the custkey tie-break."""
+    from crawler_service_ray.pipelines.queries import q_returns_topk
+
+    got = q_returns_topk("/root/testdata/sf0.001").to_pandas()
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    li = li[li["l_returnflag"] == "R"]
+    rev = (np.rint(li["l_extendedprice"].to_numpy() * 100).astype("int64")
+           * (100 - np.rint(li["l_discount"].to_numpy() * 100)
+              .astype("int64")))
+    o = pd.read_parquet(f"{sf}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    c = pd.read_parquet(f"{sf}/customer.parquet",
+                        columns=["c_custkey", "c_name", "c_nationkey"])
+    n = pd.read_parquet(f"{sf}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    j = (li[["l_orderkey"]].assign(rev=rev)
+         .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .groupby("o_custkey", as_index=False)["rev"].sum()
+         .merge(c, left_on="o_custkey", right_on="c_custkey")
+         .merge(n, left_on="c_nationkey", right_on="n_nationkey"))
+    want = (j.sort_values(["rev", "c_custkey"],
+                          ascending=[False, True]).head(20)
+            .reset_index(drop=True))
+    got = got.sort_values(["revenue_c4", "c_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    assert got["c_custkey"].tolist() == want["c_custkey"].tolist()
+    assert got["revenue_c4"].tolist() == want["rev"].tolist()
+    assert got["n_name"].tolist() == want["n_name"].tolist()
