@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "time_travel",
     "ht_estimate",
     "returns_topk",
+    "session_paths",
+    "kendall_tau",
 ]
 
 

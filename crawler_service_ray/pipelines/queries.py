@@ -10251,6 +10251,137 @@ LIMIT 20
 """
 
 
+def q_session_paths(sf_dir: str):
+    """Top-20 most common DAILY behavioral paths — the whole-journey
+    sibling of `session_transitions`/`trigram_mining`: each (user,
+    day)'s ordered event types joined into one '>' path string,
+    counted corpus-wide, ties at the cutoff broken by path. ONE
+    user-hash exchange (a user's days all land together); paths
+    pre-count within the partition so only distinct-path partials
+    leave; the topk keeps the cutoff deterministic."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    day_us = 86_400_000_000
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        day = (g["ts"].to_numpy("datetime64[us]").astype("int64")
+               // day_us)
+        paths = (g.assign(__day=day)
+                 .groupby(["user_id", "__day"], sort=False)["event_type"]
+                 .agg(">".join))
+        return (paths.to_frame("path").groupby("path", sort=False)
+                .size().reset_index(name="n"))
+
+    parts = grouped_apply(ev, ["user_id"], per_part, num_partitions=16)
+    agg = grouped_agg(parts, ["path"], {"n": ("n", "sum")},
+                      merge_partitions=8)
+    return topk(agg, by=["n", "path"], k=20, descending=[True, False])
+
+
+SQL_SESSION_PATHS = """
+WITH p AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY 1, 2)
+SELECT path, count(*)::BIGINT AS n
+FROM p GROUP BY path
+ORDER BY n DESC, path ASC
+LIMIT 20
+"""
+
+
+def q_kendall_tau(sf_dir: str):
+    """EXACT global Kendall tau-b between quantity and discount —
+    rank concordance over ~n²/2 pairs WITHOUT enumerating pairs: both
+    columns are low-cardinality, so the sufficient statistic is the
+    ≤50×11 JOINT HISTOGRAM (per-block partial counts → one tiny
+    grouped sum). Concordant/discordant totals are quadrant sums of
+    that grid (2-D suffix cumsums — each unordered pair counted once
+    via the strict-< orientation), tie terms from the marginals; all
+    pair counts are exact int64 (safe to n ≈ 4·10⁹ rows, noted), only
+    the final ratio is float, 6-dp rounded. The oracle replays the
+    identical quadrant algebra as a 550-row histogram self-join."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_quantity", "l_discount"])
+
+    def parts(d: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(d["l_quantity"].to_numpy(dtype="float64")
+                    ).astype("int64")
+        dc = np.rint(d["l_discount"].to_numpy(dtype="float64") * 100
+                     ).astype("int64")
+        g = pd.DataFrame({"q": q, "d": dc})
+        return (g.groupby(["q", "d"], sort=False).size()
+                .reset_index(name="c"))
+
+    hist = grouped_agg(
+        ds.map_batches(parts, batch_format="pandas"),
+        ["q", "d"], {"c": ("c", "sum")}).to_pandas()
+    qs = np.sort(hist["q"].unique())
+    dss = np.sort(hist["d"].unique())
+    qi = {v: i for i, v in enumerate(qs)}
+    di = {v: i for i, v in enumerate(dss)}
+    h = np.zeros((len(qs), len(dss)), dtype="int64")
+    for q, d, c in hist.itertuples(index=False):
+        h[qi[q], di[d]] = c
+    n = int(h.sum())
+    # strictly-greater-in-both quadrant via reversed 2-D cumsum
+    suf = np.cumsum(np.cumsum(h[::-1, ::-1], 0), 1)[::-1, ::-1]
+    gt_both = np.zeros_like(h)
+    gt_both[:-1, :-1] = suf[1:, 1:]
+    conc = int((h * gt_both).sum())
+    # strictly greater in q, strictly smaller in d
+    suf_qd = np.cumsum(np.cumsum(h[::-1, :], 0)[::-1, :], 1)
+    lt_d_gt_q = np.zeros_like(h)
+    lt_d_gt_q[:-1, 1:] = suf_qd[1:, :-1]
+    disc = int((h * lt_d_gt_q).sum())
+    n0 = n * (n - 1) // 2
+    nq = h.sum(axis=1)
+    nd = h.sum(axis=0)
+    t1 = int((nq * (nq - 1) // 2).sum())
+    t2 = int((nd * (nd - 1) // 2).sum())
+    tau = (conc - disc) / float(np.sqrt(float(n0 - t1))
+                                * np.sqrt(float(n0 - t2)))
+    return pd.DataFrame({
+        "n_rows": np.array([n], dtype="int64"),
+        "concordant": np.array([conc], dtype="int64"),
+        "discordant": np.array([disc], dtype="int64"),
+        "tau_b": [round(float(tau), 6)],
+    })
+
+
+SQL_KENDALL_TAU = """
+WITH h AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         count(*)::BIGINT AS c
+  FROM lineitem GROUP BY 1, 2),
+n AS (SELECT sum(c)::BIGINT AS n FROM h),
+cd AS (
+  SELECT
+    CAST(sum(CASE WHEN a.q < b.q AND a.d < b.d
+             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+    CAST(sum(CASE WHEN a.q < b.q AND a.d > b.d
+             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc
+  FROM h a CROSS JOIN h b),
+ties AS (
+  SELECT
+    (SELECT CAST(sum(s * (s - 1) / 2) AS BIGINT)
+     FROM (SELECT sum(c) AS s FROM h GROUP BY q)) AS t1,
+    (SELECT CAST(sum(s * (s - 1) / 2) AS BIGINT)
+     FROM (SELECT sum(c) AS s FROM h GROUP BY d)) AS t2)
+SELECT n.n AS n_rows, cd.conc AS concordant, cd.disc AS discordant,
+       round((cd.conc - cd.disc)
+             / (sqrt(CAST(n.n * (n.n - 1) / 2 - ties.t1 AS DOUBLE))
+                * sqrt(CAST(n.n * (n.n - 1) / 2 - ties.t2 AS DOUBLE))),
+             6) AS tau_b
+FROM n CROSS JOIN cd CROSS JOIN ties
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -10437,6 +10568,8 @@ QUERIES = {
     "time_travel": q_time_travel,
     "ht_estimate": q_ht_estimate,
     "returns_topk": q_returns_topk,
+    "session_paths": q_session_paths,
+    "kendall_tau": q_kendall_tau,
     "target_encode": q_target_encode,
     "max_gap": q_max_gap,
     "components_hist": q_components_hist,
@@ -10677,6 +10810,8 @@ ORACLE_SQL = {
     "time_travel": SQL_TIME_TRAVEL,
     "ht_estimate": SQL_HT_ESTIMATE,
     "returns_topk": SQL_RETURNS_TOPK,
+    "session_paths": SQL_SESSION_PATHS,
+    "kendall_tau": SQL_KENDALL_TAU,
     "target_encode": SQL_TARGET_ENCODE,
     "max_gap": SQL_MAX_GAP,
     "components_hist": SQL_COMPONENTS_HIST,

@@ -116,6 +116,23 @@ def read_version(root: str, version: int | None = None,
     return rd.read_parquet(paths, **read_kwargs)
 
 
+def snapshot_compact(root: str, target_files: int = 1) -> int:
+    """OPTIMIZE as a commit: rewrite the LATEST version's row set into
+    ``target_files`` files and commit it as a new OVERWRITE version.
+    Old versions (and their small files) stay readable until
+    ``vacuum`` retires them — compaction is never destructive, and a
+    crash mid-compact leaves only invisible orphans (the manifest
+    rename still gates visibility). At 100 TB, run one invocation per
+    key-range table (the shard-per-invocation seam `compact_dir`
+    documents); within one table the repartition is the only
+    exchange."""
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
+    ds = read_version(root)
+    return snapshot_write(ds.repartition(target_files), root,
+                          mode="overwrite")
+
+
 def vacuum(root: str, keep_latest: int = 1) -> dict:
     """Drop all but the newest ``keep_latest`` manifests and delete
     data files no kept manifest references. Returns counts."""

@@ -1618,3 +1618,54 @@ def test_returns_topk_reference(ray_session):
     assert got["c_custkey"].tolist() == want["c_custkey"].tolist()
     assert got["revenue_c4"].tolist() == want["rev"].tolist()
     assert got["n_name"].tolist() == want["n_name"].tolist()
+
+
+def test_session_paths_reference(ray_session):
+    """Daily path counts equal the pandas string-join reference,
+    including the (n desc, path asc) cutoff."""
+    from crawler_service_ray.pipelines.queries import q_session_paths
+
+    got = (q_session_paths("/root/testdata/sf0.001").to_pandas()
+           .reset_index(drop=True))
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    day = (ev["ts"].to_numpy("datetime64[us]").astype("int64")
+           // 86_400_000_000)
+    paths = (ev.assign(d=day).groupby(["user_id", "d"])["event_type"]
+             .agg(">".join))
+    want = (paths.value_counts().rename_axis("path").reset_index(name="n")
+            .sort_values(["n", "path"], ascending=[False, True])
+            .head(20).reset_index(drop=True))
+    got = got.sort_values(["n", "path"],
+                          ascending=[False, True]).reset_index(drop=True)
+    assert got["path"].tolist() == want["path"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_kendall_tau_against_scipy_free_reference(ray_session):
+    """tau-b from the quadrant sums equals a brute-force O(n²) pair
+    count on the small table."""
+    from crawler_service_ray.pipelines.queries import q_kendall_tau
+
+    got = q_kendall_tau("/root/testdata/sf0.001")
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                         columns=["l_quantity", "l_discount"])
+    q = np.rint(li["l_quantity"].to_numpy()).astype("int64")
+    d = np.rint(li["l_discount"].to_numpy() * 100).astype("int64")
+    n = len(q)
+    dq = np.sign(q[:, None] - q[None, :])
+    dd = np.sign(d[:, None] - d[None, :])
+    s = dq * dd
+    iu = np.triu_indices(n, 1)
+    conc = int((s[iu] > 0).sum())
+    disc = int((s[iu] < 0).sum())
+    n0 = n * (n - 1) // 2
+    t1 = int((dq[iu] == 0).sum())
+    t2 = int((dd[iu] == 0).sum())
+    tau = (conc - disc) / (np.sqrt(float(n0 - t1))
+                           * np.sqrt(float(n0 - t2)))
+    assert int(got["concordant"].iloc[0]) == conc
+    assert int(got["discordant"].iloc[0]) == disc
+    assert abs(float(got["tau_b"].iloc[0]) - tau) < 1e-6

@@ -112,3 +112,23 @@ def test_bad_inputs(ray_session, root):
     with pytest.raises(FileNotFoundError):
         read_version(root, 7)
     shutil.rmtree(root)
+
+
+def test_snapshot_compact(ray_session, root):
+    """Compaction commits a new version with fewer files and the
+    identical multiset; prior versions stay readable."""
+    from crawler_service_ray.pipelines.versioned import snapshot_compact
+
+    snapshot_write(rd.from_pandas(_df(0, 40)).repartition(8), root)
+    snapshot_write(rd.from_pandas(_df(40, 60)).repartition(8), root,
+                   mode="append")
+    before = _rows(read_version(root))
+    m2 = json.load(open(os.path.join(root, "_versions", "v000002.json")))
+    v3 = snapshot_compact(root, target_files=2)
+    assert v3 == 3
+    m3 = json.load(open(os.path.join(root, "_versions", "v000003.json")))
+    assert len(m3["files"]) < len(m2["files"])
+    assert _rows(read_version(root, 3)) == before
+    assert _rows(read_version(root, 2)) == before   # history intact
+    vacuum(root, keep_latest=1)
+    assert _rows(read_version(root)) == before
