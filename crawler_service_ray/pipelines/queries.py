@@ -10382,6 +10382,307 @@ FROM n CROSS JOIN cd CROSS JOIN ties
 """
 
 
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation — the classic activation/churn
+    grid: per-user Recency (max event epoch-µs), Frequency (event
+    count) and Monetary (exact cent sum) reduce via one user-keyed
+    grouped sum; tercile thresholds are EXACT discrete quantiles of
+    the user table (`grouped_quantiles` inverted_cdf == DuckDB
+    quantile_disc, the `quantiles_disc` convention); each user's
+    (r,f,m) bucket triple folds to ≤27 segment rows with exact
+    integer totals. Two streaming passes over the USER table (itself
+    an aggregate), never over raw events twice."""
+    from ..functions.relational import grouped_quantiles
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "value"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": d["user_id"].to_numpy(),
+            "r": d["ts"].to_numpy("datetime64[us]").astype("int64"),
+            "f": np.ones(len(d), dtype="int64"),
+            "m": np.rint(d["value"].to_numpy(dtype="float64") * 100
+                         ).astype("int64")})
+
+    users = grouped_agg(
+        ev.map_batches(pre, batch_format="pandas"),
+        ["user_id"], {"r": ("r", "max"), "f": ("f", "sum"),
+                      "m": ("m", "sum")})
+
+    def with_const(d: pd.DataFrame) -> pd.DataFrame:
+        return d.assign(__k=np.int64(0))
+
+    tagged = users.map_batches(with_const, batch_format="pandas")
+    thr = {}
+    for dim in ("r", "f", "m"):
+        t = grouped_quantiles(
+            tagged, ["__k"], dim, [1.0 / 3, 2.0 / 3], ["q33", "q67"],
+            method="inverted_cdf").to_pandas()
+        thr[dim] = (int(t["q33"].iloc[0]), int(t["q67"].iloc[0]))
+
+    def seg(d: pd.DataFrame) -> pd.DataFrame:
+        out = {"m_c": d["m"].to_numpy(dtype="int64"),
+               "one": np.ones(len(d), dtype="int64")}
+        for dim in ("r", "f", "m"):
+            v = d[dim].to_numpy(dtype="int64")
+            lo, hi = thr[dim]
+            out[f"{dim}_seg"] = np.where(
+                v <= lo, 1, np.where(v <= hi, 2, 3)).astype("int64")
+        return pd.DataFrame(out)
+
+    return grouped_agg(
+        users.map_batches(seg, batch_format="pandas"),
+        ["r_seg", "f_seg", "m_seg"],
+        {"n_users": ("one", "sum"), "sum_m_c": ("m_c", "sum")})
+
+
+SQL_RFM_SEGMENTS = """
+WITH u AS (
+  SELECT user_id, epoch_us(max(ts))::BIGINT AS r,
+         count(*)::BIGINT AS f,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS m
+  FROM events GROUP BY 1),
+t AS (
+  SELECT quantile_disc(r, 1.0/3) AS r33, quantile_disc(r, 2.0/3) AS r67,
+         quantile_disc(f, 1.0/3) AS f33, quantile_disc(f, 2.0/3) AS f67,
+         quantile_disc(m, 1.0/3) AS m33, quantile_disc(m, 2.0/3) AS m67
+  FROM u)
+SELECT CASE WHEN r <= r33 THEN 1 WHEN r <= r67 THEN 2 ELSE 3 END AS r_seg,
+       CASE WHEN f <= f33 THEN 1 WHEN f <= f67 THEN 2 ELSE 3 END AS f_seg,
+       CASE WHEN m <= m33 THEN 1 WHEN m <= m67 THEN 2 ELSE 3 END AS m_seg,
+       count(*)::BIGINT AS n_users, sum(m)::BIGINT AS sum_m_c
+FROM u CROSS JOIN t
+GROUP BY 1, 2, 3
+"""
+
+
+def q_convert_time(sf_dir: str):
+    """Time-to-convert distribution: exact p50/p90 of the
+    click→purchase gap over every qualifying pair from
+    `stream_join`'s window (≤1 h, strict order). Pairs ENUMERATE only
+    inside bounded user groups (searchsorted range + repeat — the gap
+    list, not the pair matrix); the global discrete quantiles run on
+    the gap rows via the same exact quantile machinery as
+    `quantiles_disc`. Gaps are exact integer µs end to end."""
+    from ..functions.relational import grouped_apply, grouped_quantiles
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    ev = ev.map_batches(
+        lambda d: d.loc[d["event_type"].isin(("click", "purchase"))],
+        batch_format="pandas")
+    w_us = 3_600_000_000
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        gaps = []
+        for _uid, gg in g.groupby("user_id", sort=False):
+            et = gg["event_type"].to_numpy()
+            ts = gg["ts"].to_numpy("datetime64[us]").astype("int64")
+            t = np.sort(ts[et == "click"])
+            p = ts[et == "purchase"]
+            if len(t) == 0 or len(p) == 0:
+                continue
+            hi = np.searchsorted(t, p, side="left")
+            lo = np.searchsorted(t, p - w_us, side="left")
+            cnt = hi - lo
+            keep = cnt > 0
+            if not keep.any():
+                continue
+            # each purchase's qualifying clicks, enumerated by range
+            reps = cnt[keep]
+            starts = lo[keep]
+            idx = np.repeat(starts, reps) \
+                + (np.arange(reps.sum())
+                   - np.repeat(np.cumsum(reps) - reps, reps))
+            gaps.append(np.repeat(p[keep], reps) - t[idx])
+        if not gaps:
+            return pd.DataFrame({"__k": np.array([], dtype="int64"),
+                                 "gap_us": np.array([], dtype="int64")})
+        g_all = np.concatenate(gaps)
+        return pd.DataFrame({"__k": np.zeros(len(g_all), dtype="int64"),
+                             "gap_us": g_all})
+
+    gaps = grouped_apply(ev, ["user_id"], per_part, num_partitions=16)
+    q = grouped_quantiles(
+        gaps, ["__k"], "gap_us", [0.5, 0.9], ["p50_us", "p90_us"],
+        method="inverted_cdf").to_pandas()
+    n = grouped_agg(gaps, ["__k"], {"n_pairs": ("gap_us", "count")}
+                    ).to_pandas()
+    return pd.DataFrame({
+        "n_pairs": np.array([int(n["n_pairs"].iloc[0])], dtype="int64"),
+        "p50_us": np.array([int(q["p50_us"].iloc[0])], dtype="int64"),
+        "p90_us": np.array([int(q["p90_us"].iloc[0])], dtype="int64"),
+    })
+
+
+SQL_CONVERT_TIME = """
+WITH pairs AS (
+  SELECT epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id
+   AND a.event_type = 'click' AND b.event_type = 'purchase'
+   AND a.ts < b.ts
+   AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000)
+SELECT count(*)::BIGINT AS n_pairs,
+       quantile_disc(gap_us, 0.5)::BIGINT AS p50_us,
+       quantile_disc(gap_us, 0.9)::BIGINT AS p90_us
+FROM pairs
+"""
+
+
+def q_assoc_rules(sf_dir: str):
+    """Association rules from the market basket: for every frequent
+    co-purchase pair (support ≥ 3, both directions a→b and b→a),
+    confidence = supp(ab)/supp(a) and lift = supp(ab)·N/(supp(a)·
+    supp(b)); top-20 by (6-dp lift, item_a, item_b) so the float
+    cutoff is deterministic. Item supports (distinct baskets per
+    item) attach to the REDUCED pair table via bucketed joins — the
+    item-support table is catalog-cardinality and never broadcasts;
+    N is one tiny distinct-count."""
+    from ..functions.relational import frequent_pairs
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_orderkey", "l_partkey"])
+    pairs = frequent_pairs(li, "l_orderkey", "l_partkey", min_support=3)
+    # distinct baskets per item (one dedup exchange, then a sum)
+    bi = distinct(li, ["l_orderkey", "l_partkey"], merge_partitions=16)
+    supp = grouped_agg(bi, ["l_partkey"],
+                       {"supp": ("l_orderkey", "count")},
+                       merge_partitions=8)
+    n_baskets = int(
+        distinct(li, ["l_orderkey"], merge_partitions=16).count())
+
+    # the pair table is REDUCED (HAVING ≥ minsup) — bounded, so it
+    # broadcasts and the catalog-scale support table only ever STREAMS:
+    # two scan-passes of supp with a tiny broadcast side beat two
+    # bucketed exchanges of a 20-row left side (measured 4 s → <1 s at
+    # sf0.1)
+    both_df = pd.concat([
+        pairs.to_pandas().rename(columns={"item_a": "a", "item_b": "b"}),
+        pairs.to_pandas().rename(columns={"item_a": "b", "item_b": "a"}),
+    ])[["a", "b", "support"]]
+    sa = supp.map_batches(
+        lambda d: d.rename(columns={"l_partkey": "a", "supp": "supp_a"}),
+        batch_format="pandas")
+    r1 = broadcast_join(sa, both_df, on="a").to_pandas()
+    sb = supp.map_batches(
+        lambda d: d.rename(columns={"l_partkey": "b", "supp": "supp_b"}),
+        batch_format="pandas")
+    d = broadcast_join(sb, r1, on="b").to_pandas()
+
+    s = d["support"].to_numpy(dtype="float64")
+    a = d["supp_a"].to_numpy(dtype="float64")
+    b = d["supp_b"].to_numpy(dtype="float64")
+    out = pd.DataFrame({
+        "item_a": d["a"].astype("int64"),
+        "item_b": d["b"].astype("int64"),
+        "support": d["support"].astype("int64"),
+        "confidence": np.round(s / a, 6),
+        "lift": np.round(s * float(n_baskets) / (a * b), 6)})
+    return (out.sort_values(["lift", "item_a", "item_b"],
+                            ascending=[False, True, True])
+            .head(20).reset_index(drop=True))
+
+
+SQL_ASSOC_RULES = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS n FROM lineitem),
+supp AS (SELECT l_partkey, count(*)::BIGINT AS s FROM b GROUP BY 1),
+p AS (
+  SELECT a.l_partkey AS ia, c.l_partkey AS ib, count(*)::BIGINT AS s
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+bd AS (
+  SELECT ia AS a, ib AS b, s FROM p
+  UNION ALL SELECT ib, ia, s FROM p),
+r AS (
+  SELECT bd.a AS item_a, bd.b AS item_b, bd.s AS support,
+         round(bd.s / sa.s::DOUBLE, 6) AS confidence,
+         round(bd.s * n.n / (sa.s::DOUBLE * sb.s::DOUBLE), 6) AS lift
+  FROM bd JOIN supp sa ON bd.a = sa.l_partkey
+          JOIN supp sb ON bd.b = sb.l_partkey
+          CROSS JOIN n)
+SELECT * FROM r
+ORDER BY lift DESC, item_a ASC, item_b ASC
+LIMIT 20
+"""
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source vocabulary-overlap matrix — the corpus-mixture
+    diagnostic ("are these two crawls the same distribution?"):
+    exact Jaccard of distinct-word sets for every source pair.
+    Distributed WITHOUT enumerating pair×word: (word, source) pairs
+    dedup once; each word's bounded source set (≤|sources|) emits
+    its pair increments arithmetically inside the word-hash
+    partition; per-source set sizes come from the same deduped
+    table; |A∪B| = |A|+|B|−|A∩B| folds on the ≤C(|sources|,2)-row
+    driver table."""
+    from ..functions.relational import grouped_apply
+
+    docs = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def words(d: pd.DataFrame) -> pd.DataFrame:
+        w = d["text"].str.split(" ")
+        out = d[["source"]].assign(w=w).explode("w")
+        out = out[out["w"] != ""]
+        return out.drop_duplicates()
+
+    ws = distinct(
+        docs.map_batches(words, batch_format="pandas"),
+        ["w", "source"], merge_partitions=16)
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _w, gg in g.groupby("w", sort=False):
+            ss = np.sort(gg["source"].to_numpy())
+            if len(ss) < 2:
+                continue
+            i, j = np.triu_indices(len(ss), 1)
+            rows.append(pd.DataFrame({"s1": ss[i], "s2": ss[j]}))
+        if not rows:
+            return pd.DataFrame({"s1": pd.Series(dtype=object),
+                                 "s2": pd.Series(dtype=object),
+                                 "inter": pd.Series(dtype="int64")})
+        d = pd.concat(rows)
+        return (d.groupby(["s1", "s2"], sort=False).size()
+                .reset_index(name="inter"))
+
+    inter = grouped_agg(
+        grouped_apply(ws, ["w"], pair_partials, num_partitions=16),
+        ["s1", "s2"], {"inter": ("inter", "sum")}).to_pandas()
+    sizes = grouped_agg(ws, ["source"], {"n": ("w", "count")}
+                        ).to_pandas().set_index("source")["n"]
+    n1 = inter["s1"].map(sizes).to_numpy(dtype="int64")
+    n2 = inter["s2"].map(sizes).to_numpy(dtype="int64")
+    iv = inter["inter"].to_numpy(dtype="int64")
+    out = pd.DataFrame({
+        "s1": inter["s1"].astype(object),
+        "s2": inter["s2"].astype(object),
+        "inter": iv,
+        "jaccard": np.round(iv / (n1 + n2 - iv).astype("float64"), 6)})
+    return out.sort_values(["s1", "s2"]).reset_index(drop=True)
+
+
+SQL_SOURCE_OVERLAP = """
+WITH ws AS (
+  SELECT DISTINCT source, unnest(
+    list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents),
+sz AS (SELECT source, count(*)::BIGINT AS n FROM ws GROUP BY 1),
+inter AS (
+  SELECT a.source AS s1, b.source AS s2, count(*)::BIGINT AS inter
+  FROM ws a JOIN ws b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.s1, i.s2, i.inter,
+       round(i.inter / (za.n + zb.n - i.inter)::DOUBLE, 6) AS jaccard
+FROM inter i JOIN sz za ON i.s1 = za.source
+             JOIN sz zb ON i.s2 = zb.source
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -10570,6 +10871,10 @@ QUERIES = {
     "returns_topk": q_returns_topk,
     "session_paths": q_session_paths,
     "kendall_tau": q_kendall_tau,
+    "rfm_segments": q_rfm_segments,
+    "convert_time": q_convert_time,
+    "assoc_rules": q_assoc_rules,
+    "source_overlap": q_source_overlap,
     "target_encode": q_target_encode,
     "max_gap": q_max_gap,
     "components_hist": q_components_hist,
@@ -10812,6 +11117,10 @@ ORACLE_SQL = {
     "returns_topk": SQL_RETURNS_TOPK,
     "session_paths": SQL_SESSION_PATHS,
     "kendall_tau": SQL_KENDALL_TAU,
+    "rfm_segments": SQL_RFM_SEGMENTS,
+    "convert_time": SQL_CONVERT_TIME,
+    "assoc_rules": SQL_ASSOC_RULES,
+    "source_overlap": SQL_SOURCE_OVERLAP,
     "target_encode": SQL_TARGET_ENCODE,
     "max_gap": SQL_MAX_GAP,
     "components_hist": SQL_COMPONENTS_HIST,
