@@ -10683,6 +10683,332 @@ FROM inter i JOIN sz za ON i.s1 = za.source
 """
 
 
+def q_kaplan_meier(sf_dir: str):
+    """Kaplan–Meier survival curve for time-to-first-purchase — the
+    churn/conversion lifetable: each user is a subject observed from
+    their first event, the "death" is their first purchase (duration in
+    whole days, day 1 = same day), and users who never purchase are
+    right-censored at their last event. Per-user (first-event,
+    first-purchase, last-event) reduces via ONE user-keyed grouped
+    min/max (the conditional min rides a 2^62 sentinel so it shares the
+    same exchange); the day-level (deaths, censored) lifetable is a
+    second bounded reduce; the survival product folds on the ≤#days
+    driver table. Float discipline: the per-day log factor
+    ln(1 − d/n) is one IEEE expression of exact int64 counts on both
+    engines, rounded to integer MICRO-NATS, cumulated EXACTLY as int64,
+    and exponentiated once — the hash cannot flip on multiplication
+    order because no floats are ever summed."""
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    big = np.int64(2) ** 62
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        ts = d["ts"].to_numpy("datetime64[us]").astype("int64")
+        is_p = d["event_type"].to_numpy() == "purchase"
+        return pd.DataFrame({
+            "user_id": d["user_id"].to_numpy(),
+            "t0": ts, "tend": ts,
+            "fp": np.where(is_p, ts, big)})
+
+    users = grouped_agg(
+        ev.map_batches(pre, batch_format="pandas"),
+        ["user_id"], {"t0": ("t0", "min"), "tend": ("tend", "max"),
+                      "fp": ("fp", "min")})
+    day_us = 86_400_000_000
+
+    def lifetable(d: pd.DataFrame) -> pd.DataFrame:
+        t0 = d["t0"].to_numpy(dtype="int64")
+        fp = d["fp"].to_numpy(dtype="int64")
+        tend = d["tend"].to_numpy(dtype="int64")
+        observed = fp < big
+        tstop = np.where(observed, fp, tend)
+        return pd.DataFrame({
+            "day": (tstop - t0) // day_us + 1,
+            "d": observed.astype("int64"),
+            "c": (~observed).astype("int64")})
+
+    tab = (grouped_agg(users.map_batches(lifetable, batch_format="pandas"),
+                       ["day"], {"d": ("d", "sum"), "c": ("c", "sum")})
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    d = tab["d"].to_numpy(dtype="int64")
+    c = tab["c"].to_numpy(dtype="int64")
+    n_total = int((d + c).sum())
+    n_risk = n_total - np.concatenate(
+        ([0], np.cumsum(d + c)[:-1])).astype("int64")
+    frac = d.astype("float64") / n_risk.astype("float64")
+    with np.errstate(divide="ignore"):
+        lnf = np.where(
+            d == 0, np.int64(0),
+            np.where(d < n_risk,
+                     np.round(np.log(1.0 - frac) * 1e6),
+                     -20_000_000_000).astype("int64"))
+    surv = np.round(np.exp(np.cumsum(lnf) / 1e6), 6)
+    return pd.DataFrame({
+        "day": tab["day"].to_numpy(dtype="int64"),
+        "n_risk": n_risk, "n_events": d, "n_censored": c,
+        "survival": surv})
+
+
+SQL_KAPLAN_MEIER = """
+WITH u AS (
+  SELECT user_id, min(epoch_us(ts))::BIGINT AS t0,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END)::BIGINT AS fp,
+         max(epoch_us(ts))::BIGINT AS tend
+  FROM events GROUP BY 1),
+dur AS (
+  SELECT ((COALESCE(fp, tend) - t0) // 86400000000)::BIGINT + 1 AS day,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS ev
+  FROM u),
+tab AS (
+  SELECT day, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS c
+  FROM dur GROUP BY 1),
+k AS (
+  SELECT day, d, c,
+         CAST((SELECT count(*) FROM u)
+           - COALESCE(sum(d + c) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS n_risk
+  FROM tab),
+lf AS (
+  SELECT day, n_risk, d, c,
+         CASE WHEN d = 0 THEN 0
+              WHEN d < n_risk THEN CAST(round(
+                ln(1.0 - d::DOUBLE / n_risk::DOUBLE) * 1e6) AS BIGINT)
+              ELSE -20000000000 END AS lnf
+  FROM k)
+SELECT day, n_risk, d AS n_events, c AS n_censored,
+       round(exp(sum(lnf) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                 / 1000000.0), 6) AS survival
+FROM lf ORDER BY day
+"""
+
+
+def q_decision_stump(sf_dir: str):
+    """Train a decision stump (1R) — the best single split
+    `l_quantity <= t` predicting `l_returnflag` by weighted Gini
+    impurity. The sufficient statistic is the bounded (quantity ×
+    flag) contingency histogram (≤50×3 partial rows per block, one
+    tiny grouped sum); the split search runs on the driver over ≤50
+    candidates. EXACT-arithmetic argmin: minimizing weighted Gini is
+    equivalent to maximizing A(t) = Σf nl_f²/nl + Σf nr_f²/nr =
+    (Σnl_f²·nr + Σnr_f²·nl) / (nl·nr); numerator and denominator are
+    exact integers (Python bigints here, HUGEINT in the oracle), each
+    converted to double ONCE (round-to-nearest is deterministic) before
+    the single comparison-ordering division — so the chosen threshold
+    can never disagree across engines on float-sum order. Ties break
+    on smaller threshold; majority classes tie-break on class asc."""
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_quantity", "l_returnflag"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "q": d["l_quantity"].to_numpy(dtype="float64")
+                 .astype("int64"),
+            "f": d["l_returnflag"].to_numpy(),
+            "one": np.ones(len(d), dtype="int64")})
+
+    cont = (grouped_agg(li.map_batches(pre, batch_format="pandas"),
+                        ["q", "f"], {"n": ("one", "sum")})
+            .to_pandas())
+    pv = (cont.pivot_table(index="q", columns="f", values="n",
+                           aggfunc="sum", fill_value=0)
+          .sort_index())
+    classes = sorted(pv.columns.tolist())
+    counts = pv[classes].to_numpy(dtype="int64")
+    qs = pv.index.to_numpy(dtype="int64")
+    tot = [int(x) for x in counts.sum(axis=0)]
+    n_all = sum(tot)
+    cum = np.cumsum(counts, axis=0)
+    best = None  # (key_desc, thr, nl_f list)
+    for i in range(len(qs) - 1):  # last split leaves right side empty
+        nl_f = [int(x) for x in cum[i]]
+        nr_f = [t - l for t, l in zip(tot, nl_f)]
+        nl, nr = sum(nl_f), sum(nr_f)
+        num = (sum(x * x for x in nl_f) * nr
+               + sum(x * x for x in nr_f) * nl)
+        den = nl * nr
+        key = float(num) / float(den)
+        if best is None or key > best[0]:
+            best = (key, int(qs[i]), nl_f, nr_f)
+    key, thr, nl_f, nr_f = best
+    lmax = max(range(len(classes)), key=lambda j: (nl_f[j], -j))
+    rmax = max(range(len(classes)), key=lambda j: (nr_f[j], -j))
+    return pd.DataFrame({
+        "threshold": np.array([thr], dtype="int64"),
+        "left_class": np.array([classes[lmax]], dtype=object),
+        "right_class": np.array([classes[rmax]], dtype=object),
+        "accuracy": np.array(
+            [round(float(nl_f[lmax] + nr_f[rmax]) / float(n_all), 9)],
+            dtype="float64"),
+        "gini": np.array([round((float(n_all) - key) / float(n_all), 9)],
+                         dtype="float64")})
+
+
+SQL_DECISION_STUMP = """
+WITH c AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q, l_returnflag AS f,
+         count(*)::BIGINT AS n
+  FROM lineitem GROUP BY 1, 2),
+tot AS (SELECT f, sum(n)::BIGINT AS nf FROM c GROUP BY 1),
+thr AS (SELECT DISTINCT q FROM c WHERE q < (SELECT max(q) FROM c)),
+l AS (
+  SELECT t.q AS thr, tot.f,
+         COALESCE(sum(CASE WHEN c.q <= t.q THEN c.n END), 0)::BIGINT
+           AS nl_f,
+         any_value(tot.nf) AS nf
+  FROM thr t CROSS JOIN tot LEFT JOIN c ON c.f = tot.f
+  GROUP BY 1, 2),
+j AS (SELECT thr, f, nl_f, nf - nl_f AS nr_f FROM l),
+s AS (
+  SELECT thr,
+         sum(nl_f)::HUGEINT AS nl, sum(nr_f)::HUGEINT AS nr,
+         sum(nl_f::HUGEINT * nl_f::HUGEINT) AS sl2,
+         sum(nr_f::HUGEINT * nr_f::HUGEINT) AS sr2
+  FROM j GROUP BY 1),
+sc AS (
+  SELECT thr, nl, nr, (sl2 * nr + sr2 * nl) AS num, (nl * nr) AS den
+  FROM s WHERE nl > 0 AND nr > 0),
+best AS (
+  SELECT thr, num::DOUBLE / den::DOUBLE AS a
+  FROM sc ORDER BY a DESC, thr ASC LIMIT 1),
+lm AS (SELECT f, nl_f FROM j WHERE thr = (SELECT thr FROM best)
+       ORDER BY nl_f DESC, f ASC LIMIT 1),
+rm AS (SELECT f, nr_f FROM j WHERE thr = (SELECT thr FROM best)
+       ORDER BY nr_f DESC, f ASC LIMIT 1),
+n AS (SELECT sum(n)::BIGINT AS n FROM c)
+SELECT (SELECT thr FROM best)::BIGINT AS threshold,
+       (SELECT f FROM lm) AS left_class,
+       (SELECT f FROM rm) AS right_class,
+       round(((SELECT nl_f FROM lm) + (SELECT nr_f FROM rm))::DOUBLE
+             / n.n::DOUBLE, 9) AS accuracy,
+       round((n.n::DOUBLE - (SELECT a FROM best)) / n.n::DOUBLE, 9)
+         AS gini
+FROM n
+"""
+
+
+def q_hapax(sf_dir: str):
+    """Per-source vocabulary richness — type count, token count, and
+    the hapax-legomena ratio (share of word types occurring exactly
+    once in that source): the corpus-health diagnostic that catches
+    both template spam (hapax ratio collapses) and OCR noise (it
+    explodes). (source, word) counts reduce inside ONE word-hash
+    partitioned exchange (`merge_partitions`, vocabulary scales with
+    the corpus); each partition then folds its types to ≤|sources|
+    partial rows, so the per-source reduce ships a model-constant
+    table. Exact int64 end to end; only the final ratio divides."""
+    docs = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def words(d: pd.DataFrame) -> pd.DataFrame:
+        out = (d[["source"]]
+               .assign(w=d["text"].str.split(" ")).explode("w"))
+        out = out[out["w"] != ""]
+        return pd.DataFrame({
+            "source": out["source"].to_numpy(),
+            "w": out["w"].to_numpy(),
+            "one": np.ones(len(out), dtype="int64")})
+
+    wc = grouped_agg(
+        docs.map_batches(words, batch_format="pandas"),
+        ["source", "w"], {"n": ("one", "sum")}, merge_partitions=16)
+
+    def fold(d: pd.DataFrame) -> pd.DataFrame:
+        n = d["n"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "source": d["source"].to_numpy(),
+            "types": np.ones(len(d), dtype="int64"),
+            "hapax": (n == 1).astype("int64"),
+            "tokens": n})
+
+    agg = (grouped_agg(wc.map_batches(fold, batch_format="pandas"),
+                       ["source"],
+                       {"types": ("types", "sum"),
+                        "hapax": ("hapax", "sum"),
+                        "tokens": ("tokens", "sum")})
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    agg["hapax_ratio"] = np.round(
+        agg["hapax"].to_numpy(dtype="int64")
+        / agg["types"].to_numpy(dtype="float64"), 6)
+    return agg
+
+
+SQL_HAPAX = """
+WITH w AS (
+  SELECT source, unnest(
+    list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents),
+wc AS (SELECT source, w, count(*)::BIGINT AS n FROM w GROUP BY 1, 2)
+SELECT source,
+       count(*)::BIGINT AS types,
+       sum((n = 1)::INT)::BIGINT AS hapax,
+       sum(n)::BIGINT AS tokens,
+       round(sum((n = 1)::INT) / count(*)::DOUBLE, 6) AS hapax_ratio
+FROM wc GROUP BY 1 ORDER BY source
+"""
+
+
+def q_pareto_8020(sf_dir: str):
+    """Pareto revenue concentration — the smallest set of top customers
+    covering ≥80% of total order revenue (the "how skewed is this key"
+    check run before choosing a partitioning/salting strategy).
+    Per-customer revenue reduces in exact integer cents inside a
+    customer-hash partitioned exchange; the fold (sort + prefix sum +
+    cutoff) runs on the catalog-scale customer table — for
+    frontier-scale keys the distributed prefix lives in `order_index`/
+    `percent_rank_global`. The 80% test is EXACT integer arithmetic
+    (5·cum ≥ 4·total), no float cutoff; ties at the boundary break on
+    customer key via the (rev desc, custkey asc) order both engines
+    share."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": d["o_custkey"].to_numpy(),
+            "rev_c": np.rint(d["o_totalprice"].to_numpy(dtype="float64")
+                             * 100).astype("int64")})
+
+    cust = (grouped_agg(orders.map_batches(pre, batch_format="pandas"),
+                        ["o_custkey"], {"rev_c": ("rev_c", "sum")},
+                        merge_partitions=8)
+            .to_pandas()
+            .sort_values(["rev_c", "o_custkey"],
+                         ascending=[False, True]))
+    rev = cust["rev_c"].to_numpy(dtype="int64")
+    total = int(rev.sum())
+    cum = np.cumsum(rev)
+    k = int(np.searchsorted(5 * cum, 4 * total, side="left")) + 1
+    return pd.DataFrame({
+        "n_top": np.array([k], dtype="int64"),
+        "n_customers": np.array([len(cust)], dtype="int64"),
+        "top_share": np.array(
+            [round(float(cum[k - 1]) / float(total), 6)],
+            dtype="float64"),
+        "total_rev_c": np.array([total], dtype="int64")})
+
+
+SQL_PARETO_8020 = """
+WITH cr AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_c
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT rev_c,
+         sum(rev_c) OVER (ORDER BY rev_c DESC, o_custkey ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (ORDER BY rev_c DESC, o_custkey ASC) AS rn
+  FROM cr),
+t AS (SELECT sum(rev_c)::BIGINT AS total, count(*)::BIGINT AS n FROM cr),
+k AS (SELECT min(rn)::BIGINT AS k FROM r, t WHERE 5 * r.cum >= 4 * t.total)
+SELECT k.k AS n_top, t.n AS n_customers,
+       round((SELECT cum FROM r, k WHERE r.rn = k.k)::DOUBLE
+             / t.total::DOUBLE, 6) AS top_share,
+       t.total AS total_rev_c
+FROM k, t
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -10875,6 +11201,10 @@ QUERIES = {
     "convert_time": q_convert_time,
     "assoc_rules": q_assoc_rules,
     "source_overlap": q_source_overlap,
+    "kaplan_meier": q_kaplan_meier,
+    "decision_stump": q_decision_stump,
+    "hapax": q_hapax,
+    "pareto_8020": q_pareto_8020,
     "target_encode": q_target_encode,
     "max_gap": q_max_gap,
     "components_hist": q_components_hist,
@@ -11121,6 +11451,10 @@ ORACLE_SQL = {
     "convert_time": SQL_CONVERT_TIME,
     "assoc_rules": SQL_ASSOC_RULES,
     "source_overlap": SQL_SOURCE_OVERLAP,
+    "kaplan_meier": SQL_KAPLAN_MEIER,
+    "decision_stump": SQL_DECISION_STUMP,
+    "hapax": SQL_HAPAX,
+    "pareto_8020": SQL_PARETO_8020,
     "target_encode": SQL_TARGET_ENCODE,
     "max_gap": SQL_MAX_GAP,
     "components_hist": SQL_COMPONENTS_HIST,

@@ -1669,3 +1669,94 @@ def test_kendall_tau_against_scipy_free_reference(ray_session):
     assert int(got["concordant"].iloc[0]) == conc
     assert int(got["discordant"].iloc[0]) == disc
     assert abs(float(got["tau_b"].iloc[0]) - tau) < 1e-6
+
+
+def test_kaplan_meier_censoring_path(ray_session, tmp_path):
+    """The sf tables have no never-purchasing users, so the censoring
+    arm never fires in the oracle gate — pin it here: censored subjects
+    leave the risk set without a survival drop, and a day where every
+    remaining subject converts drives survival to exactly 0."""
+    from crawler_service_ray.pipelines.queries import q_kaplan_meier
+
+    t0 = np.datetime64("2026-01-01T00:00:00", "us")
+
+    def ev(uid, offs_days, types):
+        return pd.DataFrame({
+            "user_id": np.full(len(types), uid, dtype="int64"),
+            "ts": [t0 + int(o * 86_400_000_000 // 1_000_000)
+                   * np.timedelta64(1_000_000, "us") for o in offs_days],
+            "event_type": types})
+
+    # u1: converts on day 3; u2: censored day 5; u3: converts day 1
+    # (first event IS the purchase); u4: censored day 1 (single event)
+    df = pd.concat([
+        ev(1, [0.0, 2.5], ["click", "purchase"]),
+        ev(2, [0.0, 1.0, 4.2], ["click", "view", "click"]),
+        ev(3, [0.0], ["purchase"]),
+        ev(4, [0.5], ["view"]),
+    ])
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = q_kaplan_meier(str(tmp_path))
+
+    # lifetable: day1 d=1 c=1 n=4; day3 d=1 c=0 n=2; day5 d=0 c=1 n=1
+    assert got["day"].tolist() == [1, 3, 5]
+    assert got["n_risk"].tolist() == [4, 2, 1]
+    assert got["n_events"].tolist() == [1, 1, 0]
+    assert got["n_censored"].tolist() == [1, 0, 1]
+    want = np.cumprod([1 - 1 / 4, 1 - 1 / 2, 1.0])
+    assert np.allclose(got["survival"].to_numpy(), want, atol=2e-6)
+
+
+def test_decision_stump_brute_force(ray_session):
+    """The exact-integer argmax picks the same split as a float
+    brute-force over every threshold, and accuracy/gini replay."""
+    from crawler_service_ray.pipelines.queries import q_decision_stump
+
+    got = q_decision_stump("/root/testdata/sf0.001")
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                         columns=["l_quantity", "l_returnflag"])
+    q = li["l_quantity"].to_numpy(dtype="float64").astype("int64")
+    f = li["l_returnflag"].to_numpy()
+    classes = sorted(set(f))
+    n = len(q)
+    best = None
+    for t in sorted(set(q))[:-1]:
+        l_mask = q <= t
+        nl_f = [int(((f == c) & l_mask).sum()) for c in classes]
+        nr_f = [int(((f == c) & ~l_mask).sum()) for c in classes]
+        nl, nr = sum(nl_f), sum(nr_f)
+        gl = 1.0 - sum((x / nl) ** 2 for x in nl_f)
+        gr = 1.0 - sum((x / nr) ** 2 for x in nr_f)
+        gini = (nl * gl + nr * gr) / n
+        if best is None or gini < best[0] - 1e-12:
+            best = (gini, t, nl_f, nr_f)
+    gini, t, nl_f, nr_f = best
+    assert int(got["threshold"].iloc[0]) == t
+    assert abs(float(got["gini"].iloc[0]) - gini) < 1e-9
+    lmax = max(range(len(classes)), key=lambda j: (nl_f[j], -j))
+    rmax = max(range(len(classes)), key=lambda j: (nr_f[j], -j))
+    assert got["left_class"].iloc[0] == classes[lmax]
+    assert got["right_class"].iloc[0] == classes[rmax]
+    acc = (nl_f[lmax] + nr_f[rmax]) / n
+    assert abs(float(got["accuracy"].iloc[0]) - acc) < 1e-9
+
+
+def test_pareto_8020_prefix_reference(ray_session):
+    """n_top is the smallest k whose cumulative revenue share reaches
+    80%, on the exact integer-cent prefix."""
+    from crawler_service_ray.pipelines.queries import q_pareto_8020
+
+    got = q_pareto_8020("/root/testdata/sf0.001")
+    o = pd.read_parquet("/root/testdata/sf0.001/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    c = np.rint(o["o_totalprice"].to_numpy() * 100).astype("int64")
+    rev = (o.assign(c=c).groupby("o_custkey")["c"].sum()
+           .sort_values(ascending=False))
+    cum = np.cumsum(rev.to_numpy())
+    total = int(cum[-1])
+    k = int(np.argmax(5 * cum >= 4 * total)) + 1
+    assert int(got["n_top"].iloc[0]) == k
+    assert int(got["n_customers"].iloc[0]) == len(rev)
+    assert int(got["total_rev_c"].iloc[0]) == total
+    # k-1 customers must NOT reach 80%
+    assert k == 1 or 5 * int(cum[k - 2]) < 4 * total
