@@ -11009,6 +11009,267 @@ FROM k, t
 """
 
 
+def q_psi(sf_dir: str):
+    """Population-stability-index drift check — the model-ops monitor
+    run before trusting a trained model on this week's data: events
+    split into two halves at the exact midpoint of the time range
+    (integer 2·ts vs lo+hi, no float midpoint), decile edges taken
+    from the FIRST half only (exact discrete quantiles, the
+    `quantiles_disc` convention, deduplicated), both halves binned by
+    searchsorted, and PSI = Σ (p_b−p_a)·ln(p_b/p_a). Float discipline:
+    each bin's term is one IEEE expression of exact int64 counts,
+    rounded to integer MICRO-nats and summed exactly — no float
+    accumulation order anywhere. Two streaming passes over events
+    (edge fit + binning), counts reduce to ≤10 rows."""
+    from ..functions.relational import grouped_quantiles
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "value"])
+    mm = grouped_agg(
+        ev.map_batches(
+            lambda d: pd.DataFrame({
+                "k": np.zeros(len(d), dtype="int64"),
+                "t": d["ts"].to_numpy("datetime64[us]").astype("int64")}),
+            batch_format="pandas"),
+        ["k"], {"lo": ("t", "min"), "hi": ("t", "max")}).to_pandas()
+    lo, hi = int(mm["lo"].iloc[0]), int(mm["hi"].iloc[0])
+
+    def tag(d: pd.DataFrame) -> pd.DataFrame:
+        t = d["ts"].to_numpy("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "p": (2 * t >= lo + hi).astype("int64"),
+            "v": d["value"].to_numpy(dtype="float64"),
+            "__k": np.zeros(len(d), dtype="int64")})
+
+    tagged = ev.map_batches(tag, batch_format="pandas")
+    base = tagged.map_batches(lambda d: d.loc[d["p"] == 0],
+                              batch_format="pandas")
+    names = [f"q{i}" for i in range(1, 10)]
+    ed = grouped_quantiles(
+        base, ["__k"], "v", [i / 10 for i in range(1, 10)], names,
+        method="inverted_cdf").to_pandas()
+    edges = np.unique(np.array(
+        [float(ed[n].iloc[0]) for n in names], dtype="float64"))
+
+    def binify(d: pd.DataFrame) -> pd.DataFrame:
+        p = d["p"].to_numpy()
+        return pd.DataFrame({
+            "bin": np.searchsorted(
+                edges, d["v"].to_numpy(dtype="float64"),
+                side="left").astype("int64"),
+            "na": (p == 0).astype("int64"),
+            "nb": (p == 1).astype("int64")})
+
+    cnt = (grouped_agg(tagged.map_batches(binify, batch_format="pandas"),
+                       ["bin"], {"n_a": ("na", "sum"),
+                                 "n_b": ("nb", "sum")})
+           .to_pandas().sort_values("bin"))
+    na_t = int(cnt["n_a"].sum())
+    nb_t = int(cnt["n_b"].sum())
+    pa = cnt["n_a"].to_numpy(dtype="float64") / float(na_t)
+    pb = cnt["n_b"].to_numpy(dtype="float64") / float(nb_t)
+    term = (pb - pa) * np.log(np.maximum(pb, 1e-12)
+                              / np.maximum(pa, 1e-12))
+    micro = np.round(term * 1e6).astype("int64")
+    return pd.DataFrame({
+        "n_bins": np.array([len(cnt)], dtype="int64"),
+        "n_a": np.array([na_t], dtype="int64"),
+        "n_b": np.array([nb_t], dtype="int64"),
+        "psi": np.array([round(float(micro.sum()) / 1e6, 6)],
+                        dtype="float64")})
+
+
+SQL_PSI = """
+WITH mm AS (
+  SELECT min(epoch_us(ts))::BIGINT AS lo,
+         max(epoch_us(ts))::BIGINT AS hi
+  FROM events),
+e AS (
+  SELECT event_id, value AS v,
+         CASE WHEN 2 * epoch_us(ts) >= (SELECT lo + hi FROM mm)
+              THEN 1 ELSE 0 END AS p
+  FROM events),
+ed AS (
+  SELECT DISTINCT edge FROM (
+    SELECT unnest([
+      quantile_disc(v, 0.1), quantile_disc(v, 0.2),
+      quantile_disc(v, 0.3), quantile_disc(v, 0.4),
+      quantile_disc(v, 0.5), quantile_disc(v, 0.6),
+      quantile_disc(v, 0.7), quantile_disc(v, 0.8),
+      quantile_disc(v, 0.9)]) AS edge
+    FROM e WHERE p = 0)),
+b AS (
+  SELECT e.event_id, any_value(e.p) AS p, count(ed.edge)::BIGINT AS bin
+  FROM e LEFT JOIN ed ON ed.edge < e.v
+  GROUP BY e.event_id),
+c AS (
+  SELECT bin, sum((p = 0)::INT)::BIGINT AS n_a,
+         sum((p = 1)::INT)::BIGINT AS n_b
+  FROM b GROUP BY 1),
+t AS (SELECT sum(n_a)::BIGINT AS nat, sum(n_b)::BIGINT AS nbt FROM c),
+terms AS (
+  SELECT CAST(round(
+    (n_b::DOUBLE / t.nbt::DOUBLE - n_a::DOUBLE / t.nat::DOUBLE)
+    * ln(greatest(n_b::DOUBLE / t.nbt::DOUBLE, 1e-12)
+         / greatest(n_a::DOUBLE / t.nat::DOUBLE, 1e-12))
+    * 1e6) AS BIGINT) AS m
+  FROM c, t)
+SELECT (SELECT count(*) FROM c)::BIGINT AS n_bins,
+       t.nat AS n_a, t.nbt AS n_b,
+       round((SELECT sum(m) FROM terms) / 1000000.0, 6) AS psi
+FROM t
+"""
+
+
+def q_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value curve — `retention`'s revenue sibling:
+    users cohorted by first-activity week, purchase revenue summed per
+    (cohort, weeks-since-cohort) in exact integer cents, cumulated
+    along observed offsets, and normalized per cohort user. ONE
+    user-hash exchange co-locates each user's events; inside a
+    partition everything is vectorized (first-week transform, purchase
+    sum, a one-row-per-user cohort-size marker at offset 0), so only
+    ≤cohorts×offsets partial rows leave each partition. The cumulative
+    fold runs on the bounded weeks² driver table; the only division is
+    the final per-user LTV."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type", "value"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "cohort": pd.Series(dtype="int64"),
+                "off": pd.Series(dtype="int64"),
+                "rev": pd.Series(dtype="int64"),
+                "nu": pd.Series(dtype="int64")})
+        wk = (g["ts"].to_numpy("datetime64[us]").astype("int64")
+              // 604_800_000_000)
+        d = pd.DataFrame({
+            "u": g["user_id"].to_numpy(), "wk": wk,
+            "isp": g["event_type"].to_numpy() == "purchase",
+            "rev": np.rint(g["value"].to_numpy(dtype="float64") * 100
+                           ).astype("int64")})
+        d["cohort"] = d.groupby("u", sort=False)["wk"].transform("min")
+        d["off"] = d["wk"] - d["cohort"]
+        pur = (d.loc[d["isp"]]
+               .groupby(["cohort", "off"], sort=False)["rev"].sum()
+               .reset_index().assign(nu=np.int64(0)))
+        mk = (d.drop_duplicates("u").groupby("cohort", sort=False)
+              .size().reset_index(name="nu")
+              .assign(off=np.int64(0), rev=np.int64(0)))
+        out = pd.concat([pur, mk])[["cohort", "off", "rev", "nu"]]
+        return out.astype("int64")
+
+    u = (grouped_agg(
+            grouped_apply(ev, ["user_id"], per_part, num_partitions=32),
+            ["cohort", "off"],
+            {"rev_c": ("rev", "sum"), "nu": ("nu", "sum")})
+         .to_pandas().sort_values(["cohort", "off"])
+         .reset_index(drop=True))
+    u["rev_c"] = u["rev_c"].astype("int64")
+    u["cum_rev_c"] = u.groupby("cohort")["rev_c"].cumsum().astype("int64")
+    u["n_users"] = u.groupby("cohort")["nu"].transform("sum").astype("int64")
+    u["ltv_c"] = np.round(u["cum_rev_c"].to_numpy(dtype="float64")
+                          / u["n_users"].to_numpy(dtype="float64"), 6)
+    return u.rename(columns={"off": "weeks_since"}).drop(columns=["nu"])
+
+
+SQL_COHORT_LTV = """
+WITH w AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk,
+         event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events),
+f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1),
+pur AS (
+  SELECT f.cohort, w.wk - f.cohort AS weeks_since,
+         sum(w.v_c)::BIGINT AS rev_c, 0::BIGINT AS nu
+  FROM w JOIN f USING (user_id)
+  WHERE w.event_type = 'purchase' GROUP BY 1, 2),
+mk AS (
+  SELECT cohort, 0::BIGINT AS weeks_since, 0::BIGINT AS rev_c,
+         count(*)::BIGINT AS nu
+  FROM f GROUP BY 1),
+u AS (
+  SELECT cohort, weeks_since, sum(rev_c)::BIGINT AS rev_c,
+         sum(nu)::BIGINT AS nu
+  FROM (SELECT * FROM pur UNION ALL SELECT * FROM mk)
+  GROUP BY 1, 2),
+c AS (
+  SELECT cohort, weeks_since, rev_c,
+         sum(rev_c) OVER (PARTITION BY cohort ORDER BY weeks_since
+                          ROWS UNBOUNDED PRECEDING) AS cum_rev_c,
+         sum(nu) OVER (PARTITION BY cohort) AS n_users
+  FROM u)
+SELECT cohort, weeks_since, rev_c,
+       cum_rev_c::BIGINT AS cum_rev_c, n_users::BIGINT AS n_users,
+       round(cum_rev_c::DOUBLE / n_users::DOUBLE, 6) AS ltv_c
+FROM c
+"""
+
+
+def q_oov_rate(sf_dir: str):
+    """Out-of-vocabulary rate at a fixed vocabulary budget — the
+    tokenizer-sizing question ("how much of the corpus does a top-V
+    vocab cover?"): word counts reduce inside a word-hash partitioned
+    exchange (vocabulary scales with the corpus, never coalesces to one
+    task), the top-V cut uses per-block truncation + one tiny tail sort
+    (`topk` with the (count desc, word asc) tie-break), and the OOV
+    complement needs NO second corpus pass — oov = total − Σ top-V
+    counts, all exact int64. V=20 here (the synthetic corpus has 31
+    word types); V is the operator's parameter, not a constant."""
+    from ..functions.relational import topk
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def words(d: pd.DataFrame) -> pd.DataFrame:
+        w = d["text"].str.split(" ").explode()
+        w = w[w != ""]
+        return pd.DataFrame({"w": w.to_numpy(),
+                             "one": np.ones(len(w), dtype="int64")})
+
+    counts = grouped_agg(
+        docs.map_batches(words, batch_format="pandas"),
+        ["w"], {"n": ("one", "sum")}, merge_partitions=16)
+    total = int(
+        counts.map_batches(
+            lambda d: pd.DataFrame({"s": np.array([d["n"].sum()],
+                                                  dtype="int64")}),
+            batch_format="pandas").to_pandas()["s"].sum())
+    top = (topk(counts, by=["n", "w"], k=20, descending=[True, False])
+           .to_pandas())
+    vocab_tokens = int(top["n"].sum())
+    return pd.DataFrame({
+        "vocab_size": np.array([len(top)], dtype="int64"),
+        "cutoff_count": np.array([int(top["n"].min())], dtype="int64"),
+        "total_tokens": np.array([total], dtype="int64"),
+        "vocab_tokens": np.array([vocab_tokens], dtype="int64"),
+        "oov_tokens": np.array([total - vocab_tokens], dtype="int64"),
+        "oov_rate": np.array(
+            [round(float(total - vocab_tokens) / float(total), 6)],
+            dtype="float64")})
+
+
+SQL_OOV_RATE = """
+WITH w AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+    AS w
+  FROM documents),
+c AS (SELECT w, count(*)::BIGINT AS n FROM w GROUP BY 1),
+v AS (SELECT n FROM c ORDER BY n DESC, w ASC LIMIT 20),
+t AS (SELECT sum(n)::BIGINT AS total FROM c),
+s AS (SELECT count(*)::BIGINT AS vocab_size,
+             sum(n)::BIGINT AS vocab_tokens,
+             min(n)::BIGINT AS cutoff_count FROM v)
+SELECT s.vocab_size, s.cutoff_count, t.total AS total_tokens,
+       s.vocab_tokens, (t.total - s.vocab_tokens)::BIGINT AS oov_tokens,
+       round((t.total - s.vocab_tokens)::DOUBLE / t.total::DOUBLE, 6)
+         AS oov_rate
+FROM s, t
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -11205,6 +11466,9 @@ QUERIES = {
     "decision_stump": q_decision_stump,
     "hapax": q_hapax,
     "pareto_8020": q_pareto_8020,
+    "psi": q_psi,
+    "cohort_ltv": q_cohort_ltv,
+    "oov_rate": q_oov_rate,
     "target_encode": q_target_encode,
     "max_gap": q_max_gap,
     "components_hist": q_components_hist,
@@ -11455,6 +11719,9 @@ ORACLE_SQL = {
     "decision_stump": SQL_DECISION_STUMP,
     "hapax": SQL_HAPAX,
     "pareto_8020": SQL_PARETO_8020,
+    "psi": SQL_PSI,
+    "cohort_ltv": SQL_COHORT_LTV,
+    "oov_rate": SQL_OOV_RATE,
     "target_encode": SQL_TARGET_ENCODE,
     "max_gap": SQL_MAX_GAP,
     "components_hist": SQL_COMPONENTS_HIST,

@@ -1760,3 +1760,61 @@ def test_pareto_8020_prefix_reference(ray_session):
     assert int(got["total_rev_c"].iloc[0]) == total
     # k-1 customers must NOT reach 80%
     assert k == 1 or 5 * int(cum[k - 2]) < 4 * total
+
+
+def test_cohort_ltv_pandas_reference(ray_session):
+    """Cohort/offset revenue, cohort sizes, and the cumulative fold
+    equal a pandas reference on the small table."""
+    from crawler_service_ray.pipelines.queries import q_cohort_ltv
+
+    got = (q_cohort_ltv("/root/testdata/sf0.001")
+           .sort_values(["cohort", "weeks_since"]).reset_index(drop=True))
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id", "ts", "event_type", "value"])
+    wk = (ev["ts"].to_numpy("datetime64[us]").astype("int64")
+          // 604_800_000_000)
+    d = ev.assign(wk=wk)
+    d["cohort"] = d.groupby("user_id")["wk"].transform("min")
+    d["off"] = d["wk"] - d["cohort"]
+    d["rev"] = np.where(
+        d["event_type"] == "purchase",
+        np.rint(d["value"].to_numpy() * 100).astype("int64"), 0)
+    pur = (d[d["event_type"] == "purchase"]
+           .groupby(["cohort", "off"])["rev"].sum())
+    sizes = d.drop_duplicates("user_id").groupby("cohort").size()
+    for _, r in got.iterrows():
+        key = (r["cohort"], r["weeks_since"])
+        want_rev = int(pur.get(key, 0))
+        assert int(r["rev_c"]) == want_rev
+        assert int(r["n_users"]) == int(sizes[r["cohort"]])
+    # cumulative strictly reconstructs from the emitted rows
+    cum = got.groupby("cohort")["rev_c"].cumsum()
+    assert (got["cum_rev_c"] == cum).all()
+
+
+def test_psi_zero_on_identical_halves(ray_session, tmp_path):
+    """Two halves drawn as exact copies of each other give PSI == 0;
+    shifting the second half's values gives PSI > 0."""
+    from crawler_service_ray.pipelines.queries import q_psi
+
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.exponential(10.0, size=400), 3)
+    t0 = np.datetime64("2026-01-01T00:00:00", "us")
+    hr = np.timedelta64(3_600_000_000, "us")
+    # first half at hours 0..399, second at hours 1000..1399 (same values)
+    ts = np.concatenate([np.arange(400), 1000 + np.arange(400)])
+    df = pd.DataFrame({
+        "event_id": np.arange(800, dtype="int64"),
+        "ts": t0 + ts * hr,
+        "value": np.concatenate([vals, vals])})
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = q_psi(str(tmp_path))
+    assert int(got["n_a"].iloc[0]) == 400
+    assert int(got["n_b"].iloc[0]) == 400
+    assert float(got["psi"].iloc[0]) == 0.0
+
+    df2 = df.copy()
+    df2.loc[400:, "value"] = df2.loc[400:, "value"] * 3.0 + 5.0
+    df2.to_parquet(tmp_path / "events.parquet", index=False)
+    got2 = q_psi(str(tmp_path))
+    assert float(got2["psi"].iloc[0]) > 0.1
