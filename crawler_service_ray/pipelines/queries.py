@@ -11270,6 +11270,218 @@ FROM s, t
 """
 
 
+def q_mann_kendall(sf_dir: str):
+    """Per-user Mann–Kendall trend test — the nonparametric "is this
+    series drifting" monitor (the hypothesis-test sibling of
+    `theilsen`): S = Σ_{i<j} sign(v_j − v_i) over the user's
+    time-ordered values, the tie-corrected variance
+    18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the continuity-
+    corrected z. ONE user-hash exchange; inside a partition each
+    bounded user group computes S via one numpy triangular broadcast
+    (values in exact integer cents, so S and 18·Var are exact int64 —
+    the only floats are the final sqrt and division, identical
+    expressions on both engines). The SQL twin replays S as an
+    inequality self-join and the tie term from per-value counts."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "s": pd.Series(dtype="int64"),
+                "var18": pd.Series(dtype="int64"),
+                "z": pd.Series(dtype="float64")})
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        v_all = np.rint(g["value"].to_numpy(dtype="float64") * 100
+                        ).astype("int64")
+        rows = []
+        for uid, gg in g.assign(__v=v_all).groupby(
+                "user_id", sort=False):
+            v = gg["__v"].to_numpy()
+            n = len(v)
+            iu, ju = np.triu_indices(n, 1)
+            s = int(np.sign(v[ju] - v[iu]).sum())
+            _, tie_counts = np.unique(v, return_counts=True)
+            t = tie_counts.astype("int64")
+            var18 = (n * (n - 1) * (2 * n + 5)
+                     - int((t * (t - 1) * (2 * t + 5)).sum()))
+            if var18 > 0 and s != 0:
+                z = (s - 1 if s > 0 else s + 1) / np.sqrt(var18 / 18.0)
+            else:
+                z = 0.0
+            rows.append((uid, n, s, var18, round(float(z), 6)))
+        return pd.DataFrame(
+            rows, columns=["user_id", "n", "s", "var18", "z"]
+        ).astype({"user_id": "int64", "n": "int64", "s": "int64",
+                  "var18": "int64", "z": "float64"})
+
+    return grouped_apply(ev, ["user_id"], per_part, num_partitions=32)
+
+
+SQL_MANN_KENDALL = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events),
+s AS (
+  SELECT a.user_id,
+         sum(CASE WHEN b.v > a.v THEN 1
+                  WHEN b.v < a.v THEN -1 ELSE 0 END)::BIGINT AS s
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id
+   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+  GROUP BY 1),
+n AS (SELECT user_id, count(*)::BIGINT AS n FROM e GROUP BY 1),
+tie AS (
+  SELECT user_id,
+         sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tt
+  FROM (SELECT user_id, count(*)::BIGINT AS t
+        FROM e GROUP BY user_id, v)
+  GROUP BY 1),
+j AS (
+  SELECT n.user_id, n.n, COALESCE(s.s, 0) AS s,
+         (n.n * (n.n - 1) * (2 * n.n + 5) - COALESCE(tie.tt, 0))
+           AS var18
+  FROM n LEFT JOIN s USING (user_id) LEFT JOIN tie USING (user_id))
+SELECT user_id, n, s, var18,
+       CASE WHEN var18 > 0 AND s <> 0 THEN round(
+              (CASE WHEN s > 0 THEN s - 1 ELSE s + 1 END)
+              / sqrt(var18 / 18.0), 6)
+            ELSE 0.0 END AS z
+FROM j
+"""
+
+
+def q_shingle_leakage(sf_dir: str):
+    """Per-source 5-gram cross-contamination — the decontamination
+    pre-flight ("how much of source X's content also appears in other
+    sources?"): each source's DISTINCT word-5-gram set, and the share
+    of it found in ≥1 other source. (shingle, source) pairs dedup once
+    inside a shingle-hash exchange; each shingle's bounded source set
+    emits per-source (types, shared) increments arithmetically in the
+    same partition — never a shingle×source-pair blowup, and the
+    per-source reduce ships ≤|sources| rows per partition. Exact int64
+    counts; only the final rate divides."""
+    from ..functions.relational import grouped_apply
+
+    docs = read_table(sf_dir, "documents", columns=["text", "source"])
+    k = 5
+
+    def shingles(d: pd.DataFrame) -> pd.DataFrame:
+        srcs, shs = [], []
+        for src, txt in zip(d["source"].to_numpy(),
+                            d["text"].to_numpy()):
+            ws = [w for w in txt.split(" ") if w != ""]
+            m = max(len(ws) - k + 1, 1) if ws else 0
+            for i in range(m):
+                srcs.append(src)
+                shs.append(" ".join(ws[i:i + k]))
+        out = pd.DataFrame({"source": srcs, "sh": shs})
+        return out.drop_duplicates()
+
+    ss = distinct(
+        docs.map_batches(shingles, batch_format="pandas"),
+        ["sh", "source"], merge_partitions=16)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "source": pd.Series(dtype=object),
+                "types": pd.Series(dtype="int64"),
+                "shared": pd.Series(dtype="int64")})
+        nsrc = g.groupby("sh", sort=False)["source"].transform("size")
+        d = pd.DataFrame({"source": g["source"].to_numpy(),
+                          "one": np.ones(len(g), dtype="int64"),
+                          "sh2": (nsrc.to_numpy() >= 2).astype("int64")})
+        out = (d.groupby("source", sort=False)
+               .agg(types=("one", "sum"), shared=("sh2", "sum"))
+               .reset_index())
+        return out.astype({"types": "int64", "shared": "int64"})
+
+    agg = (grouped_agg(
+            grouped_apply(ss, ["sh"], per_part, num_partitions=16),
+            ["source"], {"types": ("types", "sum"),
+                         "shared": ("shared", "sum")})
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    agg["leak_rate"] = np.round(
+        agg["shared"].to_numpy(dtype="int64")
+        / agg["types"].to_numpy(dtype="float64"), 6)
+    return agg
+
+
+SQL_SHINGLE_LEAKAGE = """
+WITH w AS (
+  SELECT source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         list_aggr(ws[i : i + 4], 'string_agg', ' ') AS sh
+  FROM (SELECT source, ws,
+               unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS i
+        FROM w)),
+cnt AS (SELECT sh, count(*)::BIGINT AS nsrc FROM sh GROUP BY 1)
+SELECT s.source, count(*)::BIGINT AS types,
+       sum((c.nsrc >= 2)::INT)::BIGINT AS shared,
+       round(sum((c.nsrc >= 2)::INT) / count(*)::DOUBLE, 6)
+         AS leak_rate
+FROM sh s JOIN cnt c USING (sh)
+GROUP BY 1 ORDER BY s.source
+"""
+
+
+def q_dow_seasonality(sf_dir: str):
+    """Day-of-week seasonality index over event revenue — the weekly
+    pattern a seasonal-naive forecast or staffing plan keys on:
+    per-dow exact integer-cent sums and counts in one ≤7-key reduce,
+    index = dow mean / overall mean (the only division, on exact
+    ints). Dow is computed arithmetically from the epoch day
+    ((days+4) mod 7, Sunday=0) so both engines share the calendar
+    convention without timezone machinery."""
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        days = (d["ts"].to_numpy("datetime64[us]").astype("int64")
+                // 86_400_000_000)
+        return pd.DataFrame({
+            "dow": (days + 4) % 7,
+            "v_c": np.rint(d["value"].to_numpy(dtype="float64") * 100
+                           ).astype("int64"),
+            "one": np.ones(len(d), dtype="int64")})
+
+    agg = (grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                       ["dow"], {"sum_c": ("v_c", "sum"),
+                                 "n": ("one", "sum")})
+           .to_pandas().sort_values("dow").reset_index(drop=True))
+    sum_c = agg["sum_c"].to_numpy(dtype="int64")
+    n = agg["n"].to_numpy(dtype="int64")
+    overall = float(sum_c.sum()) / float(n.sum())
+    agg["sum_c"] = sum_c
+    agg["idx"] = np.round(
+        (sum_c.astype("float64") / n.astype("float64")) / overall, 6)
+    return agg
+
+
+SQL_DOW_SEASONALITY = """
+WITH e AS (
+  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events),
+a AS (
+  SELECT dow, sum(v_c)::BIGINT AS sum_c, count(*)::BIGINT AS n
+  FROM e GROUP BY 1),
+t AS (SELECT sum(sum_c)::DOUBLE / sum(n)::DOUBLE AS overall FROM a)
+SELECT dow, sum_c, n,
+       round((sum_c::DOUBLE / n::DOUBLE) / t.overall, 6) AS idx
+FROM a, t ORDER BY dow
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -11469,6 +11681,9 @@ QUERIES = {
     "psi": q_psi,
     "cohort_ltv": q_cohort_ltv,
     "oov_rate": q_oov_rate,
+    "mann_kendall": q_mann_kendall,
+    "shingle_leakage": q_shingle_leakage,
+    "dow_seasonality": q_dow_seasonality,
     "target_encode": q_target_encode,
     "max_gap": q_max_gap,
     "components_hist": q_components_hist,
@@ -11722,6 +11937,9 @@ ORACLE_SQL = {
     "psi": SQL_PSI,
     "cohort_ltv": SQL_COHORT_LTV,
     "oov_rate": SQL_OOV_RATE,
+    "mann_kendall": SQL_MANN_KENDALL,
+    "shingle_leakage": SQL_SHINGLE_LEAKAGE,
+    "dow_seasonality": SQL_DOW_SEASONALITY,
     "target_encode": SQL_TARGET_ENCODE,
     "max_gap": SQL_MAX_GAP,
     "components_hist": SQL_COMPONENTS_HIST,

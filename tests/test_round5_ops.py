@@ -1818,3 +1818,58 @@ def test_psi_zero_on_identical_halves(ray_session, tmp_path):
     df2.to_parquet(tmp_path / "events.parquet", index=False)
     got2 = q_psi(str(tmp_path))
     assert float(got2["psi"].iloc[0]) > 0.1
+
+
+def test_mann_kendall_brute_force(ray_session):
+    """S, the tie-corrected variance, and z replay against a dict-loop
+    reference on every user of the small table."""
+    from crawler_service_ray.pipelines.queries import q_mann_kendall
+
+    got = (q_mann_kendall("/root/testdata/sf0.001").to_pandas()
+           .set_index("user_id").sort_index())
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in ev.groupby("user_id"):
+        v = np.rint(g["value"].to_numpy() * 100).astype("int64")
+        n = len(v)
+        s = sum(int(np.sign(v[j] - v[i]))
+                for i in range(n) for j in range(i + 1, n))
+        from collections import Counter
+        tt = sum(t * (t - 1) * (2 * t + 5)
+                 for t in Counter(v.tolist()).values())
+        var18 = n * (n - 1) * (2 * n + 5) - tt
+        if var18 > 0 and s != 0:
+            z = round((s - 1 if s > 0 else s + 1)
+                      / np.sqrt(var18 / 18.0), 6)
+        else:
+            z = 0.0
+        r = got.loc[uid]
+        assert int(r["n"]) == n and int(r["s"]) == s
+        assert int(r["var18"]) == var18
+        assert abs(float(r["z"]) - z) < 1e-9
+
+
+def test_shingle_leakage_pandas_reference(ray_session):
+    """Per-source distinct-5-gram counts and the ≥2-source shared share
+    equal a set-based reference."""
+    from crawler_service_ray.pipelines.queries import q_shingle_leakage
+
+    got = (q_shingle_leakage("/root/testdata/sf0.001")
+           .set_index("source").sort_index())
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["text", "source"])
+    per_src: dict = {}
+    for src, txt in zip(docs["source"], docs["text"]):
+        ws = [w for w in txt.split(" ") if w != ""]
+        m = max(len(ws) - 4, 1) if ws else 0
+        shs = {" ".join(ws[i:i + 5]) for i in range(m)}
+        per_src.setdefault(src, set()).update(shs)
+    from collections import Counter
+    cnt = Counter(sh for s in per_src.values() for sh in s)
+    for src, shs in per_src.items():
+        shared = sum(1 for sh in shs if cnt[sh] >= 2)
+        r = got.loc[src]
+        assert int(r["types"]) == len(shs)
+        assert int(r["shared"]) == shared
