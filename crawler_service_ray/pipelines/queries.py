@@ -11482,6 +11482,231 @@ FROM a, t ORDER BY dow
 """
 
 
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity / l-diversity audit — the privacy pre-flight a
+    training-data release runs: quasi-identifiers (c_nationkey,
+    c_mktsegment) partition customers into equivalence classes;
+    report how many rows sit in classes smaller than k=10 and the
+    minimum l-diversity (distinct sensitive values — account-balance
+    kilobuckets — per class). One grouped count by (QI, sensitive)
+    bounds what leaves each block to the class×bucket cardinality;
+    the class fold and the single audit row are driver-side on the
+    bounded class table. Exact int64 throughout; only pct divides."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_nationkey", "c_mktsegment",
+                               "c_acctbal"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "nat": d["c_nationkey"].to_numpy(),
+            "seg": d["c_mktsegment"].to_numpy(),
+            "sb": np.floor(d["c_acctbal"].to_numpy(dtype="float64")
+                           / 1000.0).astype("int64"),
+            "one": np.ones(len(d), dtype="int64")})
+
+    cells = (grouped_agg(cust.map_batches(pre, batch_format="pandas"),
+                         ["nat", "seg", "sb"], {"n": ("one", "sum")})
+             .to_pandas())
+    cls = (cells.groupby(["nat", "seg"])
+           .agg(size=("n", "sum"), l=("sb", "count")).reset_index())
+    k = 10
+    n_rows = int(cls["size"].sum())
+    below = cls[cls["size"] < k]
+    return pd.DataFrame({
+        "k": np.array([k], dtype="int64"),
+        "n_rows": np.array([n_rows], dtype="int64"),
+        "n_classes": np.array([len(cls)], dtype="int64"),
+        "min_class": np.array([int(cls["size"].min())], dtype="int64"),
+        "rows_below_k": np.array([int(below["size"].sum())],
+                                 dtype="int64"),
+        "pct_below_k": np.array(
+            [round(float(below["size"].sum()) / float(n_rows), 6)],
+            dtype="float64"),
+        "min_l": np.array([int(cls["l"].min())], dtype="int64"),
+        "classes_below_l3": np.array([int((cls["l"] < 3).sum())],
+                                     dtype="int64")})
+
+
+SQL_K_ANONYMITY = """
+WITH cells AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sb,
+         count(*)::BIGINT AS n
+  FROM customer GROUP BY 1, 2, 3),
+cls AS (
+  SELECT nat, seg, sum(n)::BIGINT AS size, count(*)::BIGINT AS l
+  FROM cells GROUP BY 1, 2),
+a AS (
+  SELECT sum(size)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+         min(size)::BIGINT AS min_class,
+         COALESCE(sum(size) FILTER (WHERE size < 10), 0)::BIGINT
+           AS rows_below_k,
+         min(l)::BIGINT AS min_l,
+         sum((l < 3)::INT)::BIGINT AS classes_below_l3
+  FROM cls)
+SELECT 10::BIGINT AS k, n_rows, n_classes, min_class, rows_below_k,
+       round(rows_below_k::DOUBLE / n_rows::DOUBLE, 6) AS pct_below_k,
+       min_l, classes_below_l3
+FROM a
+"""
+
+
+def q_mrr(sf_dir: str):
+    """Mean reciprocal rank of a self-retrieval eval — every 97th
+    document's first 3 distinct words form a query whose one relevant
+    answer is the source document; candidates score by distinct-term
+    overlap. The rank needs NO per-query sort: rank = 1 + #docs
+    scoring strictly better (or equal with smaller doc_id) — a
+    broadcast of the tiny query set + one counting pass over the
+    corpus. Per-query reciprocal ranks round to integer MICRO-units
+    and sum exactly, so the mean is float-order-free. Emits
+    n_queries, hits@1, hits@10 (exact) and mrr (6dp). Partitioning
+    assumption: the query set is an EVAL set (bounded, broadcastable
+    — corpus/97 here only because the sandbox corpus is small); score
+    columns scale with |queries|, so a frontier-scale query set would
+    batch through the `ann_topk`/`bm25` rankers instead."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    qdf = (docs.map_batches(
+        lambda d: d.loc[d["doc_id"] % 97 == 0], batch_format="pandas")
+        .to_pandas())
+    queries = []
+    for did, txt in zip(qdf["doc_id"], qdf["text"]):
+        terms = []
+        for w in txt.split(" "):
+            if w != "" and w not in terms:
+                terms.append(w)
+            if len(terms) == 3:
+                break
+        queries.append((int(did), frozenset(terms)))
+
+    def score(d: pd.DataFrame) -> pd.DataFrame:
+        words = [frozenset(w for w in t.split(" ") if w != "")
+                 for t in d["text"].to_numpy()]
+        ids = d["doc_id"].to_numpy(dtype="int64")
+        out = {"doc_id": ids}
+        for qid, terms in queries:
+            out[f"s{qid}"] = np.array(
+                [len(terms & ws) for ws in words], dtype="int64")
+        return pd.DataFrame(out)
+
+    sc = docs.map_batches(score, batch_format="pandas").to_pandas()
+    micro_sum, h1, h10 = 0, 0, 0
+    for qid, _terms in queries:
+        s = sc[f"s{qid}"].to_numpy()
+        ids = sc["doc_id"].to_numpy()
+        s_t = int(s[ids == qid][0])
+        better = int(((s > s_t)
+                      | ((s == s_t) & (ids < qid))).sum())
+        rank = better + 1
+        micro_sum += int(round(1e6 / rank))
+        h1 += int(rank == 1)
+        h10 += int(rank <= 10)
+    return pd.DataFrame({
+        "n_queries": np.array([len(queries)], dtype="int64"),
+        "hits_at_1": np.array([h1], dtype="int64"),
+        "hits_at_10": np.array([h10], dtype="int64"),
+        "mrr": np.array(
+            [round(micro_sum / 1e6 / len(queries), 6)],
+            dtype="float64")})
+
+
+SQL_MRR = """
+WITH ql AS (
+  SELECT doc_id AS qid,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 97 = 0),
+qw AS (
+  SELECT qid, ws[i] AS w, min(i) AS fi
+  FROM (SELECT qid, ws, unnest(range(1, len(ws) + 1)) AS i FROM ql)
+  GROUP BY 1, 2),
+qterm AS (
+  SELECT qid, w FROM (
+    SELECT qid, w,
+           row_number() OVER (PARTITION BY qid ORDER BY fi) AS r
+    FROM qw) WHERE r <= 3),
+dwords AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents),
+sc AS (
+  SELECT qt.qid, d.doc_id, count(*)::BIGINT AS s
+  FROM qterm qt JOIN dwords d ON qt.w = d.w
+  GROUP BY 1, 2),
+tgt AS (SELECT qid, s AS s_t FROM sc WHERE qid = doc_id),
+rk AS (
+  SELECT sc.qid,
+         1 + sum(CASE WHEN sc.s > t.s_t
+                      OR (sc.s = t.s_t AND sc.doc_id < sc.qid)
+                      THEN 1 ELSE 0 END)::BIGINT AS rank
+  FROM sc JOIN tgt t USING (qid) GROUP BY sc.qid)
+SELECT count(*)::BIGINT AS n_queries,
+       sum((rank = 1)::INT)::BIGINT AS hits_at_1,
+       sum((rank <= 10)::INT)::BIGINT AS hits_at_10,
+       round(sum(CAST(round(1e6 / rank) AS BIGINT)) / 1e6
+             / count(*), 6) AS mrr
+FROM rk
+"""
+
+
+def q_dispersion(sf_dir: str):
+    """Variance-to-mean ratio of daily event counts per type — the
+    index-of-dispersion burstiness check (VMR≈1 ⇒ Poisson arrivals;
+    VMR≫1 ⇒ bursty — the signal that a per-host politeness budget or
+    a rate-based sampler needs headroom). Daily counts reduce by
+    (type, day); mean/variance fold from exact integer Σn and Σn²
+    over OBSERVED days on the bounded type×days table. Population
+    variance (ddof=0), both engines evaluating the same
+    sumsq/n − mean² expression on exact ints."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        days = (d["ts"].to_numpy("datetime64[us]").astype("int64")
+                // 86_400_000_000)
+        return pd.DataFrame({
+            "event_type": d["event_type"].to_numpy(),
+            "day": days,
+            "one": np.ones(len(d), dtype="int64")})
+
+    daily = (grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                         ["event_type", "day"], {"n": ("one", "sum")})
+             .to_pandas())
+    agg = (daily.assign(n2=daily["n"].to_numpy(dtype="int64") ** 2)
+           .groupby("event_type")
+           .agg(n_days=("n", "count"), s=("n", "sum"), s2=("n2", "sum"))
+           .reset_index().sort_values("event_type")
+           .reset_index(drop=True))
+    nd = agg["n_days"].to_numpy(dtype="float64")
+    s = agg["s"].to_numpy(dtype="float64")
+    s2 = agg["s2"].to_numpy(dtype="float64")
+    mean = s / nd
+    var = s2 / nd - mean * mean
+    return pd.DataFrame({
+        "event_type": agg["event_type"].astype(object),
+        "n_days": agg["n_days"].astype("int64"),
+        "total": agg["s"].astype("int64"),
+        "mean_per_day": np.round(mean, 6),
+        "vmr": np.round(var / mean, 6)})
+
+
+SQL_DISPERSION = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+a AS (
+  SELECT event_type, count(*)::BIGINT AS n_days,
+         sum(n)::BIGINT AS s, sum(n * n)::BIGINT AS s2
+  FROM d GROUP BY 1)
+SELECT event_type, n_days, s AS total,
+       round(s::DOUBLE / n_days::DOUBLE, 6) AS mean_per_day,
+       round((s2::DOUBLE / n_days::DOUBLE
+              - (s::DOUBLE / n_days::DOUBLE)
+                * (s::DOUBLE / n_days::DOUBLE))
+             / (s::DOUBLE / n_days::DOUBLE), 6) AS vmr
+FROM a ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -11684,6 +11909,9 @@ QUERIES = {
     "mann_kendall": q_mann_kendall,
     "shingle_leakage": q_shingle_leakage,
     "dow_seasonality": q_dow_seasonality,
+    "k_anonymity": q_k_anonymity,
+    "mrr": q_mrr,
+    "dispersion": q_dispersion,
     "target_encode": q_target_encode,
     "max_gap": q_max_gap,
     "components_hist": q_components_hist,
@@ -11940,6 +12168,9 @@ ORACLE_SQL = {
     "mann_kendall": SQL_MANN_KENDALL,
     "shingle_leakage": SQL_SHINGLE_LEAKAGE,
     "dow_seasonality": SQL_DOW_SEASONALITY,
+    "k_anonymity": SQL_K_ANONYMITY,
+    "mrr": SQL_MRR,
+    "dispersion": SQL_DISPERSION,
     "target_encode": SQL_TARGET_ENCODE,
     "max_gap": SQL_MAX_GAP,
     "components_hist": SQL_COMPONENTS_HIST,

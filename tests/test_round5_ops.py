@@ -1873,3 +1873,36 @@ def test_shingle_leakage_pandas_reference(ray_session):
         r = got.loc[src]
         assert int(r["types"]) == len(shs)
         assert int(r["shared"]) == shared
+
+
+def test_mrr_rank_identity(ray_session):
+    """The sort-free rank (1 + #better) equals the rank read off an
+    explicit full sort of the scores, per query."""
+    from crawler_service_ray.pipelines.queries import q_mrr
+
+    got = q_mrr("/root/testdata/sf0.001")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    qdf = docs[docs["doc_id"] % 97 == 0]
+    ranks = []
+    for qid, txt in zip(qdf["doc_id"], qdf["text"]):
+        terms = []
+        for w in txt.split(" "):
+            if w != "" and w not in terms:
+                terms.append(w)
+            if len(terms) == 3:
+                break
+        tset = set(terms)
+        s = docs["text"].map(
+            lambda t: len(tset & {w for w in t.split(" ") if w != ""}))
+        order = (docs.assign(s=s)
+                 .sort_values(["s", "doc_id"], ascending=[False, True])
+                 .reset_index(drop=True))
+        rank = int(order.index[order["doc_id"] == qid][0]) + 1
+        ranks.append(rank)
+    mrr = round(sum(int(round(1e6 / r)) for r in ranks) / 1e6
+                / len(ranks), 6)
+    assert int(got["n_queries"].iloc[0]) == len(ranks)
+    assert int(got["hits_at_1"].iloc[0]) == sum(r == 1 for r in ranks)
+    assert int(got["hits_at_10"].iloc[0]) == sum(r <= 10 for r in ranks)
+    assert abs(float(got["mrr"].iloc[0]) - mrr) < 1e-9
