@@ -11707,6 +11707,208 @@ FROM a ORDER BY event_type
 """
 
 
+def q_trimmed_mean(sf_dir: str):
+    """Exact 5%-two-sided trimmed mean of order value — the robust
+    location estimate a revenue dashboard wants when whales and
+    micro-orders distort the mean. Row-exact trimming (drop the k
+    smallest and k largest ROWS, k = floor(0.05·n), ties broken by
+    order key) WITHOUT a global sort: the shared value-rank exchange
+    (`functions/relational.py:_value_rank_exchange` — one min/max
+    pass, one model-constant coarse-bin count table prefix-summed on
+    the driver, ONE bin-hash exchange) hands every partition its rows'
+    exact global ranks; each partition keeps ranks in [k, n−1−k] and
+    emits a 2-int partial (sum of kept cents, kept count). Exact int64
+    end to end; the single final division is display-only."""
+    from ..functions.relational import _value_rank_exchange
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+    cents = orders.map_batches(
+        lambda d: pd.DataFrame({
+            "c": np.rint(d["o_totalprice"].to_numpy(dtype="float64")
+                         * 100).astype("int64"),
+            "o_orderkey": d["o_orderkey"].to_numpy()}),
+        batch_format="pandas")
+
+    def keep_sum(g: pd.DataFrame, rank: np.ndarray,
+                 total: int) -> pd.DataFrame:
+        k = int(np.floor(0.05 * total))
+        keep = (rank >= k) & (rank <= total - 1 - k)
+        c = g["c"].to_numpy(dtype="int64")[keep]
+        return pd.DataFrame({
+            "s": np.array([int(c.sum())], dtype="int64"),
+            "m": np.array([int(keep.sum())], dtype="int64")})
+
+    partials, total = _value_rank_exchange(
+        cents, "c", ["o_orderkey"], 4096, 32, keep_sum)
+    p = partials.to_pandas()
+    s, m = int(p["s"].sum()), int(p["m"].sum())
+    return pd.DataFrame({
+        "n": np.array([total], dtype="int64"),
+        "k_trim": np.array([int(np.floor(0.05 * total))],
+                           dtype="int64"),
+        "n_kept": np.array([m], dtype="int64"),
+        "sum_kept_c": np.array([s], dtype="int64"),
+        "trimmed_mean_c": np.array([round(float(s) / float(m), 6)],
+                                   dtype="float64")})
+
+
+SQL_TRIMMED_MEAN = """
+WITH v AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+n AS (SELECT count(*)::BIGINT AS n,
+             CAST(floor(0.05 * count(*)) AS BIGINT) AS k FROM v),
+r AS (SELECT c, row_number() OVER (ORDER BY c, o_orderkey) - 1 AS rk
+      FROM v),
+kept AS (SELECT r.c FROM r, n
+         WHERE r.rk >= n.k AND r.rk <= n.n - 1 - n.k)
+SELECT n.n, n.k AS k_trim,
+       (SELECT count(*)::BIGINT FROM kept) AS n_kept,
+       (SELECT sum(c)::BIGINT FROM kept) AS sum_kept_c,
+       round((SELECT sum(c) FROM kept)::DOUBLE
+             / (SELECT count(*) FROM kept)::DOUBLE, 6)
+         AS trimmed_mean_c
+FROM n
+"""
+
+
+def q_runs_test(sf_dir: str):
+    """Per-user Wald–Wolfowitz runs test — "are this user's
+    above/below-median values serially random, or do they streak?"
+    (the autocorrelation-free cousin of `autocorr`; a bursty host's
+    latencies fail it). Values dichotomize against the user's exact
+    discrete median; runs count from one vectorized shift-compare in
+    (ts, event_id) order inside ONE user-hash exchange. n, n1, n0 and
+    the run count are exact int64; the z-score's μ/σ expressions are
+    written token-identically in both engines, with the degenerate
+    σ=0 cases (single-sign users, 2·n1·n0 = n) pinned to z=0."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "n1": pd.Series(dtype="int64"),
+                "n0": pd.Series(dtype="int64"),
+                "runs": pd.Series(dtype="int64"),
+                "z": pd.Series(dtype="float64")})
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        v_all = np.rint(g["value"].to_numpy(dtype="float64") * 100
+                        ).astype("int64")
+        rows = []
+        for uid, gg in g.assign(__v=v_all).groupby(
+                "user_id", sort=False):
+            v = gg["__v"].to_numpy()
+            n = len(v)
+            med = np.quantile(v, 0.5, method="inverted_cdf")
+            sg = (v > med).astype("int64")
+            n1 = int(sg.sum())
+            n0 = n - n1
+            runs = 1 + int((sg[1:] != sg[:-1]).sum())
+            if n1 == 0 or n0 == 0 or 2 * n1 * n0 == n:
+                z = 0.0
+            else:
+                mu = 2.0 * n1 * n0 / n + 1.0
+                var = (2.0 * n1 * n0 * (2.0 * n1 * n0 - n)
+                       / (float(n) * float(n) * float(n - 1)))
+                z = round((runs - mu) / np.sqrt(var), 6)
+            rows.append((uid, n, n1, n0, runs, z))
+        return pd.DataFrame(
+            rows, columns=["user_id", "n", "n1", "n0", "runs", "z"]
+        ).astype({"user_id": "int64", "n": "int64", "n1": "int64",
+                  "n0": "int64", "runs": "int64", "z": "float64"})
+
+    return grouped_apply(ev, ["user_id"], per_part, num_partitions=32)
+
+
+SQL_RUNS_TEST = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events),
+m AS (SELECT user_id, quantile_disc(v, 0.5) AS med FROM e GROUP BY 1),
+s AS (
+  SELECT e.user_id, e.ts, e.event_id, (e.v > m.med)::INT AS sg
+  FROM e JOIN m USING (user_id)),
+ch AS (
+  SELECT user_id, sg,
+         lag(sg) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+  FROM s),
+agg AS (
+  SELECT user_id, count(*)::BIGINT AS n, sum(sg)::BIGINT AS n1,
+         (1 + sum(CASE WHEN prev IS NOT NULL AND sg <> prev
+                       THEN 1 ELSE 0 END))::BIGINT AS runs
+  FROM ch GROUP BY 1)
+SELECT user_id, n, n1, (n - n1)::BIGINT AS n0, runs,
+       CASE WHEN n1 = 0 OR n - n1 = 0 OR 2 * n1 * (n - n1) = n
+            THEN 0.0
+            ELSE round(
+              (runs::DOUBLE - (2.0 * n1 * (n - n1) / n + 1.0))
+              / sqrt(2.0 * n1 * (n - n1)
+                     * (2.0 * n1 * (n - n1) - n)
+                     / (n::DOUBLE * n::DOUBLE * (n - 1)::DOUBLE)),
+              6) END AS z
+FROM agg
+"""
+
+
+def q_gmean_brand(sf_dir: str):
+    """Per-brand geometric mean retail price — the multiplicative
+    price-index aggregate (a Jevons index leg): per-row ln(price)
+    rounds to integer MICRO-nats, the grouped sum is exact int64
+    (float order can't flip the hash), and the single exp at the end
+    recovers the gmean. The contrast column (arithmetic mean from
+    exact cents) shows the whale skew the gmean resists."""
+    parts = read_table(sf_dir, "part",
+                       columns=["p_brand", "p_retailprice"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        p = d["p_retailprice"].to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "p_brand": d["p_brand"].to_numpy(),
+            "lnm": np.round(np.log(p) * 1e6).astype("int64"),
+            "c": np.rint(p * 100).astype("int64"),
+            "one": np.ones(len(d), dtype="int64")})
+
+    agg = (grouped_agg(parts.map_batches(pre, batch_format="pandas"),
+                       ["p_brand"],
+                       {"s_ln": ("lnm", "sum"), "s_c": ("c", "sum"),
+                        "n": ("one", "sum")})
+           .to_pandas().sort_values("p_brand").reset_index(drop=True))
+    s_ln = agg["s_ln"].to_numpy(dtype="float64")
+    s_c = agg["s_c"].to_numpy(dtype="float64")
+    n = agg["n"].to_numpy(dtype="float64")
+    return pd.DataFrame({
+        "p_brand": agg["p_brand"].astype(object),
+        "n": agg["n"].astype("int64"),
+        "gmean": np.round(np.exp(s_ln / n / 1e6), 6),
+        "amean_c": np.round(s_c / n, 6)})
+
+
+SQL_GMEAN_BRAND = """
+WITH p AS (
+  SELECT p_brand,
+         CAST(round(ln(p_retailprice) * 1e6) AS BIGINT) AS lnm,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS c
+  FROM part),
+a AS (
+  SELECT p_brand, sum(lnm)::BIGINT AS s_ln, sum(c)::BIGINT AS s_c,
+         count(*)::BIGINT AS n
+  FROM p GROUP BY 1)
+SELECT p_brand, n,
+       round(exp(s_ln::DOUBLE / n::DOUBLE / 1e6), 6) AS gmean,
+       round(s_c::DOUBLE / n::DOUBLE, 6) AS amean_c
+FROM a ORDER BY p_brand
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -11912,6 +12114,9 @@ QUERIES = {
     "k_anonymity": q_k_anonymity,
     "mrr": q_mrr,
     "dispersion": q_dispersion,
+    "trimmed_mean": q_trimmed_mean,
+    "runs_test": q_runs_test,
+    "gmean_brand": q_gmean_brand,
     "target_encode": q_target_encode,
     "max_gap": q_max_gap,
     "components_hist": q_components_hist,
@@ -12171,6 +12376,9 @@ ORACLE_SQL = {
     "k_anonymity": SQL_K_ANONYMITY,
     "mrr": SQL_MRR,
     "dispersion": SQL_DISPERSION,
+    "trimmed_mean": SQL_TRIMMED_MEAN,
+    "runs_test": SQL_RUNS_TEST,
+    "gmean_brand": SQL_GMEAN_BRAND,
     "target_encode": SQL_TARGET_ENCODE,
     "max_gap": SQL_MAX_GAP,
     "components_hist": SQL_COMPONENTS_HIST,

@@ -1906,3 +1906,45 @@ def test_mrr_rank_identity(ray_session):
     assert int(got["hits_at_1"].iloc[0]) == sum(r == 1 for r in ranks)
     assert int(got["hits_at_10"].iloc[0]) == sum(r <= 10 for r in ranks)
     assert abs(float(got["mrr"].iloc[0]) - mrr) < 1e-9
+
+
+def test_trimmed_mean_explicit_sort_reference(ray_session):
+    """The rank-exchange trim equals dropping the k smallest/largest
+    rows of an explicit (value, key) sort."""
+    from crawler_service_ray.pipelines.queries import q_trimmed_mean
+
+    got = q_trimmed_mean("/root/testdata/sf0.001")
+    o = pd.read_parquet("/root/testdata/sf0.001/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"])
+    c = np.rint(o["o_totalprice"].to_numpy() * 100).astype("int64")
+    order = np.lexsort((o["o_orderkey"].to_numpy(), c))
+    n = len(c)
+    k = int(np.floor(0.05 * n))
+    kept = c[order][k:n - k]
+    assert int(got["n"].iloc[0]) == n
+    assert int(got["k_trim"].iloc[0]) == k
+    assert int(got["n_kept"].iloc[0]) == len(kept)
+    assert int(got["sum_kept_c"].iloc[0]) == int(kept.sum())
+
+
+def test_runs_test_brute_force(ray_session):
+    """Run counts and sign totals replay a python-loop reference on
+    every user, including the all-one-sign degenerate z=0 arm."""
+    from crawler_service_ray.pipelines.queries import q_runs_test
+
+    got = (q_runs_test("/root/testdata/sf0.001").to_pandas()
+           .set_index("user_id").sort_index())
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in ev.groupby("user_id"):
+        v = np.rint(g["value"].to_numpy() * 100).astype("int64")
+        med = np.quantile(v, 0.5, method="inverted_cdf")
+        sg = [1 if x > med else 0 for x in v]
+        runs = 1 + sum(a != b for a, b in zip(sg, sg[1:]))
+        r = got.loc[uid]
+        assert int(r["n1"]) == sum(sg)
+        assert int(r["runs"]) == runs
+        if sum(sg) in (0, len(sg)):
+            assert float(r["z"]) == 0.0
