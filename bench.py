@@ -204,6 +204,28 @@ BENCH_QUERIES = [
     "returns_topk",
     "session_paths",
     "kendall_tau",
+    # round-5 waves 16-21: customer analytics, survival, privacy,
+    # retrieval eval, robust estimation on the rank exchange
+    "rfm_segments",
+    "convert_time",
+    "assoc_rules",
+    "source_overlap",
+    "kaplan_meier",
+    "decision_stump",
+    "hapax",
+    "pareto_8020",
+    "psi",
+    "cohort_ltv",
+    "oov_rate",
+    "mann_kendall",
+    "shingle_leakage",
+    "dow_seasonality",
+    "k_anonymity",
+    "mrr",
+    "dispersion",
+    "trimmed_mean",
+    "runs_test",
+    "gmean_brand",
 ]
 
 

@@ -11909,6 +11909,187 @@ FROM a ORDER BY p_brand
 """
 
 
+def q_anova2(sf_dir: str):
+    """Two-way ANOVA with interaction (returnflag × linestatus on
+    quantity) — does either factor, or their interaction, move the
+    mean? The sufficient statistic is the ≤3×2 cell table of exact
+    int64 (n, Σy) plus the global Σy²: one bounded grouped sum, driver
+    algebra after. Float discipline: each level/cell term S²/n rounds
+    to integer MICRO-units before summing (so the 3-term sums can't
+    reorder), and every remaining op is a scalar double expression
+    written token-identically in the oracle. Classic balanced-design
+    decomposition (SS_A + SS_B + SS_AB + SS_err vs Type I/II nuances
+    out of scope — documented, both engines compute the same thing)."""
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_returnflag", "l_linestatus",
+                             "l_quantity"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        y = d["l_quantity"].to_numpy(dtype="float64").astype("int64")
+        return pd.DataFrame({
+            "a": d["l_returnflag"].to_numpy(),
+            "b": d["l_linestatus"].to_numpy(),
+            "s": y, "q2": y * y,
+            "one": np.ones(len(d), dtype="int64")})
+
+    cells = (grouped_agg(li.map_batches(pre, batch_format="pandas"),
+                         ["a", "b"],
+                         {"n": ("one", "sum"), "s": ("s", "sum"),
+                          "q2": ("q2", "sum")})
+             .to_pandas())
+
+    def micro_terms(df: pd.DataFrame) -> int:
+        s = df["s"].to_numpy(dtype="float64")
+        n = df["n"].to_numpy(dtype="float64")
+        return int(np.round(s * s / n * 1e6).astype("int64").sum())
+
+    n_tot = int(cells["n"].sum())
+    s_tot = int(cells["s"].sum())
+    q2_tot = int(cells["q2"].sum())
+    lev_a = cells.groupby("a", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"))
+    lev_b = cells.groupby("b", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"))
+    c = float(s_tot) * float(s_tot) / float(n_tot)
+    ss_total = float(q2_tot) - c
+    ss_a = micro_terms(lev_a) / 1e6 - c
+    ss_b = micro_terms(lev_b) / 1e6 - c
+    ss_cells = micro_terms(cells) / 1e6 - c
+    ss_ab = ss_cells - ss_a - ss_b
+    ss_err = ss_total - ss_cells
+    na, nb = len(lev_a), len(lev_b)
+    df_a, df_b = na - 1, nb - 1
+    df_ab = df_a * df_b
+    df_err = n_tot - na * nb
+    ms_err = ss_err / df_err
+    return pd.DataFrame({
+        "n": np.array([n_tot], dtype="int64"),
+        "df_err": np.array([df_err], dtype="int64"),
+        "ss_a": np.array([round(ss_a, 4)], dtype="float64"),
+        "ss_b": np.array([round(ss_b, 4)], dtype="float64"),
+        "ss_ab": np.array([round(ss_ab, 4)], dtype="float64"),
+        "ss_err": np.array([round(ss_err, 4)], dtype="float64"),
+        "f_a": np.array([round(ss_a / df_a / ms_err, 6)],
+                        dtype="float64"),
+        "f_b": np.array([round(ss_b / df_b / ms_err, 6)],
+                        dtype="float64"),
+        "f_ab": np.array([round(ss_ab / df_ab / ms_err, 6)],
+                         dtype="float64")})
+
+
+SQL_ANOVA2 = """
+WITH cells AS (
+  SELECT l_returnflag AS a, l_linestatus AS b,
+         count(*)::BIGINT AS n,
+         sum(CAST(l_quantity AS BIGINT))::BIGINT AS s,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(l_quantity AS BIGINT))::BIGINT AS q2
+  FROM lineitem GROUP BY 1, 2),
+tot AS (
+  SELECT sum(n)::BIGINT AS n, sum(s)::BIGINT AS s,
+         sum(q2)::BIGINT AS q2,
+         count(DISTINCT a)::BIGINT AS na,
+         count(DISTINCT b)::BIGINT AS nb
+  FROM cells),
+ta AS (
+  SELECT sum(CAST(round(s2.s::DOUBLE * s2.s::DOUBLE
+                        / s2.n::DOUBLE * 1e6) AS BIGINT))::BIGINT AS t
+  FROM (SELECT a, sum(n)::BIGINT AS n, sum(s)::BIGINT AS s
+        FROM cells GROUP BY 1) s2),
+tb AS (
+  SELECT sum(CAST(round(s2.s::DOUBLE * s2.s::DOUBLE
+                        / s2.n::DOUBLE * 1e6) AS BIGINT))::BIGINT AS t
+  FROM (SELECT b, sum(n)::BIGINT AS n, sum(s)::BIGINT AS s
+        FROM cells GROUP BY 1) s2),
+tc AS (
+  SELECT sum(CAST(round(s::DOUBLE * s::DOUBLE
+                        / n::DOUBLE * 1e6) AS BIGINT))::BIGINT AS t
+  FROM cells),
+x AS (
+  SELECT tot.n, tot.na, tot.nb,
+         tot.s::DOUBLE * tot.s::DOUBLE / tot.n::DOUBLE AS c,
+         tot.q2::DOUBLE AS q2,
+         ta.t / 1e6 AS ta, tb.t / 1e6 AS tb, tc.t / 1e6 AS tc
+  FROM tot, ta, tb, tc),
+y AS (
+  SELECT n, na, nb,
+         (ta - c) AS ss_a, (tb - c) AS ss_b,
+         (tc - c) - (ta - c) - (tb - c) AS ss_ab,
+         (q2 - c) - (tc - c) AS ss_err,
+         (n - na * nb)::BIGINT AS df_err
+  FROM x)
+SELECT n, df_err,
+       round(ss_a, 4) AS ss_a, round(ss_b, 4) AS ss_b,
+       round(ss_ab, 4) AS ss_ab, round(ss_err, 4) AS ss_err,
+       round(ss_a / (na - 1) / (ss_err / df_err), 6) AS f_a,
+       round(ss_b / (nb - 1) / (ss_err / df_err), 6) AS f_b,
+       round(ss_ab / ((na - 1) * (nb - 1)) / (ss_err / df_err), 6)
+         AS f_ab
+FROM y
+"""
+
+
+def q_lorenz(sf_dir: str):
+    """Lorenz curve of order revenue in deciles — `gini`'s table form
+    (the "bottom 50% of orders carry x% of revenue" readout): rows
+    rank globally on the shared value-rank bin exchange (no global
+    sort), each partition emits per-decile (Σcents, count) partials
+    with decile = rank·10 // n in exact integer arithmetic, and the
+    cumulative share folds on the 10-row driver table."""
+    from ..functions.relational import _value_rank_exchange
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+    cents = orders.map_batches(
+        lambda d: pd.DataFrame({
+            "c": np.rint(d["o_totalprice"].to_numpy(dtype="float64")
+                         * 100).astype("int64"),
+            "o_orderkey": d["o_orderkey"].to_numpy()}),
+        batch_format="pandas")
+
+    def per_decile(g: pd.DataFrame, rank: np.ndarray,
+                   total: int) -> pd.DataFrame:
+        dec = rank * 10 // total
+        d = pd.DataFrame({"decile": dec.astype("int64"),
+                          "c": g["c"].to_numpy(dtype="int64")})
+        out = (d.groupby("decile", sort=False)
+               .agg(s=("c", "sum"), n=("c", "count")).reset_index())
+        return out.astype({"s": "int64", "n": "int64"})
+
+    partials, _total = _value_rank_exchange(
+        cents, "c", ["o_orderkey"], 4096, 32, per_decile)
+    p = (partials.to_pandas().groupby("decile", as_index=False)
+         .agg(n=("n", "sum"), sum_c=("s", "sum"))
+         .sort_values("decile").reset_index(drop=True))
+    tot = int(p["sum_c"].sum())
+    cum = np.cumsum(p["sum_c"].to_numpy(dtype="int64"))
+    return pd.DataFrame({
+        "decile": p["decile"].astype("int64"),
+        "n": p["n"].astype("int64"),
+        "sum_c": p["sum_c"].astype("int64"),
+        "cum_share": np.round(cum.astype("float64") / float(tot), 6)})
+
+
+SQL_LORENZ = """
+WITH v AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+r AS (
+  SELECT c, (row_number() OVER (ORDER BY c, o_orderkey) - 1) * 10
+            // (SELECT count(*) FROM v) AS decile
+  FROM v),
+d AS (
+  SELECT decile, count(*)::BIGINT AS n, sum(c)::BIGINT AS sum_c
+  FROM r GROUP BY 1),
+t AS (SELECT sum(sum_c)::BIGINT AS tot FROM d)
+SELECT decile::BIGINT AS decile, n, sum_c,
+       round(sum(sum_c) OVER (ORDER BY decile
+                              ROWS UNBOUNDED PRECEDING)::DOUBLE
+             / t.tot::DOUBLE, 6) AS cum_share
+FROM d, t ORDER BY decile
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12117,6 +12298,8 @@ QUERIES = {
     "trimmed_mean": q_trimmed_mean,
     "runs_test": q_runs_test,
     "gmean_brand": q_gmean_brand,
+    "anova2": q_anova2,
+    "lorenz": q_lorenz,
     "target_encode": q_target_encode,
     "max_gap": q_max_gap,
     "components_hist": q_components_hist,
@@ -12379,6 +12562,8 @@ ORACLE_SQL = {
     "trimmed_mean": SQL_TRIMMED_MEAN,
     "runs_test": SQL_RUNS_TEST,
     "gmean_brand": SQL_GMEAN_BRAND,
+    "anova2": SQL_ANOVA2,
+    "lorenz": SQL_LORENZ,
     "target_encode": SQL_TARGET_ENCODE,
     "max_gap": SQL_MAX_GAP,
     "components_hist": SQL_COMPONENTS_HIST,

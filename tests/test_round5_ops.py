@@ -1948,3 +1948,47 @@ def test_runs_test_brute_force(ray_session):
         assert int(r["runs"]) == runs
         if sum(sg) in (0, len(sg)):
             assert float(r["z"]) == 0.0
+
+
+def test_anova2_decomposition_invariants(ray_session):
+    """SS components are nonnegative and rebuild SS_total; F ratios
+    replay from the emitted SS and dfs."""
+    from crawler_service_ray.pipelines.queries import q_anova2
+
+    got = q_anova2("/root/testdata/sf0.001")
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+    y = li["l_quantity"].to_numpy(dtype="float64").astype("int64")
+    n = len(y)
+    c = float(y.sum()) ** 2 / n
+    ss_total = float((y * y).sum()) - c
+    parts = (float(got["ss_a"].iloc[0]) + float(got["ss_b"].iloc[0])
+             + float(got["ss_ab"].iloc[0]) + float(got["ss_err"].iloc[0]))
+    assert int(got["n"].iloc[0]) == n
+    assert abs(parts - ss_total) < 0.01
+    assert float(got["ss_err"].iloc[0]) >= 0
+    na = li["l_returnflag"].nunique()
+    nb = li["l_linestatus"].nunique()
+    ms_err = float(got["ss_err"].iloc[0]) / int(got["df_err"].iloc[0])
+    assert abs(float(got["f_a"].iloc[0])
+               - float(got["ss_a"].iloc[0]) / (na - 1) / ms_err) < 1e-3
+
+
+def test_lorenz_matches_sorted_deciles(ray_session):
+    """Decile sums equal an explicit sort's decile sums and the last
+    cumulative share is exactly 1."""
+    from crawler_service_ray.pipelines.queries import q_lorenz
+
+    got = q_lorenz("/root/testdata/sf0.001")
+    o = pd.read_parquet("/root/testdata/sf0.001/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"])
+    c = np.rint(o["o_totalprice"].to_numpy() * 100).astype("int64")
+    order = np.lexsort((o["o_orderkey"].to_numpy(), c))
+    cs = c[order]
+    n = len(cs)
+    dec = np.arange(n) * 10 // n
+    for d in range(10):
+        assert int(got.loc[got["decile"] == d, "sum_c"].iloc[0]) \
+            == int(cs[dec == d].sum())
+    assert float(got["cum_share"].iloc[-1]) == 1.0
