@@ -12090,6 +12090,152 @@ FROM d, t ORDER BY decile
 """
 
 
+def q_wasserstein(sf_dir: str):
+    """EXACT 1-D Wasserstein-1 (earth-mover) distance between the
+    click and view cohorts' value distributions — the drift MAGNITUDE
+    (`ks_test` gives the sup; W1 integrates |F_a−F_b| dv, so it feels
+    the size of the shift, not just its peak). Same one-exchange
+    discipline as `ks_statistic` (`_two_sample_bin_scan`): within-bin
+    gap terms reduce locally (each coarse bin colocates whole), each
+    bin emits ONE boundary row (vmin, vmax, |ΔF| at vmax), and the
+    ≤4096-row bin table closes the cross-bin gaps on the driver.
+    Per-gap terms round to integer MICRO-units before any summation,
+    so the integral is float-order-free on both engines."""
+    from ..functions.relational import _two_sample_bin_scan
+
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_type", "value"])
+
+    def part_w1(c, cum_a, cum_b, oa, ob, n_a, n_b):
+        bins = c["__bin"].to_numpy()
+        v = c["v"].to_numpy(dtype="float64")
+        d = np.abs((oa[bins] + cum_a) / n_a
+                   - (ob[bins] + cum_b) / n_b)
+        same = bins[1:] == bins[:-1]
+        gap = v[1:] - v[:-1]
+        micro = int(np.round(d[:-1][same] * gap[same] * 1e6)
+                    .astype("int64").sum())
+        last = np.concatenate([bins[1:] != bins[:-1], [True]])
+        first = np.concatenate([[True], bins[1:] != bins[:-1]])
+        out = pd.DataFrame({
+            "bin": bins[last].astype("int64"),
+            "vmin": v[first], "vmax": v[last],
+            "d_at_max": d[last],
+            "micro": np.zeros(int(last.sum()), dtype="int64")})
+        if len(out):
+            out.loc[out.index[0], "micro"] = micro
+        return out
+
+    res = _two_sample_bin_scan(ev, "value", "event_type",
+                               "click", "view", 4096, 32, part_w1)
+    parts, n_a, n_b = res
+    p = parts.sort_values("bin").reset_index(drop=True)
+    micro = int(p["micro"].sum())
+    if len(p) > 1:
+        dmax = p["d_at_max"].to_numpy(dtype="float64")
+        vmin = p["vmin"].to_numpy(dtype="float64")
+        vmax = p["vmax"].to_numpy(dtype="float64")
+        micro += int(np.round(dmax[:-1] * (vmin[1:] - vmax[:-1]) * 1e6)
+                     .astype("int64").sum())
+    return pd.DataFrame({
+        "w1": np.array([round(micro / 1e6, 6)], dtype="float64"),
+        "n_a": np.array([n_a], dtype="int64"),
+        "n_b": np.array([n_b], dtype="int64")})
+
+
+SQL_WASSERSTEIN = """
+WITH u AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_type IN ('click', 'view')),
+c AS (SELECT v, sum(a)::BIGINT AS ca, sum(b)::BIGINT AS cb
+      FROM u GROUP BY v),
+w AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+             sum(cb) OVER (ORDER BY v) AS cum_b,
+             lead(v) OVER (ORDER BY v) AS nv,
+             (SELECT sum(ca) FROM c) AS na,
+             (SELECT sum(cb) FROM c) AS nb
+      FROM c),
+t AS (
+  SELECT CAST(round(abs(cum_a / na - cum_b / nb) * (nv - v) * 1e6)
+              AS BIGINT) AS m
+  FROM w WHERE nv IS NOT NULL)
+SELECT round((SELECT sum(m) FROM t) / 1e6, 6) AS w1,
+       (SELECT CAST(max(na) AS BIGINT) FROM w) AS n_a,
+       (SELECT CAST(max(nb) AS BIGINT) FROM w) AS n_b
+"""
+
+
+def q_cvm_test(sf_dir: str):
+    """EXACT two-sample Cramér–von Mises statistic between the click
+    and view cohorts — the mean-square CDF-difference test (more
+    powerful than KS against spread-out alternatives; completes the
+    two-sample family: KS sup, W1 integral, MWU rank, CvM quadratic).
+    T = (n_a·n_b)/(n_a+n_b)² · Σ over OBSERVATIONS of (F_a−F_b)²,
+    computed on the same single bin exchange as `ks_statistic`: per
+    distinct value the squared CDF gap weights by that value's
+    observation count, rounds to integer MICRO-units, and sums
+    exactly — each partition ships one int64 partial."""
+    from ..functions.relational import _two_sample_bin_scan
+
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_type", "value"])
+
+    def part_cvm(c, cum_a, cum_b, oa, ob, n_a, n_b):
+        bins = c["__bin"].to_numpy()
+        d = ((oa[bins] + cum_a) / n_a
+             - (ob[bins] + cum_b) / n_b)
+        cnt = (c["ca"].to_numpy() + c["cb"].to_numpy()).astype(
+            "float64")
+        micro = int(np.round(d * d * cnt * 1e6)
+                    .astype("int64").sum())
+        return pd.DataFrame({"micro": np.array([micro], dtype="int64")})
+
+    res = _two_sample_bin_scan(ev, "value", "event_type",
+                               "click", "view", 4096, 32, part_cvm)
+    parts, n_a, n_b = res
+    micro = int(parts["micro"].sum())
+    scale = (float(n_a) * float(n_b)
+             / ((float(n_a) + float(n_b))
+                * (float(n_a) + float(n_b))))
+    return pd.DataFrame({
+        "cvm_t": np.array([round(micro / 1e6 * scale, 6)],
+                          dtype="float64"),
+        "n_a": np.array([n_a], dtype="int64"),
+        "n_b": np.array([n_b], dtype="int64")})
+
+
+SQL_CVM_TEST = """
+WITH u AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_type IN ('click', 'view')),
+c AS (SELECT v, sum(a)::BIGINT AS ca, sum(b)::BIGINT AS cb
+      FROM u GROUP BY v),
+w AS (SELECT ca, cb, sum(ca) OVER (ORDER BY v) AS cum_a,
+             sum(cb) OVER (ORDER BY v) AS cum_b,
+             (SELECT sum(ca) FROM c) AS na,
+             (SELECT sum(cb) FROM c) AS nb
+      FROM c),
+t AS (
+  SELECT CAST(round((cum_a / na - cum_b / nb)
+                    * (cum_a / na - cum_b / nb)
+                    * (ca + cb)::DOUBLE * 1e6) AS BIGINT) AS m,
+         na, nb
+  FROM w)
+SELECT round((SELECT sum(m) FROM t) / 1e6
+             * (max(na)::DOUBLE * max(nb)::DOUBLE
+                / ((max(na)::DOUBLE + max(nb)::DOUBLE)
+                   * (max(na)::DOUBLE + max(nb)::DOUBLE))), 6)
+         AS cvm_t,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12300,6 +12446,8 @@ QUERIES = {
     "gmean_brand": q_gmean_brand,
     "anova2": q_anova2,
     "lorenz": q_lorenz,
+    "wasserstein": q_wasserstein,
+    "cvm_test": q_cvm_test,
     "target_encode": q_target_encode,
     "max_gap": q_max_gap,
     "components_hist": q_components_hist,
@@ -12564,6 +12712,8 @@ ORACLE_SQL = {
     "gmean_brand": SQL_GMEAN_BRAND,
     "anova2": SQL_ANOVA2,
     "lorenz": SQL_LORENZ,
+    "wasserstein": SQL_WASSERSTEIN,
+    "cvm_test": SQL_CVM_TEST,
     "target_encode": SQL_TARGET_ENCODE,
     "max_gap": SQL_MAX_GAP,
     "components_hist": SQL_COMPONENTS_HIST,

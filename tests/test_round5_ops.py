@@ -1992,3 +1992,41 @@ def test_lorenz_matches_sorted_deciles(ray_session):
         assert int(got.loc[got["decile"] == d, "sum_c"].iloc[0]) \
             == int(cs[dec == d].sum())
     assert float(got["cum_share"].iloc[-1]) == 1.0
+
+
+def test_wasserstein_sorted_reference(ray_session):
+    """W1 from the bin exchange equals the explicit sorted-CDF
+    integral (micro-rounded per gap the same way)."""
+    from crawler_service_ray.pipelines.queries import q_wasserstein
+
+    got = q_wasserstein("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_type", "value"])
+    a = np.sort(ev.loc[ev["event_type"] == "click", "value"].to_numpy())
+    b = np.sort(ev.loc[ev["event_type"] == "view", "value"].to_numpy())
+    vs = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, vs, side="right") / len(a)
+    fb = np.searchsorted(b, vs, side="right") / len(b)
+    micro = int(np.round(np.abs(fa - fb)[:-1] * np.diff(vs) * 1e6)
+                .astype("int64").sum())
+    assert int(got["n_a"].iloc[0]) == len(a)
+    assert int(got["n_b"].iloc[0]) == len(b)
+    assert abs(float(got["w1"].iloc[0]) - micro / 1e6) < 2e-6
+
+
+def test_cvm_scipy_free_reference(ray_session):
+    """The CvM statistic equals the textbook sum over observations of
+    the squared CDF gap, scaled by n_a n_b/(n_a+n_b)^2."""
+    from crawler_service_ray.pipelines.queries import q_cvm_test
+
+    got = q_cvm_test("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_type", "value"])
+    a = np.sort(ev.loc[ev["event_type"] == "click", "value"].to_numpy())
+    b = np.sort(ev.loc[ev["event_type"] == "view", "value"].to_numpy())
+    allv = np.concatenate([a, b])
+    fa = np.searchsorted(a, allv, side="right") / len(a)
+    fb = np.searchsorted(b, allv, side="right") / len(b)
+    na, nb = len(a), len(b)
+    t = float(((fa - fb) ** 2).sum()) * na * nb / (na + nb) ** 2
+    assert abs(float(got["cvm_t"].iloc[0]) - t) < 1e-4
