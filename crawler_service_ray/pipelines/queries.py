@@ -12236,6 +12236,135 @@ FROM t
 """
 
 
+def q_conversion_ci(sf_dir: str):
+    """Per-experiment-arm conversion rate with Wilson 95% intervals —
+    the uncertainty-aware A/B readout (an 8-user arm at 100% is NOT
+    better than an 800-user arm at 80%; Wilson bounds say so where a
+    raw rate can't). Users split into 8 deterministic holdout arms
+    (user_id mod 8) and flag ever-purchased inside ONE user-hash
+    exchange (per-partition fold to ≤8 partial rows); n and k are
+    exact int64 and the Wilson algebra is a scalar double expression
+    written token-identically in the oracle (z = 1.96 literal on both
+    sides)."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "arm": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "k": pd.Series(dtype="int64")})
+        d = pd.DataFrame({
+            "u": g["user_id"].to_numpy(),
+            "p": (g["event_type"].to_numpy() == "purchase")
+                 .astype("int64")})
+        u = (d.groupby("u", sort=False)
+             .agg(conv=("p", "max")).reset_index())
+        u["arm"] = u["u"] % 8
+        out = (u.groupby("arm", sort=False)
+               .agg(n=("u", "count"), k=("conv", "sum"))
+               .reset_index())
+        return out.astype("int64")
+
+    agg = (grouped_agg(
+            grouped_apply(ev, ["user_id"], per_part, num_partitions=32),
+            ["arm"], {"n": ("n", "sum"), "k": ("k", "sum")})
+           .to_pandas().sort_values("arm").reset_index(drop=True))
+    n = agg["n"].to_numpy(dtype="float64")
+    k = agg["k"].to_numpy(dtype="float64")
+    z = 1.96
+    p = k / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2.0 * n)) / denom
+    half = (z * np.sqrt(p * (1.0 - p) / n
+                        + z * z / (4.0 * n * n)) / denom)
+    return pd.DataFrame({
+        "arm": agg["arm"].astype("int64"),
+        "n": agg["n"].astype("int64"),
+        "k": agg["k"].astype("int64"),
+        "rate": np.round(p, 6),
+        "wilson_lo": np.round(center - half, 6),
+        "wilson_hi": np.round(center + half, 6)})
+
+
+SQL_CONVERSION_CI = """
+WITH w AS (
+  SELECT user_id, (event_type = 'purchase')::INT AS p
+  FROM events),
+u AS (SELECT user_id, user_id % 8 AS arm, max(p)::BIGINT AS conv
+      FROM w GROUP BY 1),
+a AS (SELECT arm, count(*)::BIGINT AS n, sum(conv)::BIGINT AS k
+      FROM u GROUP BY 1)
+SELECT arm, n, k,
+       round(k::DOUBLE / n::DOUBLE, 6) AS rate,
+       round(((k::DOUBLE / n::DOUBLE)
+              + 1.96 * 1.96 / (2.0 * n::DOUBLE))
+             / (1.0 + 1.96 * 1.96 / n::DOUBLE)
+             - (1.96 * sqrt((k::DOUBLE / n::DOUBLE)
+                            * (1.0 - k::DOUBLE / n::DOUBLE)
+                            / n::DOUBLE
+                            + 1.96 * 1.96
+                              / (4.0 * n::DOUBLE * n::DOUBLE))
+                / (1.0 + 1.96 * 1.96 / n::DOUBLE)), 6) AS wilson_lo,
+       round(((k::DOUBLE / n::DOUBLE)
+              + 1.96 * 1.96 / (2.0 * n::DOUBLE))
+             / (1.0 + 1.96 * 1.96 / n::DOUBLE)
+             + (1.96 * sqrt((k::DOUBLE / n::DOUBLE)
+                            * (1.0 - k::DOUBLE / n::DOUBLE)
+                            / n::DOUBLE
+                            + 1.96 * 1.96
+                              / (4.0 * n::DOUBLE * n::DOUBLE))
+                / (1.0 + 1.96 * 1.96 / n::DOUBLE)), 6) AS wilson_hi
+FROM a ORDER BY arm
+"""
+
+
+def q_compress_ratio(sf_dir: str):
+    """Per-source zlib compression-ratio quality signal — the
+    C4/Gopher-family boilerplate detector MinHash can't replace:
+    highly templated or repetitive text compresses far below prose,
+    so a source whose mean ratio collapses is template spam and a
+    source far above it is noise. Per-doc ratio = deflate(text)/len
+    (zlib level 6, stdlib, deterministic), micro-rounded to int64 in
+    the scan task so per-source sums are float-order-free; one
+    bounded grouped reduce. NO SQL oracle (DuckDB has no deflate) —
+    the pytest replays the exact zlib arithmetic instead, and the
+    driver records the rows-only check."""
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+        txts = d["text"].to_numpy()
+        ratios = np.array(
+            [int(round(len(zlib.compress(t.encode("utf-8"), 6))
+                       / max(len(t.encode("utf-8")), 1) * 1e6))
+             for t in txts], dtype="int64")
+        return pd.DataFrame({
+            "source": d["source"].to_numpy(),
+            "r_micro": ratios,
+            "mn": ratios, "mx": ratios,
+            "one": np.ones(len(d), dtype="int64")})
+
+    agg = (grouped_agg(docs.map_batches(pre, batch_format="pandas"),
+                       ["source"],
+                       {"s": ("r_micro", "sum"), "n": ("one", "sum"),
+                        "mn": ("mn", "min"), "mx": ("mx", "max")})
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    return pd.DataFrame({
+        "source": agg["source"].astype(object),
+        "n": agg["n"].astype("int64"),
+        "mean_ratio": np.round(
+            agg["s"].to_numpy(dtype="float64")
+            / agg["n"].to_numpy(dtype="float64") / 1e6, 6),
+        "min_ratio": np.round(
+            agg["mn"].to_numpy(dtype="float64") / 1e6, 6),
+        "max_ratio": np.round(
+            agg["mx"].to_numpy(dtype="float64") / 1e6, 6)})
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12448,6 +12577,8 @@ QUERIES = {
     "lorenz": q_lorenz,
     "wasserstein": q_wasserstein,
     "cvm_test": q_cvm_test,
+    "conversion_ci": q_conversion_ci,
+    "compress_ratio": q_compress_ratio,
     "target_encode": q_target_encode,
     "max_gap": q_max_gap,
     "components_hist": q_components_hist,
@@ -12714,6 +12845,7 @@ ORACLE_SQL = {
     "lorenz": SQL_LORENZ,
     "wasserstein": SQL_WASSERSTEIN,
     "cvm_test": SQL_CVM_TEST,
+    "conversion_ci": SQL_CONVERSION_CI,
     "target_encode": SQL_TARGET_ENCODE,
     "max_gap": SQL_MAX_GAP,
     "components_hist": SQL_COMPONENTS_HIST,

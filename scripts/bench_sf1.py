@@ -41,7 +41,12 @@ QUERIES = ["join_partitioned", "dedup_minhash", "tfidf",
            # round-5 sixth-wave exchange-bound additions
            "sssp", "histogram_depth", "ks_test",
            # round-5 late-wave exchange-bound additions
-           "quantile_normalize", "kcore", "item2item", "table_diff"]
+           "quantile_normalize", "kcore", "item2item", "table_diff",
+           # round-5 closing-wave exchange-bound additions: rank-exchange
+           # robust stats, two-sample scans, user-hash tests, shingle
+           # and word-level cross-source set arithmetic, RFM reduce
+           "trimmed_mean", "lorenz", "wasserstein", "mann_kendall",
+           "shingle_leakage", "source_overlap", "rfm_segments"]
 # (table, bytes_per_block const) each query reads — for block-count logs
 QUERY_TABLES = {
     "join_partitioned": [("lineitem", 1 << 20), ("orders", 1 << 20)],
@@ -57,6 +62,13 @@ QUERY_TABLES = {
     "kcore": [("lineitem", 1 << 20)],
     "item2item": [("lineitem", 1 << 20)],
     "table_diff": [("orders", 1 << 20)],
+    "trimmed_mean": [("orders", 1 << 20)],
+    "lorenz": [("orders", 1 << 20)],
+    "wasserstein": [("events", 1 << 20)],
+    "mann_kendall": [("events", 1 << 20)],
+    "shingle_leakage": [("documents", 128 << 10)],
+    "source_overlap": [("documents", 128 << 10)],
+    "rfm_segments": [("events", 1 << 20)],
 }
 
 

@@ -2030,3 +2030,51 @@ def test_cvm_scipy_free_reference(ray_session):
     na, nb = len(a), len(b)
     t = float(((fa - fb) ** 2).sum()) * na * nb / (na + nb) ** 2
     assert abs(float(got["cvm_t"].iloc[0]) - t) < 1e-4
+
+
+def test_conversion_ci_pandas_reference(ray_session):
+    """Arm n/k and the Wilson bounds replay a pandas + closed-form
+    reference; bounds bracket the rate and stay inside [0, 1]."""
+    from crawler_service_ray.pipelines.queries import q_conversion_ci
+
+    got = q_conversion_ci("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id", "event_type"])
+    d = ev.assign(p=(ev["event_type"] == "purchase").astype(int))
+    u = d.groupby("user_id").agg(conv=("p", "max"))
+    u["arm"] = u.index % 8
+    a = u.groupby("arm").agg(n=("conv", "count"), k=("conv", "sum"))
+    for _, r in got.iterrows():
+        n, k = int(a.loc[r["arm"], "n"]), int(a.loc[r["arm"], "k"])
+        assert int(r["n"]) == n and int(r["k"]) == k
+        p, z = k / n, 1.96
+        denom = 1 + z * z / n
+        c = (p + z * z / (2 * n)) / denom
+        h = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+        assert abs(float(r["wilson_lo"]) - (c - h)) < 1e-6
+        assert abs(float(r["wilson_hi"]) - (c + h)) < 1e-6
+        assert 0.0 <= float(r["wilson_lo"]) <= float(r["rate"]) + 1e-9
+        assert float(r["rate"]) - 1e-9 <= float(r["wilson_hi"]) <= 1.0
+
+
+def test_compress_ratio_zlib_replay(ray_session):
+    """The per-source mean/min/max replay the exact zlib arithmetic
+    (no SQL oracle exists for deflate — this pytest is the pin)."""
+    import zlib
+    from crawler_service_ray.pipelines.queries import q_compress_ratio
+
+    got = (q_compress_ratio("/root/testdata/sf0.001")
+           .set_index("source").sort_index())
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["source", "text"])
+    for src, g in docs.groupby("source"):
+        r = np.array(
+            [int(round(len(zlib.compress(t.encode(), 6))
+                       / max(len(t.encode()), 1) * 1e6))
+             for t in g["text"]], dtype="int64")
+        row = got.loc[src]
+        assert int(row["n"]) == len(r)
+        assert abs(float(row["mean_ratio"])
+                   - round(r.sum() / len(r) / 1e6, 6)) < 1e-9
+        assert float(row["min_ratio"]) == round(int(r.min()) / 1e6, 6)
+        assert float(row["max_ratio"]) == round(int(r.max()) / 1e6, 6)
