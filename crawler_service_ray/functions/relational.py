@@ -4157,6 +4157,69 @@ def anova_f(
     }))
 
 
+def levene_w(
+    ds: rd.Dataset,
+    group_col: str,
+    val_col: str,
+) -> rd.Dataset:
+    """Levene's test W (mean-centered) across all cohorts — the
+    variance-homogeneity screen run BEFORE trusting :func:`anova_f`'s
+    equal-variance assumption (unequal spreads inflate its false-positive
+    rate). Pass 1: per-cohort means from (n, Σv) moment partials — a
+    k-row table folded on the driver. Pass 2: every block maps rows to
+    ``z = |v − mean_g|`` through the tiny broadcast mean dict and emits
+    (n, Σz, Σz²) partials; W is then exactly the one-way F statistic on
+    the z's. Both passes stream; nothing value-scale touches the driver.
+    The SQL twin replays the identical mean join and sum decomposition;
+    6-dp rounding absorbs partial-sum reassociation. NULLs must be
+    absent from ``val_col``."""
+    def mean_partials(d: pd.DataFrame) -> pd.DataFrame:
+        v = d[val_col].to_numpy(dtype="float64")
+        t = pd.DataFrame({group_col: d[group_col],
+                          "__n": np.float64(1.0), "__s": v})
+        return t.groupby(group_col, as_index=False).sum()
+
+    means = grouped_agg(
+        ds.map_batches(mean_partials, batch_format="pandas"),
+        [group_col], {"n": ("__n", "sum"), "s": ("__s", "sum")},
+    ).to_pandas()
+    mu = dict(zip(means[group_col],
+                  means["s"].to_numpy(dtype="float64")
+                  / means["n"].to_numpy(dtype="float64")))
+
+    def z_partials(d: pd.DataFrame) -> pd.DataFrame:
+        v = d[val_col].to_numpy(dtype="float64")
+        m = d[group_col].map(mu).to_numpy(dtype="float64")
+        z = np.abs(v - m)
+        t = pd.DataFrame({group_col: d[group_col],
+                          "__n": np.float64(1.0), "__s": z, "__ss": z * z})
+        return t.groupby(group_col, as_index=False).sum()
+
+    agg = grouped_agg(
+        ds.map_batches(z_partials, batch_format="pandas"),
+        [group_col], {"n": ("__n", "sum"), "s": ("__s", "sum"),
+                      "ss": ("__ss", "sum")},
+    ).to_pandas().sort_values(group_col)
+    k = len(agg)
+    if k < 2:
+        return rd.from_pandas(pd.DataFrame({
+            "n_groups": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "w_stat": pd.Series([], dtype="float64"),
+        }))
+    n = agg["n"].to_numpy(dtype="float64")
+    s = agg["s"].to_numpy(dtype="float64")
+    ss = agg["ss"].to_numpy(dtype="float64")
+    N = float(n.sum())
+    grand = float(s.sum()) / N
+    ssb = float((n * (s / n - grand) ** 2).sum())
+    ssw = float((ss - s * s / n).sum())
+    w = (ssb / (k - 1)) / (ssw / (N - k)) if ssw > 0 else float("nan")
+    return rd.from_pandas(pd.DataFrame({
+        "n_groups": [np.int64(k)], "n": [np.int64(N)], "w_stat": [w],
+    }))
+
+
 def kruskal_wallis(
     ds: rd.Dataset,
     group_col: str,

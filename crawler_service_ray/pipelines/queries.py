@@ -12365,6 +12365,274 @@ def q_compress_ratio(sf_dir: str):
             agg["mx"].to_numpy(dtype="float64") / 1e6, 6)})
 
 
+def q_ndcg(sf_dir: str):
+    """Mean nDCG@10 over per-user event rankings — the graded ranking
+    metric that `mrr`/`average_precision` can't replace (binary
+    relevance flattens purchase≫click). Each user's events rank by
+    value DESC (event_id tiebreak = the model's score order); graded
+    relevance purchase=2 / click=1 / else 0; DCG@10 with the 2^rel−1
+    gain and log2(pos+1) discount, normalized by the ideal ordering
+    (rel DESC). ONE user-hash exchange (`grouped_apply`), per-partition
+    numpy ranking, per-user ndcg micro-rounded to int64 before the
+    cross-partition sum so reassociation can't flip the mean hash.
+    Users with no relevant event (IDCG=0) are excluded on both sides."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "user_id", "event_type",
+                             "value"])
+    K = 10
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "micro": pd.Series(dtype="int64"),
+                "n_users": pd.Series(dtype="int64")})
+        rel = np.select(
+            [g["event_type"].to_numpy() == "purchase",
+             g["event_type"].to_numpy() == "click"],
+            [2.0, 1.0], 0.0)
+        d = pd.DataFrame({"u": g["user_id"].to_numpy(),
+                          "v": g["value"].to_numpy(dtype="float64"),
+                          "e": g["event_id"].to_numpy(),
+                          "rel": rel})
+        # predicted order: value DESC, event_id ASC within user
+        d = d.sort_values(["u", "v", "e"],
+                          ascending=[True, False, True],
+                          kind="mergesort").reset_index(drop=True)
+        pos = d.groupby("u", sort=False).cumcount().to_numpy() + 1
+        gain = (2.0 ** d["rel"].to_numpy() - 1.0) / np.log2(pos + 1.0)
+        gain[pos > K] = 0.0
+        dcg = (pd.DataFrame({"u": d["u"], "g": gain})
+               .groupby("u", sort=False)["g"].sum())
+        # ideal order: rel DESC (value/event tiebreaks don't change
+        # the gain sequence — gain depends on rel alone)
+        d = d.sort_values(["u", "rel"], ascending=[True, False],
+                          kind="mergesort").reset_index(drop=True)
+        ipos = d.groupby("u", sort=False).cumcount().to_numpy() + 1
+        igain = (2.0 ** d["rel"].to_numpy() - 1.0) / np.log2(ipos + 1.0)
+        igain[ipos > K] = 0.0
+        idcg = (pd.DataFrame({"u": d["u"], "g": igain})
+                .groupby("u", sort=False)["g"].sum())
+        keep = idcg > 0
+        nd = (dcg[keep] / idcg[keep]).to_numpy(dtype="float64")
+        micro = np.round(nd * 1e6).astype("int64")
+        return pd.DataFrame({
+            "micro": np.array([micro.sum()], dtype="int64"),
+            "n_users": np.array([int(keep.sum())], dtype="int64")})
+
+    parts = grouped_apply(ev, ["user_id"], per_part,
+                          num_partitions=32).to_pandas()
+    micro = int(parts["micro"].sum())
+    n_users = int(parts["n_users"].sum())
+    mean = micro / 1e6 / n_users if n_users else float("nan")
+    return pd.DataFrame({
+        "mean_ndcg": np.array([round(mean, 6)], dtype="float64"),
+        "n_users": np.array([n_users], dtype="int64")})
+
+
+SQL_NDCG = """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         CASE event_type WHEN 'purchase' THEN 2.0
+                         WHEN 'click' THEN 1.0 ELSE 0.0 END AS rel
+  FROM events),
+rk AS (
+  SELECT user_id, rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY rel DESC, event_id) AS ipos
+  FROM e),
+d AS (
+  SELECT user_id,
+         sum(CASE WHEN pos <= 10
+                  THEN (pow(2, rel) - 1) / (ln(pos + 1) / ln(2))
+                  ELSE 0 END) AS dcg,
+         sum(CASE WHEN ipos <= 10
+                  THEN (pow(2, rel) - 1) / (ln(ipos + 1) / ln(2))
+                  ELSE 0 END) AS idcg
+  FROM rk GROUP BY user_id),
+u AS (SELECT CAST(round(dcg / idcg * 1e6) AS BIGINT) AS micro
+      FROM d WHERE idcg > 0)
+SELECT round(sum(micro) / 1e6 / count(*), 6) AS mean_ndcg,
+       count(*)::BIGINT AS n_users
+FROM u
+"""
+
+
+def q_levene(sf_dir: str):
+    """Levene's variance-homogeneity W across market segments on
+    account balance (`functions/relational.py:levene_w`) — the check
+    run before trusting `anova_f`'s equal-variance assumption. Two
+    streaming passes: per-segment means, then |v−mean| moment
+    partials; W = the one-way F on the absolute deviations. The
+    oracle replays the identical mean join and sum decomposition;
+    6 dp."""
+    from ..functions.relational import levene_w
+
+    cu = read_table(sf_dir, "customer",
+                    columns=["c_mktsegment", "c_acctbal"])
+    out = levene_w(cu, "c_mktsegment", "c_acctbal")
+    return out.map_batches(
+        lambda d: pd.DataFrame({
+            "n_groups": d["n_groups"].astype("int64"),
+            "n": d["n"].astype("int64"),
+            "w_stat": np.round(d["w_stat"].to_numpy(dtype="float64"),
+                               6),
+        }),
+        batch_format="pandas")
+
+
+SQL_LEVENE = """
+WITH m AS (SELECT c_mktsegment AS g, sum(c_acctbal) / count(*) AS mu
+           FROM customer GROUP BY 1),
+z AS (SELECT c.c_mktsegment AS g, abs(c.c_acctbal - m.mu) AS z
+      FROM customer c JOIN m ON c.c_mktsegment = m.g),
+gz AS (SELECT g, count(*)::DOUBLE AS n, sum(z) AS s, sum(z * z) AS ss
+       FROM z GROUP BY g),
+t AS (SELECT sum(n) AS N, sum(s) / sum(n) AS grand,
+             count(*)::DOUBLE AS k FROM gz)
+SELECT (SELECT k FROM t)::BIGINT AS n_groups,
+       (SELECT N FROM t)::BIGINT AS n,
+       round((sum(n * pow(s / n - (SELECT grand FROM t), 2))
+              / ((SELECT k FROM t) - 1))
+             / (sum(ss - s * s / n)
+                / ((SELECT N FROM t) - (SELECT k FROM t))), 6) AS w_stat
+FROM gz
+"""
+
+
+def _user_click_purchase_counts(sf_dir: str) -> pd.DataFrame:
+    """Shared 2×2 contingency builder: per-user ever-clicked /
+    ever-purchased flags folded inside ONE user-hash exchange
+    (per-partition groupby-max then a ≤4-row crosstab per partition),
+    integer partials summed on the driver. Returns exact int64 counts
+    n11, n10, n01, n00."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ("n11", "n10", "n01", "n00")})
+        d = pd.DataFrame({
+            "u": g["user_id"].to_numpy(),
+            "a": (g["event_type"].to_numpy() == "click")
+                 .astype("int64"),
+            "b": (g["event_type"].to_numpy() == "purchase")
+                 .astype("int64")})
+        u = d.groupby("u", sort=False).agg(a=("a", "max"),
+                                           b=("b", "max"))
+        a = u["a"].to_numpy()
+        b = u["b"].to_numpy()
+        return pd.DataFrame({
+            "n11": np.array([int(((a == 1) & (b == 1)).sum())],
+                            dtype="int64"),
+            "n10": np.array([int(((a == 1) & (b == 0)).sum())],
+                            dtype="int64"),
+            "n01": np.array([int(((a == 0) & (b == 1)).sum())],
+                            dtype="int64"),
+            "n00": np.array([int(((a == 0) & (b == 0)).sum())],
+                            dtype="int64")})
+
+    parts = grouped_apply(ev, ["user_id"], per_part,
+                          num_partitions=32).to_pandas()
+    return parts[["n11", "n10", "n01", "n00"]].sum().astype("int64")
+
+
+def q_mcnemar(sf_dir: str):
+    """McNemar's paired test on (ever-clicked, ever-purchased) user
+    flags — the PAIRED 2×2 test `chi2_independence` can't substitute
+    (same users under both conditions; only the discordant cells
+    carry signal). Edwards continuity correction
+    χ² = (|b10−b01|−1)²/(b10+b01) computed from exact integer counts,
+    so the statistic is a bit-identical scalar expression on both
+    sides; 6 dp."""
+    c = _user_click_purchase_counts(sf_dir)
+    b10 = int(c["n10"])
+    b01 = int(c["n01"])
+    chi = ((abs(b10 - b01) - 1.0) ** 2 / (b10 + b01)
+           if (b10 + b01) > 0 else float("nan"))
+    return pd.DataFrame({
+        "b01": np.array([b01], dtype="int64"),
+        "b10": np.array([b10], dtype="int64"),
+        "mcnemar_chi2": np.array([round(chi, 6)], dtype="float64")})
+
+
+SQL_MCNEMAR = """
+WITH u AS (
+  SELECT user_id,
+         max((event_type = 'click')::INT) AS a,
+         max((event_type = 'purchase')::INT) AS b
+  FROM events GROUP BY 1),
+c AS (
+  SELECT sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)::BIGINT
+           AS b01,
+         sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)::BIGINT
+           AS b10
+  FROM u)
+SELECT b01, b10,
+       round(pow(abs(b10 - b01) - 1.0, 2) / (b10 + b01)::DOUBLE, 6)
+         AS mcnemar_chi2
+FROM c
+"""
+
+
+def q_odds_ratio(sf_dir: str):
+    """Click→purchase odds ratio with a 95% log-normal CI — the
+    effect-size readout on the same user-level 2×2 the paired test
+    uses. Haldane–Anscombe +0.5 on every cell (robust to zero cells
+    at small sf, applied unconditionally on both sides);
+    CI = exp(ln OR ∓ 1.96·SE), SE = sqrt(Σ 1/(cell+0.5)). Counts are
+    exact int64 from one user-hash exchange; the OR algebra is a
+    scalar double expression written token-identically in the
+    oracle; 6 dp."""
+    c = _user_click_purchase_counts(sf_dir)
+    n11, n10, n01, n00 = (float(c[k]) + 0.5
+                          for k in ("n11", "n10", "n01", "n00"))
+    orr = (n11 * n00) / (n10 * n01)
+    se = float(np.sqrt(1.0 / n11 + 1.0 / n10 + 1.0 / n01 + 1.0 / n00))
+    lo = float(np.exp(np.log(orr) - 1.96 * se))
+    hi = float(np.exp(np.log(orr) + 1.96 * se))
+    return pd.DataFrame({
+        "n11": np.array([int(c["n11"])], dtype="int64"),
+        "n10": np.array([int(c["n10"])], dtype="int64"),
+        "n01": np.array([int(c["n01"])], dtype="int64"),
+        "n00": np.array([int(c["n00"])], dtype="int64"),
+        "odds_ratio": np.array([round(orr, 6)], dtype="float64"),
+        "ci_lo": np.array([round(lo, 6)], dtype="float64"),
+        "ci_hi": np.array([round(hi, 6)], dtype="float64")})
+
+
+SQL_ODDS_RATIO = """
+WITH u AS (
+  SELECT user_id,
+         max((event_type = 'click')::INT) AS a,
+         max((event_type = 'purchase')::INT) AS b
+  FROM events GROUP BY 1),
+c AS (
+  SELECT sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)::BIGINT AS n11,
+         sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+         sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)::BIGINT AS n01,
+         sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)::BIGINT AS n00
+  FROM u),
+h AS (
+  SELECT n11, n10, n01, n00,
+         (n11 + 0.5) * (n00 + 0.5) / ((n10 + 0.5) * (n01 + 0.5)) AS orr,
+         sqrt(1.0 / (n11 + 0.5) + 1.0 / (n10 + 0.5)
+              + 1.0 / (n01 + 0.5) + 1.0 / (n00 + 0.5)) AS se
+  FROM c)
+SELECT n11, n10, n01, n00,
+       round(orr, 6) AS odds_ratio,
+       round(exp(ln(orr) - 1.96 * se), 6) AS ci_lo,
+       round(exp(ln(orr) + 1.96 * se), 6) AS ci_hi
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12638,6 +12906,10 @@ QUERIES = {
     "leadlag_corr": q_leadlag_corr,
     "benford": q_benford,
     "calibration": q_calibration,
+    "ndcg": q_ndcg,
+    "levene": q_levene,
+    "mcnemar": q_mcnemar,
+    "odds_ratio": q_odds_ratio,
 }
 
 ORACLE_SQL = {
@@ -12899,4 +13171,8 @@ ORACLE_SQL = {
     "leadlag_corr": SQL_LEADLAG_CORR,
     "benford": SQL_BENFORD,
     "calibration": SQL_CALIBRATION,
+    "ndcg": SQL_NDCG,
+    "levene": SQL_LEVENE,
+    "mcnemar": SQL_MCNEMAR,
+    "odds_ratio": SQL_ODDS_RATIO,
 }

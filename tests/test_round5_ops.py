@@ -2078,3 +2078,110 @@ def test_compress_ratio_zlib_replay(ray_session):
                    - round(r.sum() / len(r) / 1e6, 6)) < 1e-9
         assert float(row["min_ratio"]) == round(int(r.min()) / 1e6, 6)
         assert float(row["max_ratio"]) == round(int(r.max()) / 1e6, 6)
+
+
+def test_levene_textbook_reference(ray_session):
+    """levene_w replays the textbook mean-centered W on groups with
+    genuinely different spreads, invariant to block layout."""
+    rng = np.random.default_rng(417)
+    groups = ["a"] * 350 + ["b"] * 400 + ["c"] * 250
+    v = np.r_[rng.normal(10, 1, 350), rng.normal(10, 3, 400),
+              rng.normal(10, 2, 250)]
+    df = pd.DataFrame({"g": groups, "v": v})
+
+    got = rel.levene_w(rd.from_pandas(df).repartition(7),
+                       "g", "v").to_pandas()
+    mu = df.groupby("g")["v"].transform("mean")
+    z = (df["v"] - mu).abs()
+    zg = pd.DataFrame({"g": groups, "z": z})
+    zbar = zg.groupby("g")["z"].mean()
+    ns = zg.groupby("g")["z"].size()
+    grand = float(z.mean())
+    ssb = float((ns * (zbar - grand) ** 2).sum())
+    ssw = float(((z - zbar.reindex(df["g"]).to_numpy()) ** 2).sum())
+    w_ref = (ssb / 2) / (ssw / (1000 - 3))
+    assert int(got["n_groups"][0]) == 3 and int(got["n"][0]) == 1000
+    assert abs(float(got["w_stat"][0]) - w_ref) < 1e-6
+    # different spreads by construction -> W clearly rejects
+    assert float(got["w_stat"][0]) > 10.0
+
+
+def test_ndcg_per_user_loop_reference(ray_session):
+    """q_ndcg matches an independent per-user python-loop nDCG@10
+    (explicit sorted lists, no vectorized ranking)."""
+    from crawler_service_ray.pipelines.queries import q_ndcg
+
+    got = q_ndcg("/root/testdata/sf0.001")
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"])
+    relmap = {"purchase": 2.0, "click": 1.0}
+    micros = []
+    for _, g in ev.groupby("user_id"):
+        rows = sorted(g.itertuples(),
+                      key=lambda r: (-r.value, r.event_id))
+        rels = [relmap.get(r.event_type, 0.0) for r in rows]
+        dcg = sum((2.0 ** r - 1) / np.log2(i + 2)
+                  for i, r in enumerate(rels[:10]))
+        ideal = sorted(rels, reverse=True)
+        idcg = sum((2.0 ** r - 1) / np.log2(i + 2)
+                   for i, r in enumerate(ideal[:10]))
+        if idcg > 0:
+            micros.append(int(round(dcg / idcg * 1e6)))
+    ref = round(sum(micros) / 1e6 / len(micros), 6)
+    assert int(got["n_users"][0]) == len(micros)
+    assert abs(float(got["mean_ndcg"][0]) - ref) < 1e-9
+    assert 0.0 < float(got["mean_ndcg"][0]) <= 1.0
+
+
+def test_mcnemar_and_odds_ratio_contingency(ray_session):
+    """Both 2x2 queries replay a pure-pandas contingency table and
+    the closed-form statistics; the CI brackets the point estimate."""
+    from crawler_service_ray.pipelines.queries import (
+        q_mcnemar, q_odds_ratio)
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id", "event_type"])
+    u = (ev.assign(a=(ev["event_type"] == "click").astype(int),
+                   b=(ev["event_type"] == "purchase").astype(int))
+         .groupby("user_id").agg(a=("a", "max"), b=("b", "max")))
+    n11 = int(((u.a == 1) & (u.b == 1)).sum())
+    n10 = int(((u.a == 1) & (u.b == 0)).sum())
+    n01 = int(((u.a == 0) & (u.b == 1)).sum())
+    n00 = int(((u.a == 0) & (u.b == 0)).sum())
+
+    mc = q_mcnemar("/root/testdata/sf0.001")
+    assert int(mc["b01"][0]) == n01 and int(mc["b10"][0]) == n10
+    if n10 + n01 > 0:
+        chi_ref = (abs(n10 - n01) - 1.0) ** 2 / (n10 + n01)
+        assert abs(float(mc["mcnemar_chi2"][0])
+                   - round(chi_ref, 6)) < 1e-9
+    else:
+        # no discordant pairs at this sf: statistic undefined, and
+        # BOTH sides agree on NaN/NULL (the oracle's 0/0 is NULL)
+        assert np.isnan(float(mc["mcnemar_chi2"][0]))
+    # synthetic discordant case pins the closed form itself
+    df = pd.DataFrame({"user_id": np.arange(100),
+                       "event_type": (["click"] * 30 + ["purchase"] * 12
+                                      + ["view"] * 58)})
+    p = "/tmp/_mcnemar_case"
+    import os
+    os.makedirs(p, exist_ok=True)
+    df.to_parquet(f"{p}/events.parquet")
+    mc2 = q_mcnemar(p)
+    assert int(mc2["b10"][0]) == 30 and int(mc2["b01"][0]) == 12
+    assert abs(float(mc2["mcnemar_chi2"][0])
+               - round((abs(30 - 12) - 1.0) ** 2 / 42.0, 6)) < 1e-9
+
+    orr = q_odds_ratio("/root/testdata/sf0.001")
+    assert [int(orr[c][0]) for c in ("n11", "n10", "n01", "n00")] \
+        == [n11, n10, n01, n00]
+    o = (n11 + .5) * (n00 + .5) / ((n10 + .5) * (n01 + .5))
+    se = np.sqrt(sum(1.0 / (c + .5) for c in (n11, n10, n01, n00)))
+    assert abs(float(orr["odds_ratio"][0]) - round(o, 6)) < 1e-9
+    assert abs(float(orr["ci_lo"][0])
+               - round(float(np.exp(np.log(o) - 1.96 * se)), 6)) < 1e-9
+    assert abs(float(orr["ci_hi"][0])
+               - round(float(np.exp(np.log(o) + 1.96 * se)), 6)) < 1e-9
+    assert float(orr["ci_lo"][0]) <= float(orr["odds_ratio"][0]) \
+        <= float(orr["ci_hi"][0])
