@@ -12633,6 +12633,341 @@ FROM h
 """
 
 
+def q_readability(sf_dir: str):
+    """Per-source Flesch reading-ease / FK-grade profile — the
+    readability axis of corpus curation `quality`'s ratio features
+    don't capture (a source drifting to grade-16 legalese or grade-2
+    spam shifts the mix even at constant stopword ratio). Per doc,
+    three vectorized non-overlapping regex-run counts (words `\\S+`,
+    sentences `[.!?]+`, syllable proxy = vowel runs); both scores are
+    scalar expressions over those exact ints, micro-rounded to int64
+    per doc BEFORE the per-source sum so the mean is float-order-free.
+    One map_batches pass + a ≤|sources| reduce; the oracle counts the
+    identical runs with regexp_extract_all."""
+    docs = read_table(sf_dir, "documents", bytes_per_block=_DOC_BPB,
+                      columns=["source", "text"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        t = d["text"]
+        w = t.str.count(r"\S+").to_numpy(dtype="float64")
+        s = np.maximum(
+            t.str.count(r"[.!?]+").to_numpy(dtype="float64"), 1.0)
+        syl = t.str.count(r"[aeiouyAEIOUY]+").to_numpy(dtype="float64")
+        ok = w > 0
+        fre = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+        fkg = 0.39 * (w / s) + 11.8 * (syl / w) - 15.59
+        return pd.DataFrame({
+            "source": d["source"].to_numpy()[ok],
+            "fre_mi": np.round(fre[ok] * 1e6).astype("int64"),
+            "fkg_mi": np.round(fkg[ok] * 1e6).astype("int64"),
+            "one": np.ones(int(ok.sum()), dtype="int64")})
+
+    agg = (grouped_agg(docs.map_batches(pre, batch_format="pandas"),
+                       ["source"], {"s_fre": ("fre_mi", "sum"),
+                                    "s_fkg": ("fkg_mi", "sum"),
+                                    "n": ("one", "sum")})
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    n = agg["n"].to_numpy(dtype="float64")
+    return pd.DataFrame({
+        "source": agg["source"].astype(object),
+        "n_docs": agg["n"].astype("int64"),
+        "mean_fre": np.round(
+            agg["s_fre"].to_numpy(dtype="float64") / 1e6 / n, 6),
+        "mean_fk_grade": np.round(
+            agg["s_fkg"].to_numpy(dtype="float64") / 1e6 / n, 6)})
+
+
+SQL_READABILITY = """
+WITH d AS (
+  SELECT source,
+         len(regexp_extract_all(text, '\\S+'))::DOUBLE AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE
+           AS s,
+         len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::DOUBLE
+           AS syl
+  FROM documents),
+m AS (
+  SELECT source,
+         CAST(round((206.835 - 1.015 * (w / s) - 84.6 * (syl / w))
+                    * 1e6) AS BIGINT) AS fre_mi,
+         CAST(round((0.39 * (w / s) + 11.8 * (syl / w) - 15.59)
+                    * 1e6) AS BIGINT) AS fkg_mi
+  FROM d WHERE w > 0)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(sum(fre_mi) / 1e6 / count(*), 6) AS mean_fre,
+       round(sum(fkg_mi) / 1e6 / count(*), 6) AS mean_fk_grade
+FROM m GROUP BY source ORDER BY source
+"""
+
+
+def q_friedman(sf_dir: str):
+    """Friedman rank test across the click/view/purchase treatments
+    with users as blocks — the repeated-measures k-sample test
+    `kruskal` (independent samples) can't substitute: each user
+    serves as their own control. Per-(user,type) means are exact
+    rationals (integer-cent sums / counts) micro-rounded to int64 so
+    rank ties are exact integer comparisons on BOTH engines; only
+    complete blocks (all 3 treatments) rank. ONE user-hash exchange:
+    within-partition (u,t) fold, vectorized 3-way midranks (doubled
+    to stay integral), per-treatment (Σ2R, blocks) int partials; the
+    driver folds ≤3×partitions rows. Q uses the classic midrank
+    formula, replayed token-identically in SQL; 6 dp."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+    kinds = ["click", "purchase", "view"]
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["event_type"].isin(kinds)]
+        if len(g) == 0:
+            return pd.DataFrame({
+                "t": pd.Series(dtype=object),
+                "sum_r2": pd.Series(dtype="int64"),
+                "nb": pd.Series(dtype="int64")})
+        d = pd.DataFrame({
+            "u": g["user_id"].to_numpy(),
+            "t": g["event_type"].to_numpy(),
+            "c": np.rint(g["value"].to_numpy(dtype="float64") * 100)
+                 .astype("int64"),
+            "one": np.ones(len(g), dtype="int64")})
+        ag = (d.groupby(["u", "t"], sort=False)
+              .agg(sc=("c", "sum"), n=("one", "sum")).reset_index())
+        ag["micro"] = np.round(
+            ag["sc"].to_numpy(dtype="float64") * 10000.0
+            / ag["n"].to_numpy(dtype="float64")).astype("int64")
+        piv = ag.pivot(index="u", columns="t", values="micro")
+        piv = piv.dropna()
+        if piv.shape[1] < 3 or len(piv) == 0:
+            return pd.DataFrame({
+                "t": pd.Series(dtype=object),
+                "sum_r2": pd.Series(dtype="int64"),
+                "nb": pd.Series(dtype="int64")})
+        m = piv[kinds].to_numpy(dtype="int64")
+        rows = []
+        for j, t in enumerate(kinds):
+            lt = (m < m[:, j:j + 1]).sum(axis=1)
+            eq = (m == m[:, j:j + 1]).sum(axis=1) - 1
+            r2 = 2 * (1 + lt) + eq  # doubled midrank, exact int
+            rows.append((t, int(r2.sum()), len(piv)))
+        return pd.DataFrame(rows, columns=["t", "sum_r2", "nb"])
+
+    parts = (grouped_agg(
+        grouped_apply(ev, ["user_id"], per_part, num_partitions=32),
+        ["t"], {"sum_r2": ("sum_r2", "sum"), "nb": ("nb", "sum")})
+        .to_pandas().sort_values("t").reset_index(drop=True))
+    if len(parts) < 3 or parts["nb"].min() == 0:
+        return pd.DataFrame({
+            "friedman_q": pd.Series(dtype="float64"),
+            "n_blocks": pd.Series(dtype="int64"),
+            "k_treatments": pd.Series(dtype="int64")})
+    n = float(parts["nb"].iloc[0])
+    k = 3.0
+    ssq = float(sum((r2 / 2.0) ** 2
+                    for r2 in parts["sum_r2"].to_numpy()))
+    q = 12.0 / (n * k * (k + 1.0)) * ssq - 3.0 * n * (k + 1.0)
+    return pd.DataFrame({
+        "friedman_q": np.array([round(q, 6)], dtype="float64"),
+        "n_blocks": np.array([int(n)], dtype="int64"),
+        "k_treatments": np.array([3], dtype="int64")})
+
+
+SQL_FRIEDMAN = """
+WITH c AS (
+  SELECT user_id AS u, event_type AS t,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sc,
+         count(*)::BIGINT AS n
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+  GROUP BY 1, 2),
+m AS (SELECT u, t,
+             CAST(round(sc * 10000.0 / n) AS BIGINT) AS micro
+      FROM c),
+f AS (SELECT u FROM m GROUP BY u HAVING count(*) = 3),
+r AS (SELECT m.u, m.t,
+             2 * rank() OVER (PARTITION BY m.u ORDER BY m.micro)
+               + count(*) OVER (PARTITION BY m.u, m.micro) - 1 AS r2
+      FROM m JOIN f ON m.u = f.u),
+s AS (SELECT t, sum(r2)::BIGINT AS sum_r2, count(*)::BIGINT AS nb
+      FROM r GROUP BY t),
+tot AS (SELECT max(nb)::DOUBLE AS n FROM s)
+SELECT round(12.0 / ((SELECT n FROM tot) * 3.0 * 4.0)
+             * (SELECT sum((sum_r2 / 2.0) * (sum_r2 / 2.0)) FROM s)
+             - 3.0 * (SELECT n FROM tot) * 4.0, 6) AS friedman_q,
+       CAST((SELECT n FROM tot) AS BIGINT) AS n_blocks,
+       3::BIGINT AS k_treatments
+"""
+
+
+def q_seasonal_decompose(sf_dir: str):
+    """Classical additive seasonal decomposition of daily revenue —
+    the detrended weekly profile `dow_seasonality` (raw per-dow
+    means) conflates with trend when revenue grows. Daily
+    integer-cent totals reduce in ONE ≤|days|-key exchange (a 100-TB
+    stream still folds to one row per day); the tiny day table is
+    driver-side: a 0-filled day spine, a centered 7-day trend kept
+    EXACT by working in 7× units (trend7 = Σ of 7 int cent totals,
+    detrended7 = 7·v − trend7, both exact int64), per-dow integer
+    sums. The only division is the final seasonal index; the oracle
+    replays the identical spine (range()), window frame and 7×
+    arithmetic."""
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        days = (d["ts"].to_numpy("datetime64[us]").astype("int64")
+                // 86_400_000_000)
+        return pd.DataFrame({
+            "day": days,
+            "v_c": np.rint(d["value"].to_numpy(dtype="float64") * 100)
+                   .astype("int64")})
+
+    daily = (grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                         ["day"], {"v": ("v_c", "sum")})
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    if len(daily) == 0:
+        return pd.DataFrame({
+            "dow": pd.Series(dtype="int64"),
+            "n_days": pd.Series(dtype="int64"),
+            "sum_detr7": pd.Series(dtype="int64"),
+            "seasonal": pd.Series(dtype="float64")})
+    lo, hi = int(daily["day"].min()), int(daily["day"].max())
+    spine = pd.DataFrame({"day": np.arange(lo, hi + 1, dtype="int64")})
+    d = spine.merge(daily, on="day", how="left").fillna({"v": 0})
+    v = d["v"].to_numpy(dtype="int64")
+    t7 = (pd.Series(v).rolling(7, center=True).sum())
+    valid = t7.notna().to_numpy()
+    detr7 = 7 * v[valid] - t7.to_numpy()[valid].astype("int64")
+    dow = (d["day"].to_numpy()[valid] + 4) % 7
+    out = (pd.DataFrame({"dow": dow, "detr7": detr7,
+                         "one": np.ones(valid.sum(), dtype="int64")})
+           .groupby("dow", as_index=False)
+           .agg(n_days=("one", "sum"), sum_detr7=("detr7", "sum"))
+           .sort_values("dow").reset_index(drop=True))
+    if len(out) == 0:
+        return pd.DataFrame({
+            "dow": pd.Series(dtype="int64"),
+            "n_days": pd.Series(dtype="int64"),
+            "sum_detr7": pd.Series(dtype="int64"),
+            "seasonal": pd.Series(dtype="float64")})
+    return pd.DataFrame({
+        "dow": out["dow"].astype("int64"),
+        "n_days": out["n_days"].astype("int64"),
+        "sum_detr7": out["sum_detr7"].astype("int64"),
+        "seasonal": np.round(
+            out["sum_detr7"].to_numpy(dtype="float64")
+            / (7.0 * out["n_days"].to_numpy(dtype="float64"))
+            / 100.0, 6)})
+
+
+SQL_SEASONAL_DECOMPOSE = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+spine AS (SELECT CAST(unnest(generate_series(lo, hi)) AS BIGINT)
+            AS day
+          FROM b),
+d AS (SELECT s.day, coalesce(sum(e.v_c), 0)::BIGINT AS v
+      FROM spine s LEFT JOIN e ON e.day = s.day GROUP BY s.day),
+w AS (SELECT day, v,
+             sum(v) OVER (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               ::BIGINT AS t7,
+             count(*) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS cnt
+      FROM d),
+det AS (SELECT CAST((day + 4) % 7 AS BIGINT) AS dow,
+               7 * v - t7 AS detr7
+        FROM w WHERE cnt = 7)
+SELECT dow, count(*)::BIGINT AS n_days,
+       sum(detr7)::BIGINT AS sum_detr7,
+       round(sum(detr7)::DOUBLE / (7.0 * count(*)) / 100.0, 6)
+         AS seasonal
+FROM det GROUP BY dow ORDER BY dow
+"""
+
+
+def q_trend_test(sf_dir: str):
+    """Cochran–Armitage trend test — does purchase conversion rise
+    monotonically across the 8 ordinal holdout arms `conversion_ci`
+    reads out? The k-proportion generalization `chi2_independence`
+    wastes power on (it ignores arm ORDER). Scores = arm index; every
+    Σ term (n_a, r_a, s·n, s·r, s²·n) is an exact int64 from ONE
+    user-hash exchange, so T and Var(T) are rational expressions over
+    exact ints written token-identically in SQL; z² = T²/Var; 6 dp."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "arm": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "r": pd.Series(dtype="int64")})
+        d = pd.DataFrame({
+            "u": g["user_id"].to_numpy(),
+            "p": (g["event_type"].to_numpy() == "purchase")
+                 .astype("int64")})
+        u = (d.groupby("u", sort=False)
+             .agg(conv=("p", "max")).reset_index())
+        u["arm"] = u["u"] % 8
+        out = (u.groupby("arm", sort=False)
+               .agg(n=("u", "count"), r=("conv", "sum"))
+               .reset_index())
+        return out.astype("int64")
+
+    agg = (grouped_agg(
+        grouped_apply(ev, ["user_id"], per_part, num_partitions=32),
+        ["arm"], {"n": ("n", "sum"), "r": ("r", "sum")})
+        .to_pandas().sort_values("arm").reset_index(drop=True))
+    s = agg["arm"].to_numpy(dtype="int64")
+    n = agg["n"].to_numpy(dtype="int64")
+    r = agg["r"].to_numpy(dtype="int64")
+    N = int(n.sum())
+    R = int(r.sum())
+    Ssr = int((s * r).sum())
+    Ssn = int((s * n).sum())
+    Ssn2 = int((s * s * n).sum())
+    pbar = R / N
+    t_stat = Ssr - pbar * Ssn
+    # double-multiply BEFORE the divide, token-matching the oracle's
+    # ssn::DOUBLE * ssn::DOUBLE / N::DOUBLE
+    var = pbar * (1.0 - pbar) * (Ssn2 - float(Ssn) * float(Ssn)
+                                 / float(N))
+    z2 = t_stat * t_stat / var if var > 0 else float("nan")
+    return pd.DataFrame({
+        "n_users": np.array([N], dtype="int64"),
+        "converted": np.array([R], dtype="int64"),
+        "ca_t": np.array([round(t_stat, 6)], dtype="float64"),
+        "ca_z2": np.array([round(z2, 6)], dtype="float64")})
+
+
+SQL_TREND_TEST = """
+WITH w AS (
+  SELECT user_id, (event_type = 'purchase')::INT AS p FROM events),
+u AS (SELECT user_id, user_id % 8 AS arm, max(p)::BIGINT AS conv
+      FROM w GROUP BY 1),
+a AS (SELECT arm, count(*)::BIGINT AS n, sum(conv)::BIGINT AS r
+      FROM u GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS N, sum(r)::BIGINT AS R,
+             sum(arm * r)::BIGINT AS ssr,
+             sum(arm * n)::BIGINT AS ssn,
+             sum(arm * arm * n)::BIGINT AS ssn2
+      FROM a)
+SELECT N AS n_users, R AS converted,
+       round(ssr - (R::DOUBLE / N::DOUBLE) * ssn, 6) AS ca_t,
+       round(pow(ssr - (R::DOUBLE / N::DOUBLE) * ssn, 2)
+             / ((R::DOUBLE / N::DOUBLE)
+                * (1.0 - R::DOUBLE / N::DOUBLE)
+                * (ssn2 - ssn::DOUBLE * ssn::DOUBLE / N::DOUBLE)), 6)
+         AS ca_z2
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -12910,6 +13245,10 @@ QUERIES = {
     "levene": q_levene,
     "mcnemar": q_mcnemar,
     "odds_ratio": q_odds_ratio,
+    "readability": q_readability,
+    "friedman": q_friedman,
+    "seasonal_decompose": q_seasonal_decompose,
+    "trend_test": q_trend_test,
 }
 
 ORACLE_SQL = {
@@ -13175,4 +13514,8 @@ ORACLE_SQL = {
     "levene": SQL_LEVENE,
     "mcnemar": SQL_MCNEMAR,
     "odds_ratio": SQL_ODDS_RATIO,
+    "readability": SQL_READABILITY,
+    "friedman": SQL_FRIEDMAN,
+    "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
+    "trend_test": SQL_TREND_TEST,
 }

@@ -2185,3 +2185,120 @@ def test_mcnemar_and_odds_ratio_contingency(ray_session):
                - round(float(np.exp(np.log(o) + 1.96 * se)), 6)) < 1e-9
     assert float(orr["ci_lo"][0]) <= float(orr["odds_ratio"][0]) \
         <= float(orr["ci_hi"][0])
+
+
+def test_readability_python_re_replay(ray_session):
+    """Per-source Flesch means replay a python-re per-doc loop."""
+    import re
+    from crawler_service_ray.pipelines.queries import q_readability
+
+    got = (q_readability("/root/testdata/sf0.001")
+           .set_index("source").sort_index())
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["source", "text"])
+    for src, g in docs.groupby("source"):
+        fre_mi, fkg_mi = [], []
+        for t in g["text"]:
+            w = float(len(re.findall(r"\S+", t)))
+            if w == 0:
+                continue
+            s = max(float(len(re.findall(r"[.!?]+", t))), 1.0)
+            syl = float(len(re.findall(r"[aeiouyAEIOUY]+", t)))
+            fre_mi.append(int(round(
+                (206.835 - 1.015 * (w / s) - 84.6 * (syl / w)) * 1e6)))
+            fkg_mi.append(int(round(
+                (0.39 * (w / s) + 11.8 * (syl / w) - 15.59) * 1e6)))
+        row = got.loc[src]
+        assert int(row["n_docs"]) == len(fre_mi)
+        assert abs(float(row["mean_fre"])
+                   - round(sum(fre_mi) / 1e6 / len(fre_mi), 6)) < 1e-9
+        assert abs(float(row["mean_fk_grade"])
+                   - round(sum(fkg_mi) / 1e6 / len(fkg_mi), 6)) < 1e-9
+
+
+def test_friedman_hand_case(ray_session, tmp_path):
+    """A constructed 4-block design with a known rank table pins the
+    classic Q formula (blocks rank c<p<v except one swap)."""
+    from crawler_service_ray.pipelines.queries import q_friedman
+
+    rows = []
+    eid = 0
+    # users 0-2: click=1.00 < purchase=2.00 < view=3.00
+    # user 3:    purchase=1.00 < click=2.00 < view=3.00
+    vals = {0: {"click": 1.0, "purchase": 2.0, "view": 3.0},
+            1: {"click": 1.0, "purchase": 2.0, "view": 3.0},
+            2: {"click": 1.0, "purchase": 2.0, "view": 3.0},
+            3: {"click": 2.0, "purchase": 1.0, "view": 3.0}}
+    for u, d in vals.items():
+        for t, v in d.items():
+            rows.append((eid, u, t, v)); eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "value"])
+    p = tmp_path / "events.parquet"
+    df.to_parquet(p)
+    got = q_friedman(str(tmp_path))
+    # rank sums: click 1+1+1+2=5, purchase 2+2+2+1=7, view 12
+    n, k = 4.0, 3.0
+    q_ref = 12.0 / (n * k * (k + 1)) * (25 + 49 + 144) - 3 * n * (k + 1)
+    assert int(got["n_blocks"][0]) == 4
+    assert abs(float(got["friedman_q"][0]) - round(q_ref, 6)) < 1e-9
+
+
+def test_seasonal_decompose_recovers_injected_pattern(ray_session,
+                                                      tmp_path):
+    """On synthetic revenue = linear trend + zero-mean weekly pattern,
+    the centered-MA decomposition recovers the pattern EXACTLY (the
+    7x-units arithmetic keeps everything integral)."""
+    from crawler_service_ray.pipelines.queries import (
+        q_seasonal_decompose)
+
+    season = {0: 3.5, 1: -2.0, 2: 0.5, 3: 1.0, 4: -1.5, 5: 0.0,
+              6: -1.5}
+    rows = []
+    for day in range(20454, 20454 + 28):   # 4 full weeks
+        dow = (day + 4) % 7
+        v = 100.0 + 0.25 * (day - 20454) + season[dow]
+        rows.append((np.datetime64(day * 86_400_000_000, "us"),
+                     float(v)))
+    df = pd.DataFrame(rows, columns=["ts", "value"])
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_seasonal_decompose(str(tmp_path)).set_index("dow")
+    assert len(got) == 7
+    for dow, s in season.items():
+        assert abs(float(got.loc[dow, "seasonal"]) - s) < 1e-6
+    assert int(got["n_days"].sum()) == 28 - 6
+
+
+def test_trend_test_monotone_and_replay(ray_session, tmp_path):
+    """A monotone synthetic conversion gradient gives a large z^2 with
+    the closed form replayed; the sf0.001 run matches pure pandas."""
+    from crawler_service_ray.pipelines.queries import q_trend_test
+
+    rows, eid = [], 0
+    for u in range(800):
+        arm = u % 8
+        rows.append((eid, u, "view")); eid += 1
+        if (u * 2654435761 % 100) < 5 + 10 * arm:  # rising rate
+            rows.append((eid, u, "purchase")); eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type"])
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_trend_test(str(tmp_path))
+    u = df.groupby("user_id")["event_type"].agg(
+        lambda s: int((s == "purchase").any()))
+    arm = u.index.to_numpy() % 8
+    a = pd.DataFrame({"arm": arm, "c": u.to_numpy()}).groupby("arm") \
+        .agg(n=("c", "count"), r=("c", "sum"))
+    s, n, r = a.index.to_numpy(), a["n"].to_numpy(), a["r"].to_numpy()
+    N, R = int(n.sum()), int(r.sum())
+    pbar = R / N
+    t_ref = int((s * r).sum()) - pbar * int((s * n).sum())
+    ssn = int((s * n).sum())
+    var = pbar * (1 - pbar) * (int((s * s * n).sum())
+                               - float(ssn) * float(ssn) / float(N))
+    assert int(got["n_users"][0]) == N
+    assert int(got["converted"][0]) == R
+    assert abs(float(got["ca_t"][0]) - round(t_ref, 6)) < 1e-9
+    assert abs(float(got["ca_z2"][0])
+               - round(t_ref * t_ref / var, 6)) < 1e-9
+    assert float(got["ca_z2"][0]) > 30.0  # monotone gradient detected
