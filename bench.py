@@ -226,6 +226,24 @@ BENCH_QUERIES = [
     "trimmed_mean",
     "runs_test",
     "gmean_brand",
+    # round-5 waves 22-25: designed experiments, two-sample integral
+    # tests, readability, paired 2x2s, exact seasonal decomposition
+    "anova2",
+    "lorenz",
+    "wasserstein",
+    "cvm_test",
+    "conversion_ci",
+    "compress_ratio",
+    "ndcg",
+    "levene",
+    "mcnemar",
+    "odds_ratio",
+    "readability",
+    "friedman",
+    "seasonal_decompose",
+    "trend_test",
+    "bootstrap_ci",
+    "dgim",
 ]
 
 

@@ -12968,6 +12968,153 @@ FROM t
 """
 
 
+def q_bootstrap_ci(sf_dir: str):
+    """Percentile-bootstrap 95% CI for mean event value — the
+    distribution-free uncertainty readout when no closed form exists,
+    made EXACTLY reproducible across engines by replacing RNG
+    resampling with hash-Poissonization: replicate b gives row i the
+    weight w_ib = #{k<8 : h(id,b,k) ≡ 0 (mod 8)} ~ Binomial(8,1/8) ≈
+    Poisson(1), with h the same pre-mod Knuth multiplicative hash
+    `sample_hash` uses — identical uint64 arithmetic in numpy and
+    DuckDB. Weights and integer cents make every replicate sum an
+    exact int64, so all 40 replicate means are bit-identical doubles;
+    the CI is the (2.5%, 97.5%) order statistics. ONE streaming pass,
+    40×3 int partials per batch, no shuffle."""
+    B = 40
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "value"])
+
+    def partials(d: pd.DataFrame) -> pd.DataFrame:
+        ids = (d["event_id"].to_numpy().astype(np.uint64)
+               % np.uint64(4294967296))
+        c = np.rint(d["value"].to_numpy(dtype="float64") * 100) \
+            .astype("int64")
+        base = ids * np.uint64(2654435761)
+        sw = np.empty(B, dtype="int64")
+        swc = np.empty(B, dtype="int64")
+        for b in range(B):
+            inner = base + np.uint64(b * 40503)
+            w = np.zeros(len(ids), dtype="int64")
+            for k in range(8):
+                h = (((inner + np.uint64(k * 2246822519))
+                      % np.uint64(4294967296))
+                     * np.uint64(2654435761)) % np.uint64(4294967296)
+                w += (h % np.uint64(8) == 0)
+            sw[b] = int(w.sum())
+            swc[b] = int((w * c).sum())
+        out = pd.DataFrame({"b": np.arange(B, dtype="int64"),
+                            "sw": sw, "swc": swc})
+        out["n"] = np.where(out["b"] == 0, len(c), 0).astype("int64")
+        out["sc"] = np.where(out["b"] == 0, int(c.sum()), 0) \
+            .astype("int64")
+        return out
+
+    agg = (grouped_agg(ev.map_batches(partials, batch_format="pandas"),
+                       ["b"], {"sw": ("sw", "sum"),
+                               "swc": ("swc", "sum"),
+                               "n": ("n", "sum"),
+                               "sc": ("sc", "sum")})
+           .to_pandas().sort_values("b").reset_index(drop=True))
+    means = np.sort(agg["swc"].to_numpy(dtype="float64")
+                    / agg["sw"].to_numpy(dtype="float64") / 100.0)
+    n = int(agg["n"].sum())
+    mean = float(agg["sc"].sum()) / float(n) / 100.0
+    return pd.DataFrame({
+        "n": np.array([n], dtype="int64"),
+        "mean": np.array([round(mean, 6)], dtype="float64"),
+        "boot_lo": np.array([round(float(means[1]), 6)],
+                            dtype="float64"),
+        "boot_hi": np.array([round(float(means[B - 2]), 6)],
+                            dtype="float64"),
+        "b_replicates": np.array([B], dtype="int64")})
+
+
+def _boot_weight_sql() -> str:
+    terms = []
+    for k in range(8):
+        # HUGEINT: both products reach ~1.1e19 (> int64, < 2^64 so the
+        # numpy uint64 twin never wraps)
+        terms.append(
+            "CASE WHEN ((((id::HUGEINT * 2654435761 + r.b * 40503 + "
+            f"{k * 2246822519}) % 4294967296) * 2654435761) "
+            "% 4294967296) % 8 = 0 THEN 1 ELSE 0 END")
+    return "\n           + ".join(terms)
+
+
+SQL_BOOTSTRAP_CI = f"""
+WITH t AS (
+  SELECT event_id % 4294967296 AS id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+w AS (
+  SELECT r.b, t.c,
+         ( {_boot_weight_sql()} ) AS wt
+  FROM t, range(0, 40) r(b)),
+m AS (SELECT b, sum(wt * c)::DOUBLE / sum(wt)::DOUBLE / 100.0 AS mb
+      FROM w GROUP BY b),
+o AS (SELECT mb, row_number() OVER (ORDER BY mb) AS rk FROM m),
+base AS (SELECT count(*)::BIGINT AS n,
+                sum(c)::DOUBLE / count(*) / 100.0 AS mean
+         FROM t)
+SELECT n, round(mean, 6) AS mean,
+       round((SELECT mb FROM o WHERE rk = 2), 6) AS boot_lo,
+       round((SELECT mb FROM o WHERE rk = 39), 6) AS boot_hi,
+       40::BIGINT AS b_replicates
+FROM base
+"""
+
+
+def q_dgim(sf_dir: str):
+    """DGIM sliding-window sketch audit
+    (`functions/relational.py:dgim_window_audit`) — purchases in the
+    last 4096 events from O(log²) state: one total-order sort,
+    parallel per-block bucket compression, driver fold where only the
+    window-straddling block resolves through buckets. The exact count
+    comes from an independent sort-desc + limit pipeline; the output
+    row carries (window, exact_ones, est_err_le_half) and the oracle
+    recomputes exact_ones by row_number and asserts the flag, so an
+    out-of-bound sketch or a wrong exact count both hash-mismatch."""
+    from ..functions.relational import dgim_window_audit
+
+    W = 4096
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["ts", "event_id", "event_type"])
+
+    def flag(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ts": d["ts"],
+            "event_id": d["event_id"],
+            "bit": (d["event_type"].to_numpy() == "purchase")
+                   .astype("int64")})
+
+    bits = ev.map_batches(flag, batch_format="pandas")
+    audit = dgim_window_audit(bits, "ts", "event_id", "bit", W) \
+        .to_pandas()
+    est = float(audit["est"].iloc[0])
+
+    newest = (bits.sort(["ts", "event_id"], descending=[True, True])
+              .limit(W).to_pandas())
+    exact = int(newest["bit"].sum())
+    ok = abs(est - exact) <= exact / 2.0 + 1.0
+    return pd.DataFrame({
+        "window": np.array([W], dtype="int64"),
+        "exact_ones": np.array([exact], dtype="int64"),
+        "est_err_le_half": np.array([1 if ok else 0], dtype="int64")})
+
+
+SQL_DGIM = """
+WITH r AS (
+  SELECT (event_type = 'purchase')::INT AS bit,
+         row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events)
+SELECT 4096::BIGINT AS window,
+       sum(CASE WHEN rk <= 4096 THEN bit ELSE 0 END)::BIGINT
+         AS exact_ones,
+       1::BIGINT AS est_err_le_half
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13249,6 +13396,8 @@ QUERIES = {
     "friedman": q_friedman,
     "seasonal_decompose": q_seasonal_decompose,
     "trend_test": q_trend_test,
+    "bootstrap_ci": q_bootstrap_ci,
+    "dgim": q_dgim,
 }
 
 ORACLE_SQL = {
@@ -13518,4 +13667,6 @@ ORACLE_SQL = {
     "friedman": SQL_FRIEDMAN,
     "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
     "trend_test": SQL_TREND_TEST,
+    "bootstrap_ci": SQL_BOOTSTRAP_CI,
+    "dgim": SQL_DGIM,
 }

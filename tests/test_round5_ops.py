@@ -2302,3 +2302,65 @@ def test_trend_test_monotone_and_replay(ray_session, tmp_path):
     assert abs(float(got["ca_z2"][0])
                - round(t_ref * t_ref / var, 6)) < 1e-9
     assert float(got["ca_z2"][0]) > 30.0  # monotone gradient detected
+
+
+def test_bootstrap_ci_duckdb_free_replay(ray_session):
+    """The 40 hash-Poissonized replicate means replay a pure-numpy
+    single-process reference; the CI brackets the mean for this data
+    and lo <= hi always."""
+    from crawler_service_ray.pipelines.queries import q_bootstrap_ci
+
+    got = q_bootstrap_ci("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_id", "value"])
+    ids = ev["event_id"].to_numpy().astype(np.uint64) \
+        % np.uint64(4294967296)
+    c = np.rint(ev["value"].to_numpy(dtype="float64") * 100) \
+        .astype("int64")
+    means = []
+    for b in range(40):
+        w = np.zeros(len(ids), dtype="int64")
+        for k in range(8):
+            h = (((ids * np.uint64(2654435761)
+                   + np.uint64(b * 40503 + k * 2246822519))
+                  % np.uint64(4294967296))
+                 * np.uint64(2654435761)) % np.uint64(4294967296)
+            w += (h % np.uint64(8) == 0)
+        means.append(float((w * c).sum()) / float(w.sum()) / 100.0)
+    means = np.sort(np.array(means))
+    assert abs(float(got["boot_lo"][0]) - round(float(means[1]), 6)) \
+        < 1e-9
+    assert abs(float(got["boot_hi"][0]) - round(float(means[38]), 6)) \
+        < 1e-9
+    assert float(got["boot_lo"][0]) <= float(got["mean"][0]) \
+        <= float(got["boot_hi"][0])
+    # weights behave like Poisson(1): replicate mass stays near n
+    assert abs(means.mean() - float(got["mean"][0])) \
+        < 0.2 * abs(float(got["mean"][0])) + 1.0
+
+
+def test_dgim_digits_and_estimate_bound(ray_session):
+    """_dgim_digits conserves mass for every n; the full audit holds
+    its error bound on an adversarial alternating stream and is exact
+    when the window covers everything."""
+    for n in list(range(1, 200)) + [4095, 4096, 4097, 65536]:
+        total = sum(c * (1 << lvl)
+                    for lvl, c in enumerate(rel._dgim_digits(n)))
+        assert total == n
+        assert all(1 <= c <= 2 for c in rel._dgim_digits(n))
+
+    rng = np.random.default_rng(99)
+    nrows = 20000
+    ts = np.arange(nrows, dtype="int64")
+    bits = (rng.random(nrows) < 0.3).astype("int64")
+    df = pd.DataFrame({"ts": ts, "event_id": ts, "bit": bits})
+    ds = rd.from_pandas(df).repartition(9)
+    for w in (512, 4096, 40000):
+        audit = rel.dgim_window_audit(ds, "ts", "event_id", "bit",
+                                      w).to_pandas()
+        est = float(audit["est"].iloc[0])
+        exact = int(bits[-min(w, nrows):].sum())
+        if w >= nrows:
+            assert est == exact      # window covers all: exact
+        else:
+            assert abs(est - exact) <= exact / 2.0 + 1.0
