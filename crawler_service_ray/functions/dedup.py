@@ -798,12 +798,47 @@ def contamination_hits(
     )
 
 
+def _local_components(edges: pd.DataFrame, id_a: str,
+                      id_b: str) -> pd.DataFrame:
+    """Driver-side union-find (path-halving) for pair lists under the
+    size gate: O(m α) one-core work beats O(diameter) distributed
+    exchange rounds by 10x+ at this scale. Returns (node, label) with
+    label = min id of the component, identical to the partitioned
+    path."""
+    a = edges[id_a].to_numpy()
+    b = edges[id_b].to_numpy()
+    nodes = np.unique(np.concatenate([a, b]))  # sorted, any dtype
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]   # path halving
+            x = parent[x]
+        return x
+
+    for x, y in zip(ai, bi):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            # union by smaller ORIGINAL id so the root's id is the
+            # component min without a second pass
+            if nodes[rx] < nodes[ry]:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(i) for i in range(len(nodes))],
+                     dtype=np.int64)
+    return pd.DataFrame({"node": nodes, "label": nodes[roots]})
+
+
 def connected_components(
     pairs: rd.Dataset,
     id_a: str = "id_a",
     id_b: str = "id_b",
     num_partitions: int = 16,
     max_iters: int = 25,
+    local_threshold: int = 2_000_000,
 ) -> rd.Dataset:
     """Duplicate-cluster resolution: connected components over a
     near-dup pair list via distributed min-label propagation (iterative
@@ -818,8 +853,24 @@ def connected_components(
     min id of the node's component. Pair lists are output-scale (dup
     pairs, not the corpus), and every step is hash-partitioned — the
     100-TB path needs no driver-side union-find.
+
+    Size gate: at or below ``local_threshold`` pairs (default 2M, ~32
+    MB of ids — bounded, documented driver memory) a driver-side
+    union-find (:func:`_local_components`) replaces the exchange loop;
+    even two distributed rounds cost more wall than the whole local
+    solve at that size. ``local_threshold=0`` forces the partitioned
+    path.
     """
     from .relational import grouped_apply
+
+    pairs = pairs.materialize()
+    if pairs.count() <= local_threshold:
+        df = pairs.to_pandas()
+        if len(df) == 0:
+            return rd.from_pandas(pd.DataFrame({
+                "node": pd.Series(dtype="int64"),
+                "label": pd.Series(dtype="int64")}))
+        return rd.from_pandas(_local_components(df, id_a, id_b))
 
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
+
 from ..config import CrawlConfig, PolitenessConfig
 from ..functions import dedup, multimodal, similarity, text
 from ..functions.relational import (
@@ -6613,6 +6615,11 @@ SELECT (SELECT count(*) FROM a)::BIGINT AS n_exact_a,
 
 
 
+# qualified-pair-count gate for q_item2item's broadcast-filter fast
+# path (pytest pins both paths equal by zeroing it)
+_ITEM2ITEM_GATE = 100_000
+
+
 def q_item2item(sf_dir: str):
     """Item-to-item co-occurrence similarity, top-3 per part (the
     Amazon-style recommender primitive over the co-purchase baskets):
@@ -6627,7 +6634,55 @@ def q_item2item(sf_dir: str):
 
     li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
                     columns=["l_orderkey", "l_partkey"])
-    pairs = frequent_pairs(li, "l_orderkey", "l_partkey", min_support=3)
+    pairs = frequent_pairs(li, "l_orderkey", "l_partkey",
+                           min_support=3).materialize()
+
+    # the qualified pair list is OUTPUT-scale (min_support prunes it);
+    # below the gate, attach supports by broadcast-filtering the
+    # basket stream to the pair items (one shuffle-free pass + a tiny
+    # distinct) instead of TWO corpus-scale bucketed joins — the
+    # measured exchange overhead at sf0.1 is 2.5 s for a 2-row pair
+    # table. Above the gate the bucketed-join path stands (the item
+    # table is corpus-scale and never broadcasts).
+    if pairs.count() <= _ITEM2ITEM_GATE:
+        pdf = pairs.to_pandas()
+        if len(pdf) == 0:
+            return pd.DataFrame({
+                "item": pd.Series(dtype="int64"),
+                "other": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64")})
+        need_ref = ray.put(np.unique(np.concatenate(
+            [pdf["item_a"].to_numpy("int64"),
+             pdf["item_b"].to_numpy("int64")])))
+
+        def only_needed(d: pd.DataFrame) -> pd.DataFrame:
+            need = ray.get(need_ref)
+            it = d["l_partkey"].to_numpy("int64")
+            keep = np.isin(it, need)
+            return pd.DataFrame({
+                "bk": d["l_orderkey"].to_numpy("int64")[keep],
+                "it": it[keep]})
+
+        cnt = (grouped_agg(
+            distinct(li.map_batches(only_needed,
+                                    batch_format="pandas"),
+                     ["bk", "it"], merge_partitions=2),
+            ["it"], {"c": ("it", "count")})
+            .to_pandas().set_index("it")["c"])
+        ca = cnt.reindex(pdf["item_a"]).to_numpy(dtype="float64")
+        cb = cnt.reindex(pdf["item_b"]).to_numpy(dtype="float64")
+        sim = np.round(pdf["support"].to_numpy(dtype="float64")
+                       / np.sqrt(ca * cb), 6)
+        a = pdf["item_a"].to_numpy("int64")
+        b = pdf["item_b"].to_numpy("int64")
+        sym = pd.DataFrame({"item": np.concatenate([a, b]),
+                            "other": np.concatenate([b, a]),
+                            "sim": np.concatenate([sim, sim])})
+        sym = sym.sort_values(["item", "sim", "other"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        out = sym.groupby("item", sort=False).head(3)
+        return out.reset_index(drop=True)
 
     # per-item support = DISTINCT baskets containing it: per-batch
     # dedup alone under-counts nothing but can DOUBLE-count a

@@ -206,13 +206,18 @@ def test_connected_components(ray_session):
             "id_b": ["b", "c", "d", "y", "q", "r", "r"],
         }
     )
-    out = dedup.connected_components(rd.from_pandas(pairs)).to_pandas()
-    got = dict(zip(out["node"], out["label"]))
-    assert got == {
+    expected = {
         "a": "a", "b": "a", "c": "a", "d": "a",
         "x": "x", "y": "x",
         "p": "p", "q": "p", "r": "p",
     }
+    # both the size-gated local union-find and the partitioned
+    # min-label exchange must produce the identical labeling
+    for thr in (2_000_000, 0):
+        out = dedup.connected_components(
+            rd.from_pandas(pairs), local_threshold=thr).to_pandas()
+        got = dict(zip(out["node"], out["label"]))
+        assert got == expected
 
 
 def test_minhash_signature_deterministic():
@@ -233,7 +238,8 @@ def test_connected_components_raises_on_nonconvergence(ray_session):
          "id_b": ["b", "c", "d", "e", "f"]}
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(rd.from_pandas(chain), max_iters=1)
+        dedup.connected_components(rd.from_pandas(chain), max_iters=1,
+                                   local_threshold=0)
 
 
 def test_ngram_stop_shingle_cap_bounds_fanout(ray_session):

@@ -1284,7 +1284,9 @@ def test_asof_tolerance_caps_staleness(ray_session):
 def test_item2item_symmetry_and_range(ray_session):
     from crawler_service_ray.pipelines.queries import q_item2item
 
-    got = q_item2item("/root/testdata/sf0.001").to_pandas()
+    got = q_item2item("/root/testdata/sf0.001")
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
     assert ((got["sim"] > 0) & (got["sim"] <= 1)).all()
     # top-3 per item, (item, other) never self-paired
     assert (got["item"] != got["other"]).all()
@@ -2364,3 +2366,22 @@ def test_dgim_digits_and_estimate_bound(ray_session):
             assert est == exact      # window covers all: exact
         else:
             assert abs(est - exact) <= exact / 2.0 + 1.0
+
+
+def test_item2item_fast_and_join_paths_agree(ray_session,
+                                             monkeypatch):
+    """The size-gated broadcast-filter path and the corpus-scale
+    bucketed-join path return identical top-3 similarity tables."""
+    import ray.data as rd
+    from crawler_service_ray.pipelines import queries as Q
+
+    def norm(res):
+        df = res.to_pandas() if isinstance(res, rd.Dataset) else res
+        return (df.sort_values(["item", "other"])
+                .reset_index(drop=True)[["item", "other", "sim"]])
+
+    fast = norm(Q.q_item2item("/root/testdata/sf0.001"))
+    monkeypatch.setattr(Q, "_ITEM2ITEM_GATE", 0)
+    slow = norm(Q.q_item2item("/root/testdata/sf0.001"))
+    pd.testing.assert_frame_equal(fast.astype({"sim": "float64"}),
+                                  slow.astype({"sim": "float64"}))
