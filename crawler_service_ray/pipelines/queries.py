@@ -10600,22 +10600,29 @@ def q_assoc_rules(sf_dir: str):
     li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
                     columns=["l_orderkey", "l_partkey"])
     pairs = frequent_pairs(li, "l_orderkey", "l_partkey", min_support=3)
-    # distinct baskets per item (one dedup exchange, then a sum)
-    bi = distinct(li, ["l_orderkey", "l_partkey"], merge_partitions=16)
+    # distinct baskets per item (one dedup exchange, then a sum);
+    # materialized because BOTH the support table and the basket count
+    # read it — lazy re-execution would run the dedup exchange twice
+    bi = distinct(li, ["l_orderkey", "l_partkey"],
+                  merge_partitions=16).materialize()
     supp = grouped_agg(bi, ["l_partkey"],
                        {"supp": ("l_orderkey", "count")},
-                       merge_partitions=8)
+                       merge_partitions=8).materialize()
+    # basket universe from the already-deduped (bk, it) table — no
+    # third full pass over raw lineitem
     n_baskets = int(
-        distinct(li, ["l_orderkey"], merge_partitions=16).count())
+        distinct(bi, ["l_orderkey"], merge_partitions=16).count())
 
     # the pair table is REDUCED (HAVING ≥ minsup) — bounded, so it
     # broadcasts and the catalog-scale support table only ever STREAMS:
     # two scan-passes of supp with a tiny broadcast side beat two
     # bucketed exchanges of a 20-row left side (measured 4 s → <1 s at
-    # sf0.1)
+    # sf0.1). ONE to_pandas — a second call would re-run the whole
+    # basket exchange.
+    pdf = pairs.to_pandas()
     both_df = pd.concat([
-        pairs.to_pandas().rename(columns={"item_a": "a", "item_b": "b"}),
-        pairs.to_pandas().rename(columns={"item_a": "b", "item_b": "a"}),
+        pdf.rename(columns={"item_a": "a", "item_b": "b"}),
+        pdf.rename(columns={"item_a": "b", "item_b": "a"}),
     ])[["a", "b", "support"]]
     sa = supp.map_batches(
         lambda d: d.rename(columns={"l_partkey": "a", "supp": "supp_a"}),
