@@ -244,6 +244,9 @@ BENCH_QUERIES = [
     "trend_test",
     "bootstrap_ci",
     "dgim",
+    "huber_mean",
+    "cuped",
+    "theil_index",
 ]
 
 

@@ -13177,6 +13177,279 @@ FROM r
 """
 
 
+def q_huber_mean(sf_dir: str):
+    """Per-event-type Huber robust mean
+    (`functions/relational.py:huber_mean`): 3 unrolled IRLS rounds,
+    m₀ from exact cent sums and the high-breakdown MAD scale from an
+    exact cents-histogram exchange, per-row weights micro-rounded to
+    int64 before every cross-partition sum. The oracle replays the
+    identical histogram median/MAD and 3-round CTE unroll (generated,
+    token-matched weight expression); 6 dp."""
+    from ..functions.relational import huber_mean
+
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_type", "value"])
+    out = huber_mean(ev, "event_type", "value", rounds=3)
+    return out.map_batches(
+        lambda d: pd.DataFrame({
+            "event_type": d["event_type"].astype(object),
+            "n": d["n"].astype("int64"),
+            "mean": d["mean"].astype("float64"),
+            "huber_mean": d["huber_mean"].astype("float64")}),
+        batch_format="pandas")
+
+
+def _huber_sql(rounds: int = 3) -> str:
+    w_expr = ("(CASE WHEN abs(e.c - p.m) <= p.ch THEN 1.0 "
+              "ELSE p.ch / abs(e.c - p.m) END)")
+    parts = ["""
+WITH e AS (SELECT event_type AS g,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+h AS (SELECT g, c, count(*)::BIGINT AS cnt FROM e GROUP BY g, c),
+gs AS (SELECT g, sum(cnt)::BIGINT AS n,
+              sum(c * cnt)::BIGINT AS s
+       FROM h GROUP BY g),
+hw AS (SELECT g, c,
+              sum(cnt) OVER (PARTITION BY g ORDER BY c) AS cum
+       FROM h),
+med AS (SELECT hw.g, min(hw.c) AS med
+        FROM hw JOIN gs ON hw.g = gs.g
+        WHERE hw.cum >= (gs.n + 1) // 2 GROUP BY hw.g),
+a2 AS (SELECT h.g, abs(h.c - med.med) AS ad,
+              sum(h.cnt)::BIGINT AS cnt
+       FROM h JOIN med ON h.g = med.g GROUP BY h.g, ad),
+aw AS (SELECT g, ad,
+              sum(cnt) OVER (PARTITION BY g ORDER BY ad) AS cum
+       FROM a2),
+madt AS (SELECT aw.g, min(aw.ad) AS mad
+         FROM aw JOIN gs ON aw.g = gs.g
+         WHERE aw.cum >= (gs.n + 1) // 2 GROUP BY aw.g),
+p0 AS (SELECT gs.g, gs.s::DOUBLE / gs.n::DOUBLE AS m,
+              1.345 * 1.4826 * madt.mad AS ch
+       FROM gs JOIN madt ON gs.g = madt.g)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+w{t} AS (
+  SELECT e.g,
+         sum(CAST(round({w_expr} * 1e6) AS BIGINT))::BIGINT AS W,
+         sum(CAST(round({w_expr} * e.c * 1e3) AS BIGINT))::BIGINT AS S
+  FROM e JOIN p{t - 1} p ON e.g = p.g GROUP BY e.g),
+p{t} AS (SELECT w.g, w.S::DOUBLE * 1000.0 / w.W::DOUBLE AS m, p.ch
+         FROM w{t} w JOIN p{t - 1} p ON w.g = p.g)""")
+    parts.append(f"""
+SELECT gs.g AS event_type, gs.n,
+       round(gs.s::DOUBLE / gs.n::DOUBLE / 100.0, 6) AS mean,
+       round(p{rounds}.m / 100.0, 6) AS huber_mean
+FROM gs JOIN p{rounds} ON gs.g = p{rounds}.g
+ORDER BY event_type""")
+    return "".join(parts)
+
+
+SQL_HUBER_MEAN = _huber_sql(3)
+
+
+def q_cuped(sf_dir: str):
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013) —
+    the experimentation-platform adjustment plain `ab_test` lacks:
+    each user's pre-period spend x (first half of the day range)
+    controls their post-period spend y, adjusted y* = y − θ(x − x̄)
+    with θ = cov(x,y)/var(x) from the WHOLE population. Per-user
+    (x, y) cents fold inside ONE user-hash exchange; θ, arm means and
+    the variance-reduction ratio ρ² all derive from exact int64
+    moment sums (Σx, Σy, Σxy, Σx², Σy² per arm), so every scalar is
+    a deterministic expression replayed token-identically in SQL;
+    6 dp."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "user_id", "value"])
+    b = (grouped_agg(ev.map_batches(
+        lambda d: pd.DataFrame({
+            "k": np.zeros(len(d), dtype="int64"),
+            "day": d["ts"].to_numpy("datetime64[us]")
+                   .astype("int64") // 86_400_000_000}),
+        batch_format="pandas"),
+        ["k"], {"lo": ("day", "min"), "hi": ("day", "max")})
+        .to_pandas())
+    mid = int((int(b["lo"].iloc[0]) + int(b["hi"].iloc[0]) + 1) // 2)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "arm": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "sx": pd.Series(dtype="int64"),
+                "sy": pd.Series(dtype="int64"),
+                "sxy": pd.Series(dtype="int64"),
+                "sxx": pd.Series(dtype="int64"),
+                "syy": pd.Series(dtype="int64")})
+        day = (g["ts"].to_numpy("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        c = np.rint(g["value"].to_numpy(dtype="float64") * 100) \
+            .astype("int64")
+        pre = day < mid
+        d = pd.DataFrame({"u": g["user_id"].to_numpy(),
+                          "x": np.where(pre, c, 0),
+                          "y": np.where(pre, 0, c)})
+        u = d.groupby("u", sort=False).agg(
+            x=("x", "sum"), y=("y", "sum")).reset_index()
+        u["arm"] = u["u"] % 2
+        x = u["x"].to_numpy()
+        y = u["y"].to_numpy()
+        u = u.assign(sxy=x * y, sxx=x * x, syy=y * y,
+                     one=np.ones(len(u), dtype="int64"))
+        out = (u.groupby("arm", sort=False)
+               .agg(n=("one", "sum"), sx=("x", "sum"),
+                    sy=("y", "sum"), sxy=("sxy", "sum"),
+                    sxx=("sxx", "sum"), syy=("syy", "sum"))
+               .reset_index())
+        return out.astype("int64")
+
+    a = (grouped_agg(
+        grouped_apply(ev, ["user_id"], per_part, num_partitions=32),
+        ["arm"], {"n": ("n", "sum"), "sx": ("sx", "sum"),
+                  "sy": ("sy", "sum"), "sxy": ("sxy", "sum"),
+                  "sxx": ("sxx", "sum"), "syy": ("syy", "sum")})
+        .to_pandas().sort_values("arm").reset_index(drop=True))
+    N = float(a["n"].sum())
+    SX = float(a["sx"].sum())
+    SY = float(a["sy"].sum())
+    SXY = float(a["sxy"].sum())
+    SXX = float(a["sxx"].sum())
+    SYY = float(a["syy"].sum())
+    cov = SXY / N - SX / N * (SY / N)
+    varx = SXX / N - SX / N * (SX / N)
+    vary = SYY / N - SY / N * (SY / N)
+    theta = cov / varx
+    rho2 = cov * cov / (varx * vary)
+    n = a["n"].to_numpy(dtype="float64")
+    ybar = a["sy"].to_numpy(dtype="float64") / n
+    xbar = a["sx"].to_numpy(dtype="float64") / n
+    adj = ybar - theta * (xbar - SX / N)
+    return pd.DataFrame({
+        "arm": a["arm"].astype("int64"),
+        "n": a["n"].astype("int64"),
+        "raw_mean": np.round(ybar / 100.0, 6),
+        "cuped_mean": np.round(adj / 100.0, 6),
+        "theta": np.round(np.full(len(a), theta), 6),
+        "var_reduction": np.round(np.full(len(a), rho2), 6)})
+
+
+SQL_CUPED = """
+WITH e AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         sum(CASE WHEN day < (SELECT mid FROM b) THEN c ELSE 0 END)
+           ::BIGINT AS x,
+         sum(CASE WHEN day < (SELECT mid FROM b) THEN 0 ELSE c END)
+           ::BIGINT AS y
+  FROM e GROUP BY 1),
+a AS (
+  SELECT arm, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+  FROM u GROUP BY 1),
+t AS (
+  SELECT sum(n)::DOUBLE AS N, sum(sx)::DOUBLE AS SX,
+         sum(sy)::DOUBLE AS SY, sum(sxy)::DOUBLE AS SXY,
+         sum(sxx)::DOUBLE AS SXX, sum(syy)::DOUBLE AS SYY
+  FROM a),
+s AS (
+  SELECT (SXY / N - SX / N * (SY / N))
+           / (SXX / N - SX / N * (SX / N)) AS theta,
+         (SXY / N - SX / N * (SY / N)) * (SXY / N - SX / N * (SY / N))
+           / ((SXX / N - SX / N * (SX / N))
+              * (SYY / N - SY / N * (SY / N))) AS rho2,
+         SX / N AS xg
+  FROM t)
+SELECT a.arm, a.n,
+       round(a.sy::DOUBLE / a.n / 100.0, 6) AS raw_mean,
+       round((a.sy::DOUBLE / a.n
+              - s.theta * (a.sx::DOUBLE / a.n - s.xg)) / 100.0, 6)
+         AS cuped_mean,
+       round(s.theta, 6) AS theta,
+       round(s.rho2, 6) AS var_reduction
+FROM a, s ORDER BY a.arm
+"""
+
+
+def q_theil_index(sf_dir: str):
+    """Theil T inequality index of order revenue — the decomposable
+    entropy-based complement to `gini`/`lorenz` (T splits exactly
+    into between-group + within-group terms; here the between-status
+    decomposition is reported too). T = (1/N) Σ (x/μ)·ln(x/μ): μ
+    comes from one exact cent pass, then every row's term
+    micro-rounds to int64 before the sum, so the index is
+    float-order-free; the 3-row status decomposition reuses the same
+    partials per o_orderstatus. Zero-value rows contribute 0 (x·ln x
+    limit), matching the CASE in SQL; 6 dp."""
+    od = read_table(sf_dir, "orders", bytes_per_block=_FACT_BPB,
+                    columns=["o_orderstatus", "o_totalprice"])
+    pre = (grouped_agg(od.map_batches(
+        lambda d: pd.DataFrame({
+            "g": d["o_orderstatus"].to_numpy(),
+            "c": np.rint(d["o_totalprice"].to_numpy(dtype="float64")
+                         * 100).astype("int64"),
+            "one": np.ones(len(d), dtype="int64")}),
+        batch_format="pandas"),
+        ["g"], {"n": ("one", "sum"), "s": ("c", "sum")})
+        .to_pandas().sort_values("g").reset_index(drop=True))
+    N = float(pre["n"].sum())
+    mu = float(pre["s"].sum()) / N      # cents
+
+    def terms(d: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(d["o_totalprice"].to_numpy(dtype="float64") * 100) \
+            .astype("int64").astype("float64")
+        r = c / mu
+        t = np.where(c > 0, r * np.log(np.where(c > 0, r, 1.0)), 0.0)
+        return pd.DataFrame({
+            "g": d["o_orderstatus"].to_numpy(),
+            "t_mi": np.round(t * 1e6).astype("int64")})
+
+    tm = (grouped_agg(od.map_batches(terms, batch_format="pandas"),
+                      ["g"], {"t": ("t_mi", "sum")})
+          .to_pandas().sort_values("g").reset_index(drop=True))
+    m = pre.merge(tm, on="g")
+    theil_g = m["t"].to_numpy(dtype="float64") / 1e6 \
+        / m["n"].to_numpy(dtype="float64")
+    total = float(m["t"].sum()) / 1e6 / N
+    return pd.DataFrame({
+        "g": m["g"].astype(object),
+        "n": m["n"].astype("int64"),
+        "theil_within_scaled": np.round(theil_g, 6),
+        "theil_total": np.round(np.full(len(m), total), 6)})
+
+
+SQL_THEIL_INDEX = """
+WITH o AS (
+  SELECT o_orderstatus AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+m AS (SELECT sum(c)::DOUBLE / count(*) AS mu, count(*)::DOUBLE AS N
+      FROM o),
+t AS (
+  SELECT g,
+         CAST(round(CASE WHEN c > 0
+                         THEN (c / (SELECT mu FROM m))
+                              * ln(c / (SELECT mu FROM m))
+                         ELSE 0.0 END * 1e6) AS BIGINT) AS t_mi
+  FROM o),
+a AS (SELECT g, count(*)::BIGINT AS n, sum(t_mi)::BIGINT AS t
+      FROM t GROUP BY g)
+SELECT g, n,
+       round(t::DOUBLE / 1e6 / n::DOUBLE, 6) AS theil_within_scaled,
+       round((SELECT sum(t) FROM a)::DOUBLE / 1e6
+             / (SELECT N FROM m), 6) AS theil_total
+FROM a ORDER BY g
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13460,6 +13733,9 @@ QUERIES = {
     "trend_test": q_trend_test,
     "bootstrap_ci": q_bootstrap_ci,
     "dgim": q_dgim,
+    "huber_mean": q_huber_mean,
+    "cuped": q_cuped,
+    "theil_index": q_theil_index,
 }
 
 ORACLE_SQL = {
@@ -13731,4 +14007,7 @@ ORACLE_SQL = {
     "trend_test": SQL_TREND_TEST,
     "bootstrap_ci": SQL_BOOTSTRAP_CI,
     "dgim": SQL_DGIM,
+    "huber_mean": SQL_HUBER_MEAN,
+    "cuped": SQL_CUPED,
+    "theil_index": SQL_THEIL_INDEX,
 }

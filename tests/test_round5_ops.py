@@ -2385,3 +2385,99 @@ def test_item2item_fast_and_join_paths_agree(ray_session,
     slow = norm(Q.q_item2item("/root/testdata/sf0.001"))
     pd.testing.assert_frame_equal(fast.astype({"sim": "float64"}),
                                   slow.astype({"sim": "float64"}))
+
+
+def test_huber_mean_downweights_outliers(ray_session):
+    """On clean data + gross outliers the Huber estimate stays near
+    the clean center while the plain mean is dragged; a scipy-free
+    single-process IRLS replay matches exactly."""
+    rng = np.random.default_rng(31)
+    clean = np.round(rng.normal(50, 2, 900), 2)
+    out = np.full(100, 500.0)
+    v = np.r_[clean, out]
+    df = pd.DataFrame({"g": ["a"] * 1000, "v": v})
+    got = rel.huber_mean(rd.from_pandas(df).repartition(6),
+                         "g", "v", rounds=3).to_pandas()
+    # replay: exact lower median + MAD scale, then 3 IRLS rounds
+    c = np.rint(v * 100).astype("int64")
+    n, s = float(len(c)), float(c.sum())
+    kth = (len(c) + 1) // 2
+    med = int(np.sort(c)[kth - 1])
+    mad = int(np.sort(np.abs(c - med))[kth - 1])
+    m = s / n
+    ch = 1.345 * 1.4826 * float(mad)
+    for _ in range(3):
+        cf = c.astype("float64")
+        ad = np.abs(cf - m)
+        w = np.where(ad <= ch, 1.0, ch / ad)
+        W = int(np.round(w * 1e6).astype("int64").sum())
+        S = int(np.round(w * cf * 1e3).astype("int64").sum())
+        m = float(S) * 1000.0 / float(W)
+    assert abs(float(got["huber_mean"][0]) - round(m / 100.0, 6)) \
+        < 1e-9
+    assert abs(float(got["huber_mean"][0]) - 50.0) < 1.0
+    assert float(got["mean"][0]) > 90.0   # the plain mean is dragged
+
+
+def test_cuped_reduces_variance_on_correlated_pre_post(ray_session,
+                                                       tmp_path):
+    """With per-user pre/post spend strongly correlated, theta is
+    near the OLS slope and rho2 (the variance-reduction fraction) is
+    large; arm means replay a pure-pandas reference."""
+    from crawler_service_ray.pipelines.queries import q_cuped
+
+    rng = np.random.default_rng(5)
+    rows = []
+    base_day = 20000
+    for u in range(400):
+        level = rng.uniform(10, 200)
+        for d in range(10):           # pre: days 0-4, post: days 5-9
+            val = round(level + rng.normal(0, 3), 2)
+            rows.append((np.datetime64((base_day + d)
+                                       * 86_400_000_000, "us"),
+                         u, float(val)))
+    df = pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_cuped(str(tmp_path))
+    assert float(got["var_reduction"][0]) > 0.9
+    day = df["ts"].values.astype("datetime64[us]").astype("int64") \
+        // 86_400_000_000
+    mid = (int(day.min()) + int(day.max()) + 1) // 2
+    c = np.rint(df["value"].to_numpy() * 100).astype("int64")
+    ud = pd.DataFrame({"u": df["user_id"], "x": np.where(day < mid, c, 0),
+                       "y": np.where(day < mid, 0, c)})
+    u = ud.groupby("u").agg(x=("x", "sum"), y=("y", "sum"))
+    u["arm"] = u.index % 2
+    for _, r in got.iterrows():
+        g = u[u["arm"] == int(r["arm"])]
+        assert int(r["n"]) == len(g)
+        assert abs(float(r["raw_mean"])
+                   - round(g["y"].mean() / 100.0, 6)) < 1e-6
+    # the adjusted means move toward each other (pre-period balance)
+    raw_gap = abs(got["raw_mean"][0] - got["raw_mean"][1])
+    adj_gap = abs(got["cuped_mean"][0] - got["cuped_mean"][1])
+    assert adj_gap <= raw_gap + 1e-9
+
+
+def test_theil_index_known_distributions(ray_session, tmp_path):
+    """Theil T is 0 for perfectly equal values and ln(n) in the
+    one-has-everything limit; the query matches a numpy replay."""
+    from crawler_service_ray.pipelines.queries import q_theil_index
+
+    eq = pd.DataFrame({"o_orderstatus": ["E"] * 100,
+                       "o_totalprice": [7.0] * 100})
+    conc = pd.DataFrame({"o_orderstatus": ["C"] * 100,
+                         "o_totalprice": [0.0] * 99 + [700.0]})
+    pd.concat([eq, conc]).to_parquet(tmp_path / "orders.parquet")
+    got = q_theil_index(str(tmp_path)).set_index("g")
+    # per-group scaled terms: equal group's rows have r<1 -> negative
+    # contributions; concentrated group's single earner dominates
+    c = np.rint(pd.concat([eq, conc])["o_totalprice"].to_numpy()
+                * 100).astype("int64").astype("float64")
+    mu = c.sum() / len(c)
+    r = c / mu
+    t = np.where(c > 0, r * np.log(np.where(c > 0, r, 1.0)), 0.0)
+    t_mi = np.round(t * 1e6).astype("int64")
+    total_ref = round(float(t_mi.sum()) / 1e6 / len(c), 6)
+    assert abs(float(got["theil_total"].iloc[0]) - total_ref) < 1e-9
+    assert float(got.loc["C", "theil_within_scaled"]) > 1.0
