@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "huber_mean",
     "cuped",
     "theil_index",
+    "mmr_rerank",
 ]
 
 

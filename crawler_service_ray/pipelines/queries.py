@@ -13450,6 +13450,104 @@ FROM a ORDER BY g
 """
 
 
+def q_mmr_rerank(sf_dir: str):
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein,
+    SIGIR'98) — the diversity-aware top-k a retrieval stack runs AFTER
+    `ann_topk`, trading relevance against redundancy:
+    score = λ·rel − μ·max-sim-to-selected with λ=0.7, μ=0.3 shared as
+    LITERALS on both engines (1−0.7 in float is not 0.3). The
+    distributed
+    work is the exact candidate scan (the shared `brute_force_topk`
+    float64 kernel, per-batch local top-k, no shuffle) for the top-20
+    pool; the 20×20 pairwise matrix and the 5 greedy picks are
+    driver-side on the bounded pool, ties by id. The oracle replays
+    the identical pool, pairwise sims (list_cosine_similarity) and an
+    unrolled 5-round greedy; the first pick scores raw rel (empty
+    selected set); 6 dp."""
+    lam, mu = 0.7, 0.3
+    queries, qids = _query_vectors(sf_dir, n=1)
+    q = queries[0]
+    ds = read_table(sf_dir, "embeddings", bytes_per_block=_DOC_BPB,
+                    columns=["vec_id", "embedding"])
+    cand = (similarity.brute_force_topk(
+        ds, q[None, :], np.array([0]), k=20)
+        .to_pandas().sort_values(["rank"]).reset_index(drop=True))
+    ids = cand["neighbor_id"].to_numpy()
+    rel = cand["cosine"].to_numpy(dtype="float64")
+
+    import pyarrow.parquet as pq_
+    vt = pq_.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [int(i) for i in ids])])
+    vmap = dict(zip(vt["vec_id"].to_numpy(zero_copy_only=False),
+                    vt["embedding"].to_pylist()))
+    E = np.stack([vmap[int(i)] for i in ids]).astype(np.float64)
+    E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True),
+                       1e-12)
+    S = E @ E.T
+
+    order = np.lexsort((ids, -rel))     # rel desc, id asc
+    sel = [int(order[0])]
+    out = [(1, int(ids[order[0]]), float(rel[order[0]]))]
+    for rk in range(2, 6):
+        best = None
+        for i in range(len(ids)):
+            if i in sel:
+                continue
+            score = lam * rel[i] - mu * float(np.max(S[i, sel]))
+            key = (-score, int(ids[i]))
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        sel.append(best[1])
+        out.append((rk, int(ids[best[1]]), float(best[2])))
+    return pd.DataFrame({
+        "rank": np.array([r for r, _, _ in out], dtype="int64"),
+        "vec_id": np.array([v for _, v, _ in out], dtype="int64"),
+        "score": np.round(np.array([s for _, _, s in out]), 6)})
+
+
+def _mmr_sql(k_sel: int = 5, lam: float = 0.7,
+             mu: float = 0.3) -> str:
+    parts = ["""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id AS id,
+         list_cosine_similarity((SELECT qe FROM q),
+                                e.embedding::DOUBLE[]) AS rel,
+         e.embedding::DOUBLE[] AS emb
+  FROM embeddings e WHERE e.vec_id <> 0
+  ORDER BY rel DESC, e.vec_id LIMIT 20),
+p AS (SELECT a.id AS ia, b.id AS ib,
+             list_cosine_similarity(a.emb, b.emb) AS sim
+      FROM cand a, cand b),
+s1 AS (SELECT id, 1 AS rk, rel AS score
+       FROM cand ORDER BY rel DESC, id LIMIT 1),
+sel1 AS (SELECT id FROM s1)"""]
+    for t in range(2, k_sel + 1):
+        parts.append(f""",
+s{t} AS (SELECT c.id, {t} AS rk,
+               {lam} * c.rel - {mu} * max(p.sim)
+                 AS score
+        FROM cand c
+        JOIN p ON p.ia = c.id
+        JOIN sel{t - 1} ON p.ib = sel{t - 1}.id
+        WHERE c.id NOT IN (SELECT id FROM sel{t - 1})
+        GROUP BY c.id, c.rel
+        ORDER BY score DESC, c.id LIMIT 1),
+sel{t} AS (SELECT id FROM sel{t - 1} UNION ALL SELECT id FROM s{t})""")
+    un = "\nUNION ALL ".join(
+        f"SELECT id, rk, score FROM s{t}" for t in range(1, k_sel + 1))
+    parts.append(f"""
+SELECT rk AS rank, id AS vec_id, round(score, 6) AS score
+FROM ({un}) ORDER BY rk""")
+    return "".join(parts)
+
+
+SQL_MMR_RERANK = _mmr_sql(5, 0.7)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13736,6 +13834,7 @@ QUERIES = {
     "huber_mean": q_huber_mean,
     "cuped": q_cuped,
     "theil_index": q_theil_index,
+    "mmr_rerank": q_mmr_rerank,
 }
 
 ORACLE_SQL = {
@@ -14010,4 +14109,5 @@ ORACLE_SQL = {
     "huber_mean": SQL_HUBER_MEAN,
     "cuped": SQL_CUPED,
     "theil_index": SQL_THEIL_INDEX,
+    "mmr_rerank": SQL_MMR_RERANK,
 }

@@ -2481,3 +2481,32 @@ def test_theil_index_known_distributions(ray_session, tmp_path):
     total_ref = round(float(t_mi.sum()) / 1e6 / len(c), 6)
     assert abs(float(got["theil_total"].iloc[0]) - total_ref) < 1e-9
     assert float(got.loc["C", "theil_within_scaled"]) > 1.0
+
+
+def test_mmr_rerank_prefers_diversity(ray_session, tmp_path):
+    """With two near-duplicate top-relevance vectors, plain cosine
+    ranks them 1-2 but MMR demotes the duplicate in favor of a
+    diverse mid-relevance vector."""
+    from crawler_service_ray.pipelines.queries import q_mmr_rerank
+
+    d = 8
+    q = np.zeros(d, dtype="float32"); q[0] = 1.0
+    a = np.zeros(d); a[0] = 0.707; a[1] = 0.707       # rel ~ .707
+    b = a + np.array([0, 0.001] + [0] * (d - 2))      # near-dup of a
+    c = np.zeros(d); c[0] = 0.707; c[1] = -0.707      # same rel, sim~0
+    rows = [(0, q)]
+    for i, v in enumerate([a, b, c] + [
+            np.eye(d)[j] * 0.1 + np.random.default_rng(j).normal(
+                0, 0.01, d) for j in range(3, d)]):
+        rows.append((i + 1, np.asarray(v, dtype="float32")))
+    df = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                       "embedding": [r[1].astype("float32")
+                                     for r in rows]})
+    df.to_parquet(tmp_path / "embeddings.parquet")
+    got = q_mmr_rerank(str(tmp_path))
+    assert int(got["vec_id"][0]) in (1, 2)     # top relevance first
+    # the near-duplicate of the first pick must NOT be second
+    dup = 2 if int(got["vec_id"][0]) == 1 else 1
+    assert int(got["vec_id"][1]) == 3
+    assert int(got["vec_id"][1]) != dup
+    assert len(got) == 5 and got["rank"].tolist() == [1, 2, 3, 4, 5]
