@@ -248,6 +248,9 @@ BENCH_QUERIES = [
     "cuped",
     "theil_index",
     "mmr_rerank",
+    "name_match",
+    "did",
+    "feature_prop",
 ]
 
 

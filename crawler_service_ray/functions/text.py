@@ -1958,3 +1958,53 @@ def dsir_weights(
         })
 
     return scored.map_batches(finish, batch_format="pandas")
+
+
+def jaro_winkler(s1: str, s2: str) -> float:
+    """Jaro–Winkler similarity, rapidfuzz/DuckDB convention: Jaro with
+    the standard floor(max/2)−1 match window and half-transposition
+    count, Winkler prefix bonus (p=0.1, prefix ≤ 4) applied only when
+    the Jaro score exceeds the 0.7 boost threshold. Pure-python exact
+    reference — blocked matching calls it per CANDIDATE pair, never
+    per corpus row."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(max(l1, l2) // 2 - 1, 0)
+    f1 = [False] * l1
+    f2 = [False] * l2
+    m = 0
+    for i, ch in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not f2[j] and s2[j] == ch:
+                f1[i] = True
+                f2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(l1):
+        if f1[i]:
+            while not f2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    # rapidfuzz/DuckDB floor the half-transposition count (integer
+    # t//2), unlike the textbook t/2 — measured against DuckDB on
+    # odd-mismatch pairs
+    jaro = (m / l1 + m / l2 + (m - t // 2) / m) / 3.0
+    if jaro > 0.7:
+        pre = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            pre += 1
+        jaro = jaro + pre * 0.1 * (1.0 - jaro)
+    return jaro

@@ -13548,6 +13548,280 @@ FROM ({un}) ORDER BY rk""")
 SQL_MMR_RERANK = _mmr_sql(5, 0.7)
 
 
+def q_name_match(sf_dir: str):
+    """Blocked fuzzy entity matching on the part-name catalog — the
+    record-linkage primitive `fuzzy_dedup` (edit-distance-1, complete)
+    can't cover: Jaro–Winkler tolerates transpositions and rewards
+    shared prefixes. Candidate generation is first-character blocking
+    over the DISTINCT name table (names are catalog-scale, names per
+    block bounded — the documented blocking assumption); each block's
+    pairs score with `functions/text.py:jaro_winkler`, verified
+    bit-identical to DuckDB's rapidfuzz convention (incl. the floored
+    half-transposition count) on 300 adversarial pairs. Threshold on
+    the UNROUNDED score on both engines; 6 dp output."""
+    from ..functions.relational import grouped_apply
+    from ..functions.text import jaro_winkler
+
+    thr = 0.5
+    names = distinct(
+        read_table(sf_dir, "part", columns=["p_name"]), ["p_name"],
+        merge_partitions=4)
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, blk in g.groupby("__blk", sort=False):
+            ns = sorted(blk["p_name"].tolist())
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    jw = jaro_winkler(ns[i], ns[j])
+                    if jw >= thr:
+                        rows.append((ns[i], ns[j], jw))
+        if not rows:
+            return pd.DataFrame({
+                "name_a": pd.Series(dtype=object),
+                "name_b": pd.Series(dtype=object),
+                "jw": pd.Series(dtype="float64")})
+        out = pd.DataFrame(rows, columns=["name_a", "name_b", "jw"])
+        out["jw"] = np.round(out["jw"].astype("float64"), 6)
+        return out
+
+    tagged = names.map_batches(
+        lambda d: d.assign(__blk=d["p_name"].str.slice(0, 1)),
+        batch_format="pandas")
+    return grouped_apply(tagged, ["__blk"], block_pairs,
+                         num_partitions=8)
+
+
+SQL_NAME_MATCH = """
+WITH n AS (SELECT DISTINCT p_name FROM part),
+p AS (SELECT a.p_name AS name_a, b.p_name AS name_b,
+             jaro_winkler_similarity(a.p_name, b.p_name) AS s
+      FROM n a JOIN n b
+        ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+       AND a.p_name < b.p_name)
+SELECT name_a, name_b, round(s, 6) AS jw
+FROM p WHERE s >= 0.5
+"""
+
+
+def q_did(sf_dir: str):
+    """Difference-in-differences on the same pre/post split and
+    user arms as `cuped` — the observational-causal readout when the
+    'treatment' wasn't randomized: did = (T̄post − T̄pre) −
+    (C̄post − C̄pre). All four cell sums/counts are exact int64 from
+    ONE user-free streaming pass (no per-user state needed — DiD
+    averages events directly per cell); the estimator is a scalar
+    expression over exact ints, token-identical in SQL; 6 dp."""
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "user_id", "value"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        day = (d["ts"].to_numpy("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        c = np.rint(d["value"].to_numpy(dtype="float64") * 100) \
+            .astype("int64")
+        return pd.DataFrame({
+            "arm": (d["user_id"].to_numpy() % 2).astype("int64"),
+            "day": day, "c": c,
+            "one": np.ones(len(d), dtype="int64")})
+
+    t = ev.map_batches(pre, batch_format="pandas").materialize()
+    b = grouped_agg(t.map_batches(
+        lambda d: pd.DataFrame({"k": np.zeros(len(d), dtype="int64"),
+                                "day": d["day"]}),
+        batch_format="pandas"),
+        ["k"], {"lo": ("day", "min"), "hi": ("day", "max")}).to_pandas()
+    mid = int((int(b["lo"].iloc[0]) + int(b["hi"].iloc[0]) + 1) // 2)
+
+    cells = (grouped_agg(t.map_batches(
+        lambda d: pd.DataFrame({
+            "arm": d["arm"],
+            "post": (d["day"].to_numpy() >= mid).astype("int64"),
+            "c": d["c"], "one": d["one"]}),
+        batch_format="pandas"),
+        ["arm", "post"], {"s": ("c", "sum"), "n": ("one", "sum")})
+        .to_pandas().sort_values(["arm", "post"])
+        .reset_index(drop=True))
+    m = {(int(r["arm"]), int(r["post"])):
+         float(r["s"]) / float(r["n"]) for _, r in cells.iterrows()}
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    return pd.DataFrame({
+        "ctrl_pre": np.array([round(m[(0, 0)] / 100.0, 6)]),
+        "ctrl_post": np.array([round(m[(0, 1)] / 100.0, 6)]),
+        "treat_pre": np.array([round(m[(1, 0)] / 100.0, 6)]),
+        "treat_post": np.array([round(m[(1, 1)] / 100.0, 6)]),
+        "did": np.array([round(did / 100.0, 6)])})
+
+
+SQL_DID = """
+WITH e AS (
+  SELECT user_id % 2 AS arm,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+a AS (
+  SELECT arm, (day >= (SELECT mid FROM b))::INT AS post,
+         sum(c)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM e GROUP BY 1, 2),
+m AS (SELECT arm, post, s::DOUBLE / n::DOUBLE AS mu FROM a)
+SELECT round((SELECT mu FROM m WHERE arm = 0 AND post = 0)
+             / 100.0, 6) AS ctrl_pre,
+       round((SELECT mu FROM m WHERE arm = 0 AND post = 1)
+             / 100.0, 6) AS ctrl_post,
+       round((SELECT mu FROM m WHERE arm = 1 AND post = 0)
+             / 100.0, 6) AS treat_pre,
+       round((SELECT mu FROM m WHERE arm = 1 AND post = 1)
+             / 100.0, 6) AS treat_post,
+       round((((SELECT mu FROM m WHERE arm = 1 AND post = 1)
+               - (SELECT mu FROM m WHERE arm = 1 AND post = 0))
+              - ((SELECT mu FROM m WHERE arm = 0 AND post = 1)
+                 - (SELECT mu FROM m WHERE arm = 0 AND post = 0)))
+             / 100.0, 6) AS did
+"""
+
+
+def q_feature_prop(sf_dir: str):
+    """Two rounds of GNN-style neighbor-mean feature propagation over
+    the co-purchase graph, surfacing the top-10 parts whose retail
+    price deviates most from their smoothed graph neighborhood — the
+    graph-native price-anomaly detector (`anomaly_zscore` is blind to
+    structure). Each round is one dst-co-partitioned tagged-union
+    exchange (the `connected_components` propagate pattern, int
+    sentinels — never object columns) plus a src grouped sum; the
+    feature stays an exact int64 at every step (h₀ = cents,
+    h₁/h₂ = micro-rounded neighbor means in cents·1e6), so the final
+    |h₂ − h₀·1e6| ranking is integer-exact on both engines. Edges
+    materialize ONCE and never reshuffle."""
+    from ..functions.relational import grouped_apply
+
+    nparts = 16
+    e0 = _copurchase_edges(sf_dir, nparts)
+    ed = e0.map_batches(
+        lambda d: pd.DataFrame({
+            "src": np.concatenate([d["u"].to_numpy("int64"),
+                                   d["v"].to_numpy("int64")]),
+            "dst": np.concatenate([d["v"].to_numpy("int64"),
+                                   d["u"].to_numpy("int64")])}),
+        batch_format="pandas").materialize()
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_retailprice"])
+    h = part.map_batches(
+        lambda d: pd.DataFrame({
+            "id": d["p_partkey"].to_numpy("int64"),
+            "h": np.rint(d["p_retailprice"].to_numpy(dtype="float64")
+                         * 100).astype("int64")}),
+        batch_format="pandas").materialize()
+    h0 = h
+
+    def one_round(h_ds, scale: float):
+        def tag_h(d: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"key": d["id"], "src": np.int64(-1),
+                                 "h": d["h"],
+                                 "is_h": np.ones(len(d), "int8")})
+
+        def tag_e(d: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"key": d["dst"], "src": d["src"],
+                                 "h": np.int64(-1),
+                                 "is_h": np.zeros(len(d), "int8")})
+
+        both = h_ds.map_batches(tag_h, batch_format="pandas").union(
+            ed.map_batches(tag_e, batch_format="pandas"))
+
+        def join_part(g: pd.DataFrame) -> pd.DataFrame:
+            hv = g.loc[g["is_h"] == 1, ["key", "h"]]
+            ev_ = g.loc[g["is_h"] == 0, ["key", "src"]]
+            m = ev_.merge(hv, on="key", how="inner")
+            p = (m.groupby("src", as_index=False)
+                 .agg(s=("h", "sum"), n=("h", "count")))
+            return p
+
+        agg = grouped_agg(
+            grouped_apply(both, ["key"], join_part,
+                          num_partitions=nparts),
+            ["src"], {"s": ("s", "sum"), "n": ("n", "sum")})
+        return agg.map_batches(
+            lambda d: pd.DataFrame({
+                "id": d["src"].astype("int64"),
+                "h": np.round(d["s"].to_numpy(dtype="float64") * scale
+                              / d["n"].to_numpy(dtype="float64"))
+                .astype("int64")}),
+            batch_format="pandas").materialize()
+
+    h1 = one_round(h0, 1e6)   # cents -> cents*1e6 scale
+    h2 = one_round(h1, 1.0)   # stays in cents*1e6
+
+    def tag_h0(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": d["id"], "h0": d["h"],
+                             "h2": np.int64(-1)})
+
+    def tag_h2(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": d["id"], "h0": np.int64(-1),
+                             "h2": d["h"]})
+
+    both = h0.map_batches(tag_h0, batch_format="pandas").union(
+        h2.map_batches(tag_h2, batch_format="pandas"))
+
+    def local_top(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["h2"] == -1, ["id", "h0"]]
+        b = g.loc[g["h0"] == -1, ["id", "h2"]]
+        m = a.merge(b, on="id", how="inner")
+        if len(m) == 0:
+            return pd.DataFrame({
+                "id": pd.Series(dtype="int64"),
+                "h0": pd.Series(dtype="int64"),
+                "h2": pd.Series(dtype="int64"),
+                "gap": pd.Series(dtype="int64")})
+        m["gap"] = np.abs(m["h2"].to_numpy("int64")
+                          - m["h0"].to_numpy("int64") * 1_000_000)
+        return (m.sort_values(["gap", "id"],
+                              ascending=[False, True])
+                .head(10)[["id", "h0", "h2", "gap"]])
+
+    parts_top = grouped_apply(both, ["id"], local_top,
+                              num_partitions=nparts).to_pandas()
+    top = (parts_top.sort_values(["gap", "id"],
+                                 ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    return pd.DataFrame({
+        "p_partkey": top["id"].astype("int64"),
+        "price": np.round(top["h0"].to_numpy(dtype="float64")
+                          / 100.0, 6),
+        "smoothed": np.round(top["h2"].to_numpy(dtype="float64")
+                             / 1e6 / 100.0, 6),
+        "gap": np.round(top["gap"].to_numpy(dtype="float64")
+                        / 1e6 / 100.0, 6)})
+
+
+SQL_FEATURE_PROP = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+ed AS (SELECT u AS src, v AS dst FROM e0
+       UNION ALL SELECT v, u FROM e0),
+h0 AS (SELECT p_partkey AS id,
+              CAST(round(p_retailprice * 100) AS BIGINT) AS h
+       FROM part),
+h1 AS (SELECT ed.src AS id,
+              CAST(round(sum(h0.h)::DOUBLE * 1e6 / count(*))
+                   AS BIGINT) AS h
+       FROM ed JOIN h0 ON ed.dst = h0.id GROUP BY ed.src),
+h2 AS (SELECT ed.src AS id,
+              CAST(round(sum(h1.h)::DOUBLE * 1.0 / count(*))
+                   AS BIGINT) AS h
+       FROM ed JOIN h1 ON ed.dst = h1.id GROUP BY ed.src),
+j AS (SELECT h0.id, h0.h AS c0, h2.h AS c2,
+             abs(h2.h - h0.h * 1000000) AS gap
+      FROM h0 JOIN h2 ON h0.id = h2.id)
+SELECT id AS p_partkey,
+       round(c0::DOUBLE / 100.0, 6) AS price,
+       round(c2::DOUBLE / 1e6 / 100.0, 6) AS smoothed,
+       round(gap::DOUBLE / 1e6 / 100.0, 6) AS gap
+FROM j ORDER BY gap DESC, id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -13835,6 +14109,9 @@ QUERIES = {
     "cuped": q_cuped,
     "theil_index": q_theil_index,
     "mmr_rerank": q_mmr_rerank,
+    "name_match": q_name_match,
+    "did": q_did,
+    "feature_prop": q_feature_prop,
 }
 
 ORACLE_SQL = {
@@ -14110,4 +14387,7 @@ ORACLE_SQL = {
     "cuped": SQL_CUPED,
     "theil_index": SQL_THEIL_INDEX,
     "mmr_rerank": SQL_MMR_RERANK,
+    "name_match": SQL_NAME_MATCH,
+    "did": SQL_DID,
+    "feature_prop": SQL_FEATURE_PROP,
 }

@@ -2510,3 +2510,94 @@ def test_mmr_rerank_prefers_diversity(ray_session, tmp_path):
     assert int(got["vec_id"][1]) == 3
     assert int(got["vec_id"][1]) != dup
     assert len(got) == 5 and got["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_jaro_winkler_known_values():
+    """Classic textbook pairs + DuckDB convention spot checks (the
+    floored half-transposition and the 0.7 boost gate)."""
+    assert abs(tx.jaro_winkler("martha", "marhta")
+               - 0.9611111111111111) < 1e-12
+    assert abs(tx.jaro_winkler("dwayne", "duane") - 0.84) < 1e-12
+    assert tx.jaro_winkler("same", "same") == 1.0
+    assert tx.jaro_winkler("", "x") == 0.0
+    assert tx.jaro_winkler("abc", "xyz") == 0.0
+    # below the 0.7 gate no prefix bonus applies even with a shared
+    # prefix
+    low = tx.jaro_winkler("abcdefghij", "abxxxxxxxx")
+    assert low < 0.7
+    j = (8 / 10 + 8 / 10 + 1) / 3  # hand value would exceed w/ bonus
+    assert low != j + 2 * 0.1 * (1 - j)
+
+
+def test_name_match_duckdb_cross_validation(ray_session):
+    """Every surviving pair's score equals DuckDB's
+    jaro_winkler_similarity exactly (the oracle gate asserts this at
+    6 dp; here at 1e-12 on the raw kernel)."""
+    import duckdb
+    from crawler_service_ray.pipelines.queries import q_name_match
+
+    got = q_name_match("/root/testdata/sf0.001").to_pandas()
+    assert len(got) > 0
+    con = duckdb.connect()
+    for _, r in got.head(50).iterrows():
+        d = con.execute("SELECT jaro_winkler_similarity(?, ?)",
+                        [r["name_a"], r["name_b"]]).fetchone()[0]
+        assert abs(round(d, 6) - float(r["jw"])) < 1e-9
+        assert r["name_a"] < r["name_b"]
+        assert r["name_a"][0] == r["name_b"][0]
+
+
+def test_did_recovers_injected_effect(ray_session, tmp_path):
+    """Synthetic panel with a known treatment lift: control grows by
+    +10 pre->post, treatment by +10 plus a +5 effect; DiD = 5."""
+    from crawler_service_ray.pipelines.queries import q_did
+
+    rows = []
+    base = 20000
+    for u in range(200):
+        arm = u % 2
+        for d in range(10):
+            post = d >= 5
+            v = 50.0 + (10.0 if post else 0.0) \
+                + (5.0 if (post and arm == 1) else 0.0)
+            rows.append((np.datetime64((base + d) * 86_400_000_000,
+                                       "us"), u, v))
+    df = pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_did(str(tmp_path))
+    assert abs(float(got["did"][0]) - 5.0) < 1e-6
+    assert abs(float(got["ctrl_post"][0])
+               - float(got["ctrl_pre"][0]) - 10.0) < 1e-6
+
+
+def test_feature_prop_flags_structural_price_outlier(ray_session,
+                                                     tmp_path):
+    """A clique of same-priced parts plus one overpriced member: the
+    outlier gets the largest |smoothed - price| gap, and the smoothing
+    replays a pandas two-round reference."""
+    from crawler_service_ray.pipelines.queries import q_feature_prop
+
+    # one order containing parts 1..6 makes a clique; part 6 costs 10x
+    li = pd.DataFrame({
+        "l_orderkey": [1] * 6 + [2] * 2,
+        "l_partkey": [1, 2, 3, 4, 5, 6, 7, 8]})
+    part = pd.DataFrame({
+        "p_partkey": np.arange(1, 9, dtype="int64"),
+        "p_retailprice": [10.0] * 5 + [100.0, 20.0, 20.0]})
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    part.to_parquet(tmp_path / "part.parquet")
+    got = q_feature_prop(str(tmp_path))
+    assert int(got["p_partkey"][0]) == 6     # the 10x part leads
+    assert float(got["gap"][0]) > float(got["gap"].iloc[-1])
+    # two-round pandas replay for the top row
+    ed = {i: [j for j in range(1, 7) if j != i] for i in range(1, 7)}
+    ed[7] = [8]; ed[8] = [7]
+    h0 = {i: int(p * 100) for i, p in
+          zip(part["p_partkey"], part["p_retailprice"])}
+    h1 = {i: int(round(sum(h0[j] for j in ns) * 1e6 / len(ns)))
+          for i, ns in ed.items()}
+    h2 = {i: int(round(sum(h1[j] for j in ns) * 1.0 / len(ns)))
+          for i, ns in ed.items()}
+    gap6 = abs(h2[6] - h0[6] * 1_000_000)
+    assert abs(float(got["gap"][0]) - round(gap6 / 1e6 / 100.0, 6)) \
+        < 1e-9
