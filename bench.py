@@ -251,6 +251,8 @@ BENCH_QUERIES = [
     "name_match",
     "did",
     "feature_prop",
+    "curation_funnel",
+    "source_ablation",
 ]
 
 

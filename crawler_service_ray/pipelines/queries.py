@@ -13822,6 +13822,161 @@ FROM j ORDER BY gap DESC, id LIMIT 10
 """
 
 
+def q_curation_funnel(sf_dir: str):
+    """The curation WATERFALL report — how many documents survive each
+    stage of the `curate` chain (total → language gate → quality gate
+    → exact-dedup winners), the per-stage attrition a 100-TB run
+    monitors to catch a filter gone rogue. One scoring pass computes
+    all flags (reusing the oracle-checked quality/langid kernels);
+    stage counts are exact int64 partials, the dedup stage counts
+    DISTINCT md5(text) among survivors (32-char hashes shuffle, never
+    the text — identical count to distinct text on both engines).
+    retention = unique/total; 6 dp."""
+    import hashlib
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        q = text.quality_features(df)
+        lang = text.LangId()(df)
+        en = (lang["lang_pred"].to_numpy() == "en")
+        qok = q["quality_score"].to_numpy() >= 0.5
+        keep = en & qok
+        h = np.array([hashlib.md5(t.encode()).hexdigest() if k else ""
+                      for t, k in zip(df["text"].to_numpy(), keep)],
+                     dtype=object)
+        return pd.DataFrame({"en": en.astype("int64"),
+                             "keep": keep.astype("int64"), "h": h})
+
+    f = docs.map_batches(flags, batch_format="pandas").materialize()
+    counts = (grouped_agg(f.map_batches(
+        lambda d: pd.DataFrame({
+            "k": np.zeros(1, dtype="int64"),
+            "n": np.array([len(d)], dtype="int64"),
+            "en": np.array([int(d["en"].sum())], dtype="int64"),
+            "keep": np.array([int(d["keep"].sum())], dtype="int64")}),
+        batch_format="pandas"),
+        ["k"], {"n": ("n", "sum"), "en": ("en", "sum"),
+                "keep": ("keep", "sum")}).to_pandas())
+    uniq = int(distinct(f.map_batches(
+        lambda d: d.loc[d["keep"] == 1, ["h"]],
+        batch_format="pandas"), ["h"], merge_partitions=4).count())
+    n = int(counts["n"].iloc[0])
+    en = int(counts["en"].iloc[0])
+    keep = int(counts["keep"].iloc[0])
+    return pd.DataFrame({
+        "n_total": np.array([n], dtype="int64"),
+        "n_lang": np.array([en], dtype="int64"),
+        "n_quality": np.array([keep], dtype="int64"),
+        "n_unique": np.array([uniq], dtype="int64"),
+        "retention": np.array([round(uniq / n, 6)], dtype="float64")})
+
+
+SQL_CURATION_FUNNEL = f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '\\S+')) AS n_words,
+         least(len(regexp_extract_all(text, '\\S+')) / 100.0, 1.0) * 0.4
+           + least(greatest(1 - (len(regexp_extract_all(text,
+               '[^0-9A-Za-z_\\t\\n\\f\\r ]'))
+               / greatest(length(text), 1)) * 5, 0), 1) * 0.3
+           + least((len(list_filter(string_split(lower(text), ' '),
+               w -> w IN ({_SQL_STOPWORDS})))
+               / greatest(len(regexp_extract_all(text, '\\S+')), 1)) * 4,
+               1) * 0.3 AS quality_score,
+         ' ' || text || ' ' AS s
+  FROM documents),
+lang AS (
+  SELECT doc_id, quality_score, text,
+         CAST({_sql_lang_score('en')} AS DOUBLE) AS s_en,
+         CAST({_sql_lang_score('es')} AS DOUBLE) AS s_es,
+         CAST({_sql_lang_score('fr')} AS DOUBLE) AS s_fr,
+         CAST({_sql_lang_score('de')} AS DOUBLE) AS s_de,
+         CAST({_sql_lang_score('zh')} AS DOUBLE)
+           + 10.0 * len(regexp_extract_all(s, '[一-鿿]'))
+             / greatest(length(s), 1) * 5 AS s_zh
+  FROM scored),
+fl AS (
+  SELECT text, quality_score,
+         (s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
+          AND s_en >= s_zh)::INT AS en
+  FROM lang)
+SELECT count(*)::BIGINT AS n_total,
+       sum(en)::BIGINT AS n_lang,
+       sum(CASE WHEN en = 1 AND quality_score >= 0.5
+                THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+       count(DISTINCT CASE WHEN en = 1 AND quality_score >= 0.5
+                           THEN md5(text) END)::BIGINT AS n_unique,
+       round(count(DISTINCT CASE WHEN en = 1 AND quality_score >= 0.5
+                                 THEN md5(text) END)
+             / count(*), 6) AS retention
+FROM fl
+"""
+
+
+def q_source_ablation(sf_dir: str):
+    """Leave-one-source-out corpus quality — 'what happens to mean
+    quality if we drop this source', the mixture-debugging readout a
+    curation run consults before changing sampling weights
+    (group-level LOO: the row-level sibling is `target_encode`).
+    Per-doc quality micro-rounds to int64; per-source (n, Σ) partials
+    make every LOO mean a ratio of exact ints — no second pass, the
+    complement comes from totals minus the group; 6 dp."""
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "text"],
+                      bytes_per_block=_DOC_BPB)
+
+    def qparts(df: pd.DataFrame) -> pd.DataFrame:
+        q = text.quality_features(df)
+        mi = np.round(q["quality_score"].to_numpy(dtype="float64")
+                      * 1e6).astype("int64")
+        return pd.DataFrame({"source": df["source"].to_numpy(),
+                             "s": mi,
+                             "one": np.ones(len(df), dtype="int64")})
+
+    a = (grouped_agg(docs.map_batches(qparts, batch_format="pandas"),
+                     ["source"], {"s": ("s", "sum"),
+                                  "n": ("one", "sum")})
+         .to_pandas().sort_values("source").reset_index(drop=True))
+    S = float(a["s"].sum())
+    N = float(a["n"].sum())
+    sg = a["s"].to_numpy(dtype="float64")
+    ng = a["n"].to_numpy(dtype="float64")
+    loo = (S - sg) / (N - ng) / 1e6
+    delta = loo - S / N / 1e6
+    return pd.DataFrame({
+        "source": a["source"].astype(object),
+        "n_docs": a["n"].astype("int64"),
+        "loo_mean_quality": np.round(loo, 6),
+        "delta": np.round(delta, 6)})
+
+
+SQL_SOURCE_ABLATION = f"""
+WITH q AS (
+  SELECT source,
+         CAST(round((least(len(regexp_extract_all(text, '\\S+'))
+                           / 100.0, 1.0) * 0.4
+           + least(greatest(1 - (len(regexp_extract_all(text,
+               '[^0-9A-Za-z_\\t\\n\\f\\r ]'))
+               / greatest(length(text), 1)) * 5, 0), 1) * 0.3
+           + least((len(list_filter(string_split(lower(text), ' '),
+               w -> w IN ({_SQL_STOPWORDS})))
+               / greatest(len(regexp_extract_all(text, '\\S+')), 1))
+               * 4, 1) * 0.3) * 1e6) AS BIGINT) AS s
+  FROM documents),
+a AS (SELECT source, count(*)::BIGINT AS n, sum(s)::BIGINT AS s
+      FROM q GROUP BY source),
+t AS (SELECT sum(n)::DOUBLE AS nt, sum(s)::DOUBLE AS st FROM a)
+SELECT source, a.n AS n_docs,
+       round((t.st - a.s) / (t.nt - a.n) / 1e6, 6)
+         AS loo_mean_quality,
+       round((t.st - a.s) / (t.nt - a.n) / 1e6
+             - t.st / t.nt / 1e6, 6) AS delta
+FROM a, t ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -14112,6 +14267,8 @@ QUERIES = {
     "name_match": q_name_match,
     "did": q_did,
     "feature_prop": q_feature_prop,
+    "curation_funnel": q_curation_funnel,
+    "source_ablation": q_source_ablation,
 }
 
 ORACLE_SQL = {
@@ -14390,4 +14547,6 @@ ORACLE_SQL = {
     "name_match": SQL_NAME_MATCH,
     "did": SQL_DID,
     "feature_prop": SQL_FEATURE_PROP,
+    "curation_funnel": SQL_CURATION_FUNNEL,
+    "source_ablation": SQL_SOURCE_ABLATION,
 }

@@ -2601,3 +2601,56 @@ def test_feature_prop_flags_structural_price_outlier(ray_session,
     gap6 = abs(h2[6] - h0[6] * 1_000_000)
     assert abs(float(got["gap"][0]) - round(gap6 / 1e6 / 100.0, 6)) \
         < 1e-9
+
+
+def test_curation_funnel_monotone_and_consistent(ray_session):
+    """Stage counts are monotone non-increasing and agree with the
+    independent pandas recomputation of each gate."""
+    from crawler_service_ray.pipelines.queries import q_curation_funnel
+    from crawler_service_ray.functions import text as T
+
+    got = q_curation_funnel("/root/testdata/sf0.001")
+    n, en, keep, uniq = (int(got[c][0]) for c in
+                         ("n_total", "n_lang", "n_quality",
+                          "n_unique"))
+    assert n >= en >= keep >= uniq > 0
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    q = T.quality_features(docs)
+    lang = T.LangId()(docs)
+    en_ref = (lang["lang_pred"].to_numpy() == "en")
+    keep_ref = en_ref & (q["quality_score"].to_numpy() >= 0.5)
+    assert en == int(en_ref.sum())
+    assert keep == int(keep_ref.sum())
+    assert uniq == docs.loc[keep_ref, "text"].nunique()
+    assert abs(float(got["retention"][0]) - round(uniq / n, 6)) < 1e-9
+
+
+def test_source_ablation_identity(ray_session):
+    """LOO means recombine to the overall mean: sum over sources of
+    (N-n_g)*loo_g equals (k-1)*S in micro units; deltas sum to ~0
+    weighted by the complements."""
+    from crawler_service_ray.pipelines.queries import q_source_ablation
+    from crawler_service_ray.functions import text as T
+
+    got = q_source_ablation("/root/testdata/sf0.001")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    q = T.quality_features(docs)
+    mi = np.round(q["quality_score"].to_numpy() * 1e6).astype("int64")
+    d = pd.DataFrame({"source": docs["source"], "s": mi})
+    a = d.groupby("source").agg(n=("s", "count"), s=("s", "sum"))
+    S, N = float(a["s"].sum()), float(a["n"].sum())
+    for _, r in got.iterrows():
+        g = a.loc[r["source"]]
+        ref = (S - float(g["s"])) / (N - float(g["n"])) / 1e6
+        assert abs(float(r["loo_mean_quality"]) - round(ref, 6)) < 1e-9
+        assert int(r["n_docs"]) == int(g["n"])
+    # a below-average source must have positive delta (dropping it
+    # raises the mean) and vice versa
+    overall = S / N / 1e6
+    for _, r in got.iterrows():
+        g = a.loc[r["source"]]
+        gmean = float(g["s"]) / float(g["n"]) / 1e6
+        if gmean < overall - 1e-9:
+            assert float(r["delta"]) > -1e-9
