@@ -253,6 +253,8 @@ BENCH_QUERIES = [
     "feature_prop",
     "curation_funnel",
     "source_ablation",
+    "shapley_attribution",
+    "zonemap_prune",
 ]
 
 

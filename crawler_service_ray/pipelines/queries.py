@@ -13977,6 +13977,225 @@ FROM a, t ORDER BY source
 """
 
 
+def q_shapley_attribution(sf_dir: str):
+    """EXACT Shapley-value channel attribution over the three
+    marketing touchpoints (view, click, signup) with purchase as
+    conversion — the game-theoretic split `attribution` (last-touch)
+    biases toward bottom-funnel. The coalition game is
+    v(T) = conversions among users whose touched-channel set ⊆ T
+    (monotone); with n=3 the 8 subset-exact conversion counts are the
+    sufficient statistic — ONE user-hash exchange folds every user to
+    a 3-bit channel mask + conv flag, partials are ≤8 int rows per
+    partition, and the zeta transform + Shapley weights
+    (|T|!(n−1−|T|)!/3!) run on the 8-row driver table in exact
+    integer-sixths (φ·6 is an exact int). The oracle replays the
+    identical mask counts and closed-form φ expressions; 6 dp."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "mask": pd.Series(dtype="int64"),
+                "conv": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64")})
+        et = g["event_type"].to_numpy()
+        d = pd.DataFrame({
+            "u": g["user_id"].to_numpy(),
+            "v": (et == "view").astype("int64"),
+            "c": (et == "click").astype("int64"),
+            "s": (et == "signup").astype("int64"),
+            "p": (et == "purchase").astype("int64")})
+        u = d.groupby("u", sort=False).agg(
+            v=("v", "max"), c=("c", "max"), s=("s", "max"),
+            conv=("p", "max"))
+        u["mask"] = u["v"] * 1 + u["c"] * 2 + u["s"] * 4
+        out = (u.groupby("mask", sort=False)
+               .agg(conv=("conv", "sum"),
+                    n=("conv", "count")).reset_index())
+        return out.astype("int64")
+
+    a = (grouped_agg(
+        grouped_apply(ev, ["user_id"], per_part, num_partitions=32),
+        ["mask"], {"conv": ("conv", "sum"), "n": ("n", "sum")})
+        .to_pandas())
+    cnt = {int(r["mask"]): int(r["conv"]) for _, r in a.iterrows()}
+    # v(T) = Σ conversions over masks ⊆ T (zeta transform, 8 subsets)
+    v = {}
+    for T in range(8):
+        v[T] = sum(c for m, c in cnt.items() if (m | T) == T)
+    # Shapley over 3 players; weights in sixths: |T|!(2-|T|)!: 2,1,2
+    w = {0: 2, 1: 1, 2: 2}
+    names = {1: "view", 2: "click", 4: "signup"}
+    rows = []
+    for bit, nm in sorted(names.items(), key=lambda kv: kv[0]):
+        six = 0
+        for T in range(8):
+            if T & bit:
+                continue
+            tsz = bin(T).count("1")
+            six += w[tsz] * (v[T | bit] - v[T])
+        rows.append((nm, six))
+    total_conv = v[7]
+    return pd.DataFrame({
+        "channel": [nm for nm, _ in rows],
+        "shapley_sixths": np.array([s for _, s in rows],
+                                   dtype="int64"),
+        "shapley": np.round(
+            np.array([s for _, s in rows], dtype="float64") / 6.0, 6),
+        "total_conversions": np.array([total_conv] * 3,
+                                      dtype="int64")})
+
+
+def _shapley_sql() -> str:
+    def v(T: int) -> str:
+        return (f"(SELECT coalesce(sum(conv), 0) FROM a "
+                f"WHERE (mask | {T}) = {T})")
+
+    terms = {}
+    for bit in (1, 2, 4):
+        parts = []
+        for T in range(8):
+            if T & bit:
+                continue
+            w = {0: 2, 1: 1, 2: 2}[bin(T).count("1")]
+            parts.append(f"{w} * ({v(T | bit)} - {v(T)})")
+        terms[bit] = " + ".join(parts)
+    rows = []
+    for bit, nm in ((1, "view"), (2, "click"), (4, "signup")):
+        rows.append(
+            f"SELECT '{nm}' AS channel,\n"
+            f"       CAST({terms[bit]} AS BIGINT) AS shapley_sixths,\n"
+            f"       round(CAST({terms[bit]} AS BIGINT) / 6.0, 6)"
+            f" AS shapley,\n"
+            f"       CAST({v(7)} AS BIGINT) AS total_conversions")
+    un = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS ns,
+         max((event_type = 'purchase')::INT) AS conv
+  FROM events GROUP BY 1),
+m AS (SELECT (nv > 0)::INT * 1 + (nc > 0)::INT * 2
+              + (ns > 0)::INT * 4 AS mask,
+             conv
+      FROM u),
+a AS (SELECT mask, sum(conv)::BIGINT AS conv FROM m GROUP BY mask)
+{un}
+"""
+
+
+SQL_SHAPLEY_ATTRIBUTION = _shapley_sql()
+
+
+def q_zonemap_prune(sf_dir: str):
+    """Zone-map pruning audit — HOW MUCH scan the `zorder` layout
+    actually saves: model two physical layouts of orders as 'files'
+    (natural = arrival order, o_orderkey//128 ranges; zordered = the
+    Morton-code prefix groups `OPTIMIZE ZORDER` would write), compute
+    each file's (price, day) min/max zone map in ONE grouped exchange
+    per layout, and count files a reader must scan for a price
+    predicate and for a date predicate. Integer cents/days
+    throughout; the zordered layout should scan far fewer files for
+    BOTH dimensions — the number this audit proves. 6-dp fractions."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_totalprice",
+                             "o_orderdate"])
+
+    def code(d: pd.DataFrame) -> pd.DataFrame:
+        p = np.rint(d["o_totalprice"].to_numpy(dtype="float64") * 100
+                    ).astype("int64")
+        days = (d["o_orderdate"].astype("int64").to_numpy()
+                // 86_400_000_000)
+        bx = np.clip((p // 100) // 2000, 0, 255)
+        by = np.clip((days - 9131) // 10, 0, 255)
+        z = np.zeros(len(d), dtype="int64")
+        for i in range(8):
+            z |= ((bx >> i) & 1) << (2 * i)
+            z |= ((by >> i) & 1) << (2 * i + 1)
+        return pd.DataFrame({
+            "nat": d["o_orderkey"].to_numpy("int64") // 128,
+            "zf": z >> 6,          # 10-bit prefix -> ~1k files
+            "p": p, "d": days})
+
+    coded = ds.map_batches(code, batch_format="pandas").materialize()
+    out_rows = []
+    # predicate windows (integer cents / epoch days)
+    plo, phi = 10_000_000, 11_000_000     # price in [100k, 110k)
+    dlo, dhi = 9131 + 300, 9131 + 330     # one month of days
+    for layout, col in (("natural", "nat"), ("zorder", "zf")):
+        zm = (grouped_agg(coded, [col],
+                          {"pmin": ("p", "min"), "pmax": ("p", "max"),
+                           "dmin": ("d", "min"), "dmax": ("d", "max")})
+              .to_pandas())
+        nb = len(zm)
+        sp = int(((zm["pmax"] >= plo) & (zm["pmin"] < phi)).sum())
+        sd = int(((zm["dmax"] >= dlo) & (zm["dmin"] < dhi)).sum())
+        out_rows.append((layout, nb, sp, sd))
+    return pd.DataFrame({
+        "layout": [r[0] for r in out_rows],
+        "n_files": np.array([r[1] for r in out_rows], dtype="int64"),
+        "scan_price": np.array([r[2] for r in out_rows],
+                               dtype="int64"),
+        "scan_date": np.array([r[3] for r in out_rows],
+                              dtype="int64"),
+        "frac_price": np.round(
+            np.array([r[2] / r[1] for r in out_rows]), 6),
+        "frac_date": np.round(
+            np.array([r[3] / r[1] for r in out_rows]), 6)})
+
+
+SQL_ZONEMAP_PRUNE = """
+WITH c AS (
+  SELECT o_orderkey // 128 AS nat,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS p,
+         epoch_us(o_orderdate) // 86400000000 AS d
+  FROM orders),
+bits AS (
+  SELECT nat, p, d,
+         least(greatest((p // 100) // 2000, 0), 255) AS bx,
+         least(greatest((d - 9131) // 10, 0), 255) AS by
+  FROM c),
+z AS (
+  SELECT nat, p, d,
+         (((bx >> 0) & 1) << 0) | (((by >> 0) & 1) << 1)
+       | (((bx >> 1) & 1) << 2) | (((by >> 1) & 1) << 3)
+       | (((bx >> 2) & 1) << 4) | (((by >> 2) & 1) << 5)
+       | (((bx >> 3) & 1) << 6) | (((by >> 3) & 1) << 7)
+       | (((bx >> 4) & 1) << 8) | (((by >> 4) & 1) << 9)
+       | (((bx >> 5) & 1) << 10) | (((by >> 5) & 1) << 11)
+       | (((bx >> 6) & 1) << 12) | (((by >> 6) & 1) << 13)
+       | (((bx >> 7) & 1) << 14) | (((by >> 7) & 1) << 15) AS zc
+  FROM bits),
+nat_zm AS (SELECT nat AS f, min(p) pmin, max(p) pmax,
+                  min(d) dmin, max(d) dmax
+           FROM z GROUP BY nat),
+zo_zm AS (SELECT (zc >> 6) AS f, min(p) pmin, max(p) pmax,
+                 min(d) dmin, max(d) dmax
+          FROM z GROUP BY (zc >> 6)),
+s AS (
+  SELECT 'natural' AS layout, count(*)::BIGINT AS n_files,
+         sum((pmax >= 10000000 AND pmin < 11000000)::INT)::BIGINT
+           AS scan_price,
+         sum((dmax >= 9431 AND dmin < 9461)::INT)::BIGINT
+           AS scan_date
+  FROM nat_zm
+  UNION ALL
+  SELECT 'zorder', count(*)::BIGINT,
+         sum((pmax >= 10000000 AND pmin < 11000000)::INT)::BIGINT,
+         sum((dmax >= 9431 AND dmin < 9461)::INT)::BIGINT
+  FROM zo_zm)
+SELECT layout, n_files, scan_price, scan_date,
+       round(scan_price / n_files, 6) AS frac_price,
+       round(scan_date / n_files, 6) AS frac_date
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -14269,6 +14488,8 @@ QUERIES = {
     "feature_prop": q_feature_prop,
     "curation_funnel": q_curation_funnel,
     "source_ablation": q_source_ablation,
+    "shapley_attribution": q_shapley_attribution,
+    "zonemap_prune": q_zonemap_prune,
 }
 
 ORACLE_SQL = {
@@ -14549,4 +14770,6 @@ ORACLE_SQL = {
     "feature_prop": SQL_FEATURE_PROP,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "source_ablation": SQL_SOURCE_ABLATION,
+    "shapley_attribution": SQL_SHAPLEY_ATTRIBUTION,
+    "zonemap_prune": SQL_ZONEMAP_PRUNE,
 }

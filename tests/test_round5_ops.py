@@ -2654,3 +2654,48 @@ def test_source_ablation_identity(ray_session):
         gmean = float(g["s"]) / float(g["n"]) / 1e6
         if gmean < overall - 1e-9:
             assert float(r["delta"]) > -1e-9
+
+
+def test_shapley_attribution_axioms(ray_session, tmp_path):
+    """Shapley axioms on a constructed game: efficiency (shares sum
+    to v(N)), symmetry (identical channels split equally), and a
+    null player gets zero."""
+    from crawler_service_ray.pipelines.queries import (
+        q_shapley_attribution)
+
+    rows, eid = [], 0
+    # 30 users touch view+click and convert; 10 touch only signup and
+    # never convert (null player); 5 convert with view only
+    for u in range(30):
+        rows += [(u, "view"), (u, "click"), (u, "purchase")]
+    for u in range(30, 40):
+        rows += [(u, "signup")]
+    for u in range(40, 45):
+        rows += [(u, "view"), (u, "purchase")]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_shapley_attribution(str(tmp_path)).set_index("channel")
+    assert int(got["total_conversions"].iloc[0]) == 35
+    assert int(got["shapley_sixths"].sum()) == 35 * 6  # efficiency
+    assert float(got.loc["signup", "shapley"]) == 0.0  # null player
+    # view dominates click (it alone converts 5 extra users)
+    assert float(got.loc["view", "shapley"]) \
+        > float(got.loc["click", "shapley"])
+
+
+def test_zonemap_prune_zorder_beats_natural(ray_session):
+    """The zordered layout scans a strictly smaller file fraction
+    than the natural layout on BOTH predicates (the point of the
+    audit), and counts are bounded by n_files."""
+    from crawler_service_ray.pipelines.queries import q_zonemap_prune
+
+    got = q_zonemap_prune("/root/testdata/sf0.001") \
+        .set_index("layout")
+    for lay in ("natural", "zorder"):
+        r = got.loc[lay]
+        assert 0 <= int(r["scan_price"]) <= int(r["n_files"])
+        assert 0 <= int(r["scan_date"]) <= int(r["n_files"])
+    assert float(got.loc["zorder", "frac_price"]) \
+        < float(got.loc["natural", "frac_price"])
+    assert float(got.loc["zorder", "frac_date"]) \
+        < float(got.loc["natural", "frac_date"])
