@@ -255,6 +255,9 @@ BENCH_QUERIES = [
     "source_ablation",
     "shapley_attribution",
     "zonemap_prune",
+    "ips_eval",
+    "conformal",
+    "power_analysis",
 ]
 
 

@@ -14196,6 +14196,241 @@ FROM s
 """
 
 
+def q_ips_eval(sf_dir: str):
+    """Off-policy evaluation of the deterministic target policy
+    'always click' against the logged event stream — the IPS/SNIPS
+    estimators a recommender (or RLHF data pipeline) uses to score a
+    new policy WITHOUT deploying it. Logging propensities are the
+    per-user empirical action frequencies p(a|u) = n_{u,a}/n_u, so
+    each matched (click) event carries weight n_u/n_{u,click} — an
+    exact integer ratio; per-user reward·weight terms micro-round to
+    int64 inside ONE user-hash exchange and the total weight is
+    EXACTLY Σ n_u over matched users (the weights telescope). IPS
+    divides by all logged events, SNIPS self-normalizes; both scalars
+    token-identical in SQL; 6 dp."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "t": pd.Series(dtype="int64"),
+                "w": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "m": pd.Series(dtype="int64")})
+        c = np.rint(g["value"].to_numpy(dtype="float64") * 100) \
+            .astype("int64")
+        click = (g["event_type"].to_numpy() == "click")
+        d = pd.DataFrame({"u": g["user_id"].to_numpy(),
+                          "n1": np.ones(len(g), dtype="int64"),
+                          "nc": click.astype("int64"),
+                          "rc": np.where(click, c, 0)})
+        u = d.groupby("u", sort=False).agg(
+            nu=("n1", "sum"), nc=("nc", "sum"), rc=("rc", "sum"))
+        mt = u[u["nc"] > 0]
+        x = (mt["rc"].to_numpy(dtype="float64")
+             * mt["nu"].to_numpy(dtype="float64")
+             / mt["nc"].to_numpy(dtype="float64"))
+        # exact-rational weights DO land on .5 ties: round half-away
+        # like SQL round(), not numpy's half-even
+        t = np.copysign(np.floor(np.abs(x) + 0.5), x).astype("int64")
+        return pd.DataFrame({
+            "t": np.array([int(t.sum())], dtype="int64"),
+            "w": np.array([int(mt["nu"].sum())], dtype="int64"),
+            "n": np.array([int(u["nu"].sum())], dtype="int64"),
+            "m": np.array([len(mt)], dtype="int64")})
+
+    parts = grouped_apply(ev, ["user_id"], per_part,
+                          num_partitions=32).to_pandas()
+    T = float(parts["t"].sum())
+    W = float(parts["w"].sum())
+    N = float(parts["n"].sum())
+    return pd.DataFrame({
+        "n_events": np.array([int(N)], dtype="int64"),
+        "matched_users": np.array([int(parts["m"].sum())],
+                                  dtype="int64"),
+        "ips": np.array([round(T / N / 100.0, 6)], dtype="float64"),
+        "snips": np.array([round(T / W / 100.0, 6)],
+                          dtype="float64")})
+
+
+SQL_IPS_EVAL = """
+WITH e AS (
+  SELECT user_id,
+         (event_type = 'click')::INT AS ck,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+u AS (
+  SELECT user_id, count(*)::BIGINT AS nu, sum(ck)::BIGINT AS nc,
+         sum(CASE WHEN ck = 1 THEN c ELSE 0 END)::BIGINT AS rc
+  FROM e GROUP BY 1),
+m AS (
+  SELECT CAST(round(rc::DOUBLE * nu::DOUBLE / nc::DOUBLE) AS BIGINT)
+           AS t,
+         nu
+  FROM u WHERE nc > 0),
+t AS (SELECT (SELECT sum(nu) FROM u)::DOUBLE AS N,
+             sum(t)::DOUBLE AS T, sum(nu)::DOUBLE AS W,
+             count(*)::BIGINT AS mu
+      FROM m)
+SELECT CAST(N AS BIGINT) AS n_events, mu AS matched_users,
+       round(T / N / 100.0, 6) AS ips,
+       round(T / W / 100.0, 6) AS snips
+FROM t
+"""
+
+
+def q_conformal(sf_dir: str):
+    """Split-conformal prediction interval for event value given
+    event type — the distribution-free ML-ops calibration step: fit
+    per-type means on the even-event_id half, take the ceil((n+1)·0.9)
+    order statistic of the cent-rounded absolute residuals as q̂, and
+    report empirical coverage on the odd half (guaranteed ≳ 90%
+    marginally). The residual quantile is EXACT via the bounded
+    cents-histogram exchange (`huber_mean`'s scale argument — width
+    bounded by value range, not corpus); means and coverage counts
+    are exact int64 ratios; 6 dp."""
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "event_type", "value"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "g": d["event_type"].to_numpy(),
+            "cal": (d["event_id"].to_numpy() % 2 == 0)
+                   .astype("int64"),
+            "c": np.rint(d["value"].to_numpy(dtype="float64") * 100)
+                 .astype("int64")})
+
+    t = ev.map_batches(pre, batch_format="pandas").materialize()
+    means = (grouped_agg(t.map_batches(
+        lambda d: d[d["cal"] == 1], batch_format="pandas"),
+        ["g"], {"s": ("c", "sum"), "n": ("c", "count")})
+        .to_pandas())
+    mu = {r["g"]: float(r["s"]) / float(r["n"])
+          for _, r in means.iterrows()}
+
+    def resid(d: pd.DataFrame) -> pd.DataFrame:
+        m = d["g"].map(mu).to_numpy(dtype="float64")
+        r = np.round(np.abs(d["c"].to_numpy(dtype="float64") - m)) \
+            .astype("int64")
+        return pd.DataFrame({"cal": d["cal"], "r": r,
+                             "one": np.ones(len(d), dtype="int64")})
+
+    rh = (grouped_agg(t.map_batches(resid, batch_format="pandas"),
+                      ["cal", "r"], {"cnt": ("one", "sum")})
+          .to_pandas())
+    ch = rh[rh["cal"] == 1].sort_values("r")
+    n_cal = int(ch["cnt"].sum())
+    k = int(np.ceil((n_cal + 1) * 0.9))
+    cum = np.cumsum(ch["cnt"].to_numpy(dtype="int64"))
+    qhat = int(ch["r"].to_numpy(dtype="int64")[
+        np.searchsorted(cum, min(k, n_cal))])
+    eh = rh[rh["cal"] == 0]
+    n_eval = int(eh["cnt"].sum())
+    covered = int(eh.loc[eh["r"] <= qhat, "cnt"].sum())
+    return pd.DataFrame({
+        "n_cal": np.array([n_cal], dtype="int64"),
+        "n_eval": np.array([n_eval], dtype="int64"),
+        "q_hat": np.array([round(qhat / 100.0, 6)], dtype="float64"),
+        "coverage": np.array([round(covered / n_eval, 6)],
+                             dtype="float64")})
+
+
+SQL_CONFORMAL = """
+WITH e AS (
+  SELECT event_type AS g, (event_id % 2 = 0)::INT AS cal,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+m AS (SELECT g, sum(c)::DOUBLE / count(*)::DOUBLE AS mu
+      FROM e WHERE cal = 1 GROUP BY g),
+r AS (SELECT e.cal,
+             CAST(round(abs(e.c - m.mu)) AS BIGINT) AS r
+      FROM e JOIN m ON e.g = m.g),
+h AS (SELECT r, count(*)::BIGINT AS cnt FROM r WHERE cal = 1
+      GROUP BY r),
+nc AS (SELECT sum(cnt)::BIGINT AS n_cal FROM h),
+w AS (SELECT r, sum(cnt) OVER (ORDER BY r) AS cum FROM h),
+q AS (SELECT min(r) AS qhat FROM w, nc
+      WHERE cum >= least(CAST(ceil((nc.n_cal + 1) * 0.9) AS BIGINT),
+                         nc.n_cal)),
+ev AS (SELECT count(*)::BIGINT AS n_eval,
+              sum((r.r <= (SELECT qhat FROM q))::INT)::BIGINT
+                AS covered
+       FROM r WHERE cal = 0)
+SELECT (SELECT n_cal FROM nc) AS n_cal, n_eval,
+       round((SELECT qhat FROM q)::DOUBLE / 100.0, 6) AS q_hat,
+       round(covered / n_eval, 6) AS coverage
+FROM ev
+"""
+
+
+def q_power_analysis(sf_dir: str):
+    """Two-proportion power analysis on the live A/B arms — 'how many
+    users per arm would we need to detect the CURRENT conversion gap
+    at α=0.05, power 0.8': n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₀q₀+p₁q₁))²
+    / Δ², with the z constants as shared high-precision literals.
+    Event-level trials (arms by event_id parity — the per-user
+    conversion flag saturates at 100% in this data, a zero-power
+    design); arm counts are exact int64 from one streaming pass;
+    every derived scalar is a token-identical expression; the
+    required n ceils to int64 on both engines; identical rates
+    yield the -1 sentinel on both."""
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "event_type"])
+
+    a = (grouped_agg(ev.map_batches(
+        lambda d: pd.DataFrame({
+            "arm": (d["event_id"].to_numpy() % 2).astype("int64"),
+            "p": (d["event_type"].to_numpy() == "purchase")
+                 .astype("int64"),
+            "one": np.ones(len(d), dtype="int64")}),
+        batch_format="pandas"),
+        ["arm"], {"n": ("one", "sum"), "k": ("p", "sum")})
+        .to_pandas().sort_values("arm").reset_index(drop=True))
+    n0, k0 = float(a["n"].iloc[0]), float(a["k"].iloc[0])
+    n1, k1 = float(a["n"].iloc[1]), float(a["k"].iloc[1])
+    p0 = k0 / n0
+    p1 = k1 / n1
+    pbar = (k0 + k1) / (n0 + n1)
+    za, zb = 1.959963985, 0.8416212336
+    num = (za * np.sqrt(2.0 * pbar * (1.0 - pbar))
+           + zb * np.sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)))
+    diff = p1 - p0
+    n_req = (-1 if diff == 0.0
+             else int(np.ceil(num * num / (diff * diff))))
+    return pd.DataFrame({
+        "p0": np.array([round(p0, 6)], dtype="float64"),
+        "p1": np.array([round(p1, 6)], dtype="float64"),
+        "diff": np.array([round(diff, 6)], dtype="float64"),
+        "n_required_per_arm": np.array([n_req], dtype="int64")})
+
+
+SQL_POWER_ANALYSIS = """
+WITH a AS (
+  SELECT event_id % 2 AS arm, count(*)::BIGINT AS n,
+         sum((event_type = 'purchase')::INT)::BIGINT AS k
+  FROM events GROUP BY 1),
+s AS (
+  SELECT (SELECT k::DOUBLE / n::DOUBLE FROM a WHERE arm = 0) AS p0,
+         (SELECT k::DOUBLE / n::DOUBLE FROM a WHERE arm = 1) AS p1,
+         (SELECT sum(k)::DOUBLE / sum(n)::DOUBLE FROM a) AS pbar),
+f AS (
+  SELECT p0, p1, p1 - p0 AS diff,
+         1.959963985 * sqrt(2.0 * pbar * (1.0 - pbar))
+           + 0.8416212336 * sqrt(p0 * (1.0 - p0)
+                                 + p1 * (1.0 - p1)) AS num
+  FROM s)
+SELECT round(p0, 6) AS p0, round(p1, 6) AS p1,
+       round(diff, 6) AS diff,
+       CASE WHEN diff = 0 THEN -1
+            ELSE CAST(ceil(num * num / (diff * diff)) AS BIGINT)
+       END AS n_required_per_arm
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -14490,6 +14725,9 @@ QUERIES = {
     "source_ablation": q_source_ablation,
     "shapley_attribution": q_shapley_attribution,
     "zonemap_prune": q_zonemap_prune,
+    "ips_eval": q_ips_eval,
+    "conformal": q_conformal,
+    "power_analysis": q_power_analysis,
 }
 
 ORACLE_SQL = {
@@ -14772,4 +15010,7 @@ ORACLE_SQL = {
     "source_ablation": SQL_SOURCE_ABLATION,
     "shapley_attribution": SQL_SHAPLEY_ATTRIBUTION,
     "zonemap_prune": SQL_ZONEMAP_PRUNE,
+    "ips_eval": SQL_IPS_EVAL,
+    "conformal": SQL_CONFORMAL,
+    "power_analysis": SQL_POWER_ANALYSIS,
 }

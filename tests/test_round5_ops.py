@@ -2699,3 +2699,75 @@ def test_zonemap_prune_zorder_beats_natural(ray_session):
         < float(got.loc["natural", "frac_price"])
     assert float(got.loc["zorder", "frac_date"]) \
         < float(got.loc["natural", "frac_date"])
+
+
+def test_ips_eval_uniform_logging_identity(ray_session, tmp_path):
+    """Under uniform logging (every user has one event of each type),
+    SNIPS of 'always click' equals the mean click reward exactly —
+    the estimator is unbiased by construction."""
+    from crawler_service_ray.pipelines.queries import q_ips_eval
+
+    rows, eid = [], 0
+    rng = np.random.default_rng(8)
+    click_vals = []
+    for u in range(100):
+        for t in ("view", "click", "purchase", "signup"):
+            v = round(float(rng.uniform(1, 99)), 2)
+            if t == "click":
+                click_vals.append(round(v * 100) / 100)
+            rows.append((u, t, v))
+    df = pd.DataFrame(rows, columns=["user_id", "event_type",
+                                     "value"])
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_ips_eval(str(tmp_path))
+    # per-user weight = 4; SNIPS = sum(4*r)/sum(4) = mean(r)
+    ref = np.mean([int(round(v * 100)) * 4 for v in click_vals]) / 4
+    assert abs(float(got["snips"][0]) - round(ref / 100.0, 6)) < 1e-4
+    assert int(got["matched_users"][0]) == 100
+    # IPS = SNIPS * (matched weight / total events) = mean * (400/400)
+    assert abs(float(got["ips"][0]) - float(got["snips"][0])) < 1e-9
+
+
+def test_conformal_coverage_guarantee(ray_session):
+    """Split-conformal coverage on the eval half is >= ~0.9 (the
+    marginal guarantee) and q_hat is the exact calibration order
+    statistic."""
+    from crawler_service_ray.pipelines.queries import q_conformal
+    from crawler_service_ray.pipelines.queries import read_table  # noqa
+
+    got = q_conformal("/root/testdata/sf0.001")
+    assert float(got["coverage"][0]) >= 0.88
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    c = np.rint(ev["value"].to_numpy() * 100).astype("int64")
+    cal = ev["event_id"].to_numpy() % 2 == 0
+    mu = (pd.DataFrame({"g": ev["event_type"], "c": c})[cal]
+          .groupby("g")["c"].agg(["sum", "count"]))
+    mum = {g: r["sum"] / r["count"] for g, r in mu.iterrows()}
+    m = ev["event_type"].map(mum).to_numpy()
+    r = np.round(np.abs(c - m)).astype("int64")
+    rc = np.sort(r[cal])
+    k = int(np.ceil((len(rc) + 1) * 0.9))
+    qref = int(rc[min(k, len(rc)) - 1])
+    assert abs(float(got["q_hat"][0]) - round(qref / 100.0, 6)) < 1e-9
+
+
+def test_power_analysis_closed_form(ray_session, tmp_path):
+    """Known rates 10% vs 15%: the textbook two-proportion formula
+    gives ~686 per arm; the query reproduces it from constructed
+    events."""
+    from crawler_service_ray.pipelines.queries import q_power_analysis
+
+    rows = []
+    for i in range(2000):
+        arm = i % 2
+        thresh = 100 if arm == 0 else 150   # 10% vs 15% per mille
+        is_p = (i // 2) % 1000 < thresh
+        rows.append((i, "purchase" if is_p else "view"))
+    df = pd.DataFrame(rows, columns=["event_id", "event_type"])
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_power_analysis(str(tmp_path))
+    assert abs(float(got["p0"][0]) - 0.1) < 1e-9
+    assert abs(float(got["p1"][0]) - 0.15) < 1e-9
+    n = int(got["n_required_per_arm"][0])
+    assert 650 <= n <= 700      # textbook ~686
