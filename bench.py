@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "ips_eval",
     "conformal",
     "power_analysis",
+    "markov_attribution",
 ]
 
 

@@ -14431,7 +14431,202 @@ FROM f
 """
 
 
-# ---------------------------------------------------------------------------
+# ---- Markov removal-effect attribution: the absorption-probability
+# algebra is generated ONCE as expression strings over the transition
+# ratios and evaluated by BOTH engines (python eval / SQL SELECT), so
+# the long Cramer-rule formulas cannot drift between the twins.
+_MK_STATES = ("view", "click", "signup")
+
+
+def _mk_exprs() -> dict:
+    """Expression strings over variables q{i}{j} (transient
+    transitions), b{i} (to-conversion), s{i} (start shares),
+    i,j ∈ 1..3. 3×3 Cramer for the full chain, 2×2 for each removal."""
+    e = {}
+    det3 = ("((1 - q11) * ((1 - q22) * (1 - q33) - q23 * q32)"
+            " - (0 - q12) * ((0 - q21) * (1 - q33) - q23 * (0 - q31))"
+            " + (0 - q13) * ((0 - q21) * (0 - q32)"
+            " + (1 - q22) * q31))")
+    # x_i via Cramer on (I-Q) x = b
+    x1 = ("((b1 * ((1 - q22) * (1 - q33) - q23 * q32)"
+          " - (0 - q12) * (b2 * (1 - q33) - q23 * b3)"
+          " + (0 - q13) * (b2 * (0 - q32) + (1 - q22) * b3))"
+          f" / {det3})")
+    x2 = ("(((1 - q11) * (b2 * (1 - q33) - q23 * b3)"
+          " - b1 * ((0 - q21) * (1 - q33) - q23 * (0 - q31))"
+          " + (0 - q13) * ((0 - q21) * b3 - b2 * (0 - q31)))"
+          f" / {det3})")
+    x3 = ("(((1 - q11) * ((1 - q22) * b3 - (0 - q32) * b2)"
+          " - (0 - q12) * ((0 - q21) * b3 - b2 * (0 - q31))"
+          " + b1 * ((0 - q21) * (0 - q32) + (1 - q22) * q31))"
+          f" / {det3})")
+    e["p_full"] = f"(s1 * {x1} + s2 * {x2} + s3 * {x3})"
+    # removal of state r: 2x2 chain over the remaining states (paths
+    # through r are dropped, not renormalized)
+    for r, (i, j) in {1: (2, 3), 2: (1, 3), 3: (1, 2)}.items():
+        det2 = (f"((1 - q{i}{i}) * (1 - q{j}{j})"
+                f" - q{i}{j} * q{j}{i})")
+        xi = (f"((b{i} * (1 - q{j}{j}) + q{i}{j} * b{j}) / {det2})")
+        xj = (f"((b{j} * (1 - q{i}{i}) + q{j}{i} * b{i}) / {det2})")
+        e[f"p_wo{r}"] = f"(s{i} * {xi} + s{j} * {xj})"
+    return e
+
+
+def q_markov_attribution(sf_dir: str):
+    """Markov removal-effect attribution (Anderl et al. 2016) — the
+    path-aware complement to `shapley_attribution`: model each user's
+    ordered (view, click, signup) journey as a first-order Markov
+    chain absorbing in purchase/null, and credit each channel by how
+    much total conversion probability disappears when it is removed
+    (transitions into it become failures). ONE user-hash exchange
+    orders each user's events (ts, event_id) and emits exact int64
+    transition-count partials (≤ 20 cells/partition); the driver
+    forms exact count-ratio probabilities and evaluates the
+    GENERATED Cramer-rule absorption expressions — the SQL twin
+    SELECTs the literally identical strings, so the two engines
+    cannot diverge token-wise; 6 dp."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id",
+                             "event_type"])
+    idx = {s: i + 1 for i, s in enumerate(_MK_STATES)}
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"kind": [], "i": [], "j": [], "n": []}
+        if len(g):
+            d = g[g["event_type"].isin(
+                list(_MK_STATES) + ["purchase"])]
+            d = d.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+            u = d["user_id"].to_numpy()
+            st = d["event_type"].map(
+                {**idx, "purchase": 0}).to_numpy(dtype="int64")
+            same = np.r_[False, u[1:] == u[:-1]]
+            first = ~same
+            nxt = np.r_[same[1:], False]       # has next in same user
+            cur = st
+            nx = np.r_[st[1:], 0]
+            rows = []
+            # starts: first TRANSIENT event per user (users whose
+            # first tracked event is purchase don't start the chain)
+            for i in (1, 2, 3):
+                rows.append(("s", i, 0,
+                             int((first & (cur == i)).sum())))
+            for i in (1, 2, 3):
+                src = (cur == i)
+                for j in (1, 2, 3):
+                    rows.append(("q", i, j, int(
+                        (src & nxt & (nx == j)).sum())))
+                rows.append(("b", i, 0, int(
+                    (src & nxt & (nx == 0)).sum())))
+                rows.append(("z", i, 0, int(
+                    (src & ~nxt).sum())))   # session end -> null
+            for k, i, j, n in rows:
+                cols["kind"].append(k)
+                cols["i"].append(i)
+                cols["j"].append(j)
+                cols["n"].append(n)
+        return pd.DataFrame({
+            "kind": pd.Series(cols["kind"], dtype=object),
+            "i": pd.Series(cols["i"], dtype="int64"),
+            "j": pd.Series(cols["j"], dtype="int64"),
+            "n": pd.Series(cols["n"], dtype="int64")})
+
+    a = (grouped_agg(
+        grouped_apply(ev, ["user_id"], per_part, num_partitions=32),
+        ["kind", "i", "j"], {"n": ("n", "sum")}).to_pandas())
+    cnt = {(r["kind"], int(r["i"]), int(r["j"])): int(r["n"])
+           for _, r in a.iterrows()}
+    tot_start = sum(cnt.get(("s", i, 0), 0) for i in (1, 2, 3))
+    v = {}
+    for i in (1, 2, 3):
+        out = (sum(cnt.get(("q", i, j, ), 0) for j in (1, 2, 3))
+               + cnt.get(("b", i, 0), 0) + cnt.get(("z", i, 0), 0))
+        for j in (1, 2, 3):
+            v[f"q{i}{j}"] = cnt.get(("q", i, j), 0) / out
+        v[f"b{i}"] = cnt.get(("b", i, 0), 0) / out
+        v[f"s{i}"] = cnt.get(("s", i, 0), 0) / tot_start
+    ex = _mk_exprs()
+    p_full = eval(ex["p_full"], {"__builtins__": {}}, dict(v))
+    rows = []
+    for r, nm in enumerate(_MK_STATES, start=1):
+        p_wo = eval(ex[f"p_wo{r}"], {"__builtins__": {}}, dict(v))
+        rows.append((nm, p_wo, 1.0 - p_wo / p_full))
+    return pd.DataFrame({
+        "channel": [r[0] for r in rows],
+        "p_conv_full": np.round(np.full(3, p_full), 6),
+        "p_conv_without": np.round(
+            np.array([r[1] for r in rows]), 6),
+        "removal_effect": np.round(
+            np.array([r[2] for r in rows]), 6)})
+
+
+def _markov_sql() -> str:
+    ex = _mk_exprs()
+    rows = []
+    for r, nm in enumerate(_MK_STATES, start=1):
+        rows.append(
+            f"SELECT '{nm}' AS channel,\n"
+            f"       round({ex['p_full']}, 6) AS p_conv_full,\n"
+            f"       round({ex[f'p_wo{r}']}, 6) AS p_conv_without,\n"
+            f"       round(1.0 - {ex[f'p_wo{r}']} / {ex['p_full']},"
+            f" 6) AS removal_effect\n"
+            "FROM v")
+    un = "\nUNION ALL\n".join(rows)
+    sel_parts = []
+    for i in (1, 2, 3):
+        out = (f"(SELECT coalesce(sum(n), 0) FROM c "
+               f"WHERE kind IN ('q', 'b', 'z') AND i = {i})")
+        for j in (1, 2, 3):
+            sel_parts.append(
+                f"(SELECT coalesce(sum(n), 0) FROM c WHERE "
+                f"kind = 'q' AND i = {i} AND j = {j})::DOUBLE "
+                f"/ {out} AS q{i}{j}")
+        sel_parts.append(
+            f"(SELECT coalesce(sum(n), 0) FROM c WHERE kind = 'b' "
+            f"AND i = {i})::DOUBLE / {out} AS b{i}")
+        sel_parts.append(
+            f"(SELECT coalesce(sum(n), 0) FROM c WHERE kind = 's' "
+            f"AND i = {i})::DOUBLE / (SELECT sum(n) FROM c WHERE "
+            f"kind = 's') AS s{i}")
+    sel = ",\n         ".join(sel_parts)
+    states_in = ", ".join(f"'{s}'" for s in _MK_STATES)
+    case_state = ("CASE event_type "
+                  + " ".join(f"WHEN '{s}' THEN {i + 1}"
+                             for i, s in enumerate(_MK_STATES))
+                  + " ELSE 0 END")
+    return f"""
+WITH d AS (
+  SELECT user_id, {case_state} AS st,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE event_type IN ({states_in}, 'purchase')),
+p AS (
+  SELECT a.user_id, a.st AS cur, b.st AS nx, a.rn
+  FROM d a LEFT JOIN d b
+    ON a.user_id = b.user_id AND b.rn = a.rn + 1),
+c AS (
+  SELECT 's' AS kind, cur AS i, 0 AS j, count(*)::BIGINT AS n
+  FROM p WHERE rn = 1 AND cur > 0 GROUP BY cur
+  UNION ALL
+  SELECT 'q', cur, nx, count(*)::BIGINT
+  FROM p WHERE cur > 0 AND nx > 0 GROUP BY cur, nx
+  UNION ALL
+  SELECT 'b', cur, 0, count(*)::BIGINT
+  FROM p WHERE cur > 0 AND nx = 0 GROUP BY cur
+  UNION ALL
+  SELECT 'z', cur, 0, count(*)::BIGINT
+  FROM p WHERE cur > 0 AND nx IS NULL GROUP BY cur),
+v AS (
+  SELECT {sel})
+{un}
+"""
+
+
+SQL_MARKOV_ATTRIBUTION = _markov_sql()
+
 
 QUERIES = {
     "filter_project": q_filter_project,
@@ -14728,6 +14923,7 @@ QUERIES = {
     "ips_eval": q_ips_eval,
     "conformal": q_conformal,
     "power_analysis": q_power_analysis,
+    "markov_attribution": q_markov_attribution,
 }
 
 ORACLE_SQL = {
@@ -15013,4 +15209,5 @@ ORACLE_SQL = {
     "ips_eval": SQL_IPS_EVAL,
     "conformal": SQL_CONFORMAL,
     "power_analysis": SQL_POWER_ANALYSIS,
+    "markov_attribution": SQL_MARKOV_ATTRIBUTION,
 }

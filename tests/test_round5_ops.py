@@ -2771,3 +2771,34 @@ def test_power_analysis_closed_form(ray_session, tmp_path):
     assert abs(float(got["p1"][0]) - 0.15) < 1e-9
     n = int(got["n_required_per_arm"][0])
     assert 650 <= n <= 700      # textbook ~686
+
+
+def test_markov_attribution_hand_chain(ray_session, tmp_path):
+    """A constructed two-path funnel: all conversions flow through
+    click, so click's removal effect is 1.0; view feeds click and
+    has the same removal effect on this chain; signup never appears
+    on a converting path (removal effect 0)."""
+    from crawler_service_ray.pipelines.queries import (
+        q_markov_attribution)
+
+    rows, t = [], 0
+
+    def ev(u, typ):
+        nonlocal t
+        t += 1
+        rows.append((u, np.datetime64(1_700_000_000_000_000 + t * 60,
+                                      "us"), t, typ))
+
+    for u in range(20):           # view -> click -> purchase
+        ev(u, "view"); ev(u, "click"); ev(u, "purchase")
+    for u in range(20, 30):       # view -> signup -> (end)
+        ev(u, "view"); ev(u, "signup")
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_markov_attribution(str(tmp_path)).set_index("channel")
+    assert abs(float(got.loc["click", "removal_effect"]) - 1.0) < 1e-6
+    assert abs(float(got.loc["view", "removal_effect"]) - 1.0) < 1e-6
+    assert abs(float(got.loc["signup", "removal_effect"])) < 1e-6
+    # full-chain conversion: 20 of 30 journeys convert
+    assert abs(float(got["p_conv_full"].iloc[0]) - 20 / 30) < 1e-6
