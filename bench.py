@@ -259,6 +259,8 @@ BENCH_QUERIES = [
     "conformal",
     "power_analysis",
     "markov_attribution",
+    "sequential_test",
+    "interarrival_fit",
 ]
 
 

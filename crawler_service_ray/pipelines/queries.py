@@ -14628,6 +14628,208 @@ v AS (
 SQL_MARKOV_ATTRIBUTION = _markov_sql()
 
 
+def q_sequential_test(sf_dir: str):
+    """Group-sequential A/B monitoring with O'Brien–Fleming
+    boundaries — the 'peek 5 times without inflating α' design that a
+    fixed-horizon `ab_test` forbids. Looks = 5 equal slices of the day
+    range; at each look the CUMULATIVE event-level two-proportion z
+    compares the event_id-parity arms against the OBF two-sided
+    α=0.05 boundaries (4.877, 3.357, 2.680, 2.290, 2.031 — shared
+    literals). One streaming pass bins each event to its look; the
+    ≤10-cell count table folds on the driver; every z is a scalar
+    over exact int64 cumulative counts, token-identical in SQL;
+    6 dp."""
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "ts", "event_type"])
+    b = (grouped_agg(ev.map_batches(
+        lambda d: pd.DataFrame({
+            "k": np.zeros(len(d), dtype="int64"),
+            "day": d["ts"].to_numpy("datetime64[us]").astype("int64")
+                   // 86_400_000_000}),
+        batch_format="pandas"),
+        ["k"], {"lo": ("day", "min"), "hi": ("day", "max")})
+        .to_pandas())
+    lo, hi = int(b["lo"].iloc[0]), int(b["hi"].iloc[0])
+    span = hi - lo + 1
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        day = (d["ts"].to_numpy("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        look = np.minimum((day - lo) * 5 // span, 4) + 1
+        return pd.DataFrame({
+            "look": look.astype("int64"),
+            "arm": (d["event_id"].to_numpy() % 2).astype("int64"),
+            "p": (d["event_type"].to_numpy() == "purchase")
+                 .astype("int64"),
+            "one": np.ones(len(d), dtype="int64")})
+
+    cells = (grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                         ["look", "arm"], {"n": ("one", "sum"),
+                                           "x": ("p", "sum")})
+             .to_pandas().sort_values(["look", "arm"])
+             .reset_index(drop=True))
+    obf = [4.877, 3.357, 2.680, 2.290, 2.031]
+    rows = []
+    cn = {0: 0, 1: 0}
+    cx = {0: 0, 1: 0}
+    for k in range(1, 6):
+        for arm in (0, 1):
+            sel = cells[(cells["look"] == k)
+                        & (cells["arm"] == arm)]
+            cn[arm] += int(sel["n"].sum())
+            cx[arm] += int(sel["x"].sum())
+        n0, n1 = float(cn[0]), float(cn[1])
+        x0, x1 = float(cx[0]), float(cx[1])
+        p0 = x0 / n0
+        p1 = x1 / n1
+        pbar = (x0 + x1) / (n0 + n1)
+        z = ((p1 - p0)
+             / np.sqrt(pbar * (1.0 - pbar) * (1.0 / n0 + 1.0 / n1)))
+        rows.append((k, int(n0 + n1), round(float(z), 6),
+                     obf[k - 1],
+                     1 if abs(float(z)) >= obf[k - 1] else 0))
+    return pd.DataFrame({
+        "look": np.array([r[0] for r in rows], dtype="int64"),
+        "n_cum": np.array([r[1] for r in rows], dtype="int64"),
+        "z": np.array([r[2] for r in rows], dtype="float64"),
+        "obf_bound": np.array([r[3] for r in rows], dtype="float64"),
+        "reject": np.array([r[4] for r in rows], dtype="int64")})
+
+
+SQL_SEQUENTIAL_TEST = """
+WITH e AS (
+  SELECT event_id % 2 AS arm,
+         epoch_us(ts) // 86400000000 AS day,
+         (event_type = 'purchase')::INT AS p
+  FROM events),
+b AS (SELECT min(day) AS lo, max(day) - min(day) + 1 AS span FROM e),
+l AS (
+  SELECT least((day - (SELECT lo FROM b)) * 5
+               // (SELECT span FROM b), 4) + 1 AS look,
+         arm, p
+  FROM e),
+c AS (SELECT look, arm, count(*)::BIGINT AS n, sum(p)::BIGINT AS x
+      FROM l GROUP BY 1, 2),
+pv AS (
+  SELECT look,
+         sum(CASE WHEN arm = 0 THEN n ELSE 0 END)::BIGINT AS n0a,
+         sum(CASE WHEN arm = 1 THEN n ELSE 0 END)::BIGINT AS n1a,
+         sum(CASE WHEN arm = 0 THEN x ELSE 0 END)::BIGINT AS x0a,
+         sum(CASE WHEN arm = 1 THEN x ELSE 0 END)::BIGINT AS x1a
+  FROM c GROUP BY look),
+g AS (
+  SELECT look,
+         sum(n0a) OVER (ORDER BY look) AS n0,
+         sum(n1a) OVER (ORDER BY look) AS n1,
+         sum(x0a) OVER (ORDER BY look) AS x0,
+         sum(x1a) OVER (ORDER BY look) AS x1
+  FROM pv),
+z AS (
+  SELECT look, n0, n1, x0, x1,
+         (x1::DOUBLE / n1::DOUBLE - x0::DOUBLE / n0::DOUBLE)
+         / sqrt(((x0 + x1)::DOUBLE / (n0 + n1)::DOUBLE)
+                * (1.0 - (x0 + x1)::DOUBLE / (n0 + n1)::DOUBLE)
+                * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) AS zv
+  FROM g),
+o AS (SELECT * FROM (VALUES (1, 4.877), (2, 3.357), (3, 2.680),
+                            (4, 2.290), (5, 2.031)) t(look, bound))
+SELECT z.look, CAST(z.n0 + z.n1 AS BIGINT) AS n_cum,
+       round(z.zv, 6) AS z, o.bound AS obf_bound,
+       (abs(z.zv) >= o.bound)::BIGINT AS reject
+FROM z JOIN o ON z.look = o.look ORDER BY z.look
+"""
+
+
+def q_interarrival_fit(sf_dir: str):
+    """Exponential inter-arrival fit + exact KS goodness-of-fit — is
+    per-user event traffic Poisson? Per-user consecutive gaps (whole
+    seconds) come out of ONE user-hash exchange; the gap HISTOGRAM
+    (width bounded by the time-range in seconds, not the corpus — the
+    bin-table argument) carries exact counts to the driver, where
+    λ̂ = n/Σg and D = sup over distinct gaps of the two-sided
+    empirical-vs-Exponential CDF distance (both step edges checked,
+    lag trick in SQL). All counts exact int64; the CDF doubles are
+    identical expressions; 6 dp."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "gap": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64")})
+        d = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = d["user_id"].to_numpy()
+        tus = d["ts"].to_numpy("datetime64[us]").astype("int64")
+        same = u[1:] == u[:-1]
+        gaps = ((tus[1:] - tus[:-1]) // 1_000_000)[same]
+        if len(gaps) == 0:
+            return pd.DataFrame({
+                "gap": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64")})
+        val, cnt = np.unique(gaps, return_counts=True)
+        return pd.DataFrame({"gap": val.astype("int64"),
+                             "cnt": cnt.astype("int64")})
+
+    h = (grouped_agg(
+        grouped_apply(ev, ["user_id"], per_part, num_partitions=32),
+        ["gap"], {"cnt": ("cnt", "sum")})
+        .to_pandas().sort_values("gap").reset_index(drop=True))
+    g = h["gap"].to_numpy(dtype="int64")
+    c = h["cnt"].to_numpy(dtype="int64")
+    n = int(c.sum())
+    tot = int((g * c).sum())
+    mean = tot / n
+    cum = np.cumsum(c).astype("float64")
+    femp = cum / n
+    fprev = (cum - c) / n
+    fexp = 1.0 - np.exp(-(g.astype("float64") / mean))
+    d_stat = float(np.maximum(np.abs(fexp - femp),
+                              np.abs(fexp - fprev)).max())
+    return pd.DataFrame({
+        "n_gaps": np.array([n], dtype="int64"),
+        "mean_gap_s": np.array([round(mean, 6)], dtype="float64"),
+        "ks_d": np.array([round(d_stat, 6)], dtype="float64")})
+
+
+SQL_INTERARRIVAL_FIT = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+gp AS (
+  SELECT (b.t - a.t) // 1000000 AS gap
+  FROM d a JOIN d b
+    ON a.user_id = b.user_id AND b.rn = a.rn + 1),
+h AS (SELECT gap, count(*)::BIGINT AS cnt FROM gp GROUP BY gap),
+t AS (SELECT sum(cnt)::BIGINT AS n,
+             sum(gap * cnt)::BIGINT AS tot
+      FROM h),
+w AS (
+  SELECT gap, cnt,
+         sum(cnt) OVER (ORDER BY gap) AS cum
+  FROM h),
+k AS (
+  SELECT max(greatest(
+           abs((1.0 - exp(-(gap::DOUBLE
+                            / (t.tot::DOUBLE / t.n::DOUBLE))))
+               - cum::DOUBLE / t.n::DOUBLE),
+           abs((1.0 - exp(-(gap::DOUBLE
+                            / (t.tot::DOUBLE / t.n::DOUBLE))))
+               - (cum - cnt)::DOUBLE / t.n::DOUBLE))) AS d
+  FROM w, t)
+SELECT (SELECT n FROM t) AS n_gaps,
+       round((SELECT tot::DOUBLE / n::DOUBLE FROM t), 6)
+         AS mean_gap_s,
+       round(d, 6) AS ks_d
+FROM k
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -14924,6 +15126,8 @@ QUERIES = {
     "conformal": q_conformal,
     "power_analysis": q_power_analysis,
     "markov_attribution": q_markov_attribution,
+    "sequential_test": q_sequential_test,
+    "interarrival_fit": q_interarrival_fit,
 }
 
 ORACLE_SQL = {
@@ -15210,4 +15414,6 @@ ORACLE_SQL = {
     "conformal": SQL_CONFORMAL,
     "power_analysis": SQL_POWER_ANALYSIS,
     "markov_attribution": SQL_MARKOV_ATTRIBUTION,
+    "sequential_test": SQL_SEQUENTIAL_TEST,
+    "interarrival_fit": SQL_INTERARRIVAL_FIT,
 }

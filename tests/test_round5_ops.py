@@ -2802,3 +2802,66 @@ def test_markov_attribution_hand_chain(ray_session, tmp_path):
     assert abs(float(got.loc["signup", "removal_effect"])) < 1e-6
     # full-chain conversion: 20 of 30 journeys convert
     assert abs(float(got["p_conv_full"].iloc[0]) - 20 / 30) < 1e-6
+
+
+def test_sequential_test_flat_vs_injected_effect(ray_session,
+                                                 tmp_path):
+    """A/A data never crosses the OBF boundary at any look; a huge
+    late-onset effect triggers a rejection at the looks that include
+    it, never before."""
+    from crawler_service_ray.pipelines.queries import q_sequential_test
+
+    rows, eid = [], 0
+    base = 20000
+    for d in range(10):
+        for i in range(400):
+            arm = eid % 2
+            # flat 10% in both arms, but arm1 jumps to 60% on the
+            # last 4 days (looks 4-5)
+            r = (i * 2654435761 % 100)
+            rate = 60 if (arm == 1 and d >= 6) else 10
+            typ = "purchase" if r < rate else "view"
+            rows.append((eid,
+                         np.datetime64((base + d) * 86_400_000_000,
+                                       "us"), typ))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "event_type"])
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_sequential_test(str(tmp_path))
+    assert got["look"].tolist() == [1, 2, 3, 4, 5]
+    assert int(got["reject"].iloc[0]) == 0    # no effect yet at look 1
+    assert int(got["reject"].iloc[4]) == 1    # detected by the end
+    assert got["n_cum"].is_monotonic_increasing
+
+
+def test_interarrival_fit_exact_exponential_grid(ray_session,
+                                                 tmp_path):
+    """Gaps drawn from a geometric (discrete exponential) grid give a
+    small KS D; a constant-gap (deterministic) stream gives a large
+    one — the statistic separates Poisson-like from clocked traffic."""
+    from crawler_service_ray.pipelines.queries import q_interarrival_fit
+
+    rng = np.random.default_rng(12)
+
+    def build(gaps, path):
+        rows, t, eid = [], 1_700_000_000_000_000, 0
+        for u, gs in enumerate(gaps):
+            t_u = t
+            for g in gs:
+                t_u += int(g) * 1_000_000
+                rows.append((u, np.datetime64(t_u, "us"), eid))
+                eid += 1
+        df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+        df.to_parquet(path / "events.parquet")
+
+    import pathlib
+    p1 = pathlib.Path(tmp_path) / "exp"; p1.mkdir()
+    p2 = pathlib.Path(tmp_path) / "det"; p2.mkdir()
+    build([1 + rng.geometric(1 / 60, 50) for _ in range(40)], p1)
+    build([np.full(50, 60) for _ in range(40)], p2)
+    d_exp = float(q_interarrival_fit(str(p1))["ks_d"][0])
+    d_det = float(q_interarrival_fit(str(p2))["ks_d"][0])
+    assert d_exp < 0.1
+    assert d_det > 0.3
+    got = q_interarrival_fit(str(p1))
+    assert int(got["n_gaps"][0]) == 40 * 49
