@@ -261,6 +261,8 @@ BENCH_QUERIES = [
     "markov_attribution",
     "sequential_test",
     "interarrival_fit",
+    "token_budget_pack",
+    "coreset_kcenter",
 ]
 
 

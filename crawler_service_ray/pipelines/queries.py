@@ -14830,6 +14830,185 @@ FROM k
 """
 
 
+def q_token_budget_pack(sf_dir: str):
+    """Budget-constrained corpus selection — 'the best documents that
+    fit in a 50k-token budget', the knapsack-greedy step of a
+    data-mixture build (quality-per-token density order, the
+    fractional-knapsack optimum restricted to whole docs). Density
+    r = quality/tokens micro-rounds to int64 so the order
+    (r DESC, doc_id) is exact on both engines. Distributed selection
+    WITHOUT a global sort: pass 1 folds a bounded density HISTOGRAM
+    (distinct micro-densities, value-range bounded) with token/quality
+    sums per density; the driver walks it to the crossing density r*;
+    pass 2 touches ONLY the r* tie band (streamed filter, tiny) to
+    resolve the doc_id-ordered prefix. The oracle replays with a plain
+    window cumsum; outputs are exact-int aggregates; 6 dp."""
+    B = 50_000
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      bytes_per_block=_DOC_BPB)
+
+    def density(df: pd.DataFrame) -> pd.DataFrame:
+        q = text.quality_features(df)
+        qm = np.round(q["quality_score"].to_numpy(dtype="float64")
+                      * 1e6).astype("int64")
+        tok = q["n_words"].to_numpy().astype("int64")
+        tok = np.maximum(tok, 1)
+        r = np.round(qm.astype("float64") * 1e3
+                     / tok.astype("float64")).astype("int64")
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "r": r, "tok": tok, "qm": qm})
+
+    dd = docs.map_batches(density, batch_format="pandas") \
+        .materialize()
+    hist = (grouped_agg(dd, ["r"], {"tok": ("tok", "sum"),
+                                    "qm": ("qm", "sum"),
+                                    "n": ("tok", "count")})
+            .to_pandas().sort_values("r", ascending=False)
+            .reset_index(drop=True))
+    cum = 0
+    n_sel = 0
+    q_sel = 0
+    r_star = None
+    for _, row in hist.iterrows():
+        if cum + int(row["tok"]) <= B:
+            cum += int(row["tok"])
+            n_sel += int(row["n"])
+            q_sel += int(row["qm"])
+        else:
+            r_star = int(row["r"])
+            break
+    if r_star is not None:
+        band = dd.map_batches(
+            lambda d, rs=r_star: d[d["r"] == rs],
+            batch_format="pandas").to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        for _, row in band.iterrows():
+            if cum + int(row["tok"]) <= B:
+                cum += int(row["tok"])
+                n_sel += 1
+                q_sel += int(row["qm"])
+            else:
+                break
+    return pd.DataFrame({
+        "budget": np.array([B], dtype="int64"),
+        "n_selected": np.array([n_sel], dtype="int64"),
+        "tokens_used": np.array([cum], dtype="int64"),
+        "mean_quality": np.array(
+            [round(q_sel / 1e6 / n_sel, 6)], dtype="float64")})
+
+
+SQL_TOKEN_BUDGET_PACK = f"""
+WITH d AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(text, '\\S+')), 1) AS tok,
+         CAST(round((least(len(regexp_extract_all(text, '\\S+'))
+                           / 100.0, 1.0) * 0.4
+           + least(greatest(1 - (len(regexp_extract_all(text,
+               '[^0-9A-Za-z_\\t\\n\\f\\r ]'))
+               / greatest(length(text), 1)) * 5, 0), 1) * 0.3
+           + least((len(list_filter(string_split(lower(text), ' '),
+               w -> w IN ({_SQL_STOPWORDS})))
+               / greatest(len(regexp_extract_all(text, '\\S+')), 1))
+               * 4, 1) * 0.3) * 1e6) AS BIGINT) AS qm
+  FROM documents),
+r AS (SELECT doc_id, tok, qm,
+             CAST(round(qm::DOUBLE * 1e3 / tok::DOUBLE) AS BIGINT)
+               AS r
+      FROM d),
+w AS (SELECT doc_id, tok, qm,
+             sum(tok) OVER (ORDER BY r DESC, doc_id) AS cum
+      FROM r),
+s AS (SELECT * FROM w WHERE cum <= 50000)
+SELECT 50000::BIGINT AS budget,
+       count(*)::BIGINT AS n_selected,
+       CAST(coalesce(max(cum), 0) AS BIGINT) AS tokens_used,
+       round(sum(qm)::DOUBLE / 1e6 / count(*), 6) AS mean_quality
+FROM s
+"""
+
+
+def q_coreset_kcenter(sf_dir: str):
+    """Greedy k-center coreset over the embedding corpus (Gonzalez
+    1985; the SVP-style 'most diverse k exemplars' selection used for
+    training-data subset curation) — 8 centers, seeded at vec_id 0,
+    each round adding the point FARTHEST (cosine distance) from the
+    current set, ties by id. Each round is ONE shuffle-free streaming
+    pass: centers broadcast (≤8 rows), per-batch vectorized min-dist +
+    local argmax, driver reduces ≤|blocks| candidates. The oracle
+    replays 7 generated rounds of least()-over-centers argmax with
+    DOUBLE[]-cast cosines; 6 dp; the classic 2-approximation makes the
+    selected radius an upper bound certificate."""
+    K = 8
+    ds = read_table(sf_dir, "embeddings", bytes_per_block=_DOC_BPB,
+                    columns=["vec_id", "embedding"])
+    qt, _ = _query_vectors(sf_dir, n=1)
+    centers = [(0, qt[0] / max(float(np.linalg.norm(qt[0])), 1e-12))]
+    out = [(1, 0, 0.0)]
+    for rk in range(2, K + 1):
+        C = np.stack([c[1] for c in centers])
+        cids = ray.put((C, np.array([c[0] for c in centers])))
+
+        def far(d: pd.DataFrame, ref=cids) -> pd.DataFrame:
+            Cm, ids_c = ray.get(ref)
+            E = np.stack(d["embedding"].to_numpy()).astype(np.float64)
+            E = E / np.maximum(
+                np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            dist = 1.0 - (E @ Cm.T)
+            md = dist.min(axis=1)
+            ids = d["vec_id"].to_numpy()
+            excl = np.isin(ids, ids_c)
+            md[excl] = -1.0
+            order = np.lexsort((ids, -md))
+            j = order[0]
+            return pd.DataFrame({
+                "vec_id": np.array([ids[j]], dtype="int64"),
+                "d": np.array([md[j]], dtype="float64"),
+                "emb": pd.Series([E[j]], dtype=object)})
+
+        cand = ds.map_batches(far, batch_format="pandas").to_pandas()
+        cand = cand.sort_values(["d", "vec_id"],
+                                ascending=[False, True],
+                                kind="mergesort").reset_index(drop=True)
+        best = cand.iloc[0]
+        centers.append((int(best["vec_id"]),
+                        np.asarray(best["emb"], dtype=np.float64)))
+        out.append((rk, int(best["vec_id"]), float(best["d"])))
+    return pd.DataFrame({
+        "rank": np.array([r for r, _, _ in out], dtype="int64"),
+        "vec_id": np.array([v for _, v, _ in out], dtype="int64"),
+        "dist": np.round(np.array([d for _, _, d in out]), 6)})
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    parts = ["""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+           FROM embeddings),
+s1 AS (SELECT 0::BIGINT AS vec_id, 1::BIGINT AS rk, 0.0 AS d)"""]
+    for t in range(2, k + 1):
+        prev_ids = ", ".join(f"(SELECT vec_id FROM s{i})"
+                             for i in range(1, t))
+        dist_terms = ", ".join(
+            f"1.0 - list_cosine_similarity(e.emb, "
+            f"(SELECT emb FROM e WHERE vec_id = "
+            f"(SELECT vec_id FROM s{i})))"
+            for i in range(1, t))
+        parts.append(f""",
+s{t} AS (
+  SELECT e.vec_id, {t}::BIGINT AS rk,
+         least({dist_terms}) AS d
+  FROM e WHERE e.vec_id NOT IN ({prev_ids})
+  ORDER BY d DESC, e.vec_id LIMIT 1)""")
+    un = "\nUNION ALL ".join(f"SELECT rk, vec_id, d FROM s{t}"
+                             for t in range(1, k + 1))
+    parts.append(f"""
+SELECT rk AS rank, vec_id, round(d, 6) AS dist
+FROM ({un}) ORDER BY rank""")
+    return "".join(parts)
+
+
+SQL_CORESET_KCENTER = _kcenter_sql(8)
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -15128,6 +15307,8 @@ QUERIES = {
     "markov_attribution": q_markov_attribution,
     "sequential_test": q_sequential_test,
     "interarrival_fit": q_interarrival_fit,
+    "token_budget_pack": q_token_budget_pack,
+    "coreset_kcenter": q_coreset_kcenter,
 }
 
 ORACLE_SQL = {
@@ -15416,4 +15597,6 @@ ORACLE_SQL = {
     "markov_attribution": SQL_MARKOV_ATTRIBUTION,
     "sequential_test": SQL_SEQUENTIAL_TEST,
     "interarrival_fit": SQL_INTERARRIVAL_FIT,
+    "token_budget_pack": SQL_TOKEN_BUDGET_PACK,
+    "coreset_kcenter": SQL_CORESET_KCENTER,
 }

@@ -2865,3 +2865,60 @@ def test_interarrival_fit_exact_exponential_grid(ray_session,
     assert d_det > 0.3
     got = q_interarrival_fit(str(p1))
     assert int(got["n_gaps"][0]) == 40 * 49
+
+
+def test_token_budget_pack_greedy_reference(ray_session):
+    """The selection replays an explicit sorted-greedy loop over the
+    whole corpus and respects the budget exactly."""
+    from crawler_service_ray.pipelines.queries import (
+        q_token_budget_pack)
+    from crawler_service_ray.functions import text as T
+
+    got = q_token_budget_pack("/root/testdata/sf0.001")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    q = T.quality_features(docs)
+    qm = np.round(q["quality_score"].to_numpy() * 1e6).astype("int64")
+    tok = np.maximum(q["n_words"].to_numpy().astype("int64"), 1)
+    r = np.round(qm.astype("float64") * 1e3 / tok).astype("int64")
+    d = pd.DataFrame({"doc_id": docs["doc_id"], "r": r, "tok": tok,
+                      "qm": qm}).sort_values(
+        ["r", "doc_id"], ascending=[False, True])
+    cum = n = qs = 0
+    for _, row in d.iterrows():
+        if cum + int(row["tok"]) > 50_000:
+            break
+        cum += int(row["tok"]); n += 1; qs += int(row["qm"])
+    assert int(got["tokens_used"][0]) == cum <= 50_000
+    assert int(got["n_selected"][0]) == n
+    assert abs(float(got["mean_quality"][0])
+               - round(qs / 1e6 / n, 6)) < 1e-9
+    # density order means selected mean quality beats corpus mean
+    assert float(got["mean_quality"][0]) \
+        >= float(np.mean(qm) / 1e6) - 0.05
+
+
+def test_coreset_kcenter_greedy_reference(ray_session):
+    """The 8 centers replay an explicit numpy farthest-point loop and
+    the selected radii are non-increasing (the Gonzalez invariant)."""
+    from crawler_service_ray.pipelines.queries import q_coreset_kcenter
+
+    got = q_coreset_kcenter("/root/testdata/sf0.001")
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    E = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True),
+                       1e-12)
+    ids = emb["vec_id"].to_numpy()
+    centers = [int(np.flatnonzero(ids == 0)[0])]
+    sel = [(1, 0, 0.0)]
+    for rk in range(2, 9):
+        dist = 1.0 - E @ E[centers].T
+        md = dist.min(axis=1)
+        md[centers] = -1.0
+        order = np.lexsort((ids, -md))
+        j = order[0]
+        centers.append(j)
+        sel.append((rk, int(ids[j]), float(md[j])))
+    assert got["vec_id"].tolist() == [v for _, v, _ in sel]
+    radii = got["dist"].to_numpy()[1:]
+    assert (np.diff(radii) <= 1e-9).all()   # non-increasing
