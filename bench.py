@@ -263,6 +263,8 @@ BENCH_QUERIES = [
     "interarrival_fit",
     "token_budget_pack",
     "coreset_kcenter",
+    "bh_fdr",
+    "lognormal_fit",
 ]
 
 

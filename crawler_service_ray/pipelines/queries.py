@@ -15009,6 +15009,205 @@ FROM ({un}) ORDER BY rank""")
 SQL_CORESET_KCENTER = _kcenter_sql(8)
 
 
+# Shared normal-CDF approximation (Abramowitz & Stegun 7.1.26,
+# |err| < 7.5e-8): BOTH engines evaluate this literal polynomial, so
+# outputs are bit-identical regardless of the approximation error.
+_PHI_T = "(1.0 / (1.0 + 0.2316419 * x))"
+_PHI_EXPR = (
+    "(1.0 - exp(-(x * x) / 2.0) / 2.5066282746310002"
+    f" * ((((1.330274429 * {_PHI_T} - 1.821255978) * {_PHI_T}"
+    f" + 1.781477937) * {_PHI_T} - 0.356563782) * {_PHI_T}"
+    f" + 0.319381530) * {_PHI_T})")
+
+
+def _phi_upper(x: float) -> float:
+    """Python twin of `_PHI_EXPR` (x >= 0): P(Z <= x)."""
+    t = (1.0 / (1.0 + 0.2316419 * x))
+    return (1.0 - np.exp(-(x * x) / 2.0) / 2.5066282746310002
+            * ((((1.330274429 * t - 1.821255978) * t
+                 + 1.781477937) * t - 0.356563782) * t
+               + 0.319381530) * t)
+
+
+def q_bh_fdr(sf_dir: str):
+    """Benjamini–Hochberg FDR screening over the 25 per-brand
+    price-vs-rest Welch z-tests — the multiple-testing control a
+    screening pipeline needs (at α=0.05, ~1 of 25 raw tests false-
+    positives by chance; BH caps the expected false-discovery RATE).
+    Brand moments are exact int64 cents from one grouped pass; the
+    rest-of-corpus moments come from totals minus the group (no
+    second scan); two-sided p = 2·(1−Φ(|z|)) through the SHARED
+    Abramowitz–Stegun Φ polynomial (identical literal expression on
+    both engines — no erf needed); the BH step function runs on the
+    25-row table (rank by (p, brand), reject rank ≤ k* = max rank
+    with p ≤ rank·α/m); 6 dp."""
+    pa_ = read_table(sf_dir, "part",
+                     columns=["p_brand", "p_retailprice"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(d["p_retailprice"].to_numpy(dtype="float64")
+                    * 100).astype("int64")
+        return pd.DataFrame({"b": d["p_brand"].to_numpy(),
+                             "s": c, "ss": c * c,
+                             "one": np.ones(len(d), dtype="int64")})
+
+    a = (grouped_agg(pa_.map_batches(pre, batch_format="pandas"),
+                     ["b"], {"s": ("s", "sum"), "ss": ("ss", "sum"),
+                             "n": ("one", "sum")})
+         .to_pandas().sort_values("b").reset_index(drop=True))
+    S = float(a["s"].sum())
+    SS = float(a["ss"].sum())
+    N = float(a["n"].sum())
+    n = a["n"].to_numpy(dtype="float64")
+    s = a["s"].to_numpy(dtype="float64")
+    ss = a["ss"].to_numpy(dtype="float64")
+    nr = N - n
+    sr = S - s
+    ssr = SS - ss
+    mg = s / n
+    mr = sr / nr
+    vg = (ss - s * s / n) / (n - 1.0)
+    vr = (ssr - sr * sr / nr) / (nr - 1.0)
+    z = (mg - mr) / np.sqrt(vg / n + vr / nr)
+    az = np.abs(z)
+    p = 2.0 * (1.0 - np.array([_phi_upper(float(x)) for x in az]))
+    m = len(a)
+    df = pd.DataFrame({"b": a["b"], "n": a["n"].astype("int64"),
+                       "z": z, "p": p})
+    df = df.sort_values(["p", "b"], kind="mergesort") \
+        .reset_index(drop=True)
+    rank = np.arange(1, m + 1, dtype="float64")
+    ok = df["p"].to_numpy() <= rank * 0.05 / m
+    kstar = int(rank[ok].max()) if ok.any() else 0
+    df["rejected"] = (rank <= kstar).astype("int64")
+    df = df.sort_values("b").reset_index(drop=True)
+    return pd.DataFrame({
+        "brand": df["b"].astype(object),
+        "n": df["n"],
+        "z": np.round(df["z"].to_numpy(dtype="float64"), 6),
+        "p": np.round(df["p"].to_numpy(dtype="float64"), 6),
+        "rejected": df["rejected"]})
+
+
+SQL_BH_FDR = f"""
+WITH g AS (
+  SELECT p_brand AS b, count(*)::BIGINT AS n,
+         sum(CAST(round(p_retailprice * 100) AS BIGINT))::BIGINT
+           AS s,
+         sum(CAST(round(p_retailprice * 100) AS BIGINT)
+             * CAST(round(p_retailprice * 100) AS BIGINT))::BIGINT
+           AS ss
+  FROM part GROUP BY 1),
+t AS (SELECT sum(n)::DOUBLE AS nt, sum(s)::DOUBLE AS st,
+             sum(ss)::DOUBLE AS sst, count(*)::BIGINT AS m FROM g),
+zt AS (
+  SELECT b, g.n,
+         (s::DOUBLE / g.n::DOUBLE
+          - (t.st - s) / (t.nt - g.n))
+         / sqrt(((ss - s::DOUBLE * s::DOUBLE / g.n::DOUBLE)
+                 / (g.n - 1.0)) / g.n::DOUBLE
+                + (((t.sst - ss)
+                    - (t.st - s) * (t.st - s) / (t.nt - g.n))
+                   / ((t.nt - g.n) - 1.0)) / (t.nt - g.n)) AS z
+  FROM g, t),
+pt AS (
+  SELECT b, n, z, abs(z) AS x,
+         2.0 * (1.0 - {_PHI_EXPR}) AS p
+  FROM zt),
+rk AS (SELECT b, n, z, p,
+              row_number() OVER (ORDER BY p, b) AS r
+       FROM pt),
+ks AS (SELECT coalesce(max(CASE WHEN p <= r * 0.05
+                                     / (SELECT m FROM t)
+                                THEN r END), 0) AS kstar
+       FROM rk)
+SELECT b AS brand, n, round(z, 6) AS z, round(p, 6) AS p,
+       (r <= (SELECT kstar FROM ks))::BIGINT AS rejected
+FROM rk ORDER BY brand
+"""
+
+
+def q_lognormal_fit(sf_dir: str):
+    """Lognormal fit of the document-length distribution with a
+    decile Q-Q table — the corpus-stats readout (web doc lengths are
+    canonically lognormal-ish; a decile that breaks away flags
+    truncation or boilerplate). ln(n_chars) milli-rounds to int64 so
+    μ̂/σ̂ come from exact integer moment sums (milli units keep Σl²
+    inside int64 at 10^9 docs); empirical deciles are exact order
+    statistics from the bounded ln-length histogram; fitted deciles
+    are μ̂ + σ̂·z_q with the nine Φ⁻¹ constants as shared literals;
+    6 dp."""
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "n_chars"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        ln = np.round(np.log(
+            np.maximum(d["n_chars"].to_numpy(dtype="float64"), 1.0))
+            * 1e3).astype("int64")
+        return pd.DataFrame({"l": ln,
+                             "one": np.ones(len(d), dtype="int64")})
+
+    h = (grouped_agg(docs.map_batches(pre, batch_format="pandas"),
+                     ["l"], {"cnt": ("one", "sum")})
+         .to_pandas().sort_values("l").reset_index(drop=True))
+    lv = h["l"].to_numpy(dtype="int64")
+    c = h["cnt"].to_numpy(dtype="int64")
+    n = int(c.sum())
+    S = int((lv * c).sum())
+    SS = int((lv * lv * c).sum())
+    mu = S / n / 1e3
+    sd = np.sqrt((SS - float(S) * float(S) / n) / (n - 1.0)) / 1e3
+    cum = np.cumsum(c)
+    zq = {1: -1.2815515655, 2: -0.8416212336, 3: -0.5244005127,
+          4: -0.2533471031, 5: 0.0, 6: 0.2533471031,
+          7: 0.5244005127, 8: 0.8416212336, 9: 1.2815515655}
+    rows = []
+    for k in range(1, 10):
+        r = int(np.ceil(k * n / 10.0))
+        emp = lv[np.searchsorted(cum, r)] / 1e3
+        fit = mu + sd * zq[k]
+        rows.append((k, emp, fit, emp - fit))
+    return pd.DataFrame({
+        "decile": np.array([r[0] for r in rows], dtype="int64"),
+        "emp_ln": np.round(np.array([r[1] for r in rows]), 6),
+        "fit_ln": np.round(np.array([r[2] for r in rows]), 6),
+        "gap": np.round(np.array([r[3] for r in rows]), 6)})
+
+
+SQL_LOGNORMAL_FIT = """
+WITH d AS (
+  SELECT CAST(round(ln(greatest(n_chars, 1)) * 1e3) AS BIGINT) AS l
+  FROM documents),
+h AS (SELECT l, count(*)::BIGINT AS cnt FROM d GROUP BY l),
+t AS (SELECT sum(cnt)::BIGINT AS n,
+             sum(l * cnt)::BIGINT AS S,
+             sum(l * l * cnt)::BIGINT AS SS
+      FROM h),
+mo AS (SELECT n, S::DOUBLE / n::DOUBLE / 1e3 AS mu,
+              sqrt((SS - S::DOUBLE * S::DOUBLE / n::DOUBLE)
+                   / (n - 1.0)) / 1e3 AS sd
+       FROM t),
+w AS (SELECT l, sum(cnt) OVER (ORDER BY l) AS cum FROM h),
+zq AS (SELECT * FROM (VALUES
+        (1, -1.2815515655), (2, -0.8416212336), (3, -0.5244005127),
+        (4, -0.2533471031), (5, 0.0), (6, 0.2533471031),
+        (7, 0.5244005127), (8, 0.8416212336), (9, 1.2815515655))
+       v(k, z)),
+emp AS (
+  SELECT zq.k,
+         (SELECT min(w.l) FROM w, mo
+          WHERE w.cum >= CAST(ceil(zq.k * mo.n / 10.0) AS BIGINT))
+           / 1e3 AS e
+  FROM zq)
+SELECT emp.k AS decile,
+       round(emp.e, 6) AS emp_ln,
+       round(mo.mu + mo.sd * zq.z, 6) AS fit_ln,
+       round(emp.e - (mo.mu + mo.sd * zq.z), 6) AS gap
+FROM emp JOIN zq ON emp.k = zq.k, mo
+ORDER BY decile
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -15309,6 +15508,8 @@ QUERIES = {
     "interarrival_fit": q_interarrival_fit,
     "token_budget_pack": q_token_budget_pack,
     "coreset_kcenter": q_coreset_kcenter,
+    "bh_fdr": q_bh_fdr,
+    "lognormal_fit": q_lognormal_fit,
 }
 
 ORACLE_SQL = {
@@ -15599,4 +15800,6 @@ ORACLE_SQL = {
     "interarrival_fit": SQL_INTERARRIVAL_FIT,
     "token_budget_pack": SQL_TOKEN_BUDGET_PACK,
     "coreset_kcenter": SQL_CORESET_KCENTER,
+    "bh_fdr": SQL_BH_FDR,
+    "lognormal_fit": SQL_LOGNORMAL_FIT,
 }

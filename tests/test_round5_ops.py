@@ -2922,3 +2922,58 @@ def test_coreset_kcenter_greedy_reference(ray_session):
     assert got["vec_id"].tolist() == [v for _, v, _ in sel]
     radii = got["dist"].to_numpy()[1:]
     assert (np.diff(radii) <= 1e-9).all()   # non-increasing
+
+
+def test_phi_polynomial_accuracy():
+    """The shared A&S normal-CDF polynomial is within 1e-7 of the
+    exact CDF (checked against math.erf)."""
+    import math
+    from crawler_service_ray.pipelines.queries import _phi_upper
+
+    for x in (0.0, 0.5, 1.0, 1.645, 1.96, 2.576, 3.5, 5.0):
+        exact = 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+        assert abs(_phi_upper(x) - exact) < 1e-7
+
+
+def test_bh_fdr_procedure(ray_session, tmp_path):
+    """One planted outlier brand among flat brands: exactly that
+    brand is rejected; under the global null nothing usually is (BH
+    controls FDR)."""
+    from crawler_service_ray.pipelines.queries import q_bh_fdr
+
+    rng = np.random.default_rng(77)
+    rows = []
+    # 25 brands: the planted +15 is large for its own test but its
+    # dilution of everyone else's "rest" mean (15/25 = 0.6) stays
+    # well under their noise floor
+    for b in range(25):
+        mu = 100.0 + (15.0 if b == 3 else 0.0)
+        for i in range(200):
+            rows.append((f"B{b:02d}",
+                         round(float(rng.normal(mu, 10)), 2)))
+    pd.DataFrame(rows, columns=["p_brand", "p_retailprice"]) \
+        .to_parquet(tmp_path / "part.parquet")
+    got = q_bh_fdr(str(tmp_path)).set_index("brand")
+    assert int(got.loc["B03", "rejected"]) == 1
+    others = got.drop(index="B03")
+    assert int(others["rejected"].sum()) == 0
+    assert float(got.loc["B03", "p"]) < 1e-6
+
+
+def test_lognormal_fit_recovers_parameters(ray_session, tmp_path):
+    """Lengths drawn exp(N(mu, sd)) give decile gaps near zero; a
+    bimodal corpus shows a large tail gap."""
+    from crawler_service_ray.pipelines.queries import q_lognormal_fit
+
+    rng = np.random.default_rng(21)
+    ln = rng.normal(6.0, 0.8, 5000)
+    df = pd.DataFrame({"doc_id": np.arange(5000),
+                       "n_chars": np.maximum(
+                           np.exp(ln).astype("int64"), 1)})
+    df.to_parquet(tmp_path / "documents.parquet")
+    got = q_lognormal_fit(str(tmp_path))
+    assert len(got) == 9
+    assert float(np.abs(got["gap"].to_numpy()).max()) < 0.12
+    # middle decile ~ mu
+    assert abs(float(got.loc[got["decile"] == 5, "emp_ln"].iloc[0])
+               - 6.0) < 0.1
