@@ -265,6 +265,8 @@ BENCH_QUERIES = [
     "coreset_kcenter",
     "bh_fdr",
     "lognormal_fit",
+    "capture_recapture",
+    "chao1",
 ]
 
 

@@ -15208,6 +15208,164 @@ ORDER BY decile
 """
 
 
+def q_capture_recapture(sf_dir: str):
+    """Chapman capture–recapture estimate of the active-user
+    population from two day-range 'captures' — the estimate-the-
+    unseen primitive a crawler uses to size an unexplored frontier
+    from overlap between two crawl passes. Sample 1 = users seen in
+    the first half of the day range, sample 2 = second half; ONE
+    user-hash exchange folds per-user (in1, in2) flags to four exact
+    int64 counts; N̂ = (n1+1)(n2+1)/(m+1) − 1 with the closed-form
+    variance CI, and — uniquely checkable in this sandbox — the TRUE
+    distinct-user count rides along so the estimator's relative error
+    is part of the output; 6 dp."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    b = (grouped_agg(ev.map_batches(
+        lambda d: pd.DataFrame({
+            "k": np.zeros(len(d), dtype="int64"),
+            "day": d["ts"].to_numpy("datetime64[us]").astype("int64")
+                   // 86_400_000_000}),
+        batch_format="pandas"),
+        ["k"], {"lo": ("day", "min"), "hi": ("day", "max")})
+        .to_pandas())
+    mid = int((int(b["lo"].iloc[0]) + int(b["hi"].iloc[0]) + 1) // 2)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ("n1", "n2", "m", "tot")})
+        day = (g["ts"].to_numpy("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        d = pd.DataFrame({"u": g["user_id"].to_numpy(),
+                          "a": (day < mid).astype("int64"),
+                          "b": (day >= mid).astype("int64")})
+        u = d.groupby("u", sort=False).agg(a=("a", "max"),
+                                           b=("b", "max"))
+        return pd.DataFrame({
+            "n1": np.array([int(u["a"].sum())], dtype="int64"),
+            "n2": np.array([int(u["b"].sum())], dtype="int64"),
+            "m": np.array([int((u["a"] & u["b"]).sum())],
+                          dtype="int64"),
+            "tot": np.array([len(u)], dtype="int64")})
+
+    p = grouped_apply(ev, ["user_id"], per_part,
+                      num_partitions=32).to_pandas()
+    n1 = float(p["n1"].sum())
+    n2 = float(p["n2"].sum())
+    m = float(p["m"].sum())
+    tot = int(p["tot"].sum())
+    nhat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    var = ((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+           / ((m + 1.0) * (m + 1.0) * (m + 2.0)))
+    half = 1.96 * np.sqrt(var)
+    return pd.DataFrame({
+        "n1": np.array([int(n1)], dtype="int64"),
+        "n2": np.array([int(n2)], dtype="int64"),
+        "overlap": np.array([int(m)], dtype="int64"),
+        "true_n": np.array([tot], dtype="int64"),
+        "n_hat": np.array([round(nhat, 6)], dtype="float64"),
+        "ci_lo": np.array([round(nhat - half, 6)], dtype="float64"),
+        "ci_hi": np.array([round(nhat + half, 6)], dtype="float64"),
+        "rel_err": np.array([round(nhat / tot - 1.0, 6)],
+                            dtype="float64")})
+
+
+SQL_CAPTURE_RECAPTURE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+u AS (
+  SELECT user_id,
+         max((day < (SELECT mid FROM b))::INT)::BIGINT AS a,
+         max((day >= (SELECT mid FROM b))::INT)::BIGINT AS bb
+  FROM e GROUP BY 1),
+c AS (SELECT sum(a)::DOUBLE AS n1, sum(bb)::DOUBLE AS n2,
+             sum(a * bb)::DOUBLE AS m, count(*)::BIGINT AS tot
+      FROM u),
+f AS (
+  SELECT n1, n2, m, tot,
+         (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0 AS nhat,
+         1.96 * sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+                     / ((m + 1.0) * (m + 1.0) * (m + 2.0))) AS half
+  FROM c)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(m AS BIGINT) AS overlap, tot AS true_n,
+       round(nhat, 6) AS n_hat,
+       round(nhat - half, 6) AS ci_lo,
+       round(nhat + half, 6) AS ci_hi,
+       round(nhat / tot - 1.0, 6) AS rel_err
+FROM f
+"""
+
+
+def q_chao1(sf_dir: str):
+    """Chao1 estimate of the TOTAL vocabulary including unseen words
+    (Chao 1984) + Good–Turing sample coverage — 'how much more corpus
+    until new words stop appearing', the diminishing-returns readout
+    a data-collection plan rests on. The word-count exchange is the
+    shared `vocab` wordcount (single-space split, empties dropped);
+    a second tiny grouped pass folds counts-of-counts (bounded by
+    distinct frequency VALUES); Chao1's bias-corrected form
+    V + F1(F1−1)/(2(F2+1)) and coverage 1−F1/N are scalar expressions
+    over exact int64; 6 dp."""
+    from ..functions.relational import grouped_agg as _ga
+
+    docs = read_table(sf_dir, "documents", columns=["text"],
+                      bytes_per_block=_DOC_BPB)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.split(" ").explode()
+        toks = toks[(toks != "") & toks.notna()]
+        vc = toks.value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(),
+                             "c": vc.to_numpy().astype("int64")})
+
+    wc = _ga(docs.map_batches(partial, batch_format="pandas"),
+             ["word"], {"c": ("c", "sum")}, merge_partitions=8)
+    ff = (_ga(wc.map_batches(
+        lambda d: pd.DataFrame({"cnt": d["c"].astype("int64"),
+                                "one": np.ones(len(d),
+                                               dtype="int64")}),
+        batch_format="pandas"),
+        ["cnt"], {"f": ("one", "sum")}).to_pandas())
+    v = int(ff["f"].sum())
+    f1 = int(ff.loc[ff["cnt"] == 1, "f"].sum())
+    f2 = int(ff.loc[ff["cnt"] == 2, "f"].sum())
+    ntok = int((ff["cnt"] * ff["f"]).sum())
+    chao = v + float(f1) * (f1 - 1.0) / (2.0 * (f2 + 1.0))
+    cov = 1.0 - float(f1) / float(ntok)
+    return pd.DataFrame({
+        "vocab": np.array([v], dtype="int64"),
+        "f1": np.array([f1], dtype="int64"),
+        "f2": np.array([f2], dtype="int64"),
+        "n_tokens": np.array([ntok], dtype="int64"),
+        "chao1": np.array([round(chao, 6)], dtype="float64"),
+        "coverage": np.array([round(cov, 6)], dtype="float64")})
+
+
+SQL_CHAO1 = """
+WITH w AS (
+  SELECT word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word),
+ff AS (SELECT cnt, count(*)::BIGINT AS f FROM w GROUP BY cnt),
+t AS (SELECT (SELECT sum(f) FROM ff)::BIGINT AS v,
+             (SELECT coalesce(sum(f), 0) FROM ff
+              WHERE cnt = 1)::BIGINT AS f1,
+             (SELECT coalesce(sum(f), 0) FROM ff
+              WHERE cnt = 2)::BIGINT AS f2,
+             (SELECT sum(cnt * f) FROM ff)::BIGINT AS n)
+SELECT v AS vocab, f1, f2, n AS n_tokens,
+       round(v + f1::DOUBLE * (f1 - 1.0) / (2.0 * (f2 + 1.0)), 6)
+         AS chao1,
+       round(1.0 - f1::DOUBLE / n::DOUBLE, 6) AS coverage
+FROM t
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -15510,6 +15668,8 @@ QUERIES = {
     "coreset_kcenter": q_coreset_kcenter,
     "bh_fdr": q_bh_fdr,
     "lognormal_fit": q_lognormal_fit,
+    "capture_recapture": q_capture_recapture,
+    "chao1": q_chao1,
 }
 
 ORACLE_SQL = {
@@ -15802,4 +15962,6 @@ ORACLE_SQL = {
     "coreset_kcenter": SQL_CORESET_KCENTER,
     "bh_fdr": SQL_BH_FDR,
     "lognormal_fit": SQL_LOGNORMAL_FIT,
+    "capture_recapture": SQL_CAPTURE_RECAPTURE,
+    "chao1": SQL_CHAO1,
 }

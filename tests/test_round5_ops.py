@@ -2977,3 +2977,57 @@ def test_lognormal_fit_recovers_parameters(ray_session, tmp_path):
     # middle decile ~ mu
     assert abs(float(got.loc[got["decile"] == 5, "emp_ln"].iloc[0])
                - 6.0) < 0.1
+
+
+def test_capture_recapture_unbiased_on_uniform(ray_session,
+                                               tmp_path):
+    """A known population with independent uniform capture halves:
+    the Chapman estimate lands near truth, inside its own CI."""
+    from crawler_service_ray.pipelines.queries import (
+        q_capture_recapture)
+
+    rng = np.random.default_rng(14)
+    rows, eid = [], 0
+    base = 20000
+    for u in range(1000):                # true population = captured
+        seen = False
+        if rng.random() < 0.5:           # half captured early
+            rows.append((u, np.datetime64(
+                (base + int(rng.integers(0, 5)))
+                * 86_400_000_000, "us"))); seen = True
+        if rng.random() < 0.5:           # half captured late
+            rows.append((u, np.datetime64(
+                (base + 5 + int(rng.integers(0, 5)))
+                * 86_400_000_000, "us"))); seen = True
+        if not seen:                     # unseen by both: invisible
+            pass
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_capture_recapture(str(tmp_path))
+    nhat = float(got["n_hat"][0])
+    assert 850 <= nhat <= 1150           # near the true 1000
+    assert float(got["ci_lo"][0]) <= nhat <= float(got["ci_hi"][0])
+    # the observed distinct count misses the never-captured quarter
+    assert int(got["true_n"][0]) < 1000
+
+
+def test_chao1_mass_balance_and_singleton_logic(ray_session,
+                                                tmp_path):
+    """On a constructed corpus with known frequency-of-frequency
+    profile, F1/F2/vocab/chao1 are exact."""
+    from crawler_service_ray.pipelines.queries import q_chao1
+
+    # 10 words once, 4 words twice, 2 words five times
+    words = [f"s{i}" for i in range(10)] \
+        + [w for i in range(4) for w in [f"d{i}"] * 2] \
+        + [w for i in range(2) for w in [f"p{i}"] * 5]
+    docs = pd.DataFrame({"text": [" ".join(words)]})
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = q_chao1(str(tmp_path))
+    assert int(got["vocab"][0]) == 16
+    assert int(got["f1"][0]) == 10
+    assert int(got["f2"][0]) == 4
+    assert int(got["n_tokens"][0]) == 10 + 8 + 10
+    chao_ref = 16 + 10 * 9 / (2 * 5)
+    assert abs(float(got["chao1"][0]) - chao_ref) < 1e-9
+    assert abs(float(got["coverage"][0]) - (1 - 10 / 28)) < 1e-6
