@@ -267,6 +267,8 @@ BENCH_QUERIES = [
     "lognormal_fit",
     "capture_recapture",
     "chao1",
+    "diameter_sweep",
+    "spc_chart",
 ]
 
 

@@ -15366,6 +15366,166 @@ FROM t
 """
 
 
+def q_diameter_sweep(sf_dir: str):
+    """Double-sweep diameter lower bound of the thinned co-purchase
+    graph (the components_hist graph): BFS from the smallest edge
+    endpoint, hop to the farthest node (ties → min id), BFS again —
+    the classic 2-sweep eccentricity bound that costs exactly two BFS
+    runs instead of n (`functions/graph.py:bfs_depths` — edges pinned
+    once, frontier broadcast per round, zero edge shuffles at this
+    size). Per-block argmax partials fold the farthest node without
+    collecting the depth table. The oracle replays both sweeps as
+    recursive-CTE level walks with min-depth outer folds; exact
+    integers end-to-end."""
+    from ..functions.graph import bfs_depths
+    from ..functions.relational import grouped_agg as _ga
+    import ray.data as rd
+
+    nparts = 16
+    edges = _copurchase_edges(sf_dir, nparts)
+    sparse = edges.map_batches(
+        lambda d: d.loc[(d["u"].to_numpy(dtype="int64") * 31
+                         + d["v"].to_numpy(dtype="int64")) % 7 == 0],
+        batch_format="pandas").materialize()
+    bidir = sparse.map_batches(
+        lambda d: pd.DataFrame({
+            "src": np.concatenate([d["u"].to_numpy("int64"),
+                                   d["v"].to_numpy("int64")]),
+            "dst": np.concatenate([d["v"].to_numpy("int64"),
+                                   d["u"].to_numpy("int64")])}),
+        batch_format="pandas").materialize()
+    start = int(_ga(bidir.map_batches(
+        lambda d: pd.DataFrame({"k": np.zeros(len(d), dtype="int64"),
+                                "m": d["src"]}),
+        batch_format="pandas"), ["k"], {"m": ("m", "min")})
+        .to_pandas()["m"].iloc[0])
+
+    def farthest(depths: rd.Dataset) -> tuple:
+        def part(d: pd.DataFrame) -> pd.DataFrame:
+            if len(d) == 0:
+                return pd.DataFrame({
+                    "d": pd.Series(dtype="int64"),
+                    "node": pd.Series(dtype="int64")})
+            dm = int(d["depth"].max())
+            sel = d[d["depth"] == dm]
+            return pd.DataFrame({
+                "d": np.array([dm], dtype="int64"),
+                "node": np.array([int(sel["node"].min())],
+                                 dtype="int64")})
+
+        p = depths.map_batches(part, batch_format="pandas") \
+            .to_pandas()
+        dm = int(p["d"].max())
+        return dm, int(p.loc[p["d"] == dm, "node"].min())
+
+    s1 = rd.from_pandas(pd.DataFrame({"node": [start]}))
+    _, u = farthest(bfs_depths(bidir, s1, max_depth=64,
+                               num_partitions=nparts))
+    s2 = rd.from_pandas(pd.DataFrame({"node": [u]}))
+    diam, v = farthest(bfs_depths(bidir, s2, max_depth=64,
+                                  num_partitions=nparts))
+    return pd.DataFrame({
+        "start": np.array([start], dtype="int64"),
+        "peripheral_u": np.array([u], dtype="int64"),
+        "peripheral_v": np.array([v], dtype="int64"),
+        "diameter_lb": np.array([diam], dtype="int64")})
+
+
+SQL_DIAMETER_SWEEP = """
+WITH RECURSIVE
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sp AS (SELECT u, v FROM e0 WHERE (u * 31 + v) % 7 = 0),
+ed AS (SELECT u AS src, v AS dst FROM sp
+       UNION ALL SELECT v, u FROM sp),
+st AS (SELECT min(src) AS s FROM ed),
+w1(id, d) AS (
+  SELECT s, 0 FROM st
+  UNION
+  SELECT ed.dst, w1.d + 1 FROM w1 JOIN ed ON w1.id = ed.src
+  WHERE w1.d < 64),
+d1 AS (SELECT id, min(d) AS d FROM w1 GROUP BY id),
+u1 AS (SELECT min(id) AS u FROM d1
+       WHERE d = (SELECT max(d) FROM d1)),
+w2(id, d) AS (
+  SELECT u, 0 FROM u1
+  UNION
+  SELECT ed.dst, w2.d + 1 FROM w2 JOIN ed ON w2.id = ed.src
+  WHERE w2.d < 64),
+d2 AS (SELECT id, min(d) AS d FROM w2 GROUP BY id)
+SELECT (SELECT s FROM st) AS start,
+       (SELECT u FROM u1) AS peripheral_u,
+       (SELECT min(id) FROM d2
+        WHERE d = (SELECT max(d) FROM d2)) AS peripheral_v,
+       (SELECT max(d) FROM d2) AS diameter_lb
+"""
+
+
+def q_spc_chart(sf_dir: str):
+    """Daily p-chart on the error-event rate — the SPC control chart
+    an ops dashboard runs over pipeline health: per-day defect
+    fraction against 3σ binomial limits around the grand rate
+    (UCL/LCL = p̄ ± 3·√(p̄(1−p̄)/n_d), clamped to [0,1]). One ≤|days|
+    grouped pass; all counts exact int64, the limits scalar
+    expressions over them; out-of-control days flagged; 6 dp."""
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": d["ts"].to_numpy("datetime64[us]").astype("int64")
+                   // 86_400_000_000,
+            "e": (d["event_type"].to_numpy() == "error")
+                 .astype("int64"),
+            "one": np.ones(len(d), dtype="int64")})
+
+    a = (grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                     ["day"], {"k": ("e", "sum"), "n": ("one", "sum")})
+         .to_pandas().sort_values("day").reset_index(drop=True))
+    K = float(a["k"].sum())
+    N = float(a["n"].sum())
+    pbar = K / N
+    n = a["n"].to_numpy(dtype="float64")
+    k = a["k"].to_numpy(dtype="float64")
+    p = k / n
+    half = 3.0 * np.sqrt(pbar * (1.0 - pbar) / n)
+    ucl = np.minimum(pbar + half, 1.0)
+    lcl = np.maximum(pbar - half, 0.0)
+    return pd.DataFrame({
+        "day": a["day"].astype("int64"),
+        "n": a["n"].astype("int64"),
+        "defects": a["k"].astype("int64"),
+        "rate": np.round(p, 6),
+        "ucl": np.round(ucl, 6),
+        "lcl": np.round(lcl, 6),
+        "out_of_control": ((p > ucl) | (p < lcl)).astype("int64")})
+
+
+SQL_SPC_CHART = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         (event_type = 'error')::INT AS er
+  FROM events),
+a AS (SELECT day, sum(er)::BIGINT AS k, count(*)::BIGINT AS n
+      FROM e GROUP BY day),
+t AS (SELECT sum(k)::DOUBLE / sum(n)::DOUBLE AS pbar FROM a),
+f AS (
+  SELECT day, n, k,
+         k::DOUBLE / n::DOUBLE AS p,
+         least(t.pbar + 3.0 * sqrt(t.pbar * (1.0 - t.pbar)
+                                   / n::DOUBLE), 1.0) AS ucl,
+         greatest(t.pbar - 3.0 * sqrt(t.pbar * (1.0 - t.pbar)
+                                      / n::DOUBLE), 0.0) AS lcl
+  FROM a, t)
+SELECT day, n, k AS defects,
+       round(p, 6) AS rate, round(ucl, 6) AS ucl,
+       round(lcl, 6) AS lcl,
+       (p > ucl OR p < lcl)::BIGINT AS out_of_control
+FROM f ORDER BY day
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -15670,6 +15830,8 @@ QUERIES = {
     "lognormal_fit": q_lognormal_fit,
     "capture_recapture": q_capture_recapture,
     "chao1": q_chao1,
+    "diameter_sweep": q_diameter_sweep,
+    "spc_chart": q_spc_chart,
 }
 
 ORACLE_SQL = {
@@ -15964,4 +16126,6 @@ ORACLE_SQL = {
     "lognormal_fit": SQL_LOGNORMAL_FIT,
     "capture_recapture": SQL_CAPTURE_RECAPTURE,
     "chao1": SQL_CHAO1,
+    "diameter_sweep": SQL_DIAMETER_SWEEP,
+    "spc_chart": SQL_SPC_CHART,
 }

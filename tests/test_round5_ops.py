@@ -3031,3 +3031,67 @@ def test_chao1_mass_balance_and_singleton_logic(ray_session,
     chao_ref = 16 + 10 * 9 / (2 * 5)
     assert abs(float(got["chao1"][0]) - chao_ref) < 1e-9
     assert abs(float(got["coverage"][0]) - (1 - 10 / 28)) < 1e-6
+
+
+def test_diameter_sweep_python_bfs_replay(ray_session):
+    """Both sweeps replay a python BFS on the identically-thinned
+    graph; the double-sweep bound dominates the first eccentricity."""
+    from collections import deque
+    from crawler_service_ray.pipelines.queries import q_diameter_sweep
+
+    got = q_diameter_sweep("/root/testdata/sf0.001")
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pairs = (li.merge(li, on="l_orderkey")
+             .query("l_partkey_x < l_partkey_y")
+             [["l_partkey_x", "l_partkey_y"]].drop_duplicates())
+    pairs = pairs[(pairs["l_partkey_x"] * 31
+                   + pairs["l_partkey_y"]) % 7 == 0]
+    adj = {}
+    for a, b in pairs.itertuples(index=False):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+
+    def bfs(s):
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            x = dq.popleft()
+            for y in adj.get(x, ()):
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    dq.append(y)
+        dm = max(dist.values())
+        far = min(k for k, v in dist.items() if v == dm)
+        return dm, far
+
+    start = min(adj)
+    assert int(got["start"][0]) == start
+    e1, u = bfs(start)
+    assert int(got["peripheral_u"][0]) == u
+    diam, v = bfs(u)
+    assert int(got["diameter_lb"][0]) == diam
+    assert int(got["peripheral_v"][0]) == v
+    assert diam >= e1
+
+
+def test_spc_chart_flags_planted_spike(ray_session, tmp_path):
+    """A planted 50%-error day is flagged out-of-control; quiet days
+    are not; limits bracket the grand mean."""
+    from crawler_service_ray.pipelines.queries import q_spc_chart
+
+    rows = []
+    base = 20000
+    for d in range(20):
+        for i in range(500):
+            bad = (i % 2 == 0) if d == 7 else (i % 50 == 0)
+            rows.append((np.datetime64((base + d) * 86_400_000_000,
+                                       "us"),
+                         "error" if bad else "view"))
+    pd.DataFrame(rows, columns=["ts", "event_type"]) \
+        .to_parquet(tmp_path / "events.parquet")
+    got = q_spc_chart(str(tmp_path)).set_index("day")
+    assert int(got.loc[base + 7, "out_of_control"]) == 1
+    quiet = got.drop(index=base + 7)
+    assert int(quiet["out_of_control"].sum()) == 0
+    assert (got["lcl"] <= got["ucl"]).all()
