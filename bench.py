@@ -269,6 +269,8 @@ BENCH_QUERIES = [
     "chao1",
     "diameter_sweep",
     "spc_chart",
+    "rbo",
+    "markov_entropy",
 ]
 
 

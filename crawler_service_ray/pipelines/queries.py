@@ -15526,6 +15526,163 @@ FROM f ORDER BY day
 """
 
 
+def q_rbo(sf_dir: str):
+    """Rank-biased overlap (Webber et al., TOIS 2010) between two
+    part rankings — price-descending vs the Knuth-hash shuffle order
+    — the top-weighted ranking-SIMILARITY metric that `kendall_tau`
+    (a correlation over the whole permutation) can't substitute:
+    RBO weights agreement at the top, exactly what retrieval A/Bs
+    compare. Truncated prefix form at depth 50, p=0.9 (documented
+    lower-bound flavor). Each ranking's global top-50 comes from
+    per-block local top-k + a driver merge (no sort shuffle); depth
+    overlaps are exact set intersections; both engines evaluate the
+    identical (1−p)·Σ p^(d−1)·ov_d/d; 6 dp."""
+    D = 50
+    pa_ = read_table(sf_dir, "part",
+                     columns=["p_partkey", "p_retailprice"])
+
+    def local_tops(d: pd.DataFrame) -> pd.DataFrame:
+        ids = d["p_partkey"].to_numpy("int64")
+        pr = np.rint(d["p_retailprice"].to_numpy(dtype="float64")
+                     * 100).astype("int64")
+        h = ((ids.astype(np.uint64) % np.uint64(4294967296))
+             * np.uint64(2654435761)) % np.uint64(4294967296)
+        a = pd.DataFrame({"id": ids, "pr": pr,
+                          "h": h.astype("int64")})
+        ta = a.sort_values(["pr", "id"],
+                           ascending=[False, True]).head(D)
+        tb = a.sort_values(["h", "id"]).head(D)
+        ta = ta.assign(kind=np.int64(0))
+        tb = tb.assign(kind=np.int64(1))
+        return pd.concat([ta, tb], ignore_index=True)
+
+    t = pa_.map_batches(local_tops, batch_format="pandas") \
+        .to_pandas()
+    a = (t[t["kind"] == 0].sort_values(["pr", "id"],
+                                       ascending=[False, True])
+         .head(D)["id"].to_numpy())
+    bl = (t[t["kind"] == 1].sort_values(["h", "id"]).head(D)["id"]
+          .to_numpy())
+    p = 0.9
+    micro = 0
+    sa: set = set()
+    sb: set = set()
+    for d in range(1, D + 1):
+        sa.add(int(a[d - 1]))
+        sb.add(int(bl[d - 1]))
+        ov = len(sa & sb)
+        # per-depth term micro-rounds to int so the 50-term fold is
+        # float-order-free on both engines
+        micro += int(round((1.0 - p) * p ** (d - 1) * ov / d * 1e9))
+    return pd.DataFrame({
+        "depth": np.array([D], dtype="int64"),
+        "rbo": np.array([round(micro / 1e9, 6)], dtype="float64"),
+        "overlap_at_depth": np.array([len(sa & sb)], dtype="int64")})
+
+
+SQL_RBO = """
+WITH r AS (
+  SELECT p_partkey AS id,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS pr,
+         ((p_partkey % 4294967296) * 2654435761) % 4294967296 AS h
+  FROM part),
+a AS (SELECT id, row_number() OVER (ORDER BY pr DESC, id) AS rn
+      FROM r QUALIFY rn <= 50),
+b AS (SELECT id, row_number() OVER (ORDER BY h, id) AS rn
+      FROM r QUALIFY rn <= 50),
+ds AS (SELECT CAST(k AS BIGINT) + 1 AS d FROM range(0, 50) t(k)),
+ov AS (
+  SELECT ds.d,
+         (SELECT count(*) FROM a JOIN b ON a.id = b.id
+          WHERE a.rn <= ds.d AND b.rn <= ds.d) AS o
+  FROM ds)
+SELECT 50::BIGINT AS depth,
+       round(sum(CAST(round((1.0 - 0.9) * pow(0.9, d - 1) * o / d
+                            * 1e9) AS BIGINT)) / 1e9, 6) AS rbo,
+       (SELECT o FROM ov WHERE d = 50)::BIGINT AS overlap_at_depth
+FROM ov
+"""
+
+
+def q_markov_entropy(sf_dir: str):
+    """Entropy rate of the event-type transition chain — 'how
+    predictable is the next user action', the information-theoretic
+    session readout (`type_entropy` measures the marginal mix, not
+    the DYNAMICS; a low rate with a rich marginal = habitual loops).
+    H = −Σ_i (n_i/N)·Σ_j p_ij·ln p_ij over the 5×5 chain with
+    empirical source weights; ONE user-hash exchange emits exact
+    int64 transition-count partials; every cell's term
+    −(n_ij/N)·ln(n_ij/n_i) micro-rounds to int64 before the
+    cross-cell sum, so the 25-term fold is float-order-free; 6 dp."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id",
+                             "event_type"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "a": pd.Series(dtype=object),
+                "b": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64")})
+        d = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = d["user_id"].to_numpy()
+        et = d["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        t = pd.DataFrame({"a": et[:-1][same], "b": et[1:][same],
+                          "one": np.ones(int(same.sum()),
+                                         dtype="int64")})
+        return (t.groupby(["a", "b"], as_index=False)
+                .agg(n=("one", "sum")))
+
+    c = (grouped_agg(
+        grouped_apply(ev, ["user_id"], per_part, num_partitions=32),
+        ["a", "b"], {"n": ("n", "sum")})
+        .to_pandas())
+    N = float(c["n"].sum())
+    ni = c.groupby("a")["n"].sum()
+    terms = []
+    for _, r in c.iterrows():
+        nij = float(r["n"])
+        na = float(ni[r["a"]])
+        t = -(nij / N) * np.log(nij / na)
+        terms.append(int(np.round(t * 1e9)))
+    h = sum(terms) / 1e9
+    return pd.DataFrame({
+        "n_transitions": np.array([int(N)], dtype="int64"),
+        "n_states": np.array([int(c["a"].nunique())], dtype="int64"),
+        "entropy_rate_nats": np.array([round(h, 6)],
+                                      dtype="float64")})
+
+
+SQL_MARKOV_ENTROPY = """
+WITH d AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+tr AS (
+  SELECT a.event_type AS s, b.event_type AS t2,
+         count(*)::BIGINT AS n
+  FROM d a JOIN d b
+    ON a.user_id = b.user_id AND b.rn = a.rn + 1
+  GROUP BY 1, 2),
+si AS (SELECT s, sum(n)::BIGINT AS ni FROM tr GROUP BY s),
+tot AS (SELECT sum(n)::DOUBLE AS N FROM tr),
+terms AS (
+  SELECT CAST(round(-(tr.n::DOUBLE / tot.N)
+                    * ln(tr.n::DOUBLE / si.ni::DOUBLE) * 1e9)
+              AS BIGINT) AS t
+  FROM tr JOIN si ON tr.s = si.s, tot)
+SELECT (SELECT CAST(sum(n) AS BIGINT) FROM tr) AS n_transitions,
+       (SELECT count(*)::BIGINT FROM si) AS n_states,
+       round(sum(t) / 1e9, 6) AS entropy_rate_nats
+FROM terms
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -15832,6 +15989,8 @@ QUERIES = {
     "chao1": q_chao1,
     "diameter_sweep": q_diameter_sweep,
     "spc_chart": q_spc_chart,
+    "rbo": q_rbo,
+    "markov_entropy": q_markov_entropy,
 }
 
 ORACLE_SQL = {
@@ -16128,4 +16287,6 @@ ORACLE_SQL = {
     "chao1": SQL_CHAO1,
     "diameter_sweep": SQL_DIAMETER_SWEEP,
     "spc_chart": SQL_SPC_CHART,
+    "rbo": SQL_RBO,
+    "markov_entropy": SQL_MARKOV_ENTROPY,
 }

@@ -3095,3 +3095,64 @@ def test_spc_chart_flags_planted_spike(ray_session, tmp_path):
     quiet = got.drop(index=base + 7)
     assert int(quiet["out_of_control"].sum()) == 0
     assert (got["lcl"] <= got["ucl"]).all()
+
+
+def test_rbo_identity_and_disjoint(ray_session, tmp_path):
+    """RBO of a ranking with itself is the truncated-geometric
+    maximum; price vs hash order on random data is near zero; both
+    limits replay the closed form."""
+    from crawler_service_ray.pipelines.queries import q_rbo
+
+    # identical orders: make the hash order equal the price order by
+    # choosing prices that INCREASE with the knuth hash
+    ids = np.arange(1, 201, dtype="int64")
+    h = ((ids.astype(np.uint64) % np.uint64(4294967296))
+         * np.uint64(2654435761)) % np.uint64(4294967296)
+    order = np.argsort(h, kind="stable")
+    prices = np.empty(200)
+    # the hash-smallest id gets the HIGHEST price
+    prices[order] = np.linspace(500.0, 100.0, 200)
+    pd.DataFrame({"p_partkey": ids,
+                  "p_retailprice": np.round(prices, 2)}) \
+        .to_parquet(tmp_path / "part.parquet")
+    got = q_rbo(str(tmp_path))
+    micro = 0
+    for d in range(1, 51):
+        micro += int(round(0.1 * 0.9 ** (d - 1) * d / d * 1e9))
+    assert abs(float(got["rbo"][0]) - round(micro / 1e9, 6)) < 1e-9
+    assert int(got["overlap_at_depth"][0]) == 50
+
+
+def test_markov_entropy_deterministic_vs_uniform(ray_session,
+                                                 tmp_path):
+    """A deterministic cycle has entropy rate 0; a uniform 2-state
+    coin has ln 2."""
+    from crawler_service_ray.pipelines.queries import q_markov_entropy
+
+    rows, t, eid = [], 1_700_000_000_000_000, 0
+    # user 0: deterministic view->click->view->click...
+    for i in range(400):
+        rows.append((0, np.datetime64(t + i * 1_000_000, "us"), i,
+                     "view" if i % 2 == 0 else "click"))
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_markov_entropy(str(tmp_path))
+    assert abs(float(got["entropy_rate_nats"][0])) < 1e-9
+    assert int(got["n_states"][0]) == 2
+
+    # uniform coin: balanced 2-state chain with all 4 transitions
+    # equally frequent -> H = ln 2
+    import pathlib
+    p2 = pathlib.Path(tmp_path) / "u"; p2.mkdir()
+    seq = []
+    pat = ["view", "view", "click", "click"]  # vv,vc,cc,cv equal
+    for i in range(401):
+        seq.append(pat[i % 4])
+    rows = [(0, np.datetime64(t + i * 1_000_000, "us"), i, s)
+            for i, s in enumerate(seq)]
+    pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                "event_type"]) \
+        .to_parquet(p2 / "events.parquet")
+    got2 = q_markov_entropy(str(p2))
+    assert abs(float(got2["entropy_rate_nats"][0]) - np.log(2)) < 1e-2
