@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "spc_chart",
     "rbo",
     "markov_entropy",
+    "isotonic",
 ]
 
 

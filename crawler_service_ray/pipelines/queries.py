@@ -15683,6 +15683,88 @@ FROM terms
 """
 
 
+def q_isotonic(sf_dir: str):
+    """Isotonic (monotone nondecreasing) calibration of purchase rate
+    against binned event value — the PAVA fit `calibration`'s raw
+    reliability bins don't enforce, computed by the EXACT minimax
+    closed form ŷ_i = max_{j≤i} min_{l≥i} avg(j..l) instead of the
+    sequential pool-adjacent-violators loop, so a 10×10×10 fold over
+    the bounded bin table replaces an unparallelizable scan and the
+    SQL twin is three nested grouped aggregates over the identical
+    prefix-sum averages. Bin counts are exact int64 from one
+    ≤10-key pass; fixed width-100 bins (data-derived edges would float
+    the bin boundaries); 6 dp."""
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_type", "value"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        v = d["value"].to_numpy(dtype="float64")
+        b = np.clip(np.floor(v / 100.0).astype("int64"), 0, 9)
+        return pd.DataFrame({
+            "b": b,
+            "k": (d["event_type"].to_numpy() == "purchase")
+                 .astype("int64"),
+            "one": np.ones(len(d), dtype="int64")})
+
+    a = (grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                     ["b"], {"k": ("k", "sum"), "n": ("one", "sum")})
+         .to_pandas().sort_values("b").reset_index(drop=True))
+    bins = a["b"].to_numpy(dtype="int64")
+    n = a["n"].to_numpy(dtype="float64")
+    k = a["k"].to_numpy(dtype="float64")
+    B = len(a)
+    cs = np.concatenate([[0.0], np.cumsum(k)])
+    cn = np.concatenate([[0.0], np.cumsum(n)])
+    iso = np.empty(B)
+    for i in range(B):
+        best = -np.inf
+        for j in range(i + 1):
+            m = np.inf
+            for l in range(i, B):
+                avg = (cs[l + 1] - cs[j]) / (cn[l + 1] - cn[j])
+                if avg < m:
+                    m = avg
+            if m > best:
+                best = m
+        iso[i] = best
+    return pd.DataFrame({
+        "bin": bins,
+        "n": a["n"].astype("int64"),
+        "raw_rate": np.round(k / n, 6),
+        "iso_rate": np.round(iso, 6)})
+
+
+SQL_ISOTONIC = """
+WITH e AS (
+  SELECT least(greatest(CAST(floor(value / 100.0) AS BIGINT), 0), 9)
+           AS b,
+         (event_type = 'purchase')::INT AS k
+  FROM events),
+a AS (SELECT b, sum(k)::BIGINT AS k, count(*)::BIGINT AS n
+      FROM e GROUP BY b),
+c AS (SELECT b, k, n,
+             sum(k) OVER (ORDER BY b) AS cs,
+             sum(n) OVER (ORDER BY b) AS cn
+      FROM a),
+pre AS (SELECT b, cs, cn FROM c
+        UNION ALL SELECT -1, 0, 0),
+avgs AS (
+  SELECT jm.b + 1 AS j, l.b AS l,
+         (l.cs - jm.cs)::DOUBLE / (l.cn - jm.cn)::DOUBLE AS avg
+  FROM pre jm JOIN pre l ON l.b > jm.b
+  WHERE l.b >= 0),
+mi AS (
+  SELECT i.b AS i, avgs.j, min(avgs.avg) AS m
+  FROM a i JOIN avgs ON avgs.j <= i.b AND avgs.l >= i.b
+  GROUP BY i.b, avgs.j),
+iso AS (SELECT i, max(m) AS iso FROM mi GROUP BY i)
+SELECT a.b AS bin, a.n,
+       round(a.k::DOUBLE / a.n::DOUBLE, 6) AS raw_rate,
+       round(iso.iso, 6) AS iso_rate
+FROM a JOIN iso ON a.b = iso.i ORDER BY bin
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -15991,6 +16073,7 @@ QUERIES = {
     "spc_chart": q_spc_chart,
     "rbo": q_rbo,
     "markov_entropy": q_markov_entropy,
+    "isotonic": q_isotonic,
 }
 
 ORACLE_SQL = {
@@ -16289,4 +16372,5 @@ ORACLE_SQL = {
     "spc_chart": SQL_SPC_CHART,
     "rbo": SQL_RBO,
     "markov_entropy": SQL_MARKOV_ENTROPY,
+    "isotonic": SQL_ISOTONIC,
 }

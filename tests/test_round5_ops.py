@@ -3156,3 +3156,32 @@ def test_markov_entropy_deterministic_vs_uniform(ray_session,
         .to_parquet(p2 / "events.parquet")
     got2 = q_markov_entropy(str(p2))
     assert abs(float(got2["entropy_rate_nats"][0]) - np.log(2)) < 1e-2
+
+
+def test_isotonic_minimax_equals_pava(ray_session, tmp_path):
+    """The minimax closed form equals a hand PAVA on a constructed
+    violation pattern, and the fit is monotone with pooled averages
+    preserving mass."""
+    from crawler_service_ray.pipelines.queries import q_isotonic
+
+    # rates by bin: .1 .3 .2 .2 .5  -> PAVA pools bins 1-3 to 7/30
+    spec = [(0, 100, 10), (1, 100, 30), (2, 100, 20),
+            (3, 100, 20), (4, 100, 50)]
+    rows = []
+    for b, n, k in spec:
+        for i in range(n):
+            rows.append((b * 100.0 + 50.0,
+                         "purchase" if i < k else "view"))
+    pd.DataFrame(rows, columns=["value", "event_type"]) \
+        .to_parquet(tmp_path / "events.parquet")
+    got = q_isotonic(str(tmp_path))
+    iso = got["iso_rate"].to_numpy()
+    assert (np.diff(iso) >= -1e-9).all()          # monotone
+    assert abs(iso[0] - 0.1) < 1e-9
+    for i in (1, 2, 3):
+        assert abs(iso[i] - 70 / 300) < 1e-6      # pooled 30+20+20
+    assert abs(iso[4] - 0.5) < 1e-9
+    # weighted mass preserved
+    n = got["n"].to_numpy(dtype="float64")
+    assert abs((iso * n).sum() - (got["raw_rate"].to_numpy() * n)
+               .sum()) < 1e-3
