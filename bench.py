@@ -272,6 +272,8 @@ BENCH_QUERIES = [
     "rbo",
     "markov_entropy",
     "isotonic",
+    "durbin_watson",
+    "breusch_pagan",
 ]
 
 

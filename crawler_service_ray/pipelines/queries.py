@@ -15765,6 +15765,230 @@ FROM a JOIN iso ON a.b = iso.i ORDER BY bin
 """
 
 
+def q_durbin_watson(sf_dir: str):
+    """Durbin–Watson serial-correlation diagnostic on the residuals
+    of the daily-revenue linear trend — 'is the trend model leaving
+    autocorrelated structure behind', the check `ols`' fit stats
+    don't make. Daily integer-cent totals reduce in one ≤|days|
+    exchange; slope/intercept are closed-form ratios of exact int64
+    sums; per-day residual terms (e_d−e_{d−1})² and e_d² round to
+    int64 before the ≤31-term fold so the statistic is
+    float-order-free; DW≈2 = no autocorrelation, <1 = strong
+    positive; 6 dp."""
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": d["ts"].to_numpy("datetime64[us]").astype("int64")
+                   // 86_400_000_000,
+            "c": np.rint(d["value"].to_numpy(dtype="float64") * 100)
+                 .astype("int64")})
+
+    daily = (grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                         ["day"], {"y": ("c", "sum")})
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    t = daily["day"].to_numpy(dtype="int64")
+    t0 = int(t.min())
+    x = (t - t0).astype("float64")
+    y = daily["y"].to_numpy(dtype="int64").astype("float64")
+    n = float(len(daily))
+    sx = float(x.sum())
+    sy = float(y.sum())
+    sxx = float((x * x).sum())
+    sxy = float((x * y).sum())
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    e = y - (a + b * x)
+    num = int(np.round((e[1:] - e[:-1]) ** 2).astype("int64").sum())
+    den = int(np.round(e * e).astype("int64").sum())
+    dw = num / den
+    return pd.DataFrame({
+        "n_days": np.array([int(n)], dtype="int64"),
+        "slope_cents": np.array([round(b, 6)], dtype="float64"),
+        "dw": np.array([round(dw, 6)], dtype="float64")})
+
+
+SQL_DURBIN_WATSON = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+d AS (SELECT day, sum(c)::BIGINT AS y FROM e GROUP BY day),
+t0 AS (SELECT min(day) AS t0 FROM d),
+m AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum((day - t0.t0))::DOUBLE AS sx,
+         sum(y)::DOUBLE AS sy,
+         sum((day - t0.t0) * (day - t0.t0))::DOUBLE AS sxx,
+         sum((day - t0.t0) * y)::DOUBLE AS sxy
+  FROM d, t0),
+ab AS (
+  SELECT n, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+           AS a
+  FROM m),
+r AS (
+  SELECT d.day,
+         d.y - (ab.a + ab.b * (d.day - t0.t0)) AS e
+  FROM d, ab, t0),
+w AS (
+  SELECT e, lag(e) OVER (ORDER BY day) AS ep FROM r),
+s AS (
+  SELECT sum(CASE WHEN ep IS NOT NULL
+                  THEN CAST(round((e - ep) * (e - ep)) AS BIGINT)
+                  ELSE 0 END)::BIGINT AS num,
+         sum(CAST(round(e * e) AS BIGINT))::BIGINT AS den
+  FROM w)
+SELECT (SELECT CAST(n AS BIGINT) FROM ab) AS n_days,
+       round((SELECT b FROM ab), 6) AS slope_cents,
+       round(num::DOUBLE / den::DOUBLE, 6) AS dw
+FROM s
+"""
+
+
+def q_breusch_pagan(sf_dir: str):
+    """Breusch–Pagan heteroskedasticity LM test on the
+    price~quantity OLS — does residual VARIANCE grow with quantity
+    (it should: line totals are quantity×unit-price), the diagnostic
+    that says 'use robust errors'. Pass 1: exact int64 joint moments
+    give (a, b). Pass 2 streams residual terms against the broadcast
+    (a, b): per-row round(e²) and round(x·e²) int64 partials — no
+    x⁴-scale overflow risk because e² is bounded by the fit, not the
+    raw scale. LM = n·R² of the e²-on-x auxiliary regression, every
+    scalar token-identical in SQL; 6 dp."""
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_quantity", "l_extendedprice"])
+
+    def m1(d: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(d["l_quantity"].to_numpy(dtype="float64")) \
+            .astype("int64")
+        y = np.rint(d["l_extendedprice"].to_numpy(dtype="float64")
+                    * 100).astype("int64")
+        return pd.DataFrame({
+            "k": np.zeros(len(d), dtype="int64"),
+            "n": np.ones(len(d), dtype="int64"),
+            "sx": x, "sy": y, "sxx": x * x, "sxy": x * y})
+
+    a1 = (grouped_agg(li.map_batches(m1, batch_format="pandas"),
+                      ["k"], {"n": ("n", "sum"), "sx": ("sx", "sum"),
+                              "sy": ("sy", "sum"),
+                              "sxx": ("sxx", "sum"),
+                              "sxy": ("sxy", "sum")})
+          .to_pandas())
+    n = float(a1["n"].iloc[0])
+    sx = float(a1["sx"].iloc[0])
+    sy = float(a1["sy"].iloc[0])
+    sxx = float(a1["sxx"].iloc[0])
+    sxy = float(a1["sxy"].iloc[0])
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+
+    # pass 2: mean of e² (raw-moment R² cancels catastrophically —
+    # the aux correlation is ~1e-4, so n·Σ(e²)² − (Σe²)² is a tiny
+    # residual of two ~1e21 terms; CENTERED sums in pass 3 instead)
+    def m2(d: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(d["l_quantity"].to_numpy(dtype="float64")) \
+            .astype("int64").astype("float64")
+        y = np.rint(d["l_extendedprice"].to_numpy(dtype="float64")
+                    * 100).astype("int64").astype("float64")
+        ed = (y - (a + b * x)) / 100.0   # dollars
+        e2 = ed * ed
+        return pd.DataFrame({
+            "k": np.zeros(len(d), dtype="int64"),
+            "se": np.round(e2 * 1e3).astype("int64")})
+
+    a2 = (grouped_agg(li.map_batches(m2, batch_format="pandas"),
+                      ["k"], {"se": ("se", "sum")}).to_pandas())
+    ebar = float(a2["se"].iloc[0]) / n / 1e3
+    xbar = sx / n
+
+    def m3(d: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(d["l_quantity"].to_numpy(dtype="float64")) \
+            .astype("int64").astype("float64")
+        y = np.rint(d["l_extendedprice"].to_numpy(dtype="float64")
+                    * 100).astype("int64").astype("float64")
+        ed = (y - (a + b * x)) / 100.0
+        u = x - xbar
+        # STANDARDIZED (Koenker) score v = e²/σ̂² − 1: dimensionless
+        # O(1) terms fit int64 at ANY price scale — raw-e² scaling
+        # hit both an int64 wrap (outlier corpora) and a round-to-zero
+        # floor (homoskedastic corpora); R² is affine-invariant so the
+        # statistic is unchanged
+        v = ed * ed / ebar - 1.0
+        return pd.DataFrame({
+            "k": np.zeros(len(d), dtype="int64"),
+            "suv": np.round(u * v * 1e6).astype("int64"),
+            "suu": np.round(u * u * 1e6).astype("int64"),
+            "svv": np.round(v * v * 1e6).astype("int64")})
+
+    a3 = (grouped_agg(li.map_batches(m3, batch_format="pandas"),
+                      ["k"], {"suv": ("suv", "sum"),
+                              "suu": ("suu", "sum"),
+                              "svv": ("svv", "sum")})
+          .to_pandas())
+    suv = float(a3["suv"].iloc[0]) / 1e6
+    suu = float(a3["suu"].iloc[0]) / 1e6
+    svv = float(a3["svv"].iloc[0]) / 1e6
+    r2 = suv * suv / (suu * svv)
+    lm = n * r2
+    return pd.DataFrame({
+        "n": np.array([int(n)], dtype="int64"),
+        "slope": np.array([round(b, 6)], dtype="float64"),
+        "aux_r2": np.array([round(r2, 6)], dtype="float64"),
+        "bp_lm": np.array([round(lm, 6)], dtype="float64")})
+
+
+SQL_BREUSCH_PAGAN = """
+WITH li AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx,
+         sum(y)::DOUBLE AS sy, sum(x * x)::DOUBLE AS sxx,
+         sum(x * y)::DOUBLE AS sxy
+  FROM li),
+ab AS (
+  SELECT n, sx, sxx,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+           AS a
+  FROM m),
+p2 AS (
+  SELECT sum(CAST(round(((li.y - (ab.a + ab.b * li.x)) / 100.0)
+                        * ((li.y - (ab.a + ab.b * li.x)) / 100.0)
+                        * 1e3) AS BIGINT))::DOUBLE AS se
+  FROM li, ab),
+mb AS (SELECT p2.se / ab.n / 1e3 AS ebar, ab.sx / ab.n AS xbar
+       FROM p2, ab),
+p3 AS (
+  SELECT
+    sum(CAST(round((li.x - mb.xbar)
+                   * (((li.y - (ab.a + ab.b * li.x)) / 100.0)
+                      * ((li.y - (ab.a + ab.b * li.x)) / 100.0)
+                      / mb.ebar - 1.0) * 1e6) AS BIGINT))::DOUBLE
+      AS suv,
+    sum(CAST(round((li.x - mb.xbar) * (li.x - mb.xbar) * 1e6)
+             AS BIGINT))::DOUBLE AS suu,
+    sum(CAST(round((((li.y - (ab.a + ab.b * li.x)) / 100.0)
+                    * ((li.y - (ab.a + ab.b * li.x)) / 100.0)
+                    / mb.ebar - 1.0)
+                   * (((li.y - (ab.a + ab.b * li.x)) / 100.0)
+                      * ((li.y - (ab.a + ab.b * li.x)) / 100.0)
+                      / mb.ebar - 1.0) * 1e6) AS BIGINT))::DOUBLE
+      AS svv
+  FROM li, ab, mb),
+f AS (
+  SELECT ab.n, ab.b,
+         (p3.suv / 1e6) * (p3.suv / 1e6)
+           / ((p3.suu / 1e6) * (p3.svv / 1e6)) AS r2
+  FROM ab, p3)
+SELECT CAST(n AS BIGINT) AS n, round(b, 6) AS slope,
+       round(r2, 6) AS aux_r2, round(n * r2, 6) AS bp_lm
+FROM f
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -16074,6 +16298,8 @@ QUERIES = {
     "rbo": q_rbo,
     "markov_entropy": q_markov_entropy,
     "isotonic": q_isotonic,
+    "durbin_watson": q_durbin_watson,
+    "breusch_pagan": q_breusch_pagan,
 }
 
 ORACLE_SQL = {
@@ -16373,4 +16599,6 @@ ORACLE_SQL = {
     "rbo": SQL_RBO,
     "markov_entropy": SQL_MARKOV_ENTROPY,
     "isotonic": SQL_ISOTONIC,
+    "durbin_watson": SQL_DURBIN_WATSON,
+    "breusch_pagan": SQL_BREUSCH_PAGAN,
 }

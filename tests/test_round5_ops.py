@@ -3185,3 +3185,58 @@ def test_isotonic_minimax_equals_pava(ray_session, tmp_path):
     n = got["n"].to_numpy(dtype="float64")
     assert abs((iso * n).sum() - (got["raw_rate"].to_numpy() * n)
                .sum()) < 1e-3
+
+
+def test_durbin_watson_separates_noise_from_ar(ray_session,
+                                               tmp_path):
+    """White-noise daily revenue gives DW near 2; a strongly
+    autocorrelated (slow sine) series gives DW near 0."""
+    from crawler_service_ray.pipelines.queries import q_durbin_watson
+    import pathlib
+
+    rng = np.random.default_rng(9)
+    base = 20000
+
+    def build(vals, p):
+        rows = []
+        for d, v in enumerate(vals):
+            # several events per day summing to the daily target
+            rows.append((np.datetime64((base + d) * 86_400_000_000,
+                                       "us"), float(v)))
+        pd.DataFrame(rows, columns=["ts", "value"]) \
+            .to_parquet(p / "events.parquet")
+
+    p1 = pathlib.Path(tmp_path) / "wn"; p1.mkdir()
+    build(np.round(100 + rng.normal(0, 10, 60), 2), p1)
+    p2 = pathlib.Path(tmp_path) / "ar"; p2.mkdir()
+    build(np.round(100 + 50 * np.sin(np.arange(60) / 9.0), 2), p2)
+    dw_wn = float(q_durbin_watson(str(p1))["dw"][0])
+    dw_ar = float(q_durbin_watson(str(p2))["dw"][0])
+    assert 1.4 < dw_wn < 2.6
+    assert dw_ar < 0.5
+
+
+def test_breusch_pagan_detects_planted_heteroskedasticity(
+        ray_session, tmp_path):
+    """Residual variance growing with x gives a large LM; constant
+    variance gives a small one."""
+    from crawler_service_ray.pipelines.queries import q_breusch_pagan
+    import pathlib
+
+    rng = np.random.default_rng(4)
+    x = rng.integers(1, 51, 4000)
+
+    def build(noise_scale, p):
+        y = 100.0 * x + rng.normal(0, noise_scale, len(x))
+        pd.DataFrame({"l_quantity": x.astype("float64"),
+                      "l_extendedprice": np.round(y / 100.0, 2)}) \
+            .to_parquet(p / "lineitem.parquet")
+
+    p1 = pathlib.Path(tmp_path) / "het"; p1.mkdir()
+    build(5.0 * x, p1)                  # sd grows with x
+    p2 = pathlib.Path(tmp_path) / "hom"; p2.mkdir()
+    build(np.full(len(x), 100.0), p2)   # constant sd
+    lm_het = float(q_breusch_pagan(str(p1))["bp_lm"][0])
+    lm_hom = float(q_breusch_pagan(str(p2))["bp_lm"][0])
+    assert lm_het > 100.0
+    assert lm_hom < 15.0
