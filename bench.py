@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     "isotonic",
     "durbin_watson",
     "breusch_pagan",
+    "logrank",
+    "burrows_delta",
 ]
 
 

@@ -15989,6 +15989,289 @@ FROM f
 """
 
 
+def q_logrank(sf_dir: str):
+    """Log-rank test comparing time-to-first-purchase between the two
+    user arms — the hypothesis test `kaplan_meier`'s curves beg for
+    (do the arms' survival distributions differ at all, censoring
+    respected). Subjects, durations and censoring replicate the KM
+    construction (one user-keyed min/max exchange with the sentinel
+    trick); the per-(arm, day) lifetable is a second bounded reduce;
+    at-risk counts come from cumulative sums on the ≤#days driver
+    table and each day's E₁/V hypergeometric terms micro-round to
+    int64 before the fold, so χ² = (O₁−E₁)²/V is float-order-free;
+    6 dp."""
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    big = np.int64(2) ** 62
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        ts = d["ts"].to_numpy("datetime64[us]").astype("int64")
+        is_p = d["event_type"].to_numpy() == "purchase"
+        return pd.DataFrame({
+            "user_id": d["user_id"].to_numpy(),
+            "t0": ts, "tend": ts,
+            "fp": np.where(is_p, ts, big)})
+
+    users = grouped_agg(
+        ev.map_batches(pre, batch_format="pandas"),
+        ["user_id"], {"t0": ("t0", "min"), "tend": ("tend", "max"),
+                      "fp": ("fp", "min")})
+    day_us = 86_400_000_000
+
+    def lifetable(d: pd.DataFrame) -> pd.DataFrame:
+        t0 = d["t0"].to_numpy(dtype="int64")
+        fp = d["fp"].to_numpy(dtype="int64")
+        tend = d["tend"].to_numpy(dtype="int64")
+        observed = fp < big
+        tstop = np.where(observed, fp, tend)
+        return pd.DataFrame({
+            "arm": (d["user_id"].to_numpy() % 2).astype("int64"),
+            "day": (tstop - t0) // day_us + 1,
+            "d": observed.astype("int64"),
+            "c": (~observed).astype("int64")})
+
+    lt = (grouped_agg(
+        users.map_batches(lifetable, batch_format="pandas"),
+        ["arm", "day"], {"d": ("d", "sum"), "c": ("c", "sum")})
+        .to_pandas())
+    days = np.sort(lt["day"].unique())
+    N = {a: int(lt.loc[lt["arm"] == a, ["d", "c"]].sum().sum())
+         for a in (0, 1)}
+    n1 = float(N[1])
+    n0 = float(N[0])
+    o1 = 0
+    e1_mi = 0
+    v_mi = 0
+    rem = {0: n0, 1: n1}
+    g = {(int(r["arm"]), int(r["day"])): (int(r["d"]), int(r["c"]))
+         for _, r in lt.iterrows()}
+    for t in days:
+        d0, c0 = g.get((0, int(t)), (0, 0))
+        d1, c1 = g.get((1, int(t)), (0, 0))
+        nt = rem[0] + rem[1]
+        dt = d0 + d1
+        if dt > 0 and nt > 1:
+            e = dt * rem[1] / nt
+            v = (dt * (rem[1] / nt) * (1.0 - rem[1] / nt)
+                 * (nt - dt) / (nt - 1.0))
+            o1 += d1
+            # exact-rational terms can tie at .5: round half-away
+            # like SQL round(), not numpy's half-even
+            e1_mi += int(np.floor(e * 1e6 + 0.5))
+            v_mi += int(np.floor(v * 1e6 + 0.5))
+        rem[0] -= d0 + c0
+        rem[1] -= d1 + c1
+    e1 = e1_mi / 1e6
+    v = v_mi / 1e6
+    chi2 = (o1 - e1) * (o1 - e1) / v if v > 0 else float("nan")
+    return pd.DataFrame({
+        "n_arm0": np.array([int(n0)], dtype="int64"),
+        "n_arm1": np.array([int(n1)], dtype="int64"),
+        "o1": np.array([o1], dtype="int64"),
+        "e1": np.array([round(e1, 6)], dtype="float64"),
+        "logrank_chi2": np.array([round(chi2, 6)],
+                                 dtype="float64")})
+
+
+SQL_LOGRANK = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         (event_type = 'purchase')::INT AS p
+  FROM events),
+u AS (
+  SELECT user_id, user_id % 2 AS arm, min(t) AS t0, max(t) AS tend,
+         min(CASE WHEN p = 1 THEN t ELSE 4611686018427387904 END)
+           AS fp
+  FROM e GROUP BY 1),
+s AS (
+  SELECT arm,
+         (CASE WHEN fp < 4611686018427387904 THEN fp ELSE tend END
+          - t0) // 86400000000 + 1 AS day,
+         (fp < 4611686018427387904)::INT AS d,
+         (fp >= 4611686018427387904)::INT AS c
+  FROM u),
+lt AS (SELECT arm, day, sum(d)::BIGINT AS d, sum(c)::BIGINT AS c
+       FROM s GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM lt),
+tot AS (SELECT sum(CASE WHEN arm = 0 THEN d + c ELSE 0 END)::DOUBLE
+               AS n0,
+              sum(CASE WHEN arm = 1 THEN d + c ELSE 0 END)::DOUBLE
+               AS n1
+        FROM lt),
+cum AS (
+  SELECT days.day,
+         coalesce((SELECT sum(d + c) FROM lt
+                   WHERE lt.arm = 0 AND lt.day < days.day), 0)
+           ::DOUBLE AS gone0,
+         coalesce((SELECT sum(d + c) FROM lt
+                   WHERE lt.arm = 1 AND lt.day < days.day), 0)
+           ::DOUBLE AS gone1,
+         coalesce((SELECT sum(d) FROM lt
+                   WHERE lt.arm = 0 AND lt.day = days.day), 0)
+           ::BIGINT AS d0,
+         coalesce((SELECT sum(d) FROM lt
+                   WHERE lt.arm = 1 AND lt.day = days.day), 0)
+           ::BIGINT AS d1
+  FROM days),
+terms AS (
+  SELECT d1,
+         CASE WHEN d0 + d1 > 0
+                   AND (tot.n0 - gone0) + (tot.n1 - gone1) > 1
+              THEN CAST(round((d0 + d1) * (tot.n1 - gone1)
+                              / ((tot.n0 - gone0)
+                                 + (tot.n1 - gone1)) * 1e6)
+                        AS BIGINT)
+              ELSE 0 END AS e_mi,
+         CASE WHEN d0 + d1 > 0
+                   AND (tot.n0 - gone0) + (tot.n1 - gone1) > 1
+              THEN CAST(round((d0 + d1)
+                   * ((tot.n1 - gone1)
+                      / ((tot.n0 - gone0) + (tot.n1 - gone1)))
+                   * (1.0 - (tot.n1 - gone1)
+                      / ((tot.n0 - gone0) + (tot.n1 - gone1)))
+                   * (((tot.n0 - gone0) + (tot.n1 - gone1))
+                      - (d0 + d1))
+                   / (((tot.n0 - gone0) + (tot.n1 - gone1)) - 1.0)
+                   * 1e6) AS BIGINT)
+              ELSE 0 END AS v_mi,
+         CASE WHEN d0 + d1 > 0
+                   AND (tot.n0 - gone0) + (tot.n1 - gone1) > 1
+              THEN d1 ELSE 0 END AS o1
+  FROM cum, tot),
+f AS (SELECT sum(o1)::BIGINT AS o1, sum(e_mi)::BIGINT AS e1_mi,
+             sum(v_mi)::BIGINT AS v_mi
+      FROM terms)
+SELECT (SELECT CAST(n0 AS BIGINT) FROM tot) AS n_arm0,
+       (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_arm1,
+       o1,
+       round(e1_mi / 1e6, 6) AS e1,
+       round((o1 - e1_mi / 1e6) * (o1 - e1_mi / 1e6)
+             / (v_mi / 1e6), 6) AS logrank_chi2
+FROM f
+"""
+
+
+def q_burrows_delta(sf_dir: str):
+    """Burrows' Delta stylometric distance between sources (Burrows
+    2002) — which sources 'write alike', the authorship/template
+    -attribution readout over the most-frequent-word profile that
+    `source_overlap` (vocabulary sets) can't see. Marker words = the
+    global top-30 by count (exact ints, count DESC / word ASC);
+    per-source relative frequencies micro-round to int64 at 1e6 so
+    the per-word mean/sd across the ~20 sources come from exact
+    integer moments; z-scores are deterministic doubles and each
+    pair's Δ = mean |z_a − z_b| micro-rounds per word before the
+    30-term fold. One wordcount exchange + one per-source-totals
+    pass; the ≤(sources × 30) profile folds on the driver. Output =
+    the 5 closest pairs; 6 dp."""
+    from ..functions.relational import grouped_agg as _ga
+
+    K = 30
+    docs = read_table(sf_dir, "documents",
+                      columns=["source", "text"],
+                      bytes_per_block=_DOC_BPB)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.split(" ").explode()
+        keep = (toks != "") & toks.notna()
+        toks = toks[keep]
+        src = df["source"].reindex(toks.index)
+        t = pd.DataFrame({"source": src.to_numpy(),
+                          "word": toks.to_numpy()})
+        vc = (t.groupby(["source", "word"], as_index=False)
+              .size().rename(columns={"size": "c"}))
+        vc["c"] = vc["c"].astype("int64")
+        return vc
+
+    sw = _ga(docs.map_batches(partial, batch_format="pandas"),
+             ["source", "word"], {"c": ("c", "sum")},
+             merge_partitions=8).to_pandas()
+    gtop = (sw.groupby("word", as_index=False)["c"].sum()
+            .sort_values(["c", "word"], ascending=[False, True])
+            .head(K))
+    top = set(gtop["word"])
+    totals = sw.groupby("source")["c"].sum()
+    sources = sorted(totals.index)
+    prof = sw[sw["word"].isin(top)]
+    f_mi = {}
+    for s in sources:
+        tot = float(totals[s])
+        sub = prof[prof["source"] == s].set_index("word")["c"]
+        for w in sorted(top):
+            c = float(sub.get(w, 0))
+            f_mi[(s, w)] = int(np.floor(c / tot * 1e6 + 0.5))
+    ns = float(len(sources))
+    z = {}
+    for w in sorted(top):
+        vals = np.array([f_mi[(s, w)] for s in sources],
+                        dtype="int64")
+        S = float(vals.sum())
+        SS = float((vals * vals).sum())
+        mu = S / ns
+        sd = np.sqrt(np.maximum(SS / ns - mu * mu, 0.0))
+        for s in sources:
+            z[(s, w)] = ((f_mi[(s, w)] - mu) / sd
+                         if sd > 0 else 0.0)
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            mi = 0
+            for w in sorted(top):
+                mi += int(np.floor(
+                    abs(z[(a, w)] - z[(b, w)]) * 1e6 + 0.5))
+            rows.append((a, b, mi / 1e6 / K))
+    rows.sort(key=lambda r: (r[2], r[0], r[1]))
+    out = rows[:5]
+    return pd.DataFrame({
+        "src_a": [r[0] for r in out],
+        "src_b": [r[1] for r in out],
+        "delta": np.round(np.array([r[2] for r in out]), 6)})
+
+
+SQL_BURROWS_DELTA = """
+WITH sw AS (
+  SELECT source, word, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY 1, 2),
+gtop AS (
+  SELECT word FROM (
+    SELECT word, sum(c) AS c FROM sw GROUP BY word
+    ORDER BY c DESC, word ASC LIMIT 30)),
+tot AS (SELECT source, sum(c)::DOUBLE AS t FROM sw GROUP BY source),
+f AS (
+  SELECT tot.source, gtop.word,
+         CAST(floor(coalesce(sw.c, 0)::DOUBLE / tot.t * 1e6 + 0.5)
+              AS BIGINT) AS fmi
+  FROM tot CROSS JOIN gtop
+  LEFT JOIN sw ON sw.source = tot.source AND sw.word = gtop.word),
+ns AS (SELECT count(*)::DOUBLE AS ns FROM tot),
+m AS (
+  SELECT word, sum(fmi)::DOUBLE AS s, sum(fmi * fmi)::DOUBLE AS ss
+  FROM f GROUP BY word),
+zt AS (
+  SELECT f.source, f.word,
+         CASE WHEN sqrt(greatest(m.ss / ns.ns
+                                 - (m.s / ns.ns) * (m.s / ns.ns),
+                                 0.0)) > 0
+              THEN (f.fmi - m.s / ns.ns)
+                   / sqrt(greatest(m.ss / ns.ns
+                                   - (m.s / ns.ns) * (m.s / ns.ns),
+                                   0.0))
+              ELSE 0.0 END AS z
+  FROM f JOIN m ON f.word = m.word, ns),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         sum(CAST(floor(abs(a.z - b.z) * 1e6 + 0.5) AS BIGINT))
+           / 1e6 / 30 AS delta
+  FROM zt a JOIN zt b
+    ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT src_a, src_b, round(delta, 6) AS delta
+FROM pairs ORDER BY delta, src_a, src_b LIMIT 5
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -16300,6 +16583,8 @@ QUERIES = {
     "isotonic": q_isotonic,
     "durbin_watson": q_durbin_watson,
     "breusch_pagan": q_breusch_pagan,
+    "logrank": q_logrank,
+    "burrows_delta": q_burrows_delta,
 }
 
 ORACLE_SQL = {
@@ -16601,4 +16886,6 @@ ORACLE_SQL = {
     "isotonic": SQL_ISOTONIC,
     "durbin_watson": SQL_DURBIN_WATSON,
     "breusch_pagan": SQL_BREUSCH_PAGAN,
+    "logrank": SQL_LOGRANK,
+    "burrows_delta": SQL_BURROWS_DELTA,
 }

@@ -3240,3 +3240,68 @@ def test_breusch_pagan_detects_planted_heteroskedasticity(
     lm_hom = float(q_breusch_pagan(str(p2))["bp_lm"][0])
     assert lm_het > 100.0
     assert lm_hom < 15.0
+
+
+def test_logrank_null_and_separated(ray_session, tmp_path):
+    """Identical arms give chi2 near 0; a strongly earlier-converting
+    arm gives a large chi2 (lifelines-free construction)."""
+    from crawler_service_ray.pipelines.queries import q_logrank
+    import pathlib
+
+    base_us = 1_700_000_000_000_000
+    day = 86_400_000_000
+
+    def build(offsets_by_arm, p):
+        rows, eid = [], 0
+        for u in range(400):
+            arm = u % 2
+            rows.append((u, np.datetime64(base_us, "us"), "view"))
+            off = offsets_by_arm[arm](u)
+            if off is not None:
+                rows.append((u, np.datetime64(
+                    base_us + off * day, "us"), "purchase"))
+            else:                     # censored at a later view
+                rows.append((u, np.datetime64(
+                    base_us + 30 * day, "us"), "view"))
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_type"]) \
+            .to_parquet(p / "events.parquet")
+
+    p1 = pathlib.Path(tmp_path) / "null"; p1.mkdir()
+    same = lambda u: (u // 2) % 10 + 1   # same duration profile
+    build({0: same, 1: same}, p1)
+    got_null = q_logrank(str(p1))
+    assert float(got_null["logrank_chi2"][0]) < 0.5
+
+    p2 = pathlib.Path(tmp_path) / "sep"; p2.mkdir()
+    build({0: lambda u: (u // 2) % 10 + 15,    # late converters
+           1: lambda u: (u // 2) % 5 + 1}, p2)  # early converters
+    got_sep = q_logrank(str(p2))
+    assert float(got_sep["logrank_chi2"][0]) > 50.0
+    assert int(got_sep["n_arm0"][0]) == 200
+
+
+def test_burrows_delta_identifies_style_twins(ray_session, tmp_path):
+    """Two sources sharing a word-frequency profile have near-zero
+    delta and surface as the closest pair; a divergent source does
+    not."""
+    from crawler_service_ray.pipelines.queries import q_burrows_delta
+
+    rng = np.random.default_rng(2)
+    vocab_a = (["the", "of", "and"] * 10 + ["alpha", "beta"] * 3)
+    vocab_c = (["zig", "zag", "zog"] * 10 + ["the"] * 2)
+    docs = []
+    for s, vocab in (("twin1", vocab_a), ("twin2", vocab_a),
+                     ("odd", vocab_c)):
+        for i in range(20):
+            ws = list(rng.permutation(vocab))
+            docs.append((s, " ".join(ws)))
+    pd.DataFrame(docs, columns=["source", "text"]) \
+        .to_parquet(tmp_path / "documents.parquet")
+    got = q_burrows_delta(str(tmp_path))
+    assert got["src_a"].iloc[0] == "twin1"
+    assert got["src_b"].iloc[0] == "twin2"
+    assert float(got["delta"].iloc[0]) < 0.05
+    # every pair involving `odd` is far
+    rest = got.iloc[1:]
+    for _, r in rest.iterrows():
+        assert float(r["delta"]) > float(got["delta"].iloc[0])
