@@ -276,6 +276,8 @@ BENCH_QUERIES = [
     "breusch_pagan",
     "logrank",
     "burrows_delta",
+    "holt_winters",
+    "rich_club",
 ]
 
 

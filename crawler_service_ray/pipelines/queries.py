@@ -16272,6 +16272,189 @@ FROM pairs ORDER BY delta, src_a, src_b LIMIT 5
 """
 
 
+def q_holt_winters(sf_dir: str):
+    """Additive Holt–Winters (triple exponential) 7-day-ahead revenue
+    forecast — completing the smoothing ladder (`ewma` single,
+    `double_smooth` double): level + trend + weekly seasonality with
+    α=0.3, β=0.1, γ=0.2 as shared literals. Daily integer-cent totals
+    reduce in one ≤|days| exchange; the recursion runs on the tiny
+    day table — driver-side here, a WITH RECURSIVE carrying the
+    rotating 7-slot seasonal buffer in SQL — with every update the
+    IDENTICAL float expression on both engines, so no rounding
+    machinery is needed before the final 6 dp. Init: L₀ = week-1
+    mean, B₀ = (week-2 mean − week-1 mean)/7, s = week-1 residuals."""
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": d["ts"].to_numpy("datetime64[us]").astype("int64")
+                   // 86_400_000_000,
+            "c": np.rint(d["value"].to_numpy(dtype="float64") * 100)
+                 .astype("int64")})
+
+    daily = (grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                         ["day"], {"y": ("c", "sum")})
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    lo, hi = int(daily["day"].min()), int(daily["day"].max())
+    spine = pd.DataFrame({"day": np.arange(lo, hi + 1,
+                                           dtype="int64")})
+    d = spine.merge(daily, on="day", how="left").fillna({"y": 0})
+    y = d["y"].to_numpy(dtype="int64").astype("float64")
+    if len(y) < 15:
+        return pd.DataFrame({"h": pd.Series(dtype="int64"),
+                             "forecast": pd.Series(dtype="float64")})
+    a_, b_, g_ = 0.3, 0.1, 0.2
+    L = (y[0] + y[1] + y[2] + y[3] + y[4] + y[5] + y[6]) / 7.0
+    B = ((y[7] + y[8] + y[9] + y[10] + y[11] + y[12] + y[13]) / 7.0
+         - L) / 7.0
+    s = [y[i] - L for i in range(7)]
+    for t in range(7, len(y)):
+        su = s[0]
+        Ln = a_ * (y[t] - su) + 0.7 * (L + B)
+        Bn = b_ * (Ln - L) + 0.9 * B
+        sn = g_ * (y[t] - Ln) + 0.8 * su
+        s = s[1:] + [sn]
+        L, B = Ln, Bn
+    rows = [(h, (L + h * B + s[(h - 1) % 7]) / 100.0)
+            for h in range(1, 8)]
+    return pd.DataFrame({
+        "h": np.array([r[0] for r in rows], dtype="int64"),
+        "forecast": np.round(np.array([r[1] for r in rows]), 6)})
+
+
+SQL_HOLT_WINTERS = """
+WITH RECURSIVE e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+dly AS (SELECT day, sum(c)::BIGINT AS y FROM e GROUP BY day),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+spine AS (SELECT CAST(unnest(generate_series(lo, hi)) AS BIGINT)
+            AS day FROM b),
+d AS (SELECT row_number() OVER (ORDER BY s.day) - 1 AS t,
+             coalesce(dly.y, 0)::DOUBLE AS y
+      FROM spine s LEFT JOIN dly ON dly.day = s.day),
+init AS (
+  SELECT
+    (SELECT sum(y) FROM d WHERE t < 7) / 7.0 AS L0,
+    ((SELECT sum(y) FROM d WHERE t >= 7 AND t < 14) / 7.0
+     - (SELECT sum(y) FROM d WHERE t < 7) / 7.0) / 7.0 AS B0),
+hw(t, L, B, s1, s2, s3, s4, s5, s6, s7) AS (
+  SELECT 6, init.L0, init.B0,
+         (SELECT y FROM d WHERE t = 0) - init.L0,
+         (SELECT y FROM d WHERE t = 1) - init.L0,
+         (SELECT y FROM d WHERE t = 2) - init.L0,
+         (SELECT y FROM d WHERE t = 3) - init.L0,
+         (SELECT y FROM d WHERE t = 4) - init.L0,
+         (SELECT y FROM d WHERE t = 5) - init.L0,
+         (SELECT y FROM d WHERE t = 6) - init.L0
+  FROM init
+  UNION ALL
+  SELECT hw.t + 1,
+         0.3 * (d.y - hw.s1) + 0.7 * (hw.L + hw.B),
+         0.1 * ((0.3 * (d.y - hw.s1) + 0.7 * (hw.L + hw.B)) - hw.L)
+           + 0.9 * hw.B,
+         hw.s2, hw.s3, hw.s4, hw.s5, hw.s6, hw.s7,
+         0.2 * (d.y - (0.3 * (d.y - hw.s1)
+                       + 0.7 * (hw.L + hw.B))) + 0.8 * hw.s1
+  FROM hw JOIN d ON d.t = hw.t + 1),
+fin AS (SELECT * FROM hw
+        WHERE t = (SELECT max(t) FROM d)),
+hs AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7))
+       v(h))
+SELECT hs.h,
+       round((fin.L + hs.h * fin.B
+              + CASE ((hs.h - 1) % 7)
+                  WHEN 0 THEN fin.s1 WHEN 1 THEN fin.s2
+                  WHEN 2 THEN fin.s3 WHEN 3 THEN fin.s4
+                  WHEN 4 THEN fin.s5 WHEN 5 THEN fin.s6
+                  ELSE fin.s7 END) / 100.0, 6) AS forecast
+FROM hs, fin ORDER BY hs.h
+"""
+
+
+def q_rich_club(sf_dir: str):
+    """Rich-club coefficient φ(k) of the thinned co-purchase graph —
+    do high-degree hubs preferentially interconnect (the
+    supply-chain 'old boys network' readout `assortativity`'s single
+    global r can't resolve by level). For k ∈ {1,2,3,4}: nodes with
+    degree > k, edges with BOTH endpoints above, φ = 2E_k/(N_k(N_k−1)).
+    Degrees from one grouped count; the >k filter re-streams the edge
+    list against the broadcast degree table (thinned-graph scale —
+    the same size-gate family as the other graph ops); every count
+    exact int64; 6 dp."""
+    nparts = 16
+    edges = _copurchase_edges(sf_dir, nparts)
+    sparse = edges.map_batches(
+        lambda d: d.loc[(d["u"].to_numpy(dtype="int64") * 31
+                         + d["v"].to_numpy(dtype="int64")) % 7 == 0],
+        batch_format="pandas").materialize()
+    deg = (grouped_agg(sparse.map_batches(
+        lambda d: pd.DataFrame({
+            "n": np.concatenate([d["u"].to_numpy("int64"),
+                                 d["v"].to_numpy("int64")]),
+            "one": np.ones(2 * len(d), dtype="int64")}),
+        batch_format="pandas"),
+        ["n"], {"deg": ("one", "sum")}).to_pandas())
+    dmap_ref = ray.put(dict(zip(deg["n"].to_numpy(),
+                                deg["deg"].to_numpy())))
+
+    def count_above(d: pd.DataFrame, ks=(1, 2, 3, 4),
+                    ref=dmap_ref) -> pd.DataFrame:
+        dm = ray.get(ref)
+        du = d["u"].map(dm).to_numpy(dtype="int64")
+        dv = d["v"].map(dm).to_numpy(dtype="int64")
+        rows = []
+        for k in ks:
+            rows.append((k, int(((du > k) & (dv > k)).sum())))
+        return pd.DataFrame(rows, columns=["k", "ek"])
+
+    ek = (grouped_agg(sparse.map_batches(count_above,
+                                         batch_format="pandas"),
+                      ["k"], {"ek": ("ek", "sum")})
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    degs = deg["deg"].to_numpy(dtype="int64")
+    rows = []
+    for _, r in ek.iterrows():
+        k = int(r["k"])
+        nk = int((degs > k).sum())
+        e = int(r["ek"])
+        phi = (2.0 * e / (nk * (nk - 1.0))
+               if nk > 1 else float("nan"))
+        rows.append((k, nk, e, round(phi, 6)))
+    return pd.DataFrame({
+        "k": np.array([r[0] for r in rows], dtype="int64"),
+        "n_nodes": np.array([r[1] for r in rows], dtype="int64"),
+        "n_edges": np.array([r[2] for r in rows], dtype="int64"),
+        "phi": np.array([r[3] for r in rows], dtype="float64")})
+
+
+SQL_RICH_CLUB = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sp AS (SELECT u, v FROM e0 WHERE (u * 31 + v) % 7 = 0),
+deg AS (
+  SELECT n, count(*)::BIGINT AS deg FROM (
+    SELECT u AS n FROM sp UNION ALL SELECT v FROM sp) GROUP BY n),
+ks AS (SELECT * FROM (VALUES (1), (2), (3), (4)) v(k)),
+f AS (
+  SELECT ks.k,
+         (SELECT count(*) FROM deg WHERE deg > ks.k)::BIGINT AS nk,
+         (SELECT count(*) FROM sp
+          JOIN deg du ON du.n = sp.u
+          JOIN deg dv ON dv.n = sp.v
+          WHERE du.deg > ks.k AND dv.deg > ks.k)::BIGINT AS ek
+  FROM ks)
+SELECT k, nk AS n_nodes, ek AS n_edges,
+       CASE WHEN nk > 1
+            THEN round(2.0 * ek / (nk * (nk - 1.0)), 6)
+            ELSE NULL END AS phi
+FROM f ORDER BY k
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -16585,6 +16768,8 @@ QUERIES = {
     "breusch_pagan": q_breusch_pagan,
     "logrank": q_logrank,
     "burrows_delta": q_burrows_delta,
+    "holt_winters": q_holt_winters,
+    "rich_club": q_rich_club,
 }
 
 ORACLE_SQL = {
@@ -16888,4 +17073,6 @@ ORACLE_SQL = {
     "breusch_pagan": SQL_BREUSCH_PAGAN,
     "logrank": SQL_LOGRANK,
     "burrows_delta": SQL_BURROWS_DELTA,
+    "holt_winters": SQL_HOLT_WINTERS,
+    "rich_club": SQL_RICH_CLUB,
 }

@@ -3305,3 +3305,44 @@ def test_burrows_delta_identifies_style_twins(ray_session, tmp_path):
     rest = got.iloc[1:]
     for _, r in rest.iterrows():
         assert float(r["delta"]) > float(got["delta"].iloc[0])
+
+
+def test_holt_winters_tracks_trend_plus_seasonality(ray_session,
+                                                    tmp_path):
+    """On exact trend+weekly data the 7-day forecast continues the
+    pattern almost perfectly."""
+    from crawler_service_ray.pipelines.queries import q_holt_winters
+
+    base = 20000
+    season = [30.0, -20.0, 5.0, 10.0, -15.0, 0.0, -10.0]
+    rows = []
+    for d in range(35):
+        v = 200.0 + 2.0 * d + season[(d + (base + 4)) % 7 - 0]
+        # one event per day carrying the day's revenue
+        rows.append((np.datetime64((base + d) * 86_400_000_000,
+                                   "us"), round(v, 2)))
+    pd.DataFrame(rows, columns=["ts", "value"]) \
+        .to_parquet(tmp_path / "events.parquet")
+    got = q_holt_winters(str(tmp_path))
+    assert len(got) == 7
+    for _, r in got.iterrows():
+        d = 35 + int(r["h"]) - 1
+        truth = 200.0 + 2.0 * d + season[(d + (base + 4)) % 7]
+        assert abs(float(r["forecast"]) - truth) < 12.0
+
+
+def test_rich_club_star_vs_clique(ray_session):
+    """phi is monotone-ish toward hubs on the real thinned graph and
+    every count is internally consistent (E_k <= total edges,
+    N_k decreasing in k)."""
+    from crawler_service_ray.pipelines.queries import q_rich_club
+
+    got = q_rich_club("/root/testdata/sf0.001")
+    assert got["k"].tolist() == [1, 2, 3, 4]
+    n = got["n_nodes"].to_numpy()
+    assert (np.diff(n) <= 0).all()
+    e = got["n_edges"].to_numpy()
+    assert (np.diff(e) <= 0).all()
+    phi = got["phi"].to_numpy(dtype="float64")
+    ok = ~np.isnan(phi)
+    assert (phi[ok] >= 0).all() and (phi[ok] <= 1.0 + 1e-9).all()
