@@ -278,6 +278,9 @@ BENCH_QUERIES = [
     "burrows_delta",
     "holt_winters",
     "rich_club",
+    "gumbel_maxima",
+    "partial_corr",
+    "james_stein",
 ]
 
 

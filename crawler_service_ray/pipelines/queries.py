@@ -16455,6 +16455,241 @@ FROM f ORDER BY k
 """
 
 
+def q_gumbel_maxima(sf_dir: str):
+    """Gumbel (EVT type-I) fit to daily-maximum event values with a
+    30-day return level — 'how big a spike should we provision for',
+    the extreme-value readout no mean/quantile query gives. Block
+    maxima = per-day max cents (one ≤|days| exchange, exact ints);
+    method-of-moments fit β̂ = s·√6/π, μ̂ = m̄ − γβ̂ (Euler γ and √6/π
+    as shared literals) from exact integer moment sums of the maxima;
+    return level = μ̂ − β̂·ln(−ln(1−1/T)), T=30; 6 dp."""
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": d["ts"].to_numpy("datetime64[us]").astype("int64")
+                   // 86_400_000_000,
+            "c": np.rint(d["value"].to_numpy(dtype="float64") * 100)
+                 .astype("int64")})
+
+    mx = (grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                      ["day"], {"m": ("c", "max")})
+          .to_pandas())
+    v = mx["m"].to_numpy(dtype="int64")
+    n = float(len(v))
+    S = float(v.sum())
+    SS = float((v.astype("float64") ** 2).sum())
+    mean = S / n
+    sd = np.sqrt((SS - S * S / n) / (n - 1.0))
+    beta = sd * 0.7796968012336293          # sqrt(6)/pi
+    mu = mean - 0.5772156649015329 * beta   # Euler-Mascheroni
+    lvl = mu - beta * np.log(-np.log(1.0 - 1.0 / 30.0))
+    return pd.DataFrame({
+        "n_days": np.array([int(n)], dtype="int64"),
+        "gumbel_mu": np.array([round(mu / 100.0, 6)],
+                              dtype="float64"),
+        "gumbel_beta": np.array([round(beta / 100.0, 6)],
+                                dtype="float64"),
+        "return_30d": np.array([round(lvl / 100.0, 6)],
+                               dtype="float64")})
+
+
+SQL_GUMBEL_MAXIMA = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+d AS (SELECT day, max(c) AS m FROM e GROUP BY day),
+t AS (SELECT count(*)::DOUBLE AS n, sum(m)::DOUBLE AS s,
+             sum(m::DOUBLE * m::DOUBLE) AS ss
+      FROM d),
+f AS (
+  SELECT n,
+         s / n AS mean,
+         sqrt((ss - s * s / n) / (n - 1.0))
+           * 0.7796968012336293 AS beta
+  FROM t),
+g AS (SELECT n, beta, mean - 0.5772156649015329 * beta AS mu FROM f)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(mu / 100.0, 6) AS gumbel_mu,
+       round(beta / 100.0, 6) AS gumbel_beta,
+       round((mu - beta * ln(-ln(1.0 - 1.0 / 30.0))) / 100.0, 6)
+         AS return_30d
+FROM g
+"""
+
+
+def q_partial_corr(sf_dir: str):
+    """Partial correlation of quantity and extended price CONTROLLING
+    for discount — ρ(x,y·z) = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)),
+    the confound-adjusted association `corr`/`corr_matrix` report only
+    marginally. All three pairwise r's come from one pass of exact
+    int64 joint moments (whole dollars / basis points — cents²
+    partials would wrap int64 at scale); the partial-r algebra
+    is a scalar expression over them, token-identical in SQL; 6 dp."""
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_quantity", "l_extendedprice",
+                             "l_discount"])
+
+    def mom(d: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(d["l_quantity"].to_numpy(dtype="float64")) \
+            .astype("int64")
+        # whole DOLLARS: cents² partials wrap int64 at sf0.1 (numpy
+        # wraps silently where DuckDB promotes to HUGEINT); dollar
+        # resolution is the documented contract on both engines
+        y = np.rint(d["l_extendedprice"].to_numpy(dtype="float64")) \
+            .astype("int64")
+        z = np.rint(d["l_discount"].to_numpy(dtype="float64")
+                    * 10000).astype("int64")
+        return pd.DataFrame({
+            "k": np.zeros(len(d), dtype="int64"),
+            "n": np.ones(len(d), dtype="int64"),
+            "sx": x, "sy": y, "sz": z,
+            "sxx": x * x, "syy": y * y, "szz": z * z,
+            "sxy": x * y, "sxz": x * z, "syz": y * z})
+
+    a = (grouped_agg(li.map_batches(mom, batch_format="pandas"),
+                     ["k"], {c: (c, "sum") for c in
+                             ("n", "sx", "sy", "sz", "sxx", "syy",
+                              "szz", "sxy", "sxz", "syz")})
+         .to_pandas())
+    g = {c: float(a[c].iloc[0]) for c in a.columns}
+    n = g["n"]
+
+    def r(sab, sa, sb, saa, sbb):
+        return ((n * sab - sa * sb)
+                / np.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)))
+
+    rxy = r(g["sxy"], g["sx"], g["sy"], g["sxx"], g["syy"])
+    rxz = r(g["sxz"], g["sx"], g["sz"], g["sxx"], g["szz"])
+    ryz = r(g["syz"], g["sy"], g["sz"], g["syy"], g["szz"])
+    pr = ((rxy - rxz * ryz)
+          / np.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)))
+    return pd.DataFrame({
+        "n": np.array([int(n)], dtype="int64"),
+        "r_xy": np.array([round(float(rxy), 6)], dtype="float64"),
+        "r_xz": np.array([round(float(rxz), 6)], dtype="float64"),
+        "r_yz": np.array([round(float(ryz), 6)], dtype="float64"),
+        "partial_r": np.array([round(float(pr), 6)],
+                              dtype="float64")})
+
+
+SQL_PARTIAL_CORR = """
+WITH li AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice) AS BIGINT) AS y,
+         CAST(round(l_discount * 10000) AS BIGINT) AS z
+  FROM lineitem),
+m AS (
+  SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx,
+         sum(y)::DOUBLE AS sy, sum(z)::DOUBLE AS sz,
+         sum(x * x)::DOUBLE AS sxx, sum(y * y)::DOUBLE AS syy,
+         sum(z * z)::DOUBLE AS szz, sum(x * y)::DOUBLE AS sxy,
+         sum(x * z)::DOUBLE AS sxz, sum(y * z)::DOUBLE AS syz
+  FROM li),
+rr AS (
+  SELECT n,
+         (n * sxy - sx * sy)
+           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+         (n * sxz - sx * sz)
+           / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+         (n * syz - sy * sz)
+           / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n,
+       round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+       round(ryz, 6) AS r_yz,
+       round((rxy - rxz * ryz)
+             / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+         AS partial_r
+FROM rr
+"""
+
+
+def q_james_stein(sf_dir: str):
+    """James–Stein shrinkage of per-brand mean retail prices toward
+    the grand mean — the empirical-Bayes estimator that DOMINATES the
+    per-group MLE for k ≥ 4 groups (`target_encode` is the LOO
+    cousin; this is the canonical shrinkage with an explicit factor).
+    Per-brand exact cent moments give the group means and the pooled
+    within-variance; shrink factor
+    c = 1 − (k−3)·σ̂²_mean / Σ(x̄_i − x̄)² (positive-part), where
+    σ̂²_mean uses the harmonic per-group n; every scalar derives from
+    exact int64 sums, token-identical in SQL; 6 dp."""
+    pa_ = read_table(sf_dir, "part",
+                     columns=["p_brand", "p_retailprice"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(d["p_retailprice"].to_numpy(dtype="float64")
+                    * 100).astype("int64")
+        return pd.DataFrame({"b": d["p_brand"].to_numpy(),
+                             "s": c, "ss": c * c,
+                             "one": np.ones(len(d), dtype="int64")})
+
+    a = (grouped_agg(pa_.map_batches(pre, batch_format="pandas"),
+                     ["b"], {"s": ("s", "sum"), "ss": ("ss", "sum"),
+                             "n": ("one", "sum")})
+         .to_pandas().sort_values("b").reset_index(drop=True))
+    k = float(len(a))
+    n = a["n"].to_numpy(dtype="float64")
+    s = a["s"].to_numpy(dtype="float64")
+    ss = a["ss"].to_numpy(dtype="float64")
+    xbar = s / n
+    grand = float(s.sum()) / float(n.sum())
+    ssw = float((ss - s * s / n).sum())
+    N = float(n.sum())
+    sigma2 = ssw / (N - k)
+    # mean-of-means variance via the harmonic group size
+    nh = k / float((1.0 / n).sum())
+    d2 = float(((xbar - grand) ** 2).sum())
+    c = max(0.0, 1.0 - (k - 3.0) * (sigma2 / nh) / d2)
+    shrunk = grand + c * (xbar - grand)
+    return pd.DataFrame({
+        "brand": a["b"].astype(object),
+        "n": a["n"].astype("int64"),
+        "mean": np.round(xbar / 100.0, 6),
+        "js_mean": np.round(shrunk / 100.0, 6),
+        "shrink_c": np.round(np.full(len(a), c), 6)})
+
+
+SQL_JAMES_STEIN = """
+WITH g AS (
+  SELECT p_brand AS b, count(*)::BIGINT AS n,
+         sum(CAST(round(p_retailprice * 100) AS BIGINT))::BIGINT
+           AS s,
+         sum(CAST(round(p_retailprice * 100) AS BIGINT)
+             * CAST(round(p_retailprice * 100) AS BIGINT))::BIGINT
+           AS ss
+  FROM part GROUP BY 1),
+t AS (
+  SELECT count(*)::DOUBLE AS k, sum(n)::DOUBLE AS nt,
+         sum(s)::DOUBLE AS st,
+         sum(ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) AS ssw,
+         sum(1.0 / n::DOUBLE) AS hinv
+  FROM g),
+p AS (
+  SELECT t.k, t.st / t.nt AS grand,
+         t.ssw / (t.nt - t.k) AS sigma2,
+         t.k / t.hinv AS nh,
+         (SELECT sum((g2.s::DOUBLE / g2.n::DOUBLE
+                      - t2.st / t2.nt)
+                     * (g2.s::DOUBLE / g2.n::DOUBLE
+                        - t2.st / t2.nt))
+          FROM g g2, t t2) AS d2
+  FROM t),
+c AS (
+  SELECT grand,
+         greatest(0.0, 1.0 - (k - 3.0) * (sigma2 / nh) / d2) AS cf
+  FROM p)
+SELECT g.b AS brand, g.n,
+       round(g.s::DOUBLE / g.n::DOUBLE / 100.0, 6) AS mean,
+       round((c.grand + c.cf * (g.s::DOUBLE / g.n::DOUBLE
+                                - c.grand)) / 100.0, 6) AS js_mean,
+       round(c.cf, 6) AS shrink_c
+FROM g, c ORDER BY brand
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -16770,6 +17005,9 @@ QUERIES = {
     "burrows_delta": q_burrows_delta,
     "holt_winters": q_holt_winters,
     "rich_club": q_rich_club,
+    "gumbel_maxima": q_gumbel_maxima,
+    "partial_corr": q_partial_corr,
+    "james_stein": q_james_stein,
 }
 
 ORACLE_SQL = {
@@ -17075,4 +17313,7 @@ ORACLE_SQL = {
     "burrows_delta": SQL_BURROWS_DELTA,
     "holt_winters": SQL_HOLT_WINTERS,
     "rich_club": SQL_RICH_CLUB,
+    "gumbel_maxima": SQL_GUMBEL_MAXIMA,
+    "partial_corr": SQL_PARTIAL_CORR,
+    "james_stein": SQL_JAMES_STEIN,
 }

@@ -3346,3 +3346,77 @@ def test_rich_club_star_vs_clique(ray_session):
     phi = got["phi"].to_numpy(dtype="float64")
     ok = ~np.isnan(phi)
     assert (phi[ok] >= 0).all() and (phi[ok] <= 1.0 + 1e-9).all()
+
+
+def test_gumbel_maxima_recovers_location_scale(ray_session,
+                                               tmp_path):
+    """Daily maxima drawn from a known Gumbel(mu=500, beta=40) give
+    estimates near truth and a sane 30-day return level."""
+    from crawler_service_ray.pipelines.queries import q_gumbel_maxima
+
+    rng = np.random.default_rng(11)
+    base = 20000
+    rows = []
+    for d in range(300):
+        mx = 500.0 - 40.0 * np.log(-np.log(rng.random()))
+        rows.append((np.datetime64((base + d) * 86_400_000_000,
+                                   "us"), round(float(mx), 2)))
+        # a smaller same-day event that must not matter
+        rows.append((np.datetime64((base + d) * 86_400_000_000 + 7,
+                                   "us"), 1.0))
+    pd.DataFrame(rows, columns=["ts", "value"]) \
+        .to_parquet(tmp_path / "events.parquet")
+    got = q_gumbel_maxima(str(tmp_path))
+    assert abs(float(got["gumbel_mu"][0]) - 500.0) < 20.0
+    assert abs(float(got["gumbel_beta"][0]) - 40.0) < 10.0
+    lvl = float(got["return_30d"][0])
+    assert lvl > float(got["gumbel_mu"][0])   # above the mode
+    # closed-form check of the return level from the fitted params
+    ref = (float(got["gumbel_mu"][0])
+           - float(got["gumbel_beta"][0])
+           * np.log(-np.log(1 - 1 / 30)))
+    assert abs(lvl - ref) < 1e-4
+
+
+def test_partial_corr_removes_confounder(ray_session, tmp_path):
+    """y = 10x + 5z + noise with x ⟂ z: partial r(x,y|z) stays high
+    while r(y,z) is substantial; on y = 5z only (x irrelevant),
+    partial r(x,y|z) collapses toward 0."""
+    from crawler_service_ray.pipelines.queries import q_partial_corr
+    import pathlib
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(1, 51, 3000).astype(float)
+    z = np.round(rng.uniform(0, 0.1, 3000), 4)
+
+    def build(y, p):
+        pd.DataFrame({"l_quantity": x,
+                      "l_extendedprice": np.round(y, 2),
+                      "l_discount": z}).to_parquet(
+            p / "lineitem.parquet")
+
+    p1 = pathlib.Path(tmp_path) / "a"; p1.mkdir()
+    build(10 * x + 5000 * z + rng.normal(0, 20, 3000), p1)
+    g1 = q_partial_corr(str(p1))
+    assert float(g1["partial_r"][0]) > 0.8
+    p2 = pathlib.Path(tmp_path) / "b"; p2.mkdir()
+    build(5000 * z + rng.normal(0, 20, 3000), p2)
+    g2 = q_partial_corr(str(p2))
+    assert abs(float(g2["partial_r"][0])) < 0.1
+
+
+def test_james_stein_shrinks_toward_grand(ray_session):
+    """0 <= c <= 1; every shrunk mean lies between its raw mean and
+    the grand mean; extreme raw means move the most."""
+    from crawler_service_ray.pipelines.queries import q_james_stein
+
+    got = q_james_stein("/root/testdata/sf0.001")
+    c = float(got["shrink_c"].iloc[0])
+    assert 0.0 <= c <= 1.0
+    n = got["n"].to_numpy(dtype="float64")
+    raw = got["mean"].to_numpy()
+    grand = float((raw * n).sum() / n.sum())
+    js = got["js_mean"].to_numpy()
+    for i in range(len(got)):
+        lo, hi = sorted((raw[i], grand))
+        assert lo - 1e-6 <= js[i] <= hi + 1e-6
