@@ -13259,7 +13259,9 @@ def q_cuped(sf_dir: str):
     the variance-reduction ratio ρ² all derive from exact int64
     moment sums (Σx, Σy, Σxy, Σx², Σy² per arm), so every scalar is
     a deterministic expression replayed token-identically in SQL;
-    6 dp."""
+    6 dp. Scale bound: per-user cent sums squared keep Σxy inside
+    int64 up to ~10^8 users at these value ranges — beyond that,
+    drop to dollar resolution (the `partial_corr` fix pattern)."""
     from ..functions.relational import grouped_apply
 
     ev = read_table(sf_dir, "events",
@@ -16615,7 +16617,9 @@ def q_james_stein(sf_dir: str):
     within-variance; shrink factor
     c = 1 − (k−3)·σ̂²_mean / Σ(x̄_i − x̄)² (positive-part), where
     σ̂²_mean uses the harmonic per-group n; every scalar derives from
-    exact int64 sums, token-identical in SQL; 6 dp."""
+    exact int64 sums, token-identical in SQL; 6 dp. Scale bound:
+    cents² partials hold to ~10^8 rows at catalog price ranges;
+    beyond that use dollar resolution (the `partial_corr` fix)."""
     pa_ = read_table(sf_dir, "part",
                      columns=["p_brand", "p_retailprice"])
 
