@@ -281,6 +281,7 @@ BENCH_QUERIES = [
     "gumbel_maxima",
     "partial_corr",
     "james_stein",
+    "meta_analysis",
 ]
 
 

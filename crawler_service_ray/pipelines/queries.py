@@ -16538,9 +16538,11 @@ def q_partial_corr(sf_dir: str):
             .astype("int64")
         # whole DOLLARS: cents² partials wrap int64 at sf0.1 (numpy
         # wraps silently where DuckDB promotes to HUGEINT); dollar
-        # resolution is the documented contract on both engines
-        y = np.rint(d["l_extendedprice"].to_numpy(dtype="float64")) \
-            .astype("int64")
+        # resolution is the documented contract on both engines.
+        # floor(x+0.5), NOT rint: prices ending .50 are exact binary
+        # halves, where banker's rounding and SQL round() disagree
+        y = np.floor(d["l_extendedprice"].to_numpy(dtype="float64")
+                     + 0.5).astype("int64")
         z = np.rint(d["l_discount"].to_numpy(dtype="float64")
                     * 10000).astype("int64")
         return pd.DataFrame({
@@ -16579,7 +16581,7 @@ def q_partial_corr(sf_dir: str):
 SQL_PARTIAL_CORR = """
 WITH li AS (
   SELECT CAST(round(l_quantity) AS BIGINT) AS x,
-         CAST(round(l_extendedprice) AS BIGINT) AS y,
+         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y,
          CAST(round(l_discount * 10000) AS BIGINT) AS z
   FROM lineitem),
 m AS (
@@ -16691,6 +16693,113 @@ SELECT g.b AS brand, g.n,
                                 - c.grand)) / 100.0, 6) AS js_mean,
        round(c.cf, 6) AS shrink_c
 FROM g, c ORDER BY brand
+"""
+
+
+def q_meta_analysis(sf_dir: str):
+    """Fixed-effect meta-analysis of the price~quantity slope across
+    8 supplier segments, with Cochran's Q heterogeneity and I² — the
+    'do the segments agree, and how much disagreement is real' pooling
+    a platform runs before trusting one global slope. Each segment's
+    OLS slope and its variance come from exact int64 joint moments
+    (dollar prices — the `partial_corr` overflow discipline); inverse-
+    variance weights, the pooled slope and Q fold through micro-
+    rounded int64 terms on the 8-row driver table (two-stage: weights
+    then deviations), so no float ever sums in engine-dependent
+    order; I² = max(0, (Q−(k−1))/Q); 6 dp."""
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_suppkey", "l_quantity",
+                             "l_extendedprice"])
+
+    def mom(d: pd.DataFrame) -> pd.DataFrame:
+        g = (d["l_suppkey"].to_numpy("int64") % 8)
+        x = np.rint(d["l_quantity"].to_numpy(dtype="float64")) \
+            .astype("int64")
+        # floor(x+0.5): .50-ending prices are exact halves where
+        # rint (banker's) and SQL round() (half-away) disagree
+        y = np.floor(d["l_extendedprice"].to_numpy(dtype="float64")
+                     + 0.5).astype("int64")
+        t = pd.DataFrame({"g": g, "n": np.int64(1), "sx": x,
+                          "sy": y, "sxx": x * x, "sxy": x * y,
+                          "syy": y * y})
+        return t.groupby("g", as_index=False).sum()
+
+    a = (grouped_agg(li.map_batches(mom, batch_format="pandas"),
+                     ["g"], {c: (c, "sum") for c in
+                             ("n", "sx", "sy", "sxx", "sxy", "syy")})
+         .to_pandas().sort_values("g").reset_index(drop=True))
+    n = a["n"].to_numpy(dtype="float64")
+    sx = a["sx"].to_numpy(dtype="float64")
+    sy = a["sy"].to_numpy(dtype="float64")
+    sxx = a["sxx"].to_numpy(dtype="float64")
+    sxy = a["sxy"].to_numpy(dtype="float64")
+    syy = a["syy"].to_numpy(dtype="float64")
+    sxx_c = sxx - sx * sx / n
+    sxy_c = sxy - sx * sy / n
+    syy_c = syy - sy * sy / n
+    beta = sxy_c / sxx_c
+    rss = syy_c - beta * sxy_c
+    se2 = rss / (n - 2.0) / sxx_c
+    w = 1.0 / se2
+    # 1e9 precision: per-group weights at small sf are ~1e-4 and a
+    # 1e3 scale rounded every one to zero
+    w_mi = np.floor(w * 1e9 + 0.5).astype("int64")
+    wb_mi = np.floor(w * beta * 1e9 + 0.5).astype("int64")
+    bfix = float(wb_mi.sum()) / float(w_mi.sum())
+    q_mi = np.floor(w * (beta - bfix) * (beta - bfix) * 1e6 + 0.5) \
+        .astype("int64")
+    Q = float(q_mi.sum()) / 1e6
+    k = float(len(a))
+    i2 = max(0.0, (Q - (k - 1.0)) / Q) if Q > 0 else 0.0
+    return pd.DataFrame({
+        "k_segments": np.array([int(k)], dtype="int64"),
+        "beta_fixed": np.array([round(bfix, 6)], dtype="float64"),
+        "cochran_q": np.array([round(Q, 6)], dtype="float64"),
+        "i_squared": np.array([round(i2, 6)], dtype="float64")})
+
+
+SQL_META_ANALYSIS = """
+WITH li AS (
+  SELECT l_suppkey % 8 AS g,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT g, count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx,
+         sum(y)::DOUBLE AS sy, sum(x * x)::DOUBLE AS sxx,
+         sum(x * y)::DOUBLE AS sxy, sum(y * y)::DOUBLE AS syy
+  FROM li GROUP BY g),
+b AS (
+  SELECT g, n,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS beta,
+         (((syy - sy * sy / n)
+           - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+             * (sxy - sx * sy / n))
+          / (n - 2.0)) / (sxx - sx * sx / n) AS se2
+  FROM m),
+wts AS (
+  SELECT g, beta,
+         CAST(floor(1.0 / se2 * 1e9 + 0.5) AS BIGINT) AS w_mi,
+         CAST(floor(1.0 / se2 * beta * 1e9 + 0.5) AS BIGINT)
+           AS wb_mi,
+         1.0 / se2 AS w
+  FROM b),
+bf AS (SELECT sum(wb_mi)::DOUBLE / sum(w_mi)::DOUBLE AS bfix,
+              count(*)::DOUBLE AS k
+       FROM wts),
+qt AS (
+  SELECT sum(CAST(floor(wts.w * (wts.beta - bf.bfix)
+                        * (wts.beta - bf.bfix) * 1e6 + 0.5)
+                  AS BIGINT))::DOUBLE / 1e6 AS q
+  FROM wts, bf)
+SELECT (SELECT CAST(k AS BIGINT) FROM bf) AS k_segments,
+       round((SELECT bfix FROM bf), 6) AS beta_fixed,
+       round(q, 6) AS cochran_q,
+       round(CASE WHEN q > 0
+                  THEN greatest(0.0,
+                       (q - ((SELECT k FROM bf) - 1.0)) / q)
+                  ELSE 0.0 END, 6) AS i_squared
+FROM qt
 """
 
 
@@ -17012,6 +17121,7 @@ QUERIES = {
     "gumbel_maxima": q_gumbel_maxima,
     "partial_corr": q_partial_corr,
     "james_stein": q_james_stein,
+    "meta_analysis": q_meta_analysis,
 }
 
 ORACLE_SQL = {
@@ -17320,4 +17430,5 @@ ORACLE_SQL = {
     "gumbel_maxima": SQL_GUMBEL_MAXIMA,
     "partial_corr": SQL_PARTIAL_CORR,
     "james_stein": SQL_JAMES_STEIN,
+    "meta_analysis": SQL_META_ANALYSIS,
 }

@@ -3420,3 +3420,37 @@ def test_james_stein_shrinks_toward_grand(ray_session):
     for i in range(len(got)):
         lo, hi = sorted((raw[i], grand))
         assert lo - 1e-6 <= js[i] <= hi + 1e-6
+
+
+def test_meta_analysis_homogeneous_vs_heterogeneous(ray_session,
+                                                    tmp_path):
+    """Segments sharing one true slope give small Q and I2 ~ 0;
+    segments with genuinely different slopes give I2 near 1 and a
+    pooled slope between the extremes."""
+    from crawler_service_ray.pipelines.queries import q_meta_analysis
+    import pathlib
+
+    rng = np.random.default_rng(6)
+
+    def build(slopes, p):
+        rows = []
+        for s in range(8):
+            for i in range(500):
+                x = int(rng.integers(1, 51))
+                y = slopes[s] * x + float(rng.normal(0, 30))
+                rows.append((s, float(x), round(y, 2)))
+        pd.DataFrame(rows, columns=["l_suppkey", "l_quantity",
+                                    "l_extendedprice"]) \
+            .to_parquet(p / "lineitem.parquet")
+
+    p1 = pathlib.Path(tmp_path) / "hom"; p1.mkdir()
+    build([20.0] * 8, p1)
+    g1 = q_meta_analysis(str(p1))
+    assert abs(float(g1["beta_fixed"][0]) - 20.0) < 0.5
+    assert float(g1["i_squared"][0]) < 0.5
+
+    p2 = pathlib.Path(tmp_path) / "het"; p2.mkdir()
+    build([10.0 + 4.0 * s for s in range(8)], p2)
+    g2 = q_meta_analysis(str(p2))
+    assert float(g2["i_squared"][0]) > 0.9
+    assert 10.0 < float(g2["beta_fixed"][0]) < 38.0
