@@ -282,6 +282,8 @@ BENCH_QUERIES = [
     "partial_corr",
     "james_stein",
     "meta_analysis",
+    "rmst",
+    "price_index",
 ]
 
 

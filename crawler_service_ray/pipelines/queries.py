@@ -16803,6 +16803,277 @@ FROM qt
 """
 
 
+def q_rmst(sf_dir: str):
+    """Restricted mean survival time (τ=14 days) per arm and its
+    difference — the EFFECT SIZE companion to `logrank` (days of
+    purchase-free time gained, clinically interpretable where χ² is
+    not). Same subject construction; per-arm KM survival uses the
+    exact micro-nat discipline (`kaplan_meier`'s): per-day
+    ln(1−d/n) rounds to int64 micro-nats, cumulates exactly, and
+    each day's S(t) re-exponentiates; the ≤τ-term RMST sum folds
+    S(t) micro-rounded at 1e9 so the area is float-order-free.
+    RMST = 1 + Σ_{t=1..τ−1} S(t) (the [0,1) interval survives by
+    construction); 6 dp."""
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    big = np.int64(2) ** 62
+    TAU = 14
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        ts = d["ts"].to_numpy("datetime64[us]").astype("int64")
+        is_p = d["event_type"].to_numpy() == "purchase"
+        return pd.DataFrame({
+            "user_id": d["user_id"].to_numpy(),
+            "t0": ts, "tend": ts,
+            "fp": np.where(is_p, ts, big)})
+
+    users = grouped_agg(
+        ev.map_batches(pre, batch_format="pandas"),
+        ["user_id"], {"t0": ("t0", "min"), "tend": ("tend", "max"),
+                      "fp": ("fp", "min")})
+    day_us = 86_400_000_000
+
+    def lifetable(d: pd.DataFrame) -> pd.DataFrame:
+        t0 = d["t0"].to_numpy(dtype="int64")
+        fp = d["fp"].to_numpy(dtype="int64")
+        tend = d["tend"].to_numpy(dtype="int64")
+        observed = fp < big
+        tstop = np.where(observed, fp, tend)
+        return pd.DataFrame({
+            "arm": (d["user_id"].to_numpy() % 2).astype("int64"),
+            "day": (tstop - t0) // day_us + 1,
+            "d": observed.astype("int64"),
+            "c": (~observed).astype("int64")})
+
+    lt = (grouped_agg(
+        users.map_batches(lifetable, batch_format="pandas"),
+        ["arm", "day"], {"d": ("d", "sum"), "c": ("c", "sum")})
+        .to_pandas())
+    out = {}
+    for arm in (0, 1):
+        sub = lt[lt["arm"] == arm].sort_values("day")
+        ntot = int(sub[["d", "c"]].sum().sum())
+        rem = float(ntot)
+        cum_mn = 0          # micro-nats, exact int
+        s_at = {}
+        for _, r in sub.iterrows():
+            day = int(r["day"])
+            d_ = int(r["d"])
+            c_ = int(r["c"])
+            if d_ > 0 and rem > 0 and d_ < rem:
+                cum_mn += int(np.floor(
+                    np.log(1.0 - d_ / rem) * 1e6 + 0.5))
+            elif d_ >= rem > 0:
+                cum_mn = None   # survival hits exactly 0
+            if cum_mn is None:
+                s_at[day] = 0.0
+            else:
+                s_at[day] = np.exp(cum_mn / 1e6)
+            rem -= d_ + c_
+        # S(t) for every integer t: step function, last value carries
+        rmst_mi = 0
+        known_days = sorted(s_at)
+        for t in range(1, TAU):
+            s_t = 1.0
+            for kd in known_days:      # O(τ·days), tiny table
+                if kd <= t:
+                    s_t = s_at[kd]
+            rmst_mi += int(np.floor(s_t * 1e9 + 0.5))
+        out[arm] = (ntot, 1.0 + rmst_mi / 1e9)
+    diff = out[1][1] - out[0][1]
+    return pd.DataFrame({
+        "tau": np.array([TAU], dtype="int64"),
+        "n_arm0": np.array([out[0][0]], dtype="int64"),
+        "n_arm1": np.array([out[1][0]], dtype="int64"),
+        "rmst0": np.array([round(out[0][1], 6)], dtype="float64"),
+        "rmst1": np.array([round(out[1][1], 6)], dtype="float64"),
+        "rmst_diff": np.array([round(diff, 6)], dtype="float64")})
+
+
+SQL_RMST = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         (event_type = 'purchase')::INT AS p
+  FROM events),
+u AS (
+  SELECT user_id, user_id % 2 AS arm, min(t) AS t0, max(t) AS tend,
+         min(CASE WHEN p = 1 THEN t ELSE 4611686018427387904 END)
+           AS fp
+  FROM e GROUP BY 1),
+s AS (
+  SELECT arm,
+         (CASE WHEN fp < 4611686018427387904 THEN fp ELSE tend END
+          - t0) // 86400000000 + 1 AS day,
+         (fp < 4611686018427387904)::INT AS d,
+         (fp >= 4611686018427387904)::INT AS c
+  FROM u),
+lt AS (SELECT arm, day, sum(d)::BIGINT AS d, sum(c)::BIGINT AS c
+       FROM s GROUP BY 1, 2),
+tot AS (SELECT arm, sum(d + c)::DOUBLE AS n FROM lt GROUP BY arm),
+lv AS (
+  SELECT lt.arm, lt.day, lt.d,
+         tot.n - coalesce((SELECT sum(d + c) FROM lt l2
+                           WHERE l2.arm = lt.arm
+                             AND l2.day < lt.day), 0)::DOUBLE
+           AS rem
+  FROM lt JOIN tot ON lt.arm = tot.arm),
+mn AS (
+  SELECT arm, day,
+         CASE WHEN d > 0 AND d < rem
+              THEN CAST(floor(ln(1.0 - d / rem) * 1e6 + 0.5)
+                        AS BIGINT)
+              WHEN d >= rem AND rem > 0 THEN NULL
+              ELSE 0 END AS mnat
+  FROM lv),
+cm AS (
+  SELECT arm, day,
+         sum(mnat) OVER (PARTITION BY arm ORDER BY day) AS cum,
+         max(CASE WHEN mnat IS NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY arm ORDER BY day) AS dead
+  FROM mn),
+ts_ AS (SELECT CAST(k AS BIGINT) + 1 AS t FROM range(0, 13) r(k)),
+sv AS (
+  SELECT tot.arm, ts_.t,
+         coalesce((SELECT CASE WHEN cm2.dead = 1 THEN 0.0
+                               ELSE exp(cm2.cum / 1e6) END
+                   FROM cm cm2
+                   WHERE cm2.arm = tot.arm AND cm2.day <= ts_.t
+                   ORDER BY cm2.day DESC LIMIT 1), 1.0) AS s_t
+  FROM tot, ts_),
+rm AS (
+  SELECT arm,
+         1.0 + sum(CAST(floor(s_t * 1e9 + 0.5) AS BIGINT)) / 1e9
+           AS rmst
+  FROM sv GROUP BY arm)
+SELECT 14::BIGINT AS tau,
+       (SELECT CAST(n AS BIGINT) FROM tot WHERE arm = 0) AS n_arm0,
+       (SELECT CAST(n AS BIGINT) FROM tot WHERE arm = 1) AS n_arm1,
+       round((SELECT rmst FROM rm WHERE arm = 0), 6) AS rmst0,
+       round((SELECT rmst FROM rm WHERE arm = 1), 6) AS rmst1,
+       round((SELECT rmst FROM rm WHERE arm = 1)
+             - (SELECT rmst FROM rm WHERE arm = 0), 6) AS rmst_diff
+"""
+
+
+def q_price_index(sf_dir: str):
+    """Laspeyres / Paasche / Fisher ideal price indexes between the
+    two ship-date halves of the lineitem history — the
+    inflation-measurement primitive (`gmean_brand`'s Jevons leg is
+    unweighted; these are the quantity-WEIGHTED indexes). Per
+    (part, period): exact integer cent/qty sums → unit price
+    p = Σcents/Σqty, an exact rational; parts present in BOTH periods
+    co-locate in ONE part-hash exchange where each partition folds
+    micro-rounded p·q cross terms to 4 int64 partials — nothing
+    part-shaped reaches the driver. L = Σp₁q₀/Σp₀q₀,
+    P = Σp₁q₁/Σp₀q₁, Fisher = √(L·P); 6 dp."""
+    from ..functions.relational import grouped_apply
+
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_partkey", "l_shipdate",
+                             "l_quantity", "l_extendedprice"])
+    b = (grouped_agg(li.map_batches(
+        lambda d: pd.DataFrame({
+            "k": np.zeros(len(d), dtype="int64"),
+            "day": d["l_shipdate"].astype("int64").to_numpy()
+                   // 86_400_000_000}),
+        batch_format="pandas"),
+        ["k"], {"lo": ("day", "min"), "hi": ("day", "max")})
+        .to_pandas())
+    mid = int((int(b["lo"].iloc[0]) + int(b["hi"].iloc[0]) + 1) // 2)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ("l10", "l00", "p11",
+                                           "p01")})
+        day = (g["l_shipdate"].astype("int64").to_numpy()
+               // 86_400_000_000)
+        per = (day >= mid).astype("int64")
+        q = np.rint(g["l_quantity"].to_numpy(dtype="float64")) \
+            .astype("int64")
+        c = np.rint(g["l_extendedprice"].to_numpy(dtype="float64")
+                    * 100).astype("int64")
+        d = pd.DataFrame({"pk": g["l_partkey"].to_numpy(),
+                          "per": per, "q": q, "c": c})
+        a = (d.groupby(["pk", "per"], as_index=False)
+             .agg(q=("q", "sum"), c=("c", "sum")))
+        piv = a.pivot(index="pk", columns="per",
+                      values=["q", "c"]).dropna()
+        if len(piv) == 0:
+            return pd.DataFrame({c2: pd.Series(dtype="int64")
+                                 for c2 in ("l10", "l00", "p11",
+                                            "p01")})
+        q0 = piv[("q", 0)].to_numpy(dtype="float64")
+        q1 = piv[("q", 1)].to_numpy(dtype="float64")
+        c0 = piv[("c", 0)].to_numpy(dtype="float64")
+        c1 = piv[("c", 1)].to_numpy(dtype="float64")
+        p0 = c0 / q0
+        p1 = c1 / q1
+        return pd.DataFrame({
+            "l10": np.array([int(np.floor(p1 * q0 * 1e3 + 0.5)
+                                 .astype("int64").sum())],
+                            dtype="int64"),
+            "l00": np.array([int(np.floor(p0 * q0 * 1e3 + 0.5)
+                                 .astype("int64").sum())],
+                            dtype="int64"),
+            "p11": np.array([int(np.floor(p1 * q1 * 1e3 + 0.5)
+                                 .astype("int64").sum())],
+                            dtype="int64"),
+            "p01": np.array([int(np.floor(p0 * q1 * 1e3 + 0.5)
+                                 .astype("int64").sum())],
+                            dtype="int64")})
+
+    parts = grouped_apply(li, ["l_partkey"], per_part,
+                          num_partitions=32).to_pandas()
+    l10 = float(parts["l10"].sum())
+    l00 = float(parts["l00"].sum())
+    p11 = float(parts["p11"].sum())
+    p01 = float(parts["p01"].sum())
+    L = l10 / l00
+    P = p11 / p01
+    F = np.sqrt(L * P)
+    return pd.DataFrame({
+        "laspeyres": np.array([round(L, 6)], dtype="float64"),
+        "paasche": np.array([round(P, 6)], dtype="float64"),
+        "fisher": np.array([round(float(F), 6)], dtype="float64")})
+
+
+SQL_PRICE_INDEX = """
+WITH li AS (
+  SELECT l_partkey AS pk,
+         epoch_us(l_shipdate) // 86400000000 AS day,
+         CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem),
+b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM li),
+a AS (
+  SELECT pk, (day >= (SELECT mid FROM b))::INT AS per,
+         sum(q)::BIGINT AS q, sum(c)::BIGINT AS c
+  FROM li GROUP BY 1, 2),
+j AS (
+  SELECT a0.pk,
+         a0.q::DOUBLE AS q0, a1.q::DOUBLE AS q1,
+         a0.c::DOUBLE / a0.q::DOUBLE AS p0,
+         a1.c::DOUBLE / a1.q::DOUBLE AS p1
+  FROM a a0 JOIN a a1 ON a0.pk = a1.pk
+  WHERE a0.per = 0 AND a1.per = 1),
+s AS (
+  SELECT sum(CAST(floor(p1 * q0 * 1e3 + 0.5) AS BIGINT))::DOUBLE
+           AS l10,
+         sum(CAST(floor(p0 * q0 * 1e3 + 0.5) AS BIGINT))::DOUBLE
+           AS l00,
+         sum(CAST(floor(p1 * q1 * 1e3 + 0.5) AS BIGINT))::DOUBLE
+           AS p11,
+         sum(CAST(floor(p0 * q1 * 1e3 + 0.5) AS BIGINT))::DOUBLE
+           AS p01
+  FROM j)
+SELECT round(l10 / l00, 6) AS laspeyres,
+       round(p11 / p01, 6) AS paasche,
+       round(sqrt(l10 / l00 * (p11 / p01)), 6) AS fisher
+FROM s
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -17122,6 +17393,8 @@ QUERIES = {
     "partial_corr": q_partial_corr,
     "james_stein": q_james_stein,
     "meta_analysis": q_meta_analysis,
+    "rmst": q_rmst,
+    "price_index": q_price_index,
 }
 
 ORACLE_SQL = {
@@ -17431,4 +17704,6 @@ ORACLE_SQL = {
     "partial_corr": SQL_PARTIAL_CORR,
     "james_stein": SQL_JAMES_STEIN,
     "meta_analysis": SQL_META_ANALYSIS,
+    "rmst": SQL_RMST,
+    "price_index": SQL_PRICE_INDEX,
 }

@@ -3454,3 +3454,66 @@ def test_meta_analysis_homogeneous_vs_heterogeneous(ray_session,
     g2 = q_meta_analysis(str(p2))
     assert float(g2["i_squared"][0]) > 0.9
     assert 10.0 < float(g2["beta_fixed"][0]) < 38.0
+
+
+def test_rmst_known_survival(ray_session, tmp_path):
+    """All arm-1 users purchase on day 3, arm-0 never (censored at
+    day 30): RMST(14) is 3 for arm 1 (S=1 on days 0-2 -> 1+S(1)+S(2)
+    = 3) and 14 for arm 0; diff = -11."""
+    from crawler_service_ray.pipelines.queries import q_rmst
+
+    base = 1_700_000_000_000_000
+    day = 86_400_000_000
+    rows = []
+    for u in range(200):
+        rows.append((u, np.datetime64(base, "us"), "view"))
+        if u % 2 == 1:
+            rows.append((u, np.datetime64(base + 2 * day, "us"),
+                         "purchase"))   # duration day 3
+        else:
+            rows.append((u, np.datetime64(base + 29 * day, "us"),
+                         "view"))       # censored late
+    pd.DataFrame(rows, columns=["user_id", "ts", "event_type"]) \
+        .to_parquet(tmp_path / "events.parquet")
+    got = q_rmst(str(tmp_path))
+    assert abs(float(got["rmst0"][0]) - 14.0) < 1e-6
+    assert abs(float(got["rmst1"][0]) - 3.0) < 1e-6
+    assert abs(float(got["rmst_diff"][0]) + 11.0) < 1e-6
+
+
+def test_price_index_uniform_inflation(ray_session, tmp_path):
+    """A uniform 10% price rise between halves gives all three
+    indexes = 1.1 exactly; stable prices give 1.0."""
+    from crawler_service_ray.pipelines.queries import q_price_index
+    import pathlib
+
+    base = 20000
+    day = 86_400_000_000
+
+    def build(infl, p):
+        rows = []
+        for pk in range(50):
+            unit = 10.0 + pk
+            for per, d0 in ((0, 0), (1, 20)):
+                price = unit * (infl if per == 1 else 1.0)
+                for i in range(3):
+                    q = 2 + (pk + i) % 4
+                    rows.append((pk,
+                                 np.datetime64((base + d0 + i)
+                                               * day, "us"),
+                                 float(q), round(price * q, 2)))
+        pd.DataFrame(rows, columns=["l_partkey", "l_shipdate",
+                                    "l_quantity",
+                                    "l_extendedprice"]) \
+            .to_parquet(p / "lineitem.parquet")
+
+    p1 = pathlib.Path(tmp_path) / "i"; p1.mkdir()
+    build(1.10, p1)
+    g1 = q_price_index(str(p1))
+    for c in ("laspeyres", "paasche", "fisher"):
+        assert abs(float(g1[c][0]) - 1.1) < 1e-3
+    p2 = pathlib.Path(tmp_path) / "s"; p2.mkdir()
+    build(1.0, p2)
+    g2 = q_price_index(str(p2))
+    for c in ("laspeyres", "paasche", "fisher"):
+        assert abs(float(g2[c][0]) - 1.0) < 1e-6
