@@ -284,6 +284,8 @@ BENCH_QUERIES = [
     "meta_analysis",
     "rmst",
     "price_index",
+    "adf_lite",
+    "spectral_peak",
 ]
 
 

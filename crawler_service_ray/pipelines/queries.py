@@ -17074,6 +17074,157 @@ FROM s
 """
 
 
+def q_adf_lite(sf_dir: str):
+    """Dickey–Fuller-style unit-root statistic on daily revenue —
+    'is the level mean-reverting or a random walk', the stationarity
+    screen run before trusting `double_smooth`/`holt_winters`
+    level-trend models. Regress Δy_t on y_{t−1} (with intercept):
+    DF = β̂/se(β̂), computed from exact int64 cent moments of the
+    lagged pairs (one ≤|days| exchange then the tiny day table);
+    every scalar token-identical in SQL; 6 dp. DF ≪ 0 rejects the
+    unit root."""
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": d["ts"].to_numpy("datetime64[us]").astype("int64")
+                   // 86_400_000_000,
+            "c": np.rint(d["value"].to_numpy(dtype="float64") * 100)
+                 .astype("int64")})
+
+    daily = (grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                         ["day"], {"y": ("c", "sum")})
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    y = daily["y"].to_numpy(dtype="int64").astype("float64")
+    x = y[:-1]                       # y_{t-1}
+    dy = y[1:] - y[:-1]              # Δy_t
+    n = float(len(x))
+    sx = float(x.sum())
+    sy = float(dy.sum())
+    sxx = float((x * x).sum())
+    sxy = float((x * dy).sum())
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    alpha = (sy - beta * sx) / n
+    e = dy - (alpha + beta * x)
+    sse = float((e * e).sum())
+    se = np.sqrt(sse / (n - 2.0) / (sxx - sx * sx / n))
+    df_stat = beta / se
+    return pd.DataFrame({
+        "n_days": np.array([int(n) + 1], dtype="int64"),
+        "beta": np.array([round(beta, 6)], dtype="float64"),
+        "df_stat": np.array([round(float(df_stat), 6)],
+                            dtype="float64")})
+
+
+SQL_ADF_LITE = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+d AS (SELECT day, sum(c)::BIGINT AS y FROM e GROUP BY day),
+l AS (
+  SELECT y::DOUBLE AS yc,
+         lag(y) OVER (ORDER BY day) AS yp
+  FROM d),
+p AS (SELECT yp::DOUBLE AS x, yc - yp::DOUBLE AS dy
+      FROM l WHERE yp IS NOT NULL),
+m AS (
+  SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx,
+         sum(dy)::DOUBLE AS sy, sum(x * x)::DOUBLE AS sxx,
+         sum(x * dy)::DOUBLE AS sxy
+  FROM p),
+ab AS (
+  SELECT n, sx, sxx,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+           AS alpha
+  FROM m),
+ss AS (
+  SELECT sum((p.dy - (ab.alpha + ab.beta * p.x))
+             * (p.dy - (ab.alpha + ab.beta * p.x))) AS sse
+  FROM p, ab)
+SELECT (SELECT CAST(n AS BIGINT) + 1 FROM ab) AS n_days,
+       round((SELECT beta FROM ab), 6) AS beta,
+       round((SELECT beta FROM ab)
+             / sqrt(ss.sse / ((SELECT n FROM ab) - 2.0)
+                    / ((SELECT sxx FROM ab)
+                       - (SELECT sx FROM ab) * (SELECT sx FROM ab)
+                         / (SELECT n FROM ab))), 6) AS df_stat
+FROM ss
+"""
+
+
+def q_spectral_peak(sf_dir: str):
+    """Weekly spectral power of daily revenue via a single Goertzel
+    bin at 1/7 cycles/day — the frequency-domain periodicity
+    certificate (`dow_seasonality` shows the SHAPE; this one number
+    says how much of the variance beats at weekly frequency).
+    Centered daily cents project on cos/sin(2πt/7): per-day terms
+    micro-round to int64 before the fold (the trig factors are the
+    same IEEE doubles from the shared 2π/7 literal), power
+    normalizes by total centered energy; 6 dp."""
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": d["ts"].to_numpy("datetime64[us]").astype("int64")
+                   // 86_400_000_000,
+            "c": np.rint(d["value"].to_numpy(dtype="float64") * 100)
+                 .astype("int64")})
+
+    daily = (grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                         ["day"], {"y": ("c", "sum")})
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    t = daily["day"].to_numpy(dtype="int64")
+    t0 = int(t.min())
+    y = daily["y"].to_numpy(dtype="int64").astype("float64")
+    n = float(len(y))
+    mean = float(y.sum()) / n
+    w = 0.8975979010256552           # 2*pi/7 shared literal
+    yd = y - mean
+    tt = (t - t0).astype("float64")
+    cterm = np.floor(yd * np.cos(w * tt) + 0.5).astype("int64")
+    sterm = np.floor(yd * np.sin(w * tt) + 0.5).astype("int64")
+    eterm = np.floor(yd * yd + 0.5).astype("int64")
+    C = float(cterm.sum())
+    S = float(sterm.sum())
+    E = float(eterm.sum())
+    power = (C * C + S * S) / n
+    ratio = power / E
+    return pd.DataFrame({
+        "n_days": np.array([int(n)], dtype="int64"),
+        "weekly_power_share": np.array([round(ratio, 6)],
+                                       dtype="float64")})
+
+
+SQL_SPECTRAL_PEAK = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+d AS (SELECT day, sum(c)::BIGINT AS y FROM e GROUP BY day),
+b AS (SELECT min(day) AS t0, count(*)::DOUBLE AS n,
+             sum(y)::DOUBLE / count(*) AS mean
+      FROM d),
+t AS (
+  SELECT sum(CAST(floor((d.y - b.mean)
+                        * cos(0.8975979010256552
+                              * (d.day - b.t0)) + 0.5)
+                  AS BIGINT))::DOUBLE AS C,
+         sum(CAST(floor((d.y - b.mean)
+                        * sin(0.8975979010256552
+                              * (d.day - b.t0)) + 0.5)
+                  AS BIGINT))::DOUBLE AS S,
+         sum(CAST(floor((d.y - b.mean) * (d.y - b.mean) + 0.5)
+                  AS BIGINT))::DOUBLE AS E,
+         max(b.n) AS n
+  FROM d, b)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round((C * C + S * S) / n / E, 6) AS weekly_power_share
+FROM t
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -17395,6 +17546,8 @@ QUERIES = {
     "meta_analysis": q_meta_analysis,
     "rmst": q_rmst,
     "price_index": q_price_index,
+    "adf_lite": q_adf_lite,
+    "spectral_peak": q_spectral_peak,
 }
 
 ORACLE_SQL = {
@@ -17706,4 +17859,6 @@ ORACLE_SQL = {
     "meta_analysis": SQL_META_ANALYSIS,
     "rmst": SQL_RMST,
     "price_index": SQL_PRICE_INDEX,
+    "adf_lite": SQL_ADF_LITE,
+    "spectral_peak": SQL_SPECTRAL_PEAK,
 }

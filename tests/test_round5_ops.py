@@ -3517,3 +3517,60 @@ def test_price_index_uniform_inflation(ray_session, tmp_path):
     g2 = q_price_index(str(p2))
     for c in ("laspeyres", "paasche", "fisher"):
         assert abs(float(g2[c][0]) - 1.0) < 1e-6
+
+
+def test_adf_lite_random_walk_vs_mean_reverting(ray_session,
+                                                tmp_path):
+    """A pure random walk keeps DF near 0; strong mean reversion
+    drives DF deeply negative."""
+    from crawler_service_ray.pipelines.queries import q_adf_lite
+    import pathlib
+
+    rng = np.random.default_rng(13)
+    base = 20000
+
+    def build(vals, p):
+        rows = [(np.datetime64((base + d) * 86_400_000_000, "us"),
+                 round(float(v), 2)) for d, v in enumerate(vals)]
+        pd.DataFrame(rows, columns=["ts", "value"]) \
+            .to_parquet(p / "events.parquet")
+
+    rw = np.cumsum(rng.normal(0, 5, 120)) + 500
+    p1 = pathlib.Path(tmp_path) / "rw"; p1.mkdir()
+    build(rw, p1)
+    mr = 500 + rng.normal(0, 5, 120)    # iid about a level
+    p2 = pathlib.Path(tmp_path) / "mr"; p2.mkdir()
+    build(mr, p2)
+    df_rw = float(q_adf_lite(str(p1))["df_stat"][0])
+    df_mr = float(q_adf_lite(str(p2))["df_stat"][0])
+    assert df_mr < -6.0
+    assert df_rw > -3.0
+
+
+def test_spectral_peak_weekly_vs_flat(ray_session, tmp_path):
+    """A strong 7-day sinusoid concentrates power in the weekly bin;
+    white noise leaves only a small share."""
+    from crawler_service_ray.pipelines.queries import q_spectral_peak
+    import pathlib
+
+    rng = np.random.default_rng(17)
+    base = 20000
+
+    def build(vals, p):
+        rows = [(np.datetime64((base + d) * 86_400_000_000, "us"),
+                 round(float(v), 2)) for d, v in enumerate(vals)]
+        pd.DataFrame(rows, columns=["ts", "value"]) \
+            .to_parquet(p / "events.parquet")
+
+    t = np.arange(140)
+    p1 = pathlib.Path(tmp_path) / "w"; p1.mkdir()
+    build(500 + 100 * np.sin(2 * np.pi * t / 7)
+          + rng.normal(0, 5, 140), p1)
+    p2 = pathlib.Path(tmp_path) / "f"; p2.mkdir()
+    build(500 + rng.normal(0, 20, 140), p2)
+    share_w = float(q_spectral_peak(str(p1))
+                    ["weekly_power_share"][0])
+    share_f = float(q_spectral_peak(str(p2))
+                    ["weekly_power_share"][0])
+    assert share_w > 0.4
+    assert share_f < 0.1
