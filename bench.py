@@ -286,6 +286,8 @@ BENCH_QUERIES = [
     "price_index",
     "adf_lite",
     "spectral_peak",
+    "neyman_allocation",
+    "qte",
 ]
 
 

@@ -17225,6 +17225,157 @@ FROM t
 """
 
 
+def q_neyman_allocation(sf_dir: str):
+    """Neyman optimal allocation of a 10,000-event sample across the
+    event-type strata — n_h ∝ N_h·σ_h, the survey-sampling design
+    step (`ht_estimate` weights a sample AFTER the fact; this chooses
+    the sample). Per-stratum N and σ from exact int64 cent moments in
+    one ≤5-key pass; the allocation shares are scalar expressions and
+    the integer allocations floor(+0.5) identically; also reports the
+    design-effect variance ratio vs proportional allocation; 6 dp."""
+    B = 10_000
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_type", "value"])
+
+    def mom(d: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(d["value"].to_numpy(dtype="float64") * 100) \
+            .astype("int64")
+        return pd.DataFrame({"g": d["event_type"].to_numpy(),
+                             "s": c, "ss": c * c,
+                             "one": np.ones(len(d), dtype="int64")})
+
+    a = (grouped_agg(ev.map_batches(mom, batch_format="pandas"),
+                     ["g"], {"s": ("s", "sum"), "ss": ("ss", "sum"),
+                             "n": ("one", "sum")})
+         .to_pandas().sort_values("g").reset_index(drop=True))
+    n = a["n"].to_numpy(dtype="float64")
+    s = a["s"].to_numpy(dtype="float64")
+    ss = a["ss"].to_numpy(dtype="float64")
+    sd = np.sqrt((ss - s * s / n) / (n - 1.0))
+    w = n * sd
+    W = float(w.sum())
+    alloc = np.floor(B * w / W + 0.5).astype("int64")
+    # variance of the stratified mean under Neyman vs proportional
+    N = float(n.sum())
+    v_ney = float((((n / N) * sd) ** 2 / np.maximum(
+        B * w / W, 1.0)).sum())
+    v_prop = float((((n / N) * sd) ** 2 / np.maximum(
+        B * n / N, 1.0)).sum())
+    return pd.DataFrame({
+        "stratum": a["g"].astype(object),
+        "n_pop": a["n"].astype("int64"),
+        "sd": np.round(sd / 100.0, 6),
+        "n_alloc": alloc,
+        "design_gain": np.round(
+            np.full(len(a), v_prop / v_ney), 6)})
+
+
+SQL_NEYMAN_ALLOCATION = """
+WITH e AS (
+  SELECT event_type AS g,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+a AS (SELECT g, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+             sum(c * c)::BIGINT AS ss
+      FROM e GROUP BY g),
+d AS (SELECT g, n,
+             sqrt((ss - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                  / (n - 1.0)) AS sd
+      FROM a),
+t AS (SELECT sum(n)::DOUBLE AS nt,
+             sum(n::DOUBLE * sd) AS w
+      FROM d),
+v AS (
+  SELECT sum(((d.n::DOUBLE / t.nt) * d.sd)
+             * ((d.n::DOUBLE / t.nt) * d.sd)
+             / greatest(10000 * (d.n::DOUBLE * d.sd) / t.w, 1.0))
+           AS v_ney,
+         sum(((d.n::DOUBLE / t.nt) * d.sd)
+             * ((d.n::DOUBLE / t.nt) * d.sd)
+             / greatest(10000 * d.n::DOUBLE / t.nt, 1.0)) AS v_prop
+  FROM d, t)
+SELECT d.g AS stratum, d.n AS n_pop,
+       round(d.sd / 100.0, 6) AS sd,
+       CAST(floor(10000 * (d.n::DOUBLE * d.sd) / t.w + 0.5)
+            AS BIGINT) AS n_alloc,
+       round((SELECT v_prop FROM v) / (SELECT v_ney FROM v), 6)
+         AS design_gain
+FROM d, t ORDER BY stratum
+"""
+
+
+def q_qte(sf_dir: str):
+    """Quantile treatment effects at the deciles — WHERE in the
+    outcome distribution the arms differ (`ab_test` compares means;
+    heavy-tailed spend often moves only in the upper deciles). Arms =
+    event_id parity; per-arm EXACT decile order statistics from the
+    bounded cents-histogram exchange (`huber_mean`'s argument); QTE_q
+    = q1 − q0 in exact integer cents; 9 rows, 6 dp."""
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "value"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "arm": (d["event_id"].to_numpy() % 2).astype("int64"),
+            "c": np.rint(d["value"].to_numpy(dtype="float64") * 100)
+                 .astype("int64"),
+            "one": np.ones(len(d), dtype="int64")})
+
+    h = (grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                     ["arm", "c"], {"cnt": ("one", "sum")})
+         .to_pandas())
+    qs = {}
+    for arm in (0, 1):
+        sub = h[h["arm"] == arm].sort_values("c")
+        cv = sub["c"].to_numpy(dtype="int64")
+        ct = sub["cnt"].to_numpy(dtype="int64")
+        ntot = int(ct.sum())
+        cum = np.cumsum(ct)
+        for k in range(1, 10):
+            r = int(np.ceil(k * ntot / 10.0))
+            qs[(arm, k)] = int(cv[np.searchsorted(cum, r)])
+    rows = [(k, qs[(0, k)], qs[(1, k)],
+             (qs[(1, k)] - qs[(0, k)]) / 100.0)
+            for k in range(1, 10)]
+    return pd.DataFrame({
+        "decile": np.array([r[0] for r in rows], dtype="int64"),
+        "q_arm0": np.round(np.array([r[1] / 100.0 for r in rows]),
+                           6),
+        "q_arm1": np.round(np.array([r[2] / 100.0 for r in rows]),
+                           6),
+        "qte": np.round(np.array([r[3] for r in rows]), 6)})
+
+
+SQL_QTE = """
+WITH e AS (
+  SELECT event_id % 2 AS arm,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+h AS (SELECT arm, c, count(*)::BIGINT AS cnt FROM e
+      GROUP BY arm, c),
+n AS (SELECT arm, sum(cnt)::BIGINT AS ntot FROM h GROUP BY arm),
+w AS (SELECT arm, c,
+             sum(cnt) OVER (PARTITION BY arm ORDER BY c) AS cum
+      FROM h),
+ks AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9))
+       v(k)),
+q AS (
+  SELECT ks.k, n.arm,
+         (SELECT min(w.c) FROM w
+          WHERE w.arm = n.arm
+            AND w.cum >= CAST(ceil(ks.k * n.ntot / 10.0) AS BIGINT))
+           AS qv
+  FROM ks, n)
+SELECT q0.k AS decile,
+       round(q0.qv / 100.0, 6) AS q_arm0,
+       round(q1.qv / 100.0, 6) AS q_arm1,
+       round((q1.qv - q0.qv) / 100.0, 6) AS qte
+FROM q q0 JOIN q q1 ON q0.k = q1.k
+WHERE q0.arm = 0 AND q1.arm = 1
+ORDER BY decile
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -17548,6 +17699,8 @@ QUERIES = {
     "price_index": q_price_index,
     "adf_lite": q_adf_lite,
     "spectral_peak": q_spectral_peak,
+    "neyman_allocation": q_neyman_allocation,
+    "qte": q_qte,
 }
 
 ORACLE_SQL = {
@@ -17861,4 +18014,6 @@ ORACLE_SQL = {
     "price_index": SQL_PRICE_INDEX,
     "adf_lite": SQL_ADF_LITE,
     "spectral_peak": SQL_SPECTRAL_PEAK,
+    "neyman_allocation": SQL_NEYMAN_ALLOCATION,
+    "qte": SQL_QTE,
 }

@@ -3574,3 +3574,48 @@ def test_spectral_peak_weekly_vs_flat(ray_session, tmp_path):
                     ["weekly_power_share"][0])
     assert share_w > 0.4
     assert share_f < 0.1
+
+
+def test_neyman_allocation_favors_variable_strata(ray_session,
+                                                  tmp_path):
+    """Equal-size strata with 10x different sigmas: the noisy stratum
+    gets ~10x the allocation; total allocation is ~budget; the design
+    gain exceeds 1."""
+    from crawler_service_ray.pipelines.queries import (
+        q_neyman_allocation)
+
+    rng = np.random.default_rng(19)
+    rows = []
+    for g, sd in (("calm", 1.0), ("wild", 10.0)):
+        for i in range(5000):
+            rows.append((g, round(float(rng.normal(100, sd)), 2)))
+    pd.DataFrame(rows, columns=["event_type", "value"]) \
+        .to_parquet(tmp_path / "events.parquet")
+    got = q_neyman_allocation(str(tmp_path)).set_index("stratum")
+    ratio = (float(got.loc["wild", "n_alloc"])
+             / float(got.loc["calm", "n_alloc"]))
+    assert 8.0 < ratio < 12.0
+    assert abs(int(got["n_alloc"].sum()) - 10_000) <= 2
+    assert float(got["design_gain"].iloc[0]) > 1.2
+
+
+def test_qte_detects_upper_tail_shift(ray_session, tmp_path):
+    """Arm 1 equals arm 0 except its top ~20% is doubled: lower-
+    decile QTEs ~0, upper-decile QTEs large."""
+    from crawler_service_ray.pipelines.queries import q_qte
+
+    rng = np.random.default_rng(23)
+    rows, eid = [], 0
+    for i in range(20000):
+        base = float(rng.uniform(10, 100))
+        arm = eid % 2
+        v = base
+        if arm == 1 and base > 82:     # shift only the top tail
+            v = base * 2
+        rows.append((eid, round(v, 2))); eid += 1
+    pd.DataFrame(rows, columns=["event_id", "value"]) \
+        .to_parquet(tmp_path / "events.parquet")
+    got = q_qte(str(tmp_path)).set_index("decile")
+    assert abs(float(got.loc[2, "qte"])) < 2.0
+    assert abs(float(got.loc[5, "qte"])) < 2.0
+    assert float(got.loc[9, "qte"]) > 30.0
