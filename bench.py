@@ -288,6 +288,7 @@ BENCH_QUERIES = [
     "spectral_peak",
     "neyman_allocation",
     "qte",
+    "hurst_rs",
 ]
 
 

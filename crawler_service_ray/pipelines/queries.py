@@ -17376,6 +17376,109 @@ ORDER BY decile
 """
 
 
+def q_hurst_rs(sf_dir: str):
+    """Hurst exponent of daily revenue by rescaled-range (R/S)
+    analysis over window sizes {7, 14, 28} — the long-memory
+    diagnostic completing the stationarity suite (`adf_lite` asks
+    unit-root, `autocorr` one lag; H>0.5 = persistent, <0.5 =
+    anti-persistent). Per complete window: centered-cumsum range R
+    and population σ S from the day table (exact cents in, identical
+    float ops); per-window ln(R/S) micro-rounds to int64 before the
+    per-size mean; H = the 3-point OLS slope of mean-ln(R/S) on
+    ln(w); 6 dp."""
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": d["ts"].to_numpy("datetime64[us]").astype("int64")
+                   // 86_400_000_000,
+            "c": np.rint(d["value"].to_numpy(dtype="float64") * 100)
+                 .astype("int64")})
+
+    daily = (grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                         ["day"], {"y": ("c", "sum")})
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    t = daily["day"].to_numpy(dtype="int64")
+    t0 = int(t.min())
+    idx = t - t0
+    full = np.zeros(int(idx.max()) + 1)
+    full[idx] = daily["y"].to_numpy(dtype="int64").astype("float64")
+    pts = []
+    for w in (7, 14, 28):
+        nb = len(full) // w
+        if nb == 0:
+            continue
+        logs = []
+        for b in range(nb):
+            seg = full[b * w:(b + 1) * w]
+            mu = seg.sum() / w
+            dev = np.cumsum(seg - mu)
+            R = float(dev.max() - dev.min())
+            S = float(np.sqrt(((seg - mu) ** 2).sum() / w))
+            if S > 0 and R > 0:
+                logs.append(int(np.floor(
+                    np.log(R / S) * 1e6 + 0.5)))
+        if logs:
+            pts.append((float(np.log(w)),
+                        sum(logs) / len(logs) / 1e6, len(logs)))
+    n = float(len(pts))
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    h = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pd.DataFrame({
+        "n_scales": np.array([int(n)], dtype="int64"),
+        "hurst": np.array([round(h, 6)], dtype="float64")})
+
+
+SQL_HURST_RS = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+dly AS (SELECT day, sum(c)::BIGINT AS y FROM e GROUP BY day),
+b0 AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+spine AS (SELECT CAST(unnest(generate_series(lo, hi)) AS BIGINT)
+            AS day FROM b0),
+d AS (SELECT s.day - (SELECT lo FROM b0) AS t,
+             coalesce(dly.y, 0)::DOUBLE AS y
+      FROM spine s LEFT JOIN dly ON dly.day = s.day),
+ws AS (SELECT * FROM (VALUES (7), (14), (28)) v(w)),
+seg AS (
+  SELECT ws.w, d.t // ws.w AS blk, d.t, d.y
+  FROM ws JOIN d ON d.t < (((SELECT count(*) FROM d) // ws.w)
+                           * ws.w)),
+mu AS (SELECT w, blk, sum(y) / w AS mu, count(*) AS cnt
+       FROM seg GROUP BY w, blk),
+cs AS (
+  SELECT seg.w, seg.blk,
+         sum(seg.y - mu.mu)
+           OVER (PARTITION BY seg.w, seg.blk ORDER BY seg.t) AS c,
+         seg.y - mu.mu AS dev
+  FROM seg JOIN mu ON seg.w = mu.w AND seg.blk = mu.blk),
+rs AS (
+  SELECT w, blk,
+         max(c) - min(c) AS R,
+         sqrt(sum(dev * dev) / w) AS S
+  FROM cs GROUP BY w, blk),
+lg AS (
+  SELECT w,
+         sum(CAST(floor(ln(R / S) * 1e6 + 0.5) AS BIGINT))::DOUBLE
+           / count(*) / 1e6 AS mlog,
+         count(*) AS nb
+  FROM rs WHERE S > 0 AND R > 0 GROUP BY w),
+p AS (SELECT ln(w) AS x, mlog AS y FROM lg),
+f AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM p)
+SELECT CAST(n AS BIGINT) AS n_scales,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS hurst
+FROM f
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -17701,6 +17804,7 @@ QUERIES = {
     "spectral_peak": q_spectral_peak,
     "neyman_allocation": q_neyman_allocation,
     "qte": q_qte,
+    "hurst_rs": q_hurst_rs,
 }
 
 ORACLE_SQL = {
@@ -18016,4 +18120,5 @@ ORACLE_SQL = {
     "spectral_peak": SQL_SPECTRAL_PEAK,
     "neyman_allocation": SQL_NEYMAN_ALLOCATION,
     "qte": SQL_QTE,
+    "hurst_rs": SQL_HURST_RS,
 }

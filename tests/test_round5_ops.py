@@ -3619,3 +3619,27 @@ def test_qte_detects_upper_tail_shift(ray_session, tmp_path):
     assert abs(float(got.loc[2, "qte"])) < 2.0
     assert abs(float(got.loc[5, "qte"])) < 2.0
     assert float(got.loc[9, "qte"]) > 30.0
+
+
+def test_hurst_rs_separates_persistence(ray_session, tmp_path):
+    """A trending (persistent) series gives H near 1; an alternating
+    (anti-persistent) series gives H well below 0.5."""
+    from crawler_service_ray.pipelines.queries import q_hurst_rs
+    import pathlib
+
+    base = 20000
+
+    def build(vals, p):
+        rows = [(np.datetime64((base + d) * 86_400_000_000, "us"),
+                 round(float(v), 2)) for d, v in enumerate(vals)]
+        pd.DataFrame(rows, columns=["ts", "value"]) \
+            .to_parquet(p / "events.parquet")
+
+    p1 = pathlib.Path(tmp_path) / "tr"; p1.mkdir()
+    build(100 + 3.0 * np.arange(112), p1)            # pure trend
+    p2 = pathlib.Path(tmp_path) / "al"; p2.mkdir()
+    build(100 + 10.0 * (np.arange(112) % 2), p2)      # alternation
+    h_tr = float(q_hurst_rs(str(p1))["hurst"][0])
+    h_al = float(q_hurst_rs(str(p2))["hurst"][0])
+    assert h_tr > 0.85
+    assert h_al < 0.3
