@@ -289,6 +289,7 @@ BENCH_QUERIES = [
     "neyman_allocation",
     "qte",
     "hurst_rs",
+    "ucb_replay",
 ]
 
 

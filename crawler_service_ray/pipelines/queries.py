@@ -17479,6 +17479,188 @@ FROM f
 """
 
 
+_UCB_ARMS = ("click", "error", "purchase", "signup", "view")
+
+
+def q_ucb_replay(sf_dir: str):
+    """Deterministic UCB1 bandit replay over the day-batched arms —
+    'had we allocated traffic with UCB1, what regret would we have
+    paid', the offline bandit-evaluation primitive (`ips_eval` scores
+    a FIXED policy; this replays a LEARNING one). Arms = the 5 event
+    types; day-t reward of an arm = its mean cents that day,
+    micro-rounded to int64 and normalized by the global max so
+    rewards live in [0,1] as exact rationals. Replay: one init pull
+    per arm (days 1-5 in arm order), then argmax of
+    mean + √(2·ln t / n) with first-arm-wins ties; regret accrues in
+    EXACT micro-cents against the fixed best arm. The day table is
+    tiny; the oracle replays the identical recursion in a generated
+    WITH RECURSIVE carrying (n₁..n₅, s₁..s₅, regret); 6 dp."""
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "event_type", "value"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": d["ts"].to_numpy("datetime64[us]").astype("int64")
+                   // 86_400_000_000,
+            "g": d["event_type"].to_numpy(),
+            "c": np.rint(d["value"].to_numpy(dtype="float64") * 100)
+                 .astype("int64"),
+            "one": np.ones(len(d), dtype="int64")})
+
+    a = (grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                     ["day", "g"], {"s": ("c", "sum"),
+                                    "n": ("one", "sum")})
+         .to_pandas())
+    a["r"] = np.floor(a["s"].to_numpy(dtype="float64")
+                      / a["n"].to_numpy(dtype="float64")
+                      * 1e3 + 0.5).astype("int64")
+    days = np.sort(a["day"].unique())
+    T = len(days)
+    rw = {}
+    for _, row in a.iterrows():
+        if row["g"] in _UCB_ARMS:
+            rw[(int(row["day"]), row["g"])] = int(row["r"])
+    R = np.zeros((T, 5), dtype="int64")
+    for ti, dday in enumerate(days):
+        for ai, g in enumerate(_UCB_ARMS):
+            R[ti, ai] = rw.get((int(dday), g), 0)
+    rmax = int(R.max())
+    tot = R.sum(axis=0)
+    best = int(np.argmax(tot))          # ties → first arm
+    for ai in range(5):
+        if tot[ai] == tot[best] and ai < best:
+            best = ai
+    n = [0] * 5
+    s = [0.0] * 5
+    reg = 0
+    for t in range(min(5, T)):
+        arm = t
+        n[arm] += 1
+        s[arm] += R[t, arm] / rmax
+        reg += int(R[t, best]) - int(R[t, arm])
+    for t in range(5, T):
+        tp = float(t)
+        ucb = [s[i] / n[i] + np.sqrt(2.0 * np.log(tp) / n[i])
+               for i in range(5)]
+        arm = 0
+        for i in range(1, 5):
+            if ucb[i] > ucb[arm]:
+                arm = i
+        n[arm] += 1
+        s[arm] += R[t, arm] / rmax
+        reg += int(R[t, best]) - int(R[t, arm])
+    return pd.DataFrame({
+        "arm": list(_UCB_ARMS),
+        "pulls": np.array(n, dtype="int64"),
+        "mean_reward": np.round(
+            np.array([s[i] / n[i] if n[i] else 0.0
+                      for i in range(5)]), 6),
+        "regret": np.round(np.full(5, reg / 1e3 / 100.0), 6)})
+
+
+def _ucb_sql() -> str:
+    arms_case = " ".join(
+        f"WHEN '{g}' THEN {i + 1}" for i, g in enumerate(_UCB_ARMS))
+    rcols = ", ".join(
+        f"coalesce(max(CASE WHEN ai = {i + 1} THEN r END), 0) AS r{i + 1}"
+        for i in range(5))
+    # choice: first arm whose ucb >= all others (first-max-wins)
+    ucb = {i: (f"(s{i} / n{i} + sqrt(2.0 * ln(CAST(b.t AS DOUBLE))"
+               f" / n{i}))") for i in range(1, 6)}
+    # python's first-max-wins scan == arm i wins iff ucb_i > ucb_j
+    # for all j < i AND ucb_i >= ucb_j for all j > i
+    cond = {}
+    for i in range(1, 6):
+        parts = []
+        for j in range(1, i):
+            parts.append(f"{ucb[i]} > {ucb[j]}")
+        for j in range(i + 1, 6):
+            parts.append(f"{ucb[i]} >= {ucb[j]}")
+        cond[i] = " AND ".join(parts) if parts else "TRUE"
+    chose = ("CASE " + " ".join(
+        f"WHEN {cond[i]} THEN {i}" for i in range(1, 5)) + " ELSE 5 END")
+    upd_n = ", ".join(
+        f"b.n{i} + (ch.c = {i})::INT AS n{i}" for i in range(1, 6))
+    upd_s = ", ".join(
+        f"b.s{i} + CASE WHEN ch.c = {i} THEN rr.r{i}::DOUBLE"
+        f" / (SELECT m FROM mx) ELSE 0.0 END AS s{i}"
+        for i in range(1, 6))
+    chosen_r = ("CASE " + " ".join(
+        f"WHEN ch.c = {i} THEN rr.r{i}" for i in range(1, 5))
+        + " ELSE rr.r5 END")
+    init_n = ", ".join("1" for _ in range(5))
+    init_s = ", ".join(
+        f"(SELECT r{i}::DOUBLE / (SELECT m FROM mx) FROM rwp "
+        f"WHERE t = {i})" for i in range(1, 6))
+    init_reg = " + ".join(
+        f"((SELECT rb FROM rwb WHERE t = {i})"
+        f" - (SELECT r{i} FROM rwp WHERE t = {i}))"
+        for i in range(1, 6))
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CASE event_type {arms_case} ELSE 0 END AS ai,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+ag AS (SELECT day, ai,
+              CAST(floor(sum(c)::DOUBLE / count(*) * 1e3 + 0.5)
+                   AS BIGINT) AS r
+       FROM e WHERE ai > 0 GROUP BY day, ai),
+dd AS (SELECT day, row_number() OVER (ORDER BY day) AS t
+       FROM (SELECT DISTINCT day FROM e)),
+rwp AS (
+  SELECT dd.t, {rcols}
+  FROM dd LEFT JOIN ag ON ag.day = dd.day
+  GROUP BY dd.t),
+mx AS (SELECT greatest(max(r1), max(r2), max(r3), max(r4),
+                       max(r5))::DOUBLE AS m FROM rwp),
+tots AS (SELECT sum(r1) AS t1, sum(r2) AS t2, sum(r3) AS t3,
+                sum(r4) AS t4, sum(r5) AS t5 FROM rwp),
+bi AS (SELECT CASE
+         WHEN t1 >= t2 AND t1 >= t3 AND t1 >= t4 AND t1 >= t5 THEN 1
+         WHEN t2 >= t3 AND t2 >= t4 AND t2 >= t5 THEN 2
+         WHEN t3 >= t4 AND t3 >= t5 THEN 3
+         WHEN t4 >= t5 THEN 4 ELSE 5 END AS b
+       FROM tots),
+rwb AS (SELECT rwp.t,
+               CASE (SELECT b FROM bi)
+                 WHEN 1 THEN r1 WHEN 2 THEN r2 WHEN 3 THEN r3
+                 WHEN 4 THEN r4 ELSE r5 END AS rb
+        FROM rwp),
+bd(t, n1, n2, n3, n4, n5, s1, s2, s3, s4, s5, reg) AS (
+  SELECT 5, {init_n}, {init_s},
+         CAST({init_reg} AS BIGINT)
+  UNION ALL
+  SELECT b.t + 1, {upd_n}, {upd_s},
+         b.reg + (SELECT rb FROM rwb WHERE t = b.t + 1)
+               - {chosen_r}
+  FROM bd b
+  JOIN rwp rr ON rr.t = b.t + 1
+  CROSS JOIN LATERAL (SELECT {chose} AS c) ch),
+fin AS (SELECT * FROM bd
+        WHERE t = (SELECT max(t) FROM rwp)),
+arms AS (SELECT * FROM (VALUES
+  (1, '{_UCB_ARMS[0]}'), (2, '{_UCB_ARMS[1]}'),
+  (3, '{_UCB_ARMS[2]}'), (4, '{_UCB_ARMS[3]}'),
+  (5, '{_UCB_ARMS[4]}')) v(i, arm))
+SELECT arms.arm,
+       CASE arms.i WHEN 1 THEN fin.n1 WHEN 2 THEN fin.n2
+            WHEN 3 THEN fin.n3 WHEN 4 THEN fin.n4
+            ELSE fin.n5 END::BIGINT AS pulls,
+       round(CASE arms.i
+               WHEN 1 THEN fin.s1 / fin.n1
+               WHEN 2 THEN fin.s2 / fin.n2
+               WHEN 3 THEN fin.s3 / fin.n3
+               WHEN 4 THEN fin.s4 / fin.n4
+               ELSE fin.s5 / fin.n5 END, 6) AS mean_reward,
+       round(fin.reg / 1e3 / 100.0, 6) AS regret
+FROM arms, fin ORDER BY arms.arm
+"""
+
+
+SQL_UCB_REPLAY = _ucb_sql()
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -17805,6 +17987,7 @@ QUERIES = {
     "neyman_allocation": q_neyman_allocation,
     "qte": q_qte,
     "hurst_rs": q_hurst_rs,
+    "ucb_replay": q_ucb_replay,
 }
 
 ORACLE_SQL = {
@@ -18121,4 +18304,5 @@ ORACLE_SQL = {
     "neyman_allocation": SQL_NEYMAN_ALLOCATION,
     "qte": SQL_QTE,
     "hurst_rs": SQL_HURST_RS,
+    "ucb_replay": SQL_UCB_REPLAY,
 }

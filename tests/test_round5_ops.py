@@ -3643,3 +3643,30 @@ def test_hurst_rs_separates_persistence(ray_session, tmp_path):
     h_al = float(q_hurst_rs(str(p2))["hurst"][0])
     assert h_tr > 0.85
     assert h_al < 0.3
+
+
+def test_ucb_replay_converges_to_best_arm(ray_session, tmp_path):
+    """With one clearly dominant arm, UCB1 allocates the bulk of the
+    pulls to it and the regret stays sublinear (far under always-
+    pulling the worst)."""
+    from crawler_service_ray.pipelines.queries import q_ucb_replay
+
+    base = 20000
+    rows = []
+    means = {"click": 10.0, "error": 12.0, "purchase": 80.0,
+             "signup": 11.0, "view": 9.0}
+    for d in range(60):
+        for g, m in means.items():
+            # two events per (day, arm): deterministic mean m
+            for v in (m - 1.0, m + 1.0):
+                rows.append((np.datetime64(
+                    (base + d) * 86_400_000_000 + len(rows), "us"),
+                    g, float(v)))
+    pd.DataFrame(rows, columns=["ts", "event_type", "value"]) \
+        .to_parquet(tmp_path / "events.parquet")
+    got = q_ucb_replay(str(tmp_path)).set_index("arm")
+    assert int(got["pulls"].sum()) == 60
+    assert int(got.loc["purchase", "pulls"]) >= 40
+    regret = float(got["regret"].iloc[0])
+    worst_case = 60 * (80.0 - 9.0)
+    assert 0.0 <= regret < 0.4 * worst_case
