@@ -290,6 +290,8 @@ BENCH_QUERIES = [
     "qte",
     "hurst_rs",
     "ucb_replay",
+    "journey_length",
+    "reserve_price",
 ]
 
 

@@ -14463,6 +14463,7 @@ def _mk_exprs() -> dict:
           " + b1 * ((0 - q21) * (0 - q32) + (1 - q22) * q31))"
           f" / {det3})")
     e["p_full"] = f"(s1 * {x1} + s2 * {x2} + s3 * {x3})"
+    e["x1"], e["x2"], e["x3"] = x1, x2, x3
     # removal of state r: 2x2 chain over the remaining states (paths
     # through r are dropped, not renormalized)
     for r, (i, j) in {1: (2, 3), 2: (1, 3), 3: (1, 2)}.items():
@@ -17661,6 +17662,211 @@ FROM arms, fin ORDER BY arms.arm
 SQL_UCB_REPLAY = _ucb_sql()
 
 
+def q_journey_length(sf_dir: str):
+    """Expected journey LENGTH to absorption per start channel — the
+    absorbing-chain companion to `markov_attribution`: how many steps
+    a (view/click/signup)-starting session takes before purchase or
+    drop-off, t = (I−Q)⁻¹·𝟙 on the same transition chain. Counts come
+    from the identical user-hash exchange; the Cramer x-expressions
+    are REUSED VERBATIM with b ≡ 1 (both engines bind b1..b3 to the
+    literal 1.0), so the algebra still cannot drift token-wise; the
+    start-weighted overall mean rides the shared p_full expression;
+    6 dp."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id",
+                             "event_type"])
+    idx = {s: i + 1 for i, s in enumerate(_MK_STATES)}
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"kind": [], "i": [], "j": [], "n": []}
+        if len(g):
+            d = g[g["event_type"].isin(
+                list(_MK_STATES) + ["purchase"])]
+            d = d.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+            u = d["user_id"].to_numpy()
+            st = d["event_type"].map(
+                {**idx, "purchase": 0}).to_numpy(dtype="int64")
+            same = np.r_[False, u[1:] == u[:-1]]
+            first = ~same
+            nxt = np.r_[same[1:], False]
+            cur = st
+            nx = np.r_[st[1:], 0]
+            rows = []
+            for i in (1, 2, 3):
+                rows.append(("s", i, 0,
+                             int((first & (cur == i)).sum())))
+            for i in (1, 2, 3):
+                src = (cur == i)
+                for j in (1, 2, 3):
+                    rows.append(("q", i, j, int(
+                        (src & nxt & (nx == j)).sum())))
+                rows.append(("b", i, 0, int(
+                    (src & nxt & (nx == 0)).sum())))
+                rows.append(("z", i, 0, int(
+                    (src & ~nxt).sum())))
+            for k, i, j, n in rows:
+                cols["kind"].append(k)
+                cols["i"].append(i)
+                cols["j"].append(j)
+                cols["n"].append(n)
+        return pd.DataFrame({
+            "kind": pd.Series(cols["kind"], dtype=object),
+            "i": pd.Series(cols["i"], dtype="int64"),
+            "j": pd.Series(cols["j"], dtype="int64"),
+            "n": pd.Series(cols["n"], dtype="int64")})
+
+    a = (grouped_agg(
+        grouped_apply(ev, ["user_id"], per_part, num_partitions=32),
+        ["kind", "i", "j"], {"n": ("n", "sum")}).to_pandas())
+    cnt = {(r["kind"], int(r["i"]), int(r["j"])): int(r["n"])
+           for _, r in a.iterrows()}
+    tot_start = sum(cnt.get(("s", i, 0), 0) for i in (1, 2, 3))
+    v = {}
+    for i in (1, 2, 3):
+        out = (sum(cnt.get(("q", i, j), 0) for j in (1, 2, 3))
+               + cnt.get(("b", i, 0), 0) + cnt.get(("z", i, 0), 0))
+        for j in (1, 2, 3):
+            v[f"q{i}{j}"] = cnt.get(("q", i, j), 0) / out
+        v[f"b{i}"] = 1.0                       # b ≡ 1: count steps
+        v[f"s{i}"] = cnt.get(("s", i, 0), 0) / tot_start
+    ex = _mk_exprs()
+    env = {"__builtins__": {}}
+    ts = [eval(ex[f"x{i}"], env, dict(v)) for i in (1, 2, 3)]
+    overall = eval(ex["p_full"], env, dict(v))
+    return pd.DataFrame({
+        "channel": list(_MK_STATES),
+        "expected_steps": np.round(np.array(ts), 6),
+        "overall": np.round(np.full(3, overall), 6)})
+
+
+def _journey_sql() -> str:
+    ex = _mk_exprs()
+    rows = []
+    for r, nm in enumerate(_MK_STATES, start=1):
+        rows.append(
+            f"SELECT '{nm}' AS channel,\n"
+            f"       round({ex[f'x{r}']}, 6) AS expected_steps,\n"
+            f"       round({ex['p_full']}, 6) AS overall\n"
+            "FROM v")
+    un = "\nUNION ALL\n".join(rows)
+    sel_parts = []
+    for i in (1, 2, 3):
+        out = (f"(SELECT coalesce(sum(n), 0) FROM c "
+               f"WHERE kind IN ('q', 'b', 'z') AND i = {i})")
+        for j in (1, 2, 3):
+            sel_parts.append(
+                f"(SELECT coalesce(sum(n), 0) FROM c WHERE "
+                f"kind = 'q' AND i = {i} AND j = {j})::DOUBLE "
+                f"/ {out} AS q{i}{j}")
+        sel_parts.append(f"1.0 AS b{i}")
+        sel_parts.append(
+            f"(SELECT coalesce(sum(n), 0) FROM c WHERE kind = 's' "
+            f"AND i = {i})::DOUBLE / (SELECT sum(n) FROM c WHERE "
+            f"kind = 's') AS s{i}")
+    sel = ",\n         ".join(sel_parts)
+    states_in = ", ".join(f"'{s}'" for s in _MK_STATES)
+    case_state = ("CASE event_type "
+                  + " ".join(f"WHEN '{s}' THEN {i + 1}"
+                             for i, s in enumerate(_MK_STATES))
+                  + " ELSE 0 END")
+    return f"""
+WITH d AS (
+  SELECT user_id, {case_state} AS st,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE event_type IN ({states_in}, 'purchase')),
+p AS (
+  SELECT a.user_id, a.st AS cur, b.st AS nx, a.rn
+  FROM d a LEFT JOIN d b
+    ON a.user_id = b.user_id AND b.rn = a.rn + 1),
+c AS (
+  SELECT 's' AS kind, cur AS i, 0 AS j, count(*)::BIGINT AS n
+  FROM p WHERE rn = 1 AND cur > 0 GROUP BY cur
+  UNION ALL
+  SELECT 'q', cur, nx, count(*)::BIGINT
+  FROM p WHERE cur > 0 AND nx > 0 GROUP BY cur, nx
+  UNION ALL
+  SELECT 'b', cur, 0, count(*)::BIGINT
+  FROM p WHERE cur > 0 AND nx = 0 GROUP BY cur
+  UNION ALL
+  SELECT 'z', cur, 0, count(*)::BIGINT
+  FROM p WHERE cur > 0 AND nx IS NULL GROUP BY cur),
+v AS (
+  SELECT {sel})
+{un}
+"""
+
+
+SQL_JOURNEY_LENGTH = _journey_sql()
+
+
+def q_reserve_price(sf_dir: str):
+    """Revenue-optimal posted price from the empirical demand curve —
+    treat each order's total as a buyer valuation; at posted price p
+    revenue is p·#{orders with value ≥ p}; pick the argmax over the
+    EXACT distinct-value candidates (a classic result: the optimum is
+    at a valuation point). The bounded cents-histogram ships exact
+    counts; survivors-at-or-above come from a top-down cumulative
+    sum; revenue products are exact int64 and ties break toward the
+    LOWER price on both engines; 6 dp."""
+    od = read_table(sf_dir, "orders",
+                    columns=["o_totalprice"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c": np.rint(d["o_totalprice"].to_numpy(dtype="float64")
+                         * 100).astype("int64"),
+            "one": np.ones(len(d), dtype="int64")})
+
+    h = (grouped_agg(od.map_batches(pre, batch_format="pandas"),
+                     ["c"], {"cnt": ("one", "sum")})
+         .to_pandas().sort_values("c", ascending=False)
+         .reset_index(drop=True))
+    cv = h["c"].to_numpy(dtype="int64")
+    ct = h["cnt"].to_numpy(dtype="int64")
+    n = int(ct.sum())
+    above = np.cumsum(ct)               # buyers with value >= c
+    rev = cv * above
+    best = int(np.argmax(rev))
+    # ties toward the LOWER price: argmax returns the FIRST max in
+    # descending-price order; scan for later (lower-price) equal revs
+    for i in range(best + 1, len(rev)):
+        if rev[i] == rev[best]:
+            best = i
+    return pd.DataFrame({
+        "n_orders": np.array([n], dtype="int64"),
+        "reserve": np.array([round(int(cv[best]) / 100.0, 6)],
+                            dtype="float64"),
+        "buyers": np.array([int(above[best])], dtype="int64"),
+        "revenue": np.array([round(int(rev[best]) / 100.0, 6)],
+                            dtype="float64")})
+
+
+SQL_RESERVE_PRICE = """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+h AS (SELECT c, count(*)::BIGINT AS cnt FROM o GROUP BY c),
+w AS (SELECT c, cnt,
+             sum(cnt) OVER (ORDER BY c DESC) AS above
+      FROM h),
+r AS (SELECT c, above, c * above AS rev FROM w),
+b AS (SELECT min(c) AS c FROM r
+      WHERE rev = (SELECT max(rev) FROM r))
+SELECT (SELECT sum(cnt) FROM h)::BIGINT AS n_orders,
+       round((SELECT c FROM b) / 100.0, 6) AS reserve,
+       (SELECT above FROM r WHERE c = (SELECT c FROM b))::BIGINT
+         AS buyers,
+       round((SELECT rev FROM r WHERE c = (SELECT c FROM b))
+             / 100.0, 6) AS revenue
+FROM h LIMIT 1
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -17988,6 +18194,8 @@ QUERIES = {
     "qte": q_qte,
     "hurst_rs": q_hurst_rs,
     "ucb_replay": q_ucb_replay,
+    "journey_length": q_journey_length,
+    "reserve_price": q_reserve_price,
 }
 
 ORACLE_SQL = {
@@ -18305,4 +18513,6 @@ ORACLE_SQL = {
     "qte": SQL_QTE,
     "hurst_rs": SQL_HURST_RS,
     "ucb_replay": SQL_UCB_REPLAY,
+    "journey_length": SQL_JOURNEY_LENGTH,
+    "reserve_price": SQL_RESERVE_PRICE,
 }

@@ -3670,3 +3670,46 @@ def test_ucb_replay_converges_to_best_arm(ray_session, tmp_path):
     regret = float(got["regret"].iloc[0])
     worst_case = 60 * (80.0 - 9.0)
     assert 0.0 <= regret < 0.4 * worst_case
+
+
+def test_journey_length_hand_chain(ray_session, tmp_path):
+    """view->click->purchase chains: expected steps from view = 2,
+    from click = 1; signup-only sessions absorb in 1 step."""
+    from crawler_service_ray.pipelines.queries import q_journey_length
+
+    rows, t = [], 0
+
+    def ev(u, typ):
+        nonlocal t
+        t += 1
+        rows.append((u, np.datetime64(1_700_000_000_000_000 + t * 60,
+                                      "us"), t, typ))
+
+    for u in range(20):
+        ev(u, "view"); ev(u, "click"); ev(u, "purchase")
+    for u in range(20, 30):
+        ev(u, "signup")      # absorbs to null in one step
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+    df.to_parquet(tmp_path / "events.parquet")
+    got = q_journey_length(str(tmp_path)).set_index("channel")
+    assert abs(float(got.loc["view", "expected_steps"]) - 2.0) < 1e-6
+    assert abs(float(got.loc["click", "expected_steps"]) - 1.0) < 1e-6
+    assert abs(float(got.loc["signup", "expected_steps"]) - 1.0) \
+        < 1e-6
+    # start mix: 20 views, 10 signups -> (20*2 + 10*1)/30
+    assert abs(float(got["overall"].iloc[0]) - 50 / 30) < 1e-6
+
+
+def test_reserve_price_step_demand(ray_session, tmp_path):
+    """Three valuation levels (100x60, 200x30, 400x10): revenues are
+    10000/9000/4000 -> optimal posted price is 100."""
+    from crawler_service_ray.pipelines.queries import q_reserve_price
+
+    vals = [100.0] * 60 + [200.0] * 30 + [400.0] * 10
+    pd.DataFrame({"o_totalprice": vals}) \
+        .to_parquet(tmp_path / "orders.parquet")
+    got = q_reserve_price(str(tmp_path))
+    assert abs(float(got["reserve"][0]) - 100.0) < 1e-9
+    assert int(got["buyers"][0]) == 100
+    assert abs(float(got["revenue"][0]) - 10000.0) < 1e-6
