@@ -292,6 +292,8 @@ BENCH_QUERIES = [
     "ucb_replay",
     "journey_length",
     "reserve_price",
+    "gains_table",
+    "split_half",
 ]
 
 

@@ -17867,6 +17867,174 @@ FROM h LIMIT 1
 """
 
 
+def q_gains_table(sf_dir: str):
+    """Cumulative gains (lift) table — 'score events by value, how
+    many of all purchases live in the top k deciles', the
+    targeting-efficiency readout `calibration` (reliability) and
+    `auc` (one number) don't give. Decile EDGES are exact order
+    statistics of the value distribution from the bounded cents
+    histogram; per-decile purchase counts come from the same
+    histogram carrying the purchase flag; cumulative capture and
+    lift are exact int64 ratios; 6 dp. Ties at an edge belong to the
+    LOWER decile on both engines (edge = smallest cent value whose
+    cum ≥ the decile rank)."""
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_type", "value"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c": np.rint(d["value"].to_numpy(dtype="float64") * 100)
+                 .astype("int64"),
+            "p": (d["event_type"].to_numpy() == "purchase")
+                 .astype("int64"),
+            "one": np.ones(len(d), dtype="int64")})
+
+    h = (grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                     ["c"], {"k": ("p", "sum"), "n": ("one", "sum")})
+         .to_pandas().sort_values("c", ascending=False)
+         .reset_index(drop=True))
+    cv = h["c"].to_numpy(dtype="int64")
+    kv = h["k"].to_numpy(dtype="int64")
+    nv = h["n"].to_numpy(dtype="int64")
+    N = int(nv.sum())
+    K = int(kv.sum())
+    cum_n = np.cumsum(nv)
+    cum_k = np.cumsum(kv)
+    rows = []
+    for d in range(1, 11):
+        r = int(np.ceil(d * N / 10.0))
+        i = int(np.searchsorted(cum_n, r))
+        got_n = int(cum_n[i])
+        got_k = int(cum_k[i])
+        capture = got_k / K
+        lift = (got_k / K) / (got_n / N)
+        rows.append((d, got_n, got_k, round(capture, 6),
+                     round(lift, 6)))
+    return pd.DataFrame({
+        "decile": np.array([r[0] for r in rows], dtype="int64"),
+        "n_cum": np.array([r[1] for r in rows], dtype="int64"),
+        "purchases_cum": np.array([r[2] for r in rows],
+                                  dtype="int64"),
+        "capture": np.array([r[3] for r in rows], dtype="float64"),
+        "lift": np.array([r[4] for r in rows], dtype="float64")})
+
+
+SQL_GAINS_TABLE = """
+WITH e AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+         (event_type = 'purchase')::INT AS p
+  FROM events),
+h AS (SELECT c, sum(p)::BIGINT AS k, count(*)::BIGINT AS n
+      FROM e GROUP BY c),
+t AS (SELECT sum(n)::BIGINT AS nt, sum(k)::BIGINT AS kt FROM h),
+w AS (SELECT c, sum(n) OVER (ORDER BY c DESC) AS cum_n,
+             sum(k) OVER (ORDER BY c DESC) AS cum_k
+      FROM h),
+ds AS (SELECT CAST(k AS BIGINT) + 1 AS d FROM range(0, 10) r(k)),
+pick AS (
+  SELECT ds.d,
+         (SELECT min(cum_n) FROM w, t
+          WHERE cum_n >= CAST(ceil(ds.d * t.nt / 10.0) AS BIGINT))
+           AS got_n
+  FROM ds),
+f AS (
+  SELECT pick.d, pick.got_n,
+         (SELECT max(cum_k) FROM w WHERE cum_n = pick.got_n)
+           AS got_k
+  FROM pick)
+SELECT f.d AS decile, CAST(f.got_n AS BIGINT) AS n_cum,
+       CAST(f.got_k AS BIGINT) AS purchases_cum,
+       round(f.got_k::DOUBLE / t.kt::DOUBLE, 6) AS capture,
+       round((f.got_k::DOUBLE / t.kt::DOUBLE)
+             / (f.got_n::DOUBLE / t.nt::DOUBLE), 6) AS lift
+FROM f, t ORDER BY decile
+"""
+
+
+def q_split_half(sf_dir: str):
+    """Split-half reliability with the Spearman–Brown correction —
+    'is per-user spend a stable trait or noise', the psychometric
+    consistency readout: each user's events split even/odd by
+    event_id, the two half-sums correlate across users, and
+    SB = 2r/(1+r) projects to full-length reliability. ONE user-hash
+    exchange folds exact int64 half-sums; the correlation uses exact
+    joint moments of the per-user cent pairs (user sums stay far
+    inside int64); 6 dp."""
+    from ..functions.relational import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "value"])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ("n", "sx", "sy", "sxx",
+                                           "syy", "sxy")})
+        c = np.rint(g["value"].to_numpy(dtype="float64") * 100) \
+            .astype("int64")
+        even = (g["event_id"].to_numpy() % 2 == 0)
+        d = pd.DataFrame({"u": g["user_id"].to_numpy(),
+                          "x": np.where(even, c, 0),
+                          "y": np.where(even, 0, c)})
+        u = d.groupby("u", sort=False).agg(x=("x", "sum"),
+                                           y=("y", "sum"))
+        x = u["x"].to_numpy()
+        y = u["y"].to_numpy()
+        return pd.DataFrame({
+            "n": np.array([len(u)], dtype="int64"),
+            "sx": np.array([int(x.sum())], dtype="int64"),
+            "sy": np.array([int(y.sum())], dtype="int64"),
+            "sxx": np.array([int((x * x).sum())], dtype="int64"),
+            "syy": np.array([int((y * y).sum())], dtype="int64"),
+            "sxy": np.array([int((x * y).sum())], dtype="int64")})
+
+    p = grouped_apply(ev, ["user_id"], per_part,
+                      num_partitions=32).to_pandas()
+    n = float(p["n"].sum())
+    sx = float(p["sx"].sum())
+    sy = float(p["sy"].sum())
+    sxx = float(p["sxx"].sum())
+    syy = float(p["syy"].sum())
+    sxy = float(p["sxy"].sum())
+    r = ((n * sxy - sx * sy)
+         / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    sb = 2.0 * r / (1.0 + r)
+    return pd.DataFrame({
+        "n_users": np.array([int(n)], dtype="int64"),
+        "half_corr": np.array([round(float(r), 6)], dtype="float64"),
+        "spearman_brown": np.array([round(float(sb), 6)],
+                                   dtype="float64")})
+
+
+SQL_SPLIT_HALF = """
+WITH e AS (
+  SELECT user_id,
+         CASE WHEN event_id % 2 = 0
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END
+           AS xc,
+         CASE WHEN event_id % 2 = 0
+              THEN 0 ELSE CAST(round(value * 100) AS BIGINT) END
+           AS yc
+  FROM events),
+u AS (SELECT user_id, sum(xc)::BIGINT AS x, sum(yc)::BIGINT AS y
+      FROM e GROUP BY 1),
+m AS (
+  SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx,
+         sum(y)::DOUBLE AS sy, sum(x * x)::DOUBLE AS sxx,
+         sum(y * y)::DOUBLE AS syy, sum(x * y)::DOUBLE AS sxy
+  FROM u),
+r AS (
+  SELECT n,
+         (n * sxy - sx * sy)
+           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round(r, 6) AS half_corr,
+       round(2.0 * r / (1.0 + r), 6) AS spearman_brown
+FROM r
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -18196,6 +18364,8 @@ QUERIES = {
     "ucb_replay": q_ucb_replay,
     "journey_length": q_journey_length,
     "reserve_price": q_reserve_price,
+    "gains_table": q_gains_table,
+    "split_half": q_split_half,
 }
 
 ORACLE_SQL = {
@@ -18515,4 +18685,6 @@ ORACLE_SQL = {
     "ucb_replay": SQL_UCB_REPLAY,
     "journey_length": SQL_JOURNEY_LENGTH,
     "reserve_price": SQL_RESERVE_PRICE,
+    "gains_table": SQL_GAINS_TABLE,
+    "split_half": SQL_SPLIT_HALF,
 }

@@ -3713,3 +3713,65 @@ def test_reserve_price_step_demand(ray_session, tmp_path):
     assert abs(float(got["reserve"][0]) - 100.0) < 1e-9
     assert int(got["buyers"][0]) == 100
     assert abs(float(got["revenue"][0]) - 10000.0) < 1e-6
+
+
+def test_gains_table_concentrated_signal(ray_session, tmp_path):
+    """All purchases carry top values: the first decile captures
+    everything (lift ~10); uniform mixing gives lift ~1."""
+    from crawler_service_ray.pipelines.queries import q_gains_table
+    import pathlib
+
+    rng = np.random.default_rng(29)
+
+    def build(concentrated, p):
+        rows = []
+        for i in range(5000):
+            is_p = i % 10 == 0
+            if concentrated:
+                v = rng.uniform(900, 1000) if is_p \
+                    else rng.uniform(0, 800)
+            else:
+                v = rng.uniform(0, 1000)
+            rows.append(("purchase" if is_p else "view",
+                         round(float(v), 2)))
+        pd.DataFrame(rows, columns=["event_type", "value"]) \
+            .to_parquet(p / "events.parquet")
+
+    p1 = pathlib.Path(tmp_path) / "c"; p1.mkdir()
+    build(True, p1)
+    g1 = q_gains_table(str(p1)).set_index("decile")
+    assert float(g1.loc[1, "capture"]) > 0.99
+    assert float(g1.loc[1, "lift"]) > 9.0
+    assert abs(float(g1.loc[10, "capture"]) - 1.0) < 1e-9
+    p2 = pathlib.Path(tmp_path) / "u"; p2.mkdir()
+    build(False, p2)
+    g2 = q_gains_table(str(p2)).set_index("decile")
+    assert 0.7 < float(g2.loc[1, "lift"]) < 1.4
+
+
+def test_split_half_trait_vs_noise(ray_session, tmp_path):
+    """Users with stable per-user spending levels give high
+    reliability; iid spend across users gives near-zero."""
+    from crawler_service_ray.pipelines.queries import q_split_half
+    import pathlib
+
+    rng = np.random.default_rng(31)
+
+    def build(trait, p):
+        rows, eid = [], 0
+        for u in range(500):
+            level = float(rng.uniform(10, 200)) if trait else 100.0
+            for i in range(10):
+                v = level + float(rng.normal(0, 5))
+                rows.append((u, eid, round(v, 2))); eid += 1
+        pd.DataFrame(rows, columns=["user_id", "event_id", "value"]) \
+            .to_parquet(p / "events.parquet")
+
+    p1 = pathlib.Path(tmp_path) / "t"; p1.mkdir()
+    build(True, p1)
+    g1 = q_split_half(str(p1))
+    assert float(g1["spearman_brown"][0]) > 0.95
+    p2 = pathlib.Path(tmp_path) / "n"; p2.mkdir()
+    build(False, p2)
+    g2 = q_split_half(str(p2))
+    assert abs(float(g2["half_corr"][0])) < 0.2
