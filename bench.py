@@ -294,6 +294,8 @@ BENCH_QUERIES = [
     "reserve_price",
     "gains_table",
     "split_half",
+    "cohen_kappa",
+    "srm_check",
 ]
 
 

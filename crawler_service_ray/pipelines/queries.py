@@ -18035,6 +18035,146 @@ FROM r
 """
 
 
+def q_cohen_kappa(sf_dir: str):
+    """Cohen's κ between the langid prediction and the labeled
+    `lang` column — chance-corrected agreement, the metric
+    `classification_report`'s raw accuracy overstates when one class
+    dominates. The prediction reuses the oracle-checked `LangId`
+    kernel; the k×k confusion counts are exact int64 from one
+    grouped pass; κ = (p_o − p_e)/(1 − p_e) with p_o/p_e exact
+    integer ratios (Σ diagonal / N and Σ row·col marginal products /
+    N²); 6 dp."""
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "text"],
+                      bytes_per_block=_DOC_BPB)
+
+    def pred(df: pd.DataFrame) -> pd.DataFrame:
+        lang = text.LangId()(df)
+        return pd.DataFrame({
+            "t": df["lang"].to_numpy(),
+            "p": lang["lang_pred"].to_numpy(),
+            "one": np.ones(len(df), dtype="int64")})
+
+    cm = (grouped_agg(docs.map_batches(pred, batch_format="pandas"),
+                      ["t", "p"], {"n": ("one", "sum")})
+          .to_pandas())
+    N = int(cm["n"].sum())
+    diag = int(cm.loc[cm["t"] == cm["p"], "n"].sum())
+    rowm = cm.groupby("t")["n"].sum()
+    colm = cm.groupby("p")["n"].sum()
+    labels = sorted(set(rowm.index) | set(colm.index))
+    pe_num = sum(int(rowm.get(l, 0)) * int(colm.get(l, 0))
+                 for l in labels)
+    po = diag / N
+    pe = pe_num / (N * N)
+    # single-class degenerate: pe == 1 exactly (integer identity);
+    # define kappa = 1 with perfect agreement, mirrored in SQL
+    kappa = (po - pe) / (1.0 - pe) if pe < 1.0 else 1.0
+    return pd.DataFrame({
+        "n_docs": np.array([N], dtype="int64"),
+        "accuracy": np.array([round(po, 6)], dtype="float64"),
+        "chance": np.array([round(pe, 6)], dtype="float64"),
+        "kappa": np.array([round(kappa, 6)], dtype="float64")})
+
+
+SQL_COHEN_KAPPA_TMPL = """
+WITH scored AS (
+  SELECT doc_id, lang, ' ' || text || ' ' AS s FROM documents),
+pr AS (
+  SELECT lang AS t,
+         CASE
+           WHEN CAST({e} AS DOUBLE) >= CAST({es} AS DOUBLE)
+            AND CAST({e} AS DOUBLE) >= CAST({fr} AS DOUBLE)
+            AND CAST({e} AS DOUBLE) >= CAST({de} AS DOUBLE)
+            AND CAST({e} AS DOUBLE) >= {zh} THEN 'en'
+           WHEN CAST({es} AS DOUBLE) >= CAST({fr} AS DOUBLE)
+            AND CAST({es} AS DOUBLE) >= CAST({de} AS DOUBLE)
+            AND CAST({es} AS DOUBLE) >= {zh} THEN 'es'
+           WHEN CAST({fr} AS DOUBLE) >= CAST({de} AS DOUBLE)
+            AND CAST({fr} AS DOUBLE) >= {zh} THEN 'fr'
+           WHEN CAST({de} AS DOUBLE) >= {zh} THEN 'de'
+           ELSE 'zh' END AS p
+  FROM scored),
+cm AS (SELECT t, p, count(*)::BIGINT AS n FROM pr GROUP BY 1, 2),
+tt AS (SELECT sum(n)::BIGINT AS N,
+              sum(CASE WHEN t = p THEN n ELSE 0 END)::BIGINT AS diag
+       FROM cm),
+mg AS (
+  SELECT coalesce(r.l, c.l) AS l,
+         coalesce(r.rn, 0) AS rn, coalesce(c.cn, 0) AS cn
+  FROM (SELECT t AS l, sum(n)::BIGINT AS rn FROM cm GROUP BY t) r
+  FULL OUTER JOIN
+       (SELECT p AS l, sum(n)::BIGINT AS cn FROM cm GROUP BY p) c
+    ON r.l = c.l),
+pe AS (SELECT sum(rn * cn)::BIGINT AS pe_num FROM mg)
+SELECT tt.N AS n_docs,
+       round(tt.diag::DOUBLE / tt.N::DOUBLE, 6) AS accuracy,
+       round(pe.pe_num::DOUBLE / (tt.N::DOUBLE * tt.N::DOUBLE), 6)
+         AS chance,
+       CASE WHEN pe.pe_num::DOUBLE
+                 / (tt.N::DOUBLE * tt.N::DOUBLE) >= 1.0 THEN 1.0
+            ELSE round((tt.diag::DOUBLE / tt.N::DOUBLE
+                  - pe.pe_num::DOUBLE
+                    / (tt.N::DOUBLE * tt.N::DOUBLE))
+                 / (1.0 - pe.pe_num::DOUBLE
+                    / (tt.N::DOUBLE * tt.N::DOUBLE)), 6)
+       END AS kappa
+FROM tt, pe
+"""
+
+SQL_COHEN_KAPPA = SQL_COHEN_KAPPA_TMPL.format(
+    e=_sql_lang_score("en"), es=_sql_lang_score("es"),
+    fr=_sql_lang_score("fr"), de=_sql_lang_score("de"),
+    zh=("(CAST(" + _sql_lang_score("zh") + " AS DOUBLE) + 10.0 * "
+        "len(regexp_extract_all(s, '[一-鿿]')) "
+        "/ greatest(length(s), 1) * 5)"))
+
+
+def q_srm_check(sf_dir: str):
+    """Sample-ratio-mismatch guardrail — the first thing a broken
+    experiment shows: do the event_id-parity arm sizes match the
+    designed 50/50 split? χ² = Σ(O−E)²/E over the two cells from
+    exact int64 counts, with the SRM flag at the conventional
+    χ²>3.841 (α=0.05, 1 df, shared literal); 6 dp."""
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id"])
+    a = (grouped_agg(ev.map_batches(
+        lambda d: pd.DataFrame({
+            "arm": (d["event_id"].to_numpy() % 2).astype("int64"),
+            "one": np.ones(len(d), dtype="int64")}),
+        batch_format="pandas"),
+        ["arm"], {"n": ("one", "sum")})
+        .to_pandas().sort_values("arm").reset_index(drop=True))
+    n0 = float(a["n"].iloc[0])
+    n1 = float(a["n"].iloc[1])
+    E = (n0 + n1) / 2.0
+    chi2 = ((n0 - E) * (n0 - E) / E + (n1 - E) * (n1 - E) / E)
+    return pd.DataFrame({
+        "n_arm0": np.array([int(n0)], dtype="int64"),
+        "n_arm1": np.array([int(n1)], dtype="int64"),
+        "chi2": np.array([round(chi2, 6)], dtype="float64"),
+        "srm_flag": np.array([1 if chi2 > 3.841 else 0],
+                             dtype="int64")})
+
+
+SQL_SRM_CHECK = """
+WITH a AS (
+  SELECT event_id % 2 AS arm, count(*)::BIGINT AS n
+  FROM events GROUP BY 1),
+t AS (
+  SELECT (SELECT n FROM a WHERE arm = 0)::DOUBLE AS n0,
+         (SELECT n FROM a WHERE arm = 1)::DOUBLE AS n1),
+f AS (
+  SELECT n0, n1, (n0 + n1) / 2.0 AS E FROM t)
+SELECT CAST(n0 AS BIGINT) AS n_arm0, CAST(n1 AS BIGINT) AS n_arm1,
+       round((n0 - E) * (n0 - E) / E + (n1 - E) * (n1 - E) / E, 6)
+         AS chi2,
+       ((n0 - E) * (n0 - E) / E + (n1 - E) * (n1 - E) / E
+        > 3.841)::BIGINT AS srm_flag
+FROM f
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -18366,6 +18506,8 @@ QUERIES = {
     "reserve_price": q_reserve_price,
     "gains_table": q_gains_table,
     "split_half": q_split_half,
+    "cohen_kappa": q_cohen_kappa,
+    "srm_check": q_srm_check,
 }
 
 ORACLE_SQL = {
@@ -18687,4 +18829,6 @@ ORACLE_SQL = {
     "reserve_price": SQL_RESERVE_PRICE,
     "gains_table": SQL_GAINS_TABLE,
     "split_half": SQL_SPLIT_HALF,
+    "cohen_kappa": SQL_COHEN_KAPPA,
+    "srm_check": SQL_SRM_CHECK,
 }

@@ -3775,3 +3775,48 @@ def test_split_half_trait_vs_noise(ray_session, tmp_path):
     build(False, p2)
     g2 = q_split_half(str(p2))
     assert abs(float(g2["half_corr"][0])) < 0.2
+
+
+def test_cohen_kappa_perfect_and_chance(ray_session, tmp_path):
+    """Kappa is ~1 when labels are the langid prediction itself and
+    ~0 when labels are assigned independently of the text."""
+    from crawler_service_ray.pipelines.queries import q_cohen_kappa
+    from crawler_service_ray.functions import text as T
+    import pathlib
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).head(400)
+    pred = T.LangId()(docs)["lang_pred"].to_numpy()
+
+    p1 = pathlib.Path(tmp_path) / "perf"; p1.mkdir()
+    docs.assign(lang=pred).to_parquet(p1 / "documents.parquet")
+    g1 = q_cohen_kappa(str(p1))
+    assert float(g1["kappa"][0]) > 0.999
+
+    p2 = pathlib.Path(tmp_path) / "rand"; p2.mkdir()
+    langs = np.array(["en", "es", "fr", "de", "zh"])
+    docs.assign(lang=langs[np.arange(len(docs)) % 5]) \
+        .to_parquet(p2 / "documents.parquet")
+    g2 = q_cohen_kappa(str(p2))
+    assert abs(float(g2["kappa"][0])) < 0.15
+
+
+def test_srm_check_balanced_vs_skewed(ray_session, tmp_path):
+    """Perfect parity split never flags; a 55/45 corruption does."""
+    from crawler_service_ray.pipelines.queries import q_srm_check
+    import pathlib
+
+    p1 = pathlib.Path(tmp_path) / "ok"; p1.mkdir()
+    pd.DataFrame({"event_id": np.arange(10000, dtype="int64")}) \
+        .to_parquet(p1 / "events.parquet")
+    g1 = q_srm_check(str(p1))
+    assert int(g1["srm_flag"][0]) == 0
+    assert float(g1["chi2"][0]) < 1e-9
+
+    p2 = pathlib.Path(tmp_path) / "bad"; p2.mkdir()
+    ids = np.concatenate([np.arange(0, 11000, 2),      # 5500 even
+                          np.arange(1, 9000, 2)])      # 4500 odd
+    pd.DataFrame({"event_id": ids.astype("int64")}) \
+        .to_parquet(p2 / "events.parquet")
+    g2 = q_srm_check(str(p2))
+    assert int(g2["srm_flag"][0]) == 1
