@@ -296,6 +296,8 @@ BENCH_QUERIES = [
     "split_half",
     "cohen_kappa",
     "srm_check",
+    "tost",
+    "mediation",
 ]
 
 

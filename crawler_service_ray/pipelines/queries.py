@@ -18175,6 +18175,186 @@ FROM f
 """
 
 
+def q_tost(sf_dir: str):
+    """TOST equivalence test between the parity arms on mean event
+    value — the inference `ab_test` CANNOT make: failing to reject
+    'different' is not evidence of 'same'; TOST rejects both
+    one-sided nulls outside a ±1%-of-pooled-mean margin to CONCLUDE
+    equivalence. Arm moments are exact int64 cents from one
+    streaming pass; δ, the Welch SE and both z's are token-identical
+    scalar expressions (z critical 1.6448536270 shared literal);
+    6 dp."""
+    ev = read_table(sf_dir, "events", bytes_per_block=_FACT_BPB,
+                    columns=["event_id", "value"])
+
+    def mom(d: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(d["value"].to_numpy(dtype="float64") * 100) \
+            .astype("int64")
+        return pd.DataFrame({
+            "arm": (d["event_id"].to_numpy() % 2).astype("int64"),
+            "s": c, "ss": c * c,
+            "one": np.ones(len(d), dtype="int64")})
+
+    a = (grouped_agg(ev.map_batches(mom, batch_format="pandas"),
+                     ["arm"], {"s": ("s", "sum"), "ss": ("ss", "sum"),
+                               "n": ("one", "sum")})
+         .to_pandas().sort_values("arm").reset_index(drop=True))
+    n0, n1 = float(a["n"].iloc[0]), float(a["n"].iloc[1])
+    s0, s1 = float(a["s"].iloc[0]), float(a["s"].iloc[1])
+    ss0, ss1 = float(a["ss"].iloc[0]), float(a["ss"].iloc[1])
+    m0 = s0 / n0
+    m1 = s1 / n1
+    v0 = (ss0 - s0 * s0 / n0) / (n0 - 1.0)
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - 1.0)
+    d = m1 - m0
+    delta = 0.01 * ((s0 + s1) / (n0 + n1))
+    se = np.sqrt(v0 / n0 + v1 / n1)
+    z1 = (d + delta) / se
+    z2 = (delta - d) / se
+    zc = 1.6448536270
+    return pd.DataFrame({
+        "diff": np.array([round(d / 100.0, 6)], dtype="float64"),
+        "margin": np.array([round(delta / 100.0, 6)],
+                           dtype="float64"),
+        "z_lower": np.array([round(float(z1), 6)], dtype="float64"),
+        "z_upper": np.array([round(float(z2), 6)], dtype="float64"),
+        "equivalent": np.array(
+            [1 if (z1 >= zc and z2 >= zc) else 0], dtype="int64")})
+
+
+SQL_TOST = """
+WITH e AS (
+  SELECT event_id % 2 AS arm,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+a AS (SELECT arm, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+             sum(c * c)::BIGINT AS ss
+      FROM e GROUP BY 1),
+m AS (
+  SELECT (SELECT n::DOUBLE FROM a WHERE arm = 0) AS n0,
+         (SELECT n::DOUBLE FROM a WHERE arm = 1) AS n1,
+         (SELECT s::DOUBLE FROM a WHERE arm = 0) AS s0,
+         (SELECT s::DOUBLE FROM a WHERE arm = 1) AS s1,
+         (SELECT ss::DOUBLE FROM a WHERE arm = 0) AS ss0,
+         (SELECT ss::DOUBLE FROM a WHERE arm = 1) AS ss1),
+f AS (
+  SELECT s1 / n1 - s0 / n0 AS d,
+         0.01 * ((s0 + s1) / (n0 + n1)) AS delta,
+         sqrt(((ss0 - s0 * s0 / n0) / (n0 - 1.0)) / n0
+              + ((ss1 - s1 * s1 / n1) / (n1 - 1.0)) / n1) AS se
+  FROM m)
+SELECT round(d / 100.0, 6) AS diff,
+       round(delta / 100.0, 6) AS margin,
+       round((d + delta) / se, 6) AS z_lower,
+       round((delta - d) / se, 6) AS z_upper,
+       ((d + delta) / se >= 1.6448536270
+        AND (delta - d) / se >= 1.6448536270)::BIGINT AS equivalent
+FROM f
+"""
+
+
+def q_mediation(sf_dir: str):
+    """Baron–Kenny mediation with the Sobel test — how much of the
+    quantity→price effect flows THROUGH the discount: path a (m~x),
+    path b (y~x+m, the m coefficient), indirect = a·b,
+    Sobel z = ab/√(b²se_a² + a²se_b²). All five regressions'
+    ingredients come from ONE pass of exact int64 joint moments
+    (quantities, basis-point discounts, whole-dollar prices — the
+    overflow discipline); centered sums, closed-form 2×2 normal
+    equations and the Sobel algebra are token-identical scalar
+    expressions; 6 dp."""
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_quantity", "l_discount",
+                             "l_extendedprice"])
+
+    def mom(d: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(d["l_quantity"].to_numpy(dtype="float64")) \
+            .astype("int64")
+        m = np.rint(d["l_discount"].to_numpy(dtype="float64")
+                    * 10000).astype("int64")
+        y = np.floor(d["l_extendedprice"].to_numpy(dtype="float64")
+                     + 0.5).astype("int64")
+        return pd.DataFrame({
+            "k": np.zeros(len(d), dtype="int64"),
+            "n": np.ones(len(d), dtype="int64"),
+            "sx": x, "sm": m, "sy": y,
+            "sxx": x * x, "smm": m * m, "syy": y * y,
+            "sxm": x * m, "sxy": x * y, "smy": m * y})
+
+    g = (grouped_agg(li.map_batches(mom, batch_format="pandas"),
+                     ["k"], {c: (c, "sum") for c in
+                             ("n", "sx", "sm", "sy", "sxx", "smm",
+                              "syy", "sxm", "sxy", "smy")})
+         .to_pandas())
+    d = {c: float(g[c].iloc[0]) for c in g.columns}
+    n = d["n"]
+    Sxx = d["sxx"] - d["sx"] * d["sx"] / n
+    Smm = d["smm"] - d["sm"] * d["sm"] / n
+    Syy = d["syy"] - d["sy"] * d["sy"] / n
+    Sxm = d["sxm"] - d["sx"] * d["sm"] / n
+    Sxy = d["sxy"] - d["sx"] * d["sy"] / n
+    Smy = d["smy"] - d["sm"] * d["sy"] / n
+    a_path = Sxm / Sxx
+    se_a2 = ((Smm - a_path * Sxm) / (n - 2.0)) / Sxx
+    det = Sxx * Smm - Sxm * Sxm
+    b_x = (Smm * Sxy - Sxm * Smy) / det
+    b_m = (Sxx * Smy - Sxm * Sxy) / det
+    sig2 = (Syy - b_x * Sxy - b_m * Smy) / (n - 3.0)
+    se_b2 = sig2 * Sxx / det
+    ab = a_path * b_m
+    sobel = ab / np.sqrt(b_m * b_m * se_a2 + a_path * a_path * se_b2)
+    return pd.DataFrame({
+        "path_a": np.array([round(a_path, 6)], dtype="float64"),
+        "path_b": np.array([round(b_m, 6)], dtype="float64"),
+        "indirect": np.array([round(ab, 6)], dtype="float64"),
+        "sobel_z": np.array([round(float(sobel), 6)],
+                            dtype="float64")})
+
+
+SQL_MEDIATION = """
+WITH li AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_discount * 10000) AS BIGINT) AS m,
+         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+  FROM lineitem),
+g AS (
+  SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx,
+         sum(m)::DOUBLE AS sm, sum(y)::DOUBLE AS sy,
+         sum(x * x)::DOUBLE AS sxx, sum(m * m)::DOUBLE AS smm,
+         sum(y * y)::DOUBLE AS syy, sum(x * m)::DOUBLE AS sxm,
+         sum(x * y)::DOUBLE AS sxy, sum(m * y)::DOUBLE AS smy
+  FROM li),
+c AS (
+  SELECT n,
+         sxx - sx * sx / n AS cxx, smm - sm * sm / n AS cmm,
+         syy - sy * sy / n AS cyy, sxm - sx * sm / n AS cxm,
+         sxy - sx * sy / n AS cxy, smy - sm * sy / n AS cmy
+  FROM g),
+p AS (
+  SELECT n, cxx, cmm, cyy, cxm, cxy, cmy,
+         cxm / cxx AS a,
+         ((cmm - cxm / cxx * cxm) / (n - 2.0)) / cxx AS se_a2,
+         cxx * cmm - cxm * cxm AS det
+  FROM c),
+q AS (
+  SELECT n, a, se_a2, det, cxx, cxy, cmy, cyy,
+         (cmm * cxy - cxm * cmy) / det AS bx,
+         (cxx * cmy - cxm * cxy) / det AS bm
+  FROM p),
+r AS (
+  SELECT a, bm, se_a2,
+         ((cyy - bx * cxy - bm * cmy) / (n - 3.0)) * cxx / det
+           AS se_b2
+  FROM q)
+SELECT round(a, 6) AS path_a,
+       round(bm, 6) AS path_b,
+       round(a * bm, 6) AS indirect,
+       round(a * bm / sqrt(bm * bm * se_a2 + a * a * se_b2), 6)
+         AS sobel_z
+FROM r
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -18508,6 +18688,8 @@ QUERIES = {
     "split_half": q_split_half,
     "cohen_kappa": q_cohen_kappa,
     "srm_check": q_srm_check,
+    "tost": q_tost,
+    "mediation": q_mediation,
 }
 
 ORACLE_SQL = {
@@ -18831,4 +19013,6 @@ ORACLE_SQL = {
     "split_half": SQL_SPLIT_HALF,
     "cohen_kappa": SQL_COHEN_KAPPA,
     "srm_check": SQL_SRM_CHECK,
+    "tost": SQL_TOST,
+    "mediation": SQL_MEDIATION,
 }

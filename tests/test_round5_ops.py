@@ -3820,3 +3820,60 @@ def test_srm_check_balanced_vs_skewed(ray_session, tmp_path):
         .to_parquet(p2 / "events.parquet")
     g2 = q_srm_check(str(p2))
     assert int(g2["srm_flag"][0]) == 1
+
+
+def test_tost_equivalent_vs_shifted(ray_session, tmp_path):
+    """Identical arms conclude equivalence; a 5% shifted arm does
+    not."""
+    from crawler_service_ray.pipelines.queries import q_tost
+    import pathlib
+
+    rng = np.random.default_rng(37)
+
+    def build(shift, p):
+        rows = []
+        for i in range(20000):
+            v = float(rng.normal(100, 10))
+            if i % 2 == 1:
+                v *= (1.0 + shift)
+            rows.append((i, round(v, 2)))
+        pd.DataFrame(rows, columns=["event_id", "value"]) \
+            .to_parquet(p / "events.parquet")
+
+    p1 = pathlib.Path(tmp_path) / "eq"; p1.mkdir()
+    build(0.0, p1)
+    assert int(q_tost(str(p1))["equivalent"][0]) == 1
+    p2 = pathlib.Path(tmp_path) / "sh"; p2.mkdir()
+    build(0.05, p2)
+    assert int(q_tost(str(p2))["equivalent"][0]) == 0
+
+
+def test_mediation_full_vs_none(ray_session, tmp_path):
+    """y built ONLY from m (which is built from x): indirect effect
+    large, Sobel significant; y independent of m: indirect ~ 0."""
+    from crawler_service_ray.pipelines.queries import q_mediation
+    import pathlib
+
+    rng = np.random.default_rng(41)
+    x = rng.integers(1, 51, 4000).astype(float)
+
+    def build(through_m, p):
+        m = 0.001 * x + rng.normal(0, 0.002, len(x))
+        m = np.clip(np.round(m, 4), 0, 0.1)
+        if through_m:
+            y = 5000 * m + rng.normal(0, 1, len(x))
+        else:
+            y = 10 * x + rng.normal(0, 1, len(x))
+        pd.DataFrame({"l_quantity": x, "l_discount": m,
+                      "l_extendedprice": np.round(y, 2)}) \
+            .to_parquet(p / "lineitem.parquet")
+
+    p1 = pathlib.Path(tmp_path) / "med"; p1.mkdir()
+    build(True, p1)
+    g1 = q_mediation(str(p1))
+    assert abs(float(g1["sobel_z"][0])) > 5.0
+    assert float(g1["indirect"][0]) > 0.1
+    p2 = pathlib.Path(tmp_path) / "dir"; p2.mkdir()
+    build(False, p2)
+    g2 = q_mediation(str(p2))
+    assert abs(float(g2["indirect"][0])) < 0.1
