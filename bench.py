@@ -298,6 +298,8 @@ BENCH_QUERIES = [
     "srm_check",
     "tost",
     "mediation",
+    "elasticity",
+    "var_backtest",
 ]
 
 

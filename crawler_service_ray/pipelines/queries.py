@@ -18355,6 +18355,150 @@ FROM r
 """
 
 
+def q_elasticity(sf_dir: str):
+    """Log-log demand elasticity — the %Δquantity per %Δunit-price
+    slope (`price_index` measures the LEVEL shift; elasticity the
+    RESPONSE). Unit price = extendedprice/quantity per line; both
+    logs milli-round to int64 per row so the OLS joint moments are
+    exact integer sums (the `lognormal_fit` discipline); the slope
+    and its R² are token-identical scalar expressions; 6 dp."""
+    li = read_table(sf_dir, "lineitem", bytes_per_block=_FACT_BPB,
+                    columns=["l_quantity", "l_extendedprice"])
+
+    def mom(d: pd.DataFrame) -> pd.DataFrame:
+        q = d["l_quantity"].to_numpy(dtype="float64")
+        p = (d["l_extendedprice"].to_numpy(dtype="float64") / q)
+        lx = np.floor(np.log(p) * 1e3 + 0.5).astype("int64")
+        ly = np.floor(np.log(q) * 1e3 + 0.5).astype("int64")
+        return pd.DataFrame({
+            "k": np.zeros(len(d), dtype="int64"),
+            "n": np.ones(len(d), dtype="int64"),
+            "sx": lx, "sy": ly, "sxx": lx * lx, "sxy": lx * ly,
+            "syy": ly * ly})
+
+    g = (grouped_agg(li.map_batches(mom, batch_format="pandas"),
+                     ["k"], {c: (c, "sum") for c in
+                             ("n", "sx", "sy", "sxx", "sxy", "syy")})
+         .to_pandas())
+    n = float(g["n"].iloc[0])
+    sx = float(g["sx"].iloc[0])
+    sy = float(g["sy"].iloc[0])
+    sxx = float(g["sxx"].iloc[0])
+    sxy = float(g["sxy"].iloc[0])
+    syy = float(g["syy"].iloc[0])
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)
+          / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return pd.DataFrame({
+        "n": np.array([int(n)], dtype="int64"),
+        "elasticity": np.array([round(beta, 6)], dtype="float64"),
+        "r2": np.array([round(r2, 6)], dtype="float64")})
+
+
+SQL_ELASTICITY = """
+WITH li AS (
+  SELECT CAST(floor(ln(l_extendedprice / l_quantity) * 1e3 + 0.5)
+              AS BIGINT) AS lx,
+         CAST(floor(ln(l_quantity) * 1e3 + 0.5) AS BIGINT) AS ly
+  FROM lineitem),
+g AS (
+  SELECT count(*)::DOUBLE AS n, sum(lx)::DOUBLE AS sx,
+         sum(ly)::DOUBLE AS sy, sum(lx * lx)::DOUBLE AS sxx,
+         sum(lx * ly)::DOUBLE AS sxy, sum(ly * ly)::DOUBLE AS syy
+  FROM li)
+SELECT CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+         AS elasticity,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS r2
+FROM g
+"""
+
+
+def q_var_backtest(sf_dir: str):
+    """Value-at-Risk backtest with the Kupiec proportion-of-failures
+    LR — risk-control for the revenue stream: VaR₉₅ = the exact 95th
+    percentile of daily revenue DROPS (negative day-over-day
+    changes), exceptions counted out-of-sample-style over all days,
+    and Kupiec's LR = −2·ln[(1−p)^(n−x) p^x] +
+    2·ln[(1−x/n)^(n−x) (x/n)^x] tests whether the exception RATE
+    matches the nominal 5%. The day table is bounded; the quantile
+    is an exact order statistic on integer cent drops; the LR is a
+    scalar over exact counts (x=0 and x=n degenerate terms pinned by
+    the shared x·ln(x) → 0 convention); 6 dp."""
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def pre(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": d["ts"].to_numpy("datetime64[us]").astype("int64")
+                   // 86_400_000_000,
+            "c": np.rint(d["value"].to_numpy(dtype="float64") * 100)
+                 .astype("int64")})
+
+    daily = (grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                         ["day"], {"y": ("c", "sum")})
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    y = daily["y"].to_numpy(dtype="int64")
+    drops = (y[:-1] - y[1:])            # positive = revenue fell
+    n = len(drops)
+    sd = np.sort(drops)
+    k = int(np.ceil(0.95 * n))
+    var95 = int(sd[k - 1])
+    x = int((drops > var95).sum())
+    p = 0.05
+    xf = float(x)
+    nf = float(n)
+
+    def xlnx(a: float, b: float) -> float:
+        # a*ln(b) with the 0*ln(0) -> 0 convention, shared
+        return 0.0 if a == 0.0 else a * np.log(b)
+
+    lr = (-2.0 * (xlnx(nf - xf, 1.0 - p) + xlnx(xf, p))
+          + 2.0 * (xlnx(nf - xf, 1.0 - xf / nf)
+                   + xlnx(xf, xf / nf)))
+    return pd.DataFrame({
+        "n_days": np.array([n], dtype="int64"),
+        "var95": np.array([round(var95 / 100.0, 6)],
+                          dtype="float64"),
+        "exceptions": np.array([x], dtype="int64"),
+        "kupiec_lr": np.array([round(float(lr), 6)],
+                              dtype="float64")})
+
+
+SQL_VAR_BACKTEST = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+d AS (SELECT day, sum(c)::BIGINT AS y FROM e GROUP BY day),
+l AS (SELECT y, lag(y) OVER (ORDER BY day) AS yp FROM d),
+dr AS (SELECT yp - y AS drop FROM l WHERE yp IS NOT NULL),
+t AS (SELECT count(*)::BIGINT AS n FROM dr),
+w AS (SELECT drop, row_number() OVER (ORDER BY drop) AS rk FROM dr),
+v AS (SELECT drop AS var95 FROM w, t
+      WHERE rk = CAST(ceil(0.95 * t.n) AS BIGINT)),
+x AS (SELECT count(*)::DOUBLE AS x FROM dr, v
+      WHERE dr.drop > v.var95),
+f AS (
+  SELECT t.n::DOUBLE AS n, x.x,
+         CASE WHEN t.n - x.x = 0 THEN 0.0
+              ELSE (t.n - x.x) * ln(0.95) END
+         + CASE WHEN x.x = 0 THEN 0.0 ELSE x.x * ln(0.05) END
+           AS ll0,
+         CASE WHEN t.n - x.x = 0 THEN 0.0
+              ELSE (t.n - x.x) * ln(1.0 - x.x / t.n::DOUBLE) END
+         + CASE WHEN x.x = 0 THEN 0.0
+                ELSE x.x * ln(x.x / t.n::DOUBLE) END AS ll1
+  FROM t, x)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round((SELECT var95 FROM v) / 100.0, 6) AS var95,
+       CAST(x AS BIGINT) AS exceptions,
+       round(-2.0 * ll0 + 2.0 * ll1, 6) AS kupiec_lr
+FROM f
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_pricing": q_agg_pricing,
@@ -18690,6 +18834,8 @@ QUERIES = {
     "srm_check": q_srm_check,
     "tost": q_tost,
     "mediation": q_mediation,
+    "elasticity": q_elasticity,
+    "var_backtest": q_var_backtest,
 }
 
 ORACLE_SQL = {
@@ -19015,4 +19161,6 @@ ORACLE_SQL = {
     "srm_check": SQL_SRM_CHECK,
     "tost": SQL_TOST,
     "mediation": SQL_MEDIATION,
+    "elasticity": SQL_ELASTICITY,
+    "var_backtest": SQL_VAR_BACKTEST,
 }

@@ -3877,3 +3877,47 @@ def test_mediation_full_vs_none(ray_session, tmp_path):
     build(False, p2)
     g2 = q_mediation(str(p2))
     assert abs(float(g2["indirect"][0])) < 0.1
+
+
+def test_elasticity_constructed_power_law(ray_session, tmp_path):
+    """Quantity built as q = k·p^(-1.5) (plus tiny noise) recovers
+    elasticity near -1.5 with high R²."""
+    from crawler_service_ray.pipelines.queries import q_elasticity
+
+    rng = np.random.default_rng(43)
+    p = rng.uniform(10, 200, 4000)
+    q = np.maximum(np.round(1e4 * p ** -1.5
+                            * np.exp(rng.normal(0, 0.05, 4000))), 1)
+    pd.DataFrame({"l_quantity": q.astype(float),
+                  "l_extendedprice": np.round(p * q, 2)}) \
+        .to_parquet(tmp_path / "lineitem.parquet")
+    got = q_elasticity(str(tmp_path))
+    assert abs(float(got["elasticity"][0]) + 1.5) < 0.15
+    assert float(got["r2"][0]) > 0.9
+
+
+def test_var_backtest_rate_calibration(ray_session, tmp_path):
+    """On smooth iid daily revenue the 95% VaR admits ~5%
+    exceptions and the Kupiec LR stays small; VaR is the exact order
+    statistic of the drop distribution."""
+    from crawler_service_ray.pipelines.queries import q_var_backtest
+
+    rng = np.random.default_rng(47)
+    base = 20000
+    vals = 1000 + rng.normal(0, 40, 400)
+    rows = [(np.datetime64((base + d) * 86_400_000_000, "us"),
+             round(float(v), 2)) for d, v in enumerate(vals)]
+    pd.DataFrame(rows, columns=["ts", "value"]) \
+        .to_parquet(tmp_path / "events.parquet")
+    got = q_var_backtest(str(tmp_path))
+    n = int(got["n_days"][0])
+    x = int(got["exceptions"][0])
+    assert n == 399
+    assert x / n < 0.08                 # near the nominal 5%
+    assert float(got["kupiec_lr"][0]) < 6.0
+    # exact order-stat replay
+    y = np.rint(vals * 100).astype("int64")
+    drops = np.sort(y[:-1] - y[1:])
+    k = int(np.ceil(0.95 * len(drops)))
+    assert abs(float(got["var95"][0])
+               - round(int(drops[k - 1]) / 100.0, 6)) < 1e-9
